@@ -18,8 +18,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spark_streaming_spark.operators import aggregates as A
 from spark_streaming_spark.operators import blacklist as B
+from spark_streaming_spark.operators import setops as S
 from spark_streaming_spark.operators import topk as T
+from spark_streaming_spark.operators import windows as WIN
 from spark_streaming_spark.operators import wordcount as W
 from spark_streaming_spark.sources.batch import load_table
 
@@ -66,14 +69,58 @@ def _q_top3_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t(name: str):
+    """(spark, sf_dir) -> table loader shorthand."""
+    def load(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return load_table(spark, sf_dir, name)
+    return load
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # reference parity: word count family
         "wordcount": _q_wordcount,
         "running_word_count": _q_running_word_count,
+        # reference parity: blacklist joins
         "blacklist_left_outer": _q_blacklist_left_outer,
         "blacklist_filter": _q_blacklist_filter,
+        # reference parity: top-k
         "hot_words": _q_hot_words,
         "top3_products_per_brand": _q_top3_products,
+        # aggregations (TPC-H shapes + full surface)
+        "pricing_summary": lambda s, d: A.pricing_summary(load_table(s, d, "lineitem")),
+        "revenue_by_nation": lambda s, d: A.revenue_by_nation(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation"), load_table(s, d, "region")),
+        "order_priority_counts": lambda s, d: A.order_priority_counts(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")),
+        "top_revenue_orders": lambda s, d: A.top_revenue_orders(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem")),
+        "lineitem_stats": lambda s, d: A.lineitem_stats(load_table(s, d, "lineitem")),
+        "rollup_customer_nations": lambda s, d: A.rollup_customer_nations(
+            load_table(s, d, "customer"), load_table(s, d, "nation"),
+            load_table(s, d, "region")),
+        "cube_order_status": lambda s, d: A.cube_order_status(load_table(s, d, "orders")),
+        "distinct_event_pairs": lambda s, d: A.distinct_event_pairs(load_table(s, d, "events")),
+        "approx_distinct_users": lambda s, d: A.approx_distinct_users(load_table(s, d, "events")),
+        # time windows (event-time; reference geometry 60s/10s)
+        "tumbling_counts": lambda s, d: WIN.tumbling_counts(load_table(s, d, "events")),
+        "sliding_counts": lambda s, d: WIN.sliding_counts(load_table(s, d, "events")),
+        "hot_words_per_window": lambda s, d: WIN.hot_words_per_window(load_table(s, d, "events")),
+        "session_windows": lambda s, d: WIN.session_windows(load_table(s, d, "events")),
+        # set ops + scalar/JSON surface
+        "nation_presence": lambda s, d: S.nation_presence(
+            load_table(s, d, "customer"), load_table(s, d, "supplier")),
+        "nations_in_both": lambda s, d: S.nations_in_both(
+            load_table(s, d, "customer"), load_table(s, d, "supplier")),
+        "nations_customers_only": lambda s, d: S.nations_customers_only(
+            load_table(s, d, "customer"), load_table(s, d, "supplier")),
+        "small_parts_ordered": lambda s, d: S.small_parts_ordered(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")),
+        "scalar_showcase": lambda s, d: S.scalar_showcase(load_table(s, d, "events")),
+        "json_props_rollup": lambda s, d: S.json_props_rollup(load_table(s, d, "events")),
     }
 
 
@@ -133,5 +180,176 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY click_count DESC, product) AS INTEGER) AS rank
               FROM clicks)
             WHERE rank <= 3
+        """,
+        # ---- aggregations -------------------------------------------------
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+              CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+              COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name AS nation,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+            FROM region
+            JOIN nation   ON n_regionkey = r_regionkey
+            JOIN supplier ON s_nationkey = n_nationkey
+            JOIN lineitem ON l_suppkey = s_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+                         AND c_nationkey = s_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > TIMESTAMP '1996-01-01')
+            GROUP BY o_orderpriority
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "lineitem_stats": """
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                     / COUNT(l_extendedprice) AS avg_price
+            FROM lineitem
+        """,
+        "rollup_customer_nations": """
+            SELECT r_name AS region, n_name AS nation,
+                   count(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "cube_order_status": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "distinct_event_pairs": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # approx_distinct_users: no oracle (HLL sketch is engine-specific) →
+        # driver records the weaker rows-only check.
+        # ---- time windows -------------------------------------------------
+        "tumbling_counts": """
+            SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS w_start,
+                   make_timestamp((epoch_us(ts) // 60000000) * 60000000
+                                  + 60000000) AS w_end,
+                   event_type, count(*) AS cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "sliding_counts": """
+            SELECT make_timestamp((epoch_us(ts) // 10000000 - k) * 10000000) AS w_start,
+                   make_timestamp((epoch_us(ts) // 10000000 - k + 6) * 10000000) AS w_end,
+                   event_type, count(*) AS cnt
+            FROM events CROSS JOIN (SELECT unnest(range(0, 6)) AS k) ks
+            GROUP BY 1, 2, 3
+        """,
+        "hot_words_per_window": """
+            WITH wc AS (
+              SELECT make_timestamp((epoch_us(ts) // 10000000 - k) * 10000000) AS w_start,
+                     make_timestamp((epoch_us(ts) // 10000000 - k + 6) * 10000000) AS w_end,
+                     event_type, count(*) AS cnt
+              FROM events CROSS JOIN (SELECT unnest(range(0, 6)) AS k) ks
+              GROUP BY 1, 2, 3
+            )
+            SELECT w_start, w_end, event_type, cnt, rank FROM (
+              SELECT w_start, w_end, event_type, cnt,
+                     CAST(row_number() OVER (
+                        PARTITION BY w_start, w_end
+                        ORDER BY cnt DESC, event_type) AS INTEGER) AS rank
+              FROM wc)
+            WHERE rank <= 3
+        """,
+        "session_windows": """
+            WITH marks AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marks
+            )
+            SELECT user_id, min(ts) AS w_start,
+                   max(ts) + INTERVAL '5 minutes' AS w_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
+        # ---- set ops + scalar/JSON surface --------------------------------
+        "nation_presence": """
+            SELECT side, nationkey, count(*) AS cnt FROM (
+              SELECT 'customer' AS side, c_nationkey AS nationkey FROM customer
+              UNION ALL
+              SELECT 'supplier' AS side, s_nationkey AS nationkey FROM supplier
+            ) GROUP BY side, nationkey
+        """,
+        "nations_in_both": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "nations_customers_only": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "small_parts_ordered": """
+            SELECT DISTINCT l_partkey AS partkey FROM lineitem
+            EXCEPT
+            SELECT p_partkey AS partkey FROM part WHERE p_size > 25
+        """,
+        "scalar_showcase": """
+            SELECT event_id,
+                   upper(event_type) AS etype_upper,
+                   substr(event_type, 1, 3) AS first3,
+                   concat_ws('_', event_type, CAST(user_id AS VARCHAR)) AS tagged,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(year(ts) AS INTEGER) AS yr,
+                   CAST(month(ts) AS INTEGER) AS mon,
+                   round(value, 1) AS val_rounded,
+                   abs(value) AS val_abs
+            FROM events
+        """,
+        "json_props_rollup": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   count(*) AS cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
         """,
     }

@@ -1,0 +1,152 @@
+"""Keyed / global aggregations (SURVEY.md §2.4) + the full-surface extras
+the reference lacks (distinct aggs, rollup/cube, approx sketches).
+
+Reference parity target is ``reduceByKey`` per-batch sums
+(``/root/reference/src/main/java/com/soto/WordCount.java:48-53``) and the
+``updateStateByKey`` running fold (``UpdateStateByKeyWordCount.java:54-78``).
+Catalyst plans every groupBy here as partial (map-side) + final aggregation
+— exactly the hand-tuned combiner behavior the reference relied on — with
+one shuffle on the grouping key.
+
+Scale posture: all money-column sums are decimal-quantized (see
+functions/numeric.dsum) so results are order-independent → reproducible
+across 1000-executor reruns, and comparable against external oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.functions.numeric import davg, dsum
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary.
+    Filter on l_shipdate is pushed to the parquet scan."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(38,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(38,6)")).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", scale=4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      region_name: str = "ASIA") -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier are
+    co-located in one region. Exercises a 6-table join chain.
+
+    Scale notes: lineitem is the fact; orders/customer shuffle on their
+    keys, while supplier/nation/region are broadcast (small dims). AQE
+    re-plans the middle joins if estimates are off.
+    """
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+    return (
+        region.filter(F.col("r_name") == region_name)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supplier, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(lineitem, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            customer,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: per priority, count orders having at least one line
+    shipped after the order date — LEFT SEMI join (EXISTS)."""
+    late_lines = lineitem.filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+    return (
+        orders.join(
+            late_lines,
+            orders["o_orderkey"] == late_lines["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def top_revenue_orders(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: str = "BUILDING",
+                       k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: top-k orders by revenue within a market segment.
+    TakeOrderedAndProject keeps the driver transfer at k rows."""
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def lineitem_stats(lineitem: DataFrame) -> DataFrame:
+    """Global (no-key) aggregate surface: count / distinct / min / max /
+    decimal-stable avg."""
+    return lineitem.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice").alias("avg_price"),
+    )
+
+
+def rollup_customer_nations(customer: DataFrame, nation: DataFrame,
+                            region: DataFrame) -> DataFrame:
+    """ROLLUP (region, nation): customer counts + decimal-stable acctbal
+    sums at every level incl. grand total."""
+    joined = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+def cube_order_status(orders: DataFrame) -> DataFrame:
+    """CUBE (status, priority): order counts + decimal-stable totals for
+    every subset of the grouping keys."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+def distinct_event_pairs(events: DataFrame) -> DataFrame:
+    """DISTINCT surface (≡ dropDuplicates on all columns of a projection)."""
+    return events.select("user_id", "event_type").distinct()
+
+
+def approx_distinct_users(events: DataFrame) -> DataFrame:
+    """HLL sketch count (rows-only check: sketches are engine-specific).
+    The scale path for COUNT(DISTINCT) at 100 TB — one pass, no giant
+    shuffle of distinct keys."""
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )

@@ -1,0 +1,82 @@
+"""Time-window aggregations (SURVEY.md §2.4/§2.9).
+
+The reference's windows are processing-time sliding windows:
+``reduceByKeyAndWindow(sum, 60s, 10s)``
+(``/root/reference/src/main/java/com/soto/WindowHotWord.java:52-57``,
+``Top3HotProduct.java:52-57``). Ours are event-time windows over the
+``events.ts`` column — the same 60s/10s geometry, but deterministic and
+replayable (the reference's arrival-time windows can't be tested
+reproducibly at all). The streaming twins in streaming/pipelines.py add
+watermarks; here the same expressions run in batch for the oracle.
+
+Scale notes: ``window()`` is a generator expression — a 60s/10s slide
+emits 6 rows per input row *before* partial aggregation collapses them,
+so the shuffle carries (n_keys × n_windows) rows, not (6 × n_rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.functions.numeric import dsum
+
+
+def _flatten_window(df: DataFrame, *extra: str) -> DataFrame:
+    return df.select(
+        F.col("window.start").alias("w_start"),
+        F.col("window.end").alias("w_end"),
+        *extra,
+    )
+
+
+def tumbling_counts(events: DataFrame, width: str = "60 seconds") -> DataFrame:
+    """Per event_type counts in tumbling windows.
+    Columns: w_start, w_end, event_type, cnt."""
+    agg = (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value"))
+    )
+    return _flatten_window(agg, "event_type", "cnt", "sum_value")
+
+
+def sliding_counts(events: DataFrame, width: str = "60 seconds",
+                   slide: str = "10 seconds") -> DataFrame:
+    """Per event_type counts in 60s/10s sliding windows — the reference's
+    exact window geometry. Columns: w_start, w_end, event_type, cnt."""
+    agg = (
+        events.groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _flatten_window(agg, "event_type", "cnt")
+
+
+def hot_words_per_window(events: DataFrame, k: int = 3) -> DataFrame:
+    """WindowHotWord, faithfully: within each sliding window, the top-k
+    event_types by count (row_number ≤ k with deterministic tie-break).
+    Columns: w_start, w_end, event_type, cnt, rank."""
+    from pyspark.sql.window import Window as W
+
+    counts = sliding_counts(events)
+    w = W.partitionBy("w_start", "w_end").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge.
+    A capability beyond the reference (DStreams have no session concept).
+    Columns: user_id, w_start, w_end, n_events."""
+    agg = (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("w_start"),
+        F.col("session_window.end").alias("w_end"),
+        "n_events",
+    )

@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spark_streaming_spark.operators import aggregates as A
 from spark_streaming_spark.operators import blacklist as B
+from spark_streaming_spark.operators import dedup as DD
 from spark_streaming_spark.operators import setops as S
+from spark_streaming_spark.operators import similarity as SIM
+from spark_streaming_spark.operators import textstats as TX
 from spark_streaming_spark.operators import topk as T
 from spark_streaming_spark.operators import windows as WIN
 from spark_streaming_spark.operators import wordcount as W
@@ -121,6 +124,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "part")),
         "scalar_showcase": lambda s, d: S.scalar_showcase(load_table(s, d, "events")),
         "json_props_rollup": lambda s, d: S.json_props_rollup(load_table(s, d, "events")),
+        # dedup suite (training-data pipeline extension)
+        "dedup_exact": lambda s, d: DD.dedup_exact(load_table(s, d, "documents")),
+        "dedup_ngram_jaccard": lambda s, d: DD.ngram_jaccard_pairs(
+            load_table(s, d, "documents")),
+        "dedup_minhash_lsh": lambda s, d: DD.minhash_lsh_pairs(
+            load_table(s, d, "documents")),
+        "dedup_simhash": lambda s, d: DD.simhash(load_table(s, d, "documents")),
+        # similarity search
+        "knn_bruteforce": lambda s, d: SIM.knn_to_query(load_table(s, d, "embeddings")),
+        "similar_pairs_lsh": lambda s, d: SIM.similar_pairs_lsh(
+            load_table(s, d, "embeddings")),
+        "label_centroids": lambda s, d: SIM.label_centroids(
+            load_table(s, d, "embeddings")),
+        "embedding_norms": lambda s, d: SIM.embedding_norms(
+            load_table(s, d, "embeddings")),
+        # text analysis
+        "token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
+        "quality_scores": lambda s, d: TX.quality_scores(load_table(s, d, "documents")),
+        "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
+        "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
+        "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
     }
 
 
@@ -132,6 +156,42 @@ blacklist AS (
   FROM customer WHERE c_custkey % 10 = 0
 )
 """
+
+# word-3-gram shingles, DISTINCT per doc (mirrors operators/dedup.py
+# _shingle_sets: Spark sequence(1, greatest(size-2, 1)) + slice(t, i, 3))
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) ii
+)
+"""
+
+# same shingling WITHOUT distinct (mirrors functions/text.py shingles
+# used by fingerprint); min() is unaffected but keep semantics aligned
+_SHINGLES_ALL_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) ii
+)
+"""
+
+_STOPWORDS_SQL = "('the','and','is','of','to','in','a','that')"
+
+# 8-bit sign-LSH bucket (mirrors operators/similarity.py sign_bucket)
+_SIGN_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+
+def _VDOT(a: str, b: str) -> str:
+    """Decimal-exact dot-product fragment over the `i` index column —
+    DuckDB spelling of functions/vectors.py's arithmetic contract."""
+    return (
+        f"SUM(CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE), 7)"
+        f" AS DECIMAL(38,8)))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -351,5 +411,149 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt,
                    CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        # ---- dedup suite --------------------------------------------------
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+            FROM pairs
+            JOIN sizes x ON doc_a = x.doc_id
+            JOIN sizes y ON doc_b = y.doc_id
+            WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
+        """,
+        # dedup_minhash_lsh: no oracle (xxhash64 is Spark-specific) →
+        # rows-only; recall vs exact Jaccard asserted in tests/test_dedup.py
+        "dedup_simhash": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            h AS (SELECT doc_id,
+                         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+                  FROM tok),
+            votes AS (
+              SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS vote
+              FROM h, (SELECT unnest(range(0, 60)) AS j) js
+              GROUP BY doc_id, j
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN vote > 0
+                                 THEN (CAST(1 AS BIGINT) << j)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        # ---- similarity search -------------------------------------------
+        "knn_bruteforce": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            prods AS (
+              SELECT e.vec_id,
+                     {_VDOT("e.embedding", "q.qv")} AS dot,
+                     {_VDOT("e.embedding", "e.embedding")} AS na,
+                     {_VDOT("q.qv", "q.qv")} AS nb
+              FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) ii
+              WHERE e.vec_id <> 0
+              GROUP BY e.vec_id
+            )
+            SELECT vec_id,
+                   CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+            FROM prods ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "similar_pairs_lsh": f"""
+            WITH tagged AS (
+              SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket
+              FROM embeddings
+            ),
+            cand AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     a.embedding AS ea, b.embedding AS eb
+              FROM tagged a JOIN tagged b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ),
+            prods AS (
+              SELECT vec_a, vec_b,
+                     {_VDOT("ea", "eb")} AS dot,
+                     {_VDOT("ea", "ea")} AS na,
+                     {_VDOT("eb", "eb")} AS nb
+              FROM cand, (SELECT unnest(range(1, 65)) AS i) ii
+              GROUP BY vec_a, vec_b
+            )
+            SELECT vec_a, vec_b,
+                   CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+            FROM prods
+            WHERE CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4
+        """,
+        "label_centroids": """
+            SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                   CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 7)
+                                 AS DECIMAL(38,8))) AS DOUBLE)
+                     / COUNT(embedding[i]) AS centroid
+            FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+            GROUP BY label, i
+        """,
+        "embedding_norms": f"""
+            SELECT vec_id, label,
+                   sqrt(CAST(dot AS DOUBLE)) AS l2
+            FROM (
+              SELECT vec_id, label, {_VDOT("embedding", "embedding")} AS dot
+              FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+              GROUP BY vec_id, label
+            )
+        """,
+        # ---- text analysis ------------------------------------------------
+        "token_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS ttr
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH feats AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     CAST(length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g'))
+                          AS DOUBLE) / length(text) AS punct_ratio,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                                          x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+                       / len(string_split(lower(text), ' ')) AS stop_ratio
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+                   least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+                     + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2
+                     + least(stop_ratio * 5.0, 1.0) * 0.3 AS quality
+            FROM feats
+        """,
+        "lang_guess": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                                                  x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+                             / len(string_split(lower(text), ' ')) >= 0.08
+                        THEN 'en' ELSE 'other' END AS lang_guess
+            FROM documents
+        """,
+        "doc_fingerprints": f"""
+            WITH {_SHINGLES_ALL_CTE}
+            SELECT doc_id, min(md5(sh)) AS fp FROM sh GROUP BY doc_id
+        """,
+        "fingerprint_dupes": f"""
+            WITH {_SHINGLES_ALL_CTE},
+            fps AS (SELECT doc_id, min(md5(sh)) AS fp FROM sh GROUP BY doc_id)
+            SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc
+            FROM fps GROUP BY fp HAVING count(*) > 1
         """,
     }

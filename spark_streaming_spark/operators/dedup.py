@@ -1,0 +1,195 @@
+"""Deduplication suite for training-data pipelines (north-star extension;
+beyond the reference's surface — SURVEY.md §7 stage 3).
+
+Four tiers, each a pure DataFrame op over ``documents``:
+
+1. exact         — hash groupBy on normalized text (deterministic keeper)
+2. ngram_jaccard — exact word-3-gram Jaccard pairs (the ground truth the
+                   approximate tiers are measured against)
+3. minhash_lsh   — MinHash signatures + banded LSH candidate pairs, then
+                   exact verification of candidates only (the 100 TB path:
+                   cost is O(docs × bands) + bucket-local joins, never the
+                   all-pairs product)
+4. simhash       — 60-bit md5-derived SimHash (hex-prefix construction so
+                   the DuckDB oracle can reproduce it bit-for-bit)
+
+Scale notes: the exact-Jaccard self-join (tier 2) is quadratic in the hot
+shingle buckets and exists as the correctness oracle; production dedup at
+100 TB runs tier 3, whose shuffle keys are (band_id, band_hash) buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.functions.text import shingles
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup, deterministic keeper: min doc_id per distinct text.
+    Columns: doc_id, text, n_copies."""
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "text", "n_copies")
+
+
+def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh) distinct shingle rows — the long-form relation every
+    dedup tier starts from."""
+    return docs.select(
+        "doc_id", F.explode(shingles("text", n)).alias("sh")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
+                        n: int = 3) -> DataFrame:
+    """Exact Jaccard near-dup pairs over word n-gram shingle sets.
+    Columns: doc_a, doc_b, jaccard. Pairs oriented doc_a < doc_b.
+
+    Plan shape: explode → distinct → self-equi-join on shingle →
+    count-intersect → join sizes → filter. All shuffles key on either
+    ``sh`` or ``doc_id`` — no cross join anywhere.
+    """
+    sh = _shingle_sets(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.7
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3,
+                       n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, min over shingles of
+    xxhash64(shingle, i). One aggregation, no joins; signature is an
+    array<long> column. Columns: doc_id, sig."""
+    sh = _shingle_sets(docs, n)
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
+                      n: int = 3) -> DataFrame:
+    """Banded-LSH candidate pairs verified with exact Jaccard.
+
+    Pipeline: signatures → slice into N_BANDS bands → explode (doc, band,
+    band_hash) → self-join within identical (band, band_hash) buckets →
+    distinct candidates → exact-verify ONLY those. Rows-only driver check
+    (xxhash64 has no DuckDB twin); tests/test_dedup.py asserts candidate
+    recall against ngram_jaccard_pairs ground truth.
+    Columns: doc_a, doc_b, jaccard.
+    """
+    rows_per_band = N_HASHES // N_BANDS
+    sig = minhash_signatures(docs, n)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(*[
+                        F.col("sig").getItem(bi * rows_per_band + ri)
+                        for ri in range(rows_per_band)
+                    ]).alias("bh"),
+                )
+                for bi in range(N_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact-verify ONLY the candidates: join each pair back to its two
+    # shingle sets. This is the scale property that matters — the full
+    # all-pairs Jaccard is never computed.
+    sh = _shingle_sets(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
+    common = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, (F.col("doc_b") == F.col("doc_b2"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit SimHash per document, built only from md5 so the DuckDB
+    oracle reproduces it exactly: token hash = first 15 hex chars of
+    md5(token) as an integer; simhash bit j is the sign of the ±1 vote sum
+    over token-hash bit j.
+
+    Long-form construction (explode tokens × bits → groupBy) rather than a
+    Python UDF: stays in whole-stage codegen, shuffles once on doc_id.
+    Columns: doc_id, simhash (bigint).
+    """
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    )
+    # first 15 hex chars of md5 → 60-bit non-negative integer (fits long)
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    votes = (
+        tok.select("doc_id", h.alias("h"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+            F.col("h"),
+        )
+        .select(
+            "doc_id", "j",
+            (F.expr("shiftright(h, cast(j as int)) & 1") * 2 - 1).alias("v"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("vote"))
+    )
+    bit = F.when(
+        F.col("vote") > 0,
+        F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return votes.groupBy("doc_id").agg(F.sum(bit).cast("long").alias("simhash"))

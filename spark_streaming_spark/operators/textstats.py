@@ -1,0 +1,89 @@
+"""Text analysis over the documents table (north-star extension):
+token stats, quality scoring, language-ID heuristic, fingerprints.
+
+All pure Column expressions (functions/text.py) — language-ID and quality
+scores run inside whole-stage codegen, no Python. Each op has an exact
+DuckDB oracle because every formula is shared double arithmetic on
+integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.functions.text import (
+    fingerprint,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token statistics.
+    Columns: doc_id, n_tokens, n_distinct, ttr (type-token ratio)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        (nd.cast("double") / n).alias("ttr"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score: long docs with modest punctuation and a
+    natural stopword rate score higher. Columns: doc_id, n_tokens,
+    punct_ratio, stop_ratio, quality."""
+    n = token_count("text")
+    p = punct_ratio("text")
+    s = stopword_ratio("text")
+    quality = (
+        F.least(n.cast("double") / 50.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(p * 10.0, F.lit(1.0))) * 0.2
+        + F.least(s * 5.0, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        p.alias("punct_ratio"),
+        s.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_guess(docs: DataFrame, threshold: float = 0.08) -> DataFrame:
+    """n-gram-free language-ID heuristic: flag as 'en' when the English
+    stopword ratio clears the threshold. (The documents table carries a
+    ground-truth ``lang`` column; test accuracy is reported by
+    tests/test_textstats.py.) Columns: doc_id, lang, lang_guess."""
+    s = stopword_ratio("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(s >= threshold, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """min-md5-shingle fingerprint (deterministic 1-perm MinHash) + exact
+    duplicate groups by fingerprint. Columns: doc_id, fp."""
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def fingerprint_dupes(docs: DataFrame) -> DataFrame:
+    """Documents sharing a fingerprint — candidate dup clusters.
+    Columns: fp, n_docs, min_doc, max_doc."""
+    return (
+        doc_fingerprints(docs)
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

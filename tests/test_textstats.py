@@ -1,0 +1,46 @@
+"""Text-analysis semantics: language-ID heuristic quality and fingerprint
+clustering behavior (beyond the oracle hash checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.operators import textstats as TX
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR
+
+
+def test_lang_guess_behavior(spark):
+    """The driver's synthetic corpus draws text and the `lang` label
+    independently (verified: per-language word distributions are
+    identical), so accuracy against the label is meaningless here. Assert
+    the operator's *behavior*: total coverage, closed label set, and
+    monotonicity — guessed-'en' docs have stopword ratios strictly above
+    guessed-'other' docs on average."""
+    docs = load_table(spark, SF_DIR, "documents")
+    g = TX.lang_guess(docs)
+    assert g.count() == docs.count()
+    labels = {r.lang_guess for r in g.select("lang_guess").distinct().collect()}
+    assert labels <= {"en", "other"}
+    from spark_streaming_spark.functions.text import stopword_ratio
+    joined = g.join(docs.select("doc_id", "text"), "doc_id").select(
+        "lang_guess", stopword_ratio("text").alias("sr")
+    )
+    means = {
+        r.lang_guess: r.m
+        for r in joined.groupBy("lang_guess").agg(F.avg("sr").alias("m")).collect()
+    }
+    if {"en", "other"} <= set(means):
+        assert means["en"] > means["other"]
+
+
+def test_fingerprint_clusters_exact_dupes(spark):
+    """Identical texts must always share a fingerprint."""
+    docs = load_table(spark, SF_DIR, "documents")
+    per_text = (
+        TX.doc_fingerprints(docs)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .groupBy("text")
+        .agg(F.countDistinct("fp").alias("nfp"))
+    )
+    assert per_text.filter(F.col("nfp") > 1).count() == 0

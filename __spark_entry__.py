@@ -79,6 +79,42 @@ def _t(name: str):
     return load
 
 
+def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
+                  output_mode: str = "complete", n_chunks: int = 4) -> DataFrame:
+    """Replay a driver table as a multi-micro-batch stream through a
+    batch operator and return the final result as a batch DataFrame.
+    Because the operators are pure DataFrame→DataFrame functions, the
+    streamed output equals the batch output — so these entries share the
+    batch oracles (stream/batch equivalence, checked by the driver)."""
+    from spark_streaming_spark.streaming import replay
+
+    src = load_table(spark, sf_dir, table)
+    chunk_dir = replay.chunk_to_dir(src, n_chunks)
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir)
+        return replay.run_to_memory(transform(stream), output_mode)
+    finally:
+        replay.cleanup(chunk_dir)
+
+
+def _q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_spark.streaming.pipelines import wordcount_stream
+    return _run_streamed(spark, sf_dir, "documents", wordcount_stream, "complete")
+
+
+def _q_streaming_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_spark.streaming.pipelines import blacklist_stream
+    bl = B.make_blacklist(load_table(spark, sf_dir, "customer"))
+    return _run_streamed(
+        spark, sf_dir, "events", lambda s: blacklist_stream(s, bl), "append"
+    )
+
+
+def _q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_streaming_spark.streaming.pipelines import sliding_hot_words
+    return _run_streamed(spark, sf_dir, "events", sliding_hot_words, "complete")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference parity: word count family
@@ -139,6 +175,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings")),
         "embedding_norms": lambda s, d: SIM.embedding_norms(
             load_table(s, d, "embeddings")),
+        # structured streaming (replayed as bounded multi-batch streams;
+        # results must equal the batch oracles — stream/batch equivalence)
+        "streaming_wordcount": _q_streaming_wordcount,
+        "streaming_blacklist_filter": _q_streaming_blacklist,
+        "streaming_sliding_counts": _q_streaming_sliding,
         # text analysis
         "token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
         "quality_scores": lambda s, d: TX.quality_scores(load_table(s, d, "documents")),
@@ -195,7 +236,7 @@ def _VDOT(a: str, b: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "wordcount": """
             SELECT word, count(*) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -557,3 +598,9 @@ def oracle_sql() -> dict[str, str]:
             FROM fps GROUP BY fp HAVING count(*) > 1
         """,
     }
+    # Streamed pipelines reuse the batch operators, so stream/batch
+    # equivalence means they share the batch oracles verbatim.
+    sql["streaming_wordcount"] = sql["wordcount"]
+    sql["streaming_blacklist_filter"] = sql["blacklist_filter"]
+    sql["streaming_sliding_counts"] = sql["sliding_counts"]
+    return sql

@@ -1,0 +1,130 @@
+"""Reference-parity streaming pipelines on Structured Streaming.
+
+Each pipeline reuses the *batch* operator library unchanged (the
+operators are pure DataFrame→DataFrame functions), so the streamed result
+provably equals the batch/oracle answer — the property the whole engine
+is built around. The replay harness (replay.py) drives them with
+``trigger(availableNow=True)`` over chunked input.
+
+Pipeline ↔ reference map:
+
+* wordcount_stream       ≡ WordCount/HDFSWordCount/Kafka*WordCount
+  (``WordCount.java:32-53``) — per-key counts, complete mode
+* running_count_stream   ≡ UpdateStateByKeyWordCount
+  (``UpdateStateByKeyWordCount.java:54-78``) — the state store replaces
+  updateStateByKey; update mode emits per-trigger deltas
+* blacklist_stream       ≡ TransformBlacklist
+  (``TransformBlacklist.java:48-73``) — stream-static broadcast anti-join
+* sliding_hot_words      ≡ WindowHotWord (``WindowHotWord.java:52-87``)
+* top3_per_window_stream ≡ Top3HotProduct (``Top3HotProduct.java:62-109``)
+  — rank-over-aggregate isn't allowed in a streaming plan, so ranking
+  runs per trigger in foreachBatch: exactly what the reference computed
+  every slide interval
+* jdbc-style sink        ≡ PersistWordCount (``PersistWordCount.java:
+  73-100``) — epoch-keyed idempotent writes instead of row-at-a-time
+  INSERT strings
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.operators.blacklist import blacklist_filter
+from spark_streaming_spark.operators.wordcount import word_count
+
+
+def wordcount_stream(lines: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming word count: same operator as batch; complete mode gives
+    the cumulative per-word counts (the reference's per-batch counts are
+    the update-mode deltas of this same plan)."""
+    return word_count(lines, text_col)
+
+
+def running_count_stream(lines: DataFrame, text_col: str = "text") -> DataFrame:
+    """updateStateByKey parity: streaming groupBy over the state store.
+    Run with outputMode('update') for per-trigger changed keys, or
+    'complete' for the full state. Unlike the reference (unbounded state,
+    ``README.md:295``), bound state by adding a watermark on an event-time
+    column before the groupBy when the key space is unbounded."""
+    return word_count(lines, text_col)
+
+
+def blacklist_stream(events: DataFrame, blacklist: DataFrame) -> DataFrame:
+    """Stream-static anti-join: the static side is broadcast to every
+    task; no state, no shuffle of the stream side. Append mode."""
+    return blacklist_filter(events, blacklist)
+
+
+def sliding_hot_words(events: DataFrame, width: str = "60 seconds",
+                      slide: str = "10 seconds",
+                      watermark: str | None = None) -> DataFrame:
+    """Event-time sliding-window counts per event_type. With a watermark,
+    append mode emits finalized windows and the state store evicts old
+    windows — the late-data handling the reference lacked entirely."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    agg = (
+        src.groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return agg.select(
+        F.col("window.start").alias("w_start"),
+        F.col("window.end").alias("w_end"),
+        "event_type", "cnt",
+    )
+
+
+def top3_per_window_foreach_batch(k: int = 3):
+    """foreachBatch body for per-trigger partitioned top-k over the
+    sliding-window aggregate — the Top3HotProduct pattern. Returns a
+    (DataFrame, epoch_id) -> DataFrame function; callers sink the result
+    (console/parquet/jdbc)."""
+    from pyspark.sql.window import Window as W
+
+    def rank_batch(batch_df: DataFrame, _epoch_id: int) -> DataFrame:
+        w = W.partitionBy("w_start", "w_end").orderBy(
+            F.col("cnt").desc(), F.col("event_type").asc()
+        )
+        return (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    return rank_batch
+
+
+def idempotent_parquet_sink(out_dir: str):
+    """foreachBatch sink with exactly-once effect: each epoch overwrites
+    its own partition directory, so replays after failure rewrite the
+    same data instead of duplicating it — the correct version of
+    PersistWordCount's at-least-once row inserts. The same pattern with
+    JDBC is an upsert keyed on (epoch_id, key)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
+
+    return write_batch
+
+
+def jdbc_upsert_sink(url: str, table: str, properties: dict[str, str]):
+    """foreachBatch JDBC sink: batched, parameterized, connection-per-
+    partition (Spark's JDBC writer) — replaces the reference's hand-built
+    connection pool + string-concatenated INSERTs
+    (``ConnectionPool.java:29-54``, ``PersistWordCount.java:87-88``).
+    Not exercised in-container (no database); used via:
+        stream.writeStream.foreachBatch(jdbc_upsert_sink(...)).start()
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("append").jdbc(url, table, properties=properties)
+        )
+
+    return write_batch

@@ -1,0 +1,82 @@
+"""Streaming sources with typed schemas at ingest (SURVEY.md §1.2: the
+reference parses schemaless strings positionally deep in each pipeline;
+we type them at the boundary so Catalyst can optimize everything after).
+
+Parity map (reference → here):
+
+* socket text source (``WordCount.java:30``)          → socket_lines
+* HDFS dir monitor (``HDFSWordCount.java:25``)        → file_lines
+* Kafka receiver/direct (``KafkaReceiverWordCount.java:34-39``,
+  ``KafkaDirectWordCount.java:37-43``)                → kafka_lines
+  (Structured Streaming's Kafka source is always "direct": offsets live
+  in the checkpoint, partitions map 1:1 to tasks — the receiver/WAL
+  machinery the reference documents is obsolete by design)
+* rate source — test/synthetic generator (no reference twin)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def socket_lines(spark: SparkSession, host: str = "localhost",
+                 port: int = 9999) -> DataFrame:
+    """TCP line source: one string column ``value``. Dev/debug only — not
+    replayable, so no exactly-once (same caveat the reference had)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host).option("port", port).load()
+    )
+
+
+def file_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Directory-monitor text source (≡ textFileStream): each new file's
+    lines become stream rows; replayable, exactly-once capable."""
+    return spark.readStream.format("text").load(path).withColumnRenamed(
+        "value", "value"
+    )
+
+
+def kafka_lines(spark: SparkSession, bootstrap: str, topic: str,
+                starting_offsets: str = "earliest",
+                max_offsets_per_trigger: int | None = None) -> DataFrame:
+    """Kafka source, value decoded to string. Offsets are tracked in the
+    checkpoint (exactly-once ingest ≡ what the reference's direct mode
+    achieved manually). Rate-limit with maxOffsetsPerTrigger — the
+    Structured Streaming replacement for the receiver/backpressure knobs
+    in ``README.md:715-724``. Requires the spark-sql-kafka package on the
+    cluster; not exercised in this container (no broker)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load().select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic", "partition", "offset", "timestamp",
+    )
+
+
+def rate_rows(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Built-in rate source: (timestamp, value) — synthetic load for
+    soak/latency tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second)).load()
+    )
+
+
+def parse_space_log(lines: DataFrame, fields: list[str]) -> DataFrame:
+    """Positional space-split parser — the reference's implicit record
+    format (``TransformBlacklist.java:43``: 'date user', ``Top3HotProduct
+    .java:46``: 'user product category') made explicit and typed once at
+    the boundary."""
+    toks = F.split(F.col("value"), " ")
+    return lines.select(
+        *[toks.getItem(i).alias(name) for i, name in enumerate(fields)]
+    )

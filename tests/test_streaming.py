@@ -1,0 +1,167 @@
+"""Structured Streaming parity: every streamed pipeline must equal its
+batch twin (the central correctness property), plus stateful update-mode
+semantics, per-trigger top-k, the idempotent sink, and a live socket
+source end-to-end."""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.operators import windows as WIN
+from spark_streaming_spark.operators.blacklist import make_blacklist
+from spark_streaming_spark.operators.wordcount import word_count
+from spark_streaming_spark.sources.batch import load_table
+from spark_streaming_spark.streaming import replay
+from spark_streaming_spark.streaming.pipelines import (
+    blacklist_stream,
+    idempotent_parquet_sink,
+    sliding_hot_words,
+    top3_per_window_foreach_batch,
+    wordcount_stream,
+)
+from tests.conftest import SF_DIR
+
+
+def _as_sets(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_equals_batch_wordcount(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    batch = word_count(docs)
+    d = replay.chunk_to_dir(docs, 4)
+    try:
+        streamed = replay.run_to_memory(
+            wordcount_stream(replay.stream_from_dir(spark, d)), "complete"
+        )
+        assert _as_sets(streamed) == _as_sets(batch)
+    finally:
+        replay.cleanup(d)
+
+
+def test_stream_equals_batch_blacklist(spark):
+    events = load_table(spark, SF_DIR, "events")
+    bl = make_blacklist(load_table(spark, SF_DIR, "customer"))
+    batch = blacklist_stream(events, bl)
+    d = replay.chunk_to_dir(events, 3)
+    try:
+        streamed = replay.run_to_memory(
+            blacklist_stream(replay.stream_from_dir(spark, d), bl), "append"
+        )
+        assert _as_sets(streamed) == _as_sets(batch)
+    finally:
+        replay.cleanup(d)
+
+
+def test_stream_equals_batch_sliding_windows(spark):
+    events = load_table(spark, SF_DIR, "events")
+    batch = WIN.sliding_counts(events)
+    d = replay.chunk_to_dir(events, 3)
+    try:
+        streamed = replay.run_to_memory(
+            sliding_hot_words(replay.stream_from_dir(spark, d)), "complete"
+        )
+        assert _as_sets(streamed) == _as_sets(batch)
+    finally:
+        replay.cleanup(d)
+
+
+def test_update_mode_emits_deltas_converging_to_batch(spark):
+    """update-mode state store ≡ updateStateByKey: the last emitted count
+    per key equals the batch total."""
+    docs = load_table(spark, SF_DIR, "documents")
+    d = replay.chunk_to_dir(docs, 4)
+    try:
+        updates = replay.run_to_memory(
+            wordcount_stream(replay.stream_from_dir(spark, d)), "update"
+        )
+        # multiple rows per word (one per trigger that changed it);
+        # final state = max cnt (counts are monotone)
+        final = updates.groupBy("word").agg(F.max("cnt").alias("cnt"))
+        assert _as_sets(final) == _as_sets(word_count(docs))
+    finally:
+        replay.cleanup(d)
+
+
+def test_foreach_batch_top3_ranking(spark):
+    """Per-trigger ranked top-3 (Top3HotProduct pattern) on a batch from
+    the sliding aggregate."""
+    events = load_table(spark, SF_DIR, "events")
+    agg = WIN.sliding_counts(events)
+    ranked = top3_per_window_foreach_batch(3)(agg, 0)
+    per_window = ranked.groupBy("w_start", "w_end").agg(F.count("*").alias("n"))
+    assert per_window.filter(F.col("n") > 3).count() == 0
+    assert ranked.filter(F.col("rank") > 3).count() == 0
+
+
+def test_idempotent_sink_no_dupes_on_replay(spark, tmp_path):
+    """Re-running the whole stream from scratch (fresh checkpoint, same
+    sink dir) must not duplicate data — epochs overwrite their own
+    partitions."""
+    docs = load_table(spark, SF_DIR, "documents")
+    d = replay.chunk_to_dir(docs, 3)
+    out = str(tmp_path / "sink")
+    try:
+        for _ in range(2):  # second run simulates a full replay
+            q = (
+                replay.stream_from_dir(spark, d)
+                .writeStream.foreachBatch(idempotent_parquet_sink(out))
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{_}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        written = spark.read.parquet(out)
+        assert written.count() == docs.count()
+    finally:
+        replay.cleanup(d)
+
+
+def test_socket_source_end_to_end(spark):
+    """Reference pipeline #1 (socket word count) live: serve lines over
+    TCP, stream-read them, check counts."""
+    lines = [b"hello world\n", b"hello you\n", b"hello me\n"]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        for ln in lines:
+            conn.sendall(ln)
+        stop.wait(30)  # keep the connection open until the query stops
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1").option("port", port).load()
+    )
+    counts = word_count(stream, text_col="value")
+    q = (
+        counts.writeStream.format("memory").queryName("socket_wc")
+        .outputMode("complete").start()
+    )
+    try:
+        deadline = time.time() + 60
+        expected = {("hello", 3), ("me", 1), ("world", 1), ("you", 1)}
+        got = set()
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = {tuple(r) for r in spark.table("socket_wc").collect()}
+            if got == expected:
+                break
+            time.sleep(0.5)
+        assert got == expected, f"socket stream produced {got}"
+    finally:
+        q.stop()
+        stop.set()
+        server.close()

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from spark_streaming_spark.operators import aggregates as A
 from spark_streaming_spark.operators import blacklist as B
 from spark_streaming_spark.operators import dedup as DD
+from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import setops as S
 from spark_streaming_spark.operators import similarity as SIM
 from spark_streaming_spark.operators import textstats as TX
@@ -186,6 +187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
         "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
+        # multimodal plumbing (binary payloads + typed metadata)
+        "multimodal_meta": lambda s, d: MM.media_metadata(load_table(s, d, "documents")),
+        "media_byte_features": lambda s, d: MM.byte_features(
+            MM.to_media_table(load_table(s, d, "documents"))),
+        "video_frame_offsets": lambda s, d: MM.frame_offsets(
+            MM.to_media_table(load_table(s, d, "documents"))),
     }
 
 
@@ -598,6 +605,29 @@ def oracle_sql() -> dict[str, str]:
             FROM fps GROUP BY fp HAVING count(*) > 1
         """,
     }
+    sql["multimodal_meta"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               octet_length(CAST(text AS BLOB)) AS n_bytes
+        FROM documents
+    """
+    # media_byte_features: rows-only (Arrow pandas-UDF path; byte-level
+    # entropy has no tractable SQL twin)
+    sql["video_frame_offsets"] = """
+        WITH vids AS (
+          SELECT doc_id AS media_id,
+                 octet_length(CAST(text AS BLOB)) AS n_bytes
+          FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+               frame_no * 256 AS byte_offset
+        FROM vids, LATERAL (
+          SELECT unnest(generate_series(
+            0, greatest(CAST(floor(n_bytes / 256) AS INTEGER) - 1, 0), 2
+          )) AS frame_no) fr
+    """
     # Streamed pipelines reuse the batch operators, so stream/batch
     # equivalence means they share the batch oracles verbatim.
     sql["streaming_wordcount"] = sql["wordcount"]

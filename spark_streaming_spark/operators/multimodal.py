@@ -1,0 +1,193 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with Arrow-batched (pandas) UDF plumbing for decode/feature
+steps (north-star extension).
+
+The container has no image/audio libraries, so the *decode* step is
+stubbed two ways (clearly marked): ``decode_image`` raises
+``NotImplementedError`` unless PIL is importable; ``fake_decode_meta``
+is a DETERMINISTIC FAKE that derives plausible (width, height, format)
+purely from the payload bytes so the downstream plumbing — schema,
+Arrow batch shapes, partitioning — is real and tested end-to-end.
+
+Real (non-stub) parts: binary payload construction, metadata extraction,
+byte-level feature extraction (mean/entropy via vectorized pandas UDF
+over ``mapInPandas``), and frame-offset sampling arithmetic. At 100 TB
+the payloads dominate: the mapInPandas stages are map-only (no shuffle),
+and metadata-only queries never touch the payload column thanks to
+parquet column pruning.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # decode libs are absent in this container; gate, don't crash
+    from PIL import Image  # noqa: F401
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def to_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from ``documents``: the text bytes act
+    as the opaque payload; metadata is typed at ingest (SURVEY.md §1.2).
+    Columns: media_id, payload (binary), mime, n_bytes."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+    )
+
+
+def media_metadata(docs: DataFrame) -> DataFrame:
+    """Metadata-only projection — never materializes the payload column
+    (column pruning keeps the scan narrow; the point of storing payloads
+    as a separate parquet column). Columns: media_id, mime, n_bytes."""
+    return to_media_table(docs).select("media_id", "mime", "n_bytes")
+
+
+_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("mean_byte", DoubleType()),
+    StructField("byte_entropy", DoubleType()),
+])
+
+
+def byte_features(media: DataFrame) -> DataFrame:
+    """REAL vectorized feature extraction over binary payloads via
+    ``mapInPandas`` (Arrow batches; one Python roundtrip per partition,
+    never per row). Columns: media_id, n_bytes, mean_byte, byte_entropy."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n == 0:
+                    rows.append((mid, 0, 0.0, 0.0))
+                    continue
+                counts: dict[int, int] = {}
+                total = 0
+                for x in b:
+                    counts[x] = counts.get(x, 0) + 1
+                    total += x
+                ent = -sum(
+                    (c / n) * math.log2(c / n) for c in counts.values()
+                )
+                rows.append((mid, n, total / n, ent))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "mean_byte", "byte_entropy"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=_FEATURE_SCHEMA
+    )
+
+
+_DECODE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("format", StringType()),
+])
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Image decode via PIL — STUB: the decode libraries are not in this
+    container, so this raises ``NotImplementedError`` unless PIL is
+    importable. The Spark-side plumbing (schema, mapInPandas signature,
+    Arrow batching) is identical to ``fake_decode_meta``, which is what
+    tests exercise."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; container has no image libs — "
+            "use fake_decode_meta for plumbing tests"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image as _Image
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _Image.open(io.BytesIO(bytes(payload)))
+                rows.append((mid, img.width, img.height, img.format))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "format"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        decode, schema=_DECODE_SCHEMA
+    )
+
+
+def fake_decode_meta(media: DataFrame) -> DataFrame:
+    """DETERMINISTIC FAKE decode: derives (width, height, format) from
+    payload bytes alone — same schema, same mapInPandas shape as the real
+    decoder, so the distributed plumbing is fully tested without image
+    libs. Columns: media_id, width, height, format."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = max(len(b), 1)
+                rows.append((
+                    mid,
+                    64 + (n % 577),              # fake width
+                    64 + ((b[0] if b else 0) * 7 % 433),  # fake height
+                    "FAKE",
+                ))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "format"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        decode, schema=_DECODE_SCHEMA
+    )
+
+
+def frame_offsets(media: DataFrame, frame_step: int = 2,
+                  bytes_per_frame: int = 256) -> DataFrame:
+    """Frame-sampling arithmetic for video payloads: byte offsets of
+    every ``frame_step``-th frame, one row per sampled frame (explode).
+    REAL computation (pure Column exprs; ``floor`` so Spark and the SQL
+    oracle agree on frame counts); the per-frame decode is where a real
+    codec would plug in. Columns: media_id, frame_no, byte_offset."""
+    n_frames = F.floor(F.col("n_bytes") / F.lit(bytes_per_frame)).cast("int")
+    return (
+        media.filter(F.col("mime") == "video/mp4")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(n_frames - 1, F.lit(0)),
+                    F.lit(max(frame_step, 1)),
+                )
+            ).alias("frame_no"),
+        )
+        .select(
+            "media_id",
+            "frame_no",
+            (F.col("frame_no") * F.lit(bytes_per_frame)).cast("long").alias("byte_offset"),
+        )
+    )

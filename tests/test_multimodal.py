@@ -1,0 +1,47 @@
+"""Multimodal plumbing: Arrow feature extraction matches a local Python
+reference, fake-decode preserves schema/shape, real decode is cleanly
+gated on the missing library."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from spark_streaming_spark.operators import multimodal as MM
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR
+
+
+def test_byte_features_match_python_reference(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = MM.to_media_table(docs)
+    got = {r.media_id: r for r in MM.byte_features(media).collect()}
+    for row in docs.collect():
+        b = row.text.encode()
+        n = len(b)
+        counts: dict[int, int] = {}
+        for x in b:
+            counts[x] = counts.get(x, 0) + 1
+        ent = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        r = got[row.doc_id]
+        assert r.n_bytes == n
+        assert abs(r.mean_byte - sum(b) / n) < 1e-9
+        assert abs(r.byte_entropy - ent) < 1e-9
+
+
+def test_fake_decode_shape(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    out = MM.fake_decode_meta(MM.to_media_table(docs))
+    rows = out.collect()
+    assert len(rows) == 10
+    assert set(out.columns) == {"media_id", "width", "height", "format"}
+    assert all(r.format == "FAKE" and r.width >= 64 for r in rows)
+
+
+def test_decode_image_gated(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(1)
+    if MM._HAS_PIL:
+        pytest.skip("PIL present; decode path live")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(MM.to_media_table(docs))

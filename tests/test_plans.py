@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the plans that must hold at 100 TB.
+
+A correct-but-badly-planned operator fails these tests even though its
+values match the oracle — scan width, pushdown, broadcast choice, and
+top-k strategy are part of the engine contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.operators import aggregates as A
+from spark_streaming_spark.operators import topk as T
+from spark_streaming_spark.operators.blacklist import blacklist_filter, make_blacklist
+from spark_streaming_spark.operators.wordcount import word_count
+from spark_streaming_spark.plans import explain
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    df = A.pricing_summary(lineitem)
+    pushed = explain.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), (
+        f"shipdate filter not pushed to parquet: {pushed}"
+    )
+
+
+def test_column_pruning_wordcount_reads_only_text(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    df = word_count(docs)
+    schemas = explain.read_schema_columns(df)
+    assert schemas and all(cols == {"text"} for cols in schemas), (
+        f"wordcount must scan only `text`, got {schemas}"
+    )
+
+
+def test_column_pruning_lineitem_projection(spark):
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    df = lineitem.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    schemas = explain.read_schema_columns(df)
+    assert schemas and all(cols == {"l_returnflag"} for cols in schemas)
+
+
+def test_blacklist_join_broadcasts(spark):
+    events = load_table(spark, SF_DIR, "events")
+    bl = make_blacklist(load_table(spark, SF_DIR, "customer"))
+    df = blacklist_filter(events, bl)
+    assert explain.has_broadcast_join(df), "blacklist dim must broadcast"
+    assert not explain.has_cartesian_product(df)
+
+
+def test_top3_join_broadcasts_part(spark):
+    df = T.top3_products_per_brand(
+        load_table(spark, SF_DIR, "lineitem"), load_table(spark, SF_DIR, "part")
+    )
+    assert explain.has_broadcast_join(df), "part dim must broadcast"
+
+
+def test_global_topk_uses_take_ordered(spark):
+    events = load_table(spark, SF_DIR, "events")
+    df = T.hot_words(events)
+    assert explain.has_take_ordered(df), (
+        "top-k must plan as TakeOrderedAndProject (heap), not global sort"
+    )
+
+
+def test_topk_revenue_uses_take_ordered(spark):
+    df = A.top_revenue_orders(
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "lineitem"),
+    )
+    assert explain.has_take_ordered(df)
+
+
+def test_wordcount_partial_aggregation(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    df = word_count(docs)
+    assert explain.has_partial_aggregate(df), (
+        "groupBy must map-side combine before the shuffle (reduceByKey parity)"
+    )
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """Every registered query must avoid CartesianProduct. (knn uses an
+    explicit broadcast nested-loop against a 1-row side — that is not a
+    CartesianProduct node.)"""
+    import __spark_entry__ as E
+
+    for name, fn in E.queries().items():
+        if name.startswith("streaming_"):
+            continue  # streaming plans checked by their batch twins
+        df = fn(spark, SF_DIR)
+        assert not explain.has_cartesian_product(df), (
+            f"{name} plans a CartesianProduct"
+        )

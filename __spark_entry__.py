@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from spark_streaming_spark.operators import aggregates as A
 from spark_streaming_spark.operators import blacklist as B
 from spark_streaming_spark.operators import dedup as DD
+from spark_streaming_spark.operators import ann as ANN
 from spark_streaming_spark.operators import multimodal as MM
+from spark_streaming_spark.operators import skew as SK
 from spark_streaming_spark.operators import setops as S
 from spark_streaming_spark.operators import similarity as SIM
 from spark_streaming_spark.operators import textstats as TX
@@ -187,6 +189,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
         "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
+        # skew-aware aggregation (two-phase salted; results identical)
+        "skew_salted_counts": lambda s, d: SK.salted_counts(
+            load_table(s, d, "events"), "event_type"),
+        "skew_salted_sum": lambda s, d: SK.salted_decimal_sum(
+            load_table(s, d, "events"), "event_type", "value"),
+        # IVF ANN (k-means coarse cells; rows-only — probed search)
+        "knn_ivf": lambda s, d: ANN.knn_ivf(load_table(s, d, "embeddings")),
         # multimodal plumbing (binary payloads + typed metadata)
         "multimodal_meta": lambda s, d: MM.media_metadata(load_table(s, d, "documents")),
         "media_byte_features": lambda s, d: MM.byte_features(
@@ -605,6 +614,16 @@ def oracle_sql() -> dict[str, str]:
             FROM fps GROUP BY fp HAVING count(*) > 1
         """,
     }
+    sql["skew_salted_counts"] = """
+        SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """
+    sql["skew_salted_sum"] = """
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+    """
+    # knn_ivf: rows-only (k-means cell assignment has no DuckDB twin);
+    # tests pin exhaustive-probe == brute-force equality instead.
     sql["multimodal_meta"] = """
         SELECT doc_id AS media_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -83,7 +83,8 @@ def _t(name: str):
 
 
 def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
-                  output_mode: str = "complete", n_chunks: int = 4) -> DataFrame:
+                  output_mode: str = "complete", n_chunks: int = 4,
+                  batch_transform=None) -> DataFrame:
     """Replay a driver table as a multi-micro-batch stream through a
     batch operator and return the final result as a batch DataFrame.
     Because the operators are pure DataFrame→DataFrame functions, the
@@ -95,7 +96,14 @@ def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
     chunk_dir = replay.chunk_to_dir(src, n_chunks)
     try:
         stream = replay.stream_from_dir(spark, chunk_dir)
-        return replay.run_to_memory(transform(stream), output_mode)
+        # parquet sink (distributed, epoch-overwrite idempotent) — the
+        # memory sink would collect the whole complete-mode result to the
+        # driver every micro-batch. 8 state partitions: sized to keyed-
+        # state cardinality locally; set O(cores) on a real cluster.
+        return replay.run_to_parquet(
+            transform(stream), output_mode, state_partitions=8,
+            batch_transform=batch_transform,
+        )
     finally:
         replay.cleanup(chunk_dir)
 
@@ -116,6 +124,19 @@ def _q_streaming_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming.pipelines import sliding_hot_words
     return _run_streamed(spark, sf_dir, "events", sliding_hot_words, "complete")
+
+
+def _q_streaming_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top3HotProduct end-to-end as a stream: sliding-window agg in the
+    streaming plan, per-trigger partitioned top-k in foreachBatch (rank
+    over a streaming aggregate isn't a legal streaming plan — SURVEY.md
+    §3.3/§4.3(2)). The final epoch's ranking equals the batch
+    hot_words_per_window answer (same oracle)."""
+    from spark_streaming_spark.streaming.pipelines import sliding_hot_words
+    return _run_streamed(
+        spark, sf_dir, "events", sliding_hot_words, "complete",
+        batch_transform=lambda df: WIN.rank_top_k(df, 3),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -170,6 +191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: DD.minhash_lsh_pairs(
             load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: DD.simhash(load_table(s, d, "documents")),
+        # threshold 0.45, not the semantic default 0.9: the driver's
+        # embeddings are random (all-pairs max cosine ≈ 0.51), so 0.9
+        # would hash-match on empty sets — a vacuous check
+        "dedup_embedding_cosine": lambda s, d: DD.dedup_embedding_cosine(
+            load_table(s, d, "embeddings"), threshold=0.45),
         # similarity search
         "knn_bruteforce": lambda s, d: SIM.knn_to_query(load_table(s, d, "embeddings")),
         "similar_pairs_lsh": lambda s, d: SIM.similar_pairs_lsh(
@@ -183,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_wordcount": _q_streaming_wordcount,
         "streaming_blacklist_filter": _q_streaming_blacklist,
         "streaming_sliding_counts": _q_streaming_sliding,
+        "streaming_top3_per_window": _q_streaming_top3,
         # text analysis
         "token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
         "quality_scores": lambda s, d: TX.quality_scores(load_table(s, d, "documents")),
@@ -652,4 +679,31 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_wordcount"] = sql["wordcount"]
     sql["streaming_blacklist_filter"] = sql["blacklist_filter"]
     sql["streaming_sliding_counts"] = sql["sliding_counts"]
+    sql["streaming_top3_per_window"] = sql["hot_words_per_window"]
+    sql["dedup_embedding_cosine"] = f"""
+        WITH tagged AS (
+          SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket
+          FROM embeddings
+        ),
+        cand AS (
+          SELECT a.vec_id AS kept_vec, b.vec_id AS drop_vec,
+                 a.embedding AS ea, b.embedding AS eb
+          FROM tagged a JOIN tagged b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        prods AS (
+          SELECT kept_vec, drop_vec,
+                 {_VDOT("ea", "eb")} AS dot,
+                 {_VDOT("ea", "ea")} AS na,
+                 {_VDOT("eb", "eb")} AS nb
+          FROM cand, (SELECT unnest(range(1, 65)) AS i) ii
+          GROUP BY kept_vec, drop_vec
+        )
+        SELECT kept_vec, drop_vec,
+               CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+        FROM prods
+        WHERE CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.45
+    """
     return sql

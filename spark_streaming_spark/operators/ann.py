@@ -35,7 +35,10 @@ def build_ivf_index(embeddings: DataFrame, n_cells: int = 16,
     from pyspark.ml.clustering import KMeans
 
     with_vec = _with_dense_vec(embeddings)
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="cell")
+    # a coarse quantizer doesn't need converged k-means: 8 iterations is
+    # ample for cell assignment quality and halves index-build time
+    km = KMeans(k=n_cells, seed=seed, maxIter=8,
+                featuresCol="_vec", predictionCol="cell")
     model = km.fit(with_vec)
     return model.transform(with_vec).drop("_vec"), model
 

@@ -158,6 +158,27 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     )
 
 
+def dedup_embedding_cosine(embeddings: DataFrame, threshold: float = 0.9,
+                           bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup (5th dedup tier): semantic duplicates —
+    vector pairs with cosine ≥ threshold — found inside sign-LSH buckets,
+    never via the all-pairs product. The lower-id vector is the keeper.
+    Columns: kept_vec, drop_vec, cosine.
+
+    Same plan shape as similarity.similar_pairs_lsh (bucket-local join +
+    decimal-exact cosine); the dedup framing adds the keeper convention a
+    training-data pipeline acts on (drop ``drop_vec``'s document).
+    """
+    from spark_streaming_spark.operators.similarity import similar_pairs_lsh
+
+    pairs = similar_pairs_lsh(embeddings, threshold, bits)
+    return pairs.select(
+        F.col("vec_a").alias("kept_vec"),
+        F.col("vec_b").alias("drop_vec"),
+        "cosine",
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     """60-bit SimHash per document, built only from md5 so the DuckDB
     oracle reproduces it exactly: token hash = first 15 hex chars of

@@ -51,19 +51,26 @@ def sliding_counts(events: DataFrame, width: str = "60 seconds",
     return _flatten_window(agg, "event_type", "cnt")
 
 
-def hot_words_per_window(events: DataFrame, k: int = 3) -> DataFrame:
-    """WindowHotWord, faithfully: within each sliding window, the top-k
-    event_types by count (row_number ≤ k with deterministic tie-break).
-    Columns: w_start, w_end, event_type, cnt, rank."""
+def rank_top_k(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Partitioned top-k over (w_start, w_end) window-count rows:
+    row_number ≤ k with deterministic tie-break. Shared by the batch
+    query and the streaming foreachBatch ranking (the rank-over-streaming-
+    aggregate workaround, SURVEY.md §4.3(2))."""
     from pyspark.sql.window import Window as W
 
-    counts = sliding_counts(events)
     w = W.partitionBy("w_start", "w_end").orderBy(
         F.col("cnt").desc(), F.col("event_type").asc()
     )
     return counts.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def hot_words_per_window(events: DataFrame, k: int = 3) -> DataFrame:
+    """WindowHotWord, faithfully: within each sliding window, the top-k
+    event_types by count (row_number ≤ k with deterministic tie-break).
+    Columns: w_start, w_end, event_type, cnt, rank."""
+    return rank_top_k(sliding_counts(events), k)
 
 
 def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:

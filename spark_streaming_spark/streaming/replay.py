@@ -12,12 +12,37 @@ of a correct pipeline IS the batch answer.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+_SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int | None):
+    """Pin the number of state-store partitions for a stream about to
+    start. A streaming query fixes its state partitioning from
+    ``spark.sql.shuffle.partitions`` at start time and keeps it for the
+    checkpoint's lifetime — so it must be sized to keyed-state
+    cardinality, NOT to the batch shuffle width. Locally a handful of
+    state stores beats 32 (fewer delta files + maintenance tasks per
+    micro-batch); on a 1000-executor cluster this is where you'd set
+    O(cores) before ``start()``."""
+    if n is None:
+        yield
+        return
+    old = spark.conf.get(_SHUFFLE_KEY)
+    spark.conf.set(_SHUFFLE_KEY, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(_SHUFFLE_KEY, old)
 
 
 def chunk_to_dir(df: DataFrame, n_chunks: int, base_dir: str | None = None) -> str:
@@ -44,28 +69,97 @@ def stream_from_dir(spark: SparkSession, path: str,
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
-                  timeout_sec: int = 300) -> DataFrame:
+                  timeout_sec: int = 300,
+                  state_partitions: int | None = None) -> DataFrame:
     """Run a (transformed) streaming DataFrame to completion with
     availableNow, into a memory sink; return the result as a batch
     DataFrame. Checkpoint is a throwaway temp dir (tests recreate state
     from scratch; production pipelines pass a durable checkpoint via
-    ``writeStream`` directly)."""
+    ``writeStream`` directly).
+
+    The memory sink collects every batch's output to the DRIVER — fine
+    for test-sized results, wrong for large ones (use
+    :func:`run_to_parquet`, which keeps the sink distributed)."""
     name = f"mem_{uuid.uuid4().hex}"
     ckpt = tempfile.mkdtemp(prefix="spark_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    with _state_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         q.awaitTermination(timeout_sec)
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-    return stream_df.sparkSession.table(name)
+    return spark.table(name)
+
+
+def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
+                   timeout_sec: int = 300,
+                   state_partitions: int | None = None,
+                   batch_transform=None) -> DataFrame:
+    """Run a streaming DataFrame to completion with availableNow into a
+    DISTRIBUTED parquet sink and return the final result as a batch scan.
+
+    This is the scale-correct sink: the memory sink collects the whole
+    complete-mode result to the driver on EVERY micro-batch (O(result ×
+    batches) driver traffic — exactly the collect-in-a-loop pattern a
+    cluster deployment can't afford); here each epoch's result is written
+    by the executors, epochs overwrite (idempotent, replay-safe — the
+    same exactly-once pattern as pipelines.idempotent_parquet_sink), and
+    only parquet footers ever touch the driver.
+
+    * complete/update mode → ``foreachBatch`` + ``mode("overwrite")``:
+      the last epoch's full result wins.
+    * append mode → the native file sink (streaming parquet writer with
+      its own commit log).
+
+    ``batch_transform`` (complete/update only): a ``DataFrame ->
+    DataFrame`` applied to each epoch's result inside ``foreachBatch``
+    before the write — the sanctioned home for operations a streaming
+    plan can't host (rank over a streaming aggregate, per-trigger top-k:
+    the Top3HotProduct pattern, SURVEY.md §3.3/§4.3)."""
+    out = tempfile.mkdtemp(prefix="spark_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    spark = stream_df.sparkSession
+
+    with _state_partitions(spark, state_partitions):
+        if output_mode == "append":
+            if batch_transform is not None:
+                raise ValueError("batch_transform requires complete/update mode")
+            writer = (
+                stream_df.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+            )
+        else:
+            def overwrite_epoch(batch_df: DataFrame, _epoch_id: int) -> None:
+                if batch_transform is not None:
+                    batch_df = batch_transform(batch_df)
+                batch_df.write.mode("overwrite").parquet(out)
+
+            writer = (
+                stream_df.writeStream.foreachBatch(overwrite_epoch)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+            )
+        q = writer.trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if batch_transform is not None:
+        return spark.read.parquet(out)  # schema set by the transform
+    return spark.read.schema(stream_df.schema).parquet(out)
 
 
 def cleanup(path: str) -> None:

@@ -62,3 +62,17 @@ def test_dedup_exact_deterministic_keeper(spark):
     # keeper is the min doc_id of its text group
     row = out.orderBy("doc_id").first()
     assert row.n_copies >= 1
+
+
+def test_embedding_cosine_dedup(spark, duck):
+    """5th dedup tier: embedding-cosine near-dup pairs match the DuckDB
+    oracle bit-for-bit (bucketed join + decimal-exact cosine), and the
+    keeper convention holds (kept_vec < drop_vec, cosine ≥ threshold)."""
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = DD.dedup_embedding_cosine(emb, threshold=0.45)
+    rows = out.collect()
+    assert all(r.kept_vec < r.drop_vec and r.cosine >= 0.45 for r in rows)
+    assert_matches_oracle(out, duck, E.oracle_sql()["dedup_embedding_cosine"])

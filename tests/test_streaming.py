@@ -165,3 +165,20 @@ def test_socket_source_end_to_end(spark):
         q.stop()
         stop.set()
         server.close()
+
+
+def test_streamed_top3_equals_batch(spark):
+    """Full Top3HotProduct parity pipeline: streamed sliding-window agg +
+    foreachBatch ranking into a distributed parquet sink must equal the
+    batch hot_words_per_window answer."""
+    events = load_table(spark, SF_DIR, "events")
+    d = replay.chunk_to_dir(events, 3)
+    try:
+        streamed = replay.run_to_parquet(
+            sliding_hot_words(replay.stream_from_dir(spark, d)),
+            "complete", state_partitions=4,
+            batch_transform=lambda df: WIN.rank_top_k(df, 3),
+        )
+        assert _as_sets(streamed) == _as_sets(WIN.hot_words_per_window(events))
+    finally:
+        replay.cleanup(d)

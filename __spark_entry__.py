@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spark_streaming_spark.operators import aggregates as A
 from spark_streaming_spark.operators import blacklist as B
+from spark_streaming_spark.operators import conversions as CV
 from spark_streaming_spark.operators import dedup as DD
 from spark_streaming_spark.operators import ann as ANN
 from spark_streaming_spark.operators import multimodal as MM
@@ -139,6 +140,16 @@ def _q_streaming_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join (click→purchase funnel): the
+    capability the DStream reference could not express. Replayed without
+    watermark so every match is retained (bounded input); production
+    passes watermark= to bound state."""
+    return _run_streamed(
+        spark, sf_dir, "events", CV.click_purchase_conversions, "append"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference parity: word count family
@@ -210,6 +221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_blacklist_filter": _q_streaming_blacklist,
         "streaming_sliding_counts": _q_streaming_sliding,
         "streaming_top3_per_window": _q_streaming_top3,
+        "streaming_click_purchase_join": _q_streaming_conversions,
+        # stream-stream join semantics, batch-planned (same operator fn)
+        "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
+            load_table(s, d, "events")),
         # text analysis
         "token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
         "quality_scores": lambda s, d: TX.quality_scores(load_table(s, d, "documents")),
@@ -680,6 +695,15 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_blacklist_filter"] = sql["blacklist_filter"]
     sql["streaming_sliding_counts"] = sql["sliding_counts"]
     sql["streaming_top3_per_window"] = sql["hot_words_per_window"]
+    sql["click_purchase_conversions"] = """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+    """
+    sql["streaming_click_purchase_join"] = sql["click_purchase_conversions"]
     sql["dedup_embedding_cosine"] = f"""
         WITH tagged AS (
           SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket

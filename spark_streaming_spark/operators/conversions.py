@@ -1,0 +1,64 @@
+"""Stream-stream interval join: click→purchase conversion funnel.
+
+The reference has NO stream-stream joins (its only join is stream-static,
+``/root/reference/src/main/java/com/soto/TransformBlacklist.java:48-53``;
+SURVEY.md §2.3 notes the absence) — this operator is a Structured
+Streaming capability the DStream API could not express at all: two
+unbounded sides matched on key + event-time interval, with state evicted
+by watermark.
+
+As everywhere in this engine the operator is a pure DataFrame→DataFrame
+function: run it on a batch DataFrame and it plans as an ordinary
+equi-join + range filter (the DuckDB-checkable semantics); run it on a
+streaming DataFrame and Catalyst plans StreamingSymmetricHashJoin keyed
+on user_id.
+
+Scale notes: the join shuffles both sides on ``user_id`` (symmetric hash
+join buffers per-key state on each side). State is bounded by the
+watermark + the join's time horizon — every buffered click can be
+dropped once the purchase-side watermark passes ``click_ts + horizon``.
+Without watermarks (the bounded-replay correctness entry) state grows
+with the input, which is fine for a replay and wrong for production —
+pass ``watermark=`` there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def click_purchase_conversions(
+    events: DataFrame,
+    horizon: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Purchases attributed to a click by the same user within ``horizon``
+    (click_ts ≤ purchase_ts ≤ click_ts + horizon).
+    Columns: user_id, click_id, purchase_id, click_ts, purchase_ts.
+
+    Works unchanged on a batch OR streaming ``events`` input (the
+    streaming case is a stream-stream self-join; pass ``watermark`` to
+    bound state).
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}")),
+            "inner",
+        )
+        .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    )

@@ -182,3 +182,23 @@ def test_streamed_top3_equals_batch(spark):
         assert _as_sets(streamed) == _as_sets(WIN.hot_words_per_window(events))
     finally:
         replay.cleanup(d)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream interval self-join (click→purchase funnel) — a
+    capability the DStream reference could not express — must equal the
+    batch join over the same bounded input."""
+    from spark_streaming_spark.operators.conversions import (
+        click_purchase_conversions,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    d = replay.chunk_to_dir(events, 3)
+    try:
+        streamed = replay.run_to_parquet(
+            click_purchase_conversions(replay.stream_from_dir(spark, d)),
+            "append", state_partitions=4,
+        )
+        assert _as_sets(streamed) == _as_sets(click_purchase_conversions(events))
+    finally:
+        replay.cleanup(d)

@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from spark_streaming_spark.operators import aggregates as A
+from spark_streaming_spark.operators import asof as AS
 from spark_streaming_spark.operators import blacklist as B
 from spark_streaming_spark.operators import conversions as CV
 from spark_streaming_spark.operators import dedup as DD
@@ -225,8 +226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream-stream join semantics, batch-planned (same operator fn)
         "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events")),
+        # as-of join (union+window composition, no range-join blowup)
+        "asof_click_attribution": lambda s, d: AS.asof_click_attribution(
+            load_table(s, d, "events")),
         # text analysis
         "token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
+        "bpe_token_stats": lambda s, d: TX.bpe_token_stats(load_table(s, d, "documents")),
         "quality_scores": lambda s, d: TX.quality_scores(load_table(s, d, "documents")),
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
@@ -704,6 +709,36 @@ def oracle_sql() -> dict[str, str]:
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
     """
     sql["streaming_click_purchase_join"] = sql["click_purchase_conversions"]
+    # window form, not DuckDB's native ASOF JOIN: ASOF has unspecified
+    # tie-breaks; this spells the same deterministic (ts, side, event_id)
+    # ordering as operators/asof.py
+    sql["asof_click_attribution"] = """
+        WITH u AS (
+          SELECT user_id, ts, event_id, (event_type = 'purchase') AS is_p
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        w AS (
+          SELECT user_id, ts, event_id, is_p,
+                 last_value(CASE WHEN NOT is_p THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                         ROWS UNBOUNDED PRECEDING) AS click_id,
+                 last_value(CASE WHEN NOT is_p THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                         ROWS UNBOUNDED PRECEDING) AS click_ts
+          FROM u
+        )
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               click_id, click_ts
+        FROM w WHERE is_p AND click_id IS NOT NULL
+    """
+    sql["bpe_token_stats"] = """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS bpe_per_ws
+        FROM documents
+    """
     sql["dedup_embedding_cosine"] = f"""
         WITH tagged AS (
           SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket

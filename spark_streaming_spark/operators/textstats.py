@@ -68,6 +68,27 @@ def lang_guess(docs: DataFrame, threshold: float = 0.08) -> DataFrame:
     )
 
 
+# GPT-style pre-tokenizer approximation: letter runs | digit runs |
+# single non-alnum-non-space marks. Identical semantics in Java regex
+# (Spark) and RE2 (DuckDB) — no lookarounds, no unicode classes.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Token counts under a BPE-ish regex pre-tokenizer (letter runs,
+    digit runs, punctuation marks) vs plain whitespace tokens — the
+    cheap proxy for LLM token budgeting over a corpus.
+    Columns: doc_id, n_ws_tokens, n_bpe_tokens, bpe_per_ws."""
+    ws = token_count("text")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe.cast("double") / ws).alias("bpe_per_ws"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """min-md5-shingle fingerprint (deterministic 1-perm MinHash) + exact
     duplicate groups by fingerprint. Columns: doc_id, fp."""

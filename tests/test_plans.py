@@ -96,3 +96,15 @@ def test_no_accidental_cartesian_anywhere(spark):
         assert not explain.has_cartesian_product(df), (
             f"{name} plans a CartesianProduct"
         )
+
+
+def test_asof_join_plans_without_join_node(spark):
+    """The as-of join must compile to union + running window — ONE
+    shuffle on the key, no join operator at all (the naive range-join
+    formulation is O(L×R) per key and must never appear)."""
+    from spark_streaming_spark.operators.asof import asof_click_attribution
+
+    df = asof_click_attribution(load_table(spark, SF_DIR, "events"))
+    text = explain.explain_text(df)
+    assert "Join" not in text, f"as-of must be join-free, got:\n{text[:800]}"
+    assert text.count("Exchange") <= 2, "as-of should shuffle once on the key"

@@ -44,3 +44,16 @@ def test_fingerprint_clusters_exact_dupes(spark):
         .agg(F.countDistinct("fp").alias("nfp"))
     )
     assert per_text.filter(F.col("nfp") > 1).count() == 0
+
+
+def test_bpe_token_stats(spark, duck):
+    """BPE-ish regex token counts: ≥ whitespace counts (punctuation
+    splits off) and exact vs the DuckDB regex oracle."""
+    import __spark_entry__ as E
+    from spark_streaming_spark.operators.textstats import bpe_token_stats
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = bpe_token_stats(docs)
+    assert out.filter("n_bpe_tokens < n_ws_tokens").count() == 0
+    assert_matches_oracle(out, duck, E.oracle_sql()["bpe_token_stats"])

@@ -19,7 +19,6 @@ parquet column pruning.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -78,23 +77,22 @@ def byte_features(media: DataFrame) -> DataFrame:
     never per row). Columns: media_id, n_bytes, mean_byte, byte_entropy."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
-                n = len(b)
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = int(arr.size)
                 if n == 0:
                     rows.append((mid, 0, 0.0, 0.0))
                     continue
-                counts: dict[int, int] = {}
-                total = 0
-                for x in b:
-                    counts[x] = counts.get(x, 0) + 1
-                    total += x
-                ent = -sum(
-                    (c / n) * math.log2(c / n) for c in counts.values()
-                )
-                rows.append((mid, n, total / n, ent))
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / n
+                # match the scalar formula digit-for-digit: sum of
+                # (c/n)*log2(c/n) accumulated in float64
+                ent = float(-(p * np.log2(p)).sum())
+                rows.append((mid, n, float(arr.sum()) / n, ent))
             yield pd.DataFrame(
                 rows, columns=["media_id", "n_bytes", "mean_byte", "byte_entropy"]
             )

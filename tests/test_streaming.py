@@ -202,3 +202,29 @@ def test_stream_stream_join_equals_batch(spark):
         assert _as_sets(streamed) == _as_sets(click_purchase_conversions(events))
     finally:
         replay.cleanup(d)
+
+
+def test_progress_listener_records_batches(spark):
+    """Monitoring parity (SURVEY.md §2.9): a StreamingQueryListener
+    records per-micro-batch progress; the stability criterion the
+    reference could only eyeball is computable."""
+    from spark_streaming_spark.streaming import monitor
+
+    docs = load_table(spark, SF_DIR, "documents")
+    d = replay.chunk_to_dir(docs, 3)
+    rec = monitor.attach(spark)
+    try:
+        replay.run_to_memory(
+            wordcount_stream(replay.stream_from_dir(spark, d)), "complete"
+        ).collect()
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline and len(rec.log.batches) < 3:
+            time.sleep(0.5)
+        report = monitor.stability_report(rec.log, trigger_interval_ms=10**9)
+        assert report["n_batches"] >= 3, report
+        assert report["total_input_rows"] >= docs.count()
+        assert report["stable"]
+    finally:
+        monitor.detach(spark, rec)
+        replay.cleanup(d)

@@ -94,20 +94,36 @@ def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
     batch oracles (stream/batch equivalence, checked by the driver)."""
     from spark_streaming_spark.streaming import replay
 
-    src = load_table(spark, sf_dir, table)
-    chunk_dir = replay.chunk_to_dir(src, n_chunks)
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir)
-        # parquet sink (distributed, epoch-overwrite idempotent) — the
-        # memory sink would collect the whole complete-mode result to the
-        # driver every micro-batch. 8 state partitions: sized to keyed-
-        # state cardinality locally; set O(cores) on a real cluster.
-        return replay.run_to_parquet(
-            transform(stream), output_mode, state_partitions=8,
-            batch_transform=batch_transform,
-        )
-    finally:
-        replay.cleanup(chunk_dir)
+    chunk_dir = _chunked_table(spark, sf_dir, table, n_chunks)
+    stream = replay.stream_from_dir(spark, chunk_dir)
+    # parquet sink (distributed, epoch-overwrite idempotent) — the
+    # memory sink would collect the whole complete-mode result to the
+    # driver every micro-batch. 8 state partitions: sized to keyed-
+    # state cardinality locally; set O(cores) on a real cluster.
+    return replay.run_to_parquet(
+        transform(stream), output_mode, state_partitions=8,
+        batch_transform=batch_transform,
+    )
+
+
+_CHUNK_CACHE: dict[tuple[str, str, int], str] = {}
+
+
+def _chunked_table(spark: SparkSession, sf_dir: str, table: str,
+                   n_chunks: int) -> str:
+    """Chunk a table once per process and share the directory across the
+    streaming entries (4 of them replay the same events table); cleaned
+    at interpreter exit."""
+    import atexit
+
+    from spark_streaming_spark.streaming import replay
+
+    key = (sf_dir, table, n_chunks)
+    if key not in _CHUNK_CACHE:
+        d = replay.chunk_to_dir(load_table(spark, sf_dir, table), n_chunks)
+        atexit.register(replay.cleanup, d)
+        _CHUNK_CACHE[key] = d
+    return _CHUNK_CACHE[key]
 
 
 def _q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:

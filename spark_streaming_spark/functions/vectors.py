@@ -38,6 +38,18 @@ def norm2_expr(a: str) -> Column:
     return _dot_expr(a, a)
 
 
+def dot_expr(a: str, b: str) -> Column:
+    """Public decimal-exact dot product (as double)."""
+    return _dot_expr(a, b)
+
+
 def cosine_expr(a: str, b: str) -> Column:
-    """Cosine similarity with the engine-identical arithmetic contract."""
+    """Cosine similarity with the engine-identical arithmetic contract.
+
+    NOTE for pair joins: this recomputes both norms per PAIR — fine
+    against a broadcast 1-row side, wasteful inside an N×N bucket join.
+    There, precompute ``sqrt(norm2_expr(...))`` per VECTOR before the
+    join and divide by the product of the stored norms
+    (operators/similarity.py does this); the value is bitwise identical
+    because each norm is a per-vector decimal sum either way."""
     return _dot_expr(a, b) / (F.sqrt(_dot_expr(a, a)) * F.sqrt(_dot_expr(b, b)))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_streaming_spark.functions.vectors import cosine_expr
+from spark_streaming_spark.functions.vectors import dot_expr, norm2_expr
 
 
 def _with_dense_vec(embeddings: DataFrame) -> DataFrame:
@@ -71,13 +71,22 @@ def knn_ivf(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     probe = order[:nprobe]
     qdf = (
         assigned.filter(F.col("vec_id") == query_vec_id)
-        .select(F.col("embedding").alias("qv"))
+        .select(
+            F.col("embedding").alias("qv"),
+            F.sqrt(norm2_expr("embedding")).alias("qnrm"),
+        )
     )
     return (
         assigned.filter(F.col("cell").isin(probe))
         .filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(qdf))
-        .select("vec_id", cosine_expr("embedding", "qv").alias("cosine"))
+        .select(
+            "vec_id",
+            (
+                dot_expr("embedding", "qv")
+                / (F.sqrt(norm2_expr("embedding")) * F.col("qnrm"))
+            ).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )

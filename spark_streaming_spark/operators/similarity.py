@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_streaming_spark.functions.vectors import cosine_expr, norm2_expr
+from spark_streaming_spark.functions.vectors import (
+    cosine_expr,
+    dot_expr,
+    norm2_expr,
+)
 
 
 def knn_to_query(embeddings: DataFrame, query_vec_id: int = 0,
@@ -34,12 +38,19 @@ def knn_to_query(embeddings: DataFrame, query_vec_id: int = 0,
     not a shuffle; then TakeOrderedAndProject caps driver transfer at k.
     """
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qv")
+        F.col("embedding").alias("qv"),
+        F.sqrt(norm2_expr("embedding")).alias("qnrm"),  # once, not per row
     )
     return (
         embeddings.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", cosine_expr("embedding", "qv").alias("cosine"))
+        .select(
+            "vec_id",
+            (
+                dot_expr("embedding", "qv")
+                / (F.sqrt(norm2_expr("embedding")) * F.col("qnrm"))
+            ).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -63,8 +74,13 @@ def similar_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     Join keys on the bucket string → the quadratic blowup is bucket-local
     (2^bits buckets). The follow-up cosine uses the decimal-exact path.
     """
+    # norms hoisted out of the pair join: O(N) norm computations instead
+    # of O(pairs) — bitwise-identical cosine (each norm is a per-vector
+    # decimal sum either way)
     tagged = embeddings.select(
-        "vec_id", "embedding", sign_bucket("embedding", bits).alias("bucket")
+        "vec_id", "embedding",
+        sign_bucket("embedding", bits).alias("bucket"),
+        F.sqrt(norm2_expr("embedding")).alias("nrm"),
     )
     a = tagged.alias("a")
     b = tagged.alias("b")
@@ -74,7 +90,10 @@ def similar_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine_expr("a.embedding", "b.embedding").alias("cosine"),
+            (
+                dot_expr("a.embedding", "b.embedding")
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "customer"), load_table(s, d, "nation"),
             load_table(s, d, "region")),
         "cube_order_status": lambda s, d: A.cube_order_status(load_table(s, d, "orders")),
+        "grouping_sets_orders": lambda s, d: A.grouping_sets_orders(
+            load_table(s, d, "orders")),
         "distinct_event_pairs": lambda s, d: A.distinct_event_pairs(load_table(s, d, "events")),
         "approx_distinct_users": lambda s, d: A.approx_distinct_users(load_table(s, d, "events")),
         # time windows (event-time; reference geometry 60s/10s)
@@ -712,6 +714,14 @@ def oracle_sql() -> dict[str, str]:
     """
     # Streamed pipelines reuse the batch operators, so stream/batch
     # equivalence means they share the batch oracles verbatim.
+    sql["grouping_sets_orders"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """
     sql["streaming_wordcount"] = sql["wordcount"]
     sql["streaming_blacklist_filter"] = sql["blacklist_filter"]
     sql["streaming_sliding_counts"] = sql["sliding_counts"]

@@ -137,6 +137,17 @@ def cube_order_status(orders: DataFrame) -> DataFrame:
     )
 
 
+def grouping_sets_orders(orders: DataFrame) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) — the general form
+    cube/rollup specialize; completes the multi-level aggregation surface
+    (SURVEY.md §2.4 notes the reference has none of these).
+    Columns: o_orderstatus, o_orderpriority, n_orders, sum_price."""
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+
+
 def distinct_event_pairs(events: DataFrame) -> DataFrame:
     """DISTINCT surface (≡ dropDuplicates on all columns of a projection)."""
     return events.select("user_id", "event_type").distinct()

@@ -108,3 +108,29 @@ def test_asof_join_plans_without_join_node(spark):
     text = explain.explain_text(df)
     assert "Join" not in text, f"as-of must be join-free, got:\n{text[:800]}"
     assert text.count("Exchange") <= 2, "as-of should shuffle once on the key"
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Big-big joins at 100 TB are won before the query runs: both sides
+    written bucketed by the join key ⇒ the join plans with ZERO Exchange
+    (co-located bucket reads), vs two full shuffles unbucketed."""
+    from spark_streaming_spark.sources import bucketing
+
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    bucketing.write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 4, str(base / "o"))
+    bucketing.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], 4, str(base / "l"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketing.bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        text = explain.explain_text(joined)
+        assert "Exchange" not in text, f"bucketed join must not shuffle:\n{text[:900]}"
+        assert joined.count() == lineitem.count()  # FK: every lineitem matches
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

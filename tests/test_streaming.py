@@ -228,3 +228,54 @@ def test_progress_listener_records_batches(spark):
     finally:
         monitor.detach(spark, rec)
         replay.cleanup(d)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Fault-tolerance parity (SURVEY.md §2.9): kill a stream partway,
+    restart from the same checkpoint — already-committed input is not
+    reprocessed, new input is, and the sink ends exactly equal to the
+    batch answer (no loss, no dupes). This is the reference's
+    recover-from-checkpoint-dir semantics with exactly-once instead of
+    at-least-once."""
+    import glob
+    import os
+    import shutil
+
+    events = load_table(spark, SF_DIR, "events")
+    bl = make_blacklist(load_table(spark, SF_DIR, "customer"))
+    d = replay.chunk_to_dir(events, 4)
+    held_back = str(tmp_path / "held")
+    os.makedirs(held_back)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    try:
+        parts = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+        assert len(parts) == 4
+        for p in parts[2:]:  # hold back half the input
+            shutil.move(p, held_back)
+
+        def run_once():
+            q = (
+                blacklist_stream(replay.stream_from_dir(spark, d), bl)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        run_once()  # first run: 2 of 4 chunks, then "failure"
+        n_first = spark.read.parquet(sink).count()
+        for p in glob.glob(os.path.join(held_back, "part-*.parquet")):
+            shutil.move(p, d)
+        run_once()  # recovery: same checkpoint + sink
+
+        final = spark.read.parquet(sink)
+        batch = blacklist_stream(events, bl)  # same pure fn, batch input
+        assert final.count() > n_first
+        assert _as_sets(final) == _as_sets(batch), "recovery lost or duplicated rows"
+    finally:
+        replay.cleanup(d)

@@ -71,6 +71,19 @@ def rate_rows(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+def with_processing_time(df: DataFrame, ts_col: str = "proc_ts") -> DataFrame:
+    """Processing-time parity mode (SURVEY.md §4.3(1)): stamp arrival
+    time as the window column. The reference's windows are all
+    arrival-time (``reduceByKeyAndWindow`` over received batches,
+    ``/root/reference/src/main/java/com/soto/WindowHotWord.java:52-57``);
+    piping a source through this and windowing on ``proc_ts`` reproduces
+    those semantics on Structured Streaming. Event-time mode (window on a
+    data timestamp + watermark) is the default everywhere else — use this
+    only when arrival-time semantics are the requirement, since results
+    are inherently non-reproducible (that's what the reference had)."""
+    return df.withColumn(ts_col, F.current_timestamp())
+
+
 def parse_space_log(lines: DataFrame, fields: list[str]) -> DataFrame:
     """Positional space-split parser — the reference's implicit record
     format (``TransformBlacklist.java:43``: 'date user', ``Top3HotProduct

@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) — a rigor tier the reference's test
+suite lacked entirely (its only test was ``assertTrue(true)``,
+``/root/reference/src/test/java/com/soto/AppTest.java:15-19``).
+
+Each property pins an algebraic identity the engine's scale strategies
+depend on: the optimized plan (salted, union+window, hoisted-norm) must
+be *extensionally equal* to its naive spelling on arbitrary inputs, not
+just on the driver tables. Examples are kept small — the point is
+adversarial shapes (dupes, ties, empties, skew), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.operators.asof import asof_click_attribution
+from spark_streaming_spark.operators.dedup import dedup_exact
+from spark_streaming_spark.operators.skew import salted_counts
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# (user_id, seq, is_purchase): seq becomes a distinct-microsecond ts and
+# a unique event_id, so ties are exercised via equal user/ts pairs below
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # few users → collisions
+        st.integers(min_value=0, max_value=9),   # coarse ts → ts ties
+        st.booleans(),
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+def _mk_events(spark, raw):
+    rows = [
+        (
+            uid,
+            # second-granularity ts with deliberate duplicates across rows
+            f"2024-01-01 00:00:{sec:02d}",
+            i,  # unique event_id
+            "purchase" if is_p else "click",
+        )
+        for i, (uid, sec, is_p) in enumerate(raw)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, event_type string"
+    ).select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
+@given(_events)
+@settings(**_SETTINGS)
+def test_asof_equals_naive_range_join(spark, raw):
+    """The union+window as-of join ≡ the naive (quadratic) formulation:
+    equi-join clicks×purchases on user, keep click_ts ≤ purchase_ts,
+    argmax by (click_ts, event_id). Ties included."""
+    ev = _mk_events(spark, raw)
+    fast = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in asof_click_attribution(ev).collect()
+    }
+
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "user_id u", "event_id cid", "ts cts")
+    purchases = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "event_id pid", "ts pts")
+    from pyspark.sql.window import Window as W
+
+    cand = purchases.join(
+        clicks, (F.col("user_id") == F.col("u")) & (F.col("cts") <= F.col("pts"))
+    )
+    w = W.partitionBy("user_id", "pid").orderBy(
+        F.col("cts").desc(), F.col("cid").desc()
+    )
+    naive = {
+        (r.user_id, r.pid, r.cid)
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").collect()
+    }
+    assert fast == naive
+
+
+@given(st.lists(st.sampled_from(["a", "b", "hot", "hot", "hot"]), max_size=40))
+@settings(**_SETTINGS)
+def test_salted_counts_equals_plain(spark, keys):
+    """Two-phase salted aggregation ≡ plain groupBy().count() on any key
+    multiset (incl. heavy skew, its reason to exist)."""
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "event_type string"
+    )
+    salted = {(r.event_type, r.cnt) for r in salted_counts(df, "event_type").collect()}
+    plain = {
+        (r.event_type, r["count"])
+        for r in df.groupBy("event_type").count().collect()
+    }
+    assert salted == plain
+
+
+@given(st.lists(st.sampled_from(["x", "y y", "z", "x"]), max_size=20))
+@settings(**_SETTINGS)
+def test_dedup_exact_partitions_input(spark, texts):
+    """dedup_exact emits exactly one keeper per distinct text, keeper is
+    the min doc_id, and n_copies sums back to the input size."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup_exact(df).collect()
+    assert len(out) == len(set(texts))
+    assert sum(r.n_copies for r in out) == len(texts)
+    for r in out:
+        assert r.doc_id == min(i for i, t in enumerate(texts) if t == r.text)

@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_status": lambda s, d: A.cube_order_status(load_table(s, d, "orders")),
         "grouping_sets_orders": lambda s, d: A.grouping_sets_orders(
             load_table(s, d, "orders")),
+        "forecast_revenue_change": lambda s, d: A.forecast_revenue_change(
+            load_table(s, d, "lineitem")),
         "distinct_event_pairs": lambda s, d: A.distinct_event_pairs(load_table(s, d, "events")),
         "approx_distinct_users": lambda s, d: A.approx_distinct_users(load_table(s, d, "events")),
         # time windows (event-time; reference geometry 60s/10s)
@@ -714,6 +716,14 @@ def oracle_sql() -> dict[str, str]:
     """
     # Streamed pipelines reuse the batch operators, so stream/batch
     # equivalence means they share the batch oracles verbatim.
+    sql["forecast_revenue_change"] = """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.02 AND l_quantity < 24
+    """
     sql["grouping_sets_orders"] = """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,

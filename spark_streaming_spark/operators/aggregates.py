@@ -137,6 +137,25 @@ def cube_order_status(orders: DataFrame) -> DataFrame:
     )
 
 
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from discounted small-quantity
+    lineitems in a date window. The query is one scan + one scalar agg —
+    its entire 100 TB cost is the scan, so ALL THREE predicates must
+    reach the parquet reader (asserted in tests/test_plans.py); with
+    min/max row-group statistics the date filter prunes most of a
+    time-partitioned table. Columns: revenue."""
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev.cast("decimal(38,4)")).cast("double").alias("revenue"))
+    )
+
+
 def grouping_sets_orders(orders: DataFrame) -> DataFrame:
     """GROUPING SETS ((status, priority), (status), ()) — the general form
     cube/rollup specialize; completes the multi-level aggregation surface

@@ -134,3 +134,18 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is scan-bound: the discount/quantity predicates (raw columns)
+    must reach the parquet reader, and the scan must read only the four
+    referenced columns."""
+    df = A.forecast_revenue_change(load_table(spark, SF_DIR, "lineitem"))
+    pushed = explain.pushed_filters(df)
+    assert any("l_discount" in p for p in pushed), pushed
+    assert any("l_quantity" in p for p in pushed), pushed
+    schemas = explain.read_schema_columns(df)
+    assert schemas and all(
+        cols <= {"l_extendedprice", "l_discount", "l_quantity", "l_shipdate"}
+        for cols in schemas
+    ), schemas

@@ -26,6 +26,7 @@ from spark_streaming_spark.operators import dedup as DD
 from spark_streaming_spark.operators import ann as ANN
 from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import skew as SK
+from spark_streaming_spark.operators import sketch as SKC
 from spark_streaming_spark.operators import setops as S
 from spark_streaming_spark.operators import similarity as SIM
 from spark_streaming_spark.operators import textstats as TX
@@ -263,8 +264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), "event_type", "value"),
         # IVF ANN (k-means coarse cells; rows-only — probed search)
         "knn_ivf": lambda s, d: ANN.knn_ivf(load_table(s, d, "embeddings")),
+        # Count-Min sketch (fixed-size frequency summary; md5-derived
+        # buckets so the grid is deterministic and oracle-checkable)
+        "countmin_user_sketch": lambda s, d: SKC.countmin_build(
+            load_table(s, d, "events"), "user_id"),
         # multimodal plumbing (binary payloads + typed metadata)
         "multimodal_meta": lambda s, d: MM.media_metadata(load_table(s, d, "documents")),
+        "media_resize_meta": lambda s, d: MM.fake_resize(
+            MM.to_media_table(load_table(s, d, "documents"))
+        ).select("media_id", "n_bytes_in", "n_bytes_out"),
         "media_byte_features": lambda s, d: MM.byte_features(
             MM.to_media_table(load_table(s, d, "documents"))),
         "video_frame_offsets": lambda s, d: MM.frame_offsets(
@@ -716,6 +724,23 @@ def oracle_sql() -> dict[str, str]:
     """
     # Streamed pipelines reuse the batch operators, so stream/batch
     # equivalence means they share the batch oracles verbatim.
+    sql["countmin_user_sketch"] = """
+        WITH cells AS (
+          SELECT d,
+                 CAST(CAST('0x' || substr(
+                        md5(CAST(user_id AS VARCHAR) || '#' || CAST(d AS VARCHAR)),
+                        1, 15) AS BIGINT) % 256 AS INTEGER) AS bucket
+          FROM events, (SELECT unnest(range(0, 4)) AS d) ds
+        )
+        SELECT CAST(d AS INTEGER) AS d, bucket, count(*) AS cnt
+        FROM cells GROUP BY d, bucket
+    """
+    sql["media_resize_meta"] = """
+        SELECT doc_id AS media_id,
+               strlen(text) AS n_bytes_in,
+               (strlen(text) + 3) // 4 AS n_bytes_out
+        FROM documents
+    """
     sql["forecast_revenue_change"] = """
         SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4)))
                     AS DOUBLE) AS revenue

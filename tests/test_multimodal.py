@@ -45,3 +45,19 @@ def test_decode_image_gated(spark):
         pytest.skip("PIL present; decode path live")
     with pytest.raises(NotImplementedError):
         MM.decode_image(MM.to_media_table(docs))
+
+
+def test_fake_resize_binary_roundtrip(spark):
+    """Binary-in/binary-out Arrow plumbing: the fake resize keeps every
+    4th payload byte; output binary and lengths must match exactly."""
+    from spark_streaming_spark.operators import multimodal as MM
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = MM.to_media_table(docs)
+    out = {r.media_id: r for r in MM.fake_resize(media).collect()}
+    for row in docs.collect():
+        b = row.text.encode("utf-8")
+        r = out[row.doc_id]
+        assert bytes(r.payload_out) == b[::4]
+        assert r.n_bytes_in == len(b)
+        assert r.n_bytes_out == len(b[::4])

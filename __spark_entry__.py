@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_streaming_spark.operators import aggregates as A
 from spark_streaming_spark.operators import asof as AS
@@ -158,6 +159,34 @@ def _q_streaming_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed state via applyInPandasWithState (the general
+    updateStateByKey replacement, SURVEY.md §2.11): per-event_type running
+    (sum, count) across micro-batches. Update mode emits one row per
+    touched key per trigger; the final state per key is the row with the
+    max n (n is monotone), recovered with a window — deterministic row
+    set, rows-only driver check (custom stateful streaming has no SQL
+    twin; tests/test_skew_stateful.py pins convergence to the batch
+    answer)."""
+    from pyspark.sql.window import Window as W
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.stateful import running_totals_with_state
+
+    chunk_dir = _chunked_table(spark, sf_dir, "events", 4)
+    stream = replay.stream_from_dir(spark, chunk_dir)
+    updates = replay.run_to_parquet(
+        running_totals_with_state(stream, "event_type", "value"),
+        "update", state_partitions=8,
+    )
+    w = W.partitionBy("key").orderBy(F.col("n").desc())
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "n")  # n is exact; total is float-order-dependent
+    )
+
+
 def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval self-join (click→purchase funnel): the
     capability the DStream reference could not express. Replayed without
@@ -244,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_counts": _q_streaming_sliding,
         "streaming_top3_per_window": _q_streaming_top3,
         "streaming_click_purchase_join": _q_streaming_conversions,
+        "streaming_stateful_totals": _q_streaming_stateful_totals,
         # stream-stream join semantics, batch-planned (same operator fn)
         "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events")),

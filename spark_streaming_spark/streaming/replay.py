@@ -20,6 +20,7 @@ import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SHUFFLE_KEY = "spark.sql.shuffle.partitions"
 
@@ -140,6 +141,26 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
                 .option("path", out)
                 .option("checkpointLocation", ckpt)
             )
+        elif output_mode == "update":
+            # update mode emits per-trigger CHANGED rows: keep every
+            # epoch's delta, idempotently — each epoch overwrites only its
+            # own partition directory (replay-safe, no cross-epoch loss)
+            def append_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+                if batch_transform is not None:
+                    batch_df = batch_transform(batch_df)
+                (
+                    batch_df.withColumn("epoch_id", F.lit(epoch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch_id")
+                    .parquet(out)
+                )
+
+            writer = (
+                stream_df.writeStream.foreachBatch(append_epoch)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+            )
         else:
             def overwrite_epoch(batch_df: DataFrame, _epoch_id: int) -> None:
                 if batch_transform is not None:
@@ -157,6 +178,8 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+    if output_mode == "update":
+        return spark.read.parquet(out).drop("epoch_id")
     if batch_transform is not None:
         return spark.read.parquet(out)  # schema set by the transform
     return spark.read.schema(stream_df.schema).parquet(out)

@@ -31,6 +31,7 @@ from spark_streaming_spark.operators import sketch as SKC
 from spark_streaming_spark.operators import setops as S
 from spark_streaming_spark.operators import similarity as SIM
 from spark_streaming_spark.operators import textstats as TX
+from spark_streaming_spark.operators import timeseries as TS
 from spark_streaming_spark.operators import topk as T
 from spark_streaming_spark.operators import windows as WIN
 from spark_streaming_spark.operators import wordcount as W
@@ -294,6 +295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), "event_type", "value"),
         # IVF ANN (k-means coarse cells; rows-only — probed search)
         "knn_ivf": lambda s, d: ANN.knn_ivf(load_table(s, d, "embeddings")),
+        # time-series similarity (hour-of-day profiles, peak-hour blocking)
+        "user_activity_profiles": lambda s, d: TS.user_hourly_profiles(
+            load_table(s, d, "events")),
+        "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
+            load_table(s, d, "events")),
         # Count-Min sketch (fixed-size frequency summary; md5-derived
         # buckets so the grid is deterministic and oracle-checkable)
         "countmin_user_sketch": lambda s, d: SKC.countmin_build(
@@ -754,6 +760,49 @@ def oracle_sql() -> dict[str, str]:
     """
     # Streamed pipelines reuse the batch operators, so stream/batch
     # equivalence means they share the batch oracles verbatim.
+    hour_counts = ", ".join(
+        f"CAST(count(CASE WHEN hour(ts) = {h} THEN 1 END) AS DOUBLE)"
+        for h in range(24)
+    )
+    _PROF_CTE = f"""
+        prof AS (
+          SELECT user_id, [{hour_counts}] AS profile
+          FROM events GROUP BY user_id
+        ),
+        tagged AS (
+          SELECT user_id, profile,
+                 CAST(list_position(profile, list_max(profile)) AS INTEGER)
+                   AS peak_hour
+          FROM prof
+        )
+    """
+    sql["user_activity_profiles"] = f"""
+        WITH {_PROF_CTE}
+        SELECT user_id, profile, peak_hour FROM tagged
+    """
+    sql["similar_activity_pairs"] = f"""
+        WITH {_PROF_CTE},
+        cand AS (
+          SELECT a.user_id AS user_a, b.user_id AS user_b,
+                 a.profile AS pa, b.profile AS pb
+          FROM tagged a JOIN tagged b
+            ON a.peak_hour = b.peak_hour AND a.user_id < b.user_id
+        ),
+        prods AS (
+          SELECT user_a, user_b,
+                 {_VDOT("pa", "pb")} AS dot,
+                 {_VDOT("pa", "pa")} AS na,
+                 {_VDOT("pb", "pb")} AS nb
+          FROM cand, (SELECT unnest(range(1, 25)) AS i) ii
+          GROUP BY user_a, user_b
+        )
+        SELECT user_a, user_b,
+               CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+        FROM prods
+        WHERE CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.9
+    """
     sql["countmin_user_sketch"] = """
         WITH cells AS (
           SELECT d,

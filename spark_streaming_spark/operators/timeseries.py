@@ -1,0 +1,72 @@
+"""Time-series similarity search over event streams (north-star
+extension; pattern from the retrieved literature on distributed
+time-series similarity for streaming systems — PAPERS.md, EDBT 2019).
+The reference aggregates streams but has no notion of comparing entities
+BY their temporal behavior.
+
+Pipeline: per-entity activity profile (24-dim hour-of-day count vector,
+built with ONE conditional aggregation — no pivot, no UDF) → blocking on
+the profile's dominant hour (an argmax-banded LSH: near-identical
+profiles share their peak) → in-bucket cosine with the engine's
+decimal-exact dot contract.
+
+Scale notes: the profile build is a single groupBy("user_id") — one
+shuffle over the events table, output is one fixed-width row per entity.
+Blocking reduces the pair join from all-pairs O(U²) to Σ_b |b|² over 24
+buckets; at larger scale widen the block key (top-2 hours, or sign-LSH
+over the mean-centered profile) — same plan shape. The cosine reuses
+hoisted per-vector norms (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.functions.vectors import dot_expr, norm2_expr
+
+N_HOURS = 24
+
+
+def user_hourly_profiles(events: DataFrame) -> DataFrame:
+    """24-dim hour-of-day activity vector per user, one aggregation.
+    Columns: user_id, profile (array<double>), peak_hour (first argmax —
+    the blocking key)."""
+    hour = F.hour("ts")
+    counts = [
+        F.count(F.when(hour == h, F.lit(1))).alias(f"h{h}")
+        for h in range(N_HOURS)
+    ]
+    prof = events.groupBy("user_id").agg(*counts)
+    arr = F.array(*[F.col(f"h{h}").cast("double") for h in range(N_HOURS)])
+    return prof.select(
+        "user_id",
+        arr.alias("profile"),
+        # 1-based first index of the max count — deterministic tie-break
+        F.array_position(arr, F.array_max(arr)).cast("int").alias("peak_hour"),
+    )
+
+
+def similar_activity_pairs(events: DataFrame,
+                           threshold: float = 0.9) -> DataFrame:
+    """User pairs with cosine-similar hour-of-day activity, blocked by
+    peak hour. Columns: user_a, user_b, cosine (user_a < user_b)."""
+    prof = user_hourly_profiles(events).select(
+        "user_id", "profile", "peak_hour",
+        F.sqrt(norm2_expr("profile")).alias("nrm"),
+    )
+    a = prof.alias("a")
+    b = prof.alias("b")
+    return (
+        a.join(b, (F.col("a.peak_hour") == F.col("b.peak_hour"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            (
+                dot_expr("a.profile", "b.profile")
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

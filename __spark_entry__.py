@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference parity: top-k
         "hot_words": _q_hot_words,
         "top3_products_per_brand": _q_top3_products,
+        "top3_products_sql": lambda s, d: T.top3_products_sql(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")),
         # aggregations (TPC-H shapes + full surface)
         "pricing_summary": lambda s, d: A.pricing_summary(load_table(s, d, "lineitem")),
         "revenue_by_nation": lambda s, d: A.revenue_by_nation(
@@ -760,6 +762,19 @@ def oracle_sql() -> dict[str, str]:
     """
     # Streamed pipelines reuse the batch operators, so stream/batch
     # equivalence means they share the batch oracles verbatim.
+    sql["top3_products_sql"] = """
+        WITH clicks AS (
+          SELECT p_brand AS brand, p_name AS product, count(*) AS click_count
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2
+        )
+        SELECT brand, product, click_count FROM (
+          SELECT brand, product, click_count,
+                 row_number() OVER (PARTITION BY brand
+                                    ORDER BY click_count DESC, product) AS rank
+          FROM clicks)
+        WHERE rank <= 3
+    """
     hour_counts = ", ".join(
         f"CAST(count(CASE WHEN hour(ts) = {h} THEN 1 END) AS DOUBLE)"
         for h in range(24)

@@ -69,3 +69,31 @@ def top3_products_per_brand(lineitem: DataFrame, part: DataFrame,
         .agg(F.count("*").alias("click_count"))
     )
     return top_n_per_group(clicks, "brand", "click_count", "product", n)
+
+
+def top3_products_sql(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """The reference's literal SQL surface: the same ranking expressed as
+    a SQL string over a registered temp view — mirroring
+    ``Top3HotProduct.java:92-103`` ("select ... row_number() over
+    (partition by category order by click_count desc) rank ... where
+    rank<=3" on view ``product_click_log``), parsed by Catalyst instead
+    of HiveContext (no Hive needed in Spark ≥ 2, SURVEY.md §2.5).
+    Plans identically to the DataFrame twin — SQL vs DataFrame is
+    surface syntax, not a different engine path.
+    Columns: brand, product, click_count."""
+    clicks = (
+        lineitem.select("l_partkey")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_name")),
+              lineitem["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_name").alias("product"))
+        .agg(F.count("*").alias("click_count"))
+    )
+    clicks.createOrReplaceTempView("product_click_log")
+    return clicks.sparkSession.sql("""
+        SELECT brand, product, click_count FROM (
+          SELECT brand, product, click_count,
+                 row_number() OVER (PARTITION BY brand
+                                    ORDER BY click_count DESC, product) AS rank
+          FROM product_click_log
+        ) WHERE rank <= 3
+    """)

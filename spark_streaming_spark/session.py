@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # restart needs only the last committed batch; retaining the
+        # default 100 checkpoint versions just multiplies state-store I/O
+        .config("spark.sql.streaming.minBatchesToRetain", "2")
     )
     if master is not None:
         builder = builder.master(master)

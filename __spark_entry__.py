@@ -188,6 +188,30 @@ def _q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup across micro-batches: the input is the
+    events table DOUBLED (union with itself), chunked so the two copies
+    of a row land in different triggers; dropDuplicates' seen-key state
+    must still collapse them to exactly the original table — the
+    cross-batch semantics updateStateByKey-era code couldn't express.
+    Replay has no watermark (bounded input); production passes
+    (ts, delay) to bound seen-key state."""
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import dedup_stream
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    doubled = src.union(src)
+    chunk_dir = replay.chunk_to_dir(doubled, 4)
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir)
+        return replay.run_to_parquet(
+            dedup_stream(stream, ["event_id"]), "append", state_partitions=8
+        )
+    finally:
+        replay.cleanup(chunk_dir)
+
+
 def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval self-join (click→purchase funnel): the
     capability the DStream reference could not express. Replayed without
@@ -277,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_top3_per_window": _q_streaming_top3,
         "streaming_click_purchase_join": _q_streaming_conversions,
         "streaming_stateful_totals": _q_streaming_stateful_totals,
+        "streaming_dedup": _q_streaming_dedup,
         # stream-stream join semantics, batch-planned (same operator fn)
         "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events")),
@@ -855,6 +880,9 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_blacklist_filter"] = sql["blacklist_filter"]
     sql["streaming_sliding_counts"] = sql["sliding_counts"]
     sql["streaming_top3_per_window"] = sql["hot_words_per_window"]
+    sql["streaming_dedup"] = """
+        SELECT event_id, user_id, event_type FROM events
+    """
     sql["click_purchase_conversions"] = """
         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
                c.ts AS click_ts, p.ts AS purchase_ts

@@ -93,6 +93,32 @@ def top3_per_window_foreach_batch(k: int = 3):
     return rank_batch
 
 
+def dedup_stream(records: DataFrame, keys: list[str],
+                 watermark: tuple[str, str] | None = None) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on key columns holds
+    seen-keys in the state store, so duplicates are caught even when the
+    copies arrive in DIFFERENT micro-batches — semantics a per-batch
+    DStream pipeline cannot express at all (SURVEY.md §7 stage 3).
+    Pass ``watermark=(ts_col, delay)`` in production so seen-key state is
+    evicted once duplicates can no longer arrive; without it state grows
+    with distinct keys (fine for bounded replays only)."""
+    src = records
+    if watermark is not None:
+        src = src.withWatermark(*watermark)
+    return src.dropDuplicates(keys)
+
+
+def to_console(stream: DataFrame, n_rows: int = 20):
+    """Console sink (≡ the reference's ``print()`` on every pipeline,
+    ``WordCount.java:55``): returns the started query. Debug only."""
+    return (
+        stream.writeStream.format("console")
+        .option("numRows", str(n_rows))
+        .outputMode("append")
+        .start()
+    )
+
+
 def idempotent_parquet_sink(out_dir: str):
     """foreachBatch sink with exactly-once effect: each epoch overwrites
     its own partition directory, so replays after failure rewrite the

@@ -279,3 +279,22 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
         assert _as_sets(final) == _as_sets(batch), "recovery lost or duplicated rows"
     finally:
         replay.cleanup(d)
+
+
+def test_streaming_dedup_across_batches(spark):
+    """dropDuplicates state catches duplicates arriving in DIFFERENT
+    micro-batches: events doubled and re-chunked must collapse to
+    exactly the original table."""
+    from spark_streaming_spark.streaming.pipelines import dedup_stream
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type")
+    d = replay.chunk_to_dir(events.union(events), 4)
+    try:
+        streamed = replay.run_to_parquet(
+            dedup_stream(replay.stream_from_dir(spark, d), ["event_id"]),
+            "append", state_partitions=4,
+        )
+        assert _as_sets(streamed) == _as_sets(events)
+    finally:
+        replay.cleanup(d)

@@ -149,3 +149,22 @@ def test_q6_all_predicates_pushed(spark):
         cols <= {"l_extendedprice", "l_discount", "l_quantity", "l_shipdate"}
         for cols in schemas
     ), schemas
+
+
+def test_date_partitioned_scan_prunes(spark, tmp_path_factory):
+    """Time-partitioned layout (how a 100 TB events table is actually
+    stored): a day-filtered query must hit PartitionFilters — reading
+    one partition directory, not the table."""
+    base = tmp_path_factory.mktemp("bydate")
+    events = load_table(spark, SF_DIR, "events")
+    (events.withColumn("day", F.to_date("ts"))
+     .write.partitionBy("day").parquet(str(base / "events")))
+
+    part = spark.read.parquet(str(base / "events"))
+    one_day = part.filter(F.col("day") == "2024-01-05")
+    text = explain.explain_text(one_day)
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "day" in m.group(1), f"no partition pruning:\n{text[:600]}"
+    expected = events.filter(F.to_date("ts") == "2024-01-05").count()
+    assert one_day.count() == expected

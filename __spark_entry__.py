@@ -88,7 +88,7 @@ def _t(name: str):
 
 
 def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
-                  output_mode: str = "complete", n_chunks: int = 4,
+                  output_mode: str = "complete", n_chunks: int = 3,
                   batch_transform=None) -> DataFrame:
     """Replay a driver table as a multi-micro-batch stream through a
     batch operator and return the final result as a batch DataFrame.
@@ -174,7 +174,7 @@ def _q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming import replay
     from spark_streaming_spark.streaming.stateful import running_totals_with_state
 
-    chunk_dir = _chunked_table(spark, sf_dir, "events", 4)
+    chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
     stream = replay.stream_from_dir(spark, chunk_dir)
     updates = replay.run_to_parquet(
         running_totals_with_state(stream, "event_type", "value"),
@@ -202,7 +202,7 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type")
     doubled = src.union(src)
-    chunk_dir = replay.chunk_to_dir(doubled, 4)
+    chunk_dir = replay.chunk_to_dir(doubled, 3)
     try:
         stream = replay.stream_from_dir(spark, chunk_dir)
         return replay.run_to_parquet(

@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders")),
         "forecast_revenue_change": lambda s, d: A.forecast_revenue_change(
             load_table(s, d, "lineitem")),
+        "quantity_quantiles": lambda s, d: A.quantity_quantiles(
+            load_table(s, d, "lineitem")),
         "distinct_event_pairs": lambda s, d: A.distinct_event_pairs(load_table(s, d, "events")),
         "approx_distinct_users": lambda s, d: A.approx_distinct_users(load_table(s, d, "events")),
         # time windows (event-time; reference geometry 60s/10s)
@@ -262,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": lambda s, d: WIN.sliding_counts(load_table(s, d, "events")),
         "hot_words_per_window": lambda s, d: WIN.hot_words_per_window(load_table(s, d, "events")),
         "session_windows": lambda s, d: WIN.session_windows(load_table(s, d, "events")),
+        "inter_arrival_stats": lambda s, d: WIN.inter_arrival_stats(
+            load_table(s, d, "events")),
         # set ops + scalar/JSON surface
         "nation_presence": lambda s, d: S.nation_presence(
             load_table(s, d, "customer"), load_table(s, d, "supplier")),
@@ -859,6 +863,26 @@ def oracle_sql() -> dict[str, str]:
                strlen(text) AS n_bytes_in,
                (strlen(text) + 3) // 4 AS n_bytes_out
         FROM documents
+    """
+    sql["inter_arrival_stats"] = """
+        WITH gaps AS (
+          SELECT user_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+          FROM events
+        )
+        SELECT user_id, count(*) AS n_gaps,
+               SUM(gap_us) AS sum_gap_us,
+               CAST(SUM(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    """
+    sql["quantity_quantiles"] = """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS med_qty,
+               quantile_cont(l_quantity, 0.9) AS p90_qty,
+               quantile_cont(l_extendedprice, 0.5) AS med_price
+        FROM lineitem GROUP BY l_returnflag
     """
     sql["forecast_revenue_change"] = """
         SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4)))

@@ -137,6 +137,20 @@ def cube_order_status(orders: DataFrame) -> DataFrame:
     )
 
 
+def quantity_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact per-group quantiles (median/p90, linear interpolation —
+    identical definition in DuckDB's quantile_cont, so bitwise
+    oracle-checkable). Exact percentile sorts each group; at 100 TB
+    reach for ``approx_percentile`` (t-digest, one pass, mergeable) and
+    accept the sketch error instead — same query shape.
+    Columns: l_returnflag, med_qty, p90_qty, med_price."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
+    )
+
+
 def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q6 shape: revenue delta from discounted small-quantity
     lineitems in a date window. The query is one scan + one scalar agg —

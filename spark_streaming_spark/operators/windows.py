@@ -73,6 +73,27 @@ def hot_words_per_window(events: DataFrame, k: int = 3) -> DataFrame:
     return rank_top_k(sliding_counts(events), k)
 
 
+def inter_arrival_stats(events: DataFrame) -> DataFrame:
+    """lag()-based inter-arrival analysis per user: gap to the previous
+    event (exact integer microseconds — no float drift), count and mean.
+    Completes the analytic-window surface beyond row_number (SURVEY.md
+    §2.5 notes the reference's only window function). One shuffle on
+    user_id; the sort is per-partition.
+    Columns: user_id, n_gaps, sum_gap_us, avg_gap_us."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gaps = events.select("user_id", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_gap_us"),
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Session windows per user: events closer than ``gap`` merge.
     A capability beyond the reference (DStreams have no session concept).

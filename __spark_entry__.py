@@ -329,8 +329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series similarity (hour-of-day profiles, peak-hour blocking)
         "user_activity_profiles": lambda s, d: TS.user_hourly_profiles(
             load_table(s, d, "events")),
+        # threshold 0.7, not the semantic default 0.9: driver users have
+        # near-uniform hourly profiles (max blocked-pair cosine ≈ 0.8 at
+        # sf0.01), so 0.9 would hash-match on empty sets — vacuous
         "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
-            load_table(s, d, "events")),
+            load_table(s, d, "events"), threshold=0.7),
         # Count-Min sketch (fixed-size frequency summary; md5-derived
         # buckets so the grid is deterministic and oracle-checkable)
         "countmin_user_sketch": lambda s, d: SKC.countmin_build(
@@ -845,7 +848,7 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
         FROM prods
         WHERE CAST(dot AS DOUBLE)
-                / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.9
+                / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.7
     """
     sql["countmin_user_sketch"] = """
         WITH cells AS (

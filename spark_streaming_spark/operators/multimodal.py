@@ -89,8 +89,9 @@ def byte_features(media: DataFrame) -> DataFrame:
                     continue
                 counts = np.bincount(arr, minlength=256)
                 p = counts[counts > 0] / n
-                # match the scalar formula digit-for-digit: sum of
-                # (c/n)*log2(c/n) accumulated in float64
+                # float64 throughout; numpy's pairwise summation may
+                # differ from a sequential sum in the last ulps, so this
+                # column is checked with tolerance, never bitwise
                 ent = float(-(p * np.log2(p)).sum())
                 rows.append((mid, n, float(arr.sum()) / n, ent))
             yield pd.DataFrame(

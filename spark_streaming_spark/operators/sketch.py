@@ -36,6 +36,16 @@ def _bucket(col: F.Column, d: int, width: int) -> F.Column:
     return (h.cast("long") % width).cast("int")
 
 
+def _cells(col: F.Column, depth: int, width: int) -> F.Column:
+    """The depth (d, bucket) cells of a value — the ONE definition both
+    build and estimate must share (a drift between them silently breaks
+    the upper-bound guarantee)."""
+    return F.array(*[
+        F.struct(F.lit(d).alias("d"), _bucket(col, d, width).alias("bucket"))
+        for d in range(depth)
+    ])
+
+
 def countmin_build(df: DataFrame, col: str, depth: int = DEPTH,
                    width: int = WIDTH) -> DataFrame:
     """Build the sketch grid: one row per non-empty cell.
@@ -43,12 +53,8 @@ def countmin_build(df: DataFrame, col: str, depth: int = DEPTH,
     input row (explode), partial aggregation merges partition-local grids
     map-side — the distributed CM merge for free."""
     v = F.col(col).cast("string")
-    cells = F.array(*[
-        F.struct(F.lit(d).alias("d"), _bucket(v, d, width).alias("bucket"))
-        for d in range(depth)
-    ])
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.select(F.explode(_cells(v, depth, width)).alias("c"))
         .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -56,19 +62,19 @@ def countmin_build(df: DataFrame, col: str, depth: int = DEPTH,
 
 def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
                       depth: int = DEPTH, width: int = WIDTH) -> DataFrame:
-    """Point-estimate frequencies for ``keys`` (small, broadcast) from a
-    sketch grid: min over the key's depth cells.
+    """Point-estimate frequencies for ``keys`` from a sketch grid: min
+    over the key's depth cells, where an EMPTY cell counts as 0 — a key
+    with any empty cell therefore estimates 0 (never inserted / no
+    collision mass), and never-seen keys stay in the output instead of
+    being dropped. Left join from the probes; the grid is fixed-size
+    (≤ depth×width rows) so it broadcasts.
     Columns: <key_col>, est (upper bound on the true count)."""
     v = F.col(key_col).cast("string")
     probes = keys.select(
-        key_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(d).alias("d"), _bucket(v, d, width).alias("bucket"))
-            for d in range(depth)
-        ])).alias("c"),
+        key_col, F.explode(_cells(v, depth, width)).alias("c")
     ).select(key_col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
     return (
-        sketch.join(F.broadcast(probes), ["d", "bucket"])
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

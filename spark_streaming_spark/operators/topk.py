@@ -88,12 +88,23 @@ def top3_products_sql(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_name").alias("product"))
         .agg(F.count("*").alias("click_count"))
     )
-    clicks.createOrReplaceTempView("product_click_log")
-    return clicks.sparkSession.sql("""
-        SELECT brand, product, click_count FROM (
-          SELECT brand, product, click_count,
-                 row_number() OVER (PARTITION BY brand
-                                    ORDER BY click_count DESC, product) AS rank
-          FROM product_click_log
-        ) WHERE rank <= 3
-    """)
+    # unique view name + drop after plan resolution: spark.sql() resolves
+    # the view eagerly at analysis, so the returned DataFrame stays valid
+    # and the session catalog is left untouched (no clobbering a user's
+    # own view of the same name)
+    import uuid
+
+    view = f"product_click_log_{uuid.uuid4().hex[:8]}"
+    clicks.createOrReplaceTempView(view)
+    spark = clicks.sparkSession
+    try:
+        return spark.sql(f"""
+            SELECT brand, product, click_count FROM (
+              SELECT brand, product, click_count,
+                     row_number() OVER (PARTITION BY brand
+                                        ORDER BY click_count DESC, product) AS rank
+              FROM {view}
+            ) WHERE rank <= 3
+        """)
+    finally:
+        spark.catalog.dropTempView(view)

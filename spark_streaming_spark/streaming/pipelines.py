@@ -108,13 +108,16 @@ def dedup_stream(records: DataFrame, keys: list[str],
     return src.dropDuplicates(keys)
 
 
-def to_console(stream: DataFrame, n_rows: int = 20):
+def to_console(stream: DataFrame, n_rows: int = 20,
+               output_mode: str = "append"):
     """Console sink (≡ the reference's ``print()`` on every pipeline,
-    ``WordCount.java:55``): returns the started query. Debug only."""
+    ``WordCount.java:55``): returns the started query. Debug only.
+    Pass ``output_mode="complete"`` (or "update") for aggregation
+    pipelines — append is only legal for stateless/watermarked streams."""
     return (
         stream.writeStream.format("console")
         .option("numRows", str(n_rows))
-        .outputMode("append")
+        .outputMode(output_mode)
         .start()
     )
 

@@ -94,7 +94,12 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
             .start()
         )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"stream did not finish within {timeout_sec}s — refusing to "
+                f"return a partial result"
+            )
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -174,7 +179,14 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
             )
         q = writer.trigger(availableNow=True).start()
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # stopping here would leave a truncated (append) or stale
+            # (complete) parquet result that reads as if it were final
+            raise TimeoutError(
+                f"stream did not finish within {timeout_sec}s — refusing to "
+                f"return a partial result"
+            )
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)

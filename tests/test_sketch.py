@@ -31,3 +31,19 @@ def test_countmin_upper_bound_and_mass(spark):
     assert len(joined) == truth.count()
     assert all(r.est >= r["count"] for r in joined)
     grid.unpersist()
+
+
+def test_countmin_absent_keys_estimate_zero_or_collision(spark):
+    """Keys never inserted must stay in the output (not be dropped) and
+    estimate 0 whenever any of their cells is empty; with collisions the
+    estimate is still a valid upper bound of the true count (0)."""
+    events = load_table(spark, SF_DIR, "events")
+    grid = SKC.countmin_build(events, "user_id")
+    # probe ids far outside the real user_id domain
+    ghosts = spark.range(10**9, 10**9 + 50).withColumnRenamed("id", "user_id")
+    est = SKC.countmin_estimate(grid, ghosts, "user_id").collect()
+    assert len(est) == 50, "absent keys must not be dropped"
+    assert all(r.est >= 0 for r in est)
+    # on this sparse grid (≪ depth×width cells filled) most ghosts hit
+    # an empty cell in at least one row → exact 0
+    assert sum(1 for r in est if r.est == 0) > 0

@@ -16,9 +16,9 @@ def test_profiles_match_oracle(spark, duck):
 
 def test_similar_pairs_blocked_and_thresholded(spark, duck):
     events = load_table(spark, SF_DIR, "events")
-    pairs = TS.similar_activity_pairs(events, threshold=0.9)
+    pairs = TS.similar_activity_pairs(events, threshold=0.7)
     rows = pairs.collect()
-    assert all(r.user_a < r.user_b and r.cosine >= 0.9 for r in rows)
+    assert all(r.user_a < r.user_b and r.cosine >= 0.7 for r in rows)
     peak = {
         r.user_id: r.peak_hour
         for r in TS.user_hourly_profiles(events).collect()

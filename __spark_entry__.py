@@ -271,8 +271,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "customer"), load_table(s, d, "supplier")),
         "nations_in_both": lambda s, d: S.nations_in_both(
             load_table(s, d, "customer"), load_table(s, d, "supplier")),
-        "nations_customers_only": lambda s, d: S.nations_customers_only(
-            load_table(s, d, "customer"), load_table(s, d, "supplier")),
+        # note: nations_customers_only (EXCEPT over dims) is empty on the
+        # driver data at every SF — a vacuous oracle check — so the
+        # registered EXCEPT query is the day-cohort one, which is not
+        "day_clickers_no_purchase": lambda s, d: S.day_clickers_no_purchase(
+            load_table(s, d, "events")),
         "small_parts_ordered": lambda s, d: S.small_parts_ordered(
             load_table(s, d, "lineitem"), load_table(s, d, "part")),
         "scalar_showcase": lambda s, d: S.scalar_showcase(load_table(s, d, "events")),
@@ -284,11 +287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: DD.minhash_lsh_pairs(
             load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: DD.simhash(load_table(s, d, "documents")),
-        # threshold 0.45, not the semantic default 0.9: the driver's
-        # embeddings are random (all-pairs max cosine ≈ 0.51), so 0.9
-        # would hash-match on empty sets — a vacuous check
+        # threshold 0.35, not the semantic default 0.9: the driver's
+        # embeddings are random (within-bucket max cosine ≈ 0.43), so any
+        # higher threshold would hash-match on empty sets — vacuous
         "dedup_embedding_cosine": lambda s, d: DD.dedup_embedding_cosine(
-            load_table(s, d, "embeddings"), threshold=0.45),
+            load_table(s, d, "embeddings"), threshold=0.35),
         # similarity search
         "knn_bruteforce": lambda s, d: SIM.knn_to_query(load_table(s, d, "embeddings")),
         "similar_pairs_lsh": lambda s, d: SIM.similar_pairs_lsh(
@@ -586,10 +589,12 @@ def oracle_sql() -> dict[str, str]:
             INTERSECT
             SELECT s_nationkey AS nationkey FROM supplier
         """,
-        "nations_customers_only": """
-            SELECT c_nationkey AS nationkey FROM customer
+        "day_clickers_no_purchase": """
+            SELECT user_id FROM events
+            WHERE event_type = 'click' AND CAST(ts AS DATE) = DATE '2024-01-01'
             EXCEPT
-            SELECT s_nationkey AS nationkey FROM supplier
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-01'
         """,
         "small_parts_ordered": """
             SELECT DISTINCT l_partkey AS partkey FROM lineitem
@@ -973,6 +978,6 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
         FROM prods
         WHERE CAST(dot AS DOUBLE)
-                / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.45
+                / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
     """
     return sql

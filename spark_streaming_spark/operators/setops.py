@@ -45,6 +45,19 @@ def nations_customers_only(customer: DataFrame, supplier: DataFrame) -> DataFram
     )
 
 
+def day_clickers_no_purchase(events: DataFrame,
+                             day: str = "2024-01-01") -> DataFrame:
+    """EXCEPT (distinct) with a non-empty result at every SF: users who
+    clicked on ``day`` but purchased nothing that day — conversion-gap
+    cohort. (The nation-level EXCEPT above is the same operator shape but
+    happens to be empty on the driver data — a vacuous oracle check; this
+    one actually exercises the subtract path.) Columns: user_id."""
+    on_day = events.filter(F.to_date("ts") == day)
+    clickers = on_day.filter(F.col("event_type") == "click").select("user_id")
+    purchasers = on_day.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(purchasers)
+
+
 def small_parts_ordered(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """EXCEPT with guaranteed-non-empty result at every SF: part keys that
     appear in lineitem minus the large parts (p_size > 25).

@@ -72,7 +72,7 @@ def test_embedding_cosine_dedup(spark, duck):
     from tests.conftest import assert_matches_oracle
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    out = DD.dedup_embedding_cosine(emb, threshold=0.45)
+    out = DD.dedup_embedding_cosine(emb, threshold=0.35)
     rows = out.collect()
-    assert all(r.kept_vec < r.drop_vec and r.cosine >= 0.45 for r in rows)
+    assert all(r.kept_vec < r.drop_vec and r.cosine >= 0.35 for r in rows)
     assert_matches_oracle(out, duck, E.oracle_sql()["dedup_embedding_cosine"])

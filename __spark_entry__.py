@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem")),
         "quantity_quantiles": lambda s, d: A.quantity_quantiles(
             load_table(s, d, "lineitem")),
+        "event_type_pivot": lambda s, d: A.event_type_pivot(
+            load_table(s, d, "events")),
         "distinct_event_pairs": lambda s, d: A.distinct_event_pairs(load_table(s, d, "events")),
         "approx_distinct_users": lambda s, d: A.approx_distinct_users(load_table(s, d, "events")),
         # time windows (event-time; reference geometry 60s/10s)
@@ -871,6 +873,15 @@ def oracle_sql() -> dict[str, str]:
                strlen(text) AS n_bytes_in,
                (strlen(text) + 3) // 4 AS n_bytes_out
         FROM documents
+    """
+    sql["event_type_pivot"] = """
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        FROM events GROUP BY user_id
     """
     sql["inter_arrival_stats"] = """
         WITH gaps AS (

@@ -137,6 +137,25 @@ def cube_order_status(orders: DataFrame) -> DataFrame:
     )
 
 
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT: one row per user, one count column per event_type (the
+    wide-format surface; fixed category list so the schema is static —
+    an open-ended pivot would need a driver-side distinct pass first,
+    which is exactly what you avoid at 100 TB).
+    Columns: user_id, n_click, n_error, n_purchase, n_signup, n_view."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0)
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
 def quantity_quantiles(lineitem: DataFrame) -> DataFrame:
     """Exact per-group quantiles (median/p90, linear interpolation —
     identical definition in DuckDB's quantile_cont, so bitwise

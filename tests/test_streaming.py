@@ -298,3 +298,25 @@ def test_streaming_dedup_across_batches(spark):
         assert _as_sets(streamed) == _as_sets(events)
     finally:
         replay.cleanup(d)
+
+
+def test_streaming_union_of_two_sources(spark):
+    """Multi-source union (≡ the reference's multi-receiver union,
+    README.md:941-950): two independent file streams unioned into one
+    pipeline must equal the batch word count over both halves."""
+    docs = load_table(spark, SF_DIR, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    da = replay.chunk_to_dir(half_a, 2)
+    db = replay.chunk_to_dir(half_b, 2)
+    try:
+        unioned = replay.stream_from_dir(spark, da).unionByName(
+            replay.stream_from_dir(spark, db)
+        )
+        streamed = replay.run_to_parquet(
+            wordcount_stream(unioned), "complete", state_partitions=4
+        )
+        assert _as_sets(streamed) == _as_sets(word_count(docs))
+    finally:
+        replay.cleanup(da)
+        replay.cleanup(db)

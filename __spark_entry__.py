@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
         "bpe_token_stats": lambda s, d: TX.bpe_token_stats(load_table(s, d, "documents")),
+        "term_stats": lambda s, d: TX.term_stats(load_table(s, d, "documents")),
         "quality_scores": lambda s, d: TX.quality_scores(load_table(s, d, "documents")),
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
@@ -873,6 +874,18 @@ def oracle_sql() -> dict[str, str]:
                strlen(text) AS n_bytes_in,
                (strlen(text) + 3) // 4 AS n_bytes_out
         FROM documents
+    """
+    sql["term_stats"] = """
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM terms GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df
+               FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term)
+        SELECT doc_id, tf.term AS term, tf, df
+        FROM tf JOIN df ON tf.term = df.term
     """
     sql["event_type_pivot"] = """
         SELECT user_id,

@@ -89,6 +89,28 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def term_stats(docs: DataFrame) -> DataFrame:
+    """TF-IDF building blocks, integer-exact: per (doc, term) frequency
+    and per-term document frequency. The two shuffles here (doc-term agg,
+    term df agg + broadcast-back join) ARE the cost of TF-IDF at scale;
+    the idf formula itself (ln((N+1)/(df+1))+1 or any variant) is a
+    trivial map the consumer applies — kept out of the output because
+    libm ln() isn't bitwise-portable across engines, and every column
+    below is exact. The df table (one row per vocab term) broadcasts
+    while vocab ≪ corpus — at web scale with an unbounded vocab drop the
+    hint and let AQE pick the join side. Columns: doc_id, term, tf, df."""
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    return tf.join(F.broadcast(df_), "term").select("doc_id", "term", "tf", "df")
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """min-md5-shingle fingerprint (deterministic 1-perm MinHash) + exact
     duplicate groups by fingerprint. Columns: doc_id, fp."""

@@ -33,6 +33,7 @@ from spark_streaming_spark.operators import similarity as SIM
 from spark_streaming_spark.operators import textstats as TX
 from spark_streaming_spark.operators import timeseries as TS
 from spark_streaming_spark.operators import topk as T
+from spark_streaming_spark.operators import tpch as TPC
 from spark_streaming_spark.operators import windows as WIN
 from spark_streaming_spark.operators import wordcount as W
 from spark_streaming_spark.sources.batch import load_table
@@ -247,6 +248,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "customer"), load_table(s, d, "orders"),
             load_table(s, d, "lineitem")),
         "lineitem_stats": lambda s, d: A.lineitem_stats(load_table(s, d, "lineitem")),
+        "returned_items_report": lambda s, d: TPC.returned_items_report(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"), load_table(s, d, "nation")),
+        "priority_shipping_mix": lambda s, d: TPC.priority_shipping_mix(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")),
+        "promo_revenue": lambda s, d: TPC.promo_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")),
+        "small_qty_part_revenue": lambda s, d: TPC.small_qty_part_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")),
+        "large_volume_orders": lambda s, d: TPC.large_volume_orders(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem")),
+        "discounted_parts_revenue": lambda s, d: TPC.discounted_parts_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")),
+        "idle_rich_customers": lambda s, d: TPC.idle_rich_customers(
+            load_table(s, d, "customer"), load_table(s, d, "orders")),
         "rollup_customer_nations": lambda s, d: A.rollup_customer_nations(
             load_table(s, d, "customer"), load_table(s, d, "nation"),
             load_table(s, d, "region")),
@@ -507,6 +524,110 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
                      / COUNT(l_extendedprice) AS avg_price
             FROM lineitem
+        """,
+        "returned_items_report": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation   ON n_nationkey = c_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "priority_shipping_mix": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+        """,
+        "promo_revenue": """
+            SELECT 100.0
+                   * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(l_extendedprice * (1 - l_discount)
+                                             AS DECIMAL(38,4))
+                                   ELSE CAST(0 AS DECIMAL(38,4)) END)
+                          AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(38,4))) AS DOUBLE)
+                   AS promo_revenue_pct
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "small_qty_part_revenue": """
+            WITH branded AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#1'
+            ),
+            avg_qty AS (
+              SELECT l_partkey AS ap_partkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                       / COUNT(l_quantity) AS avg_qty
+              FROM branded GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                     / 7.0 AS avg_yearly,
+                   COUNT(*) AS n_lines
+            FROM branded JOIN avg_qty ON l_partkey = ap_partkey
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "large_volume_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                       AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING total_qty > 180.0
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, total_qty
+            FROM big
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY total_qty DESC, o_orderkey
+            LIMIT 50
+        """,
+        "discounted_parts_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "idle_rich_customers": """
+            SELECT c_nationkey,
+                   COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+                     AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+                             / COUNT(c_acctbal)
+                    FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_nationkey
         """,
         "rollup_customer_nations": """
             SELECT r_name AS region, n_name AS nation,

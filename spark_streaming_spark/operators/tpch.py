@@ -1,0 +1,220 @@
+"""Additional TPC-H-shape analytic queries (Q10/Q12/Q14/Q17/Q18/Q19/Q22
+adapted to the driver's star schema — no partsupp / shipmode / container
+columns, so a few predicates are re-targeted to columns that exist).
+
+These extend the relational surface beyond reference parity (the reference's
+only SQL is the row_number top-3 at
+``/root/reference/src/main/java/com/soto/Top3HotProduct.java:92-103``); the
+join/agg shapes here are the ones a 100 TB warehouse actually runs, and each
+is written so Catalyst produces the plan you'd hand-pick:
+
+* fact-side filters sit before joins → parquet pushdown,
+* dimension sides are broadcast explicitly where small,
+* money sums use the decimal-quantize contract (functions/numeric.dsum) so
+  results are shuffle-order-independent,
+* top-k uses orderBy+limit (TakeOrderedAndProject — no global sort
+  materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.functions.numeric import davg, dsum
+
+def _revenue():
+    # built per-call: Column exprs need an active SparkContext
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+
+
+def returned_items_report(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, nation: DataFrame,
+                          k: int = 20) -> DataFrame:
+    """TPC-H Q10: top-k customers by revenue lost to returned items in a
+    quarter. lineitem filter (returnflag + window on o_orderdate) pushes
+    down; nation broadcasts; the orders⋈lineitem join shuffles on orderkey
+    and the customer join on custkey — both unavoidable, both on the
+    natural keys so bucketed layouts co-locate them."""
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def priority_shipping_mix(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus): per l_linestatus, how many
+    1996-shipped lines belong to critical- vs normal-priority orders.
+    The CASE sums are map-side partial aggregates — one shuffle on the
+    single low-cardinality key."""
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from PROMO-type parts.
+    part is the broadcast side; both sums are decimal-exact, the final
+    ratio is one double division shared verbatim with the oracle."""
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+        F.lit(0).cast("decimal(38,4)")
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_revenue()).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def small_qty_part_revenue(lineitem: DataFrame, part: DataFrame,
+                           brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q17: yearly revenue that would vanish if sub-20%-of-average
+    quantity orders of one brand's parts were dropped. The correlated
+    scalar subquery (per-part avg quantity) becomes an explicit aggregate
+    + re-join — at scale the re-join shuffles lineitem once on partkey and
+    reuses that partitioning for the avg side (same key), so AQE merges
+    the exchanges. The avg is decimal-sum/count → bit-identical across
+    engines, so the 0.2× threshold comparison can't flake."""
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    branded_lines = lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = branded_lines.groupBy("l_partkey").agg(
+        davg("l_quantity").alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "ap_partkey")
+    return (
+        branded_lines.join(
+            F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey")
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def large_volume_orders(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, min_qty: float = 180.0,
+                        k: int = 50) -> DataFrame:
+    """TPC-H Q18: top-k largest orders by total quantity, with customer.
+    The HAVING-on-subquery becomes groupBy+filter BEFORE the dimension
+    joins — the heavy lineitem aggregation reduces to ~1 row per qualifying
+    order, and only that sliver joins orders/customer."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(
+            F.col("total_qty").desc(), F.col("o_orderkey").asc()
+        )
+        .limit(k)
+    )
+
+
+def discounted_parts_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19: revenue from three brand/size/quantity bands OR-ed
+    together. The OR-of-ANDs predicate references both sides, so it
+    evaluates post-join — but the disjunction of brands/sizes is pushed to
+    the part scan and the quantity hull to the lineitem scan, shrinking
+    the broadcast and the probe."""
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    parts = part.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    return (
+        lineitem.filter(F.col("l_quantity").between(1, 30))
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(band)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame,
+                        since: str = "1999-01-01") -> DataFrame:
+    """TPC-H Q22: per nation, customers whose balance beats the global
+    positive-balance average and who have not ordered since a cutoff
+    (the driver data has no order-less customers, so the NOT EXISTS is
+    date-scoped to keep the cohort non-empty). The scalar subquery is
+    a 1-row broadcast cross join; the NOT EXISTS is a left_anti on
+    custkey (shuffle only if orders' custkey projection exceeds the
+    broadcast threshold — at 100 TB it does, and anti hash-join on the
+    key is the right plan; the date filter prunes the anti side first)."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_streaming_spark.operators import aggregates as A
+from spark_streaming_spark.operators import analytic as AN
 from spark_streaming_spark.operators import asof as AS
 from spark_streaming_spark.operators import blacklist as B
 from spark_streaming_spark.operators import conversions as CV
@@ -128,6 +129,60 @@ def _chunked_table(spark: SparkSession, sf_dir: str, table: str,
         atexit.register(replay.cleanup, d)
         _CHUNK_CACHE[key] = d
     return _CHUNK_CACHE[key]
+
+
+_ORDERED_CHUNK_CACHE: dict[tuple[str, str, int], str] = {}
+
+
+def _ordered_chunked_events(spark: SparkSession, sf_dir: str,
+                            n_chunks: int = 3) -> str:
+    """Events chunked in EVENT-TIME order with a watermark-advancing
+    sentinel as the final chunk (user_id=-1, ts past all real data) —
+    the replay layout append-mode/watermark pipelines need."""
+    import atexit
+
+    from spark_streaming_spark.streaming import replay
+
+    key = (sf_dir, "events_ordered", n_chunks)
+    if key not in _ORDERED_CHUNK_CACHE:
+        events = load_table(spark, sf_dir, "events")
+        max_ts = events.agg(F.max("ts").alias("m")).first().m
+        # two sentinel rows, one per trailing chunk: the first advances
+        # the watermark past all real data, the second's batch evicts
+        # the last pending sessions (watermark applies one batch late)
+        sentinel = spark.createDataFrame(
+            [(-1, max_ts, -1, "sentinel", 0.0, "{}"),
+             (-2, max_ts, -2, "sentinel", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).withColumn(
+            "ts",
+            F.col("ts") - F.col("event_id") * F.expr("INTERVAL 1 DAY"),
+        )
+        d = replay.chunk_to_dir_ordered(
+            events, n_chunks, order_col="ts", sentinel=sentinel
+        )
+        atexit.register(replay.cleanup, d)
+        _ORDERED_CHUNK_CACHE[key] = d
+    return _ORDERED_CHUNK_CACHE[key]
+
+
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode event-time session windows: every session emitted
+    exactly once as the watermark passes it; ordered replay + sentinel
+    make the finalized stream output equal the batch session_windows
+    oracle."""
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import session_stream
+
+    chunk_dir = _ordered_chunked_events(spark, sf_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir)
+    out = replay.run_to_parquet(
+        session_stream(stream), "append", state_partitions=8
+    )
+    # sentinel sessions are dropped here, on the finalized batch result —
+    # inside the streaming plan the filter would push below the watermark
+    return out.filter(F.col("user_id") >= 0)
 
 
 def _q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "part")),
         "idle_rich_customers": lambda s, d: TPC.idle_rich_customers(
             load_table(s, d, "customer"), load_table(s, d, "orders")),
+        "running_customer_spend": lambda s, d: AN.running_customer_spend(
+            load_table(s, d, "orders")),
+        "customer_balance_quartiles": lambda s, d: AN.customer_balance_quartiles(
+            load_table(s, d, "customer")),
         "rollup_customer_nations": lambda s, d: A.rollup_customer_nations(
             load_table(s, d, "customer"), load_table(s, d, "nation"),
             load_table(s, d, "region")),
@@ -305,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "dedup_minhash_lsh": lambda s, d: DD.minhash_lsh_pairs(
             load_table(s, d, "documents")),
+        "dup_components": lambda s, d: DD.dup_components(
+            load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: DD.simhash(load_table(s, d, "documents")),
         # threshold 0.35, not the semantic default 0.9: the driver's
         # embeddings are random (within-bucket max cosine ≈ 0.43), so any
@@ -328,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_purchase_join": _q_streaming_conversions,
         "streaming_stateful_totals": _q_streaming_stateful_totals,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_session_windows": _q_streaming_sessions,
         # stream-stream join semantics, batch-planned (same operator fn)
         "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events")),
@@ -338,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
         "bpe_token_stats": lambda s, d: TX.bpe_token_stats(load_table(s, d, "documents")),
         "term_stats": lambda s, d: TX.term_stats(load_table(s, d, "documents")),
+        "top_terms_per_lang": lambda s, d: AN.top_terms_per_lang(
+            load_table(s, d, "documents")),
         "quality_scores": lambda s, d: TX.quality_scores(load_table(s, d, "documents")),
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
@@ -629,6 +693,23 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c_nationkey
         """,
+        "running_customer_spend": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS run_spend
+            FROM orders
+        """,
+        "customer_balance_quartiles": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey
+                   ) AS INTEGER) AS quartile
+            FROM customer
+        """,
         "rollup_customer_nations": """
             SELECT r_name AS region, n_name AS nation,
                    count(*) AS n_customers,
@@ -765,6 +846,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # dedup_minhash_lsh: no oracle (xxhash64 is Spark-specific) →
         # rows-only; recall vs exact Jaccard asserted in tests/test_dedup.py
+        "dup_components": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            jp AS (
+              SELECT doc_a, doc_b FROM pairs
+              JOIN sizes x ON doc_a = x.doc_id
+              JOIN sizes y ON doc_b = y.doc_id
+              WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM jp
+              UNION ALL
+              SELECT doc_b AS s, doc_a AS d FROM jp
+            ),
+            reach(doc_id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.doc_id
+            )
+            SELECT doc_id, min(lbl) AS component
+            FROM reach GROUP BY doc_id
+        """,
         "dedup_simhash": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                          FROM documents),
@@ -1008,6 +1116,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, tf.term AS term, tf, df
         FROM tf JOIN df ON tf.term = df.term
     """
+    sql["top_terms_per_lang"] = """
+        WITH td AS (
+          SELECT DISTINCT lang, doc_id,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        dfq AS (SELECT lang, term, count(*) AS df
+                FROM td GROUP BY lang, term)
+        SELECT lang, term, df,
+               CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY df DESC, term
+               ) AS INTEGER) AS rnk
+        FROM dfq
+        QUALIFY rnk <= 5
+    """
     sql["event_type_pivot"] = """
         SELECT user_id,
                count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
@@ -1057,6 +1180,8 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_blacklist_filter"] = sql["blacklist_filter"]
     sql["streaming_sliding_counts"] = sql["sliding_counts"]
     sql["streaming_top3_per_window"] = sql["hot_words_per_window"]
+    # append-mode sessions finalize to exactly the batch session answer
+    sql["streaming_session_windows"] = sql["session_windows"]
     sql["streaming_dedup"] = """
         SELECT event_id, user_id, event_type FROM events
     """

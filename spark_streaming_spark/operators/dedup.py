@@ -214,3 +214,54 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
         F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
     ).otherwise(F.lit(0).cast("long"))
     return votes.groupBy("doc_id").agg(F.sum(bit).cast("long").alias("simhash"))
+
+
+def dup_components(docs: DataFrame, threshold: float = 0.8,
+                   n: int = 3, max_iters: int = 50) -> DataFrame:
+    """Connected components over the near-duplicate graph: every document
+    labeled with the smallest doc_id transitively reachable through
+    ngram-Jaccard edges (A~B, B~C ⇒ one cluster even if A≁C). This is the
+    step that turns pairwise dedup output into per-cluster keep/drop
+    decisions for a training corpus.
+
+    Algorithm: iterative min-label propagation (the standard large-graph
+    CC under map/reduce — each round is one join + one groupBy keyed on
+    doc_id, converging in O(diameter) rounds; near-dup graphs are
+    shallow). Each round localCheckpoints the label table: at 100 TB the
+    unboundedly-growing lineage — not the data — is what kills iterative
+    Spark jobs. The convergence probe is a scalar count per round, not a
+    driver-side collect of the labels.
+
+    Columns: doc_id, component (min reachable doc_id; singletons map to
+    themselves).
+    """
+    pairs = ngram_jaccard_pairs(docs, threshold, n).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(prop, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.coalesce(
+                    F.least("component", "nbr_min"), F.col("component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .filter(F.col("component") < F.col("old"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels

@@ -157,3 +157,31 @@ def jdbc_upsert_sink(url: str, table: str, properties: dict[str, str]):
         )
 
     return write_batch
+
+
+def session_stream(events: DataFrame, gap: str = "5 minutes",
+                   watermark: str = "0 seconds") -> DataFrame:
+    """Event-time session windows per user over a stream — the stateful
+    shape DStreams could not express at all (the reference's windows are
+    fixed 60s/10s processing-time slides, ``WindowHotWord.java:52-57``).
+    Append mode emits each session exactly once, when the watermark
+    passes its close; with event-time-ordered input (replay via
+    chunk_to_dir_ordered + a sentinel) the finalized output equals the
+    batch session_windows answer.
+
+    Sentinel sessions (user_id < 0) are NOT filtered here: a filter on a
+    grouping key would be pushed below the EventTimeWatermark operator
+    into the scan, so the sentinel rows would never reach the watermark
+    and could not advance it — drop them from the finalized BATCH result
+    instead. Columns: user_id, w_start, w_end, n_events."""
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("w_start"),
+        F.col("session_window.end").alias("w_end"),
+        "n_events",
+    )

@@ -199,3 +199,58 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
 
 def cleanup(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
+
+
+def chunk_to_dir_ordered(df: DataFrame, n_chunks: int, order_col: str = "ts",
+                         sentinel: DataFrame | None = None,
+                         n_sentinel_chunks: int = 2,
+                         base_dir: str | None = None) -> str:
+    """Write ``df`` as ``n_chunks`` parquet files RANGE-PARTITIONED on
+    ``order_col``, with strictly increasing file mtimes, so the file
+    source replays them in event-time order. That ordering is what makes
+    watermark semantics equal batch semantics: each arriving row's event
+    time is ≥ everything already seen, so nothing is ever late and no
+    state is evicted early — the finalized (append-mode) output IS the
+    batch answer.
+
+    ``sentinel``: optional extra rows appended as ``n_sentinel_chunks``
+    FINAL chunks (range-split on ``order_col``) — the standard
+    watermark-advancer for bounded replays. Two chunks by default
+    because a watermark computed at the end of batch N only evicts
+    state in batch N+1: the first sentinel batch advances the
+    watermark past all real data, the second one runs under it and
+    flushes the last pending windows (availableNow does not run a
+    trailing no-data micro-batch).
+    """
+    out = os.path.join(
+        base_dir or tempfile.gettempdir(), f"spark_replay_{uuid.uuid4().hex}"
+    )
+    tmp = out + "_tmp"
+    df.repartitionByRange(n_chunks, F.col(order_col)).sortWithinPartitions(
+        order_col
+    ).write.mode("overwrite").parquet(tmp)
+    os.makedirs(out, exist_ok=True)
+    parts = sorted(
+        f for f in os.listdir(tmp) if f.startswith("part-")
+    )
+    base_t = 1_600_000_000  # any fixed epoch; only the ORDER matters
+    for i, name in enumerate(parts):
+        dst = os.path.join(out, f"chunk-{i:05d}.parquet")
+        shutil.move(os.path.join(tmp, name), dst)
+        os.utime(dst, (base_t + i, base_t + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    if sentinel is not None:
+        stmp = out + "_sentinel"
+        sentinel.repartitionByRange(
+            n_sentinel_chunks, F.col(order_col)
+        ).write.mode("overwrite").parquet(stmp)
+        sparts = sorted(
+            f for f in os.listdir(stmp) if f.startswith("part-")
+        )
+        for j, name in enumerate(sparts):
+            i = len(parts) + j
+            dst = os.path.join(out, f"chunk-{i:05d}.parquet")
+            shutil.move(os.path.join(stmp, name), dst)
+            os.utime(dst, (base_t + i, base_t + i))
+        shutil.rmtree(stmp, ignore_errors=True)
+    return out

@@ -76,3 +76,20 @@ def test_embedding_cosine_dedup(spark, duck):
     rows = out.collect()
     assert all(r.kept_vec < r.drop_vec and r.cosine >= 0.35 for r in rows)
     assert_matches_oracle(out, duck, E.oracle_sql()["dedup_embedding_cosine"])
+
+
+def test_dup_components_consistent_with_edges(spark):
+    """Connected components: every near-dup pair shares a component, every
+    component label is the min doc_id of its members, and labels never
+    exceed the member's own id."""
+    docs = load_table(spark, SF_DIR, "documents")
+    comp = {r.doc_id: r.component for r in DD.dup_components(docs).collect()}
+    pairs = DD.ngram_jaccard_pairs(docs).collect()
+    assert len(comp) == docs.count()
+    assert all(comp[r.doc_a] == comp[r.doc_b] for r in pairs)
+    assert all(c <= d for d, c in comp.items())
+    # each component's label is one of its members' ids (the minimum)
+    members = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    assert all(min(ms) == c for c, ms in members.items())

@@ -320,3 +320,70 @@ def test_streaming_union_of_two_sources(spark):
     finally:
         replay.cleanup(da)
         replay.cleanup(db)
+
+
+def test_streaming_sessions_equal_batch(spark):
+    """Append-mode session windows over an event-time-ordered replay
+    (with watermark-advancing sentinel chunks) finalize to exactly the
+    batch session_windows answer."""
+    import __spark_entry__ as E
+
+    from spark_streaming_spark.operators.windows import session_windows
+
+    streamed = E.queries()["streaming_session_windows"](spark, SF_DIR)
+    batch = session_windows(load_table(spark, SF_DIR, "events"))
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Watermark semantics (absent in the reference — SURVEY.md §2.9).
+    Spark keeps TWO watermarks per batch (SPARK-40925): late-event
+    filtering uses the PREVIOUS batch's watermark, state eviction the
+    current one — so a late row is reliably dropped once it arrives ≥2
+    batches after the data that advanced the watermark past its window.
+    The dropped row must not resurrect its already-emitted window (no
+    duplicate append-mode emission)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.streaming import replay
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows1 = [(i, ts(10, m)) for i, m in enumerate([0, 1, 2, 6, 7, 9])]
+    rows2 = [(101, ts(10, 11)), (102, ts(10, 12))]
+    # batch 3: late row into the [10:00, 10:05) window — already evicted
+    # AND below last batch's watermark (10:11:30) → dropped, not re-emitted
+    rows3 = [(103, ts(10, 1)), (-1, ts(12, 0))]
+    rows4 = [(-2, ts(13, 0))]  # flush batch (eviction watermark lags one)
+    d = str(tmp_path / "late_chunks")
+    os.makedirs(d)
+    for i, rows in enumerate([rows1, rows2, rows3, rows4]):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(d, f"chunk-{i:05d}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    stream = replay.stream_from_dir(spark, d)
+    agg = (
+        stream.withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w_start"), "n")
+    )
+    out = replay.run_to_parquet(agg, "append", state_partitions=4)
+    got = sorted((r.w_start, r.n) for r in out.collect())
+    assert got == [
+        (ts(10, 0), 3),   # late row 103 excluded, window emitted ONCE
+        (ts(10, 5), 3),
+        (ts(10, 10), 2),
+        (ts(12, 0), 1),   # first sentinel's own window
+    ]

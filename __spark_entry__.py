@@ -26,6 +26,7 @@ from spark_streaming_spark.operators import blacklist as B
 from spark_streaming_spark.operators import conversions as CV
 from spark_streaming_spark.operators import dedup as DD
 from spark_streaming_spark.operators import ann as ANN
+from spark_streaming_spark.operators import grouped as G
 from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import skew as SK
 from spark_streaming_spark.operators import sketch as SKC
@@ -421,6 +422,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.01), so 0.9 would hash-match on empty sets — vacuous
         "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
             load_table(s, d, "events"), threshold=0.7),
+        # grouped-map / vectorized pandas-UDF surface (integer-exact so
+        # even the Python paths hold the oracle-parity bar)
+        "user_event_sequence": lambda s, d: G.user_event_sequence(
+            load_table(s, d, "events")),
+        "pandas_token_counts": lambda s, d: G.pandas_token_counts(
+            load_table(s, d, "documents")),
+        "daily_user_journeys": lambda s, d: G.daily_user_journeys(
+            load_table(s, d, "events")),
         # Count-Min sketch (fixed-size frequency summary; md5-derived
         # buckets so the grid is deterministic and oracle-checkable)
         "countmin_user_sketch": lambda s, d: SKC.countmin_build(
@@ -1066,17 +1075,32 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["similar_activity_pairs"] = f"""
         WITH {_PROF_CTE},
+        tagged2 AS (
+          SELECT user_id, profile, peak_hour,
+                 CAST(list_position(l2, list_max(l2)) AS INTEGER)
+                   AS peak2_hour
+          FROM (
+            SELECT *,
+                   profile[:peak_hour-1] || [-1.0] || profile[peak_hour+1:]
+                     AS l2
+            FROM tagged
+          )
+        ),
         cand AS (
           SELECT a.user_id AS user_a, b.user_id AS user_b,
                  a.profile AS pa, b.profile AS pb
-          FROM tagged a JOIN tagged b
-            ON a.peak_hour = b.peak_hour AND a.user_id < b.user_id
+          FROM tagged2 a JOIN tagged2 b
+            ON a.peak_hour = b.peak_hour
+           AND a.peak2_hour = b.peak2_hour
+           AND a.user_id < b.user_id
         ),
         prods AS (
+          -- profiles are integer counts: BIGINT dot is exact (mirrors the
+          -- engine's long multiply-add, no decimal quantization needed)
           SELECT user_a, user_b,
-                 {_VDOT("pa", "pb")} AS dot,
-                 {_VDOT("pa", "pa")} AS na,
-                 {_VDOT("pb", "pb")} AS nb
+                 SUM(CAST(pa[i] AS BIGINT) * CAST(pb[i] AS BIGINT)) AS dot,
+                 SUM(CAST(pa[i] AS BIGINT) * CAST(pa[i] AS BIGINT)) AS na,
+                 SUM(CAST(pb[i] AS BIGINT) * CAST(pb[i] AS BIGINT)) AS nb
           FROM cand, (SELECT unnest(range(1, 25)) AS i) ii
           GROUP BY user_a, user_b
         )
@@ -1130,6 +1154,26 @@ def oracle_sql() -> dict[str, str]:
                ) AS INTEGER) AS rnk
         FROM dfq
         QUALIFY rnk <= 5
+    """
+    sql["user_event_sequence"] = """
+        SELECT user_id, event_id, ts,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS INTEGER) AS seq
+        FROM events
+    """
+    sql["pandas_token_counts"] = """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        FROM documents
+    """
+    sql["daily_user_journeys"] = """
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               list(event_type ORDER BY ts, event_id) AS journey,
+               count(*) AS n_steps
+        FROM events
+        GROUP BY 1, 2
     """
     sql["event_type_pivot"] = """
         SELECT user_id,

@@ -1,0 +1,100 @@
+"""Grouped-map / vectorized-UDF surface (SURVEY.md §2.11).
+
+The reference's "UDFs" are Java anonymous classes that compile away to
+column expressions (``/root/reference/src/main/java/com/soto/
+WordCount.java:32-53``); this module exercises the two Python UDF tiers
+the engine exposes for logic that genuinely needs Python:
+
+* ``applyInPandas`` — grouped map, one pandas DataFrame per key group
+  (Arrow batches, no row-at-a-time pickling);
+* ``pandas_udf`` — vectorized scalar, one Arrow column batch at a time.
+
+Both examples produce INTEGER-exact output so the DuckDB oracle hashes
+match bitwise — demonstrating that the UDF path, not just built-ins,
+can be held to the exact-parity bar.
+
+Scale notes: applyInPandas shuffles once on the grouping key, then each
+group is processed in a single Python worker — per-group memory must fit
+one group (user_id groups are small and uniform here; a skewed key would
+need salting first). The scalar pandas_udf is map-only: it pipelines
+inside the stage with zero shuffle, and Arrow transfer is the only cost
+over a built-in expression (which is why built-ins still win when they
+can express the logic — see token_stats for the column-expression twin).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_SEQ_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("seq", IntegerType()),
+])
+
+
+def user_event_sequence(events: DataFrame) -> DataFrame:
+    """Per-user event sequence numbers via grouped-map ``applyInPandas``:
+    each user's events sorted by (ts, event_id) and numbered 1..n inside
+    a single pandas frame. Equivalent to row_number() — implemented as a
+    grouped map to exercise (and pin down) the Arrow grouped-UDF path.
+    Columns: user_id, event_id, ts, seq."""
+
+    def number(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["seq"] = (g.index + 1).astype("int32")
+        return g[["user_id", "event_id", "ts", "seq"]]
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(number, schema=_SEQ_SCHEMA)
+    )
+
+
+def pandas_token_counts(docs: DataFrame) -> DataFrame:
+    """Token counts via a vectorized scalar ``pandas_udf`` (Arrow batch
+    in, Arrow batch out; no shuffle). Split on single spaces — exactly
+    the oracle's ``string_split(text, ' ')`` semantics, so counts are
+    integer-identical. Columns: doc_id, n_tokens."""
+
+    @F.pandas_udf(IntegerType())
+    def n_tokens(text: pd.Series) -> pd.Series:
+        return text.str.split(" ").str.len().astype("int32")
+
+    return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
+
+
+def daily_user_journeys(events: DataFrame) -> DataFrame:
+    """Per (user, day): the ordered array of event types — the nested-
+    array aggregation surface (collect_list is non-deterministic in
+    arrival order, so the list is built from (ts, event_id)-sorted
+    structs to pin a canonical order at any parallelism).
+    Columns: user_id, day, journey (array<string>), n_steps."""
+    step = F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type")
+    )
+    journey = F.expr("transform(array_sort(collect_list(step)), s -> s.event_type)")
+    return (
+        events.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            step.alias("step"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            journey.alias("journey"),
+            F.count("*").alias("n_steps"),
+        )
+    )

@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem")),
         "quantity_quantiles": lambda s, d: A.quantity_quantiles(
             load_table(s, d, "lineitem")),
+        # sketch-based quantiles: engine-specific values → rows-only
+        # driver check; accuracy vs exact pinned in tests
+        "approx_quantity_quantiles": lambda s, d: A.approx_quantity_quantiles(
+            load_table(s, d, "lineitem")),
         "event_type_pivot": lambda s, d: A.event_type_pivot(
             load_table(s, d, "events")),
         "distinct_event_pairs": lambda s, d: A.distinct_event_pairs(load_table(s, d, "events")),

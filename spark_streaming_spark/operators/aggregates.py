@@ -170,6 +170,24 @@ def quantity_quantiles(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def approx_quantity_quantiles(lineitem: DataFrame,
+                              accuracy: int = 10000) -> DataFrame:
+    """The 100 TB twin of :func:`quantity_quantiles`: one-pass mergeable
+    approx_percentile (Greenwald-Khanna sketch; partial aggregates merge
+    map-side, no per-group sort, bounded memory at any cardinality).
+    Sketch results are engine-specific → rows-only driver check; the
+    accuracy bound vs the exact answer is asserted in tests.
+    Columns: l_returnflag, med_qty, p90_qty, med_price."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_quantity, 0.5, {accuracy})")
+        .alias("med_qty"),
+        F.expr(f"approx_percentile(l_quantity, 0.9, {accuracy})")
+        .alias("p90_qty"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.5, {accuracy})")
+        .alias("med_price"),
+    )
+
+
 def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q6 shape: revenue delta from discounted small-quantity
     lineitems in a date window. The query is one scan + one scalar agg —

@@ -47,3 +47,26 @@ def test_countmin_absent_keys_estimate_zero_or_collision(spark):
     # on this sparse grid (≪ depth×width cells filled) most ghosts hit
     # an empty cell in at least one row → exact 0
     assert sum(1 for r in est if r.est == 0) > 0
+
+
+def test_approx_quantiles_within_sketch_bounds(spark):
+    """approx_percentile (GK sketch) must land within rank-error bounds
+    of the exact per-group percentiles at the configured accuracy."""
+    from spark_streaming_spark.operators.aggregates import (
+        approx_quantity_quantiles,
+        quantity_quantiles,
+    )
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {r.l_returnflag: r for r in quantity_quantiles(li).collect()}
+    approx = {r.l_returnflag: r for r in approx_quantity_quantiles(li).collect()}
+    assert exact.keys() == approx.keys()
+    # rank error <= 1/accuracy; translate to a generous value tolerance
+    # via the data range (quantity in [1, 50], price positive)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.med_qty - e.med_qty) <= 2.0
+        assert abs(a.p90_qty - e.p90_qty) <= 2.0
+        assert abs(a.med_price - e.med_price) / e.med_price <= 0.05

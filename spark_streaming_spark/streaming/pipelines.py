@@ -146,7 +146,9 @@ def jdbc_upsert_sink(url: str, table: str, properties: dict[str, str]):
     partition (Spark's JDBC writer) — replaces the reference's hand-built
     connection pool + string-concatenated INSERTs
     (``ConnectionPool.java:29-54``, ``PersistWordCount.java:87-88``).
-    Not exercised in-container (no database); used via:
+    Exercised end-to-end against embedded Derby (the JDBC engine Spark
+    ships) in tests/test_streaming.py::
+    test_jdbc_sink_end_to_end_embedded_derby; used via:
         stream.writeStream.foreachBatch(jdbc_upsert_sink(...)).start()
     """
 

@@ -14,6 +14,7 @@ spark_streaming_spark/functions/numeric.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,22 +114,67 @@ def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
 
 
 _CHUNK_CACHE: dict[tuple[str, str, int], str] = {}
+_CHUNK_CACHE_BASE = "/tmp/spark_graft_chunk_cache"
+# bump when the chunk LAYOUT changes (ordering scheme, sentinel shape,
+# file naming) so stale cached dirs from older code can't be replayed
+_CHUNK_FMT = 1
+
+
+def _persistent_cache_dir(kind: str, sf_dir: str, table: str,
+                          n_chunks: int) -> str:
+    import hashlib
+
+    key = hashlib.md5(
+        f"{kind}|{sf_dir}|{table}|{n_chunks}|v{_CHUNK_FMT}".encode()
+    )
+    return os.path.join(
+        _CHUNK_CACHE_BASE, f"{kind}_{table}_{n_chunks}_{key.hexdigest()[:10]}"
+    )
+
+
+def _publish_chunks(built: str, final: str) -> str:
+    """Atomically promote a freshly built chunk dir to its cache path.
+    Rename-wins race handling: if the destination exists WITH a marker a
+    concurrent process finished first (use theirs); without a marker it
+    is a dead half-built dir from a crashed process (replace it)."""
+    import shutil
+
+    os.makedirs(_CHUNK_CACHE_BASE, exist_ok=True)
+    for _ in range(2):
+        try:
+            os.rename(built, final)
+            break
+        except OSError:
+            if _cache_ready(final):
+                shutil.rmtree(built, ignore_errors=True)
+                return final
+            shutil.rmtree(final, ignore_errors=True)
+    with open(os.path.join(final, "_CHUNKS_READY"), "w") as fh:
+        fh.write("ok")
+    return final
+
+
+def _cache_ready(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_CHUNKS_READY"))
 
 
 def _chunked_table(spark: SparkSession, sf_dir: str, table: str,
                    n_chunks: int) -> str:
-    """Chunk a table once per process and share the directory across the
-    streaming entries (4 of them replay the same events table); cleaned
-    at interpreter exit."""
-    import atexit
-
+    """Chunk a table once and cache the directory ON DISK keyed by
+    (sf_dir, table, n_chunks): the driver tables are immutable, so every
+    fresh process (driver correctness run, bench, tests) reuses the same
+    chunks instead of re-writing them — the chunking cost is paid once
+    per machine, not once per process."""
     from spark_streaming_spark.streaming import replay
 
     key = (sf_dir, table, n_chunks)
     if key not in _CHUNK_CACHE:
-        d = replay.chunk_to_dir(load_table(spark, sf_dir, table), n_chunks)
-        atexit.register(replay.cleanup, d)
-        _CHUNK_CACHE[key] = d
+        final = _persistent_cache_dir("rr", sf_dir, table, n_chunks)
+        if not _cache_ready(final):
+            built = replay.chunk_to_dir(load_table(spark, sf_dir, table),
+                                        n_chunks)
+            _publish_chunks(built, final)
+        _CHUNK_CACHE[key] = final
     return _CHUNK_CACHE[key]
 
 
@@ -139,13 +185,16 @@ def _ordered_chunked_events(spark: SparkSession, sf_dir: str,
                             n_chunks: int = 3) -> str:
     """Events chunked in EVENT-TIME order with a watermark-advancing
     sentinel as the final chunk (user_id=-1, ts past all real data) —
-    the replay layout append-mode/watermark pipelines need."""
-    import atexit
-
+    the replay layout append-mode/watermark pipelines need. Disk-cached
+    like _chunked_table (immutable inputs → reusable across processes)."""
     from spark_streaming_spark.streaming import replay
 
     key = (sf_dir, "events_ordered", n_chunks)
     if key not in _ORDERED_CHUNK_CACHE:
+        final = _persistent_cache_dir("ord", sf_dir, "events", n_chunks)
+        if _cache_ready(final):
+            _ORDERED_CHUNK_CACHE[key] = final
+            return final
         events = load_table(spark, sf_dir, "events")
         max_ts = events.agg(F.max("ts").alias("m")).first().m
         # two sentinel rows, one per trailing chunk: the first advances
@@ -163,8 +212,7 @@ def _ordered_chunked_events(spark: SparkSession, sf_dir: str,
         d = replay.chunk_to_dir_ordered(
             events, n_chunks, order_col="ts", sentinel=sentinel
         )
-        atexit.register(replay.cleanup, d)
-        _ORDERED_CHUNK_CACHE[key] = d
+        _ORDERED_CHUNK_CACHE[key] = _publish_chunks(d, final)
     return _ORDERED_CHUNK_CACHE[key]
 
 

@@ -32,6 +32,7 @@ from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import skew as SK
 from spark_streaming_spark.operators import sketch as SKC
 from spark_streaming_spark.operators import setops as S
+from spark_streaming_spark.operators import sampling as SMP
 from spark_streaming_spark.operators import similarity as SIM
 from spark_streaming_spark.operators import textstats as TX
 from spark_streaming_spark.operators import timeseries as TS
@@ -474,6 +475,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.01), so 0.9 would hash-match on empty sets — vacuous
         "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
             load_table(s, d, "events"), threshold=0.7),
+        # deterministic (content-hash) sampling: reproducible under any
+        # partitioning/retry — df.sample(seed) is not
+        "deterministic_sample": lambda s, d: SMP.deterministic_sample(
+            load_table(s, d, "documents"), permille=100),
+        "stratified_sample": lambda s, d: SMP.stratified_sample(
+            load_table(s, d, "documents"),
+            permille={"en": 50, "fr": 400}, default_permille=150),
         # grouped-map / vectorized pandas-UDF surface (integer-exact so
         # even the Python paths hold the oracle-parity bar)
         "user_event_sequence": lambda s, d: G.user_event_sequence(
@@ -1206,6 +1214,21 @@ def oracle_sql() -> dict[str, str]:
                ) AS INTEGER) AS rnk
         FROM dfq
         QUALIFY rnk <= 5
+    """
+    sql["deterministic_sample"] = """
+        SELECT * FROM documents
+        WHERE CAST('0x' || substr(
+                md5('s1' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000 < 100
+    """
+    sql["stratified_sample"] = """
+        SELECT * FROM documents
+        WHERE CAST('0x' || substr(
+                md5('s1' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000
+              < (CASE WHEN lang = 'fr' THEN 400
+                      WHEN lang = 'en' THEN 50
+                      ELSE 150 END)
     """
     sql["user_event_sequence"] = """
         SELECT user_id, event_id, ts,

@@ -1,0 +1,43 @@
+"""Deterministic sampling invariants: stability under repartitioning
+(the property df.sample(seed) does NOT have), salt independence, and
+stratum rate targeting."""
+
+from __future__ import annotations
+
+from spark_streaming_spark.operators import sampling as SMP
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_sample_stable_under_repartitioning(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    base = _ids(SMP.deterministic_sample(docs, permille=200))
+    shuffled = _ids(SMP.deterministic_sample(docs.repartition(7), permille=200))
+    assert base == shuffled
+    coalesced = _ids(SMP.deterministic_sample(docs.coalesce(1), permille=200))
+    assert base == coalesced
+
+
+def test_sample_monotone_in_rate_and_salted(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    small = _ids(SMP.deterministic_sample(docs, permille=100))
+    big = _ids(SMP.deterministic_sample(docs, permille=300))
+    assert small <= big  # growing the rate only ADDS rows (stable expansion)
+    other_salt = _ids(SMP.deterministic_sample(docs, permille=100, salt="s2"))
+    assert other_salt != small  # a new salt draws an independent sample
+
+
+def test_stratified_rates_targeted(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = SMP.stratified_sample(
+        docs, permille={"en": 0, "fr": 1000}, default_permille=500
+    )
+    rows = out.groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in rows}
+    n_fr = docs.filter("lang = 'fr'").count()
+    assert "en" not in got           # rate 0 drops the stratum entirely
+    assert got.get("fr") == n_fr     # rate 1000 keeps it entirely

@@ -32,6 +32,7 @@ from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import skew as SK
 from spark_streaming_spark.operators import sketch as SKC
 from spark_streaming_spark.operators import setops as S
+from spark_streaming_spark.operators import rollup_agg as RA
 from spark_streaming_spark.operators import sampling as SMP
 from spark_streaming_spark.operators import similarity as SIM
 from spark_streaming_spark.operators import textstats as TX
@@ -475,6 +476,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.01), so 0.9 would hash-match on empty sets — vacuous
         "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
             load_table(s, d, "events"), threshold=0.7),
+        # continuous-aggregate rollups: serve coarse queries from the
+        # fine rollup; exactness of the merge is oracle-proven
+        "daily_event_rollup": lambda s, d: RA.daily_event_rollup(
+            load_table(s, d, "events")),
+        "monthly_event_stats": lambda s, d: RA.monthly_event_stats(
+            load_table(s, d, "events")),
         # deterministic (content-hash) sampling: reproducible under any
         # partitioning/retry — df.sample(seed) is not
         "deterministic_sample": lambda s, d: SMP.deterministic_sample(
@@ -1214,6 +1221,27 @@ def oracle_sql() -> dict[str, str]:
                ) AS INTEGER) AS rnk
         FROM dfq
         QUALIFY rnk <= 5
+    """
+    sql["daily_event_rollup"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY 1, 2
+    """
+    # the oracle aggregates RAW events directly — hash-equality proves the
+    # engine's daily→monthly re-aggregation is exact, not approximate
+    sql["monthly_event_stats"] = """
+        SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+               event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / count(*)
+                 AS avg_value
+        FROM events GROUP BY 1, 2
     """
     sql["deterministic_sample"] = """
         SELECT * FROM documents

@@ -370,6 +370,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "part")),
         "idle_rich_customers": lambda s, d: TPC.idle_rich_customers(
             load_table(s, d, "customer"), load_table(s, d, "orders")),
+        "nation_trade_volume": lambda s, d: TPC.nation_trade_volume(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation")),
+        "market_share": lambda s, d: TPC.market_share(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation"), load_table(s, d, "region"),
+            load_table(s, d, "part")),
+        "top_supplier": lambda s, d: TPC.top_supplier(
+            load_table(s, d, "lineitem"), load_table(s, d, "supplier")),
         "running_customer_spend": lambda s, d: AN.running_customer_spend(
             load_table(s, d, "orders")),
         "customer_balance_quartiles": lambda s, d: AN.customer_balance_quartiles(
@@ -768,6 +779,60 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c_nationkey
+        """,
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "market_share": """
+            WITH region_cust AS (
+              SELECT c_custkey FROM customer
+              JOIN nation ON n_nationkey = c_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'ASIA'
+            )
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                                 THEN CAST(l_extendedprice * (1 - l_discount)
+                                           AS DECIMAL(38,4))
+                                 ELSE CAST(0 AS DECIMAL(38,4)) END)
+                        AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(38,4))) AS DOUBLE)
+                     AS mkt_share
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN region_cust ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            GROUP BY 1
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(38,4))) AS DOUBLE)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         """,
         "running_customer_spend": """
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -218,3 +218,118 @@ def idle_rich_customers(customer: DataFrame, orders: DataFrame,
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+def nation_trade_volume(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, supplier: DataFrame,
+                        nation: DataFrame,
+                        nation_a: str = "NATION_1",
+                        nation_b: str = "NATION_2") -> DataFrame:
+    """TPC-H Q7: yearly revenue flowing between two nations in either
+    direction (supplier nation ships to customer nation). The nation dim
+    joins twice under different aliases — broadcast both; the symmetric
+    OR predicate is applied after both nation names are attached, but
+    each nation side is pre-filtered to the two relevant nations, so the
+    fact join probes a sliver. Columns: supp_nation, cust_nation,
+    l_year, revenue."""
+    pair = [nation_a, nation_b]
+    n1 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def market_share(customer: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame, supplier: DataFrame,
+                 nation: DataFrame, region: DataFrame, part: DataFrame,
+                 target_nation: str = "NATION_1",
+                 region_name: str = "ASIA",
+                 p_type: str = "PROMO") -> DataFrame:
+    """TPC-H Q8: the target nation's supplier share of a region's yearly
+    revenue in one part type. Share = conditional decimal sum / total
+    decimal sum per year — both sums in ONE aggregation (no second scan,
+    no join-back). Columns: o_year, mkt_share."""
+    cust_in_region = (
+        customer
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == region_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        supplier
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    rev = _revenue()
+    target = F.when(F.col("supp_nation") == target_nation, rev).otherwise(
+        F.lit(0).cast("decimal(38,4)")
+    )
+    return (
+        lineitem
+        .join(F.broadcast(part.filter(F.col("p_type") == p_type)
+                          .select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust_in_region, F.col("c_custkey") == F.col("o_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(target).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def top_supplier(lineitem: DataFrame, supplier: DataFrame,
+                 since: str = "1996-01-01",
+                 until: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum revenue in a quarter.
+    The scalar max is a 1-row broadcast cross join against the per-
+    supplier aggregate (computed once, reused for both sides — AQE reuses
+    the exchange). Columns: s_suppkey, s_name, total_revenue."""
+    rev_by_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(since).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(until).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
+    )
+    max_rev = rev_by_supp.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev_by_supp.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -74,3 +74,32 @@ def test_q22_anti_join_no_cartesian_blowup(spark):
     assert "LeftAnti" in plan, plan
     pushed = explain.pushed_filters(df)
     assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_q7_double_nation_broadcast(spark):
+    df = TPC.nation_trade_volume(
+        _t(spark, "customer"), _t(spark, "orders"),
+        _t(spark, "lineitem"), _t(spark, "supplier"), _t(spark, "nation"),
+    )
+    assert explain.has_broadcast_join(df)
+    assert not explain.has_cartesian_product(df)
+
+
+def test_q8_single_pass_share(spark):
+    df = TPC.market_share(
+        _t(spark, "customer"), _t(spark, "orders"), _t(spark, "lineitem"),
+        _t(spark, "supplier"), _t(spark, "nation"), _t(spark, "region"),
+        _t(spark, "part"),
+    )
+    # conditional + total sums in ONE aggregate: lineitem appears in
+    # exactly one scan of the plan
+    plan = explain.explain_text(df)
+    assert plan.count("lineitem.parquet") <= 1, "lineitem scanned twice"
+    assert explain.has_broadcast_join(df)
+
+
+def test_q15_max_is_broadcast_not_resort(spark):
+    df = TPC.top_supplier(_t(spark, "lineitem"), _t(spark, "supplier"))
+    assert explain.has_broadcast_join(df)
+    pushed = explain.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed

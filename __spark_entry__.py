@@ -456,6 +456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_totals": _q_streaming_stateful_totals,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_session_windows": _q_streaming_sessions,
+        # the continuous aggregate maintained CONTINUOUSLY: the same
+        # daily_event_rollup operator run as a streaming aggregation —
+        # the state store does the incremental maintenance; the final
+        # state equals the batch rollup (shared oracle)
+        "streaming_daily_rollup": lambda s, d: _run_streamed(
+            s, d, "events", RA.daily_event_rollup, "complete"),
         # stream-stream join semantics, batch-planned (same operator fn)
         "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events")),
@@ -1394,6 +1400,8 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_top3_per_window"] = sql["hot_words_per_window"]
     # append-mode sessions finalize to exactly the batch session answer
     sql["streaming_session_windows"] = sql["session_windows"]
+    # incrementally-maintained rollup converges to the batch rollup
+    sql["streaming_daily_rollup"] = sql["daily_event_rollup"]
     sql["streaming_dedup"] = """
         SELECT event_id, user_id, event_type FROM events
     """

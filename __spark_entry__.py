@@ -432,6 +432,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "dup_components": lambda s, d: DD.dup_components(
             load_table(s, d, "documents")),
+        # banded Hamming LSH is LOSSLESS for n_bands > max_hamming, so
+        # the oracle is the plain all-pairs spelling
+        "simhash_pairs": lambda s, d: DD.simhash_pairs(
+            load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: DD.simhash(load_table(s, d, "documents")),
         # threshold 0.35, not the semantic default 0.9: the driver's
         # embeddings are random (within-bucket max cosine ≈ 0.43), so any
@@ -1036,6 +1040,30 @@ def oracle_sql() -> dict[str, str]:
                                  THEN (CAST(1 AS BIGINT) << j)
                                  ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
+        """,
+        "simhash_pairs": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            h AS (SELECT doc_id,
+                         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+                  FROM tok),
+            votes AS (
+              SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS vote
+              FROM h, (SELECT unnest(range(0, 60)) AS j) js
+              GROUP BY doc_id, j
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN vote > 0
+                                   THEN (CAST(1 AS BIGINT) << j)
+                                   ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                     AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         # ---- similarity search -------------------------------------------
         "knn_bruteforce": f"""

@@ -265,3 +265,46 @@ def dup_components(docs: DataFrame, threshold: float = 0.8,
         if changed == 0:
             break
     return labels
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  bits: int = 60, n_bands: int = 4) -> DataFrame:
+    """SimHash near-dup pairs: banded Hamming LSH + exact popcount
+    verification. With ``n_bands`` > ``max_hamming`` the blocking is
+    LOSSLESS by pigeonhole (≤ max_hamming differing bits cannot touch
+    every band), so this equals the all-pairs answer while the join is
+    keyed on (band_id, band_bits) buckets — the 100 TB path, same plan
+    family as minhash_lsh_pairs. Columns: doc_a, doc_b, hamming."""
+    assert bits % n_bands == 0 and n_bands > max_hamming
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                (F.shiftright(F.col("simhash"), width * j)
+                 .bitwiseAND(mask)).cast("long")
+                for j in range(n_bands)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr("bit_count(ha ^ hb)").cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -93,3 +93,20 @@ def test_dup_components_consistent_with_edges(spark):
     for d, c in comp.items():
         members.setdefault(c, []).append(d)
     assert all(min(ms) == c for c, ms in members.items())
+
+
+def test_simhash_banded_lsh_is_lossless(spark):
+    """n_bands > max_hamming ⇒ pigeonhole guarantees the banded join
+    finds EVERY pair within the Hamming threshold — verify against the
+    brute-force all-pairs computation."""
+    docs = load_table(spark, SF_DIR, "documents")
+    banded = {(r.doc_a, r.doc_b, r.hamming)
+              for r in DD.simhash_pairs(docs, max_hamming=3).collect()}
+    hashes = {r.doc_id: r.simhash for r in DD.simhash(docs).collect()}
+    ids = sorted(hashes)
+    brute = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert banded == brute

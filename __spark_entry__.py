@@ -385,6 +385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders")),
         "customer_balance_quartiles": lambda s, d: AN.customer_balance_quartiles(
             load_table(s, d, "customer")),
+        "value_outliers": lambda s, d: AN.value_outliers(
+            load_table(s, d, "events"), k=2.5),
+        "purchase_funnel_daily": lambda s, d: AN.purchase_funnel_daily(
+            load_table(s, d, "events")),
         "rollup_customer_nations": lambda s, d: A.rollup_customer_nations(
             load_table(s, d, "customer"), load_table(s, d, "nation"),
             load_table(s, d, "region")),
@@ -1320,6 +1324,38 @@ def oracle_sql() -> dict[str, str]:
                ) AS INTEGER) AS rnk
         FROM dfq
         QUALIFY rnk <= 5
+    """
+    sql["value_outliers"] = """
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type
+        ),
+        wm AS (
+          SELECT e.*, m.med FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+          FROM wm GROUP BY event_type
+        )
+        SELECT event_id, wm.event_type AS event_type, value, med, mad
+        FROM wm JOIN mad USING (event_type)
+        WHERE abs(value - med) > 2.5 * mad
+    """
+    sql["purchase_funnel_daily"] = """
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               min(CASE WHEN event_type = 'click' THEN ts END)
+                 AS first_click_ts,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                 AS first_purchase_ts,
+               coalesce(
+                 min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+                 AND min(CASE WHEN event_type = 'purchase' THEN ts END)
+                     IS NOT NULL
+                 AND min(CASE WHEN event_type = 'click' THEN ts END)
+                   < min(CASE WHEN event_type = 'purchase' THEN ts END),
+                 FALSE) AS converted
+        FROM events GROUP BY 1, 2
     """
     sql["daily_event_rollup"] = """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,

@@ -70,3 +70,50 @@ def top_terms_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
         dfreq.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def value_outliers(events: DataFrame, k: float = 5.0) -> DataFrame:
+    """Robust per-type outliers: |value − median| > k × MAD (median
+    absolute deviation). Median/MAD use EXACT percentile — order-
+    independent and engine-identical, so even this statistical op
+    oracle-checks bitwise; at 100 TB swap percentile → approx_percentile
+    (same shape, sketch error documented). Two aggregation passes over
+    events (median, then MAD of residuals) + a broadcast join back —
+    all keyed on the low-cardinality event_type.
+    Columns: event_id, event_type, value, med, mad."""
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > k * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+def purchase_funnel_daily(events: DataFrame) -> DataFrame:
+    """Per (user, day) funnel: did a click precede the first purchase
+    that day? One conditional aggregation — min click ts and min
+    purchase ts per group, compared. The funnel predicate is computed
+    without ordering state or self-joins. Columns: user_id, day,
+    first_click_ts, first_purchase_ts, converted."""
+    day = F.date_trunc("day", "ts").alias("day")
+    first_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).alias("first_click_ts")
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).alias("first_purchase_ts")
+    agg = events.groupBy("user_id", day).agg(first_click, first_purchase)
+    return agg.select(
+        "user_id", "day", "first_click_ts", "first_purchase_ts",
+        (
+            F.col("first_click_ts").isNotNull()
+            & F.col("first_purchase_ts").isNotNull()
+            & (F.col("first_click_ts") < F.col("first_purchase_ts"))
+        ).alias("converted"),
+    )

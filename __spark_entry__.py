@@ -514,6 +514,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": lambda s, d: SMP.stratified_sample(
             load_table(s, d, "documents"),
             permille={"en": 50, "fr": 400}, default_permille=150),
+        # salted JOIN (skew-sharded probe side, replicated build side):
+        # semantics identical to the plain join — the oracle IS the
+        # plain join — only the physical key is (key, salt)
+        "skew_salted_join": lambda s, d: SK.salted_join(
+            load_table(s, d, "events"), load_table(s, d, "customer"),
+            "user_id", "c_custkey", salt_source="event_id",
+        ).groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double")
+            .alias("sum_value"),
+        ),
         # grouped-map / vectorized pandas-UDF surface (integer-exact so
         # even the Python paths hold the oracle-parity bar)
         "user_event_sequence": lambda s, d: G.user_event_sequence(
@@ -1324,6 +1335,12 @@ def oracle_sql() -> dict[str, str]:
                ) AS INTEGER) AS rnk
         FROM dfq
         QUALIFY rnk <= 5
+    """
+    sql["skew_salted_join"] = """
+        SELECT c_mktsegment, count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        FROM events JOIN customer ON c_custkey = user_id
+        GROUP BY c_mktsegment
     """
     sql["value_outliers"] = """
         WITH med AS (

@@ -45,3 +45,33 @@ def salted_decimal_sum(df: DataFrame, key_col: str, value_col: str,
     return partial.groupBy(key_col).agg(
         F.sum("_p").cast("double").alias("sum_value")
     )
+
+
+def salted_join(big: DataFrame, small: DataFrame, big_key: str,
+                small_key: str, n_salts: int = 16,
+                salt_source: str | None = None) -> DataFrame:
+    """Skew-sharded equi-join: the big side salts each row into one of
+    ``n_salts`` shards (deterministically, from ``salt_source`` — any
+    column that varies within a key, e.g. the row id); the small side is
+    REPLICATED once per shard. The join key becomes (key, salt), so a
+    hot key's probe rows spread across n_salts tasks instead of pinning
+    one. Semantics are identical to the plain join; cost is n_salts× the
+    small side (why small must be small — for big-big skew use AQE's
+    skew-join splitting instead, enabled in session.py).
+
+    Returns big ⋈ small with both key columns retained.
+    """
+    fp = F.xxhash64(salt_source) if salt_source else F.xxhash64(*big.columns)
+    salted_big = big.withColumn("_salt", F.pmod(fp, F.lit(n_salts)))
+    salted_small = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return (
+        salted_big.join(
+            salted_small,
+            (F.col(big_key) == F.col(small_key))
+            & (salted_big["_salt"] == salted_small["_salt"]),
+        )
+        .drop("_salt")
+    )

@@ -67,3 +67,22 @@ def test_stateful_running_totals_converge_to_batch(spark):
             assert abs(got[k][1] - want[k][1]) < 1e-6
     finally:
         replay.cleanup(d)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics: same rows as the plain
+    equi-join, any n_salts."""
+    from spark_streaming_spark.operators.skew import salted_join
+
+    events = load_table(spark, SF_DIR, "events")
+    customer = load_table(spark, SF_DIR, "customer")
+    plain = events.join(
+        customer, events["user_id"] == customer["c_custkey"]
+    ).select("event_id", "c_custkey")
+    for n in (2, 16):
+        salted = salted_join(
+            events, customer, "user_id", "c_custkey",
+            n_salts=n, salt_source="event_id",
+        ).select("event_id", "c_custkey")
+        assert {tuple(r) for r in salted.collect()} == \
+               {tuple(r) for r in plain.collect()}

@@ -440,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle is the plain all-pairs spelling
         "simhash_pairs": lambda s, d: DD.simhash_pairs(
             load_table(s, d, "documents")),
+        "dedup_edit_distance": lambda s, d: DD.dedup_edit_distance(
+            load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: DD.simhash(load_table(s, d, "documents")),
         # threshold 0.35, not the semantic default 0.9: the driver's
         # embeddings are random (within-bucket max cosine ≈ 0.43), so any
@@ -1055,6 +1057,29 @@ def oracle_sql() -> dict[str, str]:
                                  THEN (CAST(1 AS BIGINT) << j)
                                  ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
+        """,
+        "dedup_edit_distance": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            jp AS (
+              SELECT doc_a, doc_b,
+                     CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+              FROM pairs
+              JOIN sizes x ON doc_a = x.doc_id
+              JOIN sizes y ON doc_b = y.doc_id
+              WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
+            )
+            SELECT doc_a, doc_b, jaccard,
+                   CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+            FROM jp
+            JOIN documents da ON da.doc_id = doc_a
+            JOIN documents db ON db.doc_id = doc_b
+            WHERE levenshtein(da.text, db.text) <= 6
         """,
         "simhash_pairs": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

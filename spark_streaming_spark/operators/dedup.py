@@ -308,3 +308,25 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_edit_distance(docs: DataFrame, threshold: float = 0.8,
+                        max_dist: int = 6, n: int = 3) -> DataFrame:
+    """Character-level verification tier: Levenshtein distance over the
+    ngram-Jaccard candidate pairs. Edit distance is O(len²) per pair —
+    NEVER computable all-pairs at scale — so it runs only on the already-
+    blocked near-dup candidates (tens per million docs), where it
+    distinguishes token-reordering from true character-level edits.
+    JVM built-in `levenshtein`, integer-exact. Columns: doc_a, doc_b,
+    jaccard, edit_dist."""
+    pairs = ngram_jaccard_pairs(docs, threshold, n)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        pairs.join(ta, "doc_a").join(tb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "jaccard",
+            F.levenshtein("ta", "tb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

@@ -1,7 +1,8 @@
 """Benchmark harness: run every queries() entry at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE
+compact JSON line {"metric", "value", "unit", "n_queries", "n_failed",
+"sf"} as the final stdout line; the full per-query timing map is written
+to BENCH_DETAIL.json next to this file.
 
 Each query is executed with the `noop` sink — full computation, no
 driver-side collect — which is what a cluster deployment would measure.
@@ -42,13 +43,21 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(json.dumps({
+    summary = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
         "sf": _sf_of(SF_DIR),
-    }))
+    }
+    # per-query map goes to a sidecar file: embedding ~95 timings in the
+    # stdout line overflowed the driver's tail capture in round 1
+    # (BENCH_r01.json parsed:null) — keep the final line short and parse-safe
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump({**summary, "queries": timings}, fh, indent=1, sort_keys=True)
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -42,23 +42,20 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     ).distinct()
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
-                        n: int = 3) -> DataFrame:
-    """Exact Jaccard near-dup pairs over word n-gram shingle sets.
-    Columns: doc_a, doc_b, jaccard. Pairs oriented doc_a < doc_b.
-
-    Plan shape: explode → distinct → self-equi-join on shingle →
-    count-intersect → join sizes → filter. All shuffles key on either
-    ``sh`` or ``doc_id`` — no cross join anywhere.
-    """
-    sh = _shingle_sets(docs, n)
+def _verify_jaccard(candidates: DataFrame, sh: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard over an already-blocked candidate pair set: join each
+    (doc_a, doc_b) back to the two shingle relations, count the
+    intersection, divide by the union. Never touches non-candidate pairs.
+    Columns: doc_a, doc_b, jaccard."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, (F.col("doc_b") == F.col("doc_b2"))
+              & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -71,6 +68,80 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
+                        n: int = 3) -> DataFrame:
+    """Exact Jaccard near-dup pairs over word n-gram shingle sets, via
+    PREFIX FILTERING (AllPairs/PPJoin family — Bayardo et al., WWW'07;
+    public algorithm). Columns: doc_a, doc_b, jaccard; doc_a < doc_b.
+
+    Why not the naive shingle self-join: one high-document-frequency
+    shingle ("the end of") makes its bucket quadratic at corpus scale
+    (round-1 VERDICT "What's wrong" #5). Prefix filtering bounds that
+    without losing exactness:
+
+    * impose a global shingle order (ascending document frequency,
+      shingle text as tie-break);
+    * for a doc with |x| shingles and threshold t, keep only its PREFIX —
+      the first ``|x| - ceil(t*|x|) + 1`` shingles in that order
+      (~(1-t)·|x| of the rarest shingles);
+    * self-join prefixes only, then exact-verify candidates.
+
+    Losslessness theorem: J(A,B) ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|), so the
+    overlap exceeds each side's suffix size (ceil(t|x|) - 1); if the two
+    prefixes shared no shingle, every common shingle would sit in one
+    side's suffix (order the prefix-max elements; any common shingle ≤
+    both prefix maxima lies in both prefixes), capping the overlap below
+    its proven minimum — contradiction. Holds for ANY global order; the
+    df-ascending choice is what shrinks the hot buckets: a shingle held
+    by half the corpus lands in the suffix of almost every doc, so it is
+    never a join key. tests/test_dedup.py pins equality to the naive
+    all-shingle spelling.
+    """
+    sh = _shingle_sets(docs, n)
+    from pyspark.sql.window import Window
+
+    df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sized = sh.join(df_tbl, "sh")
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    wsz = Window.partitionBy("doc_id")
+    prefix = (
+        sized.withColumn("pos", F.row_number().over(w))
+        .withColumn("n_sh", F.count("*").over(wsz))
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(candidates, sh, threshold)
+
+
+def _ngram_jaccard_pairs_naive(docs: DataFrame, threshold: float = 0.8,
+                               n: int = 3) -> DataFrame:
+    """The naive all-shingle self-join spelling — quadratic in hot-shingle
+    buckets; kept ONLY as the ground-truth twin for the prefix-filter
+    equality test. Not wired to any driver/bench entry."""
+    sh = _shingle_sets(docs, n)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(candidates, sh, threshold)
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -135,27 +206,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     # Exact-verify ONLY the candidates: join each pair back to its two
     # shingle sets. This is the scale property that matters — the full
     # all-pairs Jaccard is never computed.
-    sh = _shingle_sets(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
-    common = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, (F.col("doc_b") == F.col("doc_b2"))
-              & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("common")
-    )
-    return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(candidates, _shingle_sets(docs, n), threshold)
 
 
 def dedup_embedding_cosine(embeddings: DataFrame, threshold: float = 0.9,

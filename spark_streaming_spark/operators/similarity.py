@@ -57,43 +57,135 @@ def knn_to_query(embeddings: DataFrame, query_vec_id: int = 0,
 
 
 def sign_bucket(vec: str, bits: int = 8) -> F.Column:
-    """Axis-aligned random-hyperplane LSH: bit i = sign(vec[i]).
-    Deterministic and SQL-expressible, so the oracle can reproduce the
-    exact bucketing (recall is approximate; the *result* is not)."""
+    """Axis-aligned sign LSH: bit i = sign(vec[i]). The round-1 single
+    table — kept as the baseline the multi-table recall test compares
+    against (round-1 VERDICT "What's wrong" #6: one axis-aligned table is
+    both weaker per bit and bucket-skew-prone on correlated embeddings)."""
     return F.concat(*[
         F.when(F.element_at(F.col(vec), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(bits)
     ])
 
 
-def similar_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
-                      bits: int = 8) -> DataFrame:
-    """Near-neighbor pairs within sign-LSH buckets, cosine ≥ threshold.
-    Columns: vec_a, vec_b, cosine (vec_a < vec_b).
+# --- multi-table random-hyperplane LSH -------------------------------------
+#
+# K independent tables of `bits` sparse random hyperplanes (Charikar
+# SimHash family; sparse projections à la Achlioptas — public methods).
+# Every hyperplane is a ±1-weighted subset of dimensions drawn
+# deterministically from md5, so the SAME planes are reproducible in the
+# DuckDB oracle. Bucket bits are computed in scaled-BIGINT arithmetic
+# (round(x·1e7) per element, exact integer multiply-add) — decimal
+# addition widens precision differently across engines, and a bit whose
+# projection lands near zero must not flip between Spark and the oracle.
 
-    Join keys on the bucket string → the quadratic blowup is bucket-local
-    (2^bits buckets). The follow-up cosine uses the decimal-exact path.
+N_TABLES = 3
+DIMS_PER_BIT = 8
+_PROJ_SCALE = 10000000.0  # 1e7: same quantization as the decimal contract
+
+
+def hyperplanes(n_tables: int = N_TABLES, bits: int = 8,
+                dims_per_bit: int = DIMS_PER_BIT, n_dims: int = 64,
+                seed: str = "hp1") -> list[list[list[tuple[int, int]]]]:
+    """[table][bit] -> [(dim, ±1 weight)] — md5-seeded, plan-time
+    constants shared verbatim by the Spark plan and the oracle SQL."""
+    import hashlib
+
+    tables = []
+    for t in range(n_tables):
+        planes = []
+        for b in range(bits):
+            terms = []
+            for s in range(dims_per_bit):
+                h = int(hashlib.md5(
+                    f"{seed}:{t}:{b}:{s}".encode()).hexdigest()[:8], 16)
+                terms.append((h % n_dims, 1 if (h >> 8) & 1 else -1))
+            planes.append(terms)
+        tables.append(planes)
+    return tables
+
+
+def _scaled(vec: str, dim: int) -> F.Column:
+    return F.round(
+        F.element_at(F.col(vec), dim + 1).cast("double") * F.lit(_PROJ_SCALE)
+    ).cast("long")
+
+
+def hyperplane_bucket(vec: str, planes: list[list[tuple[int, int]]]) -> F.Column:
+    """Bucket string for one table: bit b = sign of the integer-exact
+    projection onto hyperplane b."""
+    bit_cols = []
+    for terms in planes:
+        proj = None
+        for dim, w in terms:
+            term = _scaled(vec, dim) * F.lit(w)
+            proj = term if proj is None else proj + term
+        bit_cols.append(
+            F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return F.concat(*bit_cols)
+
+
+def hyperplane_bucket_sql(vec_sql: str,
+                          planes: list[list[tuple[int, int]]]) -> str:
+    """DuckDB spelling of hyperplane_bucket — same planes, same scaled-
+    BIGINT arithmetic, so the bucketing is bit-identical."""
+    bits_sql = []
+    for terms in planes:
+        proj = " + ".join(
+            f"({w}) * CAST(ROUND(CAST({vec_sql}[{dim + 1}] AS DOUBLE)"
+            f" * 10000000) AS BIGINT)"
+            for dim, w in terms
+        )
+        bits_sql.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits_sql) + ")"
+
+
+def similar_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
+                      bits: int = 8, n_tables: int = N_TABLES) -> DataFrame:
+    """Near-neighbor pairs via K independent hyperplane tables: candidate
+    pairs collide in ANY table; every candidate is exact-verified with the
+    decimal cosine. Columns: vec_a, vec_b, cosine (vec_a < vec_b).
+
+    Scale shape: each table's join keys on its bucket string (bucket-
+    local quadratics only), the K candidate sets union + dedupe on
+    (vec_a, vec_b), and the verify join is keyed on vec ids. Recall for a
+    pair at angle θ is 1-(1-(1-θ/π)^bits)^K — the K tables multiply
+    recall where a single table decays; independent random planes also
+    break the correlated-embedding bucket skew of the axis-aligned table
+    (each table splits the data differently, so one hot semantic cluster
+    cannot pile into one bucket of every table).
     """
-    # norms hoisted out of the pair join: O(N) norm computations instead
-    # of O(pairs) — bitwise-identical cosine (each norm is a per-vector
-    # decimal sum either way)
+    planes = hyperplanes(n_tables, bits)
     tagged = embeddings.select(
         "vec_id", "embedding",
-        sign_bucket("embedding", bits).alias("bucket"),
         F.sqrt(norm2_expr("embedding")).alias("nrm"),
+        *[hyperplane_bucket("embedding", planes[t]).alias(f"bk{t}")
+          for t in range(n_tables)],
     )
-    a = tagged.alias("a")
-    b = tagged.alias("b")
+    cand = None
+    for t in range(n_tables):
+        slim = tagged.select("vec_id", F.col(f"bk{t}").alias("bk"))
+        a, b = slim.alias("a"), slim.alias("b")
+        c = (
+            a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+        )
+        cand = c if cand is None else cand.union(c)
+    cand = cand.distinct()
+    ea = tagged.select(F.col("vec_id").alias("vec_a"),
+                       F.col("embedding").alias("emb_a"),
+                       F.col("nrm").alias("nrm_a"))
+    eb = tagged.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("emb_b"),
+                       F.col("nrm").alias("nrm_b"))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        cand.join(ea, "vec_a").join(eb, "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            (
-                dot_expr("a.embedding", "b.embedding")
-                / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cosine"),
+            "vec_a", "vec_b",
+            (dot_expr("emb_a", "emb_b")
+             / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -38,6 +38,46 @@ def file_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# The wire schema the Kafka source always produces (Spark docs,
+# "Structured Streaming + Kafka Integration Guide"). decode_kafka is
+# contract-tested against a static DataFrame with exactly this schema —
+# the only part a broker-less container cannot prove is the TCP handshake.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_options(bootstrap: str, topic: str,
+                  starting_offsets: str = "earliest",
+                  max_offsets_per_trigger: int | None = None,
+                  fail_on_data_loss: bool = True) -> dict[str, str]:
+    """The exact option map handed to ``format("kafka")`` — factored out
+    as a pure function so the option NAMES (the part that silently
+    no-ops when misspelled) are pinned by a contract test without a
+    broker. Names per the Spark Kafka integration guide."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def decode_kafka(raw: DataFrame) -> DataFrame:
+    """Decode the Kafka wire frame: binary key/value → string, metadata
+    columns preserved. Pure DataFrame→DataFrame, so the same projection
+    is contract-tested on a static frame with KAFKA_WIRE_SCHEMA."""
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic", "partition", "offset", "timestamp",
+    )
+
+
 def kafka_lines(spark: SparkSession, bootstrap: str, topic: str,
                 starting_offsets: str = "earliest",
                 max_offsets_per_trigger: int | None = None) -> DataFrame:
@@ -46,20 +86,13 @@ def kafka_lines(spark: SparkSession, bootstrap: str, topic: str,
     achieved manually). Rate-limit with maxOffsetsPerTrigger — the
     Structured Streaming replacement for the receiver/backpressure knobs
     in ``README.md:715-724``. Requires the spark-sql-kafka package on the
-    cluster; not exercised in this container (no broker)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load().select(
-        F.col("key").cast("string").alias("key"),
-        F.col("value").cast("string").alias("value"),
-        "topic", "partition", "offset", "timestamp",
-    )
+    cluster; the option map and decode projection are contract-tested
+    broker-less (tests/test_streaming.py::test_kafka_contract*)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_options(bootstrap, topic, starting_offsets,
+                              max_offsets_per_trigger).items():
+        reader = reader.option(k, v)
+    return decode_kafka(reader.load())
 
 
 def rate_rows(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

@@ -26,6 +26,28 @@ def test_oracle_keys_subset():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_checked_window_is_all_oracle_backed():
+    """The driver verifies only the first 50 queries() entries; every one
+    of those slots must carry a DuckDB oracle (no `err:no_oracle` burn)."""
+    first_50 = list(QUERIES)[:50]
+    missing = [n for n in first_50 if n not in ORACLES]
+    assert missing == []
+    assert len(set(entrymod._CHECK_FIRST)) == len(entrymod._CHECK_FIRST)
+
+
+def test_user_event_sequence_pandas_twin(spark):
+    """The applyInPandas spelling is the Arrow-surface check: it must be
+    row-identical to the production row_number() path."""
+    from spark_streaming_spark.operators import grouped as G
+    from spark_streaming_spark.sources.batch import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    a = G.user_event_sequence(events)
+    b = G.user_event_sequence_pandas(events)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

@@ -70,3 +70,23 @@ def test_approx_quantiles_within_sketch_bounds(spark):
         assert abs(a.med_qty - e.med_qty) <= 2.0
         assert abs(a.p90_qty - e.p90_qty) <= 2.0
         assert abs(a.med_price - e.med_price) / e.med_price <= 0.05
+
+
+def test_approx_distinct_users_within_hll_bounds(spark):
+    """approx_count_distinct (HyperLogLog++, rsd=0.01) must land within a
+    few relative standard deviations of the exact COUNT(DISTINCT) — the
+    exact-companion bounds check from round-1 VERDICT "Next round" #10.
+    (The entry itself stays out of the driver's oracle window: the
+    estimate is engine-specific by nature.)"""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.operators.aggregates import approx_distinct_users
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.agg(F.countDistinct("user_id").alias("n")).collect()[0].n
+    est = approx_distinct_users(ev).collect()[0].approx_users
+    assert exact > 0
+    # rsd=0.01 → allow 5 sigma: generous but still catches a broken sketch
+    assert abs(est - exact) / exact <= 0.05, (est, exact)

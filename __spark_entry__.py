@@ -30,6 +30,7 @@ from spark_streaming_spark.operators import dedup as DD
 from spark_streaming_spark.operators import ann as ANN
 from spark_streaming_spark.operators import grouped as G
 from spark_streaming_spark.operators import multimodal as MM
+from spark_streaming_spark.operators import pipeline as PL
 from spark_streaming_spark.operators import skew as SK
 from spark_streaming_spark.operators import sketch as SKC
 from spark_streaming_spark.operators import setops as S
@@ -377,9 +378,14 @@ _CHECK_FIRST = [
     "stratified_sample", "user_event_sequence", "pandas_token_counts",
     "daily_user_journeys", "countmin_user_sketch", "multimodal_meta",
     "media_resize_meta", "video_frame_offsets",
-    # §2-parity flagships re-confirmed (green in round 1)
-    "wordcount", "top3_products_per_brand", "dedup_ngram_jaccard",
-    "dup_components", "pricing_summary", "session_windows",
+    # round-2 training-pipeline additions (first driver signal)
+    "quality_filter", "repetition_signals", "contamination_check",
+    "pack_sequences",
+    # §2-parity flagships whose implementation CHANGED this round
+    # (prefix-filter jaccard feeds both) — the unchanged round-1-green
+    # flagships (wordcount, top3_*, pricing_summary, session_windows)
+    # yield their slots; their r01 rows stand
+    "dedup_ngram_jaccard", "dup_components",
 ]
 
 
@@ -553,6 +559,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
         "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
+        # training-data pipeline: quality rules / repetition /
+        # decontamination / sequence packing (operators/pipeline.py)
+        "quality_filter": lambda s, d: PL.quality_filter(
+            load_table(s, d, "documents")),
+        "repetition_signals": lambda s, d: PL.repetition_signals(
+            load_table(s, d, "documents")),
+        "contamination_check": lambda s, d: PL.contamination_check(
+            load_table(s, d, "documents")),
+        "pack_sequences": lambda s, d: PL.pack_sequences(
+            load_table(s, d, "documents")),
         # skew-aware aggregation (two-phase salted; results identical)
         "skew_salted_counts": lambda s, d: SK.salted_counts(
             load_table(s, d, "events"), "event_type"),
@@ -1644,5 +1660,86 @@ def oracle_sql() -> dict[str, str]:
         FROM prods
         WHERE CAST(dot AS DOUBLE)
                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+    """
+    sql["quality_filter"] = f"""
+        WITH t AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks, w -> strlen(w))) AS DOUBLE)
+                   / len(toks) AS mean_word_len,
+                 CAST(len(list_distinct(list_filter(toks,
+                     w -> w IN {_STOPWORDS_SQL}))) AS BIGINT) AS n_stop_distinct,
+                 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS dup_word_frac
+          FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, n_stop_distinct, dup_word_frac,
+               (n_words >= {PL.MIN_WORDS} AND n_words <= {PL.MAX_WORDS}
+                AND mean_word_len >= {PL.MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {PL.MAX_MEAN_WORD_LEN}
+                AND n_stop_distinct >= {PL.MIN_DISTINCT_STOPWORDS}
+                AND dup_word_frac <= {PL.MAX_DUP_WORD_FRACTION}) AS keep
+        FROM s
+    """
+    sql["repetition_signals"] = """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1])) AS bg
+          FROM toks
+        ),
+        per_bg AS (
+          SELECT doc_id, bg, count(*) AS c FROM grams GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+        FROM per_bg GROUP BY doc_id
+    """
+    sql["contamination_check"] = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        sh3 AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+          FROM toks, LATERAL (
+            SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) ii
+        ),
+        bench AS (
+          SELECT DISTINCT sh FROM sh3 WHERE doc_id % {PL.BENCH_MOD} = 0
+        )
+        SELECT s.doc_id,
+               CAST(count(DISTINCT s.sh) AS BIGINT) AS n_shared_ngrams
+        FROM sh3 s JOIN bench b ON s.sh = b.sh
+        WHERE s.doc_id % {PL.BENCH_MOD} <> 0
+        GROUP BY s.doc_id
+    """
+    sql["pack_sequences"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS end_off
+          FROM d
+        )
+        SELECT doc_id, n_tokens,
+               CAST(end_off - n_tokens AS BIGINT) AS tok_start,
+               CAST(floor((end_off - n_tokens) / {PL.SEQ_LEN}) AS BIGINT)
+                 AS seq_first,
+               CAST(floor((end_off - 1) / {PL.SEQ_LEN}) AS BIGINT) AS seq_last,
+               CAST(end_off - n_tokens AS BIGINT) % {PL.SEQ_LEN}
+                 AS offset_in_seq
+        FROM c
     """
     return sql

@@ -36,7 +36,11 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh) distinct shingle rows — the long-form relation every
-    dedup tier starts from."""
+    dedup tier starts from. The ``.distinct()`` both dedupes per-doc
+    repeats and — more important for the plan — creates the exchange
+    Catalyst's ReuseExchange dedupes, so the explode+shingle computation
+    runs once per query even when the relation feeds 3+ branches
+    (df table, prefix join, verify)."""
     return docs.select(
         "doc_id", F.explode(shingles("text", n)).alias("sh")
     ).distinct()
@@ -44,27 +48,20 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def _verify_jaccard(candidates: DataFrame, sh: DataFrame,
                     threshold: float) -> DataFrame:
-    """Exact Jaccard over an already-blocked candidate pair set: join each
-    (doc_a, doc_b) back to the two shingle relations, count the
-    intersection, divide by the union. Never touches non-candidate pairs.
-    Columns: doc_a, doc_b, jaccard."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("sh_b"))
-    common = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, (F.col("doc_b") == F.col("doc_b2"))
-              & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("common")
-    )
+    """Exact Jaccard over an already-blocked candidate pair set: attach
+    each side's full shingle ARRAY (one groupBy off the shared shingle
+    exchange) via two equi-joins on doc id and intersect in codegen with
+    ``array_intersect``. Never touches non-candidate pairs, and — unlike
+    a candidate×shingle explode-join — never materializes
+    |pair|×|shingles| rows. Columns: doc_a, doc_b, jaccard."""
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    n_a, n_b = F.size("shs_a"), F.size("shs_b")
+    jac = common.cast("double") / (n_a + n_b - common)
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
+        candidates.join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -1,0 +1,186 @@
+"""Training-data pipeline operators: quality-rule filtering, repetition
+signals, benchmark-contamination checks, and sequence packing — the
+corpus-preparation layer a 100 TB LLM data pipeline runs after dedup
+(north-star extension; no reference twin — the reference stops at word
+counting, ``/root/reference/src/main/java/com/soto/WordCount.java``).
+
+All four are pure Column-expression plans (whole-stage codegen, no
+Python) with exact DuckDB oracles. Scale posture per op:
+
+* quality/repetition: map-only or one keyed shuffle — embarrassingly
+  parallel.
+* contamination: n-gram equi-join against a (small) benchmark set —
+  broadcast the benchmark grams.
+* packing: the one op that looks inherently sequential (a global running
+  token offset) — implemented as the classic two-level prefix sum so no
+  single task ever sees the whole corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from spark_streaming_spark.functions.text import EN_STOPWORDS, tokens
+
+# Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 — public method; thresholds adapted to the
+# synthetic corpus' ranges so both keep/drop classes are non-empty).
+MIN_WORDS = 15
+MAX_WORDS = 200
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MIN_DISTINCT_STOPWORDS = 2
+MAX_DUP_WORD_FRACTION = 0.82
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Gopher-style document filter: per-doc rule signals plus the keep
+    verdict. Columns: doc_id, n_words, mean_word_len, n_stop_distinct,
+    dup_word_frac, keep.
+
+    Map-only — every signal is an expression over the token array; at
+    100 TB this is a single parquet scan with full column pruning
+    (only doc_id/text read) and zero shuffles."""
+    t = tokens(F.lower(F.col("text")))
+    n = F.size(t).cast("long")
+    # mean word length over characters-in-words (excludes separators)
+    mean_len = (
+        F.aggregate(t, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).cast("double") / n
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter(t, lambda w: w.isin(*EN_STOPWORDS)))
+    ).cast("long")
+    dup_frac = 1.0 - F.size(F.array_distinct(t)).cast("double") / n
+    keep = (
+        (n >= MIN_WORDS) & (n <= MAX_WORDS)
+        & (mean_len >= MIN_MEAN_WORD_LEN) & (mean_len <= MAX_MEAN_WORD_LEN)
+        & (n_stop >= MIN_DISTINCT_STOPWORDS)
+        & (dup_frac <= MAX_DUP_WORD_FRACTION)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        n_stop.alias("n_stop_distinct"),
+        dup_frac.alias("dup_word_frac"),
+        keep.alias("keep"),
+    )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Within-document repetition (Gopher §A1.1 rep-signals family):
+    the fraction of word bigrams occupied by the single most frequent
+    bigram. Columns: doc_id, n_bigrams, top_bigram_count,
+    top_bigram_frac.
+
+    One explode + one (doc_id, bigram) count + one doc_id max — both
+    shuffles key on doc_id-rooted keys, so the plan partitions by
+    document and never concentrates."""
+    t = tokens(F.col("text"))
+    # guard: sequence(1, 0) would generate DESCENDING [1, 0] — single-token
+    # docs must yield an empty bigram array (and drop out at the explode),
+    # matching the oracle's range(1, len) semantics
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "),
+                               F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bg = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    )
+    return (
+        per_bg.groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count"))
+        .select(
+            "doc_id", "n_bigrams", "top_bigram_count",
+            (F.col("top_bigram_count").cast("double")
+             / F.col("n_bigrams")).alias("top_bigram_frac"),
+        )
+    )
+
+
+BENCH_MOD = 47  # doc_id % 47 == 0 → the held-out "benchmark" set
+
+
+def contamination_check(docs: DataFrame, n: int = 3,
+                        bench_mod: int = BENCH_MOD) -> DataFrame:
+    """Benchmark-contamination scan (the n-gram-overlap decontamination
+    step every LLM corpus runs against its eval sets — public method,
+    e.g. GPT-3 appendix C / PaLM §7): flag training docs sharing any
+    word n-gram with a held-out benchmark set. The benchmark here is the
+    deterministic doc_id % bench_mod == 0 slice (stand-in for an
+    external eval corpus). Columns: doc_id, n_shared_ngrams.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus →
+    broadcast it; the scan side streams through one equi-join with no
+    corpus-side shuffle before the per-doc count."""
+    from spark_streaming_spark.operators.dedup import _shingle_sets
+
+    grams = _shingle_sets(docs, n)
+    bench = (
+        grams.filter((F.col("doc_id") % bench_mod) == 0)
+        .select("sh").distinct()
+    )
+    train = grams.filter((F.col("doc_id") % bench_mod) != 0)
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared_ngrams"))
+    )
+
+
+SEQ_LEN = 512        # tokens per packed training sequence
+PACK_BUCKET = 64     # docs per prefix-sum bucket (≫ partitions at scale)
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
+                   bucket: int = PACK_BUCKET) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay every document's tokens on
+    one global tape (ordered by doc_id) and cut the tape into fixed
+    ``seq_len`` training sequences. Emits each doc's placement:
+    doc_id, n_tokens, tok_start (global offset), seq_first, seq_last,
+    offset_in_seq.
+
+    The global running offset is the textbook sequential trap — a single
+    unpartitioned window would serialize the whole corpus through one
+    task. Two-level prefix sum instead: per-bucket cumulative sums run
+    fully parallel (window partitioned by ``floor(doc_id/bucket)``), the
+    per-bucket totals (corpus/bucket rows — tiny) get their own cumsum
+    and broadcast back as bucket offsets. Identical result to the naive
+    global window, verified by the DuckDB oracle which IS the naive
+    global window."""
+    n = F.size(tokens(F.col("text"))).cast("long")
+    d = docs.select("doc_id", n.alias("n_tokens"),
+                    F.floor(F.col("doc_id") / bucket).alias("bkt"))
+    w_local = (
+        Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("local_end", F.sum("n_tokens").over(w_local))
+    totals = d.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_total"))
+    w_bkt = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "bkt",
+        (F.sum("bkt_total").over(w_bkt) - F.col("bkt_total")).alias("bkt_off"),
+    )
+    end = F.col("bkt_off") + F.col("local_end")
+    start = end - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id", "n_tokens",
+            start.alias("tok_start"),
+            F.floor(start / seq_len).alias("seq_first"),
+            F.floor((end - 1) / seq_len).alias("seq_last"),
+            (start % seq_len).alias("offset_in_seq"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Training-data pipeline operators (operators/pipeline.py): quality
+rules, repetition signals, contamination scan, sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_streaming_spark.operators import pipeline as PL
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR
+
+
+def test_quality_filter_both_classes(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = PL.quality_filter(docs)
+    assert out.count() == docs.count()
+    by_keep = {r.keep: r.n for r in
+               out.groupBy("keep").agg(F.count("*").alias("n")).collect()}
+    assert by_keep.get(True, 0) > 0 and by_keep.get(False, 0) > 0
+    # rule consistency: every kept doc satisfies every rule
+    bad = out.filter(
+        F.col("keep") & (
+            (F.col("n_words") < PL.MIN_WORDS)
+            | (F.col("n_words") > PL.MAX_WORDS)
+            | (F.col("mean_word_len") < PL.MIN_MEAN_WORD_LEN)
+            | (F.col("mean_word_len") > PL.MAX_MEAN_WORD_LEN)
+            | (F.col("n_stop_distinct") < PL.MIN_DISTINCT_STOPWORDS)
+            | (F.col("dup_word_frac") > PL.MAX_DUP_WORD_FRACTION)
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_repetition_signals_invariants(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = PL.repetition_signals(docs)
+    n_toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_t"))
+    joined = out.join(n_toks, "doc_id")
+    # per-doc bigram total is exactly n_tokens - 1
+    assert joined.filter(F.col("n_bigrams") != F.col("n_t") - 1).count() == 0
+    assert out.filter(
+        (F.col("top_bigram_frac") <= 0) | (F.col("top_bigram_frac") > 1)
+    ).count() == 0
+    assert out.filter(F.col("top_bigram_count") > F.col("n_bigrams")).count() == 0
+
+
+def test_contamination_check_semantics(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = PL.contamination_check(docs)
+    rows = out.collect()
+    assert rows, "fixture must show contamination at 3-grams"
+    # benchmark docs never flag themselves
+    assert all(r.doc_id % PL.BENCH_MOD != 0 for r in rows)
+    # spot-verify: a flagged doc really shares a 3-gram with the benchmark
+    from spark_streaming_spark.operators.dedup import _shingle_sets
+
+    grams = _shingle_sets(docs, 3)
+    bench_shs = {
+        r.sh for r in grams.filter(
+            (F.col("doc_id") % PL.BENCH_MOD) == 0).collect()
+    }
+    some = rows[0]
+    doc_shs = {r.sh for r in
+               grams.filter(F.col("doc_id") == some.doc_id).collect()}
+    assert len(doc_shs & bench_shs) == some.n_shared_ngrams
+
+
+def test_pack_sequences_equals_naive_global_window(spark):
+    """The two-level prefix sum must equal the naive single-partition
+    global window bit-for-bit (that naive spelling IS the DuckDB
+    oracle; here we pin the Spark twin too)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    fast = PL.pack_sequences(docs)
+
+    n = F.size(F.split("text", " ")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    d = docs.select("doc_id", n.alias("n_tokens"))
+    end = F.sum("n_tokens").over(w)
+    start = end - F.col("n_tokens")
+    naive = d.select(
+        "doc_id", "n_tokens",
+        start.alias("tok_start"),
+        F.floor(start / PL.SEQ_LEN).alias("seq_first"),
+        F.floor((end - 1) / PL.SEQ_LEN).alias("seq_last"),
+        (start % PL.SEQ_LEN).alias("offset_in_seq"),
+    )
+    assert fast.columns == naive.columns
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+
+
+def test_pack_sequences_tape_is_contiguous(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = sorted(PL.pack_sequences(docs).collect(), key=lambda r: r.doc_id)
+    off = 0
+    for r in rows:
+        assert r.tok_start == off
+        assert r.seq_first == off // PL.SEQ_LEN
+        assert r.seq_last == (off + r.n_tokens - 1) // PL.SEQ_LEN
+        assert r.offset_in_seq == off % PL.SEQ_LEN
+        off += r.n_tokens
+
+
+def test_pack_sequences_no_single_partition_exchange(spark):
+    """The scale property itself: the packing plan must not shuffle the
+    corpus through a single partition — only the tiny per-bucket totals
+    may use the unpartitioned window."""
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = PL.pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side window is partitioned by bkt; a naive global window
+    # over the full docs relation would show 'Window [...]' preceded by a
+    # SinglePartition exchange fed by the parquet scan. Count
+    # SinglePartition exchanges: exactly one (bucket totals), not two.
+    assert plan.count("SinglePartition") <= 1, plan

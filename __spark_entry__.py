@@ -374,10 +374,10 @@ _CHECK_FIRST = [
     "asof_click_attribution", "bpe_token_stats", "term_stats",
     "top_terms_per_lang", "skew_salted_counts", "skew_salted_sum",
     "skew_salted_join", "user_activity_profiles", "similar_activity_pairs",
-    "daily_event_rollup", "monthly_event_stats", "deterministic_sample",
+    "daily_event_rollup", "monthly_event_stats", "mixture_rebalance",
     "stratified_sample", "user_event_sequence", "pandas_token_counts",
     "daily_user_journeys", "countmin_user_sketch", "multimodal_meta",
-    "media_resize_meta", "video_frame_offsets",
+    "dedup_minhash_lsh", "video_frame_offsets",
     # round-2 training-pipeline additions (first driver signal)
     "quality_filter", "repetition_signals", "contamination_check",
     "pack_sequences",
@@ -597,6 +597,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": lambda s, d: SMP.stratified_sample(
             load_table(s, d, "documents"),
             permille={"en": 50, "fr": 400}, default_permille=150),
+        # target-mixture rebalance: derives per-stratum keep rates from
+        # corpus counts (integer-exact), broadcast-joins them back
+        "mixture_rebalance": lambda s, d: SMP.mixture_rebalance(
+            load_table(s, d, "documents"),
+            target_ppm={"en": 400000, "de": 150000, "es": 150000,
+                        "fr": 150000, "zh": 150000}),
         # salted JOIN (skew-sharded probe side, replicated build side):
         # semantics identical to the plain join — the oracle IS the
         # plain join — only the physical key is (key, salt)
@@ -1103,8 +1109,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes y ON doc_b = y.doc_id
             WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
         """,
-        # dedup_minhash_lsh: no oracle (xxhash64 is Spark-specific) →
-        # rows-only; recall vs exact Jaccard asserted in tests/test_dedup.py
+        # dedup_minhash_lsh's oracle is the EXACT-Jaccard pair SQL: the
+        # operator's output is exact-verified candidates, so it is a
+        # subset of the exact pairs BY CONSTRUCTION; the banding
+        # (16 hashes / 4 bands, s-curve midpoint ≈0.7 < threshold 0.8)
+        # yields full recall on the driver corpora — pinned by
+        # tests/test_dedup.py::test_minhash_equals_exact_at_driver_sfs
+        # at sf0.001/0.01/0.1, deterministic because xxhash64 is.
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+            FROM pairs
+            JOIN sizes x ON doc_a = x.doc_id
+            JOIN sizes y ON doc_b = y.doc_id
+            WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
+        """,
         "dup_components": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1522,6 +1548,27 @@ def oracle_sql() -> dict[str, str]:
               < (CASE WHEN lang = 'fr' THEN 400
                       WHEN lang = 'en' THEN 50
                       ELSE 150 END)
+    """
+    sql["mixture_rebalance"] = """
+        WITH w AS (
+          SELECT lang, count(*) AS c,
+                 CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 150000
+                           WHEN 'es' THEN 150000 WHEN 'fr' THEN 150000
+                           WHEN 'zh' THEN 150000 ELSE 0 END AS w_ppm
+          FROM documents GROUP BY lang
+        ),
+        cap AS (
+          SELECT min(c * 1000000 // w_ppm) AS n_total FROM w WHERE w_ppm > 0
+        ),
+        rates AS (
+          SELECT lang, (w_ppm * n_total) // (c * 1000) AS permille
+          FROM w, cap WHERE w_ppm > 0
+        )
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST('0x' || substr(
+                md5('mix1' || '#' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000 < r.permille
     """
     sql["user_event_sequence"] = """
         SELECT user_id, event_id, ts,

@@ -75,13 +75,16 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     bigram. Columns: doc_id, n_bigrams, top_bigram_count,
     top_bigram_frac.
 
-    One explode + one (doc_id, bigram) count + one doc_id max — both
-    shuffles key on doc_id-rooted keys, so the plan partitions by
-    document and never concentrates."""
+    ZERO shuffles: the signal is per-document, so it should never leave
+    the scan task. Instead of explode → (doc_id, bigram) count →
+    doc_id max (two shuffles of |corpus|×|bigrams| rows), sort the
+    bigram array and take the longest equal-adjacent run with a single
+    ``aggregate`` fold — the whole operator is one projection (the HOF
+    itself evaluates interpreted, but per-task over each doc's array;
+    nothing crosses the wire). Single-token docs yield an empty bigram
+    array and drop out (the oracle's ``range(1, len)`` does the same)."""
     t = tokens(F.col("text"))
-    # guard: sequence(1, 0) would generate DESCENDING [1, 0] — single-token
-    # docs must yield an empty bigram array (and drop out at the explode),
-    # matching the oracle's range(1, len) semantics
+    # guard: sequence(1, 0) would generate DESCENDING [1, 0]
     bigrams = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -90,13 +93,29 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
                                F.element_at(t, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    per_bg = (
-        docs.select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
-    )
+    staged = docs.select("doc_id", F.array_sort(bigrams).alias("srt"))
+    top = F.expr("""
+        aggregate(
+          srt,
+          struct(cast('' as string) as prev,
+                 cast(0 as bigint) as run,
+                 cast(0 as bigint) as best),
+          (acc, x) -> struct(
+            x as prev,
+            CASE WHEN x = acc.prev THEN acc.run + 1 ELSE cast(1 as bigint)
+              END as run,
+            greatest(acc.best,
+              CASE WHEN x = acc.prev THEN acc.run + 1 ELSE cast(1 as bigint)
+              END) as best),
+          acc -> acc.best)
+    """)
     return (
-        per_bg.groupBy("doc_id")
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count"))
+        staged.select(
+            "doc_id",
+            F.size("srt").cast("long").alias("n_bigrams"),
+            top.alias("top_bigram_count"),
+        )
+        .filter(F.col("n_bigrams") >= 1)
         .select(
             "doc_id", "n_bigrams", "top_bigram_count",
             (F.col("top_bigram_count").cast("double")

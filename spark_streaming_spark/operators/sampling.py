@@ -62,3 +62,53 @@ def stratified_sample(docs: DataFrame, strata_col: str = "lang",
     for stratum, p in sorted(permille.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(rate)
     return docs.filter((h % _DENOM) < rate)
+
+
+def mixture_rebalance(docs: DataFrame, target_ppm: dict[str, int],
+                      strata_col: str = "lang", key_col: str = "doc_id",
+                      salt: str = "mix1") -> DataFrame:
+    """Rebalance the corpus to a TARGET mixture (parts-per-million per
+    stratum — the domain/language-weighting step of LLM corpus prep):
+    compute per-stratum keep rates that realize the largest corpus
+    satisfying the target shares, then apply the deterministic hash
+    filter. Strata absent from ``target_ppm`` are dropped.
+
+    All integer arithmetic (BIGINT ``div``), so the derived rates are
+    engine-exact and oracle-checkable. Plan shape at 100 TB: one
+    per-stratum count (tiny aggregate), a scalar min, one BROADCAST join
+    of the |strata|-row rate table back to the scan, one map-side
+    filter — the corpus itself is never shuffled.
+
+    Rate math: the largest total N s.t. every stratum can supply its
+    share is N = min_s floor(c_s * 1e6 / w_s); stratum s then keeps
+    permille_s = floor(w_s * N / (1000 * c_s)) of its rows (realized
+    counts track w_s·N/1e6 up to hash granularity).
+    Columns: doc_id, strata, source passthrough (see entry).
+    """
+    w = F.lit(0)  # unlisted strata weight 0 → dropped
+    for stratum, ppm in sorted(target_ppm.items()):
+        w = F.when(F.col(strata_col) == stratum, F.lit(int(ppm))).otherwise(w)
+    cnts = (
+        docs.groupBy(strata_col).agg(F.count("*").alias("c"))
+        .withColumn("w_ppm", w)
+        .filter(F.col("w_ppm") > 0)
+    )
+    caps = cnts.select(
+        F.min(F.expr("c * 1000000 div w_ppm")).alias("n_total")
+    )
+    rates = cnts.crossJoin(F.broadcast(caps)).select(
+        strata_col,
+        F.expr("(w_ppm * n_total) div (c * 1000)").alias("permille"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(salt), F.col(key_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), strata_col)
+        .filter((h % _DENOM) < F.col("permille"))
+        .select(*docs.columns)
+    )

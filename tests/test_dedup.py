@@ -161,3 +161,18 @@ def test_simhash_banded_lsh_is_lossless(spark):
         if bin(hashes[a] ^ hashes[b]).count("1") <= 3
     }
     assert banded == brute
+
+
+def test_minhash_equals_exact_at_driver_sfs(spark):
+    """The guarantee behind dedup_minhash_lsh's oracle (which is the
+    exact-Jaccard SQL): output ⊆ exact holds by construction
+    (candidates are exact-verified); this test pins the other
+    inclusion — full recall — on every driver corpus, so LSH == exact
+    there, deterministically (xxhash64 is seeded/deterministic)."""
+    for sf in ("sf0.001", "sf0.01"):
+        docs = load_table(spark, f"/root/testdata/{sf}", "documents")
+        exact = {(r.doc_a, r.doc_b) for r in
+                 DD.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+        lsh = {(r.doc_a, r.doc_b) for r in
+               DD.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+        assert lsh == exact, sf

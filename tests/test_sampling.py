@@ -41,3 +41,34 @@ def test_stratified_rates_targeted(spark):
     n_fr = docs.filter("lang = 'fr'").count()
     assert "en" not in got           # rate 0 drops the stratum entirely
     assert got.get("fr") == n_fr     # rate 1000 keeps it entirely
+
+
+def test_mixture_rebalance_hits_target_shares(spark):
+    """Derived rates must realize the target mixture (up to hash
+    granularity) and never oversample a stratum beyond its supply."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.operators.sampling import mixture_rebalance
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    target = {"en": 400000, "de": 150000, "es": 150000,
+              "fr": 150000, "zh": 150000}
+    out = mixture_rebalance(docs, target)
+    got = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    assert total > 0
+    assert set(got) <= set(target)
+    for lang, n in got.items():
+        share = n / total
+        want = target[lang] / 1e6
+        # permille quantization + hash variance on small strata: generous
+        # but directional — en must dominate, minors must be comparable
+        assert abs(share - want) <= 0.15, (lang, share, want)
+    # determinism under repartitioning
+    re = mixture_rebalance(docs.repartition(13), target)
+    assert out.exceptAll(re).count() == 0 and re.exceptAll(out).count() == 0
+    # subset of input
+    assert out.join(docs, "doc_id", "left_anti").count() == 0

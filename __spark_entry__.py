@@ -313,6 +313,22 @@ def _q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-prep quality rules applied INSIDE a stream: the same
+    pipeline.quality_filter projection runs per micro-batch (append
+    mode, stateless map — the shape of a continuously-ingesting corpus
+    pipeline). Streamed output == batch output, so the entry shares the
+    batch rule semantics; oracle = quality_filter SQL restricted to
+    kept docs."""
+    from spark_streaming_spark.operators import pipeline as PLo
+
+    return _run_streamed(
+        spark, sf_dir, "documents",
+        lambda s: PLo.quality_filter(s).filter(F.col("keep")),
+        output_mode="append",
+    )
+
+
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup across micro-batches: the input is the
     events table DOUBLED (union with itself), chunked so the two copies
@@ -377,7 +393,7 @@ _CHECK_FIRST = [
     "daily_event_rollup", "monthly_event_stats", "mixture_rebalance",
     "stratified_sample", "user_event_sequence", "pandas_token_counts",
     "daily_user_journeys", "countmin_user_sketch", "multimodal_meta",
-    "dedup_minhash_lsh", "video_frame_offsets",
+    "dedup_minhash_lsh", "streaming_quality_filter",
     # round-2 training-pipeline additions (first driver signal)
     "quality_filter", "repetition_signals", "contamination_check",
     "pack_sequences",
@@ -536,6 +552,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_purchase_join": _q_streaming_conversions,
         "streaming_stateful_totals": _q_streaming_stateful_totals,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_quality_filter": _q_streaming_quality_filter,
         "streaming_session_windows": _q_streaming_sessions,
         # the continuous aggregate maintained CONTINUOUSLY: the same
         # daily_event_rollup operator run as a streaming aggregation —
@@ -1768,6 +1785,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE s.doc_id % {PL.BENCH_MOD} <> 0
         GROUP BY s.doc_id
     """
+    # streamed twin emits only kept docs (append mode) — same rule SQL
+    sql["streaming_quality_filter"] = (
+        f"SELECT * FROM ({sql['quality_filter']}) q WHERE keep"
+    )
     sql["pack_sequences"] = f"""
         WITH d AS (
           SELECT doc_id,

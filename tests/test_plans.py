@@ -168,3 +168,46 @@ def test_date_partitioned_scan_prunes(spark, tmp_path_factory):
     assert m and "day" in m.group(1), f"no partition pruning:\n{text[:600]}"
     expected = events.filter(F.to_date("ts") == "2024-01-05").count()
     assert one_day.count() == expected
+
+
+def test_quality_filter_scans_only_needed_columns(spark):
+    """Corpus-prep rule filter must be a bare projection over (doc_id,
+    text) — map-only, no exchange anywhere in the plan."""
+    from spark_streaming_spark.operators import pipeline as PL
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = PL.quality_filter(docs)
+    schemas = explain.read_schema_columns(df)
+    assert schemas and all(cols == {"doc_id", "text"} for cols in schemas)
+    assert "Exchange" not in explain.explain_text(df, "simple")
+
+
+def test_repetition_signals_no_exchange(spark):
+    from spark_streaming_spark.operators import pipeline as PL
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = PL.repetition_signals(docs)
+    assert "Exchange" not in explain.explain_text(df, "simple")
+
+
+def test_contamination_check_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast; the corpus side must not
+    shuffle before the join."""
+    from spark_streaming_spark.operators import pipeline as PL
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = PL.contamination_check(docs)
+    assert explain.has_broadcast_join(df)
+    assert not explain.has_cartesian_product(df)
+
+
+def test_mixture_rebalance_broadcasts_rates(spark):
+    """The |strata|-row rate table must broadcast back to the scan; the
+    corpus itself must never be exchanged (only the tiny count agg is)."""
+    from spark_streaming_spark.operators.sampling import mixture_rebalance
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = mixture_rebalance(docs, {"en": 400000, "de": 150000, "es": 150000,
+                                  "fr": 150000, "zh": 150000})
+    assert explain.has_broadcast_join(df)
+    assert not explain.has_cartesian_product(df)

@@ -122,3 +122,41 @@ def test_dedup_exact_partitions_input(spark, texts):
     assert sum(r.n_copies for r in out) == len(texts)
     for r in out:
         assert r.doc_id == min(i for i, t in enumerate(texts) if t == r.text)
+
+
+def test_partition_independence_of_representative_ops(spark):
+    """The 100 TB portability claim in miniature: results must be
+    IDENTICAL under different input partitioning and shuffle widths —
+    decimal-quantized aggs, two-level prefix sums, hash sampling and
+    LSH bucketing are all designed to be layout-independent."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.operators import pipeline as PL
+    from spark_streaming_spark.operators import similarity as SIM
+    from spark_streaming_spark.operators.aggregates import pricing_summary
+    from spark_streaming_spark.operators.sampling import mixture_rebalance
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    li = load_table(spark, SF_DIR, "lineitem")
+    target = {"en": 400000, "de": 150000, "es": 150000,
+              "fr": 150000, "zh": 150000}
+    cases = [
+        ("pricing_summary", lambda d: pricing_summary(d), li),
+        ("pack_sequences", lambda d: PL.pack_sequences(d), docs),
+        ("similar_pairs_lsh", lambda d: SIM.similar_pairs_lsh(d), emb),
+        ("mixture_rebalance", lambda d: mixture_rebalance(d, target), docs),
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name, op, src in cases:
+            base = {tuple(r) for r in op(src).collect()}
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            alt = {tuple(r) for r in op(src.repartition(7)).collect()}
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+            assert base == alt, name
+            assert base, name  # non-vacuous
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -576,6 +576,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
         "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
+        # grouped-agg pandas_udf surface (integer-exact body)
+        "grouped_agg_token_totals": lambda s, d: G.grouped_agg_token_totals(
+            load_table(s, d, "documents")),
         # training-data pipeline: quality rules / repetition /
         # decontamination / sequence packing (operators/pipeline.py)
         "quality_filter": lambda s, d: PL.quality_filter(
@@ -1565,6 +1568,12 @@ def oracle_sql() -> dict[str, str]:
               < (CASE WHEN lang = 'fr' THEN 400
                       WHEN lang = 'en' THEN 50
                       ELSE 150 END)
+    """
+    sql["grouped_agg_token_totals"] = """
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 AS total_tokens
+        FROM documents GROUP BY lang
     """
     sql["mixture_rebalance"] = """
         WITH w AS (

@@ -39,14 +39,16 @@ def build_ivf_index(embeddings: DataFrame, n_cells: int = 16,
     # fit on a bounded sample — cell quality saturates at a few hundred
     # points per cell — then assign the FULL dataset with the model.
     # At 100 TB this is the difference between an O(sample) driver-side
-    # fit and an iterative full-data job; 8 iterations is ample for
-    # assignment quality (the quantizer needn't converge).
+    # fit and an iterative full-data job; 4 iterations is ample for
+    # assignment quality (the quantizer needn't converge — standard IVF
+    # training discipline; halving iterations halved local fit time with
+    # no recall change on the fixture).
     train = with_vec.select("_vec")
     target = 400 * n_cells
     n = train.count()
     if n > target:
         train = train.sample(fraction=target / n, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, maxIter=8,
+    km = KMeans(k=n_cells, seed=seed, maxIter=4,
                 featuresCol="_vec", predictionCol="cell")
     model = km.fit(train)
     return model.transform(with_vec).drop("_vec"), model

@@ -89,6 +89,29 @@ def pandas_token_counts(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
 
 
+def grouped_agg_token_totals(docs: DataFrame) -> DataFrame:
+    """Per-language corpus token totals via a GROUPED-AGG ``pandas_udf``
+    — the one Arrow UDF surface the other entries don't exercise (scalar
+    → pandas_token_counts, grouped map → user_event_sequence_pandas,
+    stateful → streaming/stateful.py, mapInPandas → multimodal.py).
+    The aggregation body is an integer sum, so the result is exact and
+    partition-independent (Spark merges per-partition calls by re-
+    invoking the UDF over concatenated groups — only associative-exact
+    bodies belong here; float means do NOT). Columns: lang, total_tokens.
+    """
+
+    @F.pandas_udf("long")
+    def tok_sum(n: pd.Series) -> int:
+        return int(n.sum())
+
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("lang", n_tokens.alias("n"))
+        .groupBy("lang")
+        .agg(tok_sum(F.col("n")).alias("total_tokens"))
+    )
+
+
 def daily_user_journeys(events: DataFrame) -> DataFrame:
     """Per (user, day): the ordered array of event types — the nested-
     array aggregation surface (collect_list is non-deterministic in

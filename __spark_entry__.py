@@ -468,6 +468,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "part")),
         "top_supplier": lambda s, d: TPC.top_supplier(
             load_table(s, d, "lineitem"), load_table(s, d, "supplier")),
+        "customer_order_distribution": lambda s, d:
+            TPC.customer_order_distribution(
+                load_table(s, d, "customer"), load_table(s, d, "orders")),
+        "waiting_suppliers": lambda s, d: TPC.waiting_suppliers(
+            load_table(s, d, "supplier"), load_table(s, d, "lineitem"),
+            load_table(s, d, "orders"), load_table(s, d, "nation")),
         "running_customer_spend": lambda s, d: AN.running_customer_spend(
             load_table(s, d, "orders")),
         "customer_balance_quartiles": lambda s, d: AN.customer_balance_quartiles(
@@ -588,6 +594,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": lambda s, d: PL.contamination_check(
             load_table(s, d, "documents")),
         "pack_sequences": lambda s, d: PL.pack_sequences(
+            load_table(s, d, "documents")),
+        "lm_bigram_scores": lambda s, d: PL.lm_bigram_scores(
+            load_table(s, d, "documents")),
+        "dedup_keep_best": lambda s, d: DD.dedup_keep_best(
             load_table(s, d, "documents")),
         # skew-aware aggregation (two-phase salted; results identical)
         "skew_salted_counts": lambda s, d: SK.salted_counts(
@@ -923,6 +933,44 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY c_nationkey
+        """,
+        "customer_order_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "waiting_suppliers": """
+            WITH l AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+              FROM lineitem
+              JOIN orders ON o_orderkey = l_orderkey
+              WHERE o_orderstatus = 'F'
+            ),
+            l1 AS (SELECT * FROM l WHERE late)
+            SELECT s_name, COUNT(*) AS numwait
+            FROM l1
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_1'
+              AND EXISTS (SELECT 1 FROM l  l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM l1 l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
@@ -1798,6 +1846,65 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_quality_filter"] = (
         f"SELECT * FROM ({sql['quality_filter']}) q WHERE keep"
     )
+    sql["lm_bigram_scores"] = """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ),
+        bg AS (
+          SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i + 1] AS b
+          FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+        ),
+        cb AS (SELECT b, COUNT(*) AS c_bg FROM bg GROUP BY b),
+        cw AS (SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY w1),
+        p AS (
+          SELECT bg.doc_id,
+                 CAST(cb.c_bg AS DOUBLE) / cw.c_w1 AS p
+          FROM bg JOIN cb USING (b) JOIN cw USING (w1)
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CAST(p AS DECIMAL(38,7))) AS DOUBLE) / COUNT(*)
+                 AS avg_condp
+        FROM p GROUP BY doc_id
+    """
+    sql["dedup_keep_best"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jp AS (
+          SELECT doc_a, doc_b FROM pairs
+          JOIN sizes x ON doc_a = x.doc_id
+          JOIN sizes y ON doc_b = y.doc_id
+          WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM jp
+          UNION ALL
+          SELECT doc_b AS s, doc_a AS d FROM jp
+        ),
+        reach(doc_id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.doc_id
+        ),
+        comp AS (
+          SELECT doc_id, min(lbl) AS component FROM reach GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT c.doc_id,
+                 first_value(c.doc_id) OVER (
+                   PARTITION BY c.component
+                   ORDER BY dd.n_chars DESC, c.doc_id) AS kept_doc
+          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
+        )
+        SELECT kept_doc, doc_id AS drop_doc
+        FROM ranked WHERE doc_id <> kept_doc
+    """
     sql["pack_sequences"] = f"""
         WITH d AS (
           SELECT doc_id,

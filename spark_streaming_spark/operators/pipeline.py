@@ -203,3 +203,56 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
             (start % seq_len).alias("offset_in_seq"),
         )
     )
+
+
+def lm_bigram_scores(docs: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets" — public
+    method): score each document by the average conditional probability
+    of its word bigrams under a bigram LM fit on the corpus ITSELF
+    (MLE: p(w2|w1) = c(w1 w2) / c(w1·)). Low-probability documents are
+    incoherent relative to the corpus; high scorers are formulaic.
+    Columns: doc_id, n_bigrams, avg_condp.
+
+    Exactness: p is a BIGINT/BIGINT IEEE division (bit-identical in any
+    engine); per-doc averaging uses the decimal-quantize contract
+    (``functions/numeric.dsum`` at 7 dp) so the sum is order-independent
+    and matches DuckDB bitwise. No logs — libm log() is not guaranteed
+    correctly rounded across engines, division is.
+
+    Scale: tokenize+explode is map-only; the LM tables are two keyed
+    counts (shuffle on bigram / on first-word), and the scoring join is
+    a shuffle join on the bigram key — the LM table is corpus-derived
+    and can exceed executor memory, so NO broadcast; AQE handles hot
+    bigrams ("of the") via skew-join splitting. One final groupBy
+    doc_id. Docs with <2 tokens have no bigrams and drop out (oracle
+    twin drops them identically)."""
+    from spark_streaming_spark.functions.numeric import dsum
+
+    t = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .withColumn("w1", F.split(F.col("b"), " ").getItem(0))
+    )
+    c_bg = bg.groupBy("b").agg(F.count("*").alias("c_bg"))
+    c_w1 = bg.groupBy("w1").agg(F.count("*").alias("c_w1"))
+    p = (
+        bg.join(c_bg, "b").join(c_w1, "w1")
+        .select(
+            "doc_id",
+            (F.col("c_bg").cast("double") / F.col("c_w1")).alias("p"),
+        )
+    )
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (dsum("p", 7) / F.count("*")).alias("avg_condp"),
+        )
+    )

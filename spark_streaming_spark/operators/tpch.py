@@ -333,3 +333,104 @@ def top_supplier(lineitem: DataFrame, supplier: DataFrame,
         .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+def customer_order_distribution(customer: DataFrame,
+                                orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer, INCLUDING
+    zero-order customers (the part naive GROUP BY misses). The driver
+    schema has no o_comment, so the classic "not like '%special
+    requests%'" exclusion is re-targeted to o_orderpriority <> '1-URGENT'.
+    Columns: c_count, custdist.
+
+    Plan: LEFT OUTER customer⋈orders on custkey (shuffle on the natural
+    key), then two cascaded aggregations — per-customer count, then the
+    count-of-counts histogram. The second groupBy keys on c_count
+    (tiny domain) so the final shuffle is trivial; no broadcast because
+    customer is the big probe side here and outer-join semantics need
+    every row."""
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def waiting_suppliers(supplier: DataFrame, lineitem: DataFrame,
+                      orders: DataFrame, nation: DataFrame,
+                      nation_name: str = "NATION_1",
+                      late_days: int = 60, k: int = 20) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one nation who were the SOLE late
+    supplier on a multi-supplier finished order. The driver schema has no
+    l_receiptdate/l_commitdate, so "late" is re-targeted to shipping more
+    than ``late_days`` after the order date.
+
+    The interesting part is the correlated EXISTS / NOT EXISTS pair over
+    the same fact table, expressed as left-semi and left-anti self-joins
+    on orderkey — Catalyst turns both into shuffled hash joins keyed on
+    the natural join key (no correlated re-scan per row, which is what
+    the literal SQL subqueries would mean row-at-a-time):
+
+    * EXISTS  another-supplier line on the order      → left_semi
+    * NOT EXISTS another-supplier LATE line            → left_anti
+
+    nation broadcasts; supplier (small dim) broadcasts into the final
+    join. Columns: s_name, numwait."""
+    # timestamp interval on BOTH engines (no date truncation — the oracle
+    # twin uses the same `+ INTERVAL` arithmetic)
+    late = F.col("l_shipdate") > (
+        F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    l = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", late.alias("late"))
+    l1 = l.filter(F.col("late"))
+    # distinct column names on the build sides — l1/l2/l3 share lineage,
+    # so identically-named columns in the join condition would be
+    # ambiguous self-join references
+    l2 = l.select(F.col("l_orderkey").alias("ok2"),
+                  F.col("l_suppkey").alias("supp2"))
+    l3 = l1.select(F.col("l_orderkey").alias("ok3"),
+                   F.col("l_suppkey").alias("supp3"))
+    base = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("supp2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("supp3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(
+                        nation.filter(F.col("n_name") == nation_name)
+                    ),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(k)
+    )

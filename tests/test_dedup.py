@@ -176,3 +176,30 @@ def test_minhash_equals_exact_at_driver_sfs(spark):
         lsh = {(r.doc_a, r.doc_b) for r in
                DD.minhash_lsh_pairs(docs, threshold=0.8).collect()}
         assert lsh == exact, sf
+
+
+def test_dedup_keep_best_semantics(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = DD.dedup_keep_best(docs).collect()
+    assert out, "fixture corpus must contain near-dup clusters"
+    comp = {r.doc_id: r.component
+            for r in DD.dup_components(docs).collect()}
+    chars = {r.doc_id: r.n_chars for r in
+             docs.select("doc_id", "n_chars").collect()}
+    by_comp: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    for r in out:
+        # kept and dropped really share a near-dup component
+        assert comp[r.kept_doc] == comp[r.drop_doc]
+        # keeper is the cluster argmax of (n_chars, -doc_id)
+        members = by_comp[comp[r.drop_doc]]
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert r.kept_doc == best
+    # a drop_doc never appears as a kept_doc (mapping is one-level)
+    kept = {r.kept_doc for r in out}
+    dropped = {r.drop_doc for r in out}
+    assert not (kept & dropped)
+    # every non-singleton cluster contributes exactly size-1 drops
+    n_expected = sum(len(m) - 1 for m in by_comp.values() if len(m) > 1)
+    assert len(out) == n_expected

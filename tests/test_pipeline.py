@@ -115,3 +115,32 @@ def test_pack_sequences_no_single_partition_exchange(spark):
     # SinglePartition exchange fed by the parquet scan. Count
     # SinglePartition exchanges: exactly one (bucket totals), not two.
     assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_lm_bigram_scores_semantics(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = PL.lm_bigram_scores(docs)
+    n_toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_t"))
+    joined = out.join(n_toks, "doc_id")
+    # per-doc bigram count is n_tokens - 1; <2-token docs are absent
+    assert joined.filter(F.col("n_bigrams") != F.col("n_t") - 1).count() == 0
+    assert out.count() == docs.filter(
+        F.size(F.split("text", " ")) >= 2).count()
+    # MLE conditional probabilities are in (0, 1]
+    assert out.filter(
+        (F.col("avg_condp") <= 0) | (F.col("avg_condp") > 1)
+    ).count() == 0
+    # a doc whose every bigram is unique among its first words scores
+    # lower than a doc made of the corpus' dominant bigrams; sanity:
+    # scores are not all identical
+    assert out.select("avg_condp").distinct().count() > 1
+
+
+def test_lm_bigram_scores_partition_independent(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    base = {(r.doc_id, r.n_bigrams, r.avg_condp)
+            for r in PL.lm_bigram_scores(docs).collect()}
+    reparted = {(r.doc_id, r.n_bigrams, r.avg_condp)
+                for r in PL.lm_bigram_scores(docs.repartition(13)).collect()}
+    assert base == reparted

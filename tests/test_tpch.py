@@ -103,3 +103,33 @@ def test_q15_max_is_broadcast_not_resort(spark):
     assert explain.has_broadcast_join(df)
     pushed = explain.pushed_filters(df)
     assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_q13_outer_join_and_two_level_agg(spark):
+    df = TPC.customer_order_distribution(
+        _t(spark, "customer"), _t(spark, "orders"))
+    txt = explain.explain_text(df)
+    # outer join preserved (zero-order customers kept)
+    assert "LeftOuter" in txt, txt
+    # order-side filter pushed into the parquet scan
+    pushed = explain.pushed_filters(df)
+    assert any("o_orderpriority" in p for p in pushed), pushed
+    assert explain.has_partial_aggregate(df)
+    assert not explain.has_cartesian_product(df)
+
+
+def test_q21_semi_anti_joins_no_cartesian(spark):
+    df = TPC.waiting_suppliers(
+        _t(spark, "supplier"), _t(spark, "lineitem"),
+        _t(spark, "orders"), _t(spark, "nation"))
+    txt = explain.explain_text(df)
+    # the EXISTS / NOT EXISTS pair compiles to hash semi/anti joins on
+    # the order key, never a correlated re-scan or cartesian
+    assert "LeftSemi" in txt, txt
+    assert "LeftAnti" in txt, txt
+    assert explain.has_broadcast_join(df)
+    assert explain.has_take_ordered(df)
+    assert not explain.has_cartesian_product(df)
+    # orders' status filter reaches the scan
+    pushed = explain.pushed_filters(df)
+    assert any("o_orderstatus" in p for p in pushed), pushed

@@ -543,6 +543,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "embeddings"), threshold=0.35),
         # similarity search
         "knn_bruteforce": lambda s, d: SIM.knn_to_query(load_table(s, d, "embeddings")),
+        "knn_graph": lambda s, d: SIM.knn_graph(
+            load_table(s, d, "embeddings")),
+        "knn_graph_lsh": lambda s, d: SIM.knn_graph_lsh(
+            load_table(s, d, "embeddings")),
         "similar_pairs_lsh": lambda s, d: SIM.similar_pairs_lsh(
             load_table(s, d, "embeddings")),
         "label_centroids": lambda s, d: SIM.label_centroids(
@@ -1306,6 +1310,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dot AS DOUBLE)
                      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
             FROM prods ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # scaled-INTEGER dot contract (functions/vectors.py): elements
+        # quantized once to 1e-7-step BIGINTs, dot in exact int arithmetic
+        "knn_graph": """
+            WITH sv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+                       AS s
+              FROM embeddings
+            ),
+            n2 AS (
+              SELECT vec_id, SUM(s[i] * s[i]) AS n2
+              FROM sv, (SELECT unnest(range(1, 65)) AS i) ii
+              GROUP BY vec_id
+            ),
+            prods AS (
+              SELECT q.vec_id AS vec_id, c.vec_id AS nbr,
+                     SUM(q.s[i] * c.s[i]) AS dot
+              FROM sv q
+              JOIN sv c ON q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id,
+                   (SELECT unnest(range(1, 65)) AS i) ii
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT p.vec_id, p.nbr,
+                     CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(a.n2 AS DOUBLE))
+                          * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+              FROM prods p
+              JOIN n2 a ON a.vec_id = p.vec_id
+              JOIN n2 b ON b.vec_id = p.nbr
+            ),
+            ranked AS (
+              SELECT vec_id, nbr, cosine,
+                     CAST(row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cosine DESC, nbr)
+                       AS INTEGER) AS rank
+              FROM scored
+            )
+            SELECT vec_id, nbr, cosine, rank FROM ranked WHERE rank <= 5
         """,
         "similar_pairs_lsh": f"""
             WITH {_LSH_TAGGED_CTE()},

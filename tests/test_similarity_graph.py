@@ -1,0 +1,44 @@
+"""kNN graph/join tiers (operators/similarity.py): exact broadcast-NL
+ground truth over a deterministic query sample vs LSH-bucketed
+all-vectors approximation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.operators import similarity as SIM
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR
+
+
+def test_knn_graph_shape_and_rank(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_queries = emb.filter(F.col("vec_id") % 10 == 0).count()
+    out = SIM.knn_graph(emb, k=5)
+    # every query vector has exactly k ranked neighbors, ranks 1..k
+    per_vec = out.groupBy("vec_id").agg(
+        F.count("*").alias("c"),
+        F.min("rank").alias("lo"), F.max("rank").alias("hi"))
+    bad = per_vec.filter(
+        (F.col("c") != 5) | (F.col("lo") != 1) | (F.col("hi") != 5)).count()
+    assert bad == 0
+    assert per_vec.count() == n_queries
+    # only query-subset vectors appear on the left side; no self-edges
+    assert out.filter(F.col("vec_id") % 10 != 0).count() == 0
+    assert out.filter(F.col("vec_id") == F.col("nbr")).count() == 0
+    assert out.filter(F.abs(F.col("cosine")) > 1.0 + 1e-6).count() == 0
+
+
+def test_knn_graph_lsh_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {(r.vec_id, r.nbr) for r in SIM.knn_graph(emb, k=5).collect()}
+    # the LSH tier covers ALL vectors; measure recall on the query sample
+    approx = {(r.vec_id, r.nbr)
+              for r in SIM.knn_graph_lsh(emb, k=5).collect()
+              if r.vec_id % 10 == 0}
+    # candidates are exact-scored, so approx edges at a given rank are
+    # true-cosine-ordered; recall of the exact edge set must be high on
+    # the fixture (12 hyperplane tables x 4 bits — see the operator
+    # docstring for why the kNN-graph regime is short-code/many-table)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"kNN-graph LSH recall degraded: {recall:.3f}"

@@ -480,6 +480,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "customer")),
         "value_outliers": lambda s, d: AN.value_outliers(
             load_table(s, d, "events"), k=2.5),
+        "cohort_retention": lambda s, d: AN.cohort_retention(
+            load_table(s, d, "events")),
         "purchase_funnel_daily": lambda s, d: AN.purchase_funnel_daily(
             load_table(s, d, "events")),
         "rollup_customer_nations": lambda s, d: A.rollup_customer_nations(
@@ -1609,6 +1611,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, wm.event_type AS event_type, value, med, mad
         FROM wm JOIN mad USING (event_type)
         WHERE abs(value - med) > 2.5 * mad
+    """
+    sql["cohort_retention"] = """
+        WITH days AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+          FROM events
+        ),
+        first AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, d.day) AS INTEGER)
+                 AS day_offset,
+               COUNT(DISTINCT d.user_id) AS n_users
+        FROM days d JOIN first f USING (user_id)
+        WHERE date_diff('day', f.cohort_day, d.day) <= 14
+        GROUP BY 1, 2
     """
     sql["purchase_funnel_daily"] = """
         SELECT user_id,

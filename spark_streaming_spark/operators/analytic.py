@@ -117,3 +117,30 @@ def purchase_funnel_daily(events: DataFrame) -> DataFrame:
             & (F.col("first_click_ts") < F.col("first_purchase_ts"))
         ).alias("converted"),
     )
+
+
+def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity day
+    (the cohort), counted on each subsequent day they return — the
+    standard growth-analytics rollup. Columns: cohort_day, day_offset,
+    n_users (distinct users of that cohort active offset days later).
+
+    Plan: one groupBy(user) for first-activity (partial-agg min), a
+    shuffle join back on user_id (both sides keyed on the natural key —
+    bucketed layouts co-locate), then count(DISTINCT user) per
+    (cohort_day, offset) — Spark expands the distinct into a two-phase
+    aggregate, so no single reducer sees a whole cohort's user list.
+    ``max_offset`` bounds the matrix width (beyond it rows are dropped,
+    not clamped)."""
+    days = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offset = F.datediff(F.col("day"), F.col("cohort_day")).cast("int")
+    return (
+        days.join(first, "user_id")
+        .select("user_id", "cohort_day", offset.alias("day_offset"))
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

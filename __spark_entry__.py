@@ -385,13 +385,18 @@ _CHECK_FIRST = [
     "streaming_sliding_counts", "streaming_top3_per_window",
     "streaming_click_purchase_join", "streaming_dedup",
     "streaming_session_windows", "streaming_daily_rollup",
-    # remaining oracle-backed entries beyond round 1's checked window
+    # remaining oracle-backed entries beyond round 1's checked window.
+    # Slots are finite: where a FAMILY shares its core code path, one
+    # member is checked here and the sibling relies on the pytest oracle
+    # sweep (tests/test_correctness.py — every oracle-backed query, run
+    # by the judge) — evicted siblings noted inline.
     "dedup_embedding_cosine", "click_purchase_conversions",
-    "asof_click_attribution", "bpe_token_stats", "term_stats",
-    "top_terms_per_lang", "skew_salted_counts", "skew_salted_sum",
-    "skew_salted_join", "user_activity_profiles", "similar_activity_pairs",
-    "daily_event_rollup", "monthly_event_stats", "mixture_rebalance",
-    "stratified_sample", "user_event_sequence", "pandas_token_counts",
+    "asof_click_attribution",
+    "top_terms_per_lang",             # term_stats/bpe_token_stats siblings
+    "skew_salted_counts", "skew_salted_join",   # skew_salted_sum sibling
+    "user_activity_profiles", "similar_activity_pairs",
+    "daily_event_rollup",             # monthly_event_stats sibling
+    "mixture_rebalance",              # stratified_sample sibling
     "daily_user_journeys", "countmin_user_sketch", "multimodal_meta",
     "dedup_minhash_lsh", "streaming_quality_filter",
     # round-2 training-pipeline additions (first driver signal)
@@ -400,8 +405,15 @@ _CHECK_FIRST = [
     # §2-parity flagships whose implementation CHANGED this round
     # (prefix-filter jaccard feeds both) — the unchanged round-1-green
     # flagships (wordcount, top3_*, pricing_summary, session_windows)
-    # yield their slots; their r01 rows stand
+    # yield their slots; their r01 rows stand.  user_event_sequence and
+    # pandas_token_counts yielded too: row_number windows and scalar
+    # pandas_udf are exercised by other checked entries + pytest.
     "dedup_ngram_jaccard", "dup_components",
+    # round-2 NEW operators: never had any driver row — highest priority
+    # for the checked window
+    "lm_bigram_scores", "dedup_keep_best", "grouped_agg_token_totals",
+    "customer_order_distribution", "waiting_suppliers", "knn_graph",
+    "cohort_retention",
 ]
 
 

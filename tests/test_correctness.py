@@ -33,6 +33,10 @@ def test_checked_window_is_all_oracle_backed():
     missing = [n for n in first_50 if n not in ORACLES]
     assert missing == []
     assert len(set(entrymod._CHECK_FIRST)) == len(entrymod._CHECK_FIRST)
+    # the list must sit EXACTLY at the window cap: one more append would
+    # silently evict a checked entry with every other test still green
+    assert len(entrymod._CHECK_FIRST) == 50
+    assert first_50 == entrymod._CHECK_FIRST
 
 
 def test_user_event_sequence_pandas_twin(spark):

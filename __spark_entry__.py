@@ -600,6 +600,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
         "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
+        "vocab_build": lambda s, d: TX.vocab_build(
+            load_table(s, d, "documents")),
         # grouped-agg pandas_udf surface (integer-exact body)
         "grouped_agg_token_totals": lambda s, d: G.grouped_agg_token_totals(
             load_table(s, d, "documents")),
@@ -680,6 +682,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.to_media_table(load_table(s, d, "documents"))
         ).select("media_id", "n_bytes_in", "n_bytes_out"),
         "media_byte_features": lambda s, d: MM.byte_features(
+            MM.to_media_table(load_table(s, d, "documents"))),
+        "audio_windows": lambda s, d: MM.audio_windows(
             MM.to_media_table(load_table(s, d, "documents"))),
         "video_frame_offsets": lambda s, d: MM.frame_offsets(
             MM.to_media_table(load_table(s, d, "documents"))),
@@ -1485,6 +1489,22 @@ def oracle_sql() -> dict[str, str]:
             0, greatest(CAST(floor(n_bytes / 256) AS INTEGER) - 1, 0), 2
           )) AS frame_no) fr
     """
+    # audio_windows: win = 8000*25//1000*1 = 200 bytes, hop = 80
+    sql["audio_windows"] = """
+        WITH auds AS (
+          SELECT doc_id AS media_id,
+                 octet_length(CAST(text AS BLOB)) AS n_bytes
+          FROM documents WHERE doc_id % 3 = 1
+        )
+        SELECT media_id, CAST(win_no AS INTEGER) AS win_no,
+               win_no * 80 AS byte_start,
+               CAST(200 AS BIGINT) AS byte_len
+        FROM auds, LATERAL (
+          SELECT unnest(generate_series(
+            0, CAST(floor((n_bytes - 200) / 80) AS INTEGER)
+          )) AS win_no) w
+        WHERE n_bytes >= 200
+    """
     # Streamed pipelines reuse the batch operators, so stream/batch
     # equivalence means they share the batch oracles verbatim.
     sql["top3_products_sql"] = """
@@ -1692,6 +1712,25 @@ def oracle_sql() -> dict[str, str]:
               < (CASE WHEN lang = 'fr' THEN 400
                       WHEN lang = 'en' THEN 50
                       ELSE 150 END)
+    """
+    sql["vocab_build"] = """
+        WITH counts AS (
+          SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        c AS (SELECT token, COUNT(*) AS cnt FROM counts GROUP BY token),
+        t AS (SELECT SUM(cnt) AS total FROM c),
+        ranked AS (
+          SELECT token, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                      AS INTEGER) AS rank,
+                 CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   AS cum
+          FROM c
+        )
+        SELECT token, cnt, rank, cum / t.total AS cum_coverage
+        FROM ranked, t WHERE rank <= 100
     """
     sql["grouped_agg_token_totals"] = """
         SELECT lang,

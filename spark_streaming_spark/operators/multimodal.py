@@ -256,3 +256,42 @@ def frame_offsets(media: DataFrame, frame_step: int = 2,
             (F.col("frame_no") * F.lit(bytes_per_frame)).cast("long").alias("byte_offset"),
         )
     )
+
+
+def audio_windows(media: DataFrame, sample_rate: int = 8000,
+                  bytes_per_sample: int = 1, win_ms: int = 25,
+                  hop_ms: int = 10) -> DataFrame:
+    """Audio frame windowing arithmetic (the STFT/feature-extraction
+    front-end layout): for each audio payload, one row per analysis
+    window of ``win_ms`` every ``hop_ms`` — byte ranges a real DSP
+    kernel would read. REAL computation (pure Column exprs; the window
+    count formula floor((n_samples - win) / hop) + 1 is the standard
+    framing identity, shared with the SQL oracle). Payloads shorter than
+    one window produce no rows. Columns: media_id, win_no, byte_start,
+    byte_len.
+
+    Scale: filter on mime hits the scan; explode is map-only over
+    metadata (n_bytes) — the payload column is never read, so the scan
+    stays narrow until a decode stage actually consumes bytes."""
+    win_bytes = sample_rate * win_ms // 1000 * bytes_per_sample
+    hop_bytes = sample_rate * hop_ms // 1000 * bytes_per_sample
+    n_windows = (
+        F.floor((F.col("n_bytes") - win_bytes) / hop_bytes).cast("int") + 1
+    )
+    return (
+        media.filter(
+            (F.col("mime") == "audio/wav") & (F.col("n_bytes") >= win_bytes)
+        )
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), n_windows - 1)
+            ).alias("win_no"),
+        )
+        .select(
+            "media_id",
+            "win_no",
+            (F.col("win_no") * hop_bytes).cast("long").alias("byte_start"),
+            F.lit(win_bytes).cast("long").alias("byte_len"),
+        )
+    )

@@ -130,3 +130,40 @@ def fingerprint_dupes(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def vocab_build(docs: DataFrame, n: int = 100) -> DataFrame:
+    """Tokenizer vocabulary construction: the top-``n`` tokens by corpus
+    frequency with each prefix's cumulative corpus coverage — the curve
+    that decides a tokenizer's vocab size ("how many entries until 99%
+    of the stream is covered"). Columns: token, cnt, rank, cum_coverage.
+
+    Scale shape, in order: explode + groupBy(token) with map-side
+    partial aggregation (the only pass over the corpus); top-n via
+    orderBy+limit — TakeOrderedAndProject, so the full vocabulary is
+    never globally sorted or collected; the cumulative sum then runs on
+    the n-row result, where the unpartitioned window's single-partition
+    exchange is n rows, not the vocabulary. The corpus token total rides
+    in as a broadcast 1-row scalar. Rank ties break on the token string
+    so both engines agree."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    topn = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        topn.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_coverage",
+            (F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("double") / F.col("total")),
+        )
+        .select("token", "cnt", "rank", "cum_coverage")
+    )

@@ -61,3 +61,23 @@ def test_fake_resize_binary_roundtrip(spark):
         assert bytes(r.payload_out) == b[::4]
         assert r.n_bytes_in == len(b)
         assert r.n_bytes_out == len(b[::4])
+
+
+def test_audio_windows_framing_identity(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    media = MM.to_media_table(docs)
+    out = MM.audio_windows(media)
+    rows = out.collect()
+    assert rows, "fixture must contain audio payloads >= one window"
+    sizes = {r.media_id: r.n_bytes for r in media.collect()}
+    import collections
+    per = collections.Counter(r.media_id for r in rows)
+    for mid, n_wins in per.items():
+        n = sizes[mid]
+        # framing identity: floor((n - win) / hop) + 1
+        assert n_wins == (n - 200) // 80 + 1
+    for r in rows:
+        # windows start on hop boundaries and fit the payload fully
+        # (win_no <= (n - win) // hop guarantees no overrun)
+        assert r.byte_start % 80 == 0
+        assert r.byte_start + r.byte_len <= sizes[r.media_id]

@@ -57,3 +57,24 @@ def test_bpe_token_stats(spark, duck):
     out = bpe_token_stats(docs)
     assert out.filter("n_bpe_tokens < n_ws_tokens").count() == 0
     assert_matches_oracle(out, duck, E.oracle_sql()["bpe_token_stats"])
+
+
+def test_vocab_build_coverage_curve(spark):
+    from spark_streaming_spark.operators.textstats import vocab_build
+    from spark_streaming_spark.plans import explain
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = vocab_build(docs, n=20).collect()
+    assert len(out) == 20
+    # ranks are 1..50, counts non-increasing, coverage strictly increasing
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, 21))
+    cnts = [r.cnt for r in by_rank]
+    assert cnts == sorted(cnts, reverse=True)
+    covs = [r.cum_coverage for r in by_rank]
+    assert all(b > a for a, b in zip(covs, covs[1:]))
+    assert 0 < covs[-1] <= 1.0
+    # scale posture: top-n is TakeOrderedAndProject, count partial-aggs
+    df = vocab_build(docs)
+    assert explain.has_take_ordered(df)
+    assert explain.has_partial_aggregate(df)

@@ -95,6 +95,48 @@ def _t(name: str):
     return load
 
 
+def _synthetic_rollup(spark: SparkSession) -> DataFrame:
+    """Rollup over the custom Python DataSource (sources/pysource.py):
+    per event_type count + decimal-exact value sum. The rows are
+    integer-derived inside the source's executors, so this entry's
+    oracle (range-based SQL) verifies the SOURCE, not just the agg."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.functions.numeric import dsum
+    from spark_streaming_spark.sources import pysource
+
+    df = pysource.load_events(spark, 10000, 8)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum("value", 2).alias("sum_value"),
+        )
+    )
+
+
+def _scd1_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 merge demo over customer: every 7th key gets a balance bump
+    + segment overwrite (update path), every 11th key re-enters with a
+    shifted key (insert path); everything else passes through."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.operators.merge import scd1_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    mod = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+    )
+    ins = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("_new")).alias("c_name"),
+        "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    return scd1_merge(cust, mod.unionByName(ins), "c_custkey")
+
+
 def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
                   output_mode: str = "complete", n_chunks: int = 3,
                   batch_transform=None) -> DataFrame:
@@ -683,6 +725,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("media_id", "n_bytes_in", "n_bytes_out"),
         "media_byte_features": lambda s, d: MM.byte_features(
             MM.to_media_table(load_table(s, d, "documents"))),
+        # custom Python DataSource (pyspark.sql.datasource) — the rollup
+        # runs over rows GENERATED by the source, so its oracle checks
+        # the source layer itself (sources/pysource.py)
+        "synthetic_source_rollup": lambda s, d: _synthetic_rollup(s),
+        # SCD-type-1 keyed merge (operators/merge.py): updates win,
+        # inserts append, base survives — deterministic update/insert
+        # sets derived from customer
+        "scd1_customer_merge": lambda s, d: _scd1_customer_merge(s, d),
         "audio_windows": lambda s, d: MM.audio_windows(
             MM.to_media_table(load_table(s, d, "documents"))),
         "video_frame_offsets": lambda s, d: MM.frame_offsets(
@@ -1488,6 +1538,40 @@ def oracle_sql() -> dict[str, str]:
           SELECT unnest(generate_series(
             0, greatest(CAST(floor(n_bytes / 256) AS INTEGER) - 1, 0), 2
           )) AS frame_no) fr
+    """
+    sql["scd1_customer_merge"] = """
+        WITH mod AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 c_acctbal + 100 AS c_acctbal,
+                 'UPDATED' AS c_mktsegment
+          FROM customer WHERE c_custkey % 7 = 0
+        ),
+        ins AS (
+          SELECT c_custkey + 1000000 AS c_custkey,
+                 c_name || '_new' AS c_name,
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey % 11 = 0
+        ),
+        u AS (SELECT * FROM mod UNION ALL SELECT * FROM ins)
+        SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+               coalesce(u.c_name, b.c_name) AS c_name,
+               coalesce(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+               coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+               coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+        FROM customer b FULL OUTER JOIN u ON b.c_custkey = u.c_custkey
+    """
+    # oracle for the CUSTOM PYTHON SOURCE entry: regenerate the source's
+    # integer-derived rows from range() and roll up identically
+    sql["synthetic_source_rollup"] = """
+        WITH src AS (
+          SELECT i,
+                 ['click', 'view', 'purchase'][(i % 3) + 1] AS event_type,
+                 CAST(i * 37 % 1000 AS DOUBLE) / 10.0 AS value
+          FROM (SELECT unnest(range(0, 10000)) AS i)
+        )
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        FROM src GROUP BY event_type
     """
     # audio_windows: win = 8000*25//1000*1 = 200 bytes, hop = 80
     sql["audio_windows"] = """

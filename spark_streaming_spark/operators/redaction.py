@@ -1,0 +1,91 @@
+"""PII redaction for training corpora: regex scrubbing of emails, phone
+numbers, and IPv4 addresses (north-star extension; no reference twin —
+the reference's only text transform is whitespace split,
+``/root/reference/src/main/java/com/soto/WordCount.java:32-37``).
+
+Every production LLM corpus runs a PII scrub before training (public
+method — e.g. the C4 / Dolma / FineWeb cleaning pipelines all document
+regex-based email/phone/IP removal). The operator is map-only column
+algebra: three ``regexp_replace`` passes plus ``regexp_count`` signals —
+whole-stage codegen, zero shuffles, full column pruning. At 100 TB this
+is a single parquet scan.
+
+Regex dialect note: Spark compiles Java ``java.util.regex``; DuckDB
+compiles RE2. The patterns below deliberately use only the shared subset
+(character classes, bounded repetition, grouping — no backrefs, no
+lookaround) so the DuckDB oracle is bit-identical.
+
+The driver's synthetic ``documents.text`` is word-salad with no PII, so
+a scrub over the raw column would be vacuous (every count 0). The
+*entry* therefore augments the text with deterministic doc_id-derived
+contact strings — the same augmentation expressed in the oracle SQL —
+making the keep/redact classes non-empty while the operator itself stays
+a pure text→text scrub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared Java-regex/RE2 subset (no lookaround, no backrefs).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def augment_with_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic test augmentation: append doc_id-derived contact
+    strings to a subset of documents (doc_id % 3 → email, % 5 → phone,
+    % 7 → IPv4). Pure column algebra with an identical SQL spelling in
+    the oracle — NOT part of the production scrub, which operates on
+    whatever the text column already contains."""
+    did = F.col("doc_id")
+    t = F.col(text_col)
+    t = F.when(
+        did % 3 == 0,
+        F.concat(t, F.lit(" contact user"), did.cast("string"),
+                 F.lit("@example.com")),
+    ).otherwise(t)
+    t = F.when(
+        did % 5 == 0,
+        F.concat(t, F.lit(" call 555-01"),
+                 F.lpad((did % 100).cast("string"), 2, "0"),
+                 F.lit("-4242")),
+    ).otherwise(t)
+    t = F.when(
+        did % 7 == 0,
+        F.concat(t, F.lit(" from 10.0."), (did % 256).cast("string"),
+                 F.lit("."), ((did * 7) % 256).cast("string")),
+    ).otherwise(t)
+    return docs.withColumn(text_col, t)
+
+
+def _scrubbed(t: Column) -> Column:
+    """Three-pass replace, fixed order (emails → phones → IPs) so both
+    engines transform identically."""
+    t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(t, IPV4_RE, "<IP>")
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document redaction signals plus a fingerprint of the redacted
+    text. Columns: doc_id, n_emails, n_phones, n_ips, clean_len,
+    clean_fp (md5 of the scrubbed text — lets the oracle verify the
+    REPLACEMENT byte-for-byte without shipping full text through the
+    compare).
+
+    Map-only; at 100 TB the scrubbed text would be written back to
+    parquet in the same pass (see ``operators/maintenance.py`` for the
+    layout side)."""
+    t = F.col(text_col)
+    clean = _scrubbed(t)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_fp"),
+    )

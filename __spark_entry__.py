@@ -31,6 +31,7 @@ from spark_streaming_spark.operators import ann as ANN
 from spark_streaming_spark.operators import grouped as G
 from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import pipeline as PL
+from spark_streaming_spark.operators import redaction as RED
 from spark_streaming_spark.operators import skew as SK
 from spark_streaming_spark.operators import sketch as SKC
 from spark_streaming_spark.operators import setops as S
@@ -162,8 +163,10 @@ def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
 _CHUNK_CACHE: dict[tuple[str, str, int], str] = {}
 _CHUNK_CACHE_BASE = "/tmp/spark_graft_chunk_cache"
 # bump when the chunk LAYOUT changes (ordering scheme, sentinel shape,
-# file naming) so stale cached dirs from older code can't be replayed
-_CHUNK_FMT = 1
+# file naming, column types) so stale cached dirs from older code can't
+# be replayed. v2: events.ts normalized TIMESTAMP_NTZ→TIMESTAMP at load
+# (sources/batch.py), so chunks written by v1 carry the wrong type.
+_CHUNK_FMT = 2
 
 
 def _persistent_cache_dir(kind: str, sf_dir: str, table: str,
@@ -414,48 +417,38 @@ def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # oracle-backed entries WITHOUT a round-1 driver row (VERDICT list)
-    "dedup_simhash", "simhash_pairs", "dedup_edit_distance",
-    "knn_bruteforce", "similar_pairs_lsh", "label_centroids",
-    "embedding_norms", "token_stats", "quality_scores", "lang_guess",
-    "doc_fingerprints", "fingerprint_dupes",
-    # round-1 hash-fails, oracle types fixed this round
-    "priority_shipping_mix", "inter_arrival_stats",
-    # streaming entries with batch oracles (stream=batch equivalence
-    # finally gets driver signal)
-    "streaming_wordcount", "streaming_blacklist_filter",
-    "streaming_sliding_counts", "streaming_top3_per_window",
-    "streaming_click_purchase_join", "streaming_dedup",
-    "streaming_session_windows", "streaming_daily_rollup",
-    # remaining oracle-backed entries beyond round 1's checked window.
-    # Slots are finite: where a FAMILY shares its core code path, one
-    # member is checked here and the sibling relies on the pytest oracle
-    # sweep (tests/test_correctness.py — every oracle-backed query, run
-    # by the judge) — evicted siblings noted inline.
-    "dedup_embedding_cosine", "click_purchase_conversions",
-    "asof_click_attribution",
-    "top_terms_per_lang",             # term_stats/bpe_token_stats siblings
-    "skew_salted_counts", "skew_salted_join",   # skew_salted_sum sibling
-    "user_activity_profiles", "similar_activity_pairs",
-    "daily_event_rollup",             # monthly_event_stats sibling
-    "mixture_rebalance",              # stratified_sample sibling
-    "daily_user_journeys", "countmin_user_sketch", "multimodal_meta",
-    "dedup_minhash_lsh", "streaming_quality_filter",
-    # round-2 training-pipeline additions (first driver signal)
-    "quality_filter", "repetition_signals", "contamination_check",
-    "pack_sequences",
-    # §2-parity flagships whose implementation CHANGED this round
-    # (prefix-filter jaccard feeds both) — the unchanged round-1-green
-    # flagships (wordcount, top3_*, pricing_summary, session_windows)
-    # yield their slots; their r01 rows stand.  user_event_sequence and
-    # pandas_token_counts yielded too: row_number windows and scalar
-    # pandas_udf are exercised by other checked entries + pytest.
-    "dedup_ngram_jaccard", "dup_components",
-    # round-2 NEW operators: never had any driver row — highest priority
-    # for the checked window
-    "lm_bigram_scores", "dedup_keep_best", "grouped_agg_token_totals",
-    "customer_order_distribution", "waiting_suppliers", "knn_graph",
-    "cohort_retention",
+    # (round 3) the 14 oracle-backed entries that had NEVER been inside
+    # the checked window across r1+r2 (VERDICT.md round-2 list) — after
+    # this round every oracle-backed entry has ≥1 green driver row
+    "scd1_customer_merge", "synthetic_source_rollup", "audio_windows",
+    "video_frame_offsets", "media_resize_meta", "vocab_build",
+    "term_stats", "bpe_token_stats", "user_event_sequence",
+    "pandas_token_counts", "monthly_event_stats", "deterministic_sample",
+    "stratified_sample", "skew_salted_sum",
+    # red in r2, fixed this round: TIMESTAMP_NTZ normalization
+    # (sources/batch.py) and array-output serialization (entries above)
+    "inter_arrival_stats", "streaming_session_windows",
+    "user_activity_profiles", "daily_user_journeys",
+    # NEW round-3 entries: first driver signal
+    "pii_redaction", "sessionize", "rolling_spend_90d",
+    "event_value_histogram",
+    # r1-green veterans not re-checked since round 1 (oldest signal;
+    # the double-green r1+r2 entries — dedup/similarity/text/pipeline/
+    # streaming families — yield their slots and rely on their two green
+    # rows + the pytest oracle sweep)
+    "pricing_summary", "revenue_by_nation", "order_priority_counts",
+    "top_revenue_orders", "lineitem_stats", "returned_items_report",
+    "promo_revenue", "small_qty_part_revenue", "large_volume_orders",
+    "discounted_parts_revenue", "idle_rich_customers",
+    "nation_trade_volume", "market_share", "top_supplier",
+    "running_customer_spend", "customer_balance_quartiles",
+    "value_outliers", "purchase_funnel_daily", "rollup_customer_nations",
+    "grouping_sets_orders", "forecast_revenue_change",
+    "quantity_quantiles",
+    "tumbling_counts", "sliding_counts", "hot_words_per_window",
+    "session_windows", "top3_products_per_brand", "blacklist_left_outer",
+    # (event_type_pivot / distinct_event_pairs / cube_order_status
+    # yielded their slots to the round-3 additions; r1 rows stand)
 ]
 
 
@@ -530,6 +523,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders"), load_table(s, d, "nation")),
         "running_customer_spend": lambda s, d: AN.running_customer_spend(
             load_table(s, d, "orders")),
+        # time-RANGE rolling frame (trailing-90d features) — the frame
+        # shape running_customer_spend's ROWS frame doesn't cover
+        "rolling_spend_90d": lambda s, d: AN.rolling_spend_90d(
+            load_table(s, d, "orders")),
+        # fixed-grid distributed histogram (width_bucket semantics)
+        "event_value_histogram": lambda s, d: AN.event_value_histogram(
+            load_table(s, d, "events")),
         "customer_balance_quartiles": lambda s, d: AN.customer_balance_quartiles(
             load_table(s, d, "customer")),
         "value_outliers": lambda s, d: AN.value_outliers(
@@ -561,6 +561,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": lambda s, d: WIN.sliding_counts(load_table(s, d, "events")),
         "hot_words_per_window": lambda s, d: WIN.hot_words_per_window(load_table(s, d, "events")),
         "session_windows": lambda s, d: WIN.session_windows(load_table(s, d, "events")),
+        # row-level sessionizer: session id ON the event row (lag +
+        # running sum — the twin of session_windows' per-session aggs)
+        "sessionize": lambda s, d: WIN.sessionize(load_table(s, d, "events")),
         "inter_arrival_stats": lambda s, d: WIN.inter_arrival_stats(
             load_table(s, d, "events")),
         # set ops + scalar/JSON surface
@@ -659,6 +662,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "lm_bigram_scores": lambda s, d: PL.lm_bigram_scores(
             load_table(s, d, "documents")),
+        # PII redaction (operators/redaction.py): the synthetic corpus has
+        # no real PII, so the entry augments text with deterministic
+        # doc_id-derived contacts (same augmentation spelled in the
+        # oracle), then scrubs — clean_fp md5 proves the replacement
+        # byte-for-byte
+        "pii_redaction": lambda s, d: RED.pii_scrub(
+            RED.augment_with_pii(load_table(s, d, "documents"))),
         "dedup_keep_best": lambda s, d: DD.dedup_keep_best(
             load_table(s, d, "documents")),
         # skew-aware aggregation (two-phase salted; results identical)
@@ -668,9 +678,17 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), "event_type", "value"),
         # IVF ANN (k-means coarse cells; rows-only — probed search)
         "knn_ivf": lambda s, d: ANN.knn_ivf(load_table(s, d, "embeddings")),
-        # time-series similarity (hour-of-day profiles, peak-hour blocking)
+        # time-series similarity (hour-of-day profiles, peak-hour blocking).
+        # The entry serializes the array profile to "c0|c1|..." — the
+        # driver's canonicalizer sorts rows via pandas and cannot hash
+        # list cells (round-2 red row); counts are integers so the
+        # bigint→string rendering is engine-identical.
         "user_activity_profiles": lambda s, d: TS.user_hourly_profiles(
-            load_table(s, d, "events")),
+            load_table(s, d, "events")).withColumn(
+                "profile",
+                F.concat_ws("|", F.expr(
+                    "transform(profile,"
+                    " x -> cast(cast(x as bigint) as string))"))),
         # threshold 0.7, not the semantic default 0.9: driver users have
         # near-uniform hourly profiles (max blocked-pair cosine ≈ 0.8 at
         # sf0.01), so 0.9 would hash-match on empty sets — vacuous
@@ -712,8 +730,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         "pandas_token_counts": lambda s, d: G.pandas_token_counts(
             load_table(s, d, "documents")),
+        # journey serialized "a>b>c" for the same canonicalizer reason
+        # (event_type values contain no '>')
         "daily_user_journeys": lambda s, d: G.daily_user_journeys(
-            load_table(s, d, "events")),
+            load_table(s, d, "events")).withColumn(
+                "journey", F.concat_ws(">", "journey")),
         # Count-Min sketch (fixed-size frequency summary; md5-derived
         # buckets so the grid is deterministic and oracle-checkable)
         "countmin_user_sketch": lambda s, d: SKC.countmin_build(
@@ -1622,7 +1643,11 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["user_activity_profiles"] = f"""
         WITH {_PROF_CTE}
-        SELECT user_id, profile, peak_hour FROM tagged
+        SELECT user_id,
+               array_to_string(list_transform(profile,
+                   x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), '|') AS profile,
+               peak_hour
+        FROM tagged
     """
     sql["similar_activity_pairs"] = f"""
         WITH {_PROF_CTE},
@@ -1858,7 +1883,8 @@ def oracle_sql() -> dict[str, str]:
     sql["daily_user_journeys"] = """
         SELECT user_id,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               list(event_type ORDER BY ts, event_id) AS journey,
+               array_to_string(list(event_type ORDER BY ts, event_id), '>')
+                 AS journey,
                count(*) AS n_steps
         FROM events
         GROUP BY 1, 2
@@ -1884,6 +1910,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
         FROM gaps WHERE gap_us IS NOT NULL
         GROUP BY user_id
+    """
+    sql["sessionize"] = """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CASE WHEN prev_us IS NULL
+                              OR epoch_us(ts) - prev_us > 300000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS INTEGER)
+                 AS session_seq
+        FROM (
+          SELECT event_id, user_id, ts,
+                 lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events
+        )
+    """
+    sql["rolling_spend_90d"] = """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               COUNT(*) OVER w AS n_orders_90d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER w
+                    AS DOUBLE) AS spend_90d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                     RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+    """
+    sql["event_value_histogram"] = """
+        SELECT event_type,
+               CAST(CASE WHEN value < 0.0 THEN 0
+                         WHEN value >= 500.0 THEN 21
+                         ELSE CAST(floor((value - 0.0) / 25.0) AS INTEGER) + 1
+                    END AS INTEGER) AS bucket,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
     """
     sql["quantity_quantiles"] = """
         SELECT l_returnflag,
@@ -2066,6 +2126,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(p AS DECIMAL(38,7))) AS DOUBLE) / COUNT(*)
                  AS avg_condp
         FROM p GROUP BY doc_id
+    """
+    # PII scrub: augmentation (identical to redaction.augment_with_pii)
+    # then the 3-pass regex scrub. DuckDB regexp_replace needs the 'g'
+    # flag for replace-all (Spark's replaces all by default); the regexes
+    # use only the Java-regex/RE2 shared subset so both engines match
+    # identically.
+    sql["pii_redaction"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN t2 || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      ELSE t2 END AS text
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN t1 || ' call 555-01'
+                             || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                             || '-4242'
+                        ELSE t1 END AS t2
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' contact user'
+                               || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE text END AS t1
+              FROM documents))
+        ),
+        scrub AS (
+          SELECT doc_id, text,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                    '{RED.EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{RED.PHONE_RE}', '<PHONE>', 'g'),
+                    '{RED.IPV4_RE}', '<IP>', 'g') AS clean
+          FROM aug
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{RED.EMAIL_RE}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{RED.PHONE_RE}')) AS BIGINT)
+                 AS n_phones,
+               CAST(len(regexp_extract_all(text, '{RED.IPV4_RE}')) AS BIGINT)
+                 AS n_ips,
+               CAST(strlen(clean) AS BIGINT) AS clean_len,
+               md5(clean) AS clean_fp
+        FROM scrub
     """
     sql["dedup_keep_best"] = f"""
         WITH RECURSIVE {_SHINGLES_CTE},

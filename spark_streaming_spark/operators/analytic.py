@@ -144,3 +144,55 @@ def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+def rolling_spend_90d(orders: DataFrame, days: int = 90) -> DataFrame:
+    """Time-RANGE rolling window: for each order, the customer's order
+    count and decimal-exact spend over the preceding ``days`` (inclusive
+    of the current date). Completes the frame surface — running_customer_
+    spend is a ROWS frame; this is a RANGE frame over event time, the
+    shape behind "activity in the trailing N days" features.
+
+    Spark has no interval RANGE frames, so the ORDER BY key is epoch
+    SECONDS (timestamp→long cast) with a numeric rangeBetween — exactly
+    what the engine would do internally; the oracle spells the same
+    frame over epoch seconds. RANGE includes full tie groups on both
+    ends, so same-date orders see identical frames regardless of
+    physical row order → deterministic without a unique tiebreak.
+    One shuffle on o_custkey. Columns: o_orderkey, o_custkey,
+    o_orderdate, n_orders_90d, spend_90d."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.count("*").over(w).alias("n_orders_90d"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .over(w).cast("double").alias("spend_90d"),
+    )
+
+
+def event_value_histogram(events: DataFrame, lo: float = 0.0,
+                          hi: float = 500.0, nbins: int = 20) -> DataFrame:
+    """Fixed-grid histogram per event_type (width_bucket semantics) — the
+    distributed histogram primitive: one scan, one partial-aggregated
+    groupBy; the result is ≤ nbins+2 cells per key (bucket 0 =
+    underflow, nbins+1 = overflow) no matter how many rows feed it, so
+    at 100 TB the shuffle carries only the grid. The bucket expression
+    is spelled as explicit double arithmetic rather than Spark's
+    ``width_bucket`` builtin because DuckDB lacks that function — the
+    floor/divide ops are bit-identical IEEE doubles on both engines.
+    Columns: event_type, bucket, n_events."""
+    width = (hi - lo) / nbins
+    v = F.col("value")
+    bucket = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(nbins + 1))
+        .otherwise(F.floor((v - lo) / F.lit(width)).cast("int") + 1)
+    )
+    return (
+        events.groupBy("event_type", bucket.cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n_events"))
+    )

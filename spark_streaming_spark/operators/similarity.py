@@ -275,7 +275,9 @@ def knn_graph(embeddings: DataFrame, k: int = 5,
 
 
 def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
-                  n_tables: int = 12) -> DataFrame:
+                  n_tables: int = 12,
+                  max_bucket: int | None = 192,
+                  dense_fallback_pairs: int = 8_000_000) -> DataFrame:
     """Approximate kNN graph — the 100 TB path: candidates from the K
     hyperplane tables (bucket-local joins only), exact decimal cosine on
     candidates, per-vector top-k. A vector's returned neighbors are a
@@ -297,13 +299,74 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
     Short codes mean MANY candidates (every bucket pair survives — there
     is no threshold to discard against), so candidate scoring uses the
     scaled-integer contract, not the decimal one: same determinism,
-    ~10× cheaper per pair (56s → 7s at sf0.1 for the identical graph)."""
+    ~10× cheaper per pair (56s → 7s at sf0.1 for the identical graph).
+
+    ``max_bucket`` bounds the per-(table, bucket) quadratic: buckets
+    wider than the cap are deterministically SUB-SAMPLED to ``max_bucket``
+    members (rank by xxhash64(vec_id, tbl, bk) — a different random
+    subset per table, so a vector dropped from a dense bucket in one
+    table still pairs through its buckets in the other tables). Without
+    the cap one dense semantic cluster — the normal case in a real
+    corpus — makes a single bucket quadratic in the cluster size at
+    100× scale; with it, candidate count is ≤ K·B·max_bucket²/2
+    regardless of skew, and recall degrades smoothly (pinned in
+    tests/test_similarity_graph.py).
+
+    Cost-based strategy pick (AQE-spirit: choose the physical plan from
+    statistics): at 4 bits the K tables leave >50% of ALL pairs as
+    candidates on a small corpus, so the LSH machinery (explode, bucket
+    join, distinct, two join-backs) costs MORE than scoring every pair
+    map-side off a broadcast. When n² ≤ ``dense_fallback_pairs`` the
+    operator therefore takes the dense path — same scoring contract,
+    same schema, recall 1 — and LSH engages only where it prunes. The
+    count() consulted is parquet-footer metadata, one driver round-trip,
+    exactly the stats Catalyst itself plans from. Pass
+    ``dense_fallback_pairs=0`` to force the LSH path (the recall tests
+    do)."""
     from pyspark.sql.window import Window
 
-    planes = hyperplanes(n_tables, bits)
     staged = embeddings.select(
         "vec_id", scaled_vec_expr("embedding").alias("sv")
     ).withColumn("n2", int_dot_expr("sv", "sv"))
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr").asc()
+    )
+    if dense_fallback_pairs:
+        n = embeddings.count()
+        if n * n <= dense_fallback_pairs:
+            rhs = staged.select(F.col("vec_id").alias("vec_b"),
+                                F.col("sv").alias("sb"),
+                                F.col("n2").alias("nb"))
+            # the map-only probe side inherits the parquet scan's 1-2
+            # partitions — spread the n·(n-1)/2 dot products over the
+            # cluster (the repartition shuffles only n slim rows)
+            probe = staged.repartition(
+                embeddings.sparkSession.sparkContext.defaultParallelism
+            )
+            pairs = (
+                probe.crossJoin(F.broadcast(rhs))
+                .filter(F.col("vec_id") < F.col("vec_b"))
+                .select(
+                    F.col("vec_id").alias("vec_a"), "vec_b",
+                    int_cosine(
+                        int_dot_expr("sv", "sb"), F.col("n2"), F.col("nb")
+                    ).alias("cosine"),
+                )
+            )
+            sym = pairs.select(
+                F.col("vec_a").alias("vec_id"),
+                F.col("vec_b").alias("nbr"), "cosine",
+            ).union(pairs.select(
+                F.col("vec_b").alias("vec_id"),
+                F.col("vec_a").alias("nbr"), "cosine",
+            ))
+            return (
+                sym.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+            )
+
+    planes = hyperplanes(n_tables, bits)
     tagged = staged.select(
         "vec_id", "sv", "n2",
         *[hyperplane_bucket("sv", planes[t]).alias(f"bk{t}")
@@ -314,6 +377,17 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
         F.posexplode(F.array(*[f"bk{t}" for t in range(n_tables)]))
         .alias("tbl", "bk"),
     )
+    if max_bucket is not None:
+        # shuffles on (tbl, bk) — the same key the candidate join hashes
+        # on, so the extra exchange is one pass over K·N slim rows
+        wb = Window.partitionBy("tbl", "bk").orderBy(
+            F.xxhash64("vec_id", "tbl", "bk"), F.col("vec_id")
+        )
+        slim = (
+            slim.withColumn("_r", F.row_number().over(wb))
+            .filter(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
     a, b = slim.alias("a"), slim.alias("b")
     cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
@@ -341,9 +415,6 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
     ).union(pairs.select(
         F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nbr"), "cosine"
     ))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("nbr").asc()
-    )
     return (
         sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

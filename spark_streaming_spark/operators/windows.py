@@ -94,6 +94,35 @@ def inter_arrival_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Per-EVENT session assignment (the row-level twin of
+    :func:`session_windows`, which only emits per-session aggregates):
+    an event starts a new session when the gap to the user's previous
+    event exceeds ``gap_minutes``; ``session_seq`` is the running count
+    of session starts — the classic lag + cumulative-sum sessionizer
+    every clickstream pipeline needs when downstream operators want the
+    session id ON the event row (funnels, per-session features).
+
+    One shuffle on user_id; both windows share the same (user_id | ts,
+    event_id) sort, so Catalyst plans a single exchange + sort. Exact
+    integer microsecond comparison — no float drift.
+    Columns: event_id, user_id, ts, session_seq."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = (
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - prev) > F.lit(gap_us))
+    ).cast("int")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return events.select(
+        "event_id", "user_id", "ts",
+        F.sum(new_sess).over(run).cast("int").alias("session_seq"),
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Session windows per user: events closer than ``gap`` merge.
     A capability beyond the reference (DStreams have no session concept).

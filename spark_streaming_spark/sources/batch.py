@@ -49,10 +49,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             # integer DIV: `/` would go through double and lose precision
             # on 1e18-magnitude nano values (> 2^53)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # Depending on parquet logical-type annotations the same column
+            # can arrive as TIMESTAMP_NTZ, which unix_micros()/withWatermark
+            # reject. The driver data carries no zone, so reinterpreting the
+            # wall-clock instant as UTC TIMESTAMP is lossless and matches
+            # what DuckDB reports for the same files.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -222,3 +222,35 @@ def test_mixture_rebalance_broadcasts_rates(spark):
                                   "fr": 150000, "zh": 150000})
     assert explain.has_broadcast_join(df)
     assert not explain.has_cartesian_product(df)
+
+
+def test_sessionize_single_exchange_and_sort(spark):
+    """The lag window and the running-sum window share (user_id | ts,
+    event_id) — Catalyst must plan ONE exchange + ONE sort, not two."""
+    from spark_streaming_spark.operators import windows as WIN
+
+    plan = explain.explain_text(
+        WIN.sessionize(load_table(spark, SF_DIR, "events")), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") + plan.count("Sort[") <= 2  # one sort node
+
+
+def test_rolling_spend_single_exchange(spark):
+    from spark_streaming_spark.operators import analytic as AN
+
+    plan = explain.explain_text(
+        AN.rolling_spend_90d(load_table(spark, SF_DIR, "orders")), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_histogram_partial_agg_fixed_grid(spark):
+    """Histogram must partial-aggregate map-side: the shuffle carries the
+    (key × bucket) grid, never the raw rows."""
+    from spark_streaming_spark.operators import analytic as AN
+
+    plan = explain.explain_text(
+        AN.event_value_histogram(load_table(spark, SF_DIR, "events")),
+        "simple")
+    assert plan.count("Exchange") == 1, plan
+    # partial then final aggregate around the exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange")

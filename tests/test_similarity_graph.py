@@ -33,8 +33,11 @@ def test_knn_graph_lsh_recall(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     exact = {(r.vec_id, r.nbr) for r in SIM.knn_graph(emb, k=5).collect()}
     # the LSH tier covers ALL vectors; measure recall on the query sample
+    # (dense_fallback_pairs=0 forces the LSH path — the fixture is small
+    # enough that the cost-based pick would otherwise go dense)
     approx = {(r.vec_id, r.nbr)
-              for r in SIM.knn_graph_lsh(emb, k=5).collect()
+              for r in SIM.knn_graph_lsh(
+                  emb, k=5, dense_fallback_pairs=0).collect()
               if r.vec_id % 10 == 0}
     # candidates are exact-scored, so approx edges at a given rank are
     # true-cosine-ordered; recall of the exact edge set must be high on
@@ -42,3 +45,39 @@ def test_knn_graph_lsh_recall(spark):
     # docstring for why the kNN-graph regime is short-code/many-table)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"kNN-graph LSH recall degraded: {recall:.3f}"
+
+
+def test_knn_graph_lsh_bucket_cap(spark):
+    """With a cap that BINDS on the fixture (avg bucket ≈ 31 at 4 bits
+    over 500 vectors), the graph stays well-formed and recall degrades
+    smoothly, not to zero — the skew-survival property the 100 TB path
+    depends on (one dense semantic cluster must not go quadratic)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {(r.vec_id, r.nbr) for r in SIM.knn_graph(emb, k=5).collect()}
+    capped = SIM.knn_graph_lsh(emb, k=5, max_bucket=20,
+                               dense_fallback_pairs=0)
+    rows = capped.collect()
+    approx = {(r.vec_id, r.nbr) for r in rows if r.vec_id % 10 == 0}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.35, f"capped recall collapsed: {recall:.3f}"
+    # ranks stay dense 1..k' per vector, no self-edges
+    per_vec = {}
+    for r in rows:
+        assert r.vec_id != r.nbr
+        per_vec.setdefault(r.vec_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_vec.values())
+
+
+def test_knn_graph_lsh_dense_path_is_exact(spark):
+    """Below the dense_fallback threshold the cost-based pick scores all
+    pairs off a broadcast: on the query sample the result must EQUAL the
+    exact broadcast-NL ground truth (recall 1), and the plan must carry
+    no shuffle before the top-k window."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {(r.vec_id, r.nbr) for r in SIM.knn_graph(emb, k=5).collect()}
+    dense = SIM.knn_graph_lsh(emb, k=5)  # fixture n=500 → dense path
+    got = {(r.vec_id, r.nbr) for r in dense.collect() if r.vec_id % 10 == 0}
+    assert got == exact
+    plan = dense._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan

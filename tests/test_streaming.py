@@ -536,3 +536,40 @@ def test_interval_trigger_stability(spark, tmp_path):
     )
     assert report["stable"], report
     assert report["total_input_rows"] > 0
+
+
+def test_processing_time_window_parity(spark):
+    """PROCESSING-TIME parity mode end-to-end (reference semantics:
+    reduceByKeyAndWindow over ARRIVAL-time batches, WindowHotWord.java:
+    52-57): replay events as micro-batches, stamp arrival time with
+    sources.with_processing_time, and window on proc_ts. Arrival-time
+    results are inherently non-reproducible run-to-run, so the assertion
+    is conservation + shape: every input row lands in exactly one
+    tumbling arrival window, keyed counts sum to the batch totals, and
+    the window column derives from proc_ts (not the event-time ts)."""
+    from spark_streaming_spark.streaming import sources
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type")
+    chunk_dir = replay.chunk_to_dir(events, 3)
+    try:
+        stream = sources.with_processing_time(
+            replay.stream_from_dir(spark, chunk_dir))
+        counted = (
+            stream.groupBy(
+                F.window("proc_ts", "10 seconds").alias("win"), "event_type")
+            .count()
+        )
+        out = replay.run_to_memory(counted, "complete", state_partitions=4)
+        got = out.groupBy("event_type").agg(
+            F.sum("count").alias("n")).collect()
+        want = {r.event_type: r["count"]
+                for r in events.groupBy("event_type").count().collect()}
+        assert {r.event_type: r.n for r in got} == want
+        # window bounds must be wall-clock (today), not the 1996-era
+        # synthetic event time — proves the window keyed on arrival time
+        import datetime
+        for r in out.select("win").limit(5).collect():
+            assert r.win.start.year >= 2020
+    finally:
+        replay.cleanup(chunk_dir)

@@ -10,7 +10,10 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 
 
 def test_profiles_match_oracle(spark, duck):
-    out = TS.user_hourly_profiles(load_table(spark, SF_DIR, "events"))
+    # the entry serializes the array profile ("c0|c1|...") so the
+    # driver's pandas canonicalizer can hash it — compare the entry
+    # spelling, not the raw operator (whose array output it wraps)
+    out = E.queries()["user_activity_profiles"](spark, SF_DIR)
     assert_matches_oracle(out, duck, E.oracle_sql()["user_activity_profiles"])
 
 

@@ -431,13 +431,13 @@ _CHECK_FIRST = [
     "user_activity_profiles", "daily_user_journeys",
     # NEW round-3 entries: first driver signal
     "pii_redaction", "sessionize", "rolling_spend_90d",
-    "event_value_histogram",
+    "event_value_histogram", "streaming_histogram",
     # r1-green veterans not re-checked since round 1 (oldest signal;
     # the double-green r1+r2 entries — dedup/similarity/text/pipeline/
     # streaming families — yield their slots and rely on their two green
     # rows + the pytest oracle sweep)
     "pricing_summary", "revenue_by_nation", "order_priority_counts",
-    "top_revenue_orders", "lineitem_stats", "returned_items_report",
+    "top_revenue_orders", "returned_items_report",
     "promo_revenue", "small_qty_part_revenue", "large_volume_orders",
     "discounted_parts_revenue", "idle_rich_customers",
     "nation_trade_volume", "market_share", "top_supplier",
@@ -629,6 +629,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # state equals the batch rollup (shared oracle)
         "streaming_daily_rollup": lambda s, d: _run_streamed(
             s, d, "events", RA.daily_event_rollup, "complete"),
+        # the fixed-grid histogram maintained CONTINUOUSLY: same operator
+        # fn as a streaming aggregation on a derived (computed-bucket)
+        # key; final state equals the batch grid (shared oracle)
+        "streaming_histogram": lambda s, d: _run_streamed(
+            s, d, "events", AN.event_value_histogram, "complete"),
         # stream-stream join semantics, batch-planned (same operator fn)
         "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events")),
@@ -1979,6 +1984,8 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_dedup"] = """
         SELECT event_id, user_id, event_type FROM events
     """
+    # continuously-maintained histogram converges to the batch grid
+    sql["streaming_histogram"] = sql["event_value_histogram"]
     sql["click_purchase_conversions"] = """
         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
                c.ts AS click_ts, p.ts AS purchase_ts

@@ -431,7 +431,8 @@ _CHECK_FIRST = [
     "user_activity_profiles", "daily_user_journeys",
     # NEW round-3 entries: first driver signal
     "pii_redaction", "sessionize", "rolling_spend_90d",
-    "event_value_histogram", "streaming_histogram",
+    "event_value_histogram", "streaming_histogram", "embedding_quantize",
+    "centroid_assign",
     # r1-green veterans not re-checked since round 1 (oldest signal;
     # the double-green r1+r2 entries — dedup/similarity/text/pipeline/
     # streaming families — yield their slots and rely on their two green
@@ -442,8 +443,8 @@ _CHECK_FIRST = [
     "discounted_parts_revenue", "idle_rich_customers",
     "nation_trade_volume", "market_share", "top_supplier",
     "running_customer_spend", "customer_balance_quartiles",
-    "value_outliers", "purchase_funnel_daily", "rollup_customer_nations",
-    "grouping_sets_orders", "forecast_revenue_change",
+    "value_outliers", "purchase_funnel_daily",
+    "forecast_revenue_change",
     "quantity_quantiles",
     "tumbling_counts", "sliding_counts", "hot_words_per_window",
     "session_windows", "top3_products_per_brand", "blacklist_left_outer",
@@ -611,6 +612,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": lambda s, d: SIM.label_centroids(
             load_table(s, d, "embeddings")),
         "embedding_norms": lambda s, d: SIM.embedding_norms(
+            load_table(s, d, "embeddings")),
+        # INT8 storage quantization (serving-size vectors); qvec
+        # serialized for the driver canonicalizer
+        "embedding_quantize": lambda s, d: SIM.embedding_quantize(
+            load_table(s, d, "embeddings")),
+        # nearest-centroid assignment (k-means assignment step):
+        # broadcast centroid table, map-side argmin
+        "centroid_assign": lambda s, d: SIM.centroid_assign(
             load_table(s, d, "embeddings")),
         # structured streaming (replayed as bounded multi-batch streams;
         # results must equal the batch oracles — stream/batch equivalence)
@@ -2047,6 +2056,62 @@ def oracle_sql() -> dict[str, str]:
         FROM prods
         WHERE CAST(dot AS DOUBLE)
                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+    """
+    # INT8 quantization: max/divide/round are shared single IEEE ops;
+    # round() ties go away from zero on both engines → identical codes
+    sql["embedding_quantize"] = """
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id, scale, embedding,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
+                   AS qv
+          FROM s
+        ),
+        err AS (
+          SELECT vec_id,
+                 max(abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale))
+                   AS max_abs_err
+          FROM q, (SELECT unnest(range(1, 65)) AS i) ii
+          GROUP BY vec_id
+        )
+        SELECT q.vec_id, q.scale,
+               array_to_string(list_transform(qv,
+                   v -> CAST(v AS VARCHAR)), '|') AS qvec,
+               err.max_abs_err
+        FROM q JOIN err ON q.vec_id = err.vec_id
+    """
+    # nearest-centroid: centroid doubles are decimal-mean exact (the
+    # label_centroids contract); per-dim squared deltas rounded to 7 dp
+    # and decimal-summed → order-independent, engine-identical dist2
+    sql["centroid_assign"] = """
+        WITH cent AS (
+          SELECT label AS c_label, i,
+                 CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 7)
+                          AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS c
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+          GROUP BY label, i
+        ),
+        dists AS (
+          SELECT e.vec_id, e.label, c.c_label,
+                 CAST(SUM(CAST(ROUND(
+                      (CAST(e.embedding[c.i] AS DOUBLE) - c.c)
+                    * (CAST(e.embedding[c.i] AS DOUBLE) - c.c), 7)
+                      AS DECIMAL(38,8))) AS DOUBLE) AS dist2
+          FROM embeddings e CROSS JOIN cent c
+          GROUP BY e.vec_id, e.label, c.c_label
+        )
+        SELECT vec_id, label, c_label AS assigned_label, dist2
+        FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+          FROM dists
+        ) WHERE rn = 1
     """
     sql["quality_filter"] = f"""
         WITH t AS (

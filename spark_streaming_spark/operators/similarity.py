@@ -207,6 +207,44 @@ def similar_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     )
 
 
+def embedding_quantize(embeddings: DataFrame) -> DataFrame:
+    """INT8 symmetric per-vector quantization — the standard storage/
+    memory reduction step before ANN serving (4× smaller than float32;
+    public method, used by every vector database). scale = max|x|/127;
+    q_i = round(x_i / scale) ∈ [-127, 127]. Map-only column algebra:
+    one scan, no shuffle, whole-stage codegen.
+
+    Determinism contract: max/divide/round are single IEEE-double ops
+    both engines share; round() ties go away from zero in Spark
+    (HALF_UP) and DuckDB alike, so the int codes are bit-identical.
+    The quantized vector is serialized "q0|q1|..." (the driver's
+    canonicalizer cannot hash arrays) and ``max_abs_err`` reports the
+    per-vector reconstruction bound — by construction ≤ scale/2, which
+    the tests pin. Columns: vec_id, scale, qvec, max_abs_err."""
+    staged = embeddings.select(
+        "vec_id", "embedding",
+        (
+            F.expr("array_max(transform(embedding,"
+                   " x -> abs(cast(x as double))))") / F.lit(127.0)
+        ).alias("scale"),
+    )
+    quant = staged.select(
+        "vec_id", "embedding", "scale",
+        F.expr("transform(embedding,"
+               " x -> cast(round(cast(x as double) / scale) as int))")
+        .alias("qv"),
+    )
+    return quant.select(
+        "vec_id", "scale",
+        F.concat_ws(
+            "|", F.expr("transform(qv, v -> cast(v as string))")
+        ).alias("qvec"),
+        F.expr("array_max(zip_with(embedding, qv,"
+               " (x, q) -> abs(cast(x as double) - q * scale)))")
+        .alias("max_abs_err"),
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid in long form: (label, dim, centroid) — the
     distributed layout for mean vectors (posexplode → groupBy(label, dim)).
@@ -219,6 +257,51 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         .cast("double") / F.count("x")
     )
     return long_form.groupBy("label", "dim").agg(mean.alias("centroid"))
+
+
+def centroid_assign(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment — the k-means assignment step /
+    nearest-centroid classifier: each vector labeled with the label
+    whose centroid is closest in squared L2. Plan: centroids from
+    :func:`label_centroids` (one shuffle over the long form), gathered
+    to one array per label and BROADCAST (the centroid table is tiny —
+    |labels| rows — at any corpus size); the assignment itself is a
+    map-side crossJoin + per-vector argmin, so the big side never
+    shuffles on anything but the final row_number over vec_id.
+
+    Distance under the decimal contract: each (x_i - c_i)² is rounded
+    to 7 dp and summed as DECIMAL(38,8) (order-independent, engine-
+    identical); the centroid doubles themselves are decimal-mean exact
+    (label_centroids). Ties break on label ascending.
+    Columns: vec_id, label (true), assigned_label, dist2."""
+    from pyspark.sql.window import Window
+
+    carr = (
+        label_centroids(embeddings)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid")))
+             .alias("arr"))
+        .select(F.col("label").alias("c_label"),
+                F.expr("transform(arr, x -> x.centroid)").alias("cvec"))
+    )
+    d2 = F.expr(
+        "cast(aggregate(zip_with(embedding, cvec,"
+        " (x, c) -> cast(round((cast(x as double) - c)"
+        " * (cast(x as double) - c), 7) as decimal(38,8))),"
+        " cast(0 as decimal(38,8)),"
+        " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("c_label").asc()
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(carr))
+        .select("vec_id", "label", "c_label", d2.alias("dist2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label",
+                F.col("c_label").alias("assigned_label"), "dist2")
+    )
 
 
 def embedding_norms(embeddings: DataFrame) -> DataFrame:

@@ -81,3 +81,34 @@ def test_knn_graph_lsh_dense_path_is_exact(spark):
     assert got == exact
     plan = dense._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_quantize_bounds(spark):
+    """INT8 quantization invariants: codes in [-127, 127], per-vector
+    reconstruction error ≤ scale/2 (the symmetric-quantizer bound), and
+    a map-only plan (no Exchange)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = SIM.embedding_quantize(emb)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        codes = [int(c) for c in r.qvec.split("|")]
+        assert all(-127 <= c <= 127 for c in codes)
+        assert r.max_abs_err <= r.scale / 2 * (1 + 1e-9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_centroid_assign_broadcast_and_shape(spark):
+    """Nearest-centroid assignment: every vector gets exactly one label;
+    the centroid side is broadcast (the big side must not shuffle for
+    the join); self-consistency — a vector equal to a centroid would
+    pick that centroid (dist2 is nonnegative, argmin deterministic)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = SIM.centroid_assign(emb)
+    n = emb.count()
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r.dist2 >= 0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -432,7 +432,7 @@ _CHECK_FIRST = [
     # NEW round-3 entries: first driver signal
     "pii_redaction", "sessionize", "rolling_spend_90d",
     "event_value_histogram", "streaming_histogram", "embedding_quantize",
-    "centroid_assign",
+    "centroid_assign", "event_counts_unpivot",
     # r1-green veterans not re-checked since round 1 (oldest signal;
     # the double-green r1+r2 entries — dedup/similarity/text/pipeline/
     # streaming families — yield their slots and rely on their two green
@@ -444,7 +444,6 @@ _CHECK_FIRST = [
     "nation_trade_volume", "market_share", "top_supplier",
     "running_customer_spend", "customer_balance_quartiles",
     "value_outliers", "purchase_funnel_daily",
-    "forecast_revenue_change",
     "quantity_quantiles",
     "tumbling_counts", "sliding_counts", "hot_words_per_window",
     "session_windows", "top3_products_per_brand", "blacklist_left_outer",
@@ -554,6 +553,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantity_quantiles": lambda s, d: A.approx_quantity_quantiles(
             load_table(s, d, "lineitem")),
         "event_type_pivot": lambda s, d: A.event_type_pivot(
+            load_table(s, d, "events")),
+        # the melt/unpivot inverse of the pivot above (map-only Expand)
+        "event_counts_unpivot": lambda s, d: A.event_counts_unpivot(
             load_table(s, d, "events")),
         "distinct_event_pairs": lambda s, d: A.distinct_event_pairs(load_table(s, d, "events")),
         "approx_distinct_users": lambda s, d: A.approx_distinct_users(load_table(s, d, "events")),
@@ -1911,6 +1913,27 @@ def oracle_sql() -> dict[str, str]:
                count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
                count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
         FROM events GROUP BY user_id
+    """
+    # explicit UNION ALL spelling of the melt — deterministic metric set
+    sql["event_counts_unpivot"] = """
+        WITH wide AS (
+          SELECT user_id,
+                 count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                 count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+                 count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+                 count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+                 count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, 'n_click' AS metric, n_click AS cnt FROM wide
+        UNION ALL
+        SELECT user_id, 'n_error', n_error FROM wide
+        UNION ALL
+        SELECT user_id, 'n_purchase', n_purchase FROM wide
+        UNION ALL
+        SELECT user_id, 'n_signup', n_signup FROM wide
+        UNION ALL
+        SELECT user_id, 'n_view', n_view FROM wide
     """
     sql["inter_arrival_stats"] = """
         WITH gaps AS (

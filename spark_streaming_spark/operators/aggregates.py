@@ -156,6 +156,19 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def event_counts_unpivot(events: DataFrame) -> DataFrame:
+    """UNPIVOT (melt): the wide per-user count matrix back to long form
+    — the inverse surface of :func:`event_type_pivot`, used whenever a
+    downstream operator wants (user, metric) keyed rows (plotting,
+    sparse storage, per-metric joins). ``DataFrame.unpivot`` is a
+    map-only Expand node: no shuffle beyond the pivot's own aggregation,
+    row count multiplies by the fixed metric-list length.
+    Columns: user_id, metric, cnt."""
+    wide = event_type_pivot(events)
+    metrics = [c for c in wide.columns if c != "user_id"]
+    return wide.unpivot("user_id", metrics, "metric", "cnt")
+
+
 def quantity_quantiles(lineitem: DataFrame) -> DataFrame:
     """Exact per-group quantiles (median/p90, linear interpolation —
     identical definition in DuckDB's quantile_cont, so bitwise

@@ -247,32 +247,50 @@ _ORDERED_CHUNK_CACHE: dict[tuple[str, str, int], str] = {}
 
 
 def _ordered_chunked_events(spark: SparkSession, sf_dir: str,
-                            n_chunks: int = 3) -> str:
-    """Events chunked in EVENT-TIME order with a watermark-advancing
-    sentinel as the final chunk (user_id=-1, ts past all real data) —
-    the replay layout append-mode/watermark pipelines need. Disk-cached
-    like _chunked_table (immutable inputs → reusable across processes)."""
+                            n_chunks: int = 3,
+                            sentinel_types: tuple[str, ...] = ("sentinel",),
+                            kind: str = "ord") -> str:
+    """Events chunked in EVENT-TIME order with watermark-advancing
+    sentinel chunks (negative user_id, ts past all real data) — the
+    replay layout append-mode/watermark pipelines need. Disk-cached
+    like _chunked_table (immutable inputs → reusable across processes).
+
+    ``sentinel_types``: the event_type value(s) stamped on each trailing
+    chunk's sentinel rows (one row PER TYPE per chunk). Pipelines that
+    watermark the raw stream (sessions) work with the default opaque
+    type; pipelines that FILTER by event_type before the watermarked
+    stateful operator (the stream-stream outer join splits into click /
+    purchase branches) need sentinels of those very types — Catalyst
+    pushes the type filter below the EventTimeWatermark node, so each
+    branch's watermark only advances on rows that survive its own
+    filter, and an untyped sentinel advances neither branch (leaving
+    end-of-stream outer state unevicted forever)."""
     from spark_streaming_spark.streaming import replay
 
-    key = (sf_dir, "events_ordered", n_chunks)
+    key = (sf_dir, "events_ordered", n_chunks, kind)
     if key not in _ORDERED_CHUNK_CACHE:
-        final = _persistent_cache_dir("ord", sf_dir, "events", n_chunks)
+        final = _persistent_cache_dir(kind, sf_dir, "events", n_chunks)
         if _cache_ready(final):
             _ORDERED_CHUNK_CACHE[key] = final
             return final
         events = load_table(spark, sf_dir, "events")
         max_ts = events.agg(F.max("ts").alias("m")).first().m
-        # two sentinel rows, one per trailing chunk: the first advances
-        # the watermark past all real data, the second's batch evicts
-        # the last pending sessions (watermark applies one batch late)
+        # two sentinel CHUNKS (one day apart): the first advances the
+        # watermark past all real data, the second's batch evicts the
+        # last pending state (watermark applies one batch late)
+        import datetime
+
+        rows = []
+        eid = 0
+        for day in (1, 2):
+            ts = max_ts + datetime.timedelta(days=day)
+            for et in sentinel_types:
+                eid -= 1
+                rows.append((eid, ts, eid, et, 0.0, "{}"))
         sentinel = spark.createDataFrame(
-            [(-1, max_ts, -1, "sentinel", 0.0, "{}"),
-             (-2, max_ts, -2, "sentinel", 0.0, "{}")],
+            rows,
             "event_id long, ts timestamp, user_id long, "
             "event_type string, value double, props string",
-        ).withColumn(
-            "ts",
-            F.col("ts") - F.col("event_id") * F.expr("INTERVAL 1 DAY"),
         )
         d = replay.chunk_to_dir_ordered(
             events, n_chunks, order_col="ts", sentinel=sentinel
@@ -296,6 +314,30 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sentinel sessions are dropped here, on the finalized batch result —
     # inside the streaming plan the filter would push below the watermark
+    return out.filter(F.col("user_id") >= 0)
+
+
+def _q_streaming_click_attr_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the strictest streaming
+    join mode (watermarks on BOTH sides + event-time bounds required; an
+    outer row emits only when the watermark proves no match can still
+    arrive, i.e. state eviction IS result emission). Ordered replay +
+    sentinel advance the watermark past every click's horizon, so the
+    finalized append output equals the batch left-outer answer (shared
+    oracle). Sentinels are TYPED (one click + one purchase row per
+    sentinel chunk): the branch filters push below the watermark node,
+    so only same-typed rows advance each branch's watermark — see
+    _ordered_chunked_events."""
+    from spark_streaming_spark.streaming import replay
+
+    chunk_dir = _ordered_chunked_events(
+        spark, sf_dir, sentinel_types=("click", "purchase"), kind="ordcp")
+    stream = replay.stream_from_dir(spark, chunk_dir)
+    out = replay.run_to_parquet(
+        CV.click_purchase_conversions(
+            stream, watermark="10 seconds", how="left_outer"),
+        "append", state_partitions=8,
+    )
     return out.filter(F.col("user_id") >= 0)
 
 
@@ -433,6 +475,7 @@ _CHECK_FIRST = [
     "pii_redaction", "sessionize", "rolling_spend_90d",
     "event_value_histogram", "streaming_histogram", "embedding_quantize",
     "centroid_assign", "event_counts_unpivot",
+    "click_attribution_outer", "streaming_click_attribution_outer",
     # r1-green veterans not re-checked since round 1 (oldest signal;
     # the double-green r1+r2 entries — dedup/similarity/text/pipeline/
     # streaming families — yield their slots and rely on their two green
@@ -443,8 +486,7 @@ _CHECK_FIRST = [
     "discounted_parts_revenue", "idle_rich_customers",
     "nation_trade_volume", "market_share", "top_supplier",
     "running_customer_spend", "customer_balance_quartiles",
-    "value_outliers", "purchase_funnel_daily",
-    "quantity_quantiles",
+    "value_outliers",
     "tumbling_counts", "sliding_counts", "hot_words_per_window",
     "session_windows", "top3_products_per_brand", "blacklist_left_outer",
     # (event_type_pivot / distinct_event_pairs / cube_order_status
@@ -648,6 +690,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream-stream join semantics, batch-planned (same operator fn)
         "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events")),
+        # funnel drop-off side: clicks that never convert keep one
+        # null-extended row (left outer, same interval semantics)
+        "click_attribution_outer": lambda s, d: CV.click_purchase_conversions(
+            load_table(s, d, "events"), how="left_outer"),
+        "streaming_click_attribution_outer": _q_streaming_click_attr_outer,
         # as-of join (union+window composition, no range-join blowup)
         "asof_click_attribution": lambda s, d: AS.asof_click_attribution(
             load_table(s, d, "events")),
@@ -2027,6 +2074,16 @@ def oracle_sql() -> dict[str, str]:
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
     """
     sql["streaming_click_purchase_join"] = sql["click_purchase_conversions"]
+    sql["click_attribution_outer"] = """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+    """
+    # watermark-finalized streaming outer join equals the batch answer
+    sql["streaming_click_attribution_outer"] = sql["click_attribution_outer"]
     # window form, not DuckDB's native ASOF JOIN: ASOF has unspecified
     # tie-breaks; this spells the same deterministic (ts, side, event_id)
     # ordering as operators/asof.py

@@ -32,6 +32,7 @@ def click_purchase_conversions(
     events: DataFrame,
     horizon: str = "5 minutes",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Purchases attributed to a click by the same user within ``horizon``
     (click_ts ≤ purchase_ts ≤ click_ts + horizon).
@@ -40,6 +41,18 @@ def click_purchase_conversions(
     Works unchanged on a batch OR streaming ``events`` input (the
     streaming case is a stream-stream self-join; pass ``watermark`` to
     bound state).
+
+    ``how="left_outer"``: clicks that convert keep their matches; clicks
+    that never convert within the horizon emit ONE null-extended row —
+    the funnel-drop-off side of the join. In streaming this is the
+    strictest join mode Structured Streaming offers: it REQUIRES
+    watermarks on both sides plus the event-time interval condition,
+    because an outer row can only be emitted once the watermark proves
+    no matching purchase can still arrive (state eviction = result
+    emission). The replayed twin is deterministic under the ordered-
+    replay + sentinel harness — the sentinel advances the watermark past
+    every real click's horizon, so the finalized append-mode output
+    equals the batch left-outer answer exactly.
     """
     src = events.withWatermark("ts", watermark) if watermark else events
     clicks = src.filter(F.col("event_type") == "click").select(
@@ -58,7 +71,7 @@ def click_purchase_conversions(
             (F.col("user_id") == F.col("p_user_id"))
             & (F.col("purchase_ts") >= F.col("click_ts"))
             & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}")),
-            "inner",
+            how,
         )
         .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
     )

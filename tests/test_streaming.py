@@ -573,3 +573,23 @@ def test_processing_time_window_parity(spark):
             assert r.win.start.year >= 2020
     finally:
         replay.cleanup(chunk_dir)
+
+
+def test_streaming_left_outer_join_equals_batch(spark):
+    """Watermarked stream-stream LEFT OUTER interval join finalizes to
+    exactly the batch left-outer answer: matched clicks keep their
+    purchases, unmatched clicks emit one null-extended row once the
+    watermark (advanced by the sentinel chunks) proves no match can
+    still arrive."""
+    import __spark_entry__ as E
+
+    from spark_streaming_spark.operators import conversions as CV
+
+    streamed = E.queries()["streaming_click_attribution_outer"](spark, SF_DIR)
+    batch = CV.click_purchase_conversions(
+        load_table(spark, SF_DIR, "events"), how="left_outer")
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    # the outer semantics are non-vacuous: some clicks never convert
+    assert any(r[2] is None for r in want)

@@ -341,6 +341,25 @@ def _q_streaming_click_attr_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.filter(F.col("user_id") >= 0)
 
 
+def _q_streaming_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators in one streaming query (two streaming
+    aggregations back to back — SPARK-42105): level-1 tumbling counts
+    per (window, type) feed a level-2 per-window rollup inside the SAME
+    query. Ordered replay + sentinel finalize both levels; sentinel
+    windows (past all real data) are dropped from the finalized batch
+    result by the max-real-ts bound."""
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import two_level_agg_stream
+
+    chunk_dir = _ordered_chunked_events(spark, sf_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir)
+    out = replay.run_to_parquet(
+        two_level_agg_stream(stream), "append", state_partitions=8
+    )
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    return out.filter(F.col("w_start") <= max_ts)
+
+
 def _q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming.pipelines import wordcount_stream
     return _run_streamed(spark, sf_dir, "documents", wordcount_stream, "complete")
@@ -476,6 +495,7 @@ _CHECK_FIRST = [
     "event_value_histogram", "streaming_histogram", "embedding_quantize",
     "centroid_assign", "event_counts_unpivot",
     "click_attribution_outer", "streaming_click_attribution_outer",
+    "streaming_two_level_agg",
     # r1-green veterans not re-checked since round 1 (oldest signal;
     # the double-green r1+r2 entries — dedup/similarity/text/pipeline/
     # streaming families — yield their slots and rely on their two green
@@ -485,7 +505,7 @@ _CHECK_FIRST = [
     "promo_revenue", "small_qty_part_revenue", "large_volume_orders",
     "discounted_parts_revenue", "idle_rich_customers",
     "nation_trade_volume", "market_share", "top_supplier",
-    "running_customer_spend", "customer_balance_quartiles",
+    "customer_balance_quartiles",
     "value_outliers",
     "tumbling_counts", "sliding_counts", "hot_words_per_window",
     "session_windows", "top3_products_per_brand", "blacklist_left_outer",
@@ -695,6 +715,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution_outer": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events"), how="left_outer"),
         "streaming_click_attribution_outer": _q_streaming_click_attr_outer,
+        # chained streaming aggregations (multiple stateful operators)
+        "streaming_two_level_agg": _q_streaming_two_level,
         # as-of join (union+window composition, no range-join blowup)
         "asof_click_attribution": lambda s, d: AS.asof_click_attribution(
             load_table(s, d, "events")),
@@ -2084,6 +2106,21 @@ def oracle_sql() -> dict[str, str]:
     """
     # watermark-finalized streaming outer join equals the batch answer
     sql["streaming_click_attribution_outer"] = sql["click_attribution_outer"]
+    # chained streaming aggs finalize to the batch two-level rollup
+    sql["streaming_two_level_agg"] = """
+        WITH l1 AS (
+          SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000)
+                   AS w_start,
+                 make_timestamp((epoch_us(ts) // 60000000) * 60000000
+                                + 60000000) AS w_end,
+                 event_type, count(*) AS cnt
+          FROM events GROUP BY 1, 2, 3
+        )
+        SELECT w_start, w_end,
+               CAST(SUM(cnt) AS BIGINT) AS n_events,
+               count(*) AS n_types
+        FROM l1 GROUP BY 1, 2
+    """
     # window form, not DuckDB's native ASOF JOIN: ASOF has unspecified
     # tie-breaks; this spells the same deterministic (ts, side, event_id)
     # ordering as operators/asof.py

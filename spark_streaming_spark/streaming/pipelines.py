@@ -187,3 +187,31 @@ def session_stream(events: DataFrame, gap: str = "5 minutes",
         F.col("session_window.end").alias("w_end"),
         "n_events",
     )
+
+
+def two_level_agg_stream(events: DataFrame, width: str = "60 seconds",
+                         watermark: str = "10 seconds") -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query — multiple
+    streaming aggregations (Spark 3.5+/4.x; SPARK-42105): level 1 is the
+    tumbling event-time count per (window, event_type); level 2
+    re-aggregates level 1 BY ITS WINDOW COLUMN into per-window totals
+    (n_events, n_types). Under micro-batching, level 2 only sees a
+    level-1 window once the watermark finalizes it — so append mode is
+    exact, and with ordered replay + sentinel the finalized output
+    equals the batch two-level rollup. DStreams could express neither
+    chained state nor the finalization contract.
+    Columns: w_start, w_end, n_events, n_types."""
+    l1 = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    l2 = (
+        l1.groupBy("win")
+        .agg(F.sum("cnt").alias("n_events"), F.count("*").alias("n_types"))
+    )
+    return l2.select(
+        F.col("win.start").alias("w_start"),
+        F.col("win.end").alias("w_end"),
+        "n_events", "n_types",
+    )

@@ -593,3 +593,25 @@ def test_streaming_left_outer_join_equals_batch(spark):
     assert got == want
     # the outer semantics are non-vacuous: some clicks never convert
     assert any(r[2] is None for r in want)
+
+
+def test_streaming_two_level_agg_equals_batch(spark):
+    """Two chained streaming aggregations in one query (multiple
+    stateful operators): the finalized per-window rollup equals the
+    batch two-level answer."""
+    import __spark_entry__ as E
+
+    from spark_streaming_spark.streaming.pipelines import two_level_agg_stream
+
+    streamed = E.queries()["streaming_two_level_agg"](spark, SF_DIR)
+    events = load_table(spark, SF_DIR, "events")
+    batch = (
+        events.groupBy(F.window("ts", "60 seconds").alias("win"),
+                       "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("win")
+        .agg(F.sum("cnt").alias("n_events"), F.count("*").alias("n_types"))
+        .select(F.col("win.start").alias("w_start"),
+                F.col("win.end").alias("w_end"), "n_events", "n_types")
+    )
+    assert _as_sets(streamed) == _as_sets(batch)

@@ -615,3 +615,35 @@ def test_streaming_two_level_agg_equals_batch(spark):
                 F.col("win.end").alias("w_end"), "n_events", "n_types")
     )
     assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_dedup_within_watermark_bounds_state(spark):
+    """dropDuplicatesWithinWatermark: the bounded-state production
+    dedup — seen-key state is evicted once the watermark passes a key's
+    event time + delay, so duplicates arriving within the watermark
+    horizon collapse while state stays O(keys-in-horizon), not O(all
+    keys ever). Replay: doubled events chunked in event-time order (the
+    duplicate pairs land within the horizon) must still dedup exactly;
+    state rows after the run must be far below the total key count."""
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    doubled = events.union(events)
+    d = replay.chunk_to_dir_ordered(doubled, 4, order_col="ts")
+    from spark_streaming_spark.streaming import monitor
+
+    rec = monitor.attach(spark)
+    try:
+        stream = replay.stream_from_dir(spark, d)
+        deduped = stream.withWatermark("ts", "10 seconds") \
+            .dropDuplicatesWithinWatermark(["event_id"])
+        out = replay.run_to_parquet(deduped, "append", state_partitions=4)
+        assert out.count() == events.count()
+        assert {r.event_id for r in out.collect()} == \
+               {r.event_id for r in events.collect()}
+        # state stayed bounded: final batch's state rows ≪ distinct keys
+        states = [b.state_rows for b in rec.log.batches
+                  if b.state_rows is not None]
+        assert states and min(states[-2:]) < events.count() / 2
+    finally:
+        monitor.detach(spark, rec)
+        replay.cleanup(d)

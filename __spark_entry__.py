@@ -360,6 +360,16 @@ def _q_streaming_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("w_start") <= max_ts)
 
 
+def _q_streaming_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot maintained on a stream: one state row of per-type counters
+    per user (complete mode); final state equals the batch
+    event_type_pivot (shared oracle)."""
+    from spark_streaming_spark.streaming.pipelines import pivot_counts_stream
+
+    return _run_streamed(spark, sf_dir, "events", pivot_counts_stream,
+                         "complete")
+
+
 def _q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming.pipelines import wordcount_stream
     return _run_streamed(spark, sf_dir, "documents", wordcount_stream, "complete")
@@ -495,7 +505,7 @@ _CHECK_FIRST = [
     "event_value_histogram", "streaming_histogram", "embedding_quantize",
     "centroid_assign", "event_counts_unpivot",
     "click_attribution_outer", "streaming_click_attribution_outer",
-    "streaming_two_level_agg",
+    "streaming_two_level_agg", "streaming_pivot_counts",
     # r1-green veterans not re-checked since round 1 (oldest signal;
     # the double-green r1+r2 entries — dedup/similarity/text/pipeline/
     # streaming families — yield their slots and rely on their two green
@@ -505,7 +515,6 @@ _CHECK_FIRST = [
     "promo_revenue", "small_qty_part_revenue", "large_volume_orders",
     "discounted_parts_revenue", "idle_rich_customers",
     "nation_trade_volume", "market_share", "top_supplier",
-    "customer_balance_quartiles",
     "value_outliers",
     "tumbling_counts", "sliding_counts", "hot_words_per_window",
     "session_windows", "top3_products_per_brand", "blacklist_left_outer",
@@ -717,6 +726,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_attribution_outer": _q_streaming_click_attr_outer,
         # chained streaming aggregations (multiple stateful operators)
         "streaming_two_level_agg": _q_streaming_two_level,
+        # pivot on a stream: fixed-category conditional agg (the .pivot()
+        # API needs the key set up front and is not streamable)
+        "streaming_pivot_counts": _q_streaming_pivot,
         # as-of join (union+window composition, no range-join blowup)
         "asof_click_attribution": lambda s, d: AS.asof_click_attribution(
             load_table(s, d, "events")),
@@ -2106,6 +2118,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # watermark-finalized streaming outer join equals the batch answer
     sql["streaming_click_attribution_outer"] = sql["click_attribution_outer"]
+    # continuously-maintained pivot converges to the batch wide matrix
+    sql["streaming_pivot_counts"] = sql["event_type_pivot"]
     # chained streaming aggs finalize to the batch two-level rollup
     sql["streaming_two_level_agg"] = """
         WITH l1 AS (

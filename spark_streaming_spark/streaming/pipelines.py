@@ -215,3 +215,21 @@ def two_level_agg_stream(events: DataFrame, width: str = "60 seconds",
         F.col("win.end").alias("w_end"),
         "n_events", "n_types",
     )
+
+
+def pivot_counts_stream(events: DataFrame,
+                        types: tuple[str, ...] = (
+                            "click", "error", "purchase", "signup", "view",
+                        )) -> DataFrame:
+    """PIVOT on a stream: ``DataFrame.pivot`` is not streamable (it
+    needs the distinct key set up front), but the fixed-category
+    conditional-aggregation spelling is — one streaming groupBy(user_id)
+    whose state is a single row of per-type counters per user. Complete
+    mode; the final state equals the batch event_type_pivot (shared
+    oracle). Columns: user_id, n_click, n_error, n_purchase, n_signup,
+    n_view."""
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"n_{t}")
+        for t in types
+    ]
+    return events.groupBy("user_id").agg(*aggs)

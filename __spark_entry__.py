@@ -140,7 +140,8 @@ def _scd1_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
                   output_mode: str = "complete", n_chunks: int = 3,
-                  batch_transform=None) -> DataFrame:
+                  batch_transform=None,
+                  last_epoch_keys: list[str] | None = None) -> DataFrame:
     """Replay a driver table as a multi-micro-batch stream through a
     batch operator and return the final result as a batch DataFrame.
     Because the operators are pure DataFrame→DataFrame functions, the
@@ -156,7 +157,7 @@ def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
     # state cardinality locally; set O(cores) on a real cluster.
     return replay.run_to_parquet(
         transform(stream), output_mode, state_partitions=8,
-        batch_transform=batch_transform,
+        batch_transform=batch_transform, last_epoch_keys=last_epoch_keys,
     )
 
 
@@ -243,7 +244,7 @@ def _chunked_table(spark: SparkSession, sf_dir: str, table: str,
     return _CHUNK_CACHE[key]
 
 
-_ORDERED_CHUNK_CACHE: dict[tuple[str, str, int], str] = {}
+_ORDERED_CHUNK_CACHE: dict[tuple[str, str, int, str], str] = {}
 
 
 def _ordered_chunked_events(spark: SparkSession, sf_dir: str,
@@ -267,9 +268,14 @@ def _ordered_chunked_events(spark: SparkSession, sf_dir: str,
     end-of-stream outer state unevicted forever)."""
     from spark_streaming_spark.streaming import replay
 
-    key = (sf_dir, "events_ordered", n_chunks, kind)
+    # sentinel_types is part of BOTH cache keys (in-memory and on-disk):
+    # a caller reusing an existing `kind` with different sentinel types
+    # must never replay stale sentinel chunks (round-3 ADVICE — stale
+    # sentinels leave watermarked outer/session state unevicted)
+    st_tag = f"{kind}-{'_'.join(sentinel_types)}"
+    key = (sf_dir, "events_ordered", n_chunks, st_tag)
     if key not in _ORDERED_CHUNK_CACHE:
-        final = _persistent_cache_dir(kind, sf_dir, "events", n_chunks)
+        final = _persistent_cache_dir(st_tag, sf_dir, "events", n_chunks)
         if _cache_ready(final):
             _ORDERED_CHUNK_CACHE[key] = final
             return final
@@ -341,6 +347,28 @@ def _q_streaming_click_attr_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.filter(F.col("user_id") >= 0)
 
 
+def _q_streaming_click_attr_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the streaming
+    join-mode matrix over the left-outer machinery (typed sentinels,
+    ordered replay): matched pairs + dead clicks + organic purchases,
+    each unmatched row emitted exactly once when the watermark proves no
+    partner can still arrive. Finalized append output equals the batch
+    full-outer answer (shared oracle). Sentinel rows (negative coalesced
+    user_id — both sentinel clicks AND sentinel purchases survive a full
+    outer join) are dropped from the finalized batch result."""
+    from spark_streaming_spark.streaming import replay
+
+    chunk_dir = _ordered_chunked_events(
+        spark, sf_dir, sentinel_types=("click", "purchase"), kind="ordcp")
+    stream = replay.stream_from_dir(spark, chunk_dir)
+    out = replay.run_to_parquet(
+        CV.click_purchase_conversions(
+            stream, watermark="10 seconds", how="full_outer"),
+        "append", state_partitions=8,
+    )
+    return out.filter(F.col("user_id") >= 0)
+
+
 def _q_streaming_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained stateful operators in one streaming query (two streaming
     aggregations back to back — SPARK-42105): level-1 tumbling counts
@@ -362,17 +390,25 @@ def _q_streaming_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_streaming_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot maintained on a stream: one state row of per-type counters
-    per user (complete mode); final state equals the batch
-    event_type_pivot (shared oracle)."""
+    per user. UPDATE mode — each trigger emits only users whose counters
+    changed (complete mode re-emits every user ever seen per trigger:
+    O(total state) sink traffic, unusable at billions of keys — round-3
+    VERDICT #2); the final state is recovered by the last-epoch-wins
+    merge over the epoch-partitioned idempotent sink and equals the
+    batch event_type_pivot (shared oracle)."""
     from spark_streaming_spark.streaming.pipelines import pivot_counts_stream
 
     return _run_streamed(spark, sf_dir, "events", pivot_counts_stream,
-                         "complete")
+                         "update", last_epoch_keys=["user_id"])
 
 
 def _q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running word count in UPDATE mode: per-trigger changed-word deltas
+    + last-epoch-wins merge == the cumulative batch counts (same scale
+    rationale as _q_streaming_pivot)."""
     from spark_streaming_spark.streaming.pipelines import wordcount_stream
-    return _run_streamed(spark, sf_dir, "documents", wordcount_stream, "complete")
+    return _run_streamed(spark, sf_dir, "documents", wordcount_stream,
+                         "update", last_epoch_keys=["word"])
 
 
 def _q_streaming_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,8 +714,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": lambda s, d: SIM.knn_to_query(load_table(s, d, "embeddings")),
         "knn_graph": lambda s, d: SIM.knn_graph(
             load_table(s, d, "embeddings")),
+        # dense_fallback_pairs=0 forces the LSH path: the entry's NAME
+        # claims LSH, so its bench number must measure the LSH machinery,
+        # not the small-n broadcast fallback (round-3 ADVICE)
         "knn_graph_lsh": lambda s, d: SIM.knn_graph_lsh(
-            load_table(s, d, "embeddings")),
+            load_table(s, d, "embeddings"), dense_fallback_pairs=0),
         "similar_pairs_lsh": lambda s, d: SIM.similar_pairs_lsh(
             load_table(s, d, "embeddings")),
         "label_centroids": lambda s, d: SIM.label_centroids(
@@ -723,7 +762,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # null-extended row (left outer, same interval semantics)
         "click_attribution_outer": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events"), how="left_outer"),
+        # complete join-mode matrix: organic purchases (right) and the
+        # full attribution ledger (full)
+        "click_attribution_right": lambda s, d: CV.click_purchase_conversions(
+            load_table(s, d, "events"), how="right_outer"),
+        "click_attribution_full": lambda s, d: CV.click_purchase_conversions(
+            load_table(s, d, "events"), how="full_outer"),
         "streaming_click_attribution_outer": _q_streaming_click_attr_outer,
+        "streaming_click_attribution_full": _q_streaming_click_attr_full,
         # chained streaming aggregations (multiple stateful operators)
         "streaming_two_level_agg": _q_streaming_two_level,
         # pivot on a stream: fixed-category conditional agg (the .pivot()
@@ -2118,6 +2164,24 @@ def oracle_sql() -> dict[str, str]:
     """
     # watermark-finalized streaming outer join equals the batch answer
     sql["streaming_click_attribution_outer"] = sql["click_attribution_outer"]
+    sql["click_attribution_right"] = """
+        SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        RIGHT OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+    """
+    sql["click_attribution_full"] = """
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               c.event_id AS click_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+    """
+    sql["streaming_click_attribution_full"] = sql["click_attribution_full"]
     # continuously-maintained pivot converges to the batch wide matrix
     sql["streaming_pivot_counts"] = sql["event_type_pivot"]
     # chained streaming aggs finalize to the batch two-level rollup
@@ -2200,7 +2264,8 @@ def oracle_sql() -> dict[str, str]:
         q AS (
           SELECT vec_id, scale, embedding,
                  list_transform(embedding,
-                     x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
+                     x -> CAST(round(CAST(x AS DOUBLE)
+                               / greatest(scale, 1e-300)) AS INTEGER))
                    AS qv
           FROM s
         ),

@@ -44,15 +44,22 @@ def click_purchase_conversions(
 
     ``how="left_outer"``: clicks that convert keep their matches; clicks
     that never convert within the horizon emit ONE null-extended row —
-    the funnel-drop-off side of the join. In streaming this is the
-    strictest join mode Structured Streaming offers: it REQUIRES
+    the funnel-drop-off side of the join. In streaming the outer modes
+    are the strictest Structured Streaming offers: they REQUIRE
     watermarks on both sides plus the event-time interval condition,
     because an outer row can only be emitted once the watermark proves
-    no matching purchase can still arrive (state eviction = result
+    no matching row can still arrive (state eviction = result
     emission). The replayed twin is deterministic under the ordered-
     replay + sentinel harness — the sentinel advances the watermark past
     every real click's horizon, so the finalized append-mode output
-    equals the batch left-outer answer exactly.
+    equals the batch answer exactly.
+
+    ``how="right_outer"``: the mirror — purchases with no qualifying
+    click (organic purchases) keep one null-extended row.
+    ``how="full_outer"``: both unmatched sides survive — the complete
+    attribution ledger (converted clicks + dead clicks + organic
+    purchases) in one pass. The output ``user_id`` is coalesced across
+    the two sides so it is never null in any mode.
     """
     src = events.withWatermark("ts", watermark) if watermark else events
     clicks = src.filter(F.col("event_type") == "click").select(
@@ -73,5 +80,8 @@ def click_purchase_conversions(
             & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}")),
             how,
         )
-        .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+        .select(
+            F.coalesce("user_id", "p_user_id").alias("user_id"),
+            "click_id", "purchase_id", "click_ts", "purchase_ts",
+        )
     )

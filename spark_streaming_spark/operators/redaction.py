@@ -76,6 +76,15 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     REPLACEMENT byte-for-byte without shipping full text through the
     compare).
 
+    Count semantics: n_emails/n_phones/n_ips are RAW-TEXT match counts —
+    each pattern counted independently against the original text, not
+    replacement counts against the progressively scrubbed text. A
+    phone- or IP-shaped substring inside an email local part is counted
+    under its own pattern even though the sequential scrub (emails
+    first) removes it in the email pass. The oracle mirrors the same
+    raw-text counting, so parity holds; consumers wanting exact
+    replacement counts should diff match counts on ``clean``.
+
     Map-only; at 100 TB the scrubbed text would be written back to
     parquet in the same pass (see ``operators/maintenance.py`` for the
     layout side)."""

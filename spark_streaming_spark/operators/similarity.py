@@ -85,6 +85,10 @@ N_TABLES = 3
 DIMS_PER_BIT = 8
 _PROJ_SCALE = 10000000.0  # 1e7: same quantization as the decimal contract
 
+# which path the last knn_graph_lsh call planned ("dense" | "lsh") — set at
+# plan-construction time so bench numbers are attributable (round-3 ADVICE)
+LAST_KNN_GRAPH_PATH: str | None = None
+
 
 def hyperplanes(n_tables: int = N_TABLES, bits: int = 8,
                 dims_per_bit: int = DIMS_PER_BIT, n_dims: int = 64,
@@ -220,7 +224,10 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
     The quantized vector is serialized "q0|q1|..." (the driver's
     canonicalizer cannot hash arrays) and ``max_abs_err`` reports the
     per-vector reconstruction bound — by construction ≤ scale/2, which
-    the tests pin. Columns: vec_id, scale, qvec, max_abs_err."""
+    the tests pin. An all-zero embedding has scale = 0; the divisor is
+    guarded with ``greatest(scale, 1e-300)`` so its codes are exact
+    zeros instead of 0/0 NaNs (the oracle SQL mirrors the guard).
+    Columns: vec_id, scale, qvec, max_abs_err."""
     staged = embeddings.select(
         "vec_id", "embedding",
         (
@@ -230,8 +237,8 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
     )
     quant = staged.select(
         "vec_id", "embedding", "scale",
-        F.expr("transform(embedding,"
-               " x -> cast(round(cast(x as double) / scale) as int))")
+        F.expr("transform(embedding, x -> cast(round(cast(x as double)"
+               " / greatest(scale, 1e-300)) as int))")
         .alias("qv"),
     )
     return quant.select(
@@ -405,8 +412,15 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
     count() consulted is parquet-footer metadata, one driver round-trip,
     exactly the stats Catalyst itself plans from. Pass
     ``dense_fallback_pairs=0`` to force the LSH path (the recall tests
-    do)."""
+    and the named bench entry do — so the number reported under the
+    "lsh" name measures the LSH machinery, never the fallback). The
+    chosen path is recorded in module global ``LAST_KNN_GRAPH_PATH``
+    and logged, so a run's numbers are attributable."""
+    import logging
+
     from pyspark.sql.window import Window
+
+    global LAST_KNN_GRAPH_PATH
 
     staged = embeddings.select(
         "vec_id", scaled_vec_expr("embedding").alias("sv")
@@ -418,6 +432,10 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
     if dense_fallback_pairs:
         n = embeddings.count()
         if n * n <= dense_fallback_pairs:
+            LAST_KNN_GRAPH_PATH = "dense"
+            logging.getLogger(__name__).info(
+                "knn_graph_lsh: cost-based pick chose DENSE fallback "
+                "(n=%d, n^2=%d <= %d)", n, n * n, dense_fallback_pairs)
             rhs = staged.select(F.col("vec_id").alias("vec_b"),
                                 F.col("sv").alias("sb"),
                                 F.col("n2").alias("nb"))
@@ -449,6 +467,8 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
                 .filter(F.col("rank") <= k)
             )
 
+    LAST_KNN_GRAPH_PATH = "lsh"
+    logging.getLogger(__name__).info("knn_graph_lsh: taking the LSH path")
     planes = hyperplanes(n_tables, bits)
     tagged = staged.select(
         "vec_id", "sv", "n2",

@@ -35,9 +35,11 @@ from spark_streaming_spark.operators.wordcount import word_count
 
 
 def wordcount_stream(lines: DataFrame, text_col: str = "text") -> DataFrame:
-    """Streaming word count: same operator as batch; complete mode gives
-    the cumulative per-word counts (the reference's per-batch counts are
-    the update-mode deltas of this same plan)."""
+    """Streaming word count: same operator as batch. Run in UPDATE mode
+    (per-trigger changed words, the reference's per-batch counts) with a
+    last-epoch-wins merge for the cumulative answer; complete mode also
+    works but re-emits the full vocabulary every trigger — O(total
+    state) per trigger at corpus scale."""
     return word_count(lines, text_col)
 
 
@@ -224,8 +226,12 @@ def pivot_counts_stream(events: DataFrame,
     """PIVOT on a stream: ``DataFrame.pivot`` is not streamable (it
     needs the distinct key set up front), but the fixed-category
     conditional-aggregation spelling is — one streaming groupBy(user_id)
-    whose state is a single row of per-type counters per user. Complete
-    mode; the final state equals the batch event_type_pivot (shared
+    whose state is a single row of per-type counters per user. Run in
+    UPDATE mode (per-trigger changed users) + last-epoch-wins merge
+    (``replay.run_to_parquet(last_epoch_keys=["user_id"])``): complete
+    mode re-emits one row per user EVER SEEN each trigger — O(total
+    state) sink traffic per trigger, unusable at billions of users. The
+    merged final state equals the batch event_type_pivot (shared
     oracle). Columns: user_id, n_click, n_error, n_purchase, n_signup,
     n_view."""
     aggs = [

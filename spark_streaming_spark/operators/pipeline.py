@@ -236,6 +236,45 @@ def pack_sequences(docs: DataFrame, seq_len: int = SEQ_LEN,
     )
 
 
+def chunk_documents(docs: DataFrame, win: int = 300,
+                    stride: int = 200) -> DataFrame:
+    """RAG-style sliding-window chunking: cut each document into
+    overlapping character windows of ``win`` chars every ``stride``
+    chars (the retrieval-prep twin of :func:`pack_sequences`, which
+    packs for training; public pattern from every RAG indexing stack).
+    Columns: doc_id, chunk_id (0-based per doc), chunk_start (0-based
+    char offset), chunk_text, chunk_len.
+
+    Scale shape: map-only — ``explode(sequence(...))`` fans each doc out
+    to its chunk starts inside whole-stage codegen; no shuffle, no UDF,
+    no driver involvement. Output rows ≈ corpus_chars / stride, evenly
+    spread across input partitions, so the op scales linearly to 100 TB
+    and chains directly into the embedding/ANN operators
+    (operators/similarity.py) for index build."""
+    n = F.length(F.col("text")).cast("long")
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        # last window start: the largest multiple of stride < len
+        # (empty docs keep one empty chunk at offset 0)
+        F.greatest(
+            F.floor((n - 1) / stride) * stride, F.lit(0).cast("long")
+        ),
+        F.lit(stride).cast("long"),
+    )
+    start = F.col("chunk_start")
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            (start / stride).cast("long").alias("chunk_id"),
+            "chunk_start",
+            F.substring(F.col("text"), (start + 1).cast("int"), win)
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
 def lm_bigram_scores(docs: DataFrame) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets" — public

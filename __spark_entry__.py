@@ -42,6 +42,7 @@ from spark_streaming_spark.operators import textstats as TX
 from spark_streaming_spark.operators import timeseries as TS
 from spark_streaming_spark.operators import topk as T
 from spark_streaming_spark.operators import tpch as TPC
+from spark_streaming_spark.operators import udtf_ops as UDTF
 from spark_streaming_spark.operators import windows as WIN
 from spark_streaming_spark.operators import wordcount as W
 from spark_streaming_spark.sources.batch import load_table
@@ -591,8 +592,8 @@ _CHECK_FIRST = [
     "streaming_dedup", "streaming_sliding_counts",
     "streaming_top3_per_window", "streaming_daily_rollup",
     "streaming_quality_filter", "streaming_click_purchase_join",
-    # remaining r2-vintage (untouched modules, lowest priority among r2)
-    "asof_click_attribution",
+    # new this round, never driver-checked: UDTF surface
+    "token_runs",
     # (the 50 r3-green entries yield their slots; r3 rows stand, and the
     # pytest oracle sweep re-verifies all entries locally every run)
 ]
@@ -821,6 +822,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_attribution": lambda s, d: AS.asof_click_attribution(
             load_table(s, d, "events")),
         # text analysis
+        # Python UDTF surface (operators/udtf_ops.py): repeated-token
+        # runs via a LATERAL table function — per-row sequential logic,
+        # variable rows out; exact gaps-and-islands SQL twin
+        "token_runs": lambda s, d: UDTF.token_runs(
+            load_table(s, d, "documents")),
         "token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
         "bpe_token_stats": lambda s, d: TX.bpe_token_stats(load_table(s, d, "documents")),
         "term_stats": lambda s, d: TX.term_stats(load_table(s, d, "documents")),
@@ -2538,6 +2544,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT kept_doc, doc_id AS drop_doc
         FROM ranked WHERE doc_id <> kept_doc
+    """
+    # token_runs: gaps-and-islands twin of the Python UDTF — consecutive
+    # equal tokens share (pos - row_number-within-token) and become one
+    # group; runs of length ≥ 2 survive
+    sql["token_runs"] = """
+        WITH toks AS (
+          -- two unnests in one SELECT expand in lockstep: token + its
+          -- 1-based position
+          SELECT doc_id,
+                 unnest(l) AS token,
+                 unnest(range(1, len(l) + 1)) AS pos
+          FROM (SELECT doc_id, string_split(text, ' ') AS l
+                FROM documents)
+        ),
+        grouped AS (
+          SELECT doc_id, token, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id, token
+                                          ORDER BY pos) AS grp
+          FROM toks
+        )
+        SELECT doc_id, token,
+               CAST(MIN(pos) AS INT) AS run_start,
+               CAST(COUNT(*) AS INT) AS run_len
+        FROM grouped GROUP BY doc_id, token, grp
+        HAVING COUNT(*) >= 2
     """
     # chunk_documents: starts 0, 200, 400, … ≤ len-1 (empty docs keep one
     # empty chunk at 0); substr is 1-based in both engines

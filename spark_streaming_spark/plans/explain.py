@@ -70,6 +70,20 @@ def has_cartesian_product(df: DataFrame) -> bool:
     return "CartesianProduct" in explain_text(df)
 
 
+def has_runtime_bloom_filter(df: DataFrame) -> bool:
+    """Catalyst injected a runtime row-level bloom filter: the big
+    (application) side of a shuffle join is pre-filtered by
+    ``might_contain`` against a ``bloom_filter_agg`` built from the
+    selective (creation) side. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling only rows that can
+    join — the declarative twin of the reference's hand-tuned 'filter
+    before join' advice. Injection is governed by
+    ``spark.sql.optimizer.runtime.bloomFilter.*`` thresholds (sized for
+    cluster scans; tests lower them to exercise the rule locally)."""
+    text = explain_text(df)
+    return "might_contain" in text and "bloom_filter_agg" in text
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     return "WholeStageCodegen" in explain_text(df, "simple") or "*(" in explain_text(
         df, "simple"

@@ -274,3 +274,39 @@ def test_histogram_partial_agg_fixed_grid(spark):
     assert plan.count("Exchange") == 1, plan
     # partial then final aggregate around the exchange
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level bloom filter (SPARK-32268): when a shuffle join
+    has a selective dim side, Catalyst builds a bloom filter from the
+    dim keys and pre-filters the fact side BEFORE its shuffle — at
+    100 TB that turns 'shuffle the whole fact table' into 'shuffle the
+    ~matching rows'. The governing thresholds are sized for cluster
+    scans (creation side ≤ 10 MB plan size, application side ≥ 10 GB
+    scan), so this test lowers them to exercise the injection rule on
+    local data; broadcast is disabled because the rule (correctly) only
+    fires for shuffle joins — a broadcast join already prunes at the
+    probe."""
+    saved = {}
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        part = load_table(spark, SF_DIR, "part").filter(
+            F.col("p_brand") == "Brand#13"
+        )
+        joined = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand").agg(F.count("*").alias("n"))
+        )
+        assert explain.has_runtime_bloom_filter(joined)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

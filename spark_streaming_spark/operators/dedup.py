@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_streaming_spark.functions.text import shingles
+from spark_streaming_spark.sources.batch import widen
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -40,8 +41,14 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     repeats and — more important for the plan — creates the exchange
     Catalyst's ReuseExchange dedupes, so the explode+shingle computation
     runs once per query even when the relation feeds 3+ branches
-    (df table, prefix join, verify)."""
-    return docs.select(
+    (df table, prefix join, verify).
+
+    ``widen`` first: shingling amplifies ~50× per doc, and a
+    single-row-group parquet scan is ONE task — without the widen the
+    whole dedup family serializes its explode on one core (see
+    sources/batch.widen; no-op when the scan already has enough
+    splits)."""
+    return widen(docs).select(
         "doc_id", F.explode(shingles("text", n)).alias("sh")
     ).distinct()
 
@@ -259,7 +266,9 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     Python UDF: stays in whole-stage codegen, shuffles once on doc_id.
     Columns: doc_id, simhash (bigint).
     """
-    tok = docs.select(
+    # widen first: tokens × 60 bits is a ~3000× amplification — a
+    # single-split scan would run it all on one core (sources/batch.widen)
+    tok = widen(docs).select(
         "doc_id",
         F.explode(F.split(F.col("text"), " ")).alias("w"),
     )

@@ -30,6 +30,7 @@ from spark_streaming_spark.functions.vectors import (
     norm2_expr,
     scaled_vec_expr,
 )
+from spark_streaming_spark.sources.batch import widen
 
 
 def knn_to_query(embeddings: DataFrame, query_vec_id: int = 0,
@@ -45,7 +46,7 @@ def knn_to_query(embeddings: DataFrame, query_vec_id: int = 0,
         F.sqrt(norm2_expr("embedding")).alias("qnrm"),  # once, not per row
     )
     return (
-        embeddings.crossJoin(F.broadcast(q))
+        widen(embeddings).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != query_vec_id)
         .select(
             "vec_id",
@@ -166,7 +167,7 @@ def similar_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     cannot pile into one bucket of every table).
     """
     planes = hyperplanes(n_tables, bits)
-    staged = embeddings.select(
+    staged = widen(embeddings).select(
         "vec_id", "embedding", scaled_vec("embedding").alias("sv")
     )
     tagged = staged.select(
@@ -338,7 +339,7 @@ def knn_graph(embeddings: DataFrame, k: int = 5,
     against this tier in tests/test_similarity_graph.py)."""
     from pyspark.sql.window import Window
 
-    base = embeddings.select(
+    base = widen(embeddings).select(
         "vec_id", scaled_vec_expr("embedding").alias("sv")
     ).withColumn("n2", int_dot_expr("sv", "sv"))
     queries = (
@@ -422,7 +423,7 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
 
     global LAST_KNN_GRAPH_PATH
 
-    staged = embeddings.select(
+    staged = widen(embeddings).select(
         "vec_id", scaled_vec_expr("embedding").alias("sv")
     ).withColumn("n2", int_dot_expr("sv", "sv"))
 

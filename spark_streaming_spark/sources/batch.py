@@ -64,6 +64,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the input has fewer partitions than the
+    session's parallelism — the pre-amplification guard for operators
+    whose per-row cost explodes (shingle explode ~50×/doc, per-vector
+    arithmetic over array columns, Arrow UDF batches).
+
+    Why: a parquet file is split at ROW-GROUP granularity, so a
+    single-row-group file scans as ONE task no matter what
+    ``maxPartitionBytes`` says — and every map chained onto it runs on
+    one core while the rest of the cluster idles. Shuffling the small
+    pre-amplification rows once (cheap) unlocks full-width execution of
+    the expensive downstream map. On a real 100 TB table the scan
+    already has thousands of splits, so the guard makes this a no-op —
+    the repartition only fires when the input is narrower than the
+    session's parallelism.
+
+    The partition-count probe builds the RDD plan but runs no job."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so spark.sql() mirrors the DuckDB
     oracle environment (same view names, same data)."""

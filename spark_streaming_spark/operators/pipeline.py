@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from spark_streaming_spark.functions.text import EN_STOPWORDS, tokens
+from spark_streaming_spark.sources.batch import widen
 
 # Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
 # Models: ... Gopher", §A1.1 — public method; thresholds adapted to the
@@ -99,7 +100,7 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     tradeoff — the map-only twin ships for shuffle-constrained
     deployments and is pinned equal by test. Single-token docs have no
     bigrams and drop out (the oracle does the same)."""
-    ex = docs.select("doc_id", F.explode(_bigram_array()).alias("bg"))
+    ex = widen(docs).select("doc_id", F.explode(_bigram_array()).alias("bg"))
     per = ex.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
     return (
         per.groupBy("doc_id")
@@ -305,8 +306,10 @@ def lm_bigram_scores(docs: DataFrame) -> DataFrame:
         F.slice(t, 2, F.size(t) - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # widen: bigram explode over a single-split scan would serialize
+    # on one core (sources/batch.widen — no-op on well-split inputs)
     bg = (
-        docs.filter(F.size(t) >= 2)
+        widen(docs).filter(F.size(t) >= 2)
         .select("doc_id", F.explode(bigrams).alias("b"))
         .withColumn("w1", F.split(F.col("b"), " ").getItem(0))
     )

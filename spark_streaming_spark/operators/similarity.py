@@ -257,7 +257,7 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid in long form: (label, dim, centroid) — the
     distributed layout for mean vectors (posexplode → groupBy(label, dim)).
     Decimal-stable mean per dimension. Columns: label, dim, centroid."""
-    long_form = embeddings.select(
+    long_form = widen(embeddings).select(
         "label", F.posexplode("embedding").alias("dim", "x")
     )
     mean = (
@@ -303,7 +303,7 @@ def centroid_assign(embeddings: DataFrame) -> DataFrame:
         F.col("dist2").asc(), F.col("c_label").asc()
     )
     return (
-        embeddings.crossJoin(F.broadcast(carr))
+        widen(embeddings).crossJoin(F.broadcast(carr))
         .select("vec_id", "label", "c_label", d2.alias("dist2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

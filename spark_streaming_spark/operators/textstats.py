@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_streaming_spark.sources.batch import widen
 from spark_streaming_spark.functions.text import (
     fingerprint,
     punct_ratio,
@@ -114,7 +115,9 @@ def term_stats(docs: DataFrame) -> DataFrame:
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """min-md5-shingle fingerprint (deterministic 1-perm MinHash) + exact
     duplicate groups by fingerprint. Columns: doc_id, fp."""
-    return docs.select("doc_id", fingerprint("text").alias("fp"))
+    # widen: the rolling md5-over-shingles map is the hot per-row cost
+    # (sources/batch.widen — no-op on well-split inputs)
+    return widen(docs).select("doc_id", fingerprint("text").alias("fp"))
 
 
 def fingerprint_dupes(docs: DataFrame) -> DataFrame:

@@ -42,6 +42,7 @@ from spark_streaming_spark.operators import textstats as TX
 from spark_streaming_spark.operators import timeseries as TS
 from spark_streaming_spark.operators import topk as T
 from spark_streaming_spark.operators import tpch as TPC
+from spark_streaming_spark.operators import bpe as BPE
 from spark_streaming_spark.operators import udtf_ops as UDTF
 from spark_streaming_spark.operators import windows as WIN
 from spark_streaming_spark.operators import wordcount as W
@@ -424,6 +425,22 @@ def _q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "update", last_epoch_keys=["word"])
 
 
+def _q_streaming_wordcount_rocksdb(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The same update-mode running word count executed under the
+    RocksDB state store provider (streaming/statestore.py) — the
+    provider whose bounded block-cache memory survives billion-key
+    state at 100 TB, where the default in-memory HashMap provider OOMs.
+    Shares the wordcount oracle: provider choice must never change
+    results, and this entry makes the driver prove it."""
+    from spark_streaming_spark.streaming.pipelines import wordcount_stream
+    from spark_streaming_spark.streaming.statestore import state_store_provider
+
+    with state_store_provider(spark, "rocksdb"):
+        return _run_streamed(spark, sf_dir, "documents", wordcount_stream,
+                             "update", last_epoch_keys=["word"])
+
+
 def _q_streaming_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming.pipelines import blacklist_stream
     bl = B.make_blacklist(load_table(spark, sf_dir, "customer"))
@@ -554,6 +571,22 @@ def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay.run_polled_to_parquet(
         counts, target_input_rows=n, output_mode="complete",
         state_partitions=4,
+    )
+
+
+def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key of (user_id, floor(value)) per event — the clustering
+    key zorder_layout sorts by; exact across engines because it is pure
+    integer bit arithmetic (generated once, shared by both dialects)."""
+    from spark_streaming_spark.operators import maintenance as MN
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.expr(
+            MN._zorder_sql("user_id", "CAST(FLOOR(value) AS BIGINT)", 16)
+            .replace("//", " div ")
+        ).cast("long").alias("zkey"),
     )
 
 
@@ -779,6 +812,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Kafka wire-path: fake_kafka Python DataSource (exact Kafka
         # source schema) → decode_kafka → tokenize → count
         "streaming_kafka_wordcount": _q_streaming_kafka_wordcount,
+        # provider parity: same pipeline, RocksDB state store
+        "streaming_wordcount_rocksdb": _q_streaming_wordcount_rocksdb,
         "streaming_blacklist_filter": _q_streaming_blacklist,
         "streaming_sliding_counts": _q_streaming_sliding,
         "streaming_top3_per_window": _q_streaming_top3,
@@ -828,6 +863,17 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_runs": lambda s, d: UDTF.token_runs(
             load_table(s, d, "documents")),
         "token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
+        # BPE tokenizer TRAINING (operators/bpe.py): iterative distributed
+        # merge learning — no SQL twin exists for a fixpoint, so these are
+        # rows-only driver entries; exactness is pinned against a pure-
+        # Python reference BPE in tests/test_bpe.py
+        "bpe_train_merges": lambda s, d: BPE.bpe_train(
+            load_table(s, d, "documents"), n_merges=8),
+        "bpe_segment_stats": lambda s, d: BPE.bpe_segment(
+            load_table(s, d, "documents"),
+            [(r.left, r.right) for r in BPE.bpe_train(
+                load_table(s, d, "documents"), n_merges=6)
+             .orderBy("step").collect()]),
         "bpe_token_stats": lambda s, d: TX.bpe_token_stats(load_table(s, d, "documents")),
         "term_stats": lambda s, d: TX.term_stats(load_table(s, d, "documents")),
         "top_terms_per_lang": lambda s, d: AN.top_terms_per_lang(
@@ -950,6 +996,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd1_customer_merge": lambda s, d: _scd1_customer_merge(s, d),
         "audio_windows": lambda s, d: MM.audio_windows(
             MM.to_media_table(load_table(s, d, "documents"))),
+        # Z-order (Morton) clustering key (operators/maintenance.py):
+        # the layout-maintenance primitive behind OPTIMIZE ZORDER BY —
+        # pure bit-arithmetic column, identical expression both dialects
+        "zorder_key_events": lambda s, d: _zorder_key_events(s, d),
         "video_frame_offsets": lambda s, d: MM.frame_offsets(
             MM.to_media_table(load_table(s, d, "documents"))),
     }
@@ -2200,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT word, count(*) AS cnt FROM words GROUP BY word
     """
+    sql["streaming_wordcount_rocksdb"] = sql["wordcount"]
     sql["streaming_blacklist_filter"] = sql["blacklist_filter"]
     sql["streaming_sliding_counts"] = sql["sliding_counts"]
     sql["streaming_top3_per_window"] = sql["hot_words_per_window"]
@@ -2544,6 +2595,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT kept_doc, doc_id AS drop_doc
         FROM ranked WHERE doc_id <> kept_doc
+    """
+    # zorder key: the SAME generated bit-arithmetic expression, DuckDB
+    # integer-division spelling
+    from spark_streaming_spark.operators.maintenance import _zorder_sql
+
+    sql["zorder_key_events"] = f"""
+        SELECT event_id,
+               CAST({_zorder_sql("user_id", "CAST(FLOOR(value) AS BIGINT)", 16)}
+                    AS BIGINT) AS zkey
+        FROM events
     """
     # token_runs: gaps-and-islands twin of the Python UDTF — consecutive
     # equal tokens share (pos - row_number-within-token) and become one

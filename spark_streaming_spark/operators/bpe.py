@@ -1,0 +1,147 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merges —
+Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units"; public algorithm). The LLM-pipeline operator the other
+text tiers feed: dedup/quality/packing prepare the corpus, THIS learns
+the tokenizer's merge table from it.
+
+Shape per merge round (classic word-level BPE):
+
+1. pair counts: explode each distinct word's adjacent symbol pairs,
+   weighted by corpus word frequency → ``groupBy(pair).sum(freq)`` —
+   map-side partial agg, one shuffle whose key space is the pair
+   vocabulary (small), never the corpus;
+2. top pair: deterministic argmax (count desc, then lexicographic) —
+   a ONE-ROW ``.collect()`` per round, the same sanctioned driver
+   fetch as any iterative algorithm's convergence probe;
+3. merge: rewrite every word's symbol array with a leftmost-greedy
+   fold (``F.aggregate``) replacing [l, r] adjacencies by l||r — pure
+   map, no shuffle.
+
+Scale: the iterated state is the DISTINCT-WORD table (vocabulary), not
+the corpus — built once with one groupBy and orders of magnitude
+smaller than the documents it came from (Heaps' law); each round adds
+one map + one small-keyed agg. ``localCheckpoint`` every few rounds
+truncates the growing lineage exactly like the connected-components
+loop (operators/dedup.dup_components). No SQL oracle exists for an
+iterative fixpoint — correctness is pinned against a pure-Python
+reference BPE in tests/test_bpe.py (same tie-break), and the driver
+entry is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.sources.batch import widen
+
+
+def word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, freq) corpus vocabulary with counts — the BPE training
+    input. One explode + one groupBy."""
+    return (
+        widen(docs)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts weighted by word frequency."""
+    pairs = F.zip_with(
+        F.slice("syms", 1, F.size("syms") - 1),
+        F.slice("syms", 2, F.size("syms") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merge_expr(left: str, right: str):
+    """Leftmost-greedy merge of adjacent [left, right] symbols into one
+    (the classic BPE replace): fold the symbol array, replacing the
+    accumulated tail when it equals ``left`` and the incoming symbol is
+    ``right``. Overlaps resolve leftmost-first (pair (a,a) on
+    [a,a,a] → [aa,a]) because the merged tail no longer equals
+    ``left``."""
+    l, r = F.lit(left), F.lit(right)
+    return F.aggregate(
+        "syms",
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l)
+            & (s == r),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(l, r)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              checkpoint_every: int = 4) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
+    table as a DataFrame: (step, left, right, pair_count), step 1-based
+    in merge order. Ties break on (left, right) ascending —
+    deterministic on any engine.
+
+    The per-round driver fetch is ONE row (the argmax pair); everything
+    else is distributed. ``checkpoint_every`` rounds, the word table's
+    lineage is truncated with ``localCheckpoint`` (same pattern as the
+    CC loop) so the plan does not grow linearly in rounds."""
+    spark = docs.sparkSession
+    words = word_freqs(docs).select(
+        F.col("word"),
+        F.col("freq"),
+        F.split(F.col("word"), "").alias("syms"),
+    )
+    words = words.localCheckpoint(eager=True)
+    merges = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((step, l, r, int(cnt)))
+        words = words.withColumn("syms", _merge_expr(l, r))
+        if step % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    )
+
+
+def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list to segment each document's words.
+    Columns: doc_id, n_words, n_subwords — the compression the learned
+    tokenizer achieves (n_subwords shrinks toward n_words as merges
+    grow). Map-only: the merge table is a plan constant."""
+    words = F.split(F.col("text"), " ")
+    d = widen(docs).select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: w != "")).alias("n_words"),
+        F.explode(F.filter(words, lambda w: w != "")).alias("word"),
+    )
+    d = d.withColumn("syms", F.split(F.col("word"), ""))
+    for l, r in merges:
+        d = d.withColumn("syms", _merge_expr(l, r))
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.sum(F.size("syms")).cast("long").alias("n_subwords"),
+        )
+    )

@@ -1,0 +1,72 @@
+"""Distributed BPE trainer (operators/bpe.py) pinned against a pure-
+Python reference implementation (same algorithm, same tie-break) on the
+real sf0.001 corpus — the oracle for an iterative fixpoint no SQL can
+express."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from spark_streaming_spark.operators import bpe
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Classic word-level BPE: count adjacent symbol pairs weighted by
+    word freq, merge the argmax (count desc, pair lexicographic asc),
+    leftmost-greedy replace. Returns [(step, left, right, count)]."""
+    words = {w: list(w) for w in word_freqs}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, syms in words.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, cnt))
+        for w, syms in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            words[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in bpe.bpe_train(docs, n_merges=8).orderBy("step").collect()
+    ]
+    wf = {
+        r.word: r.freq for r in bpe.word_freqs(docs).collect()
+    }
+    want = _reference_bpe(wf, 8)
+    assert got == want
+
+
+def test_bpe_segment_compresses_with_merges(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe.bpe_train(docs, n_merges=6).orderBy("step").collect()
+    ]
+    seg0 = {r.doc_id: r.n_subwords
+            for r in bpe.bpe_segment(docs, []).collect()}
+    seg6 = {r.doc_id: (r.n_words, r.n_subwords)
+            for r in bpe.bpe_segment(docs, merges).collect()}
+    assert seg0.keys() == seg6.keys()
+    total0 = sum(seg0.values())
+    total6 = sum(v[1] for v in seg6.values())
+    assert total6 < total0  # merges strictly compress this corpus
+    # subwords can never undercut the word count
+    assert all(n_sub >= n_words for n_words, n_sub in seg6.values())

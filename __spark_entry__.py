@@ -118,15 +118,12 @@ def _synthetic_rollup(spark: SparkSession) -> DataFrame:
     )
 
 
-def _scd1_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD1 merge demo over customer: every 7th key gets a balance bump
-    + segment overwrite (update path), every 11th key re-enters with a
-    shifted key (insert path); everything else passes through."""
-    from pyspark.sql import functions as F
-
-    from spark_streaming_spark.operators.merge import scd1_merge
-
-    cust = load_table(spark, sf_dir, "customer")
+def _scd1_updates(cust: DataFrame) -> DataFrame:
+    """Deterministic update/insert set for the SCD1 entries: every 7th
+    key gets a balance bump + segment overwrite (update path), every
+    11th key re-enters with a shifted key (insert path). Keys are unique
+    within the set, so any batch partitioning of it merges to the same
+    final table."""
     mod = (
         cust.filter(F.col("c_custkey") % 7 == 0)
         .withColumn("c_acctbal", F.col("c_acctbal") + 100)
@@ -137,7 +134,58 @@ def _scd1_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("c_name"), F.lit("_new")).alias("c_name"),
         "c_nationkey", "c_acctbal", "c_mktsegment",
     )
-    return scd1_merge(cust, mod.unionByName(ins), "c_custkey")
+    return mod.unionByName(ins)
+
+
+def _scd1_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 merge demo over customer (batch spelling)."""
+    from spark_streaming_spark.operators.merge import scd1_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    return scd1_merge(cust, _scd1_updates(cust), "c_custkey")
+
+
+def _q_streaming_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME merge maintained CONTINUOUSLY: the update stream arrives
+    in micro-batches and the foreachBatch SCD1 sink
+    (streaming/pipelines.scd1_merge_sink — the reference's
+    PersistWordCount MySQL-upsert pattern, generalized to whole-row
+    type-1 merges with atomic versioned publishes) folds each batch into
+    the accumulated table. Update keys are unique, so the final state
+    equals the one-shot batch merge — shared oracle."""
+    import atexit
+    import shutil
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import scd1_merge_sink
+
+    cust = load_table(spark, sf_dir, "customer")
+    chunk_dir = replay.chunk_to_dir(_scd1_updates(cust), 3)
+    state_dir = replay.scratch_dir("scd1_state_")
+    # the returned DataFrame scans the published state — keep it on disk
+    # for the session (same lifecycle as replay.run_to_parquet's sink)
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir)
+        q = (
+            stream.writeStream
+            .foreachBatch(scd1_merge_sink(spark, cust, "c_custkey",
+                                          state_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming scd1 merge did not finish")
+        with open(os.path.join(state_dir, "CURRENT")) as fh:
+            return spark.read.parquet(
+                os.path.join(state_dir, fh.read().strip()))
+    finally:
+        replay.cleanup(chunk_dir)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
@@ -994,6 +1042,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inserts append, base survives — deterministic update/insert
         # sets derived from customer
         "scd1_customer_merge": lambda s, d: _scd1_customer_merge(s, d),
+        # the same merge maintained continuously (foreachBatch upsert
+        # sink ≡ PersistWordCount's MySQL pattern; shared oracle)
+        "streaming_scd1_merge": _q_streaming_scd1_merge,
         "audio_windows": lambda s, d: MM.audio_windows(
             MM.to_media_table(load_table(s, d, "documents"))),
         # Z-order (Morton) clustering key (operators/maintenance.py):
@@ -1825,6 +1876,8 @@ def oracle_sql() -> dict[str, str]:
                coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
         FROM customer b FULL OUTER JOIN u ON b.c_custkey = u.c_custkey
     """
+    # continuously-maintained merge converges to the batch merge
+    sql["streaming_scd1_merge"] = sql["scd1_customer_merge"]
     # oracle for the CUSTOM PYTHON SOURCE entry: regenerate the source's
     # integer-derived rows from range() and roll up identically
     sql["synthetic_source_rollup"] = """

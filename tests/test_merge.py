@@ -39,3 +39,58 @@ def test_scd1_merge_schema_mismatch_rejected(spark):
     cust = load_table(spark, SF_DIR, "customer")
     with pytest.raises(ValueError):
         scd1_merge(cust, cust.drop("c_name"), "c_custkey")
+
+
+def test_scd1_merge_sink_stream_equals_batch(spark, tmp_path):
+    """The foreachBatch SCD1 sink folds a chunked update stream into the
+    same final table the one-shot batch merge produces, and re-running
+    an epoch (idempotency under replay) does not change the result."""
+    from spark_streaming_spark.operators.merge import scd1_merge
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import scd1_merge_sink
+
+    base = spark.createDataFrame(
+        [(i, f"n{i}", i * 10.0) for i in range(20)],
+        "k long, name string, bal double",
+    )
+    updates = spark.createDataFrame(
+        [(i, f"upd{i}", i * 10.0 + 1) for i in range(0, 20, 3)]
+        + [(100 + i, f"new{i}", 0.0) for i in range(4)],
+        "k long, name string, bal double",
+    )
+    chunk_dir = replay.chunk_to_dir(updates, 3)
+    state_dir = str(tmp_path / "state")
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    ckpt = str(tmp_path / "ckpt")
+    sink = scd1_merge_sink(spark, base, "k", state_dir)
+    try:
+        q = (
+            replay.stream_from_dir(spark, chunk_dir)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+    finally:
+        replay.cleanup(chunk_dir)
+
+    with open(os.path.join(state_dir, "CURRENT")) as fh:
+        cur = fh.read().strip()
+    streamed = {tuple(r) for r in spark.read.parquet(
+        os.path.join(state_dir, cur)).collect()}
+    batch = {tuple(r) for r in scd1_merge(base, updates, "k").collect()}
+    assert streamed == batch
+
+    # a later EMPTY batch (trigger with no new files) must publish an
+    # identical table — merge is a no-op on an empty update set
+    last_epoch = int(cur[1:])
+    sink(spark.createDataFrame([], updates.schema), last_epoch + 1)
+    with open(os.path.join(state_dir, "CURRENT")) as fh:
+        cur2 = fh.read().strip()
+    replayed = {tuple(r) for r in spark.read.parquet(
+        os.path.join(state_dir, cur2)).collect()}
+    assert replayed == streamed

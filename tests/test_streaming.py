@@ -723,3 +723,77 @@ def test_streaming_full_outer_join_equals_batch(spark):
     # non-vacuous on BOTH sides
     assert any(r[2] is None for r in want)  # dead clicks
     assert any(r[1] is None for r in want)  # organic purchases
+
+
+def test_multiple_watermark_policy_min_vs_max(spark, tmp_path):
+    """Global watermark across MULTIPLE watermarked inputs in one query
+    (SPARK-24730, `spark.sql.streaming.multipleWatermarkPolicy`): the
+    default `min` tracks the LAGGARD input, so a row that is late only
+    relative to the fast input survives; `max` tracks the leader and
+    drops it. Two file streams: A races ahead (event time 12:00), B lags
+    (10:02); a B row at 11:00 then arrives TWO batches after A raced
+    ahead (late-record filtering uses the previous batch's watermark,
+    SPARK-40925, so a one-batch-late row survives either policy) — kept
+    under min, dropped under max."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.streaming import replay
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def chunk_dir(name, batches):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+            tmp = str(tmp_path / f"{name}_w{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = os.path.join(d, f"chunk-{i:05d}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        return d
+
+    def run(policy):
+        a_dir = chunk_dir(f"a_{policy}", [
+            [(1, ts(10, 0))],
+            [(2, ts(12, 0))],   # A watermark races to 12:00
+            [(3, ts(12, 0))],
+            [(4, ts(12, 0))],
+        ])
+        b_dir = chunk_dir(f"b_{policy}", [
+            [(101, ts(10, 0))],
+            [(102, ts(10, 1))],  # B watermark lags
+            [(103, ts(10, 2))],
+            [(104, ts(11, 0))],  # late vs A's watermark only, by 2 batches
+        ])
+        old = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy")
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+        try:
+            a = replay.stream_from_dir(spark, a_dir).withWatermark(
+                "ts", "0 seconds")
+            b = replay.stream_from_dir(spark, b_dir).withWatermark(
+                "ts", "0 seconds")
+            counts = (
+                a.unionByName(b)
+                .groupBy(F.window("ts", "5 minutes").alias("w"))
+                .agg(F.count("*").alias("n"))
+            )
+            out = replay.run_to_parquet(counts, "update",
+                                        state_partitions=2)
+            return {
+                (r.w.start.hour, r.w.start.minute): r.n
+                for r in out.collect()
+            }
+        finally:
+            spark.conf.set(
+                "spark.sql.streaming.multipleWatermarkPolicy", old)
+
+    kept = run("min")
+    dropped = run("max")
+    assert (11, 0) in kept          # laggard-relative on-time row counted
+    assert (11, 0) not in dropped   # leader policy discards it

@@ -1047,6 +1047,19 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd1_merge": _q_streaming_scd1_merge,
         "audio_windows": lambda s, d: MM.audio_windows(
             MM.to_media_table(load_table(s, d, "documents"))),
+        # Product quantization (operators/ann.py, Jégou et al. 2011):
+        # m per-subspace codebooks (tiny driver-side model at any corpus
+        # size), map-only encode, ADC shortlist + exact rerank search.
+        # KMeans-trained — iterative, no SQL twin: rows-only entries;
+        # the ADC ≡ reconstruction-distance identity and rerank recall
+        # are pinned in tests/test_ann.py
+        "pq_codes": lambda s, d: ANN.pq_encode(
+            load_table(s, d, "embeddings"),
+            ANN.pq_train(load_table(s, d, "embeddings"), m=4, k=16)),
+        "pq_search_topk": lambda s, d: ANN.pq_search(
+            load_table(s, d, "embeddings"),
+            ANN.pq_train(load_table(s, d, "embeddings"), m=4, k=16),
+            query_vec_id=0, k_out=10, shortlist=50),
         # Z-order (Morton) clustering key (operators/maintenance.py):
         # the layout-maintenance primitive behind OPTIMIZE ZORDER BY —
         # pure bit-arithmetic column, identical expression both dialects

@@ -105,3 +105,173 @@ def knn_ivf(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def pq_train(embeddings: DataFrame, m: int = 8, k: int = 16,
+             seed: int = 42) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"; public method): split the
+    D-dim space into ``m`` subspaces of D/m dims and k-means each
+    subspace independently. Returns ``codebooks[s][c] = centroid c of
+    subspace s`` — m·k·(D/m) floats, a driver-sized constant at ANY
+    corpus size (that is the point of PQ: the model is tiny, the codes
+    are m·log2(k) bits per vector — 4 bytes here vs 256 for the raw
+    floats, 64×).
+
+    Fit discipline mirrors build_ivf_index: bounded sample per subspace,
+    few iterations — the quantizer needn't converge to assign well."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(embeddings.select("embedding").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    train = embeddings.select("embedding")
+    target = 400 * k
+    n = train.count()
+    if n > target:
+        train = train.sample(fraction=target / n, seed=seed)
+    train = train.localCheckpoint()  # don't re-scan per subspace fit
+    books = []
+    for s in range(m):
+        sv = train.select(
+            array_to_vector(
+                F.slice("embedding", s * sub + 1, sub)
+            ).alias("_sv")
+        )
+        km = KMeans(k=k, seed=seed + s, maxIter=4,
+                    featuresCol="_sv", predictionCol="_c")
+        model = km.fit(sv)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def _books_lit(books: list[list[list[float]]]) -> F.Column:
+    """codebooks as a nested array literal: array<array<array<double>>>
+    indexed [subspace][centroid][dim] — a plan constant, broadcast with
+    the plan itself."""
+    return F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in book
+        ])
+        for book in books
+    ])
+
+
+def pq_encode(embeddings: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Encode every vector to its m nearest-centroid codes — map-only
+    (the codebooks ride in the plan; no join, no shuffle, no UDF).
+    Columns: vec_id, codes (array<int>, one code per subspace).
+
+    Per subspace the argmin over k centroids runs as a fold over the
+    codebook literal inside codegen; cost is m·k·(D/m) = D·k mults per
+    vector, embarrassingly parallel."""
+    m = len(books)
+    sub = len(books[0][0])
+    dim = m * sub
+
+    def code_for(s: int) -> F.Column:
+        # argmin over centroids of subspace s: fold carrying (best_c, best_d)
+        sv = F.slice("embedding", s * sub + 1, sub)
+        book = _books_lit([books[s]])[0]
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(len(books[s]) - 1)),
+            F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")),
+            lambda acc, c: F.when(
+                _sqdist(sv, book[c]) < acc["d"],
+                F.struct(c.alias("c"), _sqdist(sv, book[c]).alias("d")),
+            ).otherwise(acc),
+        )["c"]
+
+    from spark_streaming_spark.sources.batch import widen
+
+    out = widen(embeddings).select(
+        "vec_id",
+        F.array(*[code_for(s) for s in range(m)]).alias("codes"),
+    )
+    _ = dim  # dimension validated at train time
+    return out
+
+
+def _sqdist(sv: F.Column, centroid: F.Column) -> F.Column:
+    """Squared L2 between a subvector column and a centroid array."""
+    return F.aggregate(
+        F.zip_with(sv, centroid, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, books: list[list[list[float]]],
+                query_vec_id: int = 0, k_out: int = 10) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays EXACT; every database
+    vector is its PQ code; distance ≈ sum over subspaces of a
+    query-specific lookup table LUT[s][code]. The LUT (m·k doubles) is
+    computed once on the driver from the query vector and rides in the
+    plan — scoring a candidate is m array lookups + adds, no float
+    vector access at all. This is how a 100 TB vector store scans codes
+    at memory bandwidth. Columns: vec_id, approx_dist2."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding").first()
+    if q is None:
+        raise KeyError(f"query vector {query_vec_id} not found")
+    qv = list(q[0])
+    m = len(books)
+    sub = len(books[0][0])
+    lut = [
+        [
+            sum((qv[s * sub + j] - c[j]) ** 2 for j in range(sub))
+            for c in books[s]
+        ]
+        for s in range(m)
+    ]
+    lut_lit = F.array(*[
+        F.array(*[F.lit(float(d)) for d in row]) for row in lut
+    ])
+    codes = pq_encode(embeddings, books)
+    dist = F.aggregate(
+        F.zip_with(
+            "codes",
+            lut_lit,
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", dist.alias("approx_dist2"))
+        .orderBy(F.col("approx_dist2").asc(), F.col("vec_id").asc())
+        .limit(k_out)
+    )
+
+
+def pq_search(embeddings: DataFrame, books: list[list[list[float]]],
+              query_vec_id: int = 0, k_out: int = 10,
+              shortlist: int = 50) -> DataFrame:
+    """PQ search as deployed at scale: ADC over the codes produces a
+    ``shortlist`` of candidates (code-only scan, memory-bandwidth
+    cheap), then ONLY the shortlist is re-ranked with the exact float
+    vectors (touches ``shortlist`` rows, not the corpus). Recall is
+    governed by the shortlist hit rate, not by ADC's final-rank
+    fidelity — the shortlist/rerank split is what lets 64-bit codes
+    serve high-recall top-10. Columns: vec_id, dist2 (exact)."""
+    cand = pq_adc_topk(embeddings, books, query_vec_id, shortlist) \
+        .select("vec_id")
+    q = embeddings.filter(F.col("vec_id") == query_vec_id) \
+        .select(F.col("embedding").alias("qv"))
+    exact = (
+        embeddings.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("embedding", "qv",
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, v: a + v,
+            ).alias("dist2"),
+        )
+    )
+    return exact.orderBy(F.col("dist2").asc(), F.col("vec_id").asc()) \
+        .limit(k_out)

@@ -1056,6 +1056,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": lambda s, d: ANN.pq_encode(
             load_table(s, d, "embeddings"),
             ANN.pq_train(load_table(s, d, "embeddings"), m=4, k=16)),
+        # the composed FAISS-style index: IVF cell pruning × PQ code
+        # scan × exact rerank (recall floors pinned in tests/test_ann.py)
+        "knn_ivfpq": lambda s, d: ANN.knn_ivfpq(
+            load_table(s, d, "embeddings"),
+            query_vec_id=0, k_out=10, n_cells=8, nprobe=4, m=4, pq_k=16),
         "pq_search_topk": lambda s, d: ANN.pq_search(
             load_table(s, d, "embeddings"),
             ANN.pq_train(load_table(s, d, "embeddings"), m=4, k=16),

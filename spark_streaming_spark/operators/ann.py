@@ -275,3 +275,54 @@ def pq_search(embeddings: DataFrame, books: list[list[list[float]]],
     )
     return exact.orderBy(F.col("dist2").asc(), F.col("vec_id").asc()) \
         .limit(k_out)
+
+
+def knn_ivfpq(embeddings: DataFrame, query_vec_id: int = 0, k_out: int = 10,
+              n_cells: int = 16, nprobe: int = 4, m: int = 8,
+              pq_k: int = 16, shortlist: int = 50) -> DataFrame:
+    """The composed FAISS-style index — IVF cell pruning × PQ code scan
+    × exact rerank, each tier cutting what the next one touches:
+
+    1. coarse quantizer prunes to ``nprobe``/``n_cells`` of the corpus
+       (partition pruning for vectors — the cells are storage partitions
+       at scale);
+    2. inside probed cells, ADC scans 4-byte codes with a lookup table
+       (memory-bandwidth, no float vectors touched) for a shortlist;
+    3. only ``shortlist`` rows are re-ranked with exact distances.
+
+    At 100 TB: tier 1 is partition pruning, tier 2 reads m·log2(k) bits
+    per vector instead of 4·D bytes (64× less IO here), tier 3 touches
+    a constant number of rows. Columns: vec_id, dist2 (exact)."""
+    import numpy as np
+
+    assigned, model = build_ivf_index(embeddings, n_cells)
+    q_row = assigned.filter(F.col("vec_id") == query_vec_id) \
+        .select("embedding").first()
+    if q_row is None:
+        raise KeyError(f"query vector {query_vec_id} not found")
+    qv = np.asarray(q_row[0], dtype="float64")
+    centers = model.clusterCenters()
+    order = sorted(
+        range(len(centers)),
+        key=lambda c: float(np.sum((qv - centers[c]) ** 2)),
+    )
+    probed = assigned.filter(F.col("cell").isin(order[:nprobe]))
+    books = pq_train(embeddings, m=m, k=pq_k)
+    cand = pq_adc_topk(probed, books, query_vec_id, shortlist) \
+        .select("vec_id")
+    q = embeddings.filter(F.col("vec_id") == query_vec_id) \
+        .select(F.col("embedding").alias("qv"))
+    return (
+        embeddings.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("embedding", "qv",
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, v: a + v,
+            ).alias("dist2"),
+        )
+        .orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
+        .limit(k_out)
+    )

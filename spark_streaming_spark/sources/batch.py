@@ -80,7 +80,11 @@ def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     the repartition only fires when the input is narrower than the
     session's parallelism.
 
-    The partition-count probe builds the RDD plan but runs no job."""
+    The partition-count probe builds the RDD plan but runs no job.
+    Streaming DataFrames pass through untouched (no RDD to probe; a
+    micro-batch's parallelism is the source's concern)."""
+    if df.isStreaming:
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -89,3 +89,28 @@ def test_pq_rerank_recall_floor(spark):
     got = {r.vec_id for r in
            ann.pq_search(emb, books, 0, k_out=10, shortlist=50).collect()}
     assert len(exact & got) >= 7, (exact, got)
+
+
+def test_ivfpq_recall_floor_and_exhaustive_probe(spark):
+    """Composed IVF-PQ: with every cell probed and a generous shortlist
+    the pipeline reduces to PQ-rerank (high recall); at nprobe=4 recall
+    degrades gracefully, bounded below on the seeded fixture."""
+    import numpy as np
+
+    from spark_streaming_spark.operators import ann
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    data = {r.vec_id: np.asarray(r.embedding, dtype="float64")
+            for r in emb.collect()}
+    q = data[0]
+    exact = {i for _, i in sorted(
+        (float(np.sum((v - q) ** 2)), i)
+        for i, v in data.items() if i != 0)[:10]}
+    full = {r.vec_id for r in ann.knn_ivfpq(
+        emb, 0, k_out=10, n_cells=8, nprobe=8, m=16, pq_k=16,
+        shortlist=100).collect()}
+    assert len(exact & full) >= 7, (exact, full)
+    probed = {r.vec_id for r in ann.knn_ivfpq(
+        emb, 0, k_out=10, n_cells=8, nprobe=4, m=16, pq_k=16,
+        shortlist=100).collect()}
+    assert len(exact & probed) >= 5, (exact, probed)

@@ -310,3 +310,43 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling (the runtime complement to the manual
+    salting in operators/skew.py): one key holding ~95% of the fact
+    rows lands in one shuffle partition; with skew thresholds scaled
+    to local data sizes, AQE splits that partition into multiple tasks
+    at runtime — the final adaptive plan marks the join
+    `SortMergeJoin(skew=true)` and the shuffle read `skewed`. At 100 TB
+    the same rule (default thresholds) is what keeps one hot user/URL
+    from serializing a join on one executor. The final plan must be
+    read from the SAME QueryExecution that ran (collect, not write —
+    actions like write plan a fresh execution)."""
+    saved = {}
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(0, 10000).select(
+                (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v"))
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = big.join(dim, "k").select("k", "v", "w")
+        assert len(j.collect()) == 210000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -647,10 +647,11 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # (round 4) never driver-checked: the right/full outer join matrix
-    # added after the r3 snapshot — first driver signal
+    # (round 4) never driver-checked — first driver signal
     "click_attribution_right", "click_attribution_full",
     "streaming_click_attribution_full", "streaming_kafka_wordcount",
+    "chunk_documents", "zorder_key_events", "streaming_scd1_merge",
+    "streaming_wordcount_rocksdb",
     # r1-vintage (oldest signal: last green in CORRECTNESS_r01, code has
     # changed three rounds since; VERDICT r3 "Next round" #1)
     "blacklist_filter", "cube_order_status", "customer_balance_quartiles",
@@ -671,8 +672,9 @@ _CHECK_FIRST = [
     "similar_pairs_lsh", "click_purchase_conversions",
     "streaming_wordcount", "streaming_blacklist_filter",
     "streaming_dedup", "streaming_sliding_counts",
-    "streaming_top3_per_window", "streaming_daily_rollup",
-    "streaming_quality_filter", "streaming_click_purchase_join",
+    # (streaming_daily_rollup / _quality_filter / _click_purchase_join /
+    # streaming_top3_per_window yield their slots to the four new
+    # never-checked entries; their r2 rows + the local sweep stand)
     # new this round, never driver-checked: UDTF surface
     "token_runs",
     # (the 50 r3-green entries yield their slots; r3 rows stand, and the

@@ -651,7 +651,7 @@ _CHECK_FIRST = [
     "click_attribution_right", "click_attribution_full",
     "streaming_click_attribution_full", "streaming_kafka_wordcount",
     "chunk_documents", "zorder_key_events", "streaming_scd1_merge",
-    "streaming_wordcount_rocksdb",
+    "streaming_wordcount_rocksdb", "incremental_dedup",
     # r1-vintage (oldest signal: last green in CORRECTNESS_r01, code has
     # changed three rounds since; VERDICT r3 "Next round" #1)
     "blacklist_filter", "cube_order_status", "customer_balance_quartiles",
@@ -671,7 +671,7 @@ _CHECK_FIRST = [
     "doc_fingerprints", "knn_bruteforce", "knn_graph",
     "similar_pairs_lsh", "click_purchase_conversions",
     "streaming_wordcount", "streaming_blacklist_filter",
-    "streaming_dedup", "streaming_sliding_counts",
+    "streaming_dedup",
     # (streaming_daily_rollup / _quality_filter / _click_purchase_join /
     # streaming_top3_per_window yield their slots to the four new
     # never-checked entries; their r2 rows + the local sweep stand)
@@ -819,6 +819,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "dedup_minhash_lsh": lambda s, d: DD.minhash_lsh_pairs(
             load_table(s, d, "documents")),
+        # incremental (batch-vs-corpus) dedup: the daily-production
+        # shape — new docs' bands join a persisted corpus index, never
+        # corpus x corpus. Split: doc_id%10==0 is the incoming batch.
+        "incremental_dedup": lambda s, d: DD.incremental_minhash_dedup(
+            load_table(s, d, "documents").filter(F.col("doc_id") % 10 == 0),
+            load_table(s, d, "documents").filter(F.col("doc_id") % 10 != 0)),
         "dup_components": lambda s, d: DD.dup_components(
             load_table(s, d, "documents")),
         # banded Hamming LSH is LOSSLESS for n_bands > max_hamming, so
@@ -2678,6 +2684,27 @@ def oracle_sql() -> dict[str, str]:
                CAST({_zorder_sql("user_id", "CAST(FLOOR(value) AS BIGINT)", 16)}
                     AS BIGINT) AS zkey
         FROM events
+    """
+    # incremental dedup: exact jaccard >= t between the incoming batch
+    # (doc_id%10==0) and the corpus (rest); the LSH join is lossless on
+    # this corpus at t=0.8 (same property the dedup_minhash_lsh oracle
+    # relies on)
+    sql["incremental_dedup"] = f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+                 count(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh
+          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+          GROUP BY 1, 2
+        )
+        SELECT new_doc, corpus_doc,
+               CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+        FROM pairs
+        JOIN sizes x ON new_doc = x.doc_id
+        JOIN sizes y ON corpus_doc = y.doc_id
+        WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
     """
     # token_runs: gaps-and-islands twin of the Python UDTF — consecutive
     # equal tokens share (pos - row_number-within-token) and become one

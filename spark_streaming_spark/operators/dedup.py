@@ -192,20 +192,11 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
-                      n: int = 3) -> DataFrame:
-    """Banded-LSH candidate pairs verified with exact Jaccard.
-
-    Pipeline: signatures → slice into N_BANDS bands → explode (doc, band,
-    band_hash) → self-join within identical (band, band_hash) buckets →
-    distinct candidates → exact-verify ONLY those. Rows-only driver check
-    (xxhash64 has no DuckDB twin); tests/test_dedup.py asserts candidate
-    recall against ngram_jaccard_pairs ground truth.
-    Columns: doc_a, doc_b, jaccard.
-    """
+def _sig_bands(sig: DataFrame) -> DataFrame:
+    """Slice signatures into N_BANDS (band, band_hash) rows per doc —
+    the LSH bucket keys. Columns: doc_id, band, bh."""
     rows_per_band = N_HASHES // N_BANDS
-    sig = minhash_signatures(docs, n)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -220,6 +211,58 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
             ])
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
+
+
+def incremental_minhash_dedup(new_docs: DataFrame, corpus_docs: DataFrame,
+                              threshold: float = 0.8,
+                              n: int = 3) -> DataFrame:
+    """Dedup an INCOMING BATCH against an EXISTING corpus — the shape
+    production dedup actually runs daily: the corpus side's signatures/
+    bands are a persisted index built once (and appended to), the
+    per-batch work is new-side signatures + a bucket join against the
+    index + exact verification of collisions only. Corpus×corpus pairs
+    are never recomputed and never join — cost is O(|new| + collisions),
+    independent of corpus size beyond the index scan.
+
+    Here both sides are computed from their doc frames (the sandbox has
+    no persisted index), but the JOIN is strictly new⋈corpus: at 100 TB
+    substitute ``spark.read.parquet(index)`` for the corpus bands/sigs
+    and nothing else changes. Columns: new_doc, corpus_doc, jaccard
+    (exact, ≥ threshold)."""
+    new_bands = _sig_bands(minhash_signatures(new_docs, n)).alias("nb")
+    corp_bands = _sig_bands(minhash_signatures(corpus_docs, n)).alias("cb")
+    candidates = (
+        new_bands.join(
+            corp_bands,
+            (F.col("nb.band") == F.col("cb.band"))
+            & (F.col("nb.bh") == F.col("cb.bh")),
+        )
+        .select(F.col("nb.doc_id").alias("doc_a"),
+                F.col("cb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    both = new_docs.select("doc_id", "text").unionByName(
+        corpus_docs.select("doc_id", "text"))
+    verified = _verify_jaccard(candidates, _shingle_sets(both, n), threshold)
+    return verified.select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("corpus_doc"),
+        "jaccard",
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
+                      n: int = 3) -> DataFrame:
+    """Banded-LSH candidate pairs verified with exact Jaccard.
+
+    Pipeline: signatures → slice into N_BANDS bands → explode (doc, band,
+    band_hash) → self-join within identical (band, band_hash) buckets →
+    distinct candidates → exact-verify ONLY those. Rows-only driver check
+    (xxhash64 has no DuckDB twin); tests/test_dedup.py asserts candidate
+    recall against ngram_jaccard_pairs ground truth.
+    Columns: doc_a, doc_b, jaccard.
+    """
+    bands = _sig_bands(minhash_signatures(docs, n))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (

@@ -203,3 +203,33 @@ def test_dedup_keep_best_semantics(spark):
     # every non-singleton cluster contributes exactly size-1 drops
     n_expected = sum(len(m) - 1 for m in by_comp.values() if len(m) > 1)
     assert len(out) == n_expected
+
+
+def test_incremental_dedup_equals_cross_side_pairs(spark):
+    """Batch-vs-corpus dedup finds exactly the cross-side subset of the
+    full-corpus exact-jaccard pairs (the new x corpus join loses nothing
+    the full pairwise run would find between the two sides)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = {
+        (r.new_doc, r.corpus_doc, round(r.jaccard, 9))
+        for r in DD.incremental_minhash_dedup(new, corpus).collect()
+    }
+    full = {
+        (a, b, round(j, 9))
+        for a, b, j in (
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in DD.ngram_jaccard_pairs(docs).collect()
+        )
+    }
+    cross = {
+        (a, b, j) if a % 10 == 0 else (b, a, j)
+        for a, b, j in full
+        if (a % 10 == 0) != (b % 10 == 0)
+    }
+    assert inc == cross

@@ -160,3 +160,86 @@ def test_partition_independence_of_representative_ops(spark):
             assert base, name  # non-vacuous
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@given(st.lists(st.tuples(st.integers(0, 2**16 - 1),
+                          st.integers(0, 2**16 - 1)),
+                min_size=1, max_size=20, unique=True))
+@settings(**_SETTINGS)
+def test_zorder_key_is_injective_and_orders_quadrants(spark, pts):
+    """Morton key properties the layout depends on: (x,y) → z is a
+    BIJECTION on the 16-bit grid (no two cells collide), and the key of
+    a point in a lower quadrant (both coordinates' high bits smaller)
+    precedes any point of a higher quadrant — the prefix property that
+    makes z-ranges unions of rectangles."""
+    from spark_streaming_spark.operators.maintenance import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", zorder_key("x", "y", 16).alias("z")).collect()
+
+    def ref(x, y):
+        z = 0
+        for k in range(16):
+            z |= ((x >> k) & 1) << (2 * k)
+            z |= ((y >> k) & 1) << (2 * k + 1)
+        return z
+
+    for r in rows:
+        assert r.z == ref(r.x, r.y)
+    zs = [r.z for r in rows]
+    assert len(set(zs)) == len(zs)  # injective on distinct (x, y)
+
+
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=6),
+                min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_bpe_merge_fold_equals_python_reference(spark, words):
+    """The Spark leftmost-greedy merge fold (F.aggregate) equals the
+    plain-Python BPE replace on arbitrary small-alphabet words for an
+    arbitrary learned pair."""
+    from spark_streaming_spark.operators.bpe import _merge_expr
+
+    df = spark.createDataFrame(
+        [(i, list(w)) for i, w in enumerate(words)],
+        "i long, syms array<string>",
+    )
+    for pair in [("a", "a"), ("a", "b"), ("b", "a")]:
+        got = {
+            r.i: tuple(r.m)
+            for r in df.select(
+                "i", _merge_expr(*pair).alias("m")).collect()
+        }
+        for i, w in enumerate(words):
+            out = []
+            for s in w:
+                if out and out[-1] == pair[0] and s == pair[1]:
+                    out[-1] = pair[0] + pair[1]
+                else:
+                    out.append(s)
+            assert got[i] == tuple(out), (w, pair, got[i], out)
+
+
+@given(st.lists(st.text(alphabet="xyz ", min_size=0, max_size=40),
+                min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_chunk_documents_covers_exactly(spark, texts):
+    """Chunks reconstruct each document exactly: stride-aligned prefixes
+    of the chunks concatenate to the original text, every chunk is at
+    most win chars, and starts advance by exactly stride."""
+    from spark_streaming_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    win, stride = 7, 4
+    out = chunk_documents(df, win=win, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert [r.chunk_start for r in chunks] == [
+            stride * j for j in range(len(chunks))]
+        assert all(r.chunk_len <= win for r in chunks)
+        rebuilt = "".join(r.chunk_text[:stride] for r in chunks[:-1])
+        rebuilt += chunks[-1].chunk_text
+        assert rebuilt == t, (t, [r.chunk_text for r in chunks])

@@ -498,8 +498,14 @@ def _q_streaming_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts in UPDATE mode + last-epoch-wins: complete
+    mode re-emits EVERY window ever opened per trigger — O(stream
+    lifetime) sink traffic on an unbounded stream (the r3 pivot
+    argument, VERDICT #2, applies to time windows just as much as to
+    user keys)."""
     from spark_streaming_spark.streaming.pipelines import sliding_hot_words
-    return _run_streamed(spark, sf_dir, "events", sliding_hot_words, "complete")
+    return _run_streamed(spark, sf_dir, "events", sliding_hot_words, "update",
+                         last_epoch_keys=["w_start", "w_end", "event_type"])
 
 
 def _q_streaming_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,13 +888,17 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # daily_event_rollup operator run as a streaming aggregation —
         # the state store does the incremental maintenance; the final
         # state equals the batch rollup (shared oracle)
+        # update mode + last-epoch-wins: per-trigger output is bounded
+        # by touched (day, type) cells, not every day ever seen
         "streaming_daily_rollup": lambda s, d: _run_streamed(
-            s, d, "events", RA.daily_event_rollup, "complete"),
+            s, d, "events", RA.daily_event_rollup, "update",
+            last_epoch_keys=["day", "event_type"]),
         # the fixed-grid histogram maintained CONTINUOUSLY: same operator
         # fn as a streaming aggregation on a derived (computed-bucket)
         # key; final state equals the batch grid (shared oracle)
         "streaming_histogram": lambda s, d: _run_streamed(
-            s, d, "events", AN.event_value_histogram, "complete"),
+            s, d, "events", AN.event_value_histogram, "update",
+            last_epoch_keys=["event_type", "bucket"]),
         # stream-stream join semantics, batch-planned (same operator fn)
         "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events")),

@@ -281,20 +281,24 @@ def _cache_ready(path: str) -> bool:
 
 
 def _chunked_table(spark: SparkSession, sf_dir: str, table: str,
-                   n_chunks: int) -> str:
+                   n_chunks: int, df: DataFrame | None = None) -> str:
     """Chunk a table once and cache the directory ON DISK keyed by
     (sf_dir, table, n_chunks): the driver tables are immutable, so every
     fresh process (driver correctness run, bench, tests) reuses the same
     chunks instead of re-writing them — the chunking cost is paid once
-    per machine, not once per process."""
+    per machine, not once per process.
+
+    ``df``: chunk this derived frame instead of loading ``table`` —
+    ``table`` then acts as the cache LABEL and must uniquely encode the
+    derivation (it feeds both cache keys)."""
     from spark_streaming_spark.streaming import replay
 
     key = (sf_dir, table, n_chunks)
     if key not in _CHUNK_CACHE:
         final = _persistent_cache_dir("rr", sf_dir, table, n_chunks)
         if not _cache_ready(final):
-            built = replay.chunk_to_dir(load_table(spark, sf_dir, table),
-                                        n_chunks)
+            src = df if df is not None else load_table(spark, sf_dir, table)
+            built = replay.chunk_to_dir(src, n_chunks)
             _publish_chunks(built, final)
         _CHUNK_CACHE[key] = final
     return _CHUNK_CACHE[key]
@@ -599,6 +603,37 @@ def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_incremental_dedup(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Incremental dedup run CONTINUOUSLY: each micro-batch of incoming
+    docs is deduped against the static corpus index inside foreachBatch
+    (operators/dedup.incremental_minhash_dedup), results appended. The
+    per-batch answers are disjoint (each new doc appears in exactly one
+    batch; the corpus side is fixed), so their union equals the one-shot
+    batch-vs-corpus answer — shared oracle. This is the streaming face
+    of daily-production dedup: the corpus index is the stream-static
+    side, per-trigger cost is O(batch + collisions)."""
+    from spark_streaming_spark.streaming import replay
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    # the corpus index is built ONCE and reused by every micro-batch —
+    # the production pattern (persisted index); per-trigger work is only
+    # the batch's signatures + the bucket join + verify
+    index = DD.build_dedup_index(corpus)
+    chunk_dir = _chunked_table(spark, sf_dir, "documents_new10", 3,
+                               df=new)
+    stream = replay.stream_from_dir(spark, chunk_dir)
+
+    def dedup_batch(batch_df: DataFrame) -> DataFrame:
+        return DD.incremental_minhash_dedup(batch_df, corpus_index=index)
+
+    return replay.run_foreach_to_parquet(
+        stream, dedup_batch, state_partitions=4
+    )
+
+
 def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka wire-path end-to-end minus the TCP handshake (VERDICT r3
     next-round #8): stream the ``fake_kafka`` Python DataSource — which
@@ -831,6 +866,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": lambda s, d: DD.incremental_minhash_dedup(
             load_table(s, d, "documents").filter(F.col("doc_id") % 10 == 0),
             load_table(s, d, "documents").filter(F.col("doc_id") % 10 != 0)),
+        # the same dedup run CONTINUOUSLY: per-micro-batch foreachBatch
+        # against the static corpus index; union of batches == the
+        # one-shot answer (shared oracle)
+        "streaming_incremental_dedup": _q_streaming_incremental_dedup,
         "dup_components": lambda s, d: DD.dup_components(
             load_table(s, d, "documents")),
         # banded Hamming LSH is LOSSLESS for n_bands > max_hamming, so
@@ -2695,6 +2734,7 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS zkey
         FROM events
     """
+    # streamed twin: per-batch union equals the one-shot answer
     # incremental dedup: exact jaccard >= t between the incoming batch
     # (doc_id%10==0) and the corpus (rest); the LSH join is lossless on
     # this corpus at t=0.8 (same property the dedup_minhash_lsh oracle
@@ -2716,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes y ON corpus_doc = y.doc_id
         WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
     """
+    sql["streaming_incremental_dedup"] = sql["incremental_dedup"]
     # token_runs: gaps-and-islands twin of the Python UDTF — consecutive
     # equal tokens share (pos - row_number-within-token) and become one
     # group; runs of length ≥ 2 survive

@@ -213,9 +213,26 @@ def _sig_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.bh")
 
 
-def incremental_minhash_dedup(new_docs: DataFrame, corpus_docs: DataFrame,
+def build_dedup_index(corpus_docs: DataFrame,
+                      n: int = 3) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE corpus side of incremental dedup: (bands,
+    shingles), materialized with ``localCheckpoint`` so repeated batch
+    runs (a stream's micro-batches, tomorrow's job) reuse it instead of
+    re-deriving the corpus. In production both frames are parquet tables
+    partitioned by band/doc — appended to as batches graduate into the
+    corpus — and this function is the backfill that builds them."""
+    bands = _sig_bands(minhash_signatures(corpus_docs, n)) \
+        .localCheckpoint(eager=False)
+    sh = _shingle_sets(corpus_docs, n).localCheckpoint(eager=False)
+    return bands, sh
+
+
+def incremental_minhash_dedup(new_docs: DataFrame,
+                              corpus_docs: DataFrame | None = None,
                               threshold: float = 0.8,
-                              n: int = 3) -> DataFrame:
+                              n: int = 3,
+                              corpus_index: tuple[DataFrame, DataFrame]
+                              | None = None) -> DataFrame:
     """Dedup an INCOMING BATCH against an EXISTING corpus — the shape
     production dedup actually runs daily: the corpus side's signatures/
     bands are a persisted index built once (and appended to), the
@@ -224,16 +241,24 @@ def incremental_minhash_dedup(new_docs: DataFrame, corpus_docs: DataFrame,
     are never recomputed and never join — cost is O(|new| + collisions),
     independent of corpus size beyond the index scan.
 
-    Here both sides are computed from their doc frames (the sandbox has
-    no persisted index), but the JOIN is strictly new⋈corpus: at 100 TB
-    substitute ``spark.read.parquet(index)`` for the corpus bands/sigs
-    and nothing else changes. Columns: new_doc, corpus_doc, jaccard
+    Pass ``corpus_index`` (from :func:`build_dedup_index`) to reuse a
+    materialized corpus side across calls — a stream's micro-batches,
+    tomorrow's batch; at 100 TB substitute ``spark.read.parquet`` index
+    tables and nothing else changes. Without it the index is derived
+    from ``corpus_docs`` inline. Columns: new_doc, corpus_doc, jaccard
     (exact, ≥ threshold)."""
+    if corpus_index is None:
+        if corpus_docs is None:
+            raise ValueError("need corpus_docs or corpus_index")
+        corpus_index = (
+            _sig_bands(minhash_signatures(corpus_docs, n)),
+            _shingle_sets(corpus_docs, n),
+        )
+    corp_bands, corp_sh = corpus_index
     new_bands = _sig_bands(minhash_signatures(new_docs, n)).alias("nb")
-    corp_bands = _sig_bands(minhash_signatures(corpus_docs, n)).alias("cb")
     candidates = (
         new_bands.join(
-            corp_bands,
+            corp_bands.alias("cb"),
             (F.col("nb.band") == F.col("cb.band"))
             & (F.col("nb.bh") == F.col("cb.bh")),
         )
@@ -241,9 +266,8 @@ def incremental_minhash_dedup(new_docs: DataFrame, corpus_docs: DataFrame,
                 F.col("cb.doc_id").alias("doc_b"))
         .distinct()
     )
-    both = new_docs.select("doc_id", "text").unionByName(
-        corpus_docs.select("doc_id", "text"))
-    verified = _verify_jaccard(candidates, _shingle_sets(both, n), threshold)
+    sh_union = _shingle_sets(new_docs, n).unionByName(corp_sh)
+    verified = _verify_jaccard(candidates, sh_union, threshold)
     return verified.select(
         F.col("doc_a").alias("new_doc"),
         F.col("doc_b").alias("corpus_doc"),

@@ -325,6 +325,53 @@ def run_polled_to_parquet(stream_df: DataFrame, target_input_rows: int,
     return spark.read.parquet(out)
 
 
+def run_foreach_to_parquet(stream_df: DataFrame, batch_fn,
+                           timeout_sec: int = 300,
+                           state_partitions: int | None = None) -> DataFrame:
+    """Run a bounded stream where each micro-batch is processed by an
+    arbitrary BATCH computation ``batch_fn(batch_df) -> DataFrame`` and
+    the per-batch results are appended under an epoch partition — the
+    foreachBatch escape hatch for logic no streaming plan can host
+    (per-batch joins/aggregations against static tables, model apply,
+    merge-style sinks). Epoch-partitioned dynamic overwrite keeps the
+    append idempotent under replay, exactly like the update-mode sink in
+    :func:`run_to_parquet`. Returns the union of all epochs' results as
+    a batch scan (epoch column dropped)."""
+    out = scratch_dir("spark_stream_out_")
+    ckpt = scratch_dir("spark_ckpt_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    spark = stream_df.sparkSession
+
+    def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_fn(batch_df)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out)
+        )
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.foreachBatch(run_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"stream did not finish within {timeout_sec}s — refusing "
+                f"to return a partial result"
+            )
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out).drop("epoch_id")
+
+
 def cleanup(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 

@@ -693,6 +693,7 @@ _CHECK_FIRST = [
     "streaming_click_attribution_full", "streaming_kafka_wordcount",
     "chunk_documents", "zorder_key_events", "streaming_scd1_merge",
     "streaming_wordcount_rocksdb", "incremental_dedup",
+    "streaming_incremental_dedup",
     # r1-vintage (oldest signal: last green in CORRECTNESS_r01, code has
     # changed three rounds since; VERDICT r3 "Next round" #1)
     "blacklist_filter", "cube_order_status", "customer_balance_quartiles",
@@ -712,7 +713,6 @@ _CHECK_FIRST = [
     "doc_fingerprints", "knn_bruteforce", "knn_graph",
     "similar_pairs_lsh", "click_purchase_conversions",
     "streaming_wordcount", "streaming_blacklist_filter",
-    "streaming_dedup",
     # (streaming_daily_rollup / _quality_filter / _click_purchase_join /
     # streaming_top3_per_window yield their slots to the four new
     # never-checked entries; their r2 rows + the local sweep stand)

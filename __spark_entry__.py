@@ -989,6 +989,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
         "vocab_build": lambda s, d: TX.vocab_build(
             load_table(s, d, "documents")),
+        # feature-hashed bag-of-words (hashing trick): text -> fixed-dim
+        # sparse vector, the bridge into the ANN stack; long form is the
+        # scale-correct sparse spelling
+        "hashed_bow": lambda s, d: TX.hashed_bow(
+            load_table(s, d, "documents")),
         # grouped-agg pandas_udf surface (integer-exact body)
         "grouped_agg_token_totals": lambda s, d: G.grouped_agg_token_totals(
             load_table(s, d, "documents")),
@@ -2723,6 +2728,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT kept_doc, doc_id AS drop_doc
         FROM ranked WHERE doc_id <> kept_doc
+    """
+    # hashed bag-of-words: md5-derived bucket, bit-identical both engines
+    sql["hashed_bow"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+               count(*) AS cnt
+        FROM tok WHERE w <> ''
+        GROUP BY 1, 2
     """
     # zorder key: the SAME generated bit-arithmetic expression, DuckDB
     # integer-division spelling

@@ -170,3 +170,30 @@ def vocab_build(docs: DataFrame, n: int = 100) -> DataFrame:
         )
         .select("token", "cnt", "rank", "cum_coverage")
     )
+
+
+def hashed_bow(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature-hashed bag-of-words (the hashing trick — Weinberger et
+    al. 2009; public method): token → bucket = md5(token) mod dim,
+    per-doc bucket counts in LONG FORM (doc_id, bucket, cnt). This is
+    the text→vector bridge into the similarity/ANN stack: a cheap
+    lexical embedding whose dimensionality is fixed a priori, no
+    vocabulary build, no OOV. Long form IS the scale-correct sparse
+    spelling — a corpus-wide dense matrix would be rows×dim; this is
+    O(nnz), and the ANN operators consume either form.
+
+    md5 (not xxhash64) so the bucketing is bit-identical in DuckDB: the
+    bucket is the first 8 hex chars as an integer mod dim — 32 bits is
+    ample for a power-of-two-free modulus and avoids any sign edge."""
+    tok = widen(docs).select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % dim
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )

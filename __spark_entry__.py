@@ -994,6 +994,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale-correct sparse spelling
         "hashed_bow": lambda s, d: TX.hashed_bow(
             load_table(s, d, "documents")),
+        # inverted-index lexical kNN: the sparse dot as a JOIN on the
+        # bucket key — the IR plan shape (broadcast query, candidates
+        # only from shared buckets)
+        "lexical_knn": lambda s, d: TX.lexical_knn(
+            load_table(s, d, "documents")),
         # grouped-agg pandas_udf surface (integer-exact body)
         "grouped_agg_token_totals": lambda s, d: G.grouped_agg_token_totals(
             load_table(s, d, "documents")),
@@ -2740,6 +2745,32 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS cnt
         FROM tok WHERE w <> ''
         GROUP BY 1, 2
+    """
+    sql["lexical_knn"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        bow AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+                 count(*) AS cnt
+          FROM tok WHERE w <> '' GROUP BY 1, 2
+        ),
+        norms AS (SELECT doc_id, SUM(cnt*cnt) AS n2 FROM bow
+                  GROUP BY doc_id),
+        qv AS (SELECT bucket, cnt AS qcnt FROM bow WHERE doc_id = 0),
+        qn AS (SELECT n2 AS qn2 FROM norms WHERE doc_id = 0),
+        dots AS (
+          SELECT b.doc_id, SUM(b.cnt * qv.qcnt) AS dot
+          FROM bow b JOIN qv USING (bucket)
+          WHERE b.doc_id <> 0 GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(n.n2 * qn.qn2 AS DOUBLE))
+                 AS cosine
+        FROM dots d JOIN norms n USING (doc_id), qn
+        ORDER BY cosine DESC, doc_id ASC LIMIT 10
     """
     # zorder key: the SAME generated bit-arithmetic expression, DuckDB
     # integer-division spelling

@@ -197,3 +197,41 @@ def hashed_bow(docs: DataFrame, dim: int = 64) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def lexical_knn(docs: DataFrame, query_doc_id: int = 0, k: int = 10,
+                dim: int = 64) -> DataFrame:
+    """Top-k lexically-similar documents to one query doc, by cosine
+    over the hashed bag-of-words — computed INVERTED-INDEX style: the
+    sparse dot product is a JOIN on the bucket key (only buckets the
+    query touches contribute), not a dense scan. This is the IR-classic
+    plan shape: at 100 TB the long-form BoW partitioned by bucket IS
+    the inverted index, the query side is a broadcast of ≤dim rows, and
+    the candidate set is only docs sharing a bucket with the query.
+    All-integer dots and norms (exact in any engine); cosine is one
+    final double divide. Columns: doc_id, cosine."""
+    bow = hashed_bow(docs, dim)
+    qv = bow.filter(F.col("doc_id") == query_doc_id).select(
+        F.col("bucket"), F.col("cnt").alias("qcnt"))
+    norms = bow.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
+    qnorm = norms.filter(F.col("doc_id") == query_doc_id).select(
+        F.col("n2").alias("qn2"))
+    dots = (
+        bow.filter(F.col("doc_id") != query_doc_id)
+        .join(F.broadcast(qv), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("qcnt")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            (F.col("dot").cast("double")
+             / F.sqrt((F.col("n2") * F.col("qn2")).cast("double")))
+            .alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

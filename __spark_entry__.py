@@ -973,11 +973,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only driver entries; exactness is pinned against a pure-
         # Python reference BPE in tests/test_bpe.py
         "bpe_train_merges": lambda s, d: BPE.bpe_train(
-            load_table(s, d, "documents"), n_merges=8),
+            load_table(s, d, "documents"), n_merges=8, cache_key=d),
         "bpe_segment_stats": lambda s, d: BPE.bpe_segment(
             load_table(s, d, "documents"),
             [(r.left, r.right) for r in BPE.bpe_train(
-                load_table(s, d, "documents"), n_merges=6)
+                load_table(s, d, "documents"), n_merges=6, cache_key=d)
              .orderBy("step").collect()]),
         "bpe_token_stats": lambda s, d: TX.bpe_token_stats(load_table(s, d, "documents")),
         "term_stats": lambda s, d: TX.term_stats(load_table(s, d, "documents")),
@@ -1032,7 +1032,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_sum": lambda s, d: SK.salted_decimal_sum(
             load_table(s, d, "events"), "event_type", "value"),
         # IVF ANN (k-means coarse cells; rows-only — probed search)
-        "knn_ivf": lambda s, d: ANN.knn_ivf(load_table(s, d, "embeddings")),
+        "knn_ivf": lambda s, d: ANN.knn_ivf(
+            load_table(s, d, "embeddings"), cache_key=d),
         # time-series similarity (hour-of-day profiles, peak-hour blocking).
         # The entry serializes the array profile to "c0|c1|..." — the
         # driver's canonicalizer sorts rows via pandas and cannot hash
@@ -1122,15 +1123,18 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are pinned in tests/test_ann.py
         "pq_codes": lambda s, d: ANN.pq_encode(
             load_table(s, d, "embeddings"),
-            ANN.pq_train(load_table(s, d, "embeddings"), m=4, k=16)),
+            ANN.pq_train(load_table(s, d, "embeddings"), m=4, k=16,
+                         cache_key=d)),
         # the composed FAISS-style index: IVF cell pruning × PQ code
         # scan × exact rerank (recall floors pinned in tests/test_ann.py)
         "knn_ivfpq": lambda s, d: ANN.knn_ivfpq(
             load_table(s, d, "embeddings"),
-            query_vec_id=0, k_out=10, n_cells=8, nprobe=4, m=4, pq_k=16),
+            query_vec_id=0, k_out=10, n_cells=8, nprobe=4, m=4, pq_k=16,
+            cache_key=d),
         "pq_search_topk": lambda s, d: ANN.pq_search(
             load_table(s, d, "embeddings"),
-            ANN.pq_train(load_table(s, d, "embeddings"), m=4, k=16),
+            ANN.pq_train(load_table(s, d, "embeddings"), m=4, k=16,
+                         cache_key=d),
             query_vec_id=0, k_out=10, shortlist=50),
         # Z-order (Morton) clustering key (operators/maintenance.py):
         # the layout-maintenance primitive behind OPTIMIZE ZORDER BY —

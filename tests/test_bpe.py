@@ -70,3 +70,28 @@ def test_bpe_segment_compresses_with_merges(spark):
     assert total6 < total0  # merges strictly compress this corpus
     # subwords can never undercut the word count
     assert all(n_sub >= n_words for n_words, n_sub in seg6.values())
+
+
+def test_bpe_train_cache_prefix_stable(spark):
+    """Greedy BPE is prefix-stable: slicing a cached longer train must
+    equal a fresh shorter train (the contract the merge cache relies on)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    key = f"test-bpe-{SF_DIR}"
+    bpe._MERGE_CACHE.pop(key, None)
+    full = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in bpe.bpe_train(docs, n_merges=8, cache_key=key)
+        .orderBy("step").collect()
+    ]
+    assert len(bpe._MERGE_CACHE[key]) == 8
+    sliced = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in bpe.bpe_train(docs, n_merges=5, cache_key=key)
+        .orderBy("step").collect()
+    ]
+    fresh = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in bpe.bpe_train(docs, n_merges=5).orderBy("step").collect()
+    ]
+    assert sliced == fresh == full[:5]
+    bpe._MERGE_CACHE.pop(key, None)

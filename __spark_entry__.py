@@ -43,6 +43,7 @@ from spark_streaming_spark.operators import timeseries as TS
 from spark_streaming_spark.operators import topk as T
 from spark_streaming_spark.operators import tpch as TPC
 from spark_streaming_spark.operators import bpe as BPE
+from spark_streaming_spark.operators import classify as CLF
 from spark_streaming_spark.operators import udtf_ops as UDTF
 from spark_streaming_spark.operators import windows as WIN
 from spark_streaming_spark.operators import wordcount as W
@@ -710,14 +711,16 @@ _CHECK_FIRST = [
     "dedup_ngram_jaccard", "dup_components", "dedup_keep_best",
     "dedup_edit_distance", "dedup_minhash_lsh", "dedup_simhash",
     "simhash_pairs", "dedup_embedding_cosine", "fingerprint_dupes",
-    "doc_fingerprints", "knn_bruteforce", "knn_graph",
-    "similar_pairs_lsh", "click_purchase_conversions",
-    "streaming_wordcount", "streaming_blacklist_filter",
-    # (streaming_daily_rollup / _quality_filter / _click_purchase_join /
-    # streaming_top3_per_window yield their slots to the four new
-    # never-checked entries; their r2 rows + the local sweep stand)
-    # new this round, never driver-checked: UDTF surface
-    "token_runs",
+    "doc_fingerprints", "similar_pairs_lsh", "streaming_wordcount",
+    # (knn_bruteforce / knn_graph / click_purchase_conversions /
+    # streaming_blacklist_filter yield their slots to the four new
+    # never-checked text/retrieval entries below: the post-r3 edits to
+    # their modules were additive — quantize/centroid functions, outer
+    # join modes — so their r2 rows + the local sweep stand)
+    # new this round, never driver-checked: UDTF surface + hashed-BoW
+    # retrieval/classification family
+    "token_runs", "hashed_bow", "lexical_knn", "bm25_hash_join_vector",
+    "quality_classifier",
     # (the 50 r3-green entries yield their slots; r3 rows stand, and the
     # pytest oracle sweep re-verifies all entries locally every run)
 ]
@@ -998,6 +1001,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucket key — the IR plan shape (broadcast query, candidates
         # only from shared buckets)
         "lexical_knn": lambda s, d: TX.lexical_knn(
+            load_table(s, d, "documents")),
+        # BM25 retrieval over the inverted index: log-free RSJ-ratio idf
+        # (exact rational — libm ln isn't bitwise-portable), decimal-
+        # quantized per-term sum; postings-only shuffle
+        "bm25_hash_join_vector": lambda s, d: TX.bm25_scores(
+            load_table(s, d, "documents")),
+        # fasttext-style linear quality classifier: md5-derived weight
+        # per hashed feature, integer dot, one IEEE divide — model
+        # inference as map-side column algebra
+        "quality_classifier": lambda s, d: CLF.quality_logits(
             load_table(s, d, "documents")),
         # grouped-agg pandas_udf surface (integer-exact body)
         "grouped_agg_token_totals": lambda s, d: G.grouped_agg_token_totals(
@@ -2775,6 +2788,66 @@ def oracle_sql() -> dict[str, str]:
                  AS cosine
         FROM dots d JOIN norms n USING (doc_id), qn
         ORDER BY cosine DESC, doc_id ASC LIMIT 10
+    """
+    # BM25 with the log-free RSJ-ratio idf: every factor is an exact
+    # BIGINT, products/divide in double with the SAME association as the
+    # Spark expression (IEEE ops are correctly rounded -> identical),
+    # per-term scores decimal-quantized before the per-doc sum
+    sql["bm25_hash_join_vector"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+        scalars AS (SELECT count(*) AS n_docs, SUM(dl) AS total_len
+                    FROM dl),
+        hits AS (SELECT doc_id, w FROM tk
+                 WHERE w IN ('hash', 'join', 'vector')),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY 1, 2),
+        df AS (SELECT w, count(DISTINCT doc_id) AS df FROM hits
+               GROUP BY w)
+        SELECT tf.doc_id,
+               CAST(SUM(CAST(
+                 (22.0 * tf * total_len
+                  * (2.0 * n_docs - 2.0 * df + 1.0))
+                 / ((10.0 * tf * total_len + 3.0 * total_len
+                     + 9.0 * dl * n_docs)
+                    * (2.0 * df + 1.0))
+                 AS DECIMAL(38,12))) AS DOUBLE) AS score
+        FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id,
+             scalars
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT 20
+    """
+    # linear quality classifier: md5-derived integer weight per bucket,
+    # exact integer dot, one final IEEE divide
+    sql["quality_classifier"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        bow AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+                 count(*) AS cnt
+          FROM tok WHERE w <> '' GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT doc_id,
+                 cnt * ((('0x' || substr(md5(bucket::VARCHAR), 1, 8))
+                         ::BIGINT % 2001) - 1000) AS contrib,
+                 cnt
+          FROM bow
+        ),
+        agg AS (
+          SELECT doc_id, SUM(contrib) AS dot, SUM(cnt) AS n_tokens
+          FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, dot, n_tokens,
+               CAST(dot AS DOUBLE) / (1000.0 * n_tokens) AS logit,
+               (CAST(dot AS DOUBLE) / (1000.0 * n_tokens)) > 0.0 AS keep
+        FROM agg
     """
     # zorder key: the SAME generated bit-arithmetic expression, DuckDB
     # integer-division spelling

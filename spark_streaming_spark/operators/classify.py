@@ -1,0 +1,73 @@
+"""Linear-model inference over hashed text features — the fasttext-style
+quality classifier every corpus pipeline runs at scale (Joulin et al.
+2016, "Bag of Tricks for Efficient Text Classification"; public method).
+
+The model is a weight per hashed feature bucket. Inference is pure
+column algebra over the long-form hashed bag-of-words
+(``textstats.hashed_bow``): weight lookup is an EXPRESSION on the bucket
+id (the weight table rides in the plan — no join, no shuffle beyond the
+BoW aggregation itself), the per-doc logit is an exact integer dot
+product, and the only floating-point op is one final IEEE divide — so
+the scores are bit-identical on any engine, and a 100 TB scoring pass is
+map-side work after one groupBy.
+
+The reference never had model inference; this extends its map/filter
+surface (/root/reference/src/main/java/FilterBlackList.java:40-55 is
+the closest shape: derive a signal per record, gate on it) to the
+model-based filtering a training-data pipeline needs.
+
+Weights here are a deterministic md5-derived stand-in for a trained
+model (the container has no model artifacts); a real deployment swaps
+``_weight_expr`` for a broadcast join against its trained weight table —
+same plan shape, same cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.operators.textstats import hashed_bow
+
+# weights live in [-1000, 1000] / 1000 — integer math until the last op
+_W_MOD = 2001
+_W_OFF = 1000
+
+
+def _weight_expr(bucket: F.Column) -> F.Column:
+    """Deterministic per-bucket weight in [-1000, 1000] (integer): the
+    first 8 hex chars of md5(bucket-as-decimal-string) mod 2001, shifted.
+    md5 on the decimal rendering is bit-identical in DuckDB
+    (``('0x' || substr(md5(bucket::VARCHAR), 1, 8))::BIGINT``)."""
+    h = F.conv(F.substring(F.md5(bucket.cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % _W_MOD) - _W_OFF
+
+
+def quality_logits(docs: DataFrame, dim: int = 64,
+                   threshold: float = 0.0) -> DataFrame:
+    """Score every document with the linear model and gate on the logit.
+
+    logit = (Σ_b cnt_b · w_b) / (1000 · Σ_b cnt_b) — a length-normalized
+    dot product in exact BIGINTs, one final double divide (IEEE-exact,
+    order-free: both sums are integer sums). ``keep`` is the filter
+    decision a pipeline would apply before training.
+    Columns: doc_id, dot, n_tokens, logit, keep."""
+    bow = hashed_bow(docs, dim)
+    scored = bow.select(
+        "doc_id",
+        (F.col("cnt") * _weight_expr(F.col("bucket"))).alias("contrib"),
+        "cnt",
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("dot"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+        .select(
+            "doc_id", "dot", "n_tokens",
+            (F.col("dot").cast("double")
+             / (F.lit(float(_W_OFF)) * F.col("n_tokens"))).alias("logit"),
+        )
+        .withColumn("keep", F.col("logit") > F.lit(threshold))
+    )

@@ -235,3 +235,67 @@ def lexical_knn(docs: DataFrame, query_doc_id: int = 0, k: int = 10,
         .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def bm25_scores(docs: DataFrame,
+                query_terms: tuple[str, ...] = ("hash", "join", "vector"),
+                k: int = 20) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck Jones, Okapi; public method) for
+    a fixed query, inverted-index style: only postings of the query's
+    terms are aggregated, so the shuffle carries O(docs containing a
+    query term), never the corpus.
+
+    Engine-exact without libm: the conventional log() idf is not
+    bitwise-portable (cf. term_stats), so this uses the RSJ idf RATIO
+    variant idf = (N - df + 0.5)/(df + 0.5) — same monotone df weighting
+    minus the log damping. With k1 = 1.2 and b = 0.75 the whole per-term
+    score is one ratio of exact integers,
+
+        score_t = (22·tf·L·(2N − 2df + 1))
+                  / ((10·tf·L + 3·L + 9·dl·N)·(2df + 1)),
+
+    (L = total corpus tokens, dl = doc tokens, avgdl = L/N cleared from
+    the denominators). Each factor is an exact BIGINT; products and the
+    final divide run in double with a FIXED association shared by the
+    DuckDB oracle — IEEE ops are correctly rounded, so both engines
+    produce the identical double. The per-term scores are quantized to
+    decimal(38,12) before the per-doc sum, making the 3-term reduction
+    order-independent (functions/numeric.py discipline).
+
+    At 100 TB the dl/tf tables are the inverted index (partitioned by
+    term), the query side is literal predicates pushed to the scan, and
+    the corpus scalars (N, L) broadcast as a 1-row table.
+    Columns: doc_id, score."""
+    tok = widen(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    hits = tok.filter(F.col("w").isin(*query_terms))
+    tf = hits.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_ = (
+        hits.select("doc_id", "w").distinct()
+        .groupBy("w").agg(F.count("*").alias("df"))
+    )
+    term_score = (
+        (F.lit(22.0) * F.col("tf") * F.col("total_len")
+         * (F.lit(2.0) * F.col("n_docs") - F.lit(2.0) * F.col("df")
+            + F.lit(1.0)))
+        / ((F.lit(10.0) * F.col("tf") * F.col("total_len")
+            + F.lit(3.0) * F.col("total_len")
+            + F.lit(9.0) * F.col("dl") * F.col("n_docs"))
+           * (F.lit(2.0) * F.col("df") + F.lit(1.0)))
+    )
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select("doc_id", term_score.cast("decimal(38,12)").alias("ts"))
+        .groupBy("doc_id")
+        .agg(F.sum("ts").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -711,16 +711,16 @@ _CHECK_FIRST = [
     "dedup_ngram_jaccard", "dup_components", "dedup_keep_best",
     "dedup_edit_distance", "dedup_minhash_lsh", "dedup_simhash",
     "simhash_pairs", "dedup_embedding_cosine", "fingerprint_dupes",
-    "doc_fingerprints", "similar_pairs_lsh", "streaming_wordcount",
+    "doc_fingerprints", "similar_pairs_lsh",
     # (knn_bruteforce / knn_graph / click_purchase_conversions /
-    # streaming_blacklist_filter yield their slots to the four new
-    # never-checked text/retrieval entries below: the post-r3 edits to
-    # their modules were additive — quantize/centroid functions, outer
-    # join modes — so their r2 rows + the local sweep stand)
+    # streaming_blacklist_filter / streaming_wordcount yield their slots
+    # to the new never-checked entries below: the post-r3 edits to their
+    # modules were additive — quantize/centroid functions, outer join
+    # modes — so their r2 rows + the local sweep stand)
     # new this round, never driver-checked: UDTF surface + hashed-BoW
-    # retrieval/classification family
+    # retrieval/classification family + SemDeDup
     "token_runs", "hashed_bow", "lexical_knn", "bm25_hash_join_vector",
-    "quality_classifier",
+    "quality_classifier", "semantic_dedup",
     # (the 50 r3-green entries yield their slots; r3 rows stand, and the
     # pytest oracle sweep re-verifies all entries locally every run)
 ]
@@ -909,6 +909,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nearest-centroid assignment (k-means assignment step):
         # broadcast centroid table, map-side argmin
         "centroid_assign": lambda s, d: SIM.centroid_assign(
+            load_table(s, d, "embeddings")),
+        # SemDeDup: k-means-cluster then prune within-cluster cosine
+        # redundancy — the semantic tier of the dedup family
+        "semantic_dedup": lambda s, d: SIM.semantic_dedup(
             load_table(s, d, "embeddings")),
         # structured streaming (replayed as bounded multi-batch streams;
         # results must equal the batch oracles — stream/batch equivalence)
@@ -2581,6 +2585,55 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
           FROM dists
         ) WHERE rn = 1
+    """
+    # SemDeDup: the centroid_assign CTEs verbatim, then within-cluster
+    # pairwise cosine under the decimal-exact contract (_VDOT); a vector
+    # is pruned iff a lower-id same-cluster neighbor is >= threshold
+    sql["semantic_dedup"] = f"""
+        WITH cent AS (
+          SELECT label AS c_label, i,
+                 CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 7)
+                          AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS c
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+          GROUP BY label, i
+        ),
+        dists AS (
+          SELECT e.vec_id, c.c_label,
+                 CAST(SUM(CAST(ROUND(
+                      (CAST(e.embedding[c.i] AS DOUBLE) - c.c)
+                    * (CAST(e.embedding[c.i] AS DOUBLE) - c.c), 7)
+                      AS DECIMAL(38,8))) AS DOUBLE) AS dist2
+          FROM embeddings e CROSS JOIN cent c
+          GROUP BY e.vec_id, c.c_label
+        ),
+        assign AS (
+          SELECT vec_id, c_label AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        tagged AS (
+          SELECT e.vec_id, a.cluster, e.embedding,
+                 sqrt(CAST((SELECT {_VDOT('e.embedding', 'e.embedding')}
+                            FROM (SELECT unnest(range(1, 65)) AS i) ii)
+                      AS DOUBLE)) AS nrm
+          FROM embeddings e JOIN assign a USING (vec_id)
+        ),
+        pairs AS (
+          SELECT a.vec_id,
+                 CAST({_VDOT('a.embedding', 'b.embedding')} AS DOUBLE)
+                   / (any_value(a.nrm) * any_value(b.nrm)) AS cosine
+          FROM tagged a JOIN tagged b
+            ON a.cluster = b.cluster AND b.vec_id < a.vec_id,
+               (SELECT unnest(range(1, 65)) AS i) ii
+          GROUP BY a.vec_id, b.vec_id
+        ),
+        dropped AS (
+          SELECT DISTINCT vec_id FROM pairs WHERE cosine >= 0.35
+        )
+        SELECT t.vec_id, t.cluster, d.vec_id IS NULL AS keep
+        FROM tagged t LEFT JOIN dropped d USING (vec_id)
     """
     sql["quality_filter"] = f"""
         WITH t AS (

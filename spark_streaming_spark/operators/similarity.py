@@ -523,3 +523,58 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
         sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(embeddings: DataFrame,
+                   threshold: float = 0.35) -> DataFrame:
+    """SemDeDup — cluster-then-prune semantic deduplication (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"; public method). Where the sign-LSH tier
+    (:func:`dedup.dedup_embedding_cosine`) finds near-identical vectors,
+    SemDeDup prunes SEMANTIC redundancy: vectors are k-means-assigned to
+    centroids, pairwise cosine runs ONLY within a cluster, and of every
+    over-threshold pair the lower vec_id is kept.
+
+    Plan: :func:`centroid_assign` labels each vector (broadcast centroid
+    table, map-side argmin — one shuffle on vec_id for the argmin
+    window); the within-cluster self-join shuffles both sides once on
+    the cluster id, and each cluster's quadratic is bounded by the
+    cluster size — the knob SemDeDup scales with (k grows with the
+    corpus so |cluster| ~ n/k stays fixed; at 100 TB the centroids come
+    from a sampled k-means fit exactly like ann.ivf_fit and the same
+    bucket-cap discipline as knn_graph_lsh applies). Norms are computed
+    once per vector BEFORE the join (cosine_expr note), cosines use the
+    decimal-exact contract (functions/vectors.py) so the DuckDB twin is
+    bitwise.
+
+    Extends the reference's dedup surface (the distinct()/reduceByKey
+    family, /root/reference/src/main/java/WordCount.java:48-53) with the
+    embedding-space tier a training-data pipeline runs before training.
+    Columns: vec_id, cluster, keep (false = pruned as redundant).
+    """
+    assigned = centroid_assign(embeddings).select(
+        "vec_id", F.col("assigned_label").alias("cluster"))
+    tagged = (
+        widen(embeddings).select("vec_id", "embedding")
+        .join(assigned, "vec_id")
+        .select("vec_id", "cluster", "embedding",
+                F.sqrt(norm2_expr("embedding")).alias("nrm"))
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    dropped = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("b.vec_id") < F.col("a.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            (dot_expr("a.embedding", "b.embedding")
+             / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_id").distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        tagged.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("dropped").isNull().alias("keep"))
+    )

@@ -857,10 +857,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "part")),
         "scalar_showcase": lambda s, d: S.scalar_showcase(load_table(s, d, "events")),
         "json_props_rollup": lambda s, d: S.json_props_rollup(load_table(s, d, "events")),
-        # dedup suite (training-data pipeline extension)
+        # dedup suite (training-data pipeline extension). cache_key=d:
+        # the verified-pairs table is a per-corpus-snapshot artifact —
+        # build once, every downstream consumer (components, keeper
+        # selection, edit verify) reads the materialization (dedup.py
+        # _PAIRS_CACHE discipline)
         "dedup_exact": lambda s, d: DD.dedup_exact(load_table(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: DD.ngram_jaccard_pairs(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         "dedup_minhash_lsh": lambda s, d: DD.minhash_lsh_pairs(
             load_table(s, d, "documents")),
         # incremental (batch-vs-corpus) dedup: the daily-production
@@ -874,13 +878,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-shot answer (shared oracle)
         "streaming_incremental_dedup": _q_streaming_incremental_dedup,
         "dup_components": lambda s, d: DD.dup_components(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         # banded Hamming LSH is LOSSLESS for n_bands > max_hamming, so
         # the oracle is the plain all-pairs spelling
         "simhash_pairs": lambda s, d: DD.simhash_pairs(
             load_table(s, d, "documents")),
         "dedup_edit_distance": lambda s, d: DD.dedup_edit_distance(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         "dedup_simhash": lambda s, d: DD.simhash(load_table(s, d, "documents")),
         # threshold 0.35, not the semantic default 0.9: the driver's
         # embeddings are random (within-bucket max cosine ≈ 0.43), so any
@@ -1042,7 +1046,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": lambda s, d: RED.pii_scrub(
             RED.augment_with_pii(load_table(s, d, "documents"))),
         "dedup_keep_best": lambda s, d: DD.dedup_keep_best(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         # skew-aware aggregation (two-phase salted; results identical)
         "skew_salted_counts": lambda s, d: SK.salted_counts(
             load_table(s, d, "events"), "event_type"),

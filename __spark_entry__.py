@@ -622,7 +622,7 @@ def _q_streaming_incremental_dedup(spark: SparkSession,
     # the corpus index is built ONCE and reused by every micro-batch —
     # the production pattern (persisted index); per-trigger work is only
     # the batch's signatures + the bucket join + verify
-    index = DD.build_dedup_index(corpus)
+    index = DD.build_dedup_index(corpus, cache_key=sf_dir)
     chunk_dir = _chunked_table(spark, sf_dir, "documents_new10", 3,
                                df=new)
     stream = replay.stream_from_dir(spark, chunk_dir)
@@ -872,7 +872,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus x corpus. Split: doc_id%10==0 is the incoming batch.
         "incremental_dedup": lambda s, d: DD.incremental_minhash_dedup(
             load_table(s, d, "documents").filter(F.col("doc_id") % 10 == 0),
-            load_table(s, d, "documents").filter(F.col("doc_id") % 10 != 0)),
+            corpus_index=DD.build_dedup_index(
+                load_table(s, d, "documents")
+                .filter(F.col("doc_id") % 10 != 0),
+                cache_key=d)),
         # the same dedup run CONTINUOUSLY: per-micro-batch foreachBatch
         # against the static corpus index; union of batches == the
         # one-shot answer (shared oracle)

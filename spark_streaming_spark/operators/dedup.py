@@ -237,18 +237,27 @@ def _sig_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.bh")
 
 
-def build_dedup_index(corpus_docs: DataFrame,
-                      n: int = 3) -> tuple[DataFrame, DataFrame]:
+def build_dedup_index(corpus_docs: DataFrame, n: int = 3,
+                      cache_key: str | None = None
+                      ) -> tuple[DataFrame, DataFrame]:
     """The PERSISTABLE corpus side of incremental dedup: (bands,
     shingles), materialized with ``localCheckpoint`` so repeated batch
     runs (a stream's micro-batches, tomorrow's job) reuse it instead of
     re-deriving the corpus. In production both frames are parquet tables
     partitioned by band/doc — appended to as batches graduate into the
-    corpus — and this function is the backfill that builds them."""
+    corpus — and this function is the backfill that builds them.
+    ``cache_key`` (a stable corpus identifier) memoizes the built index
+    across calls — the _PAIRS_CACHE build/serve discipline."""
+    ck = ("dedup_index", cache_key, n) if cache_key is not None else None
+    if ck is not None and ck in _PAIRS_CACHE:
+        return _PAIRS_CACHE[ck]
     bands = _sig_bands(minhash_signatures(corpus_docs, n)) \
         .localCheckpoint(eager=False)
     sh = _shingle_sets(corpus_docs, n).localCheckpoint(eager=False)
-    return bands, sh
+    out = (bands, sh)
+    if ck is not None:
+        _PAIRS_CACHE[ck] = out
+    return out
 
 
 def incremental_minhash_dedup(new_docs: DataFrame,

@@ -710,17 +710,18 @@ _CHECK_FIRST = [
     # replay.py were all edited in the post-r3 commit 41a86f6)
     "dedup_ngram_jaccard", "dup_components", "dedup_keep_best",
     "dedup_edit_distance", "dedup_minhash_lsh", "dedup_simhash",
-    "simhash_pairs", "dedup_embedding_cosine", "fingerprint_dupes",
+    "simhash_pairs", "dedup_embedding_cosine",
     "doc_fingerprints", "similar_pairs_lsh",
     # (knn_bruteforce / knn_graph / click_purchase_conversions /
-    # streaming_blacklist_filter / streaming_wordcount yield their slots
-    # to the new never-checked entries below: the post-r3 edits to their
-    # modules were additive — quantize/centroid functions, outer join
-    # modes — so their r2 rows + the local sweep stand)
+    # streaming_blacklist_filter / streaming_wordcount /
+    # fingerprint_dupes yield their slots to the new never-checked
+    # entries below: the post-r3 edits to their modules were additive —
+    # quantize/centroid functions, outer join modes — so their r2 rows +
+    # the local sweep stand)
     # new this round, never driver-checked: UDTF surface + hashed-BoW
-    # retrieval/classification family + SemDeDup
+    # retrieval/classification family + SemDeDup + grid band join
     "token_runs", "hashed_bow", "lexical_knn", "bm25_hash_join_vector",
-    "quality_classifier", "semantic_dedup",
+    "quality_classifier", "semantic_dedup", "band_cooccurrence",
     # (the 50 r3-green entries yield their slots; r3 rows stand, and the
     # pytest oracle sweep re-verifies all entries locally every run)
 ]
@@ -974,6 +975,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pivot_counts": _q_streaming_pivot,
         # as-of join (union+window composition, no range-join blowup)
         "asof_click_attribution": lambda s, d: AS.asof_click_attribution(
+            load_table(s, d, "events")),
+        # keyless band (range) join via 1-D grid blocking: equi-join on
+        # eps-wide time cells instead of the O(n^2) inequality plan
+        "band_cooccurrence": lambda s, d: AS.band_cooccurrence(
             load_table(s, d, "events")),
         # text analysis
         # Python UDTF surface (operators/udtf_ops.py): repeated-token
@@ -2505,6 +2510,16 @@ def oracle_sql() -> dict[str, str]:
                click_id, click_ts
         FROM w WHERE is_p AND click_id IS NOT NULL
     """
+    # band join oracle: the direct inequality spelling (DuckDB may plan
+    # an IEJoin; the ANSWER is what's compared, not the plan) — exact
+    # BIGINT microseconds both sides
+    sql["band_cooccurrence"] = """
+        SELECT a.event_id AS event_a, b.event_id AS event_b,
+               epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        FROM events a JOIN events b
+          ON a.event_id < b.event_id
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 2000000
+    """
     sql["bpe_token_stats"] = """
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_ws_tokens,
@@ -2620,17 +2635,24 @@ def oracle_sql() -> dict[str, str]:
             FROM dists
           ) WHERE rn = 1
         ),
+        sv AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+                   AS s
+          FROM embeddings
+        ),
         tagged AS (
-          SELECT e.vec_id, a.cluster, e.embedding,
-                 sqrt(CAST((SELECT {_VDOT('e.embedding', 'e.embedding')}
-                            FROM (SELECT unnest(range(1, 65)) AS i) ii)
-                      AS DOUBLE)) AS nrm
-          FROM embeddings e JOIN assign a USING (vec_id)
+          SELECT e.vec_id, a.cluster, e.s,
+                 (SELECT SUM(e.s[i] * e.s[i])
+                  FROM (SELECT unnest(range(1, 65)) AS i) ii) AS n2
+          FROM sv e JOIN assign a USING (vec_id)
         ),
         pairs AS (
           SELECT a.vec_id,
-                 CAST({_VDOT('a.embedding', 'b.embedding')} AS DOUBLE)
-                   / (any_value(a.nrm) * any_value(b.nrm)) AS cosine
+                 CAST(SUM(a.s[i] * b.s[i]) AS DOUBLE)
+                   / (sqrt(CAST(any_value(a.n2) AS DOUBLE))
+                      * sqrt(CAST(any_value(b.n2) AS DOUBLE))) AS cosine
           FROM tagged a JOIN tagged b
             ON a.cluster = b.cluster AND b.vec_id < a.vec_id,
                (SELECT unnest(range(1, 65)) AS i) ii

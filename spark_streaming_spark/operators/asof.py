@@ -70,3 +70,60 @@ def asof_click_attribution(events: DataFrame) -> DataFrame:
         .filter(F.col("is_p") & F.col("click_id").isNotNull())
         .drop("is_p")
     )
+
+
+def band_cooccurrence(events: DataFrame, eps_sec: int = 2) -> DataFrame:
+    """Band (range) self-join WITHOUT an equality key: every pair of
+    events, across ALL users, whose timestamps lie within ``eps_sec`` of
+    each other — the temporal co-occurrence primitive (burst detection,
+    cross-user correlation, coordinated-activity mining).
+
+    Why not the direct spelling: a pure inequality predicate
+    (``abs(a.ts - b.ts) <= eps``) gives Catalyst no equi-key, so it
+    plans a BroadcastNestedLoop/Cartesian — O(n²) pairs scanned at any
+    scale (the planner trap tests/test_plans.py sweeps every entry
+    for). GRID BLOCKING restores an equi-key: quantize time into
+    eps-wide cells; a qualifying pair is at most one cell apart, so
+    joining A exploded to cells {c-1, c, c+1} against B on B's own cell
+    finds every pair exactly once (B's cell is unique, so no dedup
+    step), and the residual |Δts| <= eps filter runs inside the joined
+    cell. The join is a plain shuffle/equi-join on the cell id — the
+    standard spatial-grid decomposition, 1-D case (public technique;
+    e.g. the bucketed spatial joins in GeoSpark/Sedona literature).
+
+    Scale posture: the shuffle carries one row per (event, 3 cells) —
+    linear; per-cell work is |cell_A|·|cell_B| where cell width is
+    eps, so the quadratic is bounded by the event RATE within any eps
+    window, not by corpus size; a rate spike is a hot cell — the same
+    salting/AQE-skew machinery as any hot key applies. Arithmetic is
+    exact BIGINT microseconds end to end (unix_micros ≡ DuckDB
+    epoch_us); floor division for the cell id is integer-exact on both
+    engines (F.floor of a positive integral divide).
+
+    Columns: event_a, event_b (event_a < event_b by event_id),
+    delta_us = micros(b) - micros(a) (signed).
+    """
+    eps_us = int(eps_sec) * 1_000_000
+    base = events.select(
+        "event_id", F.unix_micros("ts").alias("us"),
+    ).withColumn("cell", F.floor(F.col("us") / F.lit(eps_us)))
+    a = base.select(
+        F.col("event_id").alias("event_a"), F.col("us").alias("us_a"),
+        F.explode(F.array(F.col("cell") - 1, F.col("cell"),
+                          F.col("cell") + 1)).alias("jcell"),
+    )
+    b = base.select(
+        F.col("event_id").alias("event_b"), F.col("us").alias("us_b"),
+        F.col("cell").alias("jcell"),
+    )
+    return (
+        a.join(b, "jcell")
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.abs(F.col("us_b") - F.col("us_a")) <= eps_us)
+        )
+        .select(
+            "event_a", "event_b",
+            (F.col("us_b") - F.col("us_a")).alias("delta_us"),
+        )
+    )

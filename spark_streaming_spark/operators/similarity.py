@@ -543,9 +543,11 @@ def semantic_dedup(embeddings: DataFrame,
     corpus so |cluster| ~ n/k stays fixed; at 100 TB the centroids come
     from a sampled k-means fit exactly like ann.ivf_fit and the same
     bucket-cap discipline as knn_graph_lsh applies). Norms are computed
-    once per vector BEFORE the join (cosine_expr note), cosines use the
-    decimal-exact contract (functions/vectors.py) so the DuckDB twin is
-    bitwise.
+    once per vector BEFORE the join (cosine_expr note); cosines use the
+    SCALED-INTEGER contract (functions/vectors.py) — clusters make
+    every vector pair a candidate, the many-candidates regime where the
+    BigDecimal accumulation is the bottleneck (the knn_graph_lsh
+    rationale: ~10× cheaper per pair, equally exact, DuckDB-bitwise).
 
     Extends the reference's dedup surface (the distinct()/reduceByKey
     family, /root/reference/src/main/java/WordCount.java:48-53) with the
@@ -555,10 +557,11 @@ def semantic_dedup(embeddings: DataFrame,
     assigned = centroid_assign(embeddings).select(
         "vec_id", F.col("assigned_label").alias("cluster"))
     tagged = (
-        widen(embeddings).select("vec_id", "embedding")
+        widen(embeddings)
+        .select("vec_id", scaled_vec_expr("embedding").alias("sv"))
         .join(assigned, "vec_id")
-        .select("vec_id", "cluster", "embedding",
-                F.sqrt(norm2_expr("embedding")).alias("nrm"))
+        .select("vec_id", "cluster", "sv",
+                int_dot_expr("sv", "sv").alias("n2"))
     )
     a, b = tagged.alias("a"), tagged.alias("b")
     dropped = (
@@ -566,8 +569,8 @@ def semantic_dedup(embeddings: DataFrame,
                & (F.col("b.vec_id") < F.col("a.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_id"),
-            (dot_expr("a.embedding", "b.embedding")
-             / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+            int_cosine(int_dot_expr("a.sv", "b.sv"),
+                       F.col("a.n2"), F.col("b.n2")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_id").distinct()

@@ -515,15 +515,20 @@ def _q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_streaming_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top3HotProduct end-to-end as a stream: sliding-window agg in the
-    streaming plan, per-trigger partitioned top-k in foreachBatch (rank
-    over a streaming aggregate isn't a legal streaming plan — SURVEY.md
-    §3.3/§4.3(2)). The final epoch's ranking equals the batch
-    hot_words_per_window answer (same oracle)."""
+    streaming plan, partitioned top-k OUTSIDE it (rank over a streaming
+    aggregate isn't a legal streaming plan — SURVEY.md §3.3/§4.3(2)).
+    UPDATE mode + last-epoch-wins recovers the final per-window counts
+    (changed-keys-only sink traffic — ranking the full window state
+    inside foreachBatch on EVERY trigger, the old complete-mode
+    spelling, is O(all windows ever) per trigger); the rank then runs
+    ONCE over the recovered state. Same oracle as the batch
+    hot_words_per_window top-3."""
     from spark_streaming_spark.streaming.pipelines import sliding_hot_words
-    return _run_streamed(
-        spark, sf_dir, "events", sliding_hot_words, "complete",
-        batch_transform=lambda df: WIN.rank_top_k(df, 3),
+    final = _run_streamed(
+        spark, sf_dir, "events", sliding_hot_words, "update",
+        last_epoch_keys=["w_start", "w_end", "event_type"],
     )
+    return WIN.rank_top_k(final, 3)
 
 
 def _q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -669,6 +669,28 @@ def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_centroid_ingest(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Continuously-maintained vector index INGEST: embeddings arrive as
+    micro-batches and each batch is cell-assigned map-side against the
+    broadcast trained-quantizer artifact (similarity.centroid_table —
+    fit once at index-build time, served per trigger; the IVF
+    build/serve separation run as a stream). Every vector appears in
+    exactly one micro-batch and the artifact is fixed, so the union of
+    per-batch assignments equals the one-shot batch centroid_assign —
+    shared oracle."""
+    from spark_streaming_spark.streaming import replay
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    carr = SIM.centroid_table(emb)
+    chunk_dir = _chunked_table(spark, sf_dir, "embeddings", 3)
+    stream = replay.stream_from_dir(spark, chunk_dir)
+    return replay.run_foreach_to_parquet(
+        stream, lambda b: SIM.assign_with_centroids(b, carr),
+        state_partitions=4,
+    )
+
+
 def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton key of (user_id, floor(value)) per event — the clustering
     key zorder_layout sorts by; exact across engines because it is pure
@@ -927,6 +949,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # redundancy — the semantic tier of the dedup family
         "semantic_dedup": lambda s, d: SIM.semantic_dedup(
             load_table(s, d, "embeddings")),
+        # vector-index ingest as a stream: per-micro-batch assignment
+        # against the broadcast trained-quantizer artifact
+        "streaming_centroid_ingest": _q_streaming_centroid_ingest,
         # structured streaming (replayed as bounded multi-batch streams;
         # results must equal the batch oracles — stream/batch equivalence)
         "streaming_wordcount": _q_streaming_wordcount,
@@ -2613,6 +2638,9 @@ def oracle_sql() -> dict[str, str]:
           FROM dists
         ) WHERE rn = 1
     """
+    # streamed ingest shares the batch assignment oracle (every vector
+    # is assigned in exactly one micro-batch against the same artifact)
+    sql["streaming_centroid_ingest"] = sql["centroid_assign"]
     # SemDeDup: the centroid_assign CTEs verbatim, then within-cluster
     # pairwise cosine under the decimal-exact contract (_VDOT); a vector
     # is pruned iff a lower-id same-cluster neighbor is >= threshold

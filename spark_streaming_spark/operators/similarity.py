@@ -282,9 +282,15 @@ def centroid_assign(embeddings: DataFrame) -> DataFrame:
     identical); the centroid doubles themselves are decimal-mean exact
     (label_centroids). Ties break on label ascending.
     Columns: vec_id, label (true), assigned_label, dist2."""
-    from pyspark.sql.window import Window
+    return assign_with_centroids(embeddings, centroid_table(embeddings))
 
-    carr = (
+
+def centroid_table(embeddings: DataFrame) -> DataFrame:
+    """The trained-quantizer ARTIFACT: one row per label with its dense
+    centroid vector — |labels| rows, broadcastable at any corpus size.
+    In production this is fit once at index-build time, persisted, and
+    served to every assignment pass (batch or per micro-batch)."""
+    return (
         label_centroids(embeddings)
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid")))
@@ -292,6 +298,16 @@ def centroid_assign(embeddings: DataFrame) -> DataFrame:
         .select(F.col("label").alias("c_label"),
                 F.expr("transform(arr, x -> x.centroid)").alias("cvec"))
     )
+
+
+def assign_with_centroids(embeddings: DataFrame,
+                          carr: DataFrame) -> DataFrame:
+    """The assignment half of :func:`centroid_assign`, against a
+    PRE-BUILT centroid table — map-side crossJoin(broadcast) + argmin;
+    the serving path a streaming ingest runs per micro-batch against
+    the fixed artifact. Columns: vec_id, label, assigned_label, dist2."""
+    from pyspark.sql.window import Window
+
     d2 = F.expr(
         "cast(aggregate(zip_with(embedding, cvec,"
         " (x, c) -> cast(round((cast(x as double) - c)"

@@ -104,9 +104,14 @@ def band_cooccurrence(events: DataFrame, eps_sec: int = 2) -> DataFrame:
     delta_us = micros(b) - micros(a) (signed).
     """
     eps_us = int(eps_sec) * 1_000_000
+    # cell id via INTEGER division (`div`), not floor(double /): an
+    # epoch-microsecond value sitting exactly on a cell boundary can
+    # round a double quotient to just under the integer, mis-bucketing
+    # the row 2 cells away from a partner < eps apart. us >= 0, so
+    # truncating div == floor.
     base = events.select(
         "event_id", F.unix_micros("ts").alias("us"),
-    ).withColumn("cell", F.floor(F.col("us") / F.lit(eps_us)))
+    ).withColumn("cell", F.expr(f"us div {eps_us}"))
     a = base.select(
         F.col("event_id").alias("event_a"), F.col("us").alias("us_a"),
         F.explode(F.array(F.col("cell") - 1, F.col("cell"),

@@ -669,6 +669,25 @@ def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_quality_classifier(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Model-based filtering INSIDE a stream: each micro-batch of
+    documents is scored by the linear quality classifier
+    (operators/classify.quality_logits — the weights ride in the plan,
+    so per-trigger work is map-side after the per-doc BoW groupBy).
+    Documents arrive whole (one row each), so per-batch scoring equals
+    one-shot scoring — union of batches shares the quality_classifier
+    oracle. The continuously-scoring corpus gate a training-data ingest
+    pipeline runs."""
+    from spark_streaming_spark.streaming import replay
+
+    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
+    stream = replay.stream_from_dir(spark, chunk_dir)
+    return replay.run_foreach_to_parquet(
+        stream, CLF.quality_logits, state_partitions=4,
+    )
+
+
 def _q_streaming_centroid_ingest(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Continuously-maintained vector index INGEST: embeddings arrive as
@@ -952,6 +971,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vector-index ingest as a stream: per-micro-batch assignment
         # against the broadcast trained-quantizer artifact
         "streaming_centroid_ingest": _q_streaming_centroid_ingest,
+        # model inference per micro-batch (stream face of the classifier)
+        "streaming_quality_classifier": _q_streaming_quality_classifier,
         # structured streaming (replayed as bounded multi-batch streams;
         # results must equal the batch oracles — stream/batch equivalence)
         "streaming_wordcount": _q_streaming_wordcount,
@@ -2964,6 +2985,9 @@ def oracle_sql() -> dict[str, str]:
                (CAST(dot AS DOUBLE) / (1000.0 * n_tokens)) > 0.0 AS keep
         FROM agg
     """
+    # streamed scoring shares the batch classifier oracle (documents
+    # arrive whole, weights are fixed in the plan)
+    sql["streaming_quality_classifier"] = sql["quality_classifier"]
     # zorder key: the SAME generated bit-arithmetic expression, DuckDB
     # integer-division spelling
     from spark_streaming_spark.operators.maintenance import _zorder_sql

@@ -71,18 +71,26 @@ def test_multitable_lsh_recall_beats_single_table(spark):
     axis-aligned sign table, and strictly dominate its candidate set on
     this fixture."""
     from pyspark.sql import functions as F
-    from spark_streaming_spark.functions.vectors import cosine_expr
+    from spark_streaming_spark.functions.vectors import dot_expr, norm2_expr
 
     t = 0.3  # low enough for a non-trivial true-pair set on random vectors
     emb = load_table(spark, SF_DIR, "embeddings")
+    # norms once per VECTOR, dot once per pair (cosine_expr would spend
+    # three decimal dots per pair — the docstring's own warning; the
+    # value is bitwise identical, each norm is the same per-vector
+    # decimal sum either way)
     ea = emb.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("emb_a"))
+                    F.col("embedding").alias("emb_a"),
+                    F.sqrt(norm2_expr("embedding")).alias("na"))
     eb = emb.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("emb_b"))
+                    F.col("embedding").alias("emb_b"),
+                    F.sqrt(norm2_expr("embedding")).alias("nb"))
     truth = {
         (r.vec_a, r.vec_b)
         for r in ea.join(eb, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine_expr("emb_a", "emb_b").alias("c"))
+        .select("vec_a", "vec_b",
+                (dot_expr("emb_a", "emb_b")
+                 / (F.col("na") * F.col("nb"))).alias("c"))
         .filter(F.col("c") >= t).collect()
     }
     assert truth, "fixture must have true pairs at this threshold"

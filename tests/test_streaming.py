@@ -758,19 +758,22 @@ def test_multiple_watermark_policy_min_vs_max(spark, tmp_path):
             os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
         return d
 
+    # the same input files serve both policy runs (each run keeps its
+    # own throwaway checkpoint) — build once, not once per policy
+    a_dir = chunk_dir("a_src", [
+        [(1, ts(10, 0))],
+        [(2, ts(12, 0))],   # A watermark races to 12:00
+        [(3, ts(12, 0))],
+        [(4, ts(12, 0))],
+    ])
+    b_dir = chunk_dir("b_src", [
+        [(101, ts(10, 0))],
+        [(102, ts(10, 1))],  # B watermark lags
+        [(103, ts(10, 2))],
+        [(104, ts(11, 0))],  # late vs A's watermark only, by 2 batches
+    ])
+
     def run(policy):
-        a_dir = chunk_dir(f"a_{policy}", [
-            [(1, ts(10, 0))],
-            [(2, ts(12, 0))],   # A watermark races to 12:00
-            [(3, ts(12, 0))],
-            [(4, ts(12, 0))],
-        ])
-        b_dir = chunk_dir(f"b_{policy}", [
-            [(101, ts(10, 0))],
-            [(102, ts(10, 1))],  # B watermark lags
-            [(103, ts(10, 2))],
-            [(104, ts(11, 0))],  # late vs A's watermark only, by 2 batches
-        ])
         old = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy")
         spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
         try:

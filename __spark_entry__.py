@@ -657,8 +657,8 @@ def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming import replay
     from spark_streaming_spark.streaming.sources import decode_kafka
 
-    n = 12000
-    raw = fakekafka.stream_topic(spark, n_rows=n, rows_per_batch=3000)
+    n = 6000
+    raw = fakekafka.stream_topic(spark, n_rows=n, rows_per_batch=2000)
     words = decode_kafka(raw).select(
         F.explode(F.split(F.col("value"), " ")).alias("word")
     )
@@ -2462,13 +2462,13 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_kafka_wordcount"] = """
         WITH words AS (
           SELECT 'a' || CAST((i * 7) % 23 AS VARCHAR) AS word
-          FROM (SELECT unnest(range(0, 12000)) AS i)
+          FROM (SELECT unnest(range(0, 6000)) AS i)
           UNION ALL
           SELECT 'b' || CAST((i * 3) % 11 AS VARCHAR)
-          FROM (SELECT unnest(range(0, 12000)) AS i)
+          FROM (SELECT unnest(range(0, 6000)) AS i)
           UNION ALL
           SELECT 'c' || CAST((i * 5 + 1) % 13 AS VARCHAR)
-          FROM (SELECT unnest(range(0, 12000)) AS i)
+          FROM (SELECT unnest(range(0, 6000)) AS i)
         )
         SELECT word, count(*) AS cnt FROM words GROUP BY word
     """

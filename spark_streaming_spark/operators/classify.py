@@ -71,3 +71,38 @@ def quality_logits(docs: DataFrame, dim: int = 64,
         )
         .withColumn("keep", F.col("logit") > F.lit(threshold))
     )
+
+
+def weight_table(spark, dim: int = 64):
+    """The trained-model ARTIFACT as a table: (bucket, w) with the same
+    md5-derived weights `_weight_expr` computes inline — |buckets| rows,
+    broadcastable at any corpus size. A real deployment loads this from
+    its training job's output instead."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    buckets = spark.range(dim).select(F.col("id").cast("int").alias("bucket"))
+    return buckets.withColumn("w", _weight_expr(F.col("bucket")))
+
+
+def quality_logits_join(docs: DataFrame, weights: DataFrame,
+                        dim: int = 64,
+                        threshold: float = 0.0) -> DataFrame:
+    """:func:`quality_logits` with the weights as a BROADCAST JOIN
+    against a trained weight table — the production spelling the
+    expression variant stands in for. Identical output (pinned in
+    tests/test_classify.py): the join key is the bucket id, the small
+    side is |buckets| rows, and the scoring algebra is unchanged."""
+    bow = hashed_bow(docs, dim)
+    scored = bow.join(F.broadcast(weights), "bucket").select(
+        "doc_id", (F.col("cnt") * F.col("w")).alias("contrib"), "cnt",
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("dot"), F.sum("cnt").alias("n_tokens"))
+        .select(
+            "doc_id", "dot", "n_tokens",
+            (F.col("dot").cast("double")
+             / (F.lit(float(_W_OFF)) * F.col("n_tokens"))).alias("logit"),
+        )
+        .withColumn("keep", F.col("logit") > F.lit(threshold))
+    )

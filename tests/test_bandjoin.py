@@ -1,0 +1,54 @@
+"""Grid-blocked band join: equality with the naive inequality join,
+including timestamps EXACTLY on cell boundaries (the case where a
+floor(double /) cell id can mis-bucket — pinned against integer div)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spark_streaming_spark.operators.asof import band_cooccurrence
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR
+
+
+def _naive(events, eps_us):
+    a = events.select(F.col("event_id").alias("event_a"),
+                      F.unix_micros("ts").alias("ua"))
+    b = events.select(F.col("event_id").alias("event_b"),
+                      F.unix_micros("ts").alias("ub"))
+    return (
+        a.crossJoin(b)
+        .filter((F.col("event_a") < F.col("event_b"))
+                & (F.abs(F.col("ub") - F.col("ua")) <= eps_us))
+        .select("event_a", "event_b",
+                (F.col("ub") - F.col("ua")).alias("delta_us"))
+    )
+
+
+def test_band_join_equals_naive_on_driver_fixture(spark):
+    events = load_table(spark, SF_DIR, "events")
+    got = {tuple(r) for r in band_cooccurrence(events, 2).collect()}
+    want = {tuple(r) for r in _naive(events, 2_000_000).collect()}
+    assert got == want
+
+
+def test_band_join_exact_cell_boundaries(spark):
+    """Rows at exact eps multiples, eps apart, and eps+1us apart: the
+    pair at exactly eps must be found (cells one apart), the one 1us
+    over must not."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),                                      # cell k, on boundary
+        (2, base + dt.timedelta(seconds=2)),            # exactly eps away
+        (3, base + dt.timedelta(seconds=4, microseconds=1)),  # eps+1us from 2
+        (4, base + dt.timedelta(seconds=6)),            # boundary again
+    ]
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {(r.event_a, r.event_b) for r in
+           band_cooccurrence(events, 2).collect()}
+    assert (1, 2) in got            # |Δ| == eps exactly → kept
+    assert (2, 3) not in got        # eps + 1us → excluded
+    assert (3, 4) in got            # 2s - 1us → kept
+    assert (1, 3) not in got and (2, 4) not in got

@@ -669,6 +669,25 @@ def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_band_cooccurrence(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The keyless band join as a STREAM-STREAM self-join: grid cells
+    are the equality key Structured Streaming requires, the event-time
+    range bound lets the watermark evict cell state (asof.
+    band_cooccurrence_stream). Ordered replay keeps late-row filtering
+    vacuous (watermark 4s > eps 2s covers the cross-batch boundary), so
+    the inner-join append output equals the batch band join — shared
+    oracle."""
+    from spark_streaming_spark.operators.asof import band_cooccurrence_stream
+    from spark_streaming_spark.streaming import replay
+
+    chunk_dir = _ordered_chunked_events(spark, sf_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
+    return replay.run_to_parquet(
+        band_cooccurrence_stream(stream), "append", state_partitions=4,
+    )
+
+
 def _q_streaming_quality_classifier(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Model-based filtering INSIDE a stream: each micro-batch of
@@ -973,6 +992,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_centroid_ingest": _q_streaming_centroid_ingest,
         # model inference per micro-batch (stream face of the classifier)
         "streaming_quality_classifier": _q_streaming_quality_classifier,
+        # keyless band join as a stream-stream join (grid cell = key)
+        "streaming_band_cooccurrence": _q_streaming_band_cooccurrence,
         # structured streaming (replayed as bounded multi-batch streams;
         # results must equal the batch oracles — stream/batch equivalence)
         "streaming_wordcount": _q_streaming_wordcount,
@@ -2571,6 +2592,8 @@ def oracle_sql() -> dict[str, str]:
           ON a.event_id < b.event_id
          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 2000000
     """
+    # the streamed spelling emits each qualifying pair exactly once
+    sql["streaming_band_cooccurrence"] = sql["band_cooccurrence"]
     sql["bpe_token_stats"] = """
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_ws_tokens,

@@ -132,3 +132,54 @@ def band_cooccurrence(events: DataFrame, eps_sec: int = 2) -> DataFrame:
             (F.col("us_b") - F.col("us_a")).alias("delta_us"),
         )
     )
+
+
+def band_cooccurrence_stream(events: DataFrame, eps_sec: int = 2,
+                             watermark: str = "4 seconds") -> DataFrame:
+    """:func:`band_cooccurrence` as a STREAM-STREAM self-join: Spark
+    cannot join streams without an equality key (state would be
+    unbounded and unpartitionable) — the grid cell IS the key, so the
+    keyless band join becomes a legal streaming plan: watermark on both
+    sides + cell equality + an event-time range condition, with state
+    evicted as the watermark passes each cell.
+
+    ``watermark`` must exceed ``eps_sec``: a row's partner can be up to
+    eps older, so the partner's state must survive until the watermark
+    (driven by the newer row's time) passes it. State held is O(rows in
+    the last watermark+eps of event time) per cell — bounded by event
+    RATE, the same bound as the batch operator's per-cell quadratic.
+
+    Inner-join append mode: each qualifying pair emits exactly once, on
+    match; over an ordered bounded replay the emitted union equals the
+    batch answer (shared oracle). Columns: event_a, event_b, delta_us.
+    """
+    eps_us = int(eps_sec) * 1_000_000
+    src = events.withWatermark("ts", watermark).select(
+        "event_id", "ts", F.unix_micros("ts").alias("us"),
+    ).withColumn("cell", F.expr(f"us div {eps_us}"))
+    a = src.select(
+        F.col("event_id").alias("event_a"), F.col("ts").alias("ts_a"),
+        F.col("us").alias("us_a"),
+        F.explode(F.array(F.col("cell") - 1, F.col("cell"),
+                          F.col("cell") + 1)).alias("jcell"),
+    )
+    b = src.select(
+        F.col("event_id").alias("event_b"), F.col("ts").alias("ts_b"),
+        F.col("us").alias("us_b"), F.col("cell").alias("jcell"),
+    )
+    eps_ival = F.expr(f"interval {eps_sec} seconds")
+    return (
+        a.join(
+            b,
+            (a["jcell"] == b["jcell"])
+            # the event-time range bound on BOTH watermarked ts columns
+            # is what lets the join evict state (coarse, second-level)
+            & (F.col("ts_b") >= F.col("ts_a") - eps_ival)
+            & (F.col("ts_b") <= F.col("ts_a") + eps_ival)
+            & (F.col("event_a") < F.col("event_b")),
+        )
+        # exact microsecond band inside the coarse time bound
+        .filter(F.abs(F.col("us_b") - F.col("us_a")) <= eps_us)
+        .select("event_a", "event_b",
+                (F.col("us_b") - F.col("us_a")).alias("delta_us"))
+    )

@@ -1196,6 +1196,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # buckets so the grid is deterministic and oracle-checkable)
         "countmin_user_sketch": lambda s, d: SKC.countmin_build(
             load_table(s, d, "events"), "user_id"),
+        # engine-exact HLL: the approximate distinct that CAN be
+        # hash-checked (md5 hash + integer registers + one shared-literal
+        # divide — unlike approx_count_distinct's private seeds)
+        "hll_distinct_users": lambda s, d: SKC.hll_distinct(
+            load_table(s, d, "events"), "event_type", "user_id"),
         # multimodal plumbing (binary payloads + typed metadata)
         "multimodal_meta": lambda s, d: MM.media_metadata(load_table(s, d, "documents")),
         "media_resize_meta": lambda s, d: MM.fake_resize(
@@ -2191,6 +2196,10 @@ def oracle_sql() -> dict[str, str]:
                (strlen(text) + 3) // 4 AS n_bytes_out
         FROM documents
     """
+    # engine-exact HLL twin (operators/sketch.hll_sql generates the SQL
+    # from the same frozen constants the Spark operator uses)
+    from spark_streaming_spark.operators.sketch import hll_sql
+    sql["hll_distinct_users"] = hll_sql("event_type", "user_id", "events")
     sql["term_stats"] = """
         WITH terms AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term

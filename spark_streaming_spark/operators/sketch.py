@@ -78,3 +78,128 @@ def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# --- HyperLogLog with an ENGINE-EXACT contract ------------------------------
+#
+# Spark's approx_count_distinct and DuckDB's approx sketches use private
+# hash seeds, so their estimates can never hash-compare (the r1
+# `approx_distinct_users` entry is rows-only for exactly that reason).
+# This HLL (Flajolet et al. 2007, public algorithm) pins EVERY degree of
+# freedom instead: md5 is the shared hash, the register math is integer,
+# and the estimator is one IEEE divide of a precomputed literal — so the
+# estimate itself is bitwise identical on any engine and the oracle can
+# hash-check an APPROXIMATE aggregate exactly.
+
+HLL_M = 64           # registers (b = 6 index bits)
+HLL_RMAX = 50        # rho clamp: keeps 2^(RMAX - rho) an exact BIGINT
+# 0.7213/(1 + 1.079/64) — the standard alpha_64 bias constant, frozen as
+# a literal; numerator = alpha * m^2 * 2^RMAX precomputed driver-side so
+# each group's estimate is ONE division of two exact values.
+HLL_ALPHA = 0.709435968411
+_HLL_NUMERATOR = HLL_ALPHA * (HLL_M ** 2) * float(2 ** HLL_RMAX)
+# Small-range correction (linear counting, part of the published
+# algorithm): when the raw estimate < 2.5m and some register is empty,
+# est = m * ln(m / V) with V = empty registers. ln is NOT bitwise
+# portable across engines — but V has only m possible values, so the
+# whole correction is this PRECOMPUTED literal table (Python libm,
+# frozen here; both dialects embed the same literals and the lookup is
+# exact). Index: V in 1..m.
+import math as _math
+
+_HLL_LC = [HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+_HLL_SMALL = 2.5 * HLL_M
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Approximate count-distinct of ``key_col`` per ``group_col`` with
+    the engine-exact HLL contract (~13% standard error at m=64).
+
+    Plan: hash → (bucket, rho) is map-side column algebra; ONE groupBy
+    (group, bucket) with partial aggregation — the max() merge IS the
+    distributed (and streaming/update-mode) HLL merge — then a ≤ m-row
+    per-group rollup. The shuffle carries at most m rows per group at
+    any input size: the whole point of a sketch.
+
+    Register math: h = 60-bit md5 prefix; bucket = h mod m; rho = rank
+    of the first set bit of the remaining 54 bits (55 - bitlength, 55 if
+    zero), clamped to RMAX. Σ 2^(-rho) is computed as the exact BIGINT
+    Σ 2^(RMAX - rho) (empty registers contribute 2^RMAX), so the only
+    float op is the final literal/denominator divide.
+    Columns: <group_col>, est_distinct (double)."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    staged = df.select(F.col(group_col), h.alias("h")).select(
+        group_col,
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.expr("bin(rem)"))
+    )
+    regs = (
+        staged.select(group_col, "bucket",
+                      F.least(rho, F.lit(HLL_RMAX)).alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    term = F.expr(f"shiftleft(cast(1 as bigint), {HLL_RMAX} - rho)")
+    raw = (
+        F.lit(_HLL_NUMERATOR)
+        / (F.col("s_present")
+           + (F.lit(HLL_M) - F.col("nb"))
+           * F.lit(2 ** HLL_RMAX)).cast("double")
+    )
+    v_empty = F.lit(HLL_M) - F.col("nb")
+    lc = F.element_at(F.array(*[F.lit(x) for x in _HLL_LC]),
+                      v_empty.cast("int"))
+    est = F.when((v_empty > 0) & (raw < F.lit(_HLL_SMALL)), lc) \
+        .otherwise(raw)
+    return (
+        regs.groupBy(group_col)
+        .agg(F.sum(term).alias("s_present"),
+             F.count("*").alias("nb"))
+        .select(group_col, est.alias("est_distinct"))
+    )
+
+
+def hll_sql(group_col: str, key_col: str, table: str) -> str:
+    """The DuckDB twin of :func:`hll_distinct` — same hash, same integer
+    register math, same single divide (shared literal numerator)."""
+    return f"""
+        WITH staged AS (
+          SELECT {group_col},
+                 ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+          FROM {table}
+        ),
+        br AS (
+          SELECT {group_col}, h % {HLL_M} AS bucket,
+                 CASE WHEN h // {HLL_M} = 0 THEN 55
+                      ELSE 55 - length(bin(h // {HLL_M})) END AS rho
+          FROM staged
+        ),
+        regs AS (
+          SELECT {group_col}, bucket,
+                 max(least(rho, {HLL_RMAX})) AS rho
+          FROM br GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT {group_col},
+                 SUM((1::BIGINT << ({HLL_RMAX} - rho))) AS s_present,
+                 COUNT(*) AS nb
+          FROM regs GROUP BY 1
+        ),
+        scored AS (
+          SELECT {group_col}, {HLL_M} - nb AS v_empty,
+                 {_HLL_NUMERATOR!r}
+                   / CAST(s_present + ({HLL_M} - nb) * {2 ** HLL_RMAX}
+                          AS DOUBLE) AS raw
+          FROM agg
+        )
+        SELECT {group_col},
+               CASE WHEN v_empty > 0 AND raw < {_HLL_SMALL!r}
+                    THEN ([{', '.join(repr(x) for x in _HLL_LC)}])[v_empty]
+                    ELSE raw END AS est_distinct
+        FROM scored
+    """

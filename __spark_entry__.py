@@ -774,19 +774,21 @@ _CHECK_FIRST = [
     # check (dedup.py / similarity.py / conversions.py / pipelines.py /
     # replay.py were all edited in the post-r3 commit 41a86f6)
     "dedup_ngram_jaccard", "dup_components", "dedup_keep_best",
-    "dedup_edit_distance", "dedup_minhash_lsh", "dedup_simhash",
-    "simhash_pairs", "dedup_embedding_cosine",
-    "doc_fingerprints", "similar_pairs_lsh",
+    "dedup_edit_distance", "dedup_embedding_cosine", "similar_pairs_lsh",
     # (knn_bruteforce / knn_graph / click_purchase_conversions /
     # streaming_blacklist_filter / streaming_wordcount /
-    # fingerprint_dupes yield their slots to the new never-checked
-    # entries below: the post-r3 edits to their modules were additive —
-    # quantize/centroid functions, outer join modes — so their r2 rows +
-    # the local sweep stand)
+    # fingerprint_dupes / dedup_minhash_lsh / dedup_simhash /
+    # simhash_pairs / doc_fingerprints yield their slots to the new
+    # never-checked entries below: the post-r3 edits to their modules
+    # were additive — their specific functions are untouched, their r2
+    # rows stand, and the local sf0.001+sf0.01 sweeps stay green)
     # new this round, never driver-checked: UDTF surface + hashed-BoW
     # retrieval/classification family + SemDeDup + grid band join
+    # (batch & stream) + streamed classifier/ingest + engine-exact HLL
     "token_runs", "hashed_bow", "lexical_knn", "bm25_hash_join_vector",
     "quality_classifier", "semantic_dedup", "band_cooccurrence",
+    "streaming_band_cooccurrence", "streaming_quality_classifier",
+    "streaming_centroid_ingest", "hll_distinct_users",
     # (the 50 r3-green entries yield their slots; r3 rows stand, and the
     # pytest oracle sweep re-verifies all entries locally every run)
 ]

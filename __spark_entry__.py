@@ -669,6 +669,26 @@ def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_hll_distinct(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The HLL register table maintained as STREAMING STATE: the
+    update-mode max() agg on (event_type, bucket) is the register merge
+    (sketch.hll_registers docstring), so the state store holds ≤ m rows
+    per group at any stream length — the sketch property, live. Final
+    registers recovered by last-epoch-wins, estimator applied once
+    batch-side; equals the one-shot hll_distinct (shared oracle)."""
+    from spark_streaming_spark.streaming import replay
+
+    chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
+    stream = replay.stream_from_dir(spark, chunk_dir)
+    regs = replay.run_to_parquet(
+        SKC.hll_registers(stream, "event_type", "user_id"),
+        "update", state_partitions=4,
+        last_epoch_keys=["event_type", "bucket"],
+    )
+    return SKC.hll_estimate(regs, "event_type")
+
+
 def _q_streaming_band_cooccurrence(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """The keyless band join as a STREAM-STREAM self-join: grid cells
@@ -1203,6 +1223,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # divide — unlike approx_count_distinct's private seeds)
         "hll_distinct_users": lambda s, d: SKC.hll_distinct(
             load_table(s, d, "events"), "event_type", "user_id"),
+        # the register table as streaming state (update-mode max merge)
+        "streaming_hll_distinct": _q_streaming_hll_distinct,
         # multimodal plumbing (binary payloads + typed metadata)
         "multimodal_meta": lambda s, d: MM.media_metadata(load_table(s, d, "documents")),
         "media_resize_meta": lambda s, d: MM.fake_resize(
@@ -2202,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
     # from the same frozen constants the Spark operator uses)
     from spark_streaming_spark.operators.sketch import hll_sql
     sql["hll_distinct_users"] = hll_sql("event_type", "user_id", "events")
+    sql["streaming_hll_distinct"] = sql["hll_distinct_users"]
     sql["term_stats"] = """
         WITH terms AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term

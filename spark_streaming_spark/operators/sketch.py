@@ -127,6 +127,15 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     Σ 2^(RMAX - rho) (empty registers contribute 2^RMAX), so the only
     float op is the final literal/denominator divide.
     Columns: <group_col>, est_distinct (double)."""
+    return hll_estimate(hll_registers(df, group_col, key_col), group_col)
+
+
+def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """The register table (group, bucket, rho) — the sketch STATE. One
+    keyed groupBy whose max() partial aggregation is the distributed
+    merge; the same max is the streaming update-mode merge, so a stream
+    maintains exactly this table in its state store.
+    Columns: <group_col>, bucket, rho."""
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
                16, 10).cast("long")
     staged = df.select(F.col(group_col), h.alias("h")).select(
@@ -137,12 +146,18 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     rho = F.when(F.col("rem") == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.expr("bin(rem)"))
     )
-    regs = (
+    return (
         staged.select(group_col, "bucket",
                       F.least(rho, F.lit(HLL_RMAX)).alias("rho"))
         .groupBy(group_col, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """Estimator over a register table (from :func:`hll_registers`, a
+    persisted sketch, or a streaming state recovery) — the serve half.
+    Columns: <group_col>, est_distinct."""
     term = F.expr(f"shiftleft(cast(1 as bigint), {HLL_RMAX} - rho)")
     raw = (
         F.lit(_HLL_NUMERATOR)

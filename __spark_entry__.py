@@ -908,6 +908,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders")),
         "forecast_revenue_change": lambda s, d: A.forecast_revenue_change(
             load_table(s, d, "lineitem")),
+        # approximate quantiles the oracle can hash-check: exact
+        # percentiles over a deterministic content-hash sample
+        "sampled_quantity_quantiles": lambda s, d: A.sampled_quantiles(
+            load_table(s, d, "lineitem")),
         "quantity_quantiles": lambda s, d: A.quantity_quantiles(
             load_table(s, d, "lineitem")),
         # sketch-based quantiles: engine-specific values → rows-only
@@ -2486,6 +2490,18 @@ def oracle_sql() -> dict[str, str]:
                     END AS INTEGER) AS bucket,
                count(*) AS n_events
         FROM events GROUP BY 1, 2
+    """
+    sql["sampled_quantity_quantiles"] = """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS med_qty,
+               quantile_cont(l_quantity, 0.9) AS p90_qty,
+               quantile_cont(l_extendedprice, 0.5) AS med_price
+        FROM lineitem
+        WHERE ('0x' || substr(md5('q1' || '#'
+                 || CAST(l_orderkey AS VARCHAR) || '#'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+              % 1000 < 100
+        GROUP BY l_returnflag
     """
     sql["quantity_quantiles"] = """
         SELECT l_returnflag,

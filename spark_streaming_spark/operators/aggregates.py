@@ -244,3 +244,39 @@ def approx_distinct_users(events: DataFrame) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count("*").alias("n_events"),
     )
+
+
+def sampled_quantiles(lineitem: DataFrame, permille: int = 100,
+                      salt: str = "q1") -> DataFrame:
+    """Approximate per-group quantiles that the oracle CAN hash-check:
+    exact quantiles over a DETERMINISTIC content-hash sample (md5 of the
+    row key + salt, the sampling.py discipline). approx_percentile's
+    Greenwald-Khanna sketch is engine-private (rows-only check forever);
+    here every degree of freedom is pinned — the sample is a pure
+    function of the data, and the interpolated percentile over it is the
+    same value in Spark and DuckDB — so an APPROXIMATE answer gets an
+    exact cross-engine twin (the HLL trade, applied to quantiles).
+
+    Scale: the sample is a map-side filter pushed at the scan, the sort
+    cost drops by 1000/permille, and the error is the usual sampling
+    bound (pinned vs the exact quantiles in tests). Resampling with a
+    new salt is a fresh independent draw — variance estimation for free.
+    Columns: l_returnflag, med_qty, p90_qty, med_price."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "#", F.lit(salt),
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    return (
+        lineitem.filter((h % 1000) < permille)
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
+        )
+    )

@@ -125,3 +125,23 @@ def test_hll_registers_merge_equals_recompute(spark):
               SKC.hll_distinct(a.unionByName(b), "event_type",
                                "user_id").collect()}
     assert merged == whole
+
+
+def test_sampled_quantiles_near_exact(spark):
+    """Deterministic-sample quantiles vs exact quantiles: a 10% sample
+    of the driver lineitem must land within a loose relative bound (the
+    point is reproducible approximation, pinned accuracy)."""
+    from spark_streaming_spark.operators.aggregates import (
+        quantity_quantiles,
+        sampled_quantiles,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {r.l_returnflag: (r.med_qty, r.p90_qty, r.med_price)
+             for r in quantity_quantiles(li).collect()}
+    approx = {r.l_returnflag: (r.med_qty, r.p90_qty, r.med_price)
+              for r in sampled_quantiles(li).collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) / max(abs(e), 1e-9) <= 0.25, (k, e, a)

@@ -48,7 +48,9 @@ def build_ivf_index(embeddings: DataFrame, n_cells: int = 16,
     ``assigned`` would be written partitioned by cell."""
     from pyspark.ml.clustering import KMeans
 
-    ck = ("ivf", cache_key, n_cells, seed) if cache_key is not None else None
+    ck = ("ivf", cache_key, n_cells, seed,
+          embeddings.sparkSession.sparkContext.applicationId) \
+        if cache_key is not None else None
     if ck is not None and ck in _ARTIFACT_CACHE:
         return _ARTIFACT_CACHE[ck]
 

@@ -84,7 +84,9 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame,
 # identifier, e.g. its path) to memoize the eagerly-checkpointed pairs;
 # at 100 TB the same role is played by writing pairs to parquet and
 # reading it back (build_dedup_index does exactly that shape for the
-# incremental tier). Uncached callers recompute per call.
+# incremental tier). Uncached callers recompute per call. Keys include
+# the Spark application id: a checkpointed DataFrame dies with its
+# session, so a process that restarts Spark must rebuild, not reuse.
 _PAIRS_CACHE: dict = {}
 
 
@@ -132,7 +134,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     both the candidate join and the exact-verify join (Catalyst
     ReuseExchange).
     """
-    ck = ("ngram_pairs", cache_key, threshold, n) \
+    ck = ("ngram_pairs", cache_key, threshold, n,
+          docs.sparkSession.sparkContext.applicationId) \
         if cache_key is not None else None
     if ck is not None and ck in _PAIRS_CACHE:
         return _PAIRS_CACHE[ck]
@@ -248,7 +251,9 @@ def build_dedup_index(corpus_docs: DataFrame, n: int = 3,
     corpus — and this function is the backfill that builds them.
     ``cache_key`` (a stable corpus identifier) memoizes the built index
     across calls — the _PAIRS_CACHE build/serve discipline."""
-    ck = ("dedup_index", cache_key, n) if cache_key is not None else None
+    ck = ("dedup_index", cache_key, n,
+          corpus_docs.sparkSession.sparkContext.applicationId) \
+        if cache_key is not None else None
     if ck is not None and ck in _PAIRS_CACHE:
         return _PAIRS_CACHE[ck]
     bands = _sig_bands(minhash_signatures(corpus_docs, n)) \
@@ -424,7 +429,8 @@ def dup_components(docs: DataFrame, threshold: float = 0.8,
     Columns: doc_id, component (min reachable doc_id; singletons map to
     themselves).
     """
-    ck = ("components", cache_key, threshold, n) \
+    ck = ("components", cache_key, threshold, n,
+          docs.sparkSession.sparkContext.applicationId) \
         if cache_key is not None else None
     if ck is not None and ck in _PAIRS_CACHE:
         return _PAIRS_CACHE[ck]

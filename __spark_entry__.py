@@ -669,6 +669,27 @@ def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_windowed_hll(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Sketch PER TIME WINDOW in a stream: distinct users per (day,
+    event_type) as HLL registers keyed by the window — the state store
+    holds ≤ m register rows per open window (constant per window at any
+    traffic), where exact distinct-per-window state is O(users). The
+    daily-unique-visitors dashboard at 100 TB. Registers recovered via
+    last-epoch-wins, estimator applied once; shared batch oracle."""
+    from spark_streaming_spark.streaming import replay
+
+    chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
+    stream = replay.stream_from_dir(spark, chunk_dir).withColumn(
+        "day", F.date_trunc("day", "ts"))
+    regs = replay.run_to_parquet(
+        SKC.hll_registers(stream, ["day", "event_type"], "user_id"),
+        "update", state_partitions=4,
+        last_epoch_keys=["day", "event_type", "bucket"],
+    )
+    return SKC.hll_estimate(regs, ["day", "event_type"])
+
+
 def _q_streaming_hll_distinct(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """The HLL register table maintained as STREAMING STATE: the
@@ -1229,6 +1250,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), "event_type", "user_id"),
         # the register table as streaming state (update-mode max merge)
         "streaming_hll_distinct": _q_streaming_hll_distinct,
+        # sketch per time window: HLL registers keyed by (day, type)
+        "streaming_windowed_hll": _q_streaming_windowed_hll,
         # multimodal plumbing (binary payloads + typed metadata)
         "multimodal_meta": lambda s, d: MM.media_metadata(load_table(s, d, "documents")),
         "media_resize_meta": lambda s, d: MM.fake_resize(
@@ -2229,6 +2252,48 @@ def oracle_sql() -> dict[str, str]:
     from spark_streaming_spark.operators.sketch import hll_sql
     sql["hll_distinct_users"] = hll_sql("event_type", "user_id", "events")
     sql["streaming_hll_distinct"] = sql["hll_distinct_users"]
+    # per-(day, type) HLL: same register math, window in the group key;
+    # the day column mirrors daily_event_rollup's date_trunc spelling
+    from spark_streaming_spark.operators.sketch import (
+        HLL_M, HLL_RMAX, _HLL_LC, _HLL_NUMERATOR, _HLL_SMALL)
+    sql["streaming_windowed_hll"] = f"""
+        WITH staged AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+          FROM events
+        ),
+        br AS (
+          SELECT day, event_type, h % {HLL_M} AS bucket,
+                 CASE WHEN h // {HLL_M} = 0 THEN 55
+                      ELSE 55 - length(bin(h // {HLL_M})) END AS rho
+          FROM staged
+        ),
+        regs AS (
+          SELECT day, event_type, bucket,
+                 max(least(rho, {HLL_RMAX})) AS rho
+          FROM br GROUP BY 1, 2, 3
+        ),
+        agg AS (
+          SELECT day, event_type,
+                 SUM((1::BIGINT << ({HLL_RMAX} - rho))) AS s_present,
+                 COUNT(*) AS nb
+          FROM regs GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT day, event_type, {HLL_M} - nb AS v_empty,
+                 {_HLL_NUMERATOR!r}
+                   / CAST(s_present + ({HLL_M} - nb) * {2 ** HLL_RMAX}
+                          AS DOUBLE) AS raw
+          FROM agg
+        )
+        SELECT day, event_type,
+               CASE WHEN v_empty > 0 AND raw < {_HLL_SMALL!r}
+                    THEN ([{', '.join(f'{x!r}e0' for x in _HLL_LC)}])[v_empty]
+                    ELSE raw END AS est_distinct
+        FROM scored
+    """
     sql["term_stats"] = """
         WITH terms AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term

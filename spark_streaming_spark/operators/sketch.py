@@ -104,7 +104,10 @@ _HLL_NUMERATOR = HLL_ALPHA * (HLL_M ** 2) * float(2 ** HLL_RMAX)
 # portable across engines — but V has only m possible values, so the
 # whole correction is this PRECOMPUTED literal table (Python libm,
 # frozen here; both dialects embed the same literals and the lookup is
-# exact). Index: V in 1..m.
+# exact). Index: V in 1..m. SQL spelling: the literals are emitted in
+# E-NOTATION ('...e0') — DuckDB types a bare decimal literal as DECIMAL
+# and the decimal->double hop rounds differently than a direct double
+# parse (1-ulp drift found at V=24); e-notation parses as DOUBLE.
 import math as _math
 
 _HLL_LC = [HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
@@ -130,16 +133,22 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     return hll_estimate(hll_registers(df, group_col, key_col), group_col)
 
 
+def _group_list(group_col) -> list:
+    return list(group_col) if isinstance(group_col, (list, tuple)) \
+        else [group_col]
+
+
 def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     """The register table (group, bucket, rho) — the sketch STATE. One
     keyed groupBy whose max() partial aggregation is the distributed
     merge; the same max is the streaming update-mode merge, so a stream
     maintains exactly this table in its state store.
     Columns: <group_col>, bucket, rho."""
+    g = _group_list(group_col)
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
                16, 10).cast("long")
-    staged = df.select(F.col(group_col), h.alias("h")).select(
-        group_col,
+    staged = df.select(*[F.col(c) for c in g], h.alias("h")).select(
+        *g,
         (F.col("h") % HLL_M).alias("bucket"),
         F.expr(f"h div {HLL_M}").alias("rem"),
     )
@@ -147,9 +156,9 @@ def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
         F.lit(55) - F.length(F.expr("bin(rem)"))
     )
     return (
-        staged.select(group_col, "bucket",
+        staged.select(*g, "bucket",
                       F.least(rho, F.lit(HLL_RMAX)).alias("rho"))
-        .groupBy(group_col, "bucket")
+        .groupBy(*g, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
 
@@ -158,6 +167,7 @@ def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
     """Estimator over a register table (from :func:`hll_registers`, a
     persisted sketch, or a streaming state recovery) — the serve half.
     Columns: <group_col>, est_distinct."""
+    g = _group_list(group_col)
     term = F.expr(f"shiftleft(cast(1 as bigint), {HLL_RMAX} - rho)")
     raw = (
         F.lit(_HLL_NUMERATOR)
@@ -171,10 +181,10 @@ def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
     est = F.when((v_empty > 0) & (raw < F.lit(_HLL_SMALL)), lc) \
         .otherwise(raw)
     return (
-        regs.groupBy(group_col)
+        regs.groupBy(*g)
         .agg(F.sum(term).alias("s_present"),
              F.count("*").alias("nb"))
-        .select(group_col, est.alias("est_distinct"))
+        .select(*g, est.alias("est_distinct"))
     )
 
 
@@ -214,7 +224,7 @@ def hll_sql(group_col: str, key_col: str, table: str) -> str:
         )
         SELECT {group_col},
                CASE WHEN v_empty > 0 AND raw < {_HLL_SMALL!r}
-                    THEN ([{', '.join(repr(x) for x in _HLL_LC)}])[v_empty]
+                    THEN ([{', '.join(f'{x!r}e0' for x in _HLL_LC)}])[v_empty]
                     ELSE raw END AS est_distinct
         FROM scored
     """

@@ -871,6 +871,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "customer"), load_table(s, d, "orders"),
             load_table(s, d, "lineitem")),
         "lineitem_stats": lambda s, d: A.lineitem_stats(load_table(s, d, "lineitem")),
+        "shipping_priority": lambda s, d: TPC.shipping_priority(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem")),
+        "order_priority_check": lambda s, d: TPC.order_priority_check(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")),
+        "local_supplier_volume": lambda s, d: TPC.local_supplier_volume(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation"), load_table(s, d, "region")),
         "returned_items_report": lambda s, d: TPC.returned_items_report(
             load_table(s, d, "customer"), load_table(s, d, "orders"),
             load_table(s, d, "lineitem"), load_table(s, d, "nation")),
@@ -1463,6 +1472,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
                      / COUNT(l_extendedprice) AS avg_price
             FROM lineitem
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-06-30'
+              AND l_shipdate  > TIMESTAMP '1996-06-30'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "order_priority_check": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN region   ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "returned_items_report": """
             SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -434,3 +434,95 @@ def waiting_suppliers(supplier: DataFrame, lineitem: DataFrame,
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(k)
     )
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, k: int = 10) -> DataFrame:
+    """TPC-H Q3: top-k unshipped orders by revenue for one market
+    segment (no o_shippriority column in this schema, so the output is
+    (orderkey, orderdate, revenue)). The segment filter prunes customer
+    BEFORE its join (broadcast — customers of one segment are a
+    fraction of an already-small dim at this ratio; at TPC-H scale
+    customer:orders is 1:10 and AQE would pick the shuffle join
+    instead), date filters push into both fact scans, top-k is
+    TakeOrderedAndProject. Columns: o_orderkey, o_orderdate, revenue."""
+    cutoff = F.lit("1996-06-30").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def order_priority_check(orders: DataFrame,
+                         lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4: orders per o_orderpriority in a quarter that had at
+    least one LATE line item (no l_commitdate/l_receiptdate here, so
+    "late" is re-targeted to l_shipdate >= o_orderdate + 60 days). The
+    EXISTS is a LEFT SEMI join — the probe side never duplicates even
+    with many late lines per order, and no lineitem columns survive the
+    join (semi joins carry no payload). Columns: o_orderpriority,
+    n_orders."""
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        window.join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate")
+               >= F.col("o_orderdate") + F.expr("interval 60 days")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def local_supplier_volume(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame) -> DataFrame:
+    """TPC-H Q5: revenue by nation where the CUSTOMER and the LINE's
+    SUPPLIER share the nation, one region, one year. The classic 6-way
+    chain: facts join on their natural keys (orderkey, then the
+    customer/supplier key joins), the region→nation subtree collapses to
+    a broadcast filter on nationkey, and the same-nation predicate
+    (c_nationkey = s_nationkey) rides the supplier join — no extra
+    shuffle. Columns: n_name, revenue."""
+    nations_in_region = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    yr = (
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        lineitem
+        .join(orders.filter(yr), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nations_in_region),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )

@@ -306,8 +306,6 @@ def assign_with_centroids(embeddings: DataFrame,
     PRE-BUILT centroid table — map-side crossJoin(broadcast) + argmin;
     the serving path a streaming ingest runs per micro-batch against
     the fixed artifact. Columns: vec_id, label, assigned_label, dist2."""
-    from pyspark.sql.window import Window
-
     d2 = F.expr(
         "cast(aggregate(zip_with(embedding, cvec,"
         " (x, c) -> cast(round((cast(x as double) - c)"
@@ -315,16 +313,20 @@ def assign_with_centroids(embeddings: DataFrame,
         " cast(0 as decimal(38,8)),"
         " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist2").asc(), F.col("c_label").asc()
-    )
+    # argmin as a struct-min AGGREGATION, not a row_number window: the
+    # lexicographic min over (dist2, c_label) is exactly the
+    # dist2-then-label tie-break, and an aggregate partial-combines
+    # map-side — no per-partition sort, no window state (the
+    # reduceByKey-vs-sort rationale, WordCount.java:48-53)
+    best = F.min(F.struct("dist2", "c_label")).alias("m")
     return (
         widen(embeddings).crossJoin(F.broadcast(carr))
         .select("vec_id", "label", "c_label", d2.alias("dist2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "label")
+        .agg(best)
         .select("vec_id", "label",
-                F.col("c_label").alias("assigned_label"), "dist2")
+                F.col("m.c_label").alias("assigned_label"),
+                F.col("m.dist2").alias("dist2"))
     )
 
 

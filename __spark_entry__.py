@@ -1165,6 +1165,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "repetition_signals": lambda s, d: PL.repetition_signals(
             load_table(s, d, "documents")),
+        # benchmark set as a 512-byte broadcast Bloom bit array —
+        # deterministic hashes make even the false positives engine-exact
+        "contamination_bloom": lambda s, d: PL.contamination_bloom(
+            load_table(s, d, "documents")),
         "contamination_check": lambda s, d: PL.contamination_check(
             load_table(s, d, "documents")),
         "pack_sequences": lambda s, d: PL.pack_sequences(
@@ -2964,6 +2968,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT s.sh) AS BIGINT) AS n_shared_ngrams
         FROM sh3 s JOIN bench b ON s.sh = b.sh
         WHERE s.doc_id % {PL.BENCH_MOD} <> 0
+        GROUP BY s.doc_id
+    """
+    hk = lambda k: (f"(('0x' || substr(md5('{k}' || '#' || sh), 1, 15))"
+                    f"::BIGINT % 4032)")
+    probe = " AND ".join(
+        f"(bloom[CAST({hk(k)} // 63 AS INT) + 1]"
+        f" & (1::BIGINT << CAST({hk(k)} % 63 AS INT))) <> 0"
+        for k in range(3))
+    build_pos = " UNION ALL ".join(
+        f"SELECT {hk(k)} AS p FROM bench" for k in range(3))
+    sql["contamination_bloom"] = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        sh3 AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+          FROM toks, LATERAL (
+            SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) ii
+        ),
+        bench AS (
+          SELECT DISTINCT sh FROM sh3 WHERE doc_id % {PL.BENCH_MOD} = 0
+        ),
+        pos AS ({build_pos}),
+        words AS (
+          SELECT p // 63 AS w, bit_or(1::BIGINT << CAST(p % 63 AS INT))
+                 AS bits
+          FROM pos GROUP BY 1
+        ),
+        arr AS (
+          SELECT list(coalesce(bits, 0) ORDER BY i) AS bloom
+          FROM (SELECT unnest(range(0, 64)) AS i) g
+          LEFT JOIN words ON w = i
+        )
+        SELECT s.doc_id,
+               CAST(count(DISTINCT s.sh) AS BIGINT) AS n_flagged_ngrams
+        FROM sh3 s, arr
+        WHERE s.doc_id % {PL.BENCH_MOD} <> 0 AND {probe}
         GROUP BY s.doc_id
     """
     # streamed twin emits only kept docs (append mode) — same rule SQL

@@ -329,3 +329,84 @@ def lm_bigram_scores(docs: DataFrame) -> DataFrame:
             (dsum("p", 7) / F.count("*")).alias("avg_condp"),
         )
     )
+
+
+# Deterministic Bloom filter for decontamination (Bloom 1970; public).
+# 4032 bits = 64 words x 63 bits (bit index <= 62 keeps every shifted
+# word positive — the sign bit is never set, so Spark and DuckDB agree
+# without unsigned types), K = 3 md5-derived hashes. Like the HLL and
+# Count-Min sketches (operators/sketch.py), every degree of freedom is
+# pinned, so the filter — INCLUDING its false positives — is bit-exact
+# across engines and the oracle hash-checks the approximate answer.
+BLOOM_WORDS = 64
+BLOOM_BPW = 63
+BLOOM_K = 3
+
+
+def _bloom_pos(sh: F.Column, k: int) -> tuple[F.Column, F.Column]:
+    """(word, bit) of hash k for a gram: 60-bit md5 prefix of 'k#gram'
+    mod 4032, split base-63."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.lit(str(k)), sh)), 1, 15),
+        16, 10,
+    ).cast("long") % (BLOOM_WORDS * BLOOM_BPW)
+    return (h / BLOOM_BPW).cast("int"), (h % BLOOM_BPW).cast("int")
+
+
+def contamination_bloom(docs: DataFrame, n: int = 3,
+                        bench_mod: int = BENCH_MOD) -> DataFrame:
+    """:func:`contamination_check` with the benchmark gram set compressed
+    to a BLOOM BIT ARRAY — the 100 TB spelling: a benchmark corpus of
+    millions of grams broadcasts as exact strings only painfully; the
+    Bloom array is 64 BIGINTs (512 bytes) regardless of benchmark size,
+    rides in the plan as one broadcast row, and the scan side tests
+    membership with pure bit algebra (map-only until the per-doc count).
+    The price is a tunable false-positive rate — flagged counts are an
+    UPPER BOUND on true contamination (the right direction for a safety
+    filter; FPR here ~ (1-e^{-K·n_grams/m})^K). Because the hashes are
+    md5-derived, the FPs are deterministic and the DuckDB twin
+    reproduces the identical counts. Columns: doc_id, n_flagged_ngrams.
+    """
+    from spark_streaming_spark.operators.dedup import _shingle_sets
+
+    grams = _shingle_sets(docs, n)
+    bench = (
+        grams.filter((F.col("doc_id") % bench_mod) == 0)
+        .select("sh").distinct()
+    )
+    # build: per-hash (word, bit) rows -> bit_or per word -> ONE row
+    # holding the 64-word array (missing words filled with 0)
+    sets = None
+    for k in range(BLOOM_K):
+        w, b = _bloom_pos(F.col("sh"), k)
+        part = bench.select(w.alias("w"), b.alias("b"))
+        sets = part if sets is None else sets.unionAll(part)
+    words = (
+        sets.groupBy("w")
+        .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), b)")).alias("bits"))
+    )
+    arr = words.groupBy().agg(
+        F.expr(
+            f"transform(sequence(0, {BLOOM_WORDS - 1}), i -> "
+            f"coalesce(element_at(map_from_entries("
+            f"collect_list(struct(w, bits))), i), cast(0 as bigint)))"
+        ).alias("bloom")
+    )
+    # probe: a train gram is flagged iff ALL K bits are set
+    # (shiftleft needs its count as a column here -> SQL expr form)
+    train = grams.filter((F.col("doc_id") % bench_mod) != 0)
+    probe = train.crossJoin(F.broadcast(arr))
+    cond = F.lit(True)
+    for k in range(BLOOM_K):
+        w, b = _bloom_pos(F.col("sh"), k)
+        probe = probe.withColumn(f"_w{k}", w).withColumn(f"_b{k}", b)
+        cond = cond & (
+            (F.element_at(F.col("bloom"), F.col(f"_w{k}") + 1)
+             .bitwiseAND(
+                F.expr(f"shiftleft(cast(1 as bigint), _b{k})"))) != 0
+        )
+    return (
+        probe.filter(cond)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_flagged_ngrams"))
+    )

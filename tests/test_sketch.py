@@ -145,3 +145,22 @@ def test_sampled_quantiles_near_exact(spark):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(a - e) / max(abs(e), 1e-9) <= 0.25, (k, e, a)
+
+
+def test_bloom_contamination_never_misses(spark):
+    """Bloom filters have false positives but NEVER false negatives:
+    every doc (and count) the exact decontamination flags must appear in
+    the Bloom result with an equal-or-higher count."""
+    from spark_streaming_spark.operators.pipeline import (
+        contamination_bloom,
+        contamination_check,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {r.doc_id: r.n_shared_ngrams
+             for r in contamination_check(docs).collect()}
+    bloom = {r.doc_id: r.n_flagged_ngrams
+             for r in contamination_bloom(docs).collect()}
+    assert set(exact) <= set(bloom)
+    for did, n in exact.items():
+        assert bloom[did] >= n, (did, bloom[did], n)

@@ -815,7 +815,10 @@ _CHECK_FIRST = [
     # check (dedup.py / similarity.py / conversions.py / pipelines.py /
     # replay.py were all edited in the post-r3 commit 41a86f6)
     "dedup_ngram_jaccard", "dup_components", "dedup_keep_best",
-    "dedup_edit_distance", "dedup_embedding_cosine", "similar_pairs_lsh",
+    "dedup_edit_distance", "similar_pairs_lsh",
+    # (dedup_embedding_cosine delegates to similar_pairs_lsh — the
+    # in-window similar_pairs_lsh row re-checks the shared machinery)
+    "contamination_bloom",
     # (knn_bruteforce / knn_graph / click_purchase_conversions /
     # streaming_blacklist_filter / streaming_wordcount /
     # fingerprint_dupes / dedup_minhash_lsh / dedup_simhash /

@@ -433,6 +433,30 @@ def _q_streaming_click_attr_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("user_id") >= 0)
 
 
+def _q_streaming_click_attr_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the last cell of the
+    streaming join-mode matrix (inner r2, left r3, full r4; VERDICT r4
+    next-round #6), reusing the full-outer machinery unchanged: typed
+    sentinels (one click + one purchase per sentinel chunk so both
+    branch watermarks advance), ordered replay, watermark-proved
+    emission. Organic purchases (no qualifying click) emit exactly one
+    null-extended row when the click-side watermark passes their
+    interval; finalized append output equals the batch right-outer
+    answer (shared oracle). Sentinel rows carry negative coalesced
+    user_id and are dropped from the finalized result."""
+    from spark_streaming_spark.streaming import replay
+
+    chunk_dir = _ordered_chunked_events(
+        spark, sf_dir, sentinel_types=("click", "purchase"), kind="ordcp")
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
+    out = replay.run_to_parquet(
+        CV.click_purchase_conversions(
+            stream, watermark="10 seconds", how="right_outer"),
+        "append", state_partitions=4,
+    )
+    return out.filter(F.col("user_id") >= 0)
+
+
 def _q_streaming_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained stateful operators in one streaming query (two streaming
     aggregations back to back — SPARK-42105): level-1 tumbling counts
@@ -795,45 +819,40 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # (round 4) never driver-checked — first driver signal
-    "click_attribution_right", "click_attribution_full",
-    "streaming_click_attribution_full", "streaming_kafka_wordcount",
-    "chunk_documents", "zorder_key_events", "streaming_scd1_merge",
-    "streaming_wordcount_rocksdb", "incremental_dedup",
-    "streaming_incremental_dedup",
-    # r1-vintage (oldest signal: last green in CORRECTNESS_r01, code has
-    # changed three rounds since; VERDICT r3 "Next round" #1)
-    "blacklist_filter", "cube_order_status", "customer_balance_quartiles",
-    "day_clickers_no_purchase", "dedup_exact", "distinct_event_pairs",
-    "event_type_pivot", "forecast_revenue_change", "grouping_sets_orders",
-    "hot_words", "json_props_rollup", "lineitem_stats", "nation_presence",
-    "nations_in_both", "purchase_funnel_daily", "quantity_quantiles",
-    "rollup_customer_nations", "running_customer_spend",
-    "running_word_count", "scalar_showcase", "small_parts_ordered",
-    "top3_products_sql", "wordcount",
-    # r2-vintage entries whose modules changed AFTER their last driver
-    # check (dedup.py / similarity.py / conversions.py / pipelines.py /
-    # replay.py were all edited in the post-r3 commit 41a86f6)
-    "dedup_ngram_jaccard", "dup_components", "dedup_keep_best",
-    "dedup_edit_distance", "similar_pairs_lsh",
-    # (dedup_embedding_cosine delegates to similar_pairs_lsh — the
-    # in-window similar_pairs_lsh row re-checks the shared machinery)
-    "contamination_bloom",
-    # (knn_bruteforce / knn_graph / click_purchase_conversions /
-    # streaming_blacklist_filter / streaming_wordcount /
-    # fingerprint_dupes / dedup_minhash_lsh / dedup_simhash /
-    # simhash_pairs / doc_fingerprints yield their slots to the new
-    # never-checked entries below: the post-r3 edits to their modules
-    # were additive — their specific functions are untouched, their r2
-    # rows stand, and the local sf0.001+sf0.01 sweeps stay green)
-    # new this round, never driver-checked: UDTF surface + hashed-BoW
-    # retrieval/classification family + SemDeDup + grid band join
-    # (batch & stream) + streamed classifier/ingest + engine-exact HLL
-    "token_runs", "hashed_bow", "lexical_knn", "bm25_hash_join_vector",
-    "quality_classifier", "semantic_dedup", "band_cooccurrence",
-    "streaming_band_cooccurrence", "streaming_quality_classifier",
-    "streaming_centroid_ingest", "hll_distinct_users",
-    # (the 50 r3-green entries yield their slots; r3 rows stand, and the
+    # (round 5) never driver-checked — first driver signal (added after
+    # the r4 window froze; VERDICT r4 "Next round" #2)
+    "shipping_priority", "order_priority_check", "local_supplier_volume",
+    "sampled_quantity_quantiles", "streaming_hll_distinct",
+    "streaming_windowed_hll",
+    # r4 hash-red on an oracle HUGEINT artifact, now CAST-fixed — kept in
+    # the window to convert the two red rows green (VERDICT r4 #1)
+    "quality_classifier", "streaming_quality_classifier",
+    # r2-vintage refresh: last green row is CORRECTNESS_r02, and their
+    # modules (dedup/similarity/textstats/pipeline/replay) have been
+    # edited in rounds 3-4 since (VERDICT r4 "Next round" #2)
+    "priority_shipping_mix", "customer_order_distribution",
+    "waiting_suppliers", "cohort_retention", "dedup_minhash_lsh",
+    "dedup_simhash", "knn_bruteforce", "knn_graph", "label_centroids",
+    "embedding_norms", "streaming_wordcount", "streaming_blacklist_filter",
+    "streaming_sliding_counts", "streaming_top3_per_window",
+    "streaming_click_purchase_join", "streaming_dedup",
+    "streaming_quality_filter", "streaming_daily_rollup",
+    "click_purchase_conversions", "asof_click_attribution", "token_stats",
+    "top_terms_per_lang", "quality_scores", "lang_guess",
+    "doc_fingerprints", "fingerprint_dupes", "grouped_agg_token_totals",
+    "quality_filter", "repetition_signals", "contamination_check",
+    "pack_sequences", "lm_bigram_scores", "skew_salted_counts",
+    "similar_activity_pairs", "daily_event_rollup", "mixture_rebalance",
+    "skew_salted_join", "countmin_user_sketch", "multimodal_meta",
+    # (two r2 delegation twins yield slots to new r5 entries:
+    # dedup_embedding_cosine delegates to similar_pairs_lsh (r4-green)
+    # and simhash_pairs shares all machinery with in-window
+    # dedup_simhash; the pytest oracle sweep still re-verifies both
+    # locally every run)
+    # new this round, never driver-checked (VERDICT r4 #6/#7/#8)
+    "streaming_click_attribution_right", "quality_logits_join",
+    "corpus_prep_pipeline",
+    # (r3/r4-green entries yield their slots; their rows stand, and the
     # pytest oracle sweep re-verifies all entries locally every run)
 ]
 
@@ -1099,6 +1118,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), how="full_outer"),
         "streaming_click_attribution_outer": _q_streaming_click_attr_outer,
         "streaming_click_attribution_full": _q_streaming_click_attr_full,
+        "streaming_click_attribution_right": _q_streaming_click_attr_right,
         # chained streaming aggregations (multiple stateful operators)
         "streaming_two_level_agg": _q_streaming_two_level,
         # pivot on a stream: fixed-category conditional agg (the .pivot()
@@ -1159,6 +1179,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inference as map-side column algebra
         "quality_classifier": lambda s, d: CLF.quality_logits(
             load_table(s, d, "documents")),
+        # the production spelling: weights as a trained-model ARTIFACT
+        # table broadcast-joined on the bucket id (classify.
+        # quality_logits_join) — same algebra, swap-in model path
+        "quality_logits_join": lambda s, d: CLF.quality_logits_join(
+            load_table(s, d, "documents"), CLF.weight_table(s)),
         # grouped-agg pandas_udf surface (integer-exact body)
         "grouped_agg_token_totals": lambda s, d: G.grouped_agg_token_totals(
             load_table(s, d, "documents")),
@@ -1190,6 +1215,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             RED.augment_with_pii(load_table(s, d, "documents"))),
         "dedup_keep_best": lambda s, d: DD.dedup_keep_best(
             load_table(s, d, "documents"), cache_key=d),
+        # the three corpus-prep stages CHAINED in production order
+        # (dedup drop-set anti-join -> map-side quality gate -> mixture
+        # rebalance): proves the operators compose — one corpus read,
+        # two map filters, only tiny-aggregate shuffles (pipeline.
+        # corpus_prep); dedup artifact rides the shared _PAIRS_CACHE
+        "corpus_prep_pipeline": lambda s, d: PL.corpus_prep(
+            load_table(s, d, "documents"),
+            DD.dedup_keep_best(load_table(s, d, "documents"), cache_key=d),
+            target_ppm={"en": 400000, "de": 150000, "es": 150000,
+                        "fr": 150000, "zh": 150000}),
         # skew-aware aggregation (two-phase salted; results identical)
         "skew_salted_counts": lambda s, d: SK.salted_counts(
             load_table(s, d, "events"), "event_type"),
@@ -2715,6 +2750,7 @@ def oracle_sql() -> dict[str, str]:
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
     """
     sql["streaming_click_attribution_full"] = sql["click_attribution_full"]
+    sql["streaming_click_attribution_right"] = sql["click_attribution_right"]
     # continuously-maintained pivot converges to the batch wide matrix
     sql["streaming_pivot_counts"] = sql["event_type_pivot"]
     # chained streaming aggs finalize to the batch two-level rollup
@@ -2878,11 +2914,18 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY e.vec_id, c.c_label
         ),
         assign AS (
-          SELECT vec_id, c_label AS cluster FROM (
+          SELECT vec_id, c_label AS cluster0 FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
             FROM dists
           ) WHERE rn = 1
+        ),
+        subcell AS (
+          SELECT vec_id,
+                 {SIM.hyperplane_bucket_sql(
+                     "embedding", SIM.hyperplanes(1, 2, seed="sd1")[0])}
+                   AS sub
+          FROM embeddings
         ),
         sv AS (
           SELECT vec_id,
@@ -2892,10 +2935,13 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings
         ),
         tagged AS (
-          SELECT e.vec_id, a.cluster, e.s,
+          SELECT e.vec_id,
+                 CAST(a.cluster0 AS VARCHAR) || ':' || sc.sub AS cluster,
+                 e.s,
                  (SELECT SUM(e.s[i] * e.s[i])
                   FROM (SELECT unnest(range(1, 65)) AS i) ii) AS n2
           FROM sv e JOIN assign a USING (vec_id)
+                    JOIN subcell sc USING (vec_id)
         ),
         pairs AS (
           SELECT a.vec_id,
@@ -3119,6 +3165,94 @@ def oracle_sql() -> dict[str, str]:
         SELECT kept_doc, doc_id AS drop_doc
         FROM ranked WHERE doc_id <> kept_doc
     """
+    # end-to-end corpus prep: the dedup_keep_best CTE chain feeds the
+    # quality-gate predicate (quality_filter SQL, aliased gt/gs to avoid
+    # colliding with the shingle CTE's toks) which feeds the
+    # mixture_rebalance rate math — stage outputs identical to running
+    # the parts in sequence
+    sql["corpus_prep_pipeline"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jp AS (
+          SELECT doc_a, doc_b FROM pairs
+          JOIN sizes x ON doc_a = x.doc_id
+          JOIN sizes y ON doc_b = y.doc_id
+          WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM jp
+          UNION ALL
+          SELECT doc_b AS s, doc_a AS d FROM jp
+        ),
+        reach(doc_id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.doc_id
+        ),
+        comp AS (
+          SELECT doc_id, min(lbl) AS component FROM reach GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT c.doc_id,
+                 first_value(c.doc_id) OVER (
+                   PARTITION BY c.component
+                   ORDER BY dd.n_chars DESC, c.doc_id) AS kept_doc
+          FROM comp c JOIN documents dd ON c.doc_id = dd.doc_id
+        ),
+        deduped AS (
+          SELECT * FROM documents WHERE doc_id NOT IN (
+            SELECT doc_id FROM ranked WHERE doc_id <> kept_doc)
+        ),
+        gt AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS gtoks
+          FROM deduped
+        ),
+        gs AS (
+          SELECT doc_id,
+                 CAST(len(gtoks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(gtoks, w -> strlen(w)))
+                      AS DOUBLE) / len(gtoks) AS mean_word_len,
+                 CAST(len(list_distinct(list_filter(gtoks,
+                     w -> w IN {_STOPWORDS_SQL}))) AS BIGINT)
+                   AS n_stop_distinct,
+                 1.0 - CAST(len(list_distinct(gtoks)) AS DOUBLE)
+                   / len(gtoks) AS dup_word_frac
+          FROM gt
+        ),
+        gated AS (
+          SELECT d.* FROM deduped d JOIN gs USING (doc_id)
+          WHERE gs.n_words >= {PL.MIN_WORDS}
+            AND gs.n_words <= {PL.MAX_WORDS}
+            AND gs.mean_word_len >= {PL.MIN_MEAN_WORD_LEN}
+            AND gs.mean_word_len <= {PL.MAX_MEAN_WORD_LEN}
+            AND gs.n_stop_distinct >= {PL.MIN_DISTINCT_STOPWORDS}
+            AND gs.dup_word_frac <= {PL.MAX_DUP_WORD_FRACTION}
+        ),
+        mw AS (
+          SELECT lang, count(*) AS c,
+                 CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 150000
+                           WHEN 'es' THEN 150000 WHEN 'fr' THEN 150000
+                           WHEN 'zh' THEN 150000 ELSE 0 END AS w_ppm
+          FROM gated GROUP BY lang
+        ),
+        cap AS (
+          SELECT min(c * 1000000 // w_ppm) AS n_total FROM mw WHERE w_ppm > 0
+        ),
+        rates AS (
+          SELECT lang, (w_ppm * n_total) // (c * 1000) AS permille
+          FROM mw, cap WHERE w_ppm > 0
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM gated d JOIN rates r USING (lang)
+        WHERE CAST('0x' || substr(
+                md5('mix1' || '#' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000 < r.permille
+    """
     # hashed bag-of-words: md5-derived bucket, bit-identical both engines
     sql["hashed_bow"] = """
         WITH tok AS (
@@ -3209,7 +3343,12 @@ def oracle_sql() -> dict[str, str]:
           FROM bow
         ),
         agg AS (
-          SELECT doc_id, SUM(contrib) AS dot, SUM(cnt) AS n_tokens
+          -- CAST: DuckDB SUM(BIGINT) yields HUGEINT (int128 -> Arrow
+          -- decimal128), which the driver's value-hash serializes
+          -- differently from Spark's int64 even for equal values.
+          SELECT doc_id,
+                 CAST(SUM(contrib) AS BIGINT) AS dot,
+                 CAST(SUM(cnt) AS BIGINT) AS n_tokens
           FROM scored GROUP BY doc_id
         )
         SELECT doc_id, dot, n_tokens,
@@ -3220,6 +3359,9 @@ def oracle_sql() -> dict[str, str]:
     # streamed scoring shares the batch classifier oracle (documents
     # arrive whole, weights are fixed in the plan)
     sql["streaming_quality_classifier"] = sql["quality_classifier"]
+    # the broadcast weight-table spelling computes the identical scores
+    # (weights are the same md5 derivation, materialized as a table)
+    sql["quality_logits_join"] = sql["quality_classifier"]
     # zorder key: the SAME generated bit-arithmetic expression, DuckDB
     # integer-division spelling
     from spark_streaming_spark.operators.maintenance import _zorder_sql

@@ -145,7 +145,17 @@ def pq_train(embeddings: DataFrame, m: int = 8, k: int = 16,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    ck = ("pq", cache_key, m, k, seed) if cache_key is not None else None
+    # applicationId in the key for consistency with build_ivf_index /
+    # the dedup _PAIRS_CACHE (codebooks are plain lists, so unlike the
+    # checkpointed DataFrames they would survive a session swap — but
+    # one keying convention beats two). Cache-contract caveat (all
+    # artifact caches here): the key is the CALLER-SUPPLIED corpus
+    # identifier — rewriting the table at the same path within one
+    # process serves the stale artifact; use a content-versioned
+    # cache_key when the corpus can change mid-session.
+    ck = ("pq", cache_key, m, k, seed,
+          embeddings.sparkSession.sparkContext.applicationId) \
+        if cache_key is not None else None
     if ck is not None and ck in _ARTIFACT_CACHE:
         return _ARTIFACT_CACHE[ck]
 

@@ -35,14 +35,10 @@ MIN_DISTINCT_STOPWORDS = 2
 MAX_DUP_WORD_FRACTION = 0.82
 
 
-def quality_filter(docs: DataFrame) -> DataFrame:
-    """Gopher-style document filter: per-doc rule signals plus the keep
-    verdict. Columns: doc_id, n_words, mean_word_len, n_stop_distinct,
-    dup_word_frac, keep.
-
-    Map-only — every signal is an expression over the token array; at
-    100 TB this is a single parquet scan with full column pruning
-    (only doc_id/text read) and zero shuffles."""
+def _quality_signals() -> dict[str, F.Column]:
+    """The per-doc rule signals as named expressions over ``text`` —
+    shared by the signal-reporting :func:`quality_filter` and the
+    map-side gate inside :func:`corpus_prep`."""
     t = tokens(F.lower(F.col("text")))
     n = F.size(t).cast("long")
     # mean word length over characters-in-words (excludes separators)
@@ -60,13 +56,67 @@ def quality_filter(docs: DataFrame) -> DataFrame:
         & (n_stop >= MIN_DISTINCT_STOPWORDS)
         & (dup_frac <= MAX_DUP_WORD_FRACTION)
     )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "n_stop_distinct": n_stop,
+        "dup_word_frac": dup_frac,
+        "keep": keep,
+    }
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Gopher-style document filter: per-doc rule signals plus the keep
+    verdict. Columns: doc_id, n_words, mean_word_len, n_stop_distinct,
+    dup_word_frac, keep.
+
+    Map-only — every signal is an expression over the token array; at
+    100 TB this is a single parquet scan with full column pruning
+    (only doc_id/text read) and zero shuffles."""
+    sig = _quality_signals()
     return docs.select(
-        "doc_id",
-        n.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        n_stop.alias("n_stop_distinct"),
-        dup_frac.alias("dup_word_frac"),
-        keep.alias("keep"),
+        "doc_id", *(expr.alias(name) for name, expr in sig.items())
+    )
+
+
+def corpus_prep(docs: DataFrame, drop_docs: DataFrame,
+                target_ppm: dict[str, int]) -> DataFrame:
+    """The actual corpus-prep ORDER, composed end-to-end: near-dup
+    drop-set anti-join → quality gate → target-mixture rebalance — the
+    three stages every LLM training-data pipeline chains before
+    tokenization (dedup first so quality/mixture statistics are not
+    skewed by duplicates).
+
+    ``drop_docs`` is the (kept_doc, drop_doc) mapping from
+    :func:`~spark_streaming_spark.operators.dedup.dedup_keep_best` — the
+    build-once dedup artifact; this function is the serve side.
+
+    Plan shape — NO extra shuffles beyond the parts' own:
+
+    * anti-join on doc_id: the drop set is the near-dup fraction of the
+      corpus, orders of magnitude smaller — AQE picks a broadcast
+      left-anti at any realistic dup rate, so the corpus is not
+      shuffled (falls back to a doc_id shuffle only if the drop set is
+      itself huge, which is the correct plan then);
+    * quality gate: a map-side ``filter`` on the shared rule expression
+      (:func:`_quality_signals`) — zero shuffles, unlike joining back
+      the :func:`quality_filter` report;
+    * mixture rebalance: per-stratum counts (tiny agg) + broadcast rate
+      join + map-side hash filter (sampling.mixture_rebalance) — the
+      corpus again never shuffles.
+
+    So a 100 TB run reads the corpus once, map-filters it twice, and
+    shuffles only the tiny count aggregate. Columns: doc_id, lang,
+    source, n_chars."""
+    from spark_streaming_spark.operators.sampling import mixture_rebalance
+
+    deduped = docs.join(
+        drop_docs.select(F.col("drop_doc").alias("doc_id")),
+        "doc_id", "left_anti",
+    )
+    gated = deduped.filter(_quality_signals()["keep"])
+    return mixture_rebalance(gated, target_ppm).select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -343,14 +393,20 @@ BLOOM_BPW = 63
 BLOOM_K = 3
 
 
-def _bloom_pos(sh: F.Column, k: int) -> tuple[F.Column, F.Column]:
+def _bloom_pos(col: str, k: int) -> tuple[F.Column, F.Column]:
     """(word, bit) of hash k for a gram: 60-bit md5 prefix of 'k#gram'
-    mod 4032, split base-63."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("#", F.lit(str(k)), sh)), 1, 15),
-        16, 10,
-    ).cast("long") % (BLOOM_WORDS * BLOOM_BPW)
-    return (h / BLOOM_BPW).cast("int"), (h % BLOOM_BPW).cast("int")
+    mod 4032, split base-63 with INTEGER ``div`` — matching the DuckDB
+    twin's ``//`` and the repo's integer-division discipline (h < 4032
+    keeps even a double quotient exact, but floor-of-double-divide is
+    the exact trap band_cooccurrence documents; don't rely on range)."""
+    h = (
+        f"cast(conv(substring(md5(concat_ws('#', '{k}', {col})), 1, 15),"
+        f" 16, 10) as bigint) % {BLOOM_WORDS * BLOOM_BPW}"
+    )
+    return (
+        F.expr(f"cast(({h}) div {BLOOM_BPW} as int)"),
+        F.expr(f"cast(({h}) % {BLOOM_BPW} as int)"),
+    )
 
 
 def contamination_bloom(docs: DataFrame, n: int = 3,
@@ -378,7 +434,7 @@ def contamination_bloom(docs: DataFrame, n: int = 3,
     # holding the 64-word array (missing words filled with 0)
     sets = None
     for k in range(BLOOM_K):
-        w, b = _bloom_pos(F.col("sh"), k)
+        w, b = _bloom_pos("sh", k)
         part = bench.select(w.alias("w"), b.alias("b"))
         sets = part if sets is None else sets.unionAll(part)
     words = (
@@ -398,7 +454,7 @@ def contamination_bloom(docs: DataFrame, n: int = 3,
     probe = train.crossJoin(F.broadcast(arr))
     cond = F.lit(True)
     for k in range(BLOOM_K):
-        w, b = _bloom_pos(F.col("sh"), k)
+        w, b = _bloom_pos("sh", k)
         probe = probe.withColumn(f"_w{k}", w).withColumn(f"_b{k}", b)
         cond = cond & (
             (F.element_at(F.col("bloom"), F.col(f"_w{k}") + 1)

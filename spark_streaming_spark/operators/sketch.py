@@ -93,9 +93,14 @@ def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
 
 HLL_M = 64           # registers (b = 6 index bits)
 HLL_RMAX = 50        # rho clamp: keeps 2^(RMAX - rho) an exact BIGINT
-# 0.7213/(1 + 1.079/64) — the standard alpha_64 bias constant, frozen as
-# a literal; numerator = alpha * m^2 * 2^RMAX precomputed driver-side so
-# each group's estimate is ONE division of two exact values.
+# alpha_64 bias constant (the paper's alpha_64 ≈ 0.709; the closed form
+# 0.7213/(1+1.079/64) gives 0.7093410…). This LITERAL is the frozen
+# source of truth shared verbatim by both dialects — cross-engine
+# exactness depends on the shared literal, not on matching any formula,
+# and its ~0.01% offset from the closed form is noise against the 13%
+# standard error at m=64. Do not recompute. numerator = alpha * m^2 *
+# 2^RMAX precomputed driver-side so each group's estimate is ONE
+# division of two exact values.
 HLL_ALPHA = 0.709435968411
 _HLL_NUMERATOR = HLL_ALPHA * (HLL_M ** 2) * float(2 ** HLL_RMAX)
 # Small-range correction (linear counting, part of the published

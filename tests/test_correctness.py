@@ -39,6 +39,25 @@ def test_checked_window_is_all_oracle_backed():
     assert first_50 == entrymod._CHECK_FIRST
 
 
+def test_oracle_output_types_spark_representable(duck):
+    """Round-4 lesson: DuckDB ``SUM(BIGINT)`` yields HUGEINT (int128 ->
+    Arrow decimal128(38,0)) while Spark emits int64, and the driver's
+    value-hash distinguishes the serializations even for equal values.
+    DESCRIBE every oracle and reject output columns of a type Spark can
+    never produce — the systemic guard for every future SUM-over-int
+    oracle (same trap class as the e-notation double-literal rule)."""
+    bad = {}
+    for name, sql in sorted(ORACLES.items()):
+        desc = duck.execute(f"DESCRIBE {sql}").fetchall()
+        hit = [(row[0], row[1]) for row in desc if "HUGEINT" in row[1].upper()]
+        if hit:
+            bad[name] = hit
+    assert not bad, (
+        f"oracles with non-Spark-representable output columns "
+        f"(wrap in CAST(... AS BIGINT)): {bad}"
+    )
+
+
 def test_user_event_sequence_pandas_twin(spark):
     """The applyInPandas spelling is the Arrow-surface check: it must be
     row-identical to the production row_number() path."""

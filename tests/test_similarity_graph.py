@@ -112,3 +112,26 @@ def test_centroid_assign_broadcast_and_shape(spark):
     assert all(r.dist2 >= 0 for r in rows)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_subbits_refines_clusters(spark):
+    """The 100 TB knob (round-4 VERDICT #2): the (label, subcell) cluster
+    key must be a STRICT REFINEMENT as subbits grows — hyperplane b of a
+    wider key reuses the same md5 seed, so cluster@subbits=4 extends
+    cluster@subbits=2 by two more sign bits. Pins: (a) per-vector prefix
+    property, (b) cell count non-decreasing, (c) max cell size
+    non-increasing — i.e. raising subbits with the corpus holds the
+    per-cell quadratic constant instead of n/|labels| growing linearly."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c2 = SIM.semantic_dedup(emb, subbits=2).select("vec_id", "cluster")
+    c4 = SIM.semantic_dedup(emb, subbits=4).select(
+        "vec_id", F.col("cluster").alias("cluster4"))
+    both = {r.vec_id: (r.cluster, None) for r in c2.collect()}
+    for r in c4.collect():
+        both[r.vec_id] = (both[r.vec_id][0], r.cluster4)
+    assert both and all(c4v.startswith(c2v) for c2v, c4v in both.values())
+    from collections import Counter
+    sizes2 = Counter(v[0] for v in both.values())
+    sizes4 = Counter(v[1] for v in both.values())
+    assert len(sizes4) >= len(sizes2)
+    assert max(sizes4.values()) <= max(sizes2.values())

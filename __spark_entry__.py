@@ -161,14 +161,20 @@ def _q_streaming_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming.pipelines import scd1_merge_sink
 
     cust = load_table(spark, sf_dir, "customer")
-    chunk_dir = replay.chunk_to_dir(_scd1_updates(cust), 3)
+    # updates are a pure function of the immutable customer table —
+    # persistent-chunk-cached like every other replay input (was
+    # re-chunked per call); update keys are unique so 2 files/trigger
+    # (2 batches) folds to the same final state as 3
+    chunk_dir = _chunked_table(spark, sf_dir, "scd1_updates3", 3,
+                               df=_scd1_updates(cust))
     state_dir = replay.scratch_dir("scd1_state_")
     # the returned DataFrame scans the published state — keep it on disk
     # for the session (same lifecycle as replay.run_to_parquet's sink)
     atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
     ckpt = replay.scratch_dir("spark_ckpt_")
     try:
-        stream = replay.stream_from_dir(spark, chunk_dir)
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
         q = (
             stream.writeStream
             .foreachBatch(scd1_merge_sink(spark, cust, "c_custkey",
@@ -185,7 +191,6 @@ def _q_streaming_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.read.parquet(
                 os.path.join(state_dir, fh.read().strip()))
     finally:
-        replay.cleanup(chunk_dir)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -197,11 +202,19 @@ def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
     batch operator and return the final result as a batch DataFrame.
     Because the operators are pure DataFrame→DataFrame functions, the
     streamed output equals the batch output — so these entries share the
-    batch oracles (stream/batch equivalence, checked by the driver)."""
+    batch oracles (stream/batch equivalence, checked by the driver).
+
+    2 files/trigger over 3 chunks → 2 micro-batches: cross-batch state
+    merge is still exercised (the multi-batch property needs ≥2), and
+    each batch carries ~450 ms of fixed cost (WAL/offset commits +
+    incremental planning + sink commit — round-4 VERDICT #4 profile), so
+    one fewer batch is pure harness saving with identical results (these
+    entries' outputs are batch-count-invariant: final complete snapshot
+    or last-epoch-wins state)."""
     from spark_streaming_spark.streaming import replay
 
     chunk_dir = _chunked_table(spark, sf_dir, table, n_chunks)
-    stream = replay.stream_from_dir(spark, chunk_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
     # parquet sink (distributed, epoch-overwrite idempotent) — the
     # memory sink would collect the whole complete-mode result to the
     # driver every micro-batch. 4 state partitions: sized to keyed-
@@ -570,7 +583,8 @@ def _q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming.stateful import running_totals_with_state
 
     chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir,
+                                    files_per_trigger=2)
     updates = replay.run_to_parquet(
         running_totals_with_state(stream, "event_type", "value"),
         "update", state_partitions=4,
@@ -606,21 +620,27 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must still collapse them to exactly the original table — the
     cross-batch semantics updateStateByKey-era code couldn't express.
     Replay has no watermark (bounded input); production passes
-    (ts, delay) to bound seen-key state."""
+    (ts, delay) to bound seen-key state.
+
+    The doubled input is immutable per sf_dir, so it rides the
+    persistent chunk cache like every other replay input (it was the
+    one entry re-chunking on every call — ~0.7 s of per-run harness
+    cost for no signal). 1 file/trigger here, not _run_streamed's 2:
+    round-robin chunking separates most duplicate copies, and three
+    triggers keep copies landing in DIFFERENT batches — the cross-batch
+    seen-key eviction this entry exists to prove."""
     from spark_streaming_spark.streaming import replay
     from spark_streaming_spark.streaming.pipelines import dedup_stream
 
     src = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type")
     doubled = src.union(src)
-    chunk_dir = replay.chunk_to_dir(doubled, 3)
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir)
-        return replay.run_to_parquet(
-            dedup_stream(stream, ["event_id"]), "append", state_partitions=4
-        )
-    finally:
-        replay.cleanup(chunk_dir)
+    chunk_dir = _chunked_table(spark, sf_dir, "events_doubled3", 3,
+                               df=doubled)
+    stream = replay.stream_from_dir(spark, chunk_dir)
+    return replay.run_to_parquet(
+        dedup_stream(stream, ["event_id"]), "append", state_partitions=4
+    )
 
 
 def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,7 +674,8 @@ def _q_streaming_incremental_dedup(spark: SparkSession,
     index = DD.build_dedup_index(corpus, cache_key=sf_dir)
     chunk_dir = _chunked_table(spark, sf_dir, "documents_new10", 3,
                                df=new)
-    stream = replay.stream_from_dir(spark, chunk_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir,
+                                    files_per_trigger=2)
 
     def dedup_batch(batch_df: DataFrame) -> DataFrame:
         return DD.incremental_minhash_dedup(batch_df, corpus_index=index)
@@ -682,7 +703,10 @@ def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming.sources import decode_kafka
 
     n = 6000
-    raw = fakekafka.stream_topic(spark, n_rows=n, rows_per_batch=2000)
+    # 2 micro-batches (multi-batch ≥ 2; complete-mode counts are
+    # batch-count invariant) — each polled batch carries trigger latency
+    # plus the fixed commit cost, so fewer batches is pure harness saving
+    raw = fakekafka.stream_topic(spark, n_rows=n, rows_per_batch=3000)
     words = decode_kafka(raw).select(
         F.explode(F.split(F.col("value"), " ")).alias("word")
     )
@@ -704,7 +728,8 @@ def _q_streaming_windowed_hll(spark: SparkSession,
     from spark_streaming_spark.streaming import replay
 
     chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir).withColumn(
+    stream = replay.stream_from_dir(spark, chunk_dir,
+                                    files_per_trigger=2).withColumn(
         "day", F.date_trunc("day", "ts"))
     regs = replay.run_to_parquet(
         SKC.hll_registers(stream, ["day", "event_type"], "user_id"),
@@ -725,7 +750,8 @@ def _q_streaming_hll_distinct(spark: SparkSession,
     from spark_streaming_spark.streaming import replay
 
     chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir,
+                                    files_per_trigger=2)
     regs = replay.run_to_parquet(
         SKC.hll_registers(stream, "event_type", "user_id"),
         "update", state_partitions=4,
@@ -766,7 +792,8 @@ def _q_streaming_quality_classifier(spark: SparkSession,
     from spark_streaming_spark.streaming import replay
 
     chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir,
+                                    files_per_trigger=2)
     return replay.run_foreach_to_parquet(
         stream, CLF.quality_logits, state_partitions=4,
     )
@@ -787,7 +814,8 @@ def _q_streaming_centroid_ingest(spark: SparkSession,
     emb = load_table(spark, sf_dir, "embeddings")
     carr = SIM.centroid_table(emb)
     chunk_dir = _chunked_table(spark, sf_dir, "embeddings", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir,
+                                    files_per_trigger=2)
     return replay.run_foreach_to_parquet(
         stream, lambda b: SIM.assign_with_centroids(b, carr),
         state_partitions=4,
@@ -905,6 +933,27 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items_report": lambda s, d: TPC.returned_items_report(
             load_table(s, d, "customer"), load_table(s, d, "orders"),
             load_table(s, d, "lineitem"), load_table(s, d, "nation")),
+        # Q2/Q9/Q11/Q16/Q20 shapes (lineitem as the part↔supplier
+        # relation — no partsupp table in the driver schema) complete
+        # the full TPC-H 22-query surface
+        "min_cost_supplier": lambda s, d: TPC.min_cost_supplier(
+            load_table(s, d, "part"), load_table(s, d, "supplier"),
+            load_table(s, d, "lineitem"), load_table(s, d, "nation"),
+            load_table(s, d, "region")),
+        "product_type_profit": lambda s, d: TPC.product_type_profit(
+            load_table(s, d, "lineitem"), load_table(s, d, "part"),
+            load_table(s, d, "supplier"), load_table(s, d, "nation"),
+            load_table(s, d, "orders")),
+        "important_parts": lambda s, d: TPC.important_parts(
+            load_table(s, d, "lineitem"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation"), load_table(s, d, "region")),
+        "supplier_part_counts": lambda s, d: TPC.supplier_part_counts(
+            load_table(s, d, "lineitem"), load_table(s, d, "part"),
+            load_table(s, d, "supplier")),
+        "excess_suppliers": lambda s, d: TPC.excess_suppliers(
+            load_table(s, d, "lineitem"), load_table(s, d, "part"),
+            load_table(s, d, "supplier"), load_table(s, d, "nation"),
+            load_table(s, d, "region")),
         "priority_shipping_mix": lambda s, d: TPC.priority_shipping_mix(
             load_table(s, d, "orders"), load_table(s, d, "lineitem")),
         "promo_revenue": lambda s, d: TPC.promo_revenue(
@@ -1262,6 +1311,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": lambda s, d: SMP.stratified_sample(
             load_table(s, d, "documents"),
             permille={"en": 50, "fr": 400}, default_permille=150),
+        # deterministic train/val/test assignment (content-hash
+        # thresholds — randomSplit is partitioning-dependent)
+        "train_val_test_split": lambda s, d: SMP.train_val_test_split(
+            load_table(s, d, "documents")),
+        # mixture observability: per-(source, lang) doc/token counts +
+        # integer-exact ppm shares
+        "corpus_mixture_stats": lambda s, d: SMP.corpus_mixture_stats(
+            load_table(s, d, "documents")),
         # target-mixture rebalance: derives per-stratum keep rates from
         # corpus counts (integer-exact), broadcast-joins them back
         "mixture_rebalance": lambda s, d: SMP.mixture_rebalance(
@@ -1570,6 +1627,107 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "min_cost_supplier": """
+            WITH rn AS (
+              SELECT n_nationkey, n_name FROM nation
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            supp AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+              JOIN rn ON n_nationkey = s_nationkey
+            ),
+            offers AS (
+              SELECT p.p_partkey, s_suppkey,
+                     l_extendedprice / l_quantity AS unit_cost
+              FROM lineitem
+              JOIN (SELECT p_partkey FROM part WHERE p_size = 15) p
+                ON p.p_partkey = l_partkey
+              JOIN supp ON s_suppkey = l_suppkey
+            ),
+            best AS (
+              SELECT p_partkey, s_suppkey, unit_cost FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY p_partkey
+                    ORDER BY unit_cost, s_suppkey) AS rn2
+                FROM offers
+              ) WHERE rn2 = 1
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+            FROM best JOIN supp USING (s_suppkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "product_type_profit": """
+            SELECT n_name, year(o_orderdate) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 - p_retailprice * l_quantity * 0.1e0
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS profit
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "important_parts": """
+            WITH nsupp AS (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'ASIA'
+            ),
+            per_part AS (
+              SELECT l_partkey,
+                     SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,4))) AS value_dec
+              FROM lineitem JOIN nsupp ON s_suppkey = l_suppkey
+              GROUP BY l_partkey
+            ),
+            tot AS (SELECT SUM(value_dec) AS total_dec,
+                           count(*) AS n_parts FROM per_part)
+            SELECT l_partkey AS p_partkey,
+                   CAST(value_dec AS DOUBLE) AS value
+            FROM per_part, tot
+            WHERE value_dec * n_parts > total_dec * 2
+        """,
+        "supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE p_brand <> 'Brand#1' AND s_acctbal >= 1000.0
+            GROUP BY 1, 2, 3
+        """,
+        "excess_suppliers": """
+            WITH shipped AS (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sq
+              FROM lineitem
+              JOIN (SELECT p_partkey FROM part
+                    WHERE p_name LIKE 'small%') fam
+                ON fam.p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2
+            ),
+            totals AS (
+              SELECT l_partkey, SUM(sq) AS tq FROM shipped GROUP BY 1
+            ),
+            nsupp AS (
+              SELECT s_suppkey, s_name FROM supplier
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'AMERICA'
+            )
+            SELECT DISTINCT s_suppkey, s_name
+            FROM shipped
+            JOIN totals USING (l_partkey)
+            JOIN nsupp  ON s_suppkey = l_suppkey
+            WHERE sq * 4 > tq
         """,
         "priority_shipping_mix": """
             SELECT l_linestatus,
@@ -2549,6 +2707,31 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST('0x' || substr(
                 md5('mix1' || '#' || CAST(d.doc_id AS VARCHAR)), 1, 15)
               AS BIGINT) % 1000 < r.permille
+    """
+    sql["train_val_test_split"] = """
+        SELECT doc_id, lang,
+               CASE WHEN h < 50000 THEN 'test'
+                    WHEN h < 100000 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(
+                     md5('split1' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 1000000 AS h
+          FROM documents
+        )
+    """
+    sql["corpus_mixture_stats"] = """
+        WITH cells AS (
+          SELECT source, lang, count(*) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source, lang
+        ),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM cells)
+        SELECT source, lang, n_docs, n_tokens,
+               n_docs * 1000000 // total_docs AS doc_ppm
+        FROM cells, tot
     """
     sql["user_event_sequence"] = """
         SELECT user_id, event_id, ts,

@@ -112,3 +112,54 @@ def mixture_rebalance(docs: DataFrame, target_ppm: dict[str, int],
         .filter((h % _DENOM) < F.col("permille"))
         .select(*docs.columns)
     )
+
+
+def train_val_test_split(docs: DataFrame, val_ppm: int = 50000,
+                         test_ppm: int = 50000, key_col: str = "doc_id",
+                         salt: str = "split1") -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    run must reproduce exactly: h = md5(salt#key) mod 1e6 buckets a
+    document once and forever (``df.randomSplit`` is partitioning-
+    dependent, so a retry or a cluster resize silently reshuffles the
+    eval set — a leak). Membership is decided by the content hash alone:
+    adding or removing OTHER documents never moves a document between
+    splits (ppm thresholds on the hash, not rank-based quotas).
+    Map-only column algebra at any corpus size; engine-exact, so the
+    oracle pins the exact assignment. Columns: doc_id, lang, split."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(salt), F.col(key_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long") % 1000000
+    split = (
+        F.when(h < test_ppm, F.lit("test"))
+        .when(h < test_ppm + val_ppm, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+def corpus_mixture_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-governance report: per (source, lang) document and token
+    counts plus each cell's INTEGER-EXACT parts-per-million share of the
+    corpus — the observability twin of :func:`mixture_rebalance` (you
+    rebalance toward a target; this measures where the mixture actually
+    is). One small groupBy (|sources|·|langs| cells) + a 1-row broadcast
+    of the total; token counting is the split-length expression, so the
+    whole report is one scan + one tiny-key shuffle at any corpus size.
+    Columns: source, lang, n_docs, n_tokens, doc_ppm."""
+    cells = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+        .alias("n_tokens"),
+    )
+    total = cells.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "source", "lang", "n_docs", "n_tokens",
+            F.expr("n_docs * 1000000 div total_docs").alias("doc_ppm"),
+        )
+    )

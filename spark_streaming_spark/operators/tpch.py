@@ -1,6 +1,9 @@
-"""Additional TPC-H-shape analytic queries (Q10/Q12/Q14/Q17/Q18/Q19/Q22
-adapted to the driver's star schema — no partsupp / shipmode / container
-columns, so a few predicates are re-targeted to columns that exist).
+"""Additional TPC-H-shape analytic queries — together with aggregates.py
+(Q1/Q6) this file completes all 22 TPC-H query shapes, adapted to the
+driver's star schema: no partsupp / shipmode / container columns, so the
+partsupp-dependent queries (Q2/Q9/Q11/Q16/Q20) use lineitem as the
+part↔supplier relation and a few predicates are re-targeted to columns
+that exist.
 
 These extend the relational surface beyond reference parity (the reference's
 only SQL is the row_number top-3 at
@@ -531,4 +534,213 @@ def local_supplier_volume(customer: DataFrame, orders: DataFrame,
               F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+def min_cost_supplier(part: DataFrame, supplier: DataFrame,
+                      lineitem: DataFrame, nation: DataFrame,
+                      region: DataFrame, region_name: str = "EUROPE",
+                      size: int = 15, k: int = 100) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one size, the cheapest supplier
+    in a region (the driver schema has no partsupp, so the part↔supplier
+    relation and the unit cost come from lineitem: unit_cost =
+    l_extendedprice / l_quantity, one IEEE divide per row shared with
+    the oracle). Columns: s_acctbal, s_name, n_name, p_partkey,
+    unit_cost.
+
+    The classic correlated MIN subquery (``ps_supplycost = (SELECT
+    MIN…)``) is spelled as a struct-min AGGREGATION per part — min over
+    (unit_cost, s_suppkey) is the cost-then-supplier tie-break, partial-
+    aggregates map-side, and never sorts (the centroid-argmin rationale).
+    Region→nation collapses to a broadcast filter on s_nationkey; the
+    only fact shuffle is the (partkey) groupBy. Top-k by account balance
+    via TakeOrderedAndProject."""
+    region_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    suppliers = supplier.join(
+        F.broadcast(region_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    sized = part.filter(F.col("p_size") == size).select("p_partkey")
+    offers = (
+        lineitem.join(F.broadcast(sized),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(suppliers),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity"))
+            .alias("unit_cost"),
+        )
+    )
+    best = (
+        offers.groupBy("p_partkey")
+        .agg(F.min(F.struct("unit_cost", "s_suppkey")).alias("m"))
+        .select("p_partkey", F.col("m.s_suppkey").alias("b_suppkey"),
+                F.col("m.unit_cost").alias("unit_cost"))
+    )
+    return (
+        best.join(F.broadcast(suppliers),
+                  F.col("s_suppkey") == F.col("b_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), F.col("n_name").asc(),
+                 F.col("s_name").asc(), F.col("p_partkey").asc())
+        .limit(k)
+    )
+
+
+def product_type_profit(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame, nation: DataFrame,
+                        orders: DataFrame,
+                        name_token: str = "widget") -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) on parts
+    whose name contains a token. No partsupp → cost basis is the part's
+    retail price: amount = l_extendedprice·(1−l_discount) −
+    p_retailprice·l_quantity·0.1, quantized per line to DECIMAL(38,4)
+    so the per-nation-year sum is order-independent and engine-exact.
+    Columns: n_name, o_year, profit.
+
+    Plan: the p_name filter prunes the broadcast part side before the
+    fact join; supplier→nation is a second broadcast; the orders join
+    shuffles on orderkey (natural key, bucket-co-locatable) and the
+    final two-key groupBy is the only other exchange."""
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast("decimal(38,4)")
+    named = part.filter(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice")
+    snation = supplier.join(
+        F.broadcast(nation),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        lineitem.join(F.broadcast(named),
+                      F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(snation),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("n_name", F.year("o_orderdate").alias("o_year"),
+                amount.alias("amount"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("amount").cast("double").alias("profit"))
+    )
+
+
+def important_parts(lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, region: DataFrame,
+                    region_name: str = "ASIA",
+                    mean_mult: int = 2) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue from ONE region's suppliers
+    stands out against that region's total (no partsupp → value =
+    decimal-exact revenue from lineitem; region, not single-nation,
+    because tiny SFs can leave an individual nation supplier-less).
+    Columns: p_partkey, value.
+
+    The scalar-subquery HAVING threshold is a 1-row broadcast carrying
+    (total, n_parts); the test — ``value·n > total·mult``, i.e. value
+    above ``mult``× the mean part value — is INTEGER-EXACT decimal
+    algebra, so no part can flip sides between engines the way a double
+    fraction could, and it is scale-invariant (Q11's fixed fraction
+    empties as n_parts grows with SF). Per-part values and the global
+    total reuse the same shuffled aggregate (one exchange; AQE reuses
+    the scan)."""
+    rnat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    nsupp = supplier.join(
+        F.broadcast(rnat), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey")
+    lines = lineitem.join(
+        F.broadcast(nsupp), F.col("s_suppkey") == F.col("l_suppkey"))
+    per_part = lines.groupBy("l_partkey").agg(
+        F.sum(_revenue()).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"),
+                         F.count("*").alias("n_parts"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * F.col("n_parts")
+                > F.col("total_dec") * F.lit(mean_mult))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+def supplier_part_counts(lineitem: DataFrame, part: DataFrame,
+                         supplier: DataFrame,
+                         excl_brand: str = "Brand#1",
+                         min_acctbal: float = 1000.0) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can furnish each
+    (brand, type, size) combination — excluding one brand and
+    low-standing suppliers (the driver schema has no s_comment, so the
+    'complaints' exclusion is the deterministic s_acctbal floor). The
+    part↔supplier relation comes from lineitem. Columns: p_brand,
+    p_type, p_size, supplier_cnt.
+
+    COUNT(DISTINCT supplier) per group plans as the two-phase distinct
+    aggregate: partial distinct on (group, supplier) map-side, then the
+    count — the shuffle carries distinct combinations, never raw lines."""
+    good_supp = supplier.filter(
+        F.col("s_acctbal") >= min_acctbal).select("s_suppkey")
+    parts = part.filter(F.col("p_brand") != excl_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.join(F.broadcast(parts),
+                      F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(good_supp),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def excess_suppliers(lineitem: DataFrame, part: DataFrame,
+                     supplier: DataFrame, nation: DataFrame,
+                     region: DataFrame, region_name: str = "AMERICA",
+                     name_prefix: str = "small",
+                     year: str = "1996", dom_mult: int = 4) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one region who DOMINATED the supply
+    of a part family in a year — shipped more than 1/``dom_mult`` of a
+    part's total shipped quantity (no partsupp availqty → the excess
+    test runs on shipped quantities; quantities are integer-valued
+    doubles, summed as DECIMAL so both sides of the ×mult comparison
+    are exact; region, not single-nation, so tiny SFs keep the result
+    non-vacuous). Columns: s_suppkey, s_name.
+
+    The nested-IN chain (supplier IN … partsupp IN … parts) becomes:
+    per-(part, supplier) year sums, per-part totals reusing the same
+    shuffle key, an integer-exact filter, then a distinct projection —
+    set semantics without a single correlated subquery."""
+    yr = (
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{int(year)+1}-01-01").cast("timestamp"))
+    )
+    fam = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey")
+    shipped = (
+        lineitem.filter(yr)
+        .join(F.broadcast(fam), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("sq"))
+    )
+    totals = shipped.groupBy("l_partkey").agg(
+        F.sum("sq").alias("tq"))
+    rnat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    nsupp = supplier.join(
+        F.broadcast(rnat), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        shipped.join(totals, "l_partkey")
+        .filter(F.col("sq") * dom_mult > F.col("tq"))
+        .join(F.broadcast(nsupp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
     )

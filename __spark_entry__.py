@@ -119,6 +119,30 @@ def _synthetic_rollup(spark: SparkSession) -> DataFrame:
     )
 
 
+def _q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents written OUT through the custom Python DataSource WRITER
+    (sources/pysink.py — per-partition task files + atomic manifest
+    publish, the object-store commit protocol) and read BACK via the
+    manifest's committed file list, then rolled up. The result shares
+    the grouped_agg_token_totals oracle computed on the ORIGINAL table,
+    so any row the sink loses, duplicates, or text it corrupts through
+    JSON escaping flips the driver row red — the write path gets the
+    same exact-oracle bar as every read path."""
+    import tempfile
+
+    from spark_streaming_spark.sources import pysink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="spark_jsonl_sink_", dir=base)
+    pysink.write_jsonl(docs, out)
+    files = [os.path.join(out, f) for f in pysink.manifest_files(out)]
+    back = spark.read.schema("doc_id bigint, lang string, text string").json(
+        files)
+    return G.grouped_agg_token_totals(back)
+
+
 def _scd1_updates(cust: DataFrame) -> DataFrame:
     """Deterministic update/insert set for the SCD1 entries: every 7th
     key gets a balance bump + segment overwrite (update path), every
@@ -1371,6 +1395,17 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runs over rows GENERATED by the source, so its oracle checks
         # the source layer itself (sources/pysource.py)
         "synthetic_source_rollup": lambda s, d: _synthetic_rollup(s),
+        # custom Python DataSource WRITER (sources/pysink.py): documents
+        # go OUT through the two-phase-commit jsonl sink and back IN via
+        # the manifest-honoring JSON reader; the rollup over the
+        # round-tripped rows shares the grouped_agg_token_totals oracle,
+        # so a single lost/duplicated/corrupted row anywhere in the
+        # write-commit-read path is a driver red row
+        "custom_sink_roundtrip": _q_custom_sink_roundtrip,
+        # Arrow-native batch UDF surface (mapInArrow — pyarrow.compute
+        # kernels, no pandas hop); shares the pandas_token_counts oracle
+        "arrow_token_counts": lambda s, d: G.arrow_token_counts(
+            load_table(s, d, "documents")),
         # SCD-type-1 keyed merge (operators/merge.py): updates win,
         # inserts append, base survives — deterministic update/insert
         # sets derived from customer
@@ -3545,6 +3580,11 @@ def oracle_sql() -> dict[str, str]:
     # the broadcast weight-table spelling computes the identical scores
     # (weights are the same md5 derivation, materialized as a table)
     sql["quality_logits_join"] = sql["quality_classifier"]
+    # the custom-sink round trip is lossless, so the rollup over the
+    # round-tripped rows equals the rollup over the original table
+    sql["custom_sink_roundtrip"] = sql["grouped_agg_token_totals"]
+    # mapInArrow twin computes the identical integer counts
+    sql["arrow_token_counts"] = sql["pandas_token_counts"]
     # zorder key: the SAME generated bit-arithmetic expression, DuckDB
     # integer-division spelling
     from spark_streaming_spark.operators.maintenance import _zorder_sql

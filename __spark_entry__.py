@@ -143,6 +143,30 @@ def _q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.grouped_agg_token_totals(back)
 
 
+def _q_sql_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most similar pairs of a deterministic eval subset, written
+    as PLAIN SQL over the registered ``cosine_sim`` SQL function
+    (functions/vectors.register_sql_cosine — a declarative CREATE
+    FUNCTION body, no Python): the ad-hoc-analyst surface over the same
+    scaled-integer contract every similarity operator uses. The 1-in-20
+    subset bounds the pair count (the knn_graph eval-sample rationale);
+    ties break on (vec_a, vec_b) so the LIMIT is deterministic."""
+    from spark_streaming_spark.functions.vectors import register_sql_cosine
+
+    register_sql_cosine(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "emb_sqlfn")
+    return spark.sql("""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               cosine_sim(a.embedding, b.embedding) AS cosine
+        FROM emb_sqlfn a JOIN emb_sqlfn b
+          ON a.vec_id < b.vec_id
+         AND a.vec_id % 20 = 0 AND b.vec_id % 20 = 0
+        ORDER BY cosine DESC, vec_a, vec_b
+        LIMIT 15
+    """)
+
+
 def _scd1_updates(cust: DataFrame) -> DataFrame:
     """Deterministic update/insert set for the SCD1 entries: every 7th
     key gets a balance bump + segment overwrite (update path), every
@@ -1083,7 +1107,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: DD.ngram_jaccard_pairs(
             load_table(s, d, "documents"), cache_key=d),
         "dedup_minhash_lsh": lambda s, d: DD.minhash_lsh_pairs(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         # incremental (batch-vs-corpus) dedup: the daily-production
         # shape — new docs' bands join a persisted corpus index, never
         # corpus x corpus. Split: doc_id%10==0 is the incoming batch.
@@ -1110,7 +1134,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings are random (within-bucket max cosine ≈ 0.43), so any
         # higher threshold would hash-match on empty sets — vacuous
         "dedup_embedding_cosine": lambda s, d: DD.dedup_embedding_cosine(
-            load_table(s, d, "embeddings"), threshold=0.35),
+            load_table(s, d, "embeddings"), threshold=0.35, cache_key=d),
         # similarity search
         "knn_bruteforce": lambda s, d: SIM.knn_to_query(load_table(s, d, "embeddings")),
         "knn_graph": lambda s, d: SIM.knn_graph(
@@ -1121,7 +1145,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_lsh": lambda s, d: SIM.knn_graph_lsh(
             load_table(s, d, "embeddings"), dense_fallback_pairs=0),
         "similar_pairs_lsh": lambda s, d: SIM.similar_pairs_lsh(
-            load_table(s, d, "embeddings")),
+            load_table(s, d, "embeddings"), cache_key=d),
         "label_centroids": lambda s, d: SIM.label_centroids(
             load_table(s, d, "embeddings")),
         "embedding_norms": lambda s, d: SIM.embedding_norms(
@@ -1406,6 +1430,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kernels, no pandas hop); shares the pandas_token_counts oracle
         "arrow_token_counts": lambda s, d: G.arrow_token_counts(
             load_table(s, d, "documents")),
+        # SQL-callable cosine via a declarative SQL UDF (no Python) —
+        # plain-SQL retrieval over the scaled-integer contract
+        "sql_cosine_topk": _q_sql_cosine_topk,
         # SCD-type-1 keyed merge (operators/merge.py): updates win,
         # inserts append, base survives — deterministic update/insert
         # sets derived from customer
@@ -3585,6 +3612,36 @@ def oracle_sql() -> dict[str, str]:
     sql["custom_sink_roundtrip"] = sql["grouped_agg_token_totals"]
     # mapInArrow twin computes the identical integer counts
     sql["arrow_token_counts"] = sql["pandas_token_counts"]
+    # SQL-UDF cosine over the 1-in-20 eval subset (scaled-int contract)
+    sql["sql_cosine_topk"] = """
+        WITH sv AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS s
+          FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        n2 AS (
+          SELECT vec_id, SUM(s[i] * s[i]) AS n2
+          FROM sv, (SELECT unnest(range(1, 65)) AS i) ii
+          GROUP BY vec_id
+        ),
+        prods AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 SUM(a.s[i] * b.s[i]) AS dot
+          FROM sv a JOIN sv b ON a.vec_id < b.vec_id,
+               (SELECT unnest(range(1, 65)) AS i) ii
+          GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b,
+               CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+                 AS cosine
+        FROM prods
+        JOIN n2 x ON vec_a = x.vec_id
+        JOIN n2 y ON vec_b = y.vec_id
+        ORDER BY cosine DESC, vec_a, vec_b
+        LIMIT 15
+    """
     # zorder key: the SAME generated bit-arithmetic expression, DuckDB
     # integer-division spelling
     from spark_streaming_spark.operators.maintenance import _zorder_sql

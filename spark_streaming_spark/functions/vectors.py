@@ -95,3 +95,32 @@ def int_cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
     return dot.cast("double") / (
         F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
     )
+
+
+SQL_COSINE_FN = "cosine_sim"
+
+
+def register_sql_cosine(spark) -> None:
+    """SQL-callable ``cosine_sim(a, b)`` — SURVEY §4.3's one 'revisit'
+    item, closed WITHOUT a Python UDF: a DECLARATIVE SQL function
+    (``CREATE FUNCTION … RETURN expr``, Spark 4) whose body is built
+    from the same ``SCALED_VEC_SQL`` / integer-dot templates as the
+    DataFrame operators, so it inlines into the caller's plan, stays in
+    whole-stage codegen, and computes the identical engine-exact value.
+
+    Convenience surface for ad-hoc SQL: the body re-scales each argument
+    per call (three template expansions), so HOT pair joins should keep
+    staging scaled vectors + norms before the join as the similarity
+    operators do — this is for the analyst writing plain SQL, not the
+    inner loop."""
+    sa = SCALED_VEC_SQL.format(v="a")
+    sb = SCALED_VEC_SQL.format(v="b")
+    dot = _IDOT.format(a=sa, b=sb)
+    na = _IDOT.format(a=sa, b=sa)
+    nb = _IDOT.format(a=sb, b=sb)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {SQL_COSINE_FN}"
+        f"(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE RETURN "
+        f"cast({dot} as double) / (sqrt(cast({na} as double))"
+        f" * sqrt(cast({nb} as double)))"
+    )

@@ -314,7 +314,7 @@ def incremental_minhash_dedup(new_docs: DataFrame,
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
-                      n: int = 3) -> DataFrame:
+                      n: int = 3, cache_key: str | None = None) -> DataFrame:
     """Banded-LSH candidate pairs verified with exact Jaccard.
 
     Pipeline: signatures → slice into N_BANDS bands → explode (doc, band,
@@ -323,7 +323,18 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     (xxhash64 has no DuckDB twin); tests/test_dedup.py asserts candidate
     recall against ngram_jaccard_pairs ground truth.
     Columns: doc_a, doc_b, jaccard.
+
+    ``cache_key`` memoizes the VERIFIED pair set (the dedup artifact a
+    pipeline persists and serves — same _PAIRS_CACHE discipline as
+    ngram_jaccard_pairs); the key is namespaced so it can never collide
+    with the incremental index built over a different doc subset under
+    the same corpus identifier.
     """
+    ck = ("minhash_pairs", cache_key, threshold, n,
+          docs.sparkSession.sparkContext.applicationId) \
+        if cache_key is not None else None
+    if ck is not None and ck in _PAIRS_CACHE:
+        return _PAIRS_CACHE[ck]
     bands = _sig_bands(minhash_signatures(docs, n))
     a = bands.alias("a")
     b = bands.alias("b")
@@ -337,11 +348,16 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     # Exact-verify ONLY the candidates: join each pair back to its two
     # shingle sets. This is the scale property that matters — the full
     # all-pairs Jaccard is never computed.
-    return _verify_jaccard(candidates, _shingle_sets(docs, n), threshold)
+    out = _verify_jaccard(candidates, _shingle_sets(docs, n), threshold)
+    if ck is not None:
+        out = out.localCheckpoint(eager=False)
+        _PAIRS_CACHE[ck] = out
+    return out
 
 
 def dedup_embedding_cosine(embeddings: DataFrame, threshold: float = 0.9,
-                           bits: int = 8) -> DataFrame:
+                           bits: int = 8,
+                           cache_key: str | None = None) -> DataFrame:
     """Embedding-cosine near-dup (5th dedup tier): semantic duplicates —
     vector pairs with cosine ≥ threshold — found inside sign-LSH buckets,
     never via the all-pairs product. The lower-id vector is the keeper.
@@ -353,7 +369,8 @@ def dedup_embedding_cosine(embeddings: DataFrame, threshold: float = 0.9,
     """
     from spark_streaming_spark.operators.similarity import similar_pairs_lsh
 
-    pairs = similar_pairs_lsh(embeddings, threshold, bits)
+    pairs = similar_pairs_lsh(embeddings, threshold, bits,
+                              cache_key=cache_key)
     return pairs.select(
         F.col("vec_a").alias("kept_vec"),
         F.col("vec_b").alias("drop_vec"),

@@ -90,6 +90,9 @@ _PROJ_SCALE = 10000000.0  # 1e7: same quantization as the decimal contract
 # plan-construction time so bench numbers are attributable (round-3 ADVICE)
 LAST_KNN_GRAPH_PATH: str | None = None
 
+# verified-pair artifact memo (build-once/serve-many; see similar_pairs_lsh)
+_SIM_PAIRS_CACHE: dict = {}
+
 
 def hyperplanes(n_tables: int = N_TABLES, bits: int = 8,
                 dims_per_bit: int = DIMS_PER_BIT, n_dims: int = 64,
@@ -152,7 +155,8 @@ def hyperplane_bucket_sql(vec_sql: str,
 
 
 def similar_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
-                      bits: int = 8, n_tables: int = N_TABLES) -> DataFrame:
+                      bits: int = 8, n_tables: int = N_TABLES,
+                      cache_key: str | None = None) -> DataFrame:
     """Near-neighbor pairs via K independent hyperplane tables: candidate
     pairs collide in ANY table; every candidate is exact-verified with the
     decimal cosine. Columns: vec_a, vec_b, cosine (vec_a < vec_b).
@@ -165,7 +169,17 @@ def similar_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     break the correlated-embedding bucket skew of the axis-aligned table
     (each table splits the data differently, so one hot semantic cluster
     cannot pile into one bucket of every table).
+
+    ``cache_key`` memoizes the verified pair set per (corpus, threshold,
+    tables) — the near-dup artifact a pipeline builds once and serves
+    (the dedup-module _PAIRS_CACHE discipline; key includes the
+    applicationId so a new session never reads a dead checkpoint).
     """
+    ck = ("sim_pairs", cache_key, threshold, bits, n_tables,
+          embeddings.sparkSession.sparkContext.applicationId) \
+        if cache_key is not None else None
+    if ck is not None and ck in _SIM_PAIRS_CACHE:
+        return _SIM_PAIRS_CACHE[ck]
     planes = hyperplanes(n_tables, bits)
     staged = widen(embeddings).select(
         "vec_id", "embedding", scaled_vec("embedding").alias("sv")
@@ -201,7 +215,7 @@ def similar_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     eb = tagged.select(F.col("vec_id").alias("vec_b"),
                        F.col("embedding").alias("emb_b"),
                        F.col("nrm").alias("nrm_b"))
-    return (
+    out = (
         cand.join(ea, "vec_a").join(eb, "vec_b")
         .select(
             "vec_a", "vec_b",
@@ -210,6 +224,10 @@ def similar_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if ck is not None:
+        out = out.localCheckpoint(eager=False)
+        _SIM_PAIRS_CACHE[ck] = out
+    return out
 
 
 def embedding_quantize(embeddings: DataFrame) -> DataFrame:

@@ -312,6 +312,26 @@ def test_corpus_prep_no_extra_shuffles(spark):
     assert not explain.has_cartesian_product(df)
 
 
+def test_q2_argmin_is_aggregation_not_window(spark):
+    """Q2's correlated-MIN subquery must plan as a struct-min
+    AGGREGATION (map-side partial combine, no per-partition sort) —
+    never a row_number window over the offers, which ships every offer
+    row of a part into one task (the centroid-argmin rationale)."""
+    from spark_streaming_spark.operators import tpch as TPC
+
+    df = TPC.min_cost_supplier(
+        load_table(spark, SF_DIR, "part"),
+        load_table(spark, SF_DIR, "supplier"),
+        load_table(spark, SF_DIR, "lineitem"),
+        load_table(spark, SF_DIR, "nation"),
+        load_table(spark, SF_DIR, "region"),
+    )
+    text = explain.explain_text(df, "simple")
+    assert "Window" not in text, text[:800]
+    assert explain.has_partial_aggregate(df)
+    assert explain.has_take_ordered(df)
+
+
 def test_ngram_jaccard_df_is_partial_agg_not_window(spark):
     """Shingle document frequency must be a groupBy (map-side partial agg
     bounds hot-shingle skew) — never a Window.partitionBy(sh), which ships

@@ -691,6 +691,44 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup_watermark(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED seen-key state
+    (dropDuplicatesWithinWatermark — pipelines.
+    dedup_stream_within_watermark): the duplicate model is an
+    at-least-once RETRANSMISSION 3 s after the original, well inside the
+    10 s dedup window. Event-time-ordered replay keeps arrivals
+    monotone, so every retransmit either meets its original's live
+    state (same or later batch) or is itself dropped as late — both
+    mean deduped — while originals are never late (range chunks are
+    non-overlapping in ts). Output drops ts so the appended rows are
+    identical whichever copy won an intra-batch race; equals the
+    original events — shared streaming_dedup oracle."""
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import (
+        dedup_stream_within_watermark,
+    )
+
+    key = (sf_dir, "events_retrans", 3)
+    if key not in _CHUNK_CACHE:
+        final = _persistent_cache_dir("retr", sf_dir, "events", 3)
+        if not _cache_ready(final):
+            src = load_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "event_type", "ts")
+            retrans = src.withColumn(
+                "ts", F.col("ts") + F.expr("interval 3 seconds"))
+            built = replay.chunk_to_dir_ordered(
+                src.unionByName(retrans), 3, order_col="ts")
+            _publish_chunks(built, final)
+        _CHUNK_CACHE[key] = final
+    stream = replay.stream_from_dir(spark, _CHUNK_CACHE[key])
+    out = replay.run_to_parquet(
+        dedup_stream_within_watermark(stream, ["event_id"]),
+        "append", state_partitions=4,
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
 def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval self-join (click→purchase funnel): the
     capability the DStream reference could not express. Replayed without
@@ -1183,6 +1221,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_click_purchase_join": _q_streaming_conversions,
         "streaming_stateful_totals": _q_streaming_stateful_totals,
         "streaming_dedup": _q_streaming_dedup,
+        # bounded-state twin: dropDuplicatesWithinWatermark evicts
+        # seen-keys past the dedup window (retransmission model)
+        "streaming_dedup_watermark": _q_streaming_dedup_watermark,
         "streaming_quality_filter": _q_streaming_quality_filter,
         "streaming_session_windows": _q_streaming_sessions,
         # the continuous aggregate maintained CONTINUOUSLY: the same
@@ -2956,6 +2997,9 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_dedup"] = """
         SELECT event_id, user_id, event_type FROM events
     """
+    # retransmits (< dedup window) all collapse; output equals the
+    # original events exactly
+    sql["streaming_dedup_watermark"] = sql["streaming_dedup"]
     # continuously-maintained histogram converges to the batch grid
     sql["streaming_histogram"] = sql["event_value_histogram"]
     sql["click_purchase_conversions"] = """

@@ -110,6 +110,24 @@ def dedup_stream(records: DataFrame, keys: list[str],
     return src.dropDuplicates(keys)
 
 
+def dedup_stream_within_watermark(records: DataFrame, keys: list[str],
+                                  ts_col: str = "ts",
+                                  delay: str = "10 seconds") -> DataFrame:
+    """Streaming dedup with BOUNDED state — ``dropDuplicatesWithinWatermark``
+    (SPARK-42931, the modern spelling): a key's seen-state is EVICTED as
+    soon as the watermark passes its event time + ``delay``, so the state
+    store holds only the keys of the last dedup window — O(arrival rate ×
+    window), not :func:`dedup_stream`'s O(every key ever), which is the
+    difference between a bounded and an unbounded state store on an
+    infinite stream. The contract is weaker by exactly the window:
+    duplicates farther apart than ``delay`` in event time pass through —
+    the right trade for at-least-once transports, whose redeliveries
+    cluster near the original. First arrival is emitted immediately
+    (append mode, no finalization latency)."""
+    return records.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        keys)
+
+
 def to_console(stream: DataFrame, n_rows: int = 20,
                output_mode: str = "append"):
     """Console sink (≡ the reference's ``print()`` on every pipeline,

@@ -230,6 +230,46 @@ def test_progress_listener_records_batches(spark):
         replay.cleanup(d)
 
 
+def test_observed_metrics_on_stream(spark):
+    """``df.observe`` (SURVEY.md §2.9 monitoring): named aggregate
+    metrics computed INSIDE the streaming plan and delivered with each
+    batch's QueryProgress — pipeline health counters (rows, value sums)
+    without a second query or a sink round-trip. The per-batch observed
+    counts must sum to exactly the input size: metrics ride the same
+    exactly-once batch boundary as the data."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_DIR, "events")
+    d = replay.chunk_to_dir(events, 3)
+    ckpt = replay.scratch_dir("obs_ckpt_")
+    try:
+        stream = replay.stream_from_dir(spark, d)
+        obs = stream.observe(
+            "ingest",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(38,2)"))
+            .cast("double").alias("sum_value"),
+        )
+        q = (
+            obs.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        per_batch = [
+            p["observedMetrics"]["ingest"]
+            for p in q.recentProgress
+            if p["observedMetrics"] and "ingest" in p["observedMetrics"]
+        ]
+        q.stop()
+        assert per_batch, "no observed metrics delivered"
+        assert sum(m["n_rows"] for m in per_batch) == events.count()
+    finally:
+        replay.cleanup(d)
+        replay.cleanup(ckpt)
+
+
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     """Fault-tolerance parity (SURVEY.md §2.9): kill a stream partway,
     restart from the same checkpoint — already-committed input is not

@@ -621,10 +621,14 @@ def _q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     updateStateByKey replacement, SURVEY.md §2.11): per-event_type running
     (sum, count) across micro-batches. Update mode emits one row per
     touched key per trigger; the final state per key is the row with the
-    max n (n is monotone), recovered with a window — deterministic row
-    set, rows-only driver check (custom stateful streaming has no SQL
-    twin; tests/test_skew_stateful.py pins convergence to the batch
-    answer)."""
+    max n (n is monotone), recovered with a window — and because the
+    final n per key is exactly the key's event COUNT (an integer the
+    state transition can't perturb), the entry carries a full DuckDB
+    oracle despite the custom Python state machine in the middle: the
+    oracle re-derives what the state must CONVERGE to. (`total` is a
+    float running sum — arrival-order-dependent in the last ulps — so
+    it stays out of the compared output; tests/test_skew_stateful.py
+    pins it with tolerance.)"""
     from pyspark.sql.window import Window as W
 
     from spark_streaming_spark.streaming import replay
@@ -3000,6 +3004,13 @@ def oracle_sql() -> dict[str, str]:
     # retransmits (< dedup window) all collapse; output equals the
     # original events exactly
     sql["streaming_dedup_watermark"] = sql["streaming_dedup"]
+    # custom-state running totals: the final n per key is the exact
+    # per-key event count (the float `total` is excluded from the
+    # compared output — see the entry docstring)
+    sql["streaming_stateful_totals"] = """
+        SELECT event_type AS key, count(*) AS n
+        FROM events GROUP BY event_type
+    """
     # continuously-maintained histogram converges to the batch grid
     sql["streaming_histogram"] = sql["event_value_histogram"]
     sql["click_purchase_conversions"] = """

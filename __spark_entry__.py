@@ -937,41 +937,49 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # (round 5) never driver-checked — first driver signal (added after
-    # the r4 window froze; VERDICT r4 "Next round" #2)
+    # NEVER driver-checked entries take priority over stale-but-checked
+    # ones: a first signal beats a refresh. First, the six added after
+    # the r4 window froze (VERDICT r4 "Next round" #2):
     "shipping_priority", "order_priority_check", "local_supplier_volume",
     "sampled_quantity_quantiles", "streaming_hll_distinct",
     "streaming_windowed_hll",
     # r4 hash-red on an oracle HUGEINT artifact, now CAST-fixed — kept in
     # the window to convert the two red rows green (VERDICT r4 #1)
     "quality_classifier", "streaming_quality_classifier",
-    # r2-vintage refresh: last green row is CORRECTNESS_r02, and their
-    # modules (dedup/similarity/textstats/pipeline/replay) have been
-    # edited in rounds 3-4 since (VERDICT r4 "Next round" #2)
-    "priority_shipping_mix", "customer_order_distribution",
-    "waiting_suppliers", "cohort_retention", "dedup_minhash_lsh",
-    "dedup_simhash", "knn_bruteforce", "knn_graph", "label_centroids",
-    "embedding_norms", "streaming_wordcount", "streaming_blacklist_filter",
-    "streaming_sliding_counts", "streaming_top3_per_window",
-    "streaming_click_purchase_join", "streaming_dedup",
-    "streaming_quality_filter", "streaming_daily_rollup",
-    "click_purchase_conversions", "asof_click_attribution", "token_stats",
-    "top_terms_per_lang", "quality_scores", "lang_guess",
-    "doc_fingerprints", "fingerprint_dupes", "grouped_agg_token_totals",
-    "quality_filter", "repetition_signals", "contamination_check",
-    "pack_sequences", "lm_bigram_scores", "skew_salted_counts",
-    "similar_activity_pairs", "daily_event_rollup", "mixture_rebalance",
-    "skew_salted_join", "countmin_user_sketch", "multimodal_meta",
-    # (two r2 delegation twins yield slots to new r5 entries:
-    # dedup_embedding_cosine delegates to similar_pairs_lsh (r4-green)
-    # and simhash_pairs shares all machinery with in-window
-    # dedup_simhash; the pytest oracle sweep still re-verifies both
-    # locally every run)
-    # new this round, never driver-checked (VERDICT r4 #6/#7/#8)
+    # new round-5 entries, never driver-checked: the stream-stream
+    # right-outer twin, the trained-model classifier path, the
+    # corpus-prep composition (VERDICT r4 #6/#7/#8), the five shapes
+    # completing TPC-H 22, split/mixture governance ops, the custom
+    # Python sink round trip, the mapInArrow and SQL-UDF surfaces,
+    # bounded-state streaming dedup, and the custom-state entry whose
+    # rows-only check was upgraded to a full oracle
     "streaming_click_attribution_right", "quality_logits_join",
-    "corpus_prep_pipeline",
-    # (r3/r4-green entries yield their slots; their rows stand, and the
-    # pytest oracle sweep re-verifies all entries locally every run)
+    "corpus_prep_pipeline", "min_cost_supplier", "product_type_profit",
+    "important_parts", "supplier_part_counts", "excess_suppliers",
+    "train_val_test_split", "corpus_mixture_stats",
+    "custom_sink_roundtrip", "arrow_token_counts", "sql_cosine_topk",
+    "streaming_dedup_watermark", "streaming_stateful_totals",
+    # r2-vintage refresh (last green row is CORRECTNESS_r02; their
+    # modules — dedup/similarity/textstats/replay — were edited in
+    # rounds 3-5 since). Twelve of the 39 r2 entries yield their slots
+    # to the first-signal entries above, chosen because their exact
+    # functions are untouched since r2 AND an in-window entry exercises
+    # the same machinery (corpus_prep_pipeline re-runs the quality-gate
+    # expressions and mixture rate math; custom_sink_roundtrip shares
+    # grouped_agg_token_totals' oracle; contamination_bloom (r4-green)
+    # covers the decontamination path; the tpch Q12/Q13/Q21 shapes are
+    # frozen code). The local sf0.01 sweep still re-verifies every
+    # entry each round.
+    "dedup_minhash_lsh", "dedup_simhash", "knn_bruteforce", "knn_graph",
+    "label_centroids", "embedding_norms", "streaming_wordcount",
+    "streaming_blacklist_filter", "streaming_sliding_counts",
+    "streaming_top3_per_window", "streaming_click_purchase_join",
+    "streaming_dedup", "streaming_quality_filter",
+    "streaming_daily_rollup", "click_purchase_conversions",
+    "asof_click_attribution", "token_stats", "top_terms_per_lang",
+    "quality_scores", "lang_guess", "doc_fingerprints",
+    "fingerprint_dupes", "skew_salted_counts", "similar_activity_pairs",
+    "mixture_rebalance", "skew_salted_join", "countmin_user_sketch",
 ]
 
 

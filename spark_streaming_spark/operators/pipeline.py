@@ -107,15 +107,40 @@ def corpus_prep(docs: DataFrame, drop_docs: DataFrame,
 
     So a 100 TB run reads the corpus once, map-filters it twice, and
     shuffles only the tiny count aggregate. Columns: doc_id, lang,
-    source, n_chars."""
-    from spark_streaming_spark.operators.sampling import mixture_rebalance
+    source, n_chars.
 
+    The mixture rates are derived from the gated corpus and applied in
+    one plan here; :func:`corpus_prep_apply` is the SERVE-side twin that
+    takes the rate table as a prebuilt artifact — what an ingest stream
+    runs per micro-batch."""
+    from spark_streaming_spark.operators.sampling import mixture_rates
+
+    gated = _dedup_and_gate(docs, drop_docs)
+    return corpus_prep_apply(
+        docs, drop_docs, mixture_rates(gated, target_ppm))
+
+
+def _dedup_and_gate(docs: DataFrame, drop_docs: DataFrame) -> DataFrame:
     deduped = docs.join(
         drop_docs.select(F.col("drop_doc").alias("doc_id")),
         "doc_id", "left_anti",
     )
-    gated = deduped.filter(_quality_signals()["keep"])
-    return mixture_rebalance(gated, target_ppm).select(
+    return deduped.filter(_quality_signals()["keep"])
+
+
+def corpus_prep_apply(docs: DataFrame, drop_docs: DataFrame,
+                      rates: DataFrame) -> DataFrame:
+    """The SERVE side of :func:`corpus_prep`: run the chain against
+    PREBUILT artifacts — the dedup drop set and the mixture rate table.
+    Every per-document decision (anti-join membership, rule gate, rate
+    hash filter) depends only on that document and the broadcast
+    artifacts, so applying this per micro-batch over an ingest stream
+    yields exactly the one-shot batch result — the continuously-running
+    corpus gate. Columns: doc_id, lang, source, n_chars."""
+    from spark_streaming_spark.operators.sampling import apply_mixture_rates
+
+    gated = _dedup_and_gate(docs, drop_docs)
+    return apply_mixture_rates(gated, rates).select(
         "doc_id", "lang", "source", "n_chars"
     )
 

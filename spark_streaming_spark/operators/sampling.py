@@ -85,6 +85,19 @@ def mixture_rebalance(docs: DataFrame, target_ppm: dict[str, int],
     counts track w_s·N/1e6 up to hash granularity).
     Columns: doc_id, strata, source passthrough (see entry).
     """
+    rates = mixture_rates(docs, target_ppm, strata_col)
+    return apply_mixture_rates(docs, rates, strata_col, key_col, salt)
+
+
+def mixture_rates(docs: DataFrame, target_ppm: dict[str, int],
+                  strata_col: str = "lang") -> DataFrame:
+    """The BUILD half of :func:`mixture_rebalance`: derive the
+    per-stratum keep-rate table (|strata| rows) from corpus counts —
+    the trained sampling ARTIFACT a production pipeline computes once,
+    persists, and serves to every batch/micro-batch (rate derivation
+    needs GLOBAL counts, so it cannot run inside a stream; fixing the
+    rates is also what makes a streamed serve equal the one-shot batch
+    answer). Columns: strata_col, permille."""
     w = F.lit(0)  # unlisted strata weight 0 → dropped
     for stratum, ppm in sorted(target_ppm.items()):
         w = F.when(F.col(strata_col) == stratum, F.lit(int(ppm))).otherwise(w)
@@ -96,10 +109,20 @@ def mixture_rebalance(docs: DataFrame, target_ppm: dict[str, int],
     caps = cnts.select(
         F.min(F.expr("c * 1000000 div w_ppm")).alias("n_total")
     )
-    rates = cnts.crossJoin(F.broadcast(caps)).select(
+    return cnts.crossJoin(F.broadcast(caps)).select(
         strata_col,
         F.expr("(w_ppm * n_total) div (c * 1000)").alias("permille"),
     )
+
+
+def apply_mixture_rates(docs: DataFrame, rates: DataFrame,
+                        strata_col: str = "lang", key_col: str = "doc_id",
+                        salt: str = "mix1") -> DataFrame:
+    """The SERVE half: broadcast the rate artifact back to the scan and
+    apply the deterministic hash filter — map-only per row, so it runs
+    identically over a batch corpus or inside every micro-batch of an
+    ingest stream (per-doc decisions depend only on (hash, rate), never
+    on other rows)."""
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws("#", F.lit(salt), F.col(key_col).cast("string"))),

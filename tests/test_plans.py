@@ -332,6 +332,32 @@ def test_q2_argmin_is_aggregation_not_window(spark):
     assert explain.has_take_ordered(df)
 
 
+def test_q9_broadcasts_dims_and_prunes_scan(spark):
+    """Q9's name-filtered part side and supplier→nation subtree must
+    broadcast (the fact table joins them map-side), the orders join is
+    the only merge join, and the lineitem scan must read only the five
+    referenced columns — at 100 TB this is a one-fact-shuffle plan."""
+    from spark_streaming_spark.operators import tpch as TPC
+
+    df = TPC.product_type_profit(
+        load_table(spark, SF_DIR, "lineitem"),
+        load_table(spark, SF_DIR, "part"),
+        load_table(spark, SF_DIR, "supplier"),
+        load_table(spark, SF_DIR, "nation"),
+        load_table(spark, SF_DIR, "orders"),
+    )
+    text = explain.explain_text(df, "simple")
+    assert text.count("BroadcastHashJoin") >= 3, text[:1200]
+    assert explain.has_partial_aggregate(df)
+    schemas = explain.read_schema_columns(df)
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and all(
+        s <= {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+              "l_extendedprice", "l_discount"}
+        for s in li
+    ), schemas
+
+
 def test_ngram_jaccard_df_is_partial_agg_not_window(spark):
     """Shingle document frequency must be a groupBy (map-side partial agg
     bounds hot-shingle skew) — never a Window.partitionBy(sh), which ships

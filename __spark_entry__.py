@@ -128,6 +128,8 @@ def _q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     so any row the sink loses, duplicates, or text it corrupts through
     JSON escaping flips the driver row red — the write path gets the
     same exact-oracle bar as every read path."""
+    import atexit
+    import shutil
     import tempfile
 
     from spark_streaming_spark.sources import pysink
@@ -136,6 +138,7 @@ def _q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text")
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out = tempfile.mkdtemp(prefix="spark_jsonl_sink_", dir=base)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     pysink.write_jsonl(docs, out)
     files = [os.path.join(out, f) for f in pysink.manifest_files(out)]
     back = spark.read.schema("doc_id bigint, lang string, text string").json(
@@ -1294,11 +1297,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Python reference BPE in tests/test_bpe.py
         "bpe_train_merges": lambda s, d: BPE.bpe_train(
             load_table(s, d, "documents"), n_merges=8, cache_key=d),
+        # trains the SAME 8-merge artifact as bpe_train_merges (one train
+        # per bench run via the shared cache key) and takes the 6-merge
+        # prefix — greedy BPE merges are a prefix-stable sequence, so
+        # first-6-of-8 == train-6 exactly
         "bpe_segment_stats": lambda s, d: BPE.bpe_segment(
             load_table(s, d, "documents"),
             [(r.left, r.right) for r in BPE.bpe_train(
-                load_table(s, d, "documents"), n_merges=6, cache_key=d)
-             .orderBy("step").collect()]),
+                load_table(s, d, "documents"), n_merges=8, cache_key=d)
+             .orderBy("step").collect()][:6]),
         "bpe_token_stats": lambda s, d: TX.bpe_token_stats(load_table(s, d, "documents")),
         "term_stats": lambda s, d: TX.term_stats(load_table(s, d, "documents")),
         "top_terms_per_lang": lambda s, d: AN.top_terms_per_lang(
@@ -1570,6 +1577,22 @@ def _LSH_TAGGED_CTE() -> str:
 
 
 _LSH_ANY_TABLE = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(SIM.N_TABLES))
+
+
+def _KNN_LSH_SLIM_CTE(n_tables: int = 12, bits: int = 4) -> str:
+    """(vec_id, tbl, bk) long-form CTE for the kNN-graph LSH oracle —
+    one UNION ALL branch per hyperplane table, generated from the SAME
+    md5-seeded planes as operators/similarity.knn_graph_lsh, so bucket
+    assignment (and therefore the candidate set AND the md5-ranked
+    bucket-cap subsample) is bit-identical across engines."""
+    planes = SIM.hyperplanes(n_tables, bits)
+    branches = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{SIM.hyperplane_bucket_sql('embedding', planes[t])} AS bk "
+        f"FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"slim AS ({branches})"
 
 
 def _VDOT(a: str, b: str) -> str:
@@ -2369,6 +2392,71 @@ def oracle_sql() -> dict[str, str]:
             FROM prods
             WHERE CAST(dot AS DOUBLE)
                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4
+        """,
+        # kNN-graph LSH: approximate BUT deterministic — md5 planes,
+        # md5/conv bucket-cap rank, scaled-integer cosine — so the
+        # oracle reproduces the approximation bit-exactly (upgraded
+        # from rows-only per round-5 VERDICT #2; semantic_dedup pattern)
+        "knn_graph_lsh": f"""
+            WITH sv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT))
+                       AS s
+              FROM embeddings
+            ),
+            n2 AS (
+              SELECT vec_id, SUM(s[i] * s[i]) AS n2
+              FROM sv, (SELECT unnest(range(1, 65)) AS i) ii
+              GROUP BY vec_id
+            ),
+            {_KNN_LSH_SLIM_CTE()},
+            capped AS (
+              SELECT vec_id, tbl, bk FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY tbl, bk ORDER BY
+                    CAST('0x' || substr(md5('knncap1' || '#'
+                        || CAST(vec_id AS VARCHAR) || '#'
+                        || CAST(tbl AS VARCHAR) || '#' || bk), 1, 15)
+                      AS BIGINT),
+                    vec_id) AS _r
+                FROM slim
+              ) WHERE _r <= 192
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM capped a JOIN capped b
+                ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id
+            ),
+            prods AS (
+              SELECT c.vec_a, c.vec_b, SUM(sa.s[i] * sb.s[i]) AS dot
+              FROM cand c
+              JOIN sv sa ON sa.vec_id = c.vec_a
+              JOIN sv sb ON sb.vec_id = c.vec_b,
+                   (SELECT unnest(range(1, 65)) AS i) ii
+              GROUP BY c.vec_a, c.vec_b
+            ),
+            scored AS (
+              SELECT p.vec_a, p.vec_b,
+                     CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na.n2 AS DOUBLE))
+                          * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+              FROM prods p
+              JOIN n2 na ON na.vec_id = p.vec_a
+              JOIN n2 nb ON nb.vec_id = p.vec_b
+            ),
+            sym AS (
+              SELECT vec_a AS vec_id, vec_b AS nbr, cosine FROM scored
+              UNION ALL
+              SELECT vec_b AS vec_id, vec_a AS nbr, cosine FROM scored
+            )
+            SELECT vec_id, nbr, cosine, rank FROM (
+              SELECT vec_id, nbr, cosine,
+                     CAST(row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cosine DESC, nbr)
+                       AS INTEGER) AS rank
+              FROM sym
+            ) WHERE rank <= 5
         """,
         "label_centroids": """
             SELECT label, CAST(i - 1 AS INTEGER) AS dim,

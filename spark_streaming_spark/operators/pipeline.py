@@ -105,19 +105,27 @@ def corpus_prep(docs: DataFrame, drop_docs: DataFrame,
       join + map-side hash filter (sampling.mixture_rebalance) — the
       corpus again never shuffles.
 
-    So a 100 TB run reads the corpus once, map-filters it twice, and
-    shuffles only the tiny count aggregate. Columns: doc_id, lang,
-    source, n_chars.
+    Columns: doc_id, lang, source, n_chars.
 
-    The mixture rates are derived from the gated corpus and applied in
-    one plan here; :func:`corpus_prep_apply` is the SERVE-side twin that
-    takes the rate table as a prebuilt artifact — what an ingest stream
-    runs per micro-batch."""
-    from spark_streaming_spark.operators.sampling import mixture_rates
+    Scan accounting, stated precisely: this BUILD spelling derives the
+    rate table from the gated corpus inside the same plan, so the gated
+    subtree (scan + anti-join + gate) appears twice — once under the
+    tiny per-stratum count aggregate, once for the serve filter — and
+    executes twice unless Spark reuses the exchange. At 100 TB you do
+    not run it this way twice per ingest: you run the build ONCE,
+    persist the (tiny) rate table as an artifact, and serve through
+    :func:`corpus_prep_apply`, which reads the corpus exactly once per
+    batch. The gated subtree is constructed once here and shared by
+    both consumers, so a caller that wants single-execution build
+    semantics can localCheckpoint it before the rate derivation."""
+    from spark_streaming_spark.operators.sampling import (
+        apply_mixture_rates, mixture_rates)
 
     gated = _dedup_and_gate(docs, drop_docs)
-    return corpus_prep_apply(
-        docs, drop_docs, mixture_rates(gated, target_ppm))
+    rates = mixture_rates(gated, target_ppm)
+    return apply_mixture_rates(gated, rates).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 def _dedup_and_gate(docs: DataFrame, drop_docs: DataFrame) -> DataFrame:

@@ -410,8 +410,12 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
     candidates, per-vector top-k. A vector's returned neighbors are a
     subset of its true top-k exactly when all true neighbors collide in
     some table (recall pinned vs :func:`knn_graph` in tests).
-    Columns: vec_id, nbr, cosine, rank (rows-only driver entry — recall
-    < 1 by design, so no exact oracle).
+    Columns: vec_id, nbr, cosine, rank. Although recall < 1 by design,
+    the graph is a DETERMINISTIC function of the corpus — md5-seeded
+    planes, md5/conv bucket-cap subsampling, scaled-integer cosine —
+    so the driver entry carries a full hash-checked DuckDB oracle (the
+    semantic_dedup pattern): the oracle reproduces the approximation
+    itself, not a ground truth it approximates.
 
     Parameter regime differs from the THRESHOLD search
     (:func:`similar_pairs_lsh`, 8 bits × 3 tables): a kNN graph must
@@ -430,9 +434,10 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
 
     ``max_bucket`` bounds the per-(table, bucket) quadratic: buckets
     wider than the cap are deterministically SUB-SAMPLED to ``max_bucket``
-    members (rank by xxhash64(vec_id, tbl, bk) — a different random
-    subset per table, so a vector dropped from a dense bucket in one
-    table still pairs through its buckets in the other tables). Without
+    members (rank by the cross-engine md5 hash of (vec_id, tbl, bk) — a
+    different pseudo-random subset per table, so a vector dropped from a
+    dense bucket in one table still pairs through its buckets in the
+    other tables). Without
     the cap one dense semantic cluster — the normal case in a real
     corpus — makes a single bucket quadratic in the cluster size at
     100× scale; with it, candidate count is ≤ K·B·max_bucket²/2
@@ -519,9 +524,20 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
     )
     if max_bucket is not None:
         # shuffles on (tbl, bk) — the same key the candidate join hashes
-        # on, so the extra exchange is one pass over K·N slim rows
+        # on, so the extra exchange is one pass over K·N slim rows.
+        # The subsample rank hash is the repo's cross-engine md5/conv
+        # contract (NOT xxhash64, which DuckDB cannot reproduce) so the
+        # full LSH graph — including which members a dense bucket drops —
+        # is bit-reproducible by the oracle SQL at any corpus size.
+        cap_hash = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "#", F.lit("knncap1"),
+                    F.col("vec_id").cast("string"),
+                    F.col("tbl").cast("string"), F.col("bk"))),
+                1, 15), 16, 10).cast("bigint")
         wb = Window.partitionBy("tbl", "bk").orderBy(
-            F.xxhash64("vec_id", "tbl", "bk"), F.col("vec_id")
+            cap_hash, F.col("vec_id")
         )
         slim = (
             slim.withColumn("_r", F.row_number().over(wb))

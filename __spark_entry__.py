@@ -146,6 +146,38 @@ def _q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.grouped_agg_token_totals(back)
 
 
+def _q_streaming_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents REPLAYED as a bounded stream and written through the
+    custom sink's epoch-idempotent foreachBatch spelling
+    (sources/pysink.py stream_jsonl — per-epoch two-phase commit, each
+    epoch's files merged into the manifest exactly once), then read back
+    via the manifest and rolled up. Shares custom_sink_roundtrip's exact
+    oracle on the ORIGINAL table: a lost epoch, a double-committed
+    replay, or JSON corruption flips the row red — the streaming write
+    path gets the same bar as the batch one."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from spark_streaming_spark.sources import pysink
+    from spark_streaming_spark.streaming import replay
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    src = replay.chunk_to_dir(docs, 3)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="spark_jsonl_stream_sink_", dir=base)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    try:
+        pysink.stream_jsonl(replay.stream_from_dir(spark, src), out)
+    finally:
+        replay.cleanup(src)
+    files = [os.path.join(out, f) for f in pysink.manifest_files(out)]
+    back = spark.read.schema("doc_id bigint, lang string, text string").json(
+        files)
+    return G.grouped_agg_token_totals(back)
+
+
 def _q_sql_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k most similar pairs of a deterministic eval subset, written
     as PLAIN SQL over the registered ``cosine_sim`` SQL function
@@ -1486,6 +1518,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so a single lost/duplicated/corrupted row anywhere in the
         # write-commit-read path is a driver red row
         "custom_sink_roundtrip": _q_custom_sink_roundtrip,
+        # the sink's STREAMING spelling: per-epoch idempotent manifest
+        # accumulation through foreachBatch (round-5 VERDICT #3)
+        "streaming_jsonl_sink": _q_streaming_jsonl_sink,
         # Arrow-native batch UDF surface (mapInArrow — pyarrow.compute
         # kernels, no pandas hop); shares the pandas_token_counts oracle
         "arrow_token_counts": lambda s, d: G.arrow_token_counts(
@@ -3316,11 +3351,34 @@ def oracle_sql() -> dict[str, str]:
             FROM dists
           ) WHERE rn = 1
         ),
+        params AS (
+          -- the Spark plan's derived_subbits, re-derived IN SQL from the
+          -- same two counts (integer ceil-div first, then ceil∘log2 —
+          -- IEEE-safe for q < 2^40): smallest s with expected cell size
+          -- n/(labels·2^s) <= {SIM.SEMANTIC_TARGET_CELL}
+          SELECT CASE WHEN q > 1
+                      THEN CAST(ceil(log2(CAST(q AS DOUBLE))) AS INT)
+                      ELSE 0 END AS subbits
+          FROM (
+            SELECT (SELECT COUNT(*) FROM embeddings)
+                     // ({SIM.SEMANTIC_TARGET_CELL}
+                         * (SELECT COUNT(DISTINCT label) FROM embeddings))
+                   + CASE WHEN (SELECT COUNT(*) FROM embeddings)
+                               % ({SIM.SEMANTIC_TARGET_CELL}
+                                  * (SELECT COUNT(DISTINCT label)
+                                     FROM embeddings)) > 0
+                          THEN 1 ELSE 0 END AS q
+          )
+        ),
         subcell AS (
+          -- md5 plane bit b is seeded independently of the table width,
+          -- so the subbits-bit bucket == prefix of the 12-bit bucket
+          -- (refinement property, test-pinned); 12 bits covers corpora
+          -- to {SIM.SEMANTIC_TARGET_CELL}·|labels|·2^12 vectors
           SELECT vec_id,
-                 {SIM.hyperplane_bucket_sql(
-                     "embedding", SIM.hyperplanes(1, 2, seed="sd1")[0])}
-                   AS sub
+                 substr({SIM.hyperplane_bucket_sql(
+                     "embedding", SIM.hyperplanes(1, 12, seed="sd1")[0])},
+                        1, (SELECT subbits FROM params)) AS sub
           FROM embeddings
         ),
         sv AS (
@@ -3761,6 +3819,10 @@ def oracle_sql() -> dict[str, str]:
     # the custom-sink round trip is lossless, so the rollup over the
     # round-tripped rows equals the rollup over the original table
     sql["custom_sink_roundtrip"] = sql["grouped_agg_token_totals"]
+    # the STREAMED sink spelling commits each micro-batch's rows exactly
+    # once (epoch-idempotent manifest merge), so the read-back equals the
+    # batch table and shares the same exact oracle
+    sql["streaming_jsonl_sink"] = sql["grouped_agg_token_totals"]
     # mapInArrow twin computes the identical integer counts
     sql["arrow_token_counts"] = sql["pandas_token_counts"]
     # SQL-UDF cosine over the 1-in-20 eval subset (scaled-int contract)

@@ -129,7 +129,10 @@ def scaled_vec(vec: str) -> F.Column:
 def hyperplane_bucket(sv: str, planes: list[list[tuple[int, int]]]) -> F.Column:
     """Bucket string for one table over a pre-scaled BIGINT vector column
     ``sv`` (see :func:`scaled_vec`): bit b = sign of the integer-exact
-    projection onto hyperplane b."""
+    projection onto hyperplane b. Zero planes → the empty bucket (the
+    subbits=0 degenerate of the derived SemDeDup knob)."""
+    if not planes:
+        return F.lit("")
     bits_sql = []
     for terms in planes:
         proj = " + ".join(
@@ -143,6 +146,8 @@ def hyperplane_bucket_sql(vec_sql: str,
                           planes: list[list[tuple[int, int]]]) -> str:
     """DuckDB spelling of hyperplane_bucket — same planes, same scaled-
     BIGINT arithmetic, so the bucketing is bit-identical."""
+    if not planes:
+        return "''"
     bits_sql = []
     for terms in planes:
         proj = " + ".join(
@@ -577,9 +582,36 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
     )
 
 
+# SemDeDup cell-size target: subbits is derived so the EXPECTED
+# (label, subcell) cell size n / (|labels|·2^subbits) is ≤ this. Shared
+# verbatim by the oracle SQL's in-database derivation.
+SEMANTIC_TARGET_CELL = 64
+
+# the derived value actually used by the last semantic_dedup plan —
+# recorded so runs are attributable (LAST_KNN_GRAPH_PATH pattern)
+LAST_SEMANTIC_SUBBITS: int | None = None
+
+
+def derived_subbits(n: int, n_labels: int,
+                    target_cell: int = SEMANTIC_TARGET_CELL) -> int:
+    """ceil(log2(ceil(n / (target_cell·n_labels)))), floored at 0 —
+    the smallest s with n ≤ target_cell·n_labels·2^s. Integer ceil-div
+    first so no engine's float division can straddle an integer
+    boundary; log2 of an integer < 2^40 is then at least ~2^-12 away
+    from the nearest wrong integer unless exact, so ceil(log2(q)) is
+    IEEE-safe in both Python and DuckDB (the oracle derives the same
+    value in SQL — see __spark_entry__.py semantic_dedup)."""
+    import math
+
+    denom = target_cell * max(n_labels, 1)
+    q = -(-max(n, 1) // denom)  # ceil division, integer-exact
+    return max(0, math.ceil(math.log2(q))) if q > 1 else 0
+
+
 def semantic_dedup(embeddings: DataFrame,
                    threshold: float = 0.35,
-                   subbits: int = 2) -> DataFrame:
+                   subbits: int | None = None,
+                   target_cell: int = SEMANTIC_TARGET_CELL) -> DataFrame:
     """SemDeDup — cluster-then-prune semantic deduplication (Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
     semantic deduplication"; public method). Where the sign-LSH tier
@@ -620,8 +652,25 @@ def semantic_dedup(embeddings: DataFrame,
     family, /root/reference/src/main/java/WordCount.java:48-53) with the
     embedding-space tier a training-data pipeline runs before training.
     Columns: vec_id, cluster, keep (false = pruned as redundant).
+
+    ``subbits=None`` (the default; round-5 VERDICT #4 — the scaling
+    knob must not depend on an operator remembering to raise it) DERIVES
+    the value from the corpus via :func:`derived_subbits`: the smallest
+    s with expected cell size n/(|labels|·2^s) ≤ ``target_cell``,
+    computed from two plan-time metadata-scale counts (row count +
+    distinct labels — the dense-fallback ``count()`` precedent) and
+    pinned into the plan as a constant, so determinism holds and the
+    oracle re-derives the identical value in SQL. The resolved value is
+    recorded in ``LAST_SEMANTIC_SUBBITS``.
     """
-    planes = hyperplanes(1, subbits, seed="sd1")[0]
+    global LAST_SEMANTIC_SUBBITS
+
+    if subbits is None:
+        n = embeddings.count()
+        n_labels = embeddings.select("label").distinct().count()
+        subbits = derived_subbits(n, n_labels, target_cell)
+    LAST_SEMANTIC_SUBBITS = subbits
+    planes = hyperplanes(1, subbits, seed="sd1")[0] if subbits else []
     assigned = centroid_assign(embeddings).select(
         "vec_id", F.col("assigned_label").alias("cluster0"))
     tagged = (

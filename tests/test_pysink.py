@@ -58,14 +58,82 @@ def test_abort_removes_temporaries(tmp_path):
     assert not os.path.exists(os.path.join(out, "_MANIFEST"))
 
 
-def test_second_append_publishes_new_manifest(spark, tmp_path):
-    """Append twice: the manifest is atomically REPLACED with the second
-    job's file set (each job publishes what it committed; a reader bound
-    to a manifest snapshot sees a consistent set either way)."""
+def test_second_append_merges_manifest(spark, tmp_path):
+    """Append twice: the manifest accumulates BOTH jobs' file sets
+    (round-5 VERDICT #1 — 'append' must not drop prior commits from the
+    committed set), and every listed file exists."""
     docs = load_table(spark, SF_DIR, "documents").select("doc_id").limit(10)
     out = str(tmp_path / "sink4")
     pysink.write_jsonl(docs, out)
     first = set(pysink.manifest_files(out))
     pysink.write_jsonl(docs, out)
     second = set(pysink.manifest_files(out))
-    assert first and second and first.isdisjoint(second)
+    assert first and first < second
+    assert len(second) == 2 * len(first)
+    assert all(os.path.exists(os.path.join(out, f)) for f in second)
+
+
+def test_overwrite_replaces_and_cleans(spark, tmp_path):
+    """Overwrite publishes only the new job's files and removes the
+    superseded data files (publish-then-clean)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id").limit(10)
+    out = str(tmp_path / "sink5")
+    pysink.write_jsonl(docs, out)
+    first = set(pysink.manifest_files(out))
+    pysink.write_jsonl(docs, out, mode="overwrite")
+    second = set(pysink.manifest_files(out))
+    assert second and first.isdisjoint(second)
+    assert all(not os.path.exists(os.path.join(out, f)) for f in first)
+    assert all(os.path.exists(os.path.join(out, f)) for f in second)
+
+
+def test_epoch_commit_is_idempotent(spark, tmp_path):
+    """A replayed epoch (same epoch_id delivered twice — recovery after
+    a failure that postdated the sink commit) must not duplicate rows:
+    the second delivery sees its prefix in the manifest and is a no-op."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id").limit(10)
+    out = str(tmp_path / "sink6")
+    handler = pysink.foreach_batch_jsonl(out)
+    handler(docs, 7)
+    first = set(pysink.manifest_files(out))
+    handler(docs, 7)  # replay
+    assert set(pysink.manifest_files(out)) == first
+    handler(docs, 8)  # next epoch appends
+    second = set(pysink.manifest_files(out))
+    assert first < second
+    assert all(f.startswith("epoch-") for f in second)
+
+
+def test_stream_jsonl_equals_batch(spark, tmp_path):
+    """The streamed spelling commits every micro-batch's rows exactly
+    once: reading back the manifest set equals the batch table."""
+    from spark_streaming_spark.streaming import replay
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang").limit(50)
+    src = replay.chunk_to_dir(docs, 3)
+    out = str(tmp_path / "sink7")
+    try:
+        pysink.stream_jsonl(replay.stream_from_dir(spark, src), out)
+    finally:
+        replay.cleanup(src)
+    files = [os.path.join(out, f) for f in pysink.manifest_files(out)]
+    back = spark.read.schema("doc_id bigint, lang string").json(files)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in docs.collect()}
+
+
+def test_write_jsonl_guards_non_local_master(spark, tmp_path):
+    """The two-phase commit renames executor files on the driver — only
+    valid with a shared filesystem; a non-local master must be refused."""
+    import pytest
+
+    class _FakeConf:
+        def get(self, key, default=None):
+            return "spark://cluster:7077" if key == "spark.master" else default
+
+    class _FakeSession:
+        conf = _FakeConf()
+
+    with pytest.raises(RuntimeError, match="shared"):
+        pysink._require_shared_fs(_FakeSession())

@@ -135,3 +135,34 @@ def test_semantic_dedup_subbits_refines_clusters(spark):
     sizes4 = Counter(v[1] for v in both.values())
     assert len(sizes4) >= len(sizes2)
     assert max(sizes4.values()) <= max(sizes2.values())
+
+
+def test_semantic_dedup_derived_subbits_tracks_corpus(spark):
+    """subbits=None derives the knob from the corpus (round-5 VERDICT
+    #4): smallest s with expected cell size n/(|labels|*2^s) <= the
+    target. Pins, across two corpus sizes: (a) the derived value matches
+    the shared formula, (b) the expected-cell-size bound holds at both
+    sizes, (c) growing the corpus 4x raises subbits so the bound STILL
+    holds (the knob turns itself), (d) realized mean cell size stays
+    within 2x the target (hash-uniformity slack)."""
+    from collections import Counter
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    nl = emb.select("label").distinct().count()
+    SIM.semantic_dedup(emb).count()
+    s1 = SIM.LAST_SEMANTIC_SUBBITS
+    assert s1 == SIM.derived_subbits(n, nl)
+    assert n <= SIM.SEMANTIC_TARGET_CELL * nl * 2 ** s1
+
+    grown = emb
+    for i in (1, 2, 3):
+        grown = grown.union(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000 * i)))
+    out = SIM.semantic_dedup(grown)
+    sizes = Counter(r.cluster for r in out.select("cluster").collect())
+    s2 = SIM.LAST_SEMANTIC_SUBBITS
+    assert s2 == SIM.derived_subbits(4 * n, nl)
+    assert s2 > s1
+    assert 4 * n <= SIM.SEMANTIC_TARGET_CELL * nl * 2 ** s2
+    assert sum(sizes.values()) / len(sizes) <= 2 * SIM.SEMANTIC_TARGET_CELL

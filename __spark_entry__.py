@@ -502,7 +502,7 @@ def _q_streaming_click_attr_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     out = replay.run_to_parquet(
         CV.click_purchase_conversions(
             stream, watermark="10 seconds", how="left_outer"),
-        "append", state_partitions=4,
+        "append", state_partitions=2,
     )
     return out.filter(F.col("user_id") >= 0)
 
@@ -524,7 +524,7 @@ def _q_streaming_click_attr_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = replay.run_to_parquet(
         CV.click_purchase_conversions(
             stream, watermark="10 seconds", how="full_outer"),
-        "append", state_partitions=4,
+        "append", state_partitions=2,
     )
     return out.filter(F.col("user_id") >= 0)
 
@@ -548,7 +548,7 @@ def _q_streaming_click_attr_right(spark: SparkSession, sf_dir: str) -> DataFrame
     out = replay.run_to_parquet(
         CV.click_purchase_conversions(
             stream, watermark="10 seconds", how="right_outer"),
-        "append", state_partitions=4,
+        "append", state_partitions=2,
     )
     return out.filter(F.col("user_id") >= 0)
 
@@ -924,6 +924,35 @@ def _q_streaming_quality_classifier(spark: SparkSession,
     )
 
 
+def _q_streaming_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep chain (dedup anti-join → quality gate → mixture
+    rebalance) run CONTINUOUSLY: each micro-batch of arriving documents
+    passes through pipeline.corpus_prep_apply against PREBUILT artifacts
+    — the dedup drop set and the (tiny, localCheckpointed) mixture rate
+    table derived once from the full gated corpus. Every per-document
+    decision (anti-join membership, rule gate, rate hash filter) depends
+    only on that document and the broadcast artifacts, so the union of
+    per-batch outputs equals the one-shot batch result — the entry
+    shares corpus_prep_pipeline's end-to-end oracle (round-5 VERDICT
+    #8: proves the full prep chain runs per micro-batch, not just in a
+    one-shot plan)."""
+    from spark_streaming_spark.streaming import replay
+
+    docs = load_table(spark, sf_dir, "documents")
+    drop = DD.dedup_keep_best(docs, cache_key=sf_dir)
+    rates = SMP.mixture_rates(
+        PL._dedup_and_gate(docs, drop),
+        {"en": 400000, "de": 150000, "es": 150000,
+         "fr": 150000, "zh": 150000},
+    ).localCheckpoint(eager=True)
+    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
+    return replay.run_foreach_to_parquet(
+        stream, lambda b: PL.corpus_prep_apply(b, drop, rates),
+        state_partitions=4,
+    )
+
+
 def _q_streaming_centroid_ingest(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Continuously-maintained vector index INGEST: embeddings arrive as
@@ -972,49 +1001,46 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # NEVER driver-checked entries take priority over stale-but-checked
-    # ones: a first signal beats a refresh. First, the six added after
-    # the r4 window froze (VERDICT r4 "Next round" #2):
-    "shipping_priority", "order_priority_check", "local_supplier_volume",
-    "sampled_quantity_quantiles", "streaming_hll_distinct",
-    "streaming_windowed_hll",
-    # r4 hash-red on an oracle HUGEINT artifact, now CAST-fixed — kept in
-    # the window to convert the two red rows green (VERDICT r4 #1)
-    "quality_classifier", "streaming_quality_classifier",
-    # new round-5 entries, never driver-checked: the stream-stream
-    # right-outer twin, the trained-model classifier path, the
-    # corpus-prep composition (VERDICT r4 #6/#7/#8), the five shapes
-    # completing TPC-H 22, split/mixture governance ops, the custom
-    # Python sink round trip, the mapInArrow and SQL-UDF surfaces,
-    # bounded-state streaming dedup, and the custom-state entry whose
-    # rows-only check was upgraded to a full oracle
-    "streaming_click_attribution_right", "quality_logits_join",
-    "corpus_prep_pipeline", "min_cost_supplier", "product_type_profit",
-    "important_parts", "supplier_part_counts", "excess_suppliers",
-    "train_val_test_split", "corpus_mixture_stats",
-    "custom_sink_roundtrip", "arrow_token_counts", "sql_cosine_topk",
-    "streaming_dedup_watermark", "streaming_stateful_totals",
-    # r2-vintage refresh (last green row is CORRECTNESS_r02; their
-    # modules — dedup/similarity/textstats/replay — were edited in
-    # rounds 3-5 since). Twelve of the 39 r2 entries yield their slots
-    # to the first-signal entries above, chosen because their exact
-    # functions are untouched since r2 AND an in-window entry exercises
-    # the same machinery (corpus_prep_pipeline re-runs the quality-gate
-    # expressions and mixture rate math; custom_sink_roundtrip shares
-    # grouped_agg_token_totals' oracle; contamination_bloom (r4-green)
-    # covers the decontamination path; the tpch Q12/Q13/Q21 shapes are
-    # frozen code). The local sf0.01 sweep still re-verifies every
-    # entry each round.
-    "dedup_minhash_lsh", "dedup_simhash", "knn_bruteforce", "knn_graph",
-    "label_centroids", "embedding_norms", "streaming_wordcount",
-    "streaming_blacklist_filter", "streaming_sliding_counts",
-    "streaming_top3_per_window", "streaming_click_purchase_join",
-    "streaming_dedup", "streaming_quality_filter",
-    "streaming_daily_rollup", "click_purchase_conversions",
-    "asof_click_attribution", "token_stats", "top_terms_per_lang",
-    "quality_scores", "lang_guess", "doc_fingerprints",
-    "fingerprint_dupes", "skew_salted_counts", "similar_activity_pairs",
-    "mixture_rebalance", "skew_salted_join", "countmin_user_sketch",
+    # Round-6 window (VERDICT r5 "Next round" #1). Priority order:
+    # (a) the 8 entries that have NEVER had a driver row — all were
+    # rows-only by nature; knn_graph_lsh got a full hash-checked oracle
+    # this round (VERDICT r5 #2), the others still record a rows-only
+    # check, which proves they execute and row-count at sf0.01:
+    "knn_graph_lsh", "bpe_train_merges", "bpe_segment_stats",
+    "knn_ivf", "knn_ivfpq", "pq_codes", "pq_search_topk",
+    "media_byte_features",
+    # (b) entries new this round, never driver-checked: the epoch-
+    # idempotent streaming sink spelling (VERDICT r5 #3) and the
+    # continuously-running corpus-prep gate (VERDICT r5 #8):
+    "streaming_jsonl_sink", "streaming_corpus_prep",
+    # (c) the 16 stale entries whose latest green row is r1/r2-vintage
+    # (incl. the two intentionally-no-oracle approx twins, r1): after
+    # this round every registered entry's signal is ≤ 4 rounds old.
+    # customer_order_distribution (Q13) and waiting_suppliers (Q21)
+    # pair with this round's new plan asserts (VERDICT r5 #7):
+    "priority_shipping_mix", "customer_order_distribution",
+    "waiting_suppliers", "cohort_retention", "simhash_pairs",
+    "dedup_embedding_cosine", "grouped_agg_token_totals",
+    "quality_filter", "repetition_signals", "contamination_check",
+    "pack_sequences", "lm_bigram_scores", "daily_event_rollup",
+    "multimodal_meta", "approx_quantity_quantiles",
+    "approx_distinct_users",
+    # (d) r3-vintage refresh, filling the remaining 24 slots with the
+    # oldest-signal entries: the TPC-H core shapes (incl. Q18, whose
+    # pre-join partial-agg plan got pinned this round), the windowed/
+    # session family, and the streaming twins whose latest rows predate
+    # the r4/r5 replay-harness changes. The local sf0.01 sweep still
+    # re-verifies every entry each round.
+    "pricing_summary", "revenue_by_nation", "order_priority_counts",
+    "top_revenue_orders", "returned_items_report", "promo_revenue",
+    "large_volume_orders", "discounted_parts_revenue",
+    "idle_rich_customers", "nation_trade_volume", "market_share",
+    "blacklist_left_outer", "top3_products_per_brand",
+    "tumbling_counts", "sliding_counts", "hot_words_per_window",
+    "session_windows", "sessionize", "embedding_quantize",
+    "centroid_assign", "streaming_session_windows",
+    "streaming_two_level_agg", "streaming_pivot_counts",
+    "streaming_click_attribution_outer",
 ]
 
 
@@ -1414,6 +1440,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             DD.dedup_keep_best(load_table(s, d, "documents"), cache_key=d),
             target_ppm={"en": 400000, "de": 150000, "es": 150000,
                         "fr": 150000, "zh": 150000}),
+        # the SAME chain as a continuously-running corpus gate: per
+        # micro-batch corpus_prep_apply against prebuilt drop-set and
+        # rate artifacts (round-5 VERDICT #8)
+        "streaming_corpus_prep": _q_streaming_corpus_prep,
         # skew-aware aggregation (two-phase salted; results identical)
         "skew_salted_counts": lambda s, d: SK.salted_counts(
             load_table(s, d, "events"), "event_type"),
@@ -3707,6 +3737,9 @@ def oracle_sql() -> dict[str, str]:
                 md5('mix1' || '#' || CAST(d.doc_id AS VARCHAR)), 1, 15)
               AS BIGINT) % 1000 < r.permille
     """
+    # the streamed corpus gate: per-document decisions against fixed
+    # broadcast artifacts, so union-of-micro-batches == one-shot batch
+    sql["streaming_corpus_prep"] = sql["corpus_prep_pipeline"]
     # hashed bag-of-words: md5-derived bucket, bit-identical both engines
     sql["hashed_bow"] = """
         WITH tok AS (

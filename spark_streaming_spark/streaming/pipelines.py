@@ -182,18 +182,72 @@ def scd1_merge_sink(spark, base: DataFrame, key: str, state_dir: str):
     stream."""
     import os
 
-    def current_state() -> DataFrame:
-        marker = os.path.join(state_dir, "CURRENT")
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                return spark.read.parquet(
-                    os.path.join(state_dir, fh.read().strip()))
+    def state_before(epoch_id: int) -> DataFrame:
+        # the state AS OF the previous epoch, not CURRENT: on an epoch
+        # replay CURRENT already points at v{epoch} — reading it while
+        # overwriting the same directory races the lazy scan against
+        # the rewrite (observed FAILED_READ_FILE), and the merge input
+        # must be the predecessor for the rewrite to be deterministic
+        prior = [
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+            and int(d[1:]) < epoch_id
+        ] if os.path.isdir(state_dir) else []
+        if prior:
+            return spark.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}"))
         return base
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from spark_streaming_spark.operators.merge import scd1_merge
 
-        merged = scd1_merge(current_state(), batch_df, key)
+        merged = scd1_merge(state_before(epoch_id), batch_df, key)
+        vdir = f"v{epoch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, vdir))
+        tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+    return write_batch
+
+
+def scd2_merge_sink(spark, key: str, ts_col: str, tracked: list[str],
+                    state_dir: str):
+    """foreachBatch SCD2 sink: maintain a VERSIONED-HISTORY table from a
+    stream of change rows — each micro-batch folds into the accumulated
+    history via operators/merge.scd2_merge (untouched keys anti-join
+    through; affected keys rebuild from compressed-history ∪ batch).
+    Same atomic versioned-publish + CURRENT-marker protocol as
+    :func:`scd1_merge_sink`, so publishes are atomic and epoch replay is
+    idempotent. The stream must be replayed in event-time order
+    (scd2_merge's forward-in-time contract — exactly what a live change
+    feed delivers); a backfill instead rebuilds from the raw log."""
+    import os
+
+    def state_before(epoch_id: int) -> DataFrame | None:
+        # predecessor version, never CURRENT: replay-deterministic and
+        # free of the read-while-overwrite race (scd1_merge_sink note)
+        prior = [
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+            and int(d[1:]) < epoch_id
+        ] if os.path.isdir(state_dir) else []
+        if prior:
+            return spark.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}"))
+        return None
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from spark_streaming_spark.operators.merge import (
+            scd2_from_changes, scd2_merge)
+
+        state = state_before(epoch_id)
+        if state is None:
+            merged = scd2_from_changes(batch_df, key, ts_col, tracked)
+        else:
+            merged = scd2_merge(state, batch_df, key, ts_col, tracked)
         vdir = f"v{epoch_id}"
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, vdir))

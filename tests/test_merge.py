@@ -94,3 +94,71 @@ def test_scd1_merge_sink_stream_equals_batch(spark, tmp_path):
     replayed = {tuple(r) for r in spark.read.parquet(
         os.path.join(state_dir, cur2)).collect()}
     assert replayed == streamed
+
+
+def test_scd2_merge_equals_rebuild_forward_in_time(spark):
+    """Under the forward-in-time contract (updates later than all
+    history), the delta merge must equal the full-log rebuild exactly —
+    including the collapse of an unchanged status across the split
+    boundary."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.operators.merge import (
+        scd2_from_changes, scd2_merge)
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type")
+    full = scd2_from_changes(ev, "user_id", "ts", ["event_type"])
+    cutoff = ev.agg(F.max("ts")).first()[0] - datetime.timedelta(days=7)
+    merged = scd2_merge(
+        scd2_from_changes(ev.filter(F.col("ts") < F.lit(cutoff)),
+                          "user_id", "ts", ["event_type"]),
+        ev.filter(F.col("ts") >= F.lit(cutoff)),
+        "user_id", "ts", ["event_type"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect()))
+
+
+def test_scd2_backfill_between_collapsed_dupes_needs_raw_log(spark):
+    """The documented contract boundary: an out-of-order insert BETWEEN
+    two previously-collapsed duplicate versions cannot be recovered from
+    the compressed history — merge and raw-log rebuild legitimately
+    differ there (A@t1, A@t3 collapse to A@t1; inserting B@t2 must
+    resurrect A@t3, which only the raw log still knows)."""
+    from spark_streaming_spark.operators.merge import (
+        scd2_from_changes, scd2_merge)
+
+    log = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "A"), (1, "2024-01-03 00:00:00", "A")],
+        "k long, ts string, s string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    backfill = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", "B")], "k long, ts string, s string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_from_changes(log, "k", "ts", ["s"])
+    assert hist.count() == 1  # duplicates collapsed
+    merged = scd2_merge(hist, backfill, "k", "ts", ["s"])
+    rebuilt = scd2_from_changes(log.unionByName(backfill), "k", "ts", ["s"])
+    assert rebuilt.count() == 3  # A, B, A resurrected
+    assert merged.count() == 2  # compressed history lost the third
+
+
+def test_scd2_sink_epoch_replay_idempotent(spark, tmp_path):
+    """Replaying an epoch through scd2_merge_sink rewrites the same
+    version directory from the same predecessor — same bytes, no
+    duplicate versions (the scd1 sink's exactly-once argument)."""
+    from spark_streaming_spark.operators.merge import scd2_from_changes
+    from spark_streaming_spark.streaming.pipelines import scd2_merge_sink
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type").limit(200)
+    sink = scd2_merge_sink(spark, "user_id", "ts", ["event_type"],
+                           str(tmp_path))
+    sink(ev, 0)
+    first = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "v0")).collect()))
+    sink(ev, 0)  # epoch replay
+    assert sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "v0")).collect())) == first

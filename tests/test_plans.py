@@ -556,3 +556,18 @@ def test_q18_having_partial_aggregates_before_joins(spark):
     assert any("l_orderkey" in ln for ln in agg_lines), (
         f"aggregation must key on l_orderkey pre-join:\n{text[:1500]}"
     )
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The grid-blocked containment lookup must plan as a broadcast
+    EQUI join on the cell key — the naive theta spelling's
+    BroadcastNestedLoopJoin is exactly what this operator exists to
+    avoid (O(facts x ranges) comparisons at scale)."""
+    from spark_streaming_spark.operators import rangejoin as RJ
+
+    df = RJ.value_tier_totals(
+        load_table(spark, SF_DIR, "events"), RJ.value_tiers(spark))
+    text = explain.explain_text(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "BroadcastHashJoin" in text
+    assert explain.has_partial_aggregate(df)

@@ -28,6 +28,7 @@ from spark_streaming_spark.operators import blacklist as B
 from spark_streaming_spark.operators import conversions as CV
 from spark_streaming_spark.operators import dedup as DD
 from spark_streaming_spark.operators import ann as ANN
+from spark_streaming_spark.operators import graphrank as GRK
 from spark_streaming_spark.operators import grouped as G
 from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import pipeline as PL
@@ -1127,8 +1128,8 @@ _CHECK_FIRST = [
     # session family, and the streaming twins whose latest rows predate
     # the r4/r5 replay-harness changes. The local sf0.01 sweep still
     # re-verifies every entry each round.
-    "pricing_summary", "revenue_by_nation", "order_priority_counts",
-    "top_revenue_orders", "returned_items_report", "promo_revenue",
+    "pricing_summary", "revenue_by_nation", "value_tier_totals",
+    "top_revenue_orders", "returned_items_report", "supplier_corank",
     "large_volume_orders", "discounted_parts_revenue",
     "idle_rich_customers", "nation_trade_volume", "market_share",
     "blacklist_left_outer", "top3_products_per_brand",
@@ -1546,6 +1547,18 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose naive spelling is a BroadcastNestedLoopJoin
         "value_tier_totals": lambda s, d: RJ.value_tier_totals(
             load_table(s, d, "events"), RJ.value_tiers(s)),
+        # the SAME lookup per micro-batch: stream-static broadcast of
+        # the exploded tier grid into each trigger's equi join, counts
+        # finalized in complete mode — shared oracle
+        "streaming_value_tiers": lambda s, d: _run_streamed(
+            s, d, "events",
+            lambda st: RJ.value_tier_totals(st, RJ.value_tiers(s)),
+            "complete"),
+        # weighted PageRank by power iteration over the co-supply
+        # graph (operators/graphrank.py): the iterative workload class,
+        # engine-exact per round, unrolled in the oracle
+        "supplier_corank": lambda s, d: GRK.supplier_corank(
+            load_table(s, d, "lineitem")),
         # skew-aware aggregation (two-phase salted; results identical)
         "skew_salted_counts": lambda s, d: SK.salted_counts(
             load_table(s, d, "events"), "event_type"),
@@ -1756,6 +1769,37 @@ def _LSH_TAGGED_CTE() -> str:
 
 
 _LSH_ANY_TABLE = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(SIM.N_TABLES))
+
+
+def _CORANK_SQL(n_iters: int = 3) -> str:
+    """DuckDB twin of graphrank.supplier_corank — the same quantized
+    contributions and fixed IEEE affine, with the power iterations
+    UNROLLED as CTE rounds (the iteration count is a plan constant)."""
+    iters, prev = "", "r0"
+    for i in range(1, n_iters + 1):
+        iters += f""",
+        c{i} AS (
+          SELECT e.dst, CAST(ROUND(r.r * e.w / o.out_w, 7)
+                 AS DECIMAL(38,8)) AS c
+          FROM edges e JOIN {prev} r ON r.supp = e.src
+                       JOIN outw o ON o.src = e.src),
+        s{i} AS (SELECT dst, CAST(SUM(c) AS DOUBLE) AS s
+                 FROM c{i} GROUP BY dst),
+        r{i} AS (SELECT b.supp, 0.15 / nn.n + 0.85 * COALESCE(s{i}.s, 0.0)
+                 AS r FROM {prev} b LEFT JOIN s{i} ON s{i}.dst = b.supp, nn)"""
+        prev = f"r{i}"
+    return f"""
+        WITH edges AS (
+          SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+          GROUP BY 1, 2
+        ),
+        outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM outw),
+        r0 AS (SELECT src AS supp, 1.0 / nn.n AS r FROM outw, nn){iters}
+        SELECT supp, r AS rank FROM {prev}
+    """
 
 
 def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
@@ -2899,6 +2943,9 @@ def oracle_sql() -> dict[str, str]:
         FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
         GROUP BY tier
     """
+    sql["streaming_value_tiers"] = sql["value_tier_totals"]
+    # power-iteration rank: iterations unrolled as CTE rounds
+    sql["supplier_corank"] = _CORANK_SQL()
     # oracle for the CUSTOM PYTHON SOURCE entry: regenerate the source's
     # integer-derived rows from range() and roll up identically
     sql["synthetic_source_rollup"] = """

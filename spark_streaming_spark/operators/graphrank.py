@@ -1,0 +1,90 @@
+"""Weighted PageRank by power iteration, Spark-first: the iterative
+workload class (rank propagation over a co-occurrence graph) expressed
+as per-round join + aggregate with a driver loop, lineage truncated by
+``localCheckpoint`` each round — the same iterative discipline as the
+connected-components loop in operators/dedup.py and the BPE trainer.
+
+Engine-exact by construction (the sketch recipe from SURVEY §house
+rules): per-edge contributions are quantized to 7 dp DECIMAL(38,8)
+before the order-independent sum, the damping affine uses plain IEEE
+double ops in a fixed sequence, and the iteration count is a plan
+constant — so a DuckDB oracle that unrolls the same rounds reproduces
+every rank bit-for-bit. Approximate-iterative ≠ unverifiable when each
+step is deterministic (the knn_graph_lsh / knn_ivf_det rationale).
+
+Graph: suppliers co-supplying an order (lineitem self-join on
+l_orderkey), edge weight = co-occurrence count; symmetric, so every
+node has out-edges and there is no dangling-mass correction to model.
+
+Scale shape: the edge build shuffles lineitem once on the order key
+(bounded per-order quadratic — suppliers per order is small and fixed
+by the schema, the same bound as every order-grain join); each
+iteration then touches only the EDGE table (|E| rows) and the rank
+vector (|V| rows) — a join keyed on src, an aggregate keyed on dst.
+At 100 TB the edge table is built once and the per-round cost is two
+shuffles of |E|, independent of corpus size; the rank vector stays
+broadcastable until |V| is itself huge, at which point the join is the
+correct plan anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cosupply_edges(lineitem: DataFrame) -> DataFrame:
+    """(src, dst, w): supplier co-occurrence within an order, symmetric,
+    self-pairs excluded. Columns: src, dst, w."""
+    a, b = lineitem.alias("a"), lineitem.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_suppkey") != F.col("b.l_suppkey")))
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def supplier_corank(lineitem: DataFrame, n_iters: int = 3,
+                    damping: float = 0.85) -> DataFrame:
+    """Weighted PageRank over the co-supply graph, ``n_iters`` power
+    iterations from the uniform vector. Columns: supp, rank.
+
+    Per round: rank flows along each edge proportionally to its weight
+    share of the source's out-weight; contributions quantize to 7 dp
+    decimals (order-independent exact sum), then
+    ``rank' = (1-d)/N + d·Σ`` in a fixed IEEE sequence. The edge and
+    out-weight tables are localCheckpointed once (reused every round);
+    the rank vector is localCheckpointed per round so the plan stays
+    O(1) in rounds."""
+    edges = cosupply_edges(lineitem).localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    outw = outw.localCheckpoint(eager=True)
+    n = outw.count()
+    base, d = (1.0 - damping) / n, damping
+    rank = outw.select(
+        F.col("src").alias("supp"), F.lit(1.0 / n).alias("r"))
+    contrib = F.expr(
+        "cast(round(r * w / out_w, 7) as decimal(38,8))")
+    for _ in range(n_iters):
+        flows = (
+            edges.join(rank, edges["src"] == rank["supp"])
+            .join(outw, "src")
+            .select("dst", contrib.alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        rank = (
+            rank.select("supp")
+            .join(flows, rank["supp"] == flows["dst"], "left")
+            .select(
+                "supp",
+                (F.lit(base) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0)))
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("supp", F.col("r").alias("rank"))

@@ -26,12 +26,26 @@ def test_oracle_keys_subset():
     assert set(ORACLES) <= set(QUERIES)
 
 
-def test_checked_window_is_all_oracle_backed():
-    """The driver verifies only the first 50 queries() entries; every one
-    of those slots must carry a DuckDB oracle (no `err:no_oracle` burn)."""
+# The round-6 window deliberately spends slots on rows-only entries:
+# these had NEVER had a driver row (VERDICT r5 #1 — a first signal that
+# the entry executes and row-counts beats another oracle refresh), plus
+# the two intentional engine-private approx twins. Pinned exactly so an
+# ACCIDENTAL oracle-less entry in the window still fails this test.
+_INTENDED_ROWS_ONLY = {
+    "bpe_train_merges", "bpe_segment_stats", "knn_ivf", "knn_ivfpq",
+    "pq_codes", "pq_search_topk", "media_byte_features",
+    "approx_quantity_quantiles", "approx_distinct_users",
+}
+
+
+def test_checked_window_oracle_slots():
+    """The driver verifies only the first 50 queries() entries; every
+    slot must carry a DuckDB oracle EXCEPT the deliberate first-signal
+    rows-only set above."""
     first_50 = list(QUERIES)[:50]
-    missing = [n for n in first_50 if n not in ORACLES]
-    assert missing == []
+    missing = {n for n in first_50 if n not in ORACLES}
+    assert missing == _INTENDED_ROWS_ONLY & missing
+    assert missing <= _INTENDED_ROWS_ONLY
     assert len(set(entrymod._CHECK_FIRST)) == len(entrymod._CHECK_FIRST)
     # the list must sit EXACTLY at the window cap: one more append would
     # silently evict a checked entry with every other test still green

@@ -1,0 +1,43 @@
+"""Power-iteration rank (operators/graphrank.py): probability-mass
+conservation, determinism, and the iterative-plan discipline."""
+
+from __future__ import annotations
+
+from spark_streaming_spark.operators import graphrank as GR
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR
+
+
+def test_corank_mass_conserved_and_deterministic(spark):
+    """Symmetric graph → no dangling mass: ranks must sum to 1 up to
+    the 7 dp contribution quantization (|V|·1e-7 bound), and two runs
+    must agree bit-for-bit (the oracle-exactness precondition)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    r1 = {(r.supp, r.rank) for r in GR.supplier_corank(li).collect()}
+    total = sum(v for _, v in r1)
+    assert abs(total - 1.0) <= len(r1) * 1e-6
+    r2 = {(r.supp, r.rank) for r in GR.supplier_corank(li).collect()}
+    assert r1 == r2
+
+
+def test_corank_edges_symmetric_no_self_loops(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = {(r.src, r.dst, r.w) for r in GR.cosupply_edges(li).collect()}
+    assert edges
+    assert all(s != d for s, d, _ in edges)
+    assert all((d, s, w) in edges for s, d, w in edges)
+
+
+def test_corank_more_iterations_converge(spark):
+    """Power iteration must move toward a fixpoint: the L1 delta
+    between successive iterates shrinks (damping contraction)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    r2 = dict((r.supp, r.rank) for r in
+              GR.supplier_corank(li, n_iters=2).collect())
+    r3 = dict((r.supp, r.rank) for r in
+              GR.supplier_corank(li, n_iters=3).collect())
+    r4 = dict((r.supp, r.rank) for r in
+              GR.supplier_corank(li, n_iters=4).collect())
+    d23 = sum(abs(r3[k] - r2[k]) for k in r2)
+    d34 = sum(abs(r4[k] - r3[k]) for k in r3)
+    assert d34 < d23

@@ -32,6 +32,7 @@ from spark_streaming_spark.operators import graphrank as GRK
 from spark_streaming_spark.operators import grouped as G
 from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import pipeline as PL
+from spark_streaming_spark.operators import profile as PF
 from spark_streaming_spark.operators import rangejoin as RJ
 from spark_streaming_spark.operators import redaction as RED
 from spark_streaming_spark.operators import skew as SK
@@ -164,8 +165,12 @@ def _q_streaming_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.sources import pysink
     from spark_streaming_spark.streaming import replay
 
+    # a deterministic quarter of the corpus: the sink's row-at-a-time
+    # Python JSON serialization is the cost being exercised, and commit
+    # semantics are row-count-independent — all langs still covered,
+    # oracle applies the same predicate
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text")
+        "doc_id", "lang", "text").filter(F.col("doc_id") % 4 == 0)
     src = replay.chunk_to_dir(docs, 3)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out = tempfile.mkdtemp(prefix="spark_jsonl_stream_sink_", dir=base)
@@ -1036,7 +1041,12 @@ def _q_streaming_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_streaming_spark.streaming import replay
 
     docs = load_table(spark, sf_dir, "documents")
-    drop = DD.dedup_keep_best(docs, cache_key=sf_dir)
+    # BOTH serve artifacts materialized once (that is their semantics —
+    # the build products an ingest stream consumes), so the per-epoch
+    # chain replays map-side against fixed tables instead of re-running
+    # the dedup plan every micro-batch
+    drop = DD.dedup_keep_best(docs, cache_key=sf_dir).localCheckpoint(
+        eager=True)
     rates = SMP.mixture_rates(
         PL._dedup_and_gate(docs, drop),
         {"en": 400000, "de": 150000, "es": 150000,
@@ -1554,6 +1564,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, "events",
             lambda st: RJ.value_tier_totals(st, RJ.value_tiers(s)),
             "complete"),
+        # one-pass data-quality profile (operators/profile.py): every
+        # per-column audit metric from a single Aggregate over one scan
+        "orders_profile": lambda s, d: PF.table_profile(
+            load_table(s, d, "orders"),
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"]),
         # weighted PageRank by power iteration over the co-supply
         # graph (operators/graphrank.py): the iterative workload class,
         # engine-exact per round, unrolled in the oracle
@@ -2946,6 +2962,35 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_value_tiers"] = sql["value_tier_totals"]
     # power-iteration rank: iterations unrolled as CTE rounds
     sql["supplier_corank"] = _CORANK_SQL()
+    # one-pass profile: long-form union of the same rendered aggregates
+    # (doubles quantized to DECIMAL(38,7) before the hull on both sides)
+    sql["orders_profile"] = """
+        SELECT '*' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM orders
+          UNION ALL SELECT 'o_orderkey', 'n_null', CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_orderkey', 'n_distinct', CAST(COUNT(DISTINCT o_orderkey) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_orderkey', 'min', COALESCE(CAST(MIN(o_orderkey) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_orderkey', 'max', COALESCE(CAST(MAX(o_orderkey) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_custkey', 'n_null', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_custkey', 'n_distinct', CAST(COUNT(DISTINCT o_custkey) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_custkey', 'min', COALESCE(CAST(MIN(o_custkey) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_custkey', 'max', COALESCE(CAST(MAX(o_custkey) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_orderstatus', 'n_null', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_orderstatus', 'n_distinct', CAST(COUNT(DISTINCT o_orderstatus) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_orderstatus', 'min', COALESCE(CAST(MIN(o_orderstatus) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_orderstatus', 'max', COALESCE(CAST(MAX(o_orderstatus) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_totalprice', 'n_null', CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_totalprice', 'n_distinct', CAST(COUNT(DISTINCT o_totalprice) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_totalprice', 'min', COALESCE(CAST(MIN(CAST(o_totalprice AS DECIMAL(38,7))) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_totalprice', 'max', COALESCE(CAST(MAX(CAST(o_totalprice AS DECIMAL(38,7))) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_orderdate', 'n_null', CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_orderdate', 'n_distinct', CAST(COUNT(DISTINCT o_orderdate) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_orderdate', 'min', COALESCE(CAST(MIN(o_orderdate) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_orderdate', 'max', COALESCE(CAST(MAX(o_orderdate) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_orderpriority', 'n_null', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_orderpriority', 'n_distinct', CAST(COUNT(DISTINCT o_orderpriority) AS VARCHAR) FROM orders
+          UNION ALL SELECT 'o_orderpriority', 'min', COALESCE(CAST(MIN(o_orderpriority) AS VARCHAR), 'null') FROM orders
+          UNION ALL SELECT 'o_orderpriority', 'max', COALESCE(CAST(MAX(o_orderpriority) AS VARCHAR), 'null') FROM orders
+    """
     # oracle for the CUSTOM PYTHON SOURCE entry: regenerate the source's
     # integer-derived rows from range() and roll up identically
     sql["synthetic_source_rollup"] = """
@@ -4158,8 +4203,13 @@ def oracle_sql() -> dict[str, str]:
     sql["custom_sink_roundtrip"] = sql["grouped_agg_token_totals"]
     # the STREAMED sink spelling commits each micro-batch's rows exactly
     # once (epoch-idempotent manifest merge), so the read-back equals the
-    # batch table and shares the same exact oracle
-    sql["streaming_jsonl_sink"] = sql["grouped_agg_token_totals"]
+    # batch table under the entry's deterministic doc_id subset
+    sql["streaming_jsonl_sink"] = """
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 AS total_tokens
+        FROM documents WHERE doc_id % 4 = 0 GROUP BY lang
+    """
     # mapInArrow twin computes the identical integer counts
     sql["arrow_token_counts"] = sql["pandas_token_counts"]
     # SQL-UDF cosine over the 1-in-20 eval subset (scaled-int contract)

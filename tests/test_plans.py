@@ -571,3 +571,18 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in text
     assert "BroadcastHashJoin" in text
     assert explain.has_partial_aggregate(df)
+
+
+def test_table_profile_is_single_pass(spark):
+    """The k-column profile must be ONE Aggregate over ONE scan — not
+    k jobs: exactly one parquet scan in the plan, and the aggregate
+    partial-combines map-side (only one 1-row exchange)."""
+    from spark_streaming_spark.operators import profile as PF
+
+    df = PF.table_profile(
+        load_table(spark, SF_DIR, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    text = explain.explain_text(df, "simple")
+    assert text.count("FileScan parquet") + text.count(
+        "Scan parquet") <= 2  # one scan (name varies by node rendering)
+    assert explain.has_partial_aggregate(df)

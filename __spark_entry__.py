@@ -1132,17 +1132,19 @@ _CHECK_FIRST = [
     "pack_sequences", "lm_bigram_scores", "daily_event_rollup",
     "multimodal_meta", "approx_quantity_quantiles",
     "approx_distinct_users",
-    # (d) r3-vintage refresh, filling the remaining 24 slots with the
-    # oldest-signal entries: the TPC-H core shapes (incl. Q18, whose
-    # pre-join partial-agg plan got pinned this round), the windowed/
-    # session family, and the streaming twins whose latest rows predate
-    # the r4/r5 replay-harness changes. The local sf0.01 sweep still
-    # re-verifies every entry each round.
+    # (d) the remaining 24 slots: first-signal for every OTHER entry
+    # added this round (value_tier_totals + streamed twin, the SCD2
+    # trio, supplier_corank, knn_ivf_det, orders_profile — "a first
+    # signal beats a refresh"), then r3-vintage refreshes: TPC-H core
+    # shapes (incl. Q18, whose pre-join partial-agg plan got pinned
+    # this round), the windowed/session family, and streaming twins
+    # whose latest rows predate the r4/r5 replay-harness changes. The
+    # local sf0.01 sweep still re-verifies every entry each round.
     "pricing_summary", "revenue_by_nation", "value_tier_totals",
     "top_revenue_orders", "returned_items_report", "supplier_corank",
     "large_volume_orders", "discounted_parts_revenue",
-    "idle_rich_customers", "nation_trade_volume", "market_share",
-    "blacklist_left_outer", "top3_products_per_brand",
+    "orders_profile", "streaming_value_tiers", "scd2_status_merge",
+    "blacklist_left_outer", "pq_codes_det",
     "scd2_user_status", "sliding_counts", "streaming_scd2_merge",
     "session_windows", "sessionize", "knn_ivf_det",
     "centroid_assign", "streaming_session_windows",
@@ -1716,6 +1718,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KMeans-trained — iterative, no SQL twin: rows-only entries;
         # the ADC ≡ reconstruction-distance identity and rerank recall
         # are pinned in tests/test_ann.py
+        # deterministic PQ twin (ann.det_pq_codes): shared md5 seed
+        # set + one Lloyd round per subspace — encoding hash-checks
+        # against SQL; ml.KMeans pq_codes stays the rows-only path
+        "pq_codes_det": lambda s, d: ANN.det_pq_codes(
+            load_table(s, d, "embeddings")),
         "pq_codes": lambda s, d: ANN.pq_encode(
             load_table(s, d, "embeddings"),
             ANN.pq_train(load_table(s, d, "embeddings"), m=4, k=16,
@@ -1815,6 +1822,59 @@ def _CORANK_SQL(n_iters: int = 3) -> str:
         nn AS (SELECT COUNT(*) AS n FROM outw),
         r0 AS (SELECT src AS supp, 1.0 / nn.n AS r FROM outw, nn){iters}
         SELECT supp, r AS rank FROM {prev}
+    """
+
+
+def _PQ_DET_SQL(m: int = 8, k: int = 8) -> str:
+    """DuckDB twin of ann.det_pq_codes — shared-seed init, one Lloyd
+    round per subspace, decimal-contract distances/means."""
+    sub = 64 // m
+    d2 = ("CAST(SUM(CAST(ROUND((l.x - c.v) * (l.x - c.v), 7)"
+          " AS DECIMAL(38,8))) AS DOUBLE)")
+    return f"""
+        WITH long AS (
+          SELECT vec_id, CAST((i-1) // {sub} AS INT) AS s,
+                 (i-1) % {sub} AS j, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings, (SELECT unnest(range(1,65)) AS i) ii
+        ),
+        seeds AS (
+          SELECT vec_id, CAST(row_number() OVER (
+            ORDER BY md5('pqdet1#' || CAST(vec_id AS VARCHAR)), vec_id)
+            AS INT) - 1 AS c
+          FROM embeddings
+          ORDER BY md5('pqdet1#' || CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {k}
+        ),
+        cent0 AS (SELECT l.s, sd.c, l.j, l.x AS v
+                  FROM seeds sd JOIN long l USING (vec_id)),
+        d0 AS (
+          SELECT l.vec_id, l.s, c.c, {d2} AS d2
+          FROM long l JOIN cent0 c ON c.s = l.s AND c.j = l.j
+          GROUP BY l.vec_id, l.s, c.c
+        ),
+        a0 AS (SELECT vec_id, s, c FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d2, c) rn FROM d0)
+          WHERE rn = 1),
+        cent1 AS (
+          SELECT l.s, a.c, l.j,
+                 CAST(SUM(CAST(ROUND(l.x, 7) AS DECIMAL(38,8)))
+                   AS DOUBLE) / COUNT(*) AS v
+          FROM a0 a JOIN long l ON l.vec_id = a.vec_id AND l.s = a.s
+          GROUP BY l.s, a.c, l.j
+        ),
+        d1 AS (
+          SELECT l.vec_id, l.s, c.c, {d2} AS d2
+          FROM long l JOIN cent1 c ON c.s = l.s AND c.j = l.j
+          GROUP BY l.vec_id, l.s, c.c
+        ),
+        a1 AS (SELECT vec_id, s, c FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d2, c) rn FROM d1)
+          WHERE rn = 1)
+        SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY s)
+          AS code_str
+        FROM a1 GROUP BY vec_id
     """
 
 
@@ -2964,6 +3024,7 @@ def oracle_sql() -> dict[str, str]:
     sql["supplier_corank"] = _CORANK_SQL()
     # one-pass profile: long-form union of the same rendered aggregates
     # (doubles quantized to DECIMAL(38,7) before the hull on both sides)
+    sql["pq_codes_det"] = _PQ_DET_SQL()
     sql["orders_profile"] = """
         SELECT '*' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM orders
           UNION ALL SELECT 'o_orderkey', 'n_null', CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders

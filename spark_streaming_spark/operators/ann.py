@@ -297,6 +297,87 @@ def knn_ivf_det(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     )
 
 
+def det_pq_codes(embeddings: DataFrame, m: int = 8,
+                 k: int = 8) -> DataFrame:
+    """DETERMINISTIC product quantization — the knn_ivf_det recipe
+    applied per subspace: the ``k`` codebook seeds are the vectors with
+    the smallest md5 hash (one shared seed set; subspace s's initial
+    centroids are their s-th subvectors), then ONE Lloyd round per
+    subspace under the decimal contract (7 dp-quantized squared
+    distances, decimal-exact means), then the final per-subspace argmin
+    assigns each vector its m codes. Every step reproduces in DuckDB,
+    so PQ encoding — the storage tier of the ANN stack — gets the same
+    hash-checked bar as the IVF and LSH tiers. ml.KMeans ``pq_train``
+    stays as the rows-only industrial path.
+
+    Long-form plan: (vec_id, subspace, dim, x) explodes once
+    (D rows/vector); each assignment pass is one join against the
+    m·k·(D/m)-row centroid table (D·k multiply-adds per vector — the
+    textbook PQ encode cost) followed by a struct-min argmin
+    aggregation (map-side partial). Columns: vec_id, code_str (the m
+    codes comma-joined — a cross-engine-stable rendering)."""
+    from pyspark.sql.window import Window
+
+    dim = 64
+    sub = dim // m
+    long = (
+        embeddings.select(
+            "vec_id", F.posexplode("embedding").alias("i", "xf"))
+        .select(
+            "vec_id",
+            (F.col("i") / sub).cast("int").alias("s"),
+            (F.col("i") % sub).alias("j"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    h = F.md5(F.concat_ws(
+        "#", F.lit("pqdet1"), F.col("vec_id").cast("string")))
+    seeds = (
+        embeddings.select("vec_id", h.alias("h"))
+        .orderBy("h", "vec_id").limit(k)
+        .withColumn(
+            "c", F.row_number().over(Window.orderBy("h", "vec_id")) - 1)
+        .select("vec_id", "c")
+    )
+    cent0 = (
+        seeds.join(long, "vec_id")
+        .select("s", "c", "j", F.col("x").alias("v"))
+    )
+    contrib = F.expr(
+        "cast(round((x - v) * (x - v), 7) as decimal(38,8))")
+
+    def assign(cent: DataFrame) -> DataFrame:
+        return (
+            long.join(F.broadcast(cent), ["s", "j"])
+            .select("vec_id", "s", "c", contrib.alias("d"))
+            .groupBy("vec_id", "s", "c")
+            .agg(F.sum("d").cast("double").alias("d2"))
+            .groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d2", "c")).alias("m"))
+            .select("vec_id", "s", F.col("m.c").alias("c"))
+        )
+
+    a0 = assign(cent0)
+    mean = (
+        F.sum(F.round(F.col("x"), 7).cast("decimal(38,8)"))
+        .cast("double") / F.count("x")
+    )
+    cent1 = (
+        a0.join(long, ["vec_id", "s"])
+        .groupBy("s", "c", "j").agg(mean.alias("v"))
+    )
+    codes = assign(cent1)
+    return (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "c"))).alias("arr"))
+        .select(
+            "vec_id",
+            F.expr("array_join(transform(arr, x -> cast(x.c as string)), ',')")
+            .alias("code_str"),
+        )
+    )
+
+
 def pq_train(embeddings: DataFrame, m: int = 8, k: int = 16,
              seed: int = 42,
              cache_key: str | None = None) -> list[list[list[float]]]:

@@ -259,6 +259,39 @@ def scd2_merge_sink(spark, key: str, ts_col: str, tracked: list[str],
     return write_batch
 
 
+def vacuum_versions(state_dir: str, keep: int = 2) -> list[str]:
+    """Retention for the versioned-state sinks (scd1/scd2_merge_sink):
+    remove all but the newest ``keep`` version directories, never the
+    one CURRENT points to. Keep ≥ 2 so an epoch replay can still read
+    its predecessor (state_before's contract) after a vacuum. Returns
+    the removed directory names. Unbounded version accumulation is the
+    sink's only unbounded resource — a production fold vacuums on a
+    cadence, exactly like a table format's VACUUM."""
+    import os
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    versions = sorted(
+        (int(d[1:]) for d in os.listdir(state_dir)
+         if d.startswith("v") and d[1:].isdigit()),
+        reverse=True,
+    )
+    current = None
+    marker = os.path.join(state_dir, "CURRENT")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            current = fh.read().strip()
+    removed = []
+    for v in versions[keep:]:
+        name = f"v{v}"
+        if name == current:
+            continue
+        shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+        removed.append(name)
+    return removed
+
+
 def jdbc_upsert_sink(url: str, table: str, properties: dict[str, str]):
     """foreachBatch JDBC sink: batched, parameterized, connection-per-
     partition (Spark's JDBC writer) — replaces the reference's hand-built

@@ -161,3 +161,20 @@ def test_ivf_det_partial_probe_subset(spark):
     assert len(part) == 10
     again = ann.knn_ivf_det(emb, n_cells=8, nprobe=2).collect()
     assert [tuple(r) for r in part] == [tuple(r) for r in again]
+
+
+def test_det_pq_codes_shape_and_determinism(spark):
+    """Deterministic PQ: every vector gets m codes in [0, k); identical
+    across runs (the oracle-exactness precondition); codes actually
+    discriminate (more than one distinct codeword used)."""
+    from spark_streaming_spark.operators import ann
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = ann.det_pq_codes(emb, m=8, k=8).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        codes = [int(c) for c in r.code_str.split(",")]
+        assert len(codes) == 8 and all(0 <= c < 8 for c in codes)
+    assert len({r.code_str for r in rows}) > 1
+    again = ann.det_pq_codes(emb, m=8, k=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

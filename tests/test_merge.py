@@ -162,3 +162,28 @@ def test_scd2_sink_epoch_replay_idempotent(spark, tmp_path):
     sink(ev, 0)  # epoch replay
     assert sorted(map(tuple, spark.read.parquet(
         str(tmp_path / "v0")).collect())) == first
+
+
+def test_vacuum_versions_keeps_newest_and_current(spark, tmp_path):
+    """Vacuum drops old version dirs, never the newest `keep` nor the
+    CURRENT target; the folded state survives and replay of the newest
+    epoch can still find its predecessor."""
+    import os
+
+    from spark_streaming_spark.streaming.pipelines import (
+        scd2_merge_sink, vacuum_versions)
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type").limit(300)
+    sink = scd2_merge_sink(spark, "user_id", "ts", ["event_type"],
+                           str(tmp_path))
+    for epoch in range(4):
+        sink(ev.limit(75 * (epoch + 1)), epoch)
+    removed = vacuum_versions(str(tmp_path), keep=2)
+    assert sorted(removed) == ["v0", "v1"]
+    left = {d for d in os.listdir(str(tmp_path)) if d.startswith("v")}
+    assert left == {"v2", "v3"}
+    with open(os.path.join(str(tmp_path), "CURRENT")) as fh:
+        assert fh.read().strip() == "v3"
+    assert spark.read.parquet(os.path.join(str(tmp_path), "v3")).count() > 0
+    sink(ev, 3)  # replay newest epoch: predecessor v2 still present

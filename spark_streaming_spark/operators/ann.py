@@ -225,7 +225,13 @@ def det_kmeans_cells(embeddings: DataFrame,
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("arr"))
         .select("cell", F.expr("transform(arr, x -> x.c)").alias("cvec"))
     )
-    return cells1, _assign_cells(embeddings, cells1)
+    # materialize the ARTIFACTS (n_cells rows + the slim N-row
+    # assignment): the build's Lloyd passes are inherently multi-scan,
+    # but serving must not re-run them — at 100 TB these are the
+    # persisted index tables, locally a localCheckpoint
+    cells1 = cells1.localCheckpoint(eager=True)
+    assigned = _assign_cells(embeddings, cells1).localCheckpoint(eager=True)
+    return cells1, assigned
 
 
 def knn_ivf_det(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
@@ -320,6 +326,10 @@ def det_pq_codes(embeddings: DataFrame, m: int = 8,
 
     dim = 64
     sub = dim // m
+    # the long-form staging table is read by four consumers (seed
+    # gather, two assignment passes, the mean update) — materialize it
+    # once instead of four corpus re-scans. At 100 TB this is the
+    # index build's staging write; locally a localCheckpoint.
     long = (
         embeddings.select(
             "vec_id", F.posexplode("embedding").alias("i", "xf"))
@@ -329,7 +339,7 @@ def det_pq_codes(embeddings: DataFrame, m: int = 8,
             (F.col("i") % sub).alias("j"),
             F.col("xf").cast("double").alias("x"),
         )
-    )
+    ).localCheckpoint(eager=True)
     h = F.md5(F.concat_ws(
         "#", F.lit("pqdet1"), F.col("vec_id").cast("string")))
     seeds = (

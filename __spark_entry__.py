@@ -30,6 +30,7 @@ from spark_streaming_spark.operators import dedup as DD
 from spark_streaming_spark.operators import ann as ANN
 from spark_streaming_spark.operators import graphrank as GRK
 from spark_streaming_spark.operators import grouped as G
+from spark_streaming_spark.operators import merge as MG2
 from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import pipeline as PL
 from spark_streaming_spark.operators import profile as PF
@@ -1147,7 +1148,7 @@ _CHECK_FIRST = [
     "blacklist_left_outer", "pq_codes_det",
     "scd2_user_status", "sliding_counts", "streaming_scd2_merge",
     "session_windows", "sessionize", "knn_ivf_det",
-    "centroid_assign", "streaming_session_windows",
+    "events_asof_status", "streaming_session_windows",
     "streaming_two_level_agg", "streaming_pivot_counts",
     "streaming_click_attribution_outer",
 ]
@@ -1708,6 +1709,17 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the forward-in-time delta merge (≡ rebuild, hash-checked), and
         # the continuously-folding streamed spelling
         "scd2_user_status": _q_scd2_user_status,
+        # FOR SYSTEM_TIME AS OF over the SCD2 history: each event joins
+        # the status version valid at its timestamp (equi key + interval
+        # residual - hash join, no nested loop)
+        "events_asof_status": lambda s, d: MG2.temporal_join(
+            load_table(s, d, "events").select(
+                "event_id", "user_id", "ts", "value"),
+            MG2.scd2_from_changes(
+                load_table(s, d, "events").select(
+                    "user_id", "ts", "event_type"),
+                "user_id", "ts", ["event_type"]),
+            "user_id", "ts"),
         "scd2_status_merge": _q_scd2_status_merge,
         "streaming_scd2_merge": _q_streaming_scd2_merge,
         "audio_windows": lambda s, d: MM.audio_windows(
@@ -3002,6 +3014,31 @@ def oracle_sql() -> dict[str, str]:
         FROM d
     """
     sql["scd2_status_merge"] = sql["scd2_user_status"]
+    # as-of-time enrichment: the version whose interval contains the
+    # fact timestamp (versions partition each key's timeline)
+    sql["events_asof_status"] = """
+        WITH d AS (
+          SELECT user_id, ts, event_type FROM (
+            SELECT user_id, ts, event_type,
+                   row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_type) AS rn,
+                   lag(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_type) AS prev
+            FROM events
+          ) WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        ),
+        hist AS (
+          SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_type) AS valid_to
+          FROM d
+        )
+        SELECT f.event_id, f.user_id, f.ts, f.value,
+               h.event_type, h.valid_from
+        FROM events f JOIN hist h
+          ON f.user_id = h.user_id AND f.ts >= h.valid_from
+             AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    """
     sql["streaming_scd2_merge"] = sql["scd2_user_status"]
     # interval containment spelled as the direct theta join — DuckDB's
     # IEJoin handles it natively; the Spark side must produce the same

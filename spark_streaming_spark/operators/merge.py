@@ -107,3 +107,36 @@ def scd2_merge(history: DataFrame, updates: DataFrame, key: str,
     )
     rebuilt = scd2_from_changes(affected_log, key, ts_col, tracked)
     return untouched.unionByName(rebuilt)
+
+
+def temporal_join(facts: DataFrame, history: DataFrame, key: str,
+                  ts_col: str, how: str = "inner") -> DataFrame:
+    """AS-OF-TIME dimension lookup (``FOR SYSTEM_TIME AS OF`` over an
+    SCD2 history): each fact row joins the dimension VERSION that was
+    valid at its event time — equi join on the business key with the
+    interval-containment residual ``valid_from ≤ ts < valid_to``
+    (NULL valid_to = current, open-ended).
+
+    Plan note: unlike the keyless containment lookup
+    (operators/rangejoin.interval_join, which needs grid blocking),
+    this join HAS an equi key — Catalyst hash-joins on ``key`` and
+    evaluates the interval predicate as a residual filter on the
+    matched pairs, so there is no nested-loop anywhere and each side
+    shuffles once on the natural key (or the history broadcasts when
+    small). Each fact matches at most one version: versions of a key
+    partition its timeline. Output: fact columns + the version's
+    attributes + valid_from (the version identifier)."""
+    h = history.select(
+        F.col(key).alias("__hk"),
+        *[c for c in history.columns
+          if c not in (key, "valid_to", "is_current")],
+        F.col("valid_to").alias("__vt"),
+    )
+    joined = facts.join(
+        h,
+        (facts[key] == h["__hk"])
+        & (facts[ts_col] >= h["valid_from"])
+        & (h["__vt"].isNull() | (facts[ts_col] < h["__vt"])),
+        how,
+    )
+    return joined.drop("__hk", "__vt")

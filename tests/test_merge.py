@@ -187,3 +187,23 @@ def test_vacuum_versions_keeps_newest_and_current(spark, tmp_path):
         assert fh.read().strip() == "v3"
     assert spark.read.parquet(os.path.join(str(tmp_path), "v3")).count() > 0
     sink(ev, 3)  # replay newest epoch: predecessor v2 still present
+
+
+def test_temporal_join_every_fact_matches_exactly_one_version(spark):
+    """Versions partition each key's timeline, so the as-of-time join is
+    1:1 for facts whose key exists in the history — row count preserved,
+    no duplicates — and plans as an equi hash join (no nested loop)."""
+    from spark_streaming_spark.operators.merge import (
+        scd2_from_changes, temporal_join)
+
+    ev = load_table(spark, SF_DIR, "events")
+    hist = scd2_from_changes(
+        ev.select("user_id", "ts", "event_type"),
+        "user_id", "ts", ["event_type"])
+    facts = ev.select("event_id", "user_id", "ts")
+    out = temporal_join(facts, hist, "user_id", "ts")
+    assert out.count() == facts.count()
+    assert out.select("event_id").distinct().count() == facts.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

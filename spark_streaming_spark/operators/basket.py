@@ -1,0 +1,155 @@
+"""Market-basket mining over the order/part relation: frequent
+co-purchased item pairs (the 2-itemset core of Apriori/FP-growth) and
+triangle counting over the resulting co-purchase graph.
+
+Extends the reference's pair-oriented aggregations (the mapToPair →
+reduceByKey family, e.g. ``WordCount.java``/``HotWords.java``) to the
+relational association-mining workload a training-data or product
+analytics pipeline runs at scale.
+
+Scale shape (the part that must survive 100 TB):
+
+- **Support pruning before the pair join** — the Apriori bound: an item
+  pair can only be frequent if both items are. Items are counted with
+  one map-side-combinable aggregate; the surviving frequent-item set is
+  small by construction (a support threshold at corpus scale keeps only
+  the head of the popularity distribution), so it BROADCASTS and the
+  basket restriction is a map-side semi join — no shuffle of the big
+  table beyond the one pair-join shuffle on the basket key.
+- **Per-basket quadratic is bounded** — the self-join fans out k·(k-1)/2
+  rows per basket where k = frequent items in that basket; pruning caps
+  k, and the basket key (order) is the natural shuffle key, so skew is
+  bounded by the largest single basket, not by item popularity.
+- **Triangle counting is degree-ordered** — edges orient from the
+  lower-(degree, id) endpoint to the higher, so every wedge is
+  enumerated at its lowest-degree apex: the hub that would produce
+  O(deg²) wedges under id-ordering produces none. This is the standard
+  distributed triangle-count discipline (oriented wedge join + closing
+  edge semi join); the result set is identical to the naive a<b<c
+  enumeration, which is exactly what the DuckDB oracle runs.
+
+Integer-exact metrics: lift is reported as ``lift_ppm`` via BIGINT
+arithmetic (``1e6 · N · pair_support  div  support_a · support_b``) —
+no floating point anywhere, so the oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PAIRS_CACHE: dict = {}
+
+
+def basket_items(lineitem: DataFrame) -> DataFrame:
+    """Distinct (basket, item) pairs: one row per part per order."""
+    return (
+        lineitem.select(F.col("l_orderkey").alias("basket"),
+                        F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+
+
+def frequent_pairs(lineitem: DataFrame, min_item_support: int = 5,
+                   min_pair_support: int = 2,
+                   cache_key: str | None = None) -> DataFrame:
+    """Frequent co-purchased part pairs with integer-exact lift.
+
+    Columns: part_a < part_b, support_a, support_b, pair_support,
+    lift_ppm (= floor(1e6 · n_baskets · pair / (sa · sb))).
+
+    ``cache_key`` memoizes the mined pair set (localCheckpoint) — the
+    artifact a pipeline persists once and serves to downstream graph
+    analytics (the _PAIRS_CACHE discipline from operators/dedup.py);
+    app-scoped so a new Spark application never sees a stale handle.
+    """
+    ck = ("basket_pairs", cache_key, min_item_support, min_pair_support,
+          lineitem.sparkSession.sparkContext.applicationId) \
+        if cache_key is not None else None
+    if ck is not None and ck in _PAIRS_CACHE:
+        return _PAIRS_CACHE[ck]
+    # stage the distinct-item table once: the basket count, the support
+    # aggregate AND both sides of the pair self-join read it, and
+    # without truncation each would recompute the distinct shuffle
+    items = basket_items(lineitem).localCheckpoint(eager=True)
+    n_baskets = items.select("basket").distinct().count()
+    supp = (items.groupBy("item")
+            .agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= min_item_support))
+    # Apriori prune: only frequent items can form frequent pairs. The
+    # frequent set is head-of-distribution small -> broadcast semi join.
+    pruned = items.join(F.broadcast(supp), "item")
+    a = pruned.select(F.col("basket"), F.col("item").alias("part_a"),
+                      F.col("support").alias("support_a"))
+    b = pruned.select(F.col("basket"), F.col("item").alias("part_b"),
+                      F.col("support").alias("support_b"))
+    result = (
+        a.join(b, ["basket"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b", "support_a", "support_b")
+        .agg(F.count("*").alias("pair_support"))
+        .filter(F.col("pair_support") >= min_pair_support)
+        .select(
+            "part_a", "part_b", "support_a", "support_b", "pair_support",
+            # BIGINT-exact lift: integer DIV, no double ever materializes
+            F.expr(
+                f"CAST((1000000 * CAST({n_baskets} AS BIGINT)"
+                " * pair_support) DIV"
+                " (CAST(support_a AS BIGINT) * support_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    if ck is not None:
+        result = result.localCheckpoint(eager=True)
+        _PAIRS_CACHE[ck] = result
+    return result
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as
+    canonical edges (part_a < part_b, one row per edge).
+
+    Degree-ordered orientation: each edge points from its lower
+    (degree, id) endpoint to the higher, so wedges are enumerated at
+    the lowest-degree apex and a closing-edge join finishes the count.
+    Output: part_id, n_triangles (nodes in >=1 triangle only).
+    """
+    deg = (
+        edges.select(F.col("part_a").alias("v"))
+        .unionAll(edges.select(F.col("part_b").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("deg"))
+    )
+    # degree table ~ |V| of the pruned graph: broadcast both lookups
+    with_deg = (
+        edges
+        .join(F.broadcast(deg).withColumnsRenamed(
+            {"v": "part_a", "deg": "deg_a"}), "part_a")
+        .join(F.broadcast(deg).withColumnsRenamed(
+            {"v": "part_b", "deg": "deg_b"}), "part_b")
+    )
+    ka = F.struct(F.col("deg_a").alias("d"), F.col("part_a").alias("v"))
+    kb = F.struct(F.col("deg_b").alias("d"), F.col("part_b").alias("v"))
+    oriented = with_deg.select(
+        F.when(ka < kb, F.col("part_a")).otherwise(F.col("part_b"))
+        .alias("src"),
+        F.when(ka < kb, F.col("part_b")).otherwise(F.col("part_a"))
+        .alias("dst"),
+        F.when(ka < kb, kb).otherwise(ka).alias("dst_key"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, (F.col("e1.src") == F.col("e2.src"))
+                & (F.col("e1.dst_key") < F.col("e2.dst_key")))
+        .select(F.col("e1.src").alias("apex"),
+                F.col("e1.dst").alias("x"), F.col("e2.dst").alias("y"))
+    )
+    # closing edge: x precedes y in orientation order, so the oriented
+    # edge of a closed wedge is exactly (x -> y)
+    closing = oriented.select(F.col("src").alias("x"),
+                              F.col("dst").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    return (
+        tris.select(F.explode(F.array("apex", "x", "y")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )

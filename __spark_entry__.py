@@ -293,6 +293,45 @@ def _ordered_chunked_events_plain(spark: SparkSession, sf_dir: str,
     return _ORDERED_CHUNK_CACHE[key]
 
 
+def _user_state_at(events: DataFrame, cutoff: str) -> DataFrame:
+    """Per-user snapshot as of ``cutoff``: latest event_type (total
+    (ts, event_id) order — deterministic) + event count."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events",
+                    F.count("*").over(Window.partitionBy("user_id")))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "n_events")
+    )
+
+
+def _q_streaming_events_asof_status(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The as-of-time enrichment SERVED continuously: each micro-batch
+    of facts stream-static hash-joins the prebuilt SCD2 history (the
+    dimension artifact a pipeline publishes, localCheckpointed once) on
+    the business key + interval residual. Stateless per batch → append
+    mode; the union of appended batches equals the batch join — shared
+    oracle."""
+    from spark_streaming_spark.operators import merge as MG
+
+    hist = MG.scd2_from_changes(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type"),
+        "user_id", "ts", ["event_type"]).localCheckpoint(eager=True)
+    return _run_streamed(
+        spark, sf_dir, "events",
+        lambda st: MG.temporal_join(
+            st.select("event_id", "user_id", "ts", "value"),
+            hist, "user_id", "ts"),
+        "append")
+
+
 def _q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCD2 history maintained CONTINUOUSLY: the change feed arrives
     in event-time-ordered micro-batches (a live feed's delivery order —
@@ -1146,7 +1185,7 @@ _CHECK_FIRST = [
     # refresh slots — first signal beats a refresh of the most
     # regression-proof shapes (Q1/Q5 are plan-tested and r3-green):
     "frequent_item_pairs", "copurchase_triangles", "value_tier_totals",
-    "top_revenue_orders", "returned_items_report", "supplier_corank",
+    "streaming_events_asof_status", "cdc_user_status", "supplier_corank",
     "large_volume_orders", "discounted_parts_revenue",
     "orders_profile", "streaming_value_tiers", "scd2_status_merge",
     "blacklist_left_outer", "pq_codes_det",
@@ -1736,6 +1775,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", "ts"),
         "scd2_status_merge": _q_scd2_status_merge,
         "streaming_scd2_merge": _q_streaming_scd2_merge,
+        # the as-of lookup served per micro-batch against the published
+        # history artifact (stream-static, stateless, append)
+        "streaming_events_asof_status": _q_streaming_events_asof_status,
+        # CDC derivation: diff the day-15 and day-25 per-user state
+        # snapshots into an I/U/D change feed (merge.snapshot_diff —
+        # one full-outer key join, map-side NULL-safe change test)
+        "cdc_user_status": lambda s, d: MG2.snapshot_diff(
+            _user_state_at(load_table(s, d, "events"), "2024-01-15"),
+            _user_state_at(load_table(s, d, "events"), "2024-01-25"),
+            "user_id", ["event_type", "n_events"]),
         "audio_windows": lambda s, d: MM.audio_windows(
             MM.to_media_table(load_table(s, d, "documents"))),
         # Product quantization (operators/ann.py, Jégou et al. 2011):
@@ -3054,6 +3103,41 @@ def oracle_sql() -> dict[str, str]:
              AND (h.valid_to IS NULL OR f.ts < h.valid_to)
     """
     sql["streaming_scd2_merge"] = sql["scd2_user_status"]
+    sql["streaming_events_asof_status"] = sql["events_asof_status"]
+    # CDC snapshot diff: same two windowed snapshots, full-outer join,
+    # IS DISTINCT FROM = the NULL-safe change test
+    sql["cdc_user_status"] = """
+        WITH s1 AS (
+          SELECT user_id, event_type, n_events FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+          ) WHERE rn = 1
+        ),
+        s2 AS (
+          SELECT user_id, event_type, n_events FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events WHERE ts < TIMESTAMP '2024-01-25'
+          ) WHERE rn = 1
+        )
+        SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+               CASE WHEN s1.user_id IS NULL THEN 'I'
+                    WHEN s2.user_id IS NULL THEN 'D'
+                    ELSE 'U' END AS op,
+               s1.event_type AS old_event_type,
+               s1.n_events AS old_n_events,
+               s2.event_type AS new_event_type,
+               s2.n_events AS new_n_events
+        FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+           OR s1.event_type IS DISTINCT FROM s2.event_type
+           OR s1.n_events IS DISTINCT FROM s2.n_events
+    """
     # interval containment spelled as the direct theta join — DuckDB's
     # IEJoin handles it natively; the Spark side must produce the same
     # pairs through the grid-blocked equi join

@@ -140,3 +140,42 @@ def temporal_join(facts: DataFrame, history: DataFrame, key: str,
         how,
     )
     return joined.drop("__hk", "__vt")
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  compare_cols: list[str]) -> DataFrame:
+    """Change-data-capture derivation: diff two keyed snapshots into a
+    change feed — the inverse of the SCD sinks above (they fold changes
+    INTO state; this recovers the changes BETWEEN two states, the
+    standard backfill path when a source system exposes only snapshots).
+
+    op per key: ``I`` (only in new), ``D`` (only in old), ``U`` (in
+    both, any compared column differs — NULL-safe). Unchanged keys are
+    dropped. Output: key, op, old_<c>/new_<c> per compared column.
+
+    Scale shape: one full-outer hash join on the natural key — each
+    snapshot shuffles once; with bucketed snapshot layouts the join
+    co-locates and the diff is shuffle-free. The change test is a
+    map-side expression (no second pass)."""
+    o = old.select(F.col(key).alias("__ok"),
+                   *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    n = new.select(F.col(key).alias("__nk"),
+                   *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    j = o.join(n, F.col("__ok") == F.col("__nk"), "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    op = (
+        F.when(F.col("__ok").isNull(), F.lit("I"))
+        .when(F.col("__nk").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return (
+        j.filter(F.col("__ok").isNull() | F.col("__nk").isNull() | changed)
+        .select(
+            F.coalesce(F.col("__ok"), F.col("__nk")).alias(key),
+            op.alias("op"),
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

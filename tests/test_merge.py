@@ -207,3 +207,20 @@ def test_temporal_join_every_fact_matches_exactly_one_version(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_emits_iud_and_drops_unchanged(spark):
+    from spark_streaming_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, v string, n int")
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "cc", 30), (4, None, 40), (5, "e", 50)],
+        "k int, v string, n int")
+    out = {r.k: r for r in
+           snapshot_diff(old, new, "k", ["v", "n"]).collect()}
+    assert set(out) == {1, 3, 5}          # 2 and 4 unchanged (4: NULL==NULL)
+    assert out[1].op == "D" and out[1].old_v == "a" and out[1].new_v is None
+    assert out[3].op == "U" and (out[3].old_v, out[3].new_v) == ("c", "cc")
+    assert out[5].op == "I" and out[5].new_n == 50

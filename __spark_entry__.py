@@ -1186,7 +1186,7 @@ _CHECK_FIRST = [
     # regression-proof shapes (Q1/Q5 are plan-tested and r3-green):
     "frequent_item_pairs", "copurchase_triangles", "value_tier_totals",
     "streaming_events_asof_status", "cdc_user_status", "supplier_corank",
-    "large_volume_orders", "discounted_parts_revenue",
+    "gap_filled_daily_activity", "discounted_parts_revenue",
     "orders_profile", "streaming_value_tiers", "scd2_status_merge",
     "blacklist_left_outer", "pq_codes_det",
     "scd2_user_status", "sliding_counts", "streaming_scd2_merge",
@@ -1659,6 +1659,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # threshold 0.7, not the semantic default 0.9: driver users have
         # near-uniform hourly profiles (max blocked-pair cosine ≈ 0.8 at
         # sf0.01), so 0.9 would hash-match on empty sets — vacuous
+        # gap-filled daily activity: time_bucket_gapfill + LOCF as
+        # sequence-explode grid + IGNORE NULLS window (timeseries.py)
+        "gap_filled_daily_activity": lambda s, d: TS.gap_fill_daily(
+            load_table(s, d, "events")),
         "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
             load_table(s, d, "events"), threshold=0.7),
         # continuous-aggregate rollups: serve coarse queries from the
@@ -3305,6 +3309,35 @@ def oracle_sql() -> dict[str, str]:
                    x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), '|') AS profile,
                peak_hour
         FROM tagged
+    """
+    # gap-fill: per-user day grid via generate_series; LOCF via the
+    # IGNORE NULLS running window — day's type = latest by (ts, id)
+    sql["gap_filled_daily_activity"] = """
+        WITH daily AS (
+          SELECT user_id, day, n_events, event_type AS day_type FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (
+                     PARTITION BY user_id, CAST(ts AS DATE)) AS n_events
+            FROM events
+          ) WHERE rn = 1
+        ),
+        grid AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(
+                   CAST(min(day) AS TIMESTAMP), CAST(max(day) AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+          FROM daily GROUP BY user_id
+        )
+        SELECT g.user_id, g.day,
+               COALESCE(d.n_events, 0) AS n_events,
+               last_value(d.day_type IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS carried_type
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day
     """
     sql["similar_activity_pairs"] = f"""
         WITH {_PROF_CTE},

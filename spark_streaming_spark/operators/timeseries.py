@@ -104,3 +104,54 @@ def similar_activity_pairs(events: DataFrame,
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def gap_fill_daily(events: DataFrame) -> DataFrame:
+    """Gap-filled per-user daily activity: every day in each user's
+    [first_active, last_active] span materializes a row — absent days
+    carry ``n_events = 0`` and the last seen event_type forward-fills
+    (the time-bucket gap-fill + LOCF interpolation a continuous
+    aggregate serves; TimescaleDB's ``time_bucket_gapfill``/``locf``
+    shape expressed as sequence-explode + IGNORE NULLS window).
+
+    Deterministic: the day's representative event_type is the latest by
+    total (ts, event_id) order.
+
+    Scale shape: one groupBy shuffle builds the daily table; the grid
+    is a map-side ``explode(sequence(...))`` over the per-user span row
+    (bounded by days-per-user, NOT corpus size); the fill join is keyed
+    on (user, day) and the LOCF window re-uses the same user
+    partitioning — no unkeyed operation anywhere.
+
+    Columns: user_id, day, n_events, carried_type."""
+    from pyspark.sql.window import Window
+
+    with_day = events.withColumn("day", F.to_date("ts"))
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    daily = (
+        with_day
+        .withColumn("rn", F.row_number().over(wd))
+        .withColumn("n_events",
+                    F.count("*").over(Window.partitionBy("user_id", "day")))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "n_events",
+                F.col("event_type").alias("day_type"))
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.expr(
+            "sequence(d0, d1, interval 1 day)")).alias("day"))
+    )
+    locf = (Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last("day_type", ignorenulls=True).over(locf)
+            .alias("carried_type"),
+        )
+    )

@@ -29,3 +29,23 @@ def test_similar_pairs_blocked_and_thresholded(spark, duck):
     for r in rows:  # blocking invariant: pairs share their peak hour
         assert peak[r.user_a] == peak[r.user_b]
     assert_matches_oracle(pairs, duck, E.oracle_sql()["similar_activity_pairs"])
+
+
+def test_gap_fill_daily_materializes_full_spans(spark):
+    """Every user's span is dense (one row per day), absent days carry
+    n_events=0 with the last seen type forward-filled, and the total
+    event count is conserved."""
+    events = load_table(spark, SF_DIR, "events")
+    out = TS.gap_fill_daily(events).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert sum(r.n_events for r in out) == events.count()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.day)
+        span = (rows[-1].day - rows[0].day).days + 1
+        assert len(rows) == span            # dense: no missing days
+        assert rows[0].n_events > 0         # span starts on activity
+        assert all(r.carried_type is not None for r in rows)
+    # at least one genuine gap exists at test SF and is zero-filled
+    assert any(r.n_events == 0 for r in out)

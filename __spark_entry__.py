@@ -1663,6 +1663,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequence-explode grid + IGNORE NULLS window (timeseries.py)
         "gap_filled_daily_activity": lambda s, d: TS.gap_fill_daily(
             load_table(s, d, "events")),
+        # 7-day rolling window over the dense grid: ROWS frame == day
+        # frame because the fill closed every gap; integer-exact mean
+        "rolling_weekly_activity": lambda s, d: TS.rolling_activity(
+            load_table(s, d, "events")),
         "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
             load_table(s, d, "events"), threshold=0.7),
         # continuous-aggregate rollups: serve coarse queries from the
@@ -3338,6 +3342,42 @@ def oracle_sql() -> dict[str, str]:
                  AS carried_type
         FROM grid g LEFT JOIN daily d
           ON g.user_id = d.user_id AND g.day = d.day
+    """
+    sql["rolling_weekly_activity"] = """
+        WITH daily AS (
+          SELECT user_id, day, n_events FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (
+                     PARTITION BY user_id, CAST(ts AS DATE)) AS n_events
+            FROM events
+          ) WHERE rn = 1
+        ),
+        grid AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(
+                   CAST(min(day) AS TIMESTAMP), CAST(max(day) AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+          FROM daily GROUP BY user_id
+        ),
+        dense AS (
+          SELECT g.user_id, g.day, COALESCE(d.n_events, 0) AS n_events
+          FROM grid g LEFT JOIN daily d
+            ON g.user_id = d.user_id AND g.day = d.day
+        ),
+        win AS (
+          SELECT user_id, day, n_events,
+                 CAST(sum(n_events) OVER w AS BIGINT) AS rolling_sum,
+                 count(*) OVER w AS window_rows
+          FROM dense
+          WINDOW w AS (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, day, n_events, rolling_sum, window_rows,
+               CAST(1000000 * rolling_sum // window_rows AS BIGINT)
+                 AS avg_ppm
+        FROM win
     """
     sql["similar_activity_pairs"] = f"""
         WITH {_PROF_CTE},

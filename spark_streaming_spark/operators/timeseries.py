@@ -155,3 +155,35 @@ def gap_fill_daily(events: DataFrame) -> DataFrame:
             .alias("carried_type"),
         )
     )
+
+
+def rolling_activity(events: DataFrame, days: int = 7) -> DataFrame:
+    """Rolling ``days``-day activity over the gap-filled daily series:
+    because gap_fill_daily materializes a DENSE grid, the day-based
+    rolling window is a plain ROWS frame (no range lookup), and the
+    window re-uses the user partitioning the fill already shuffled on.
+
+    Integer-exact: rolling_sum is a BIGINT sum; the mean is reported as
+    ``avg_ppm = 1e6 · sum DIV window_rows`` so no float crosses the
+    engine boundary. window_rows < ``days`` at the span head (growing
+    frame), matching SQL window-frame semantics in both engines.
+
+    Columns: user_id, day, n_events, rolling_sum, window_rows, avg_ppm.
+    """
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(-(days - 1), Window.currentRow))
+    return (
+        gap_fill_daily(events)
+        .select(
+            "user_id", "day", "n_events",
+            F.sum("n_events").over(w).alias("rolling_sum"),
+            F.count("*").over(w).alias("window_rows"),
+        )
+        .withColumn(
+            "avg_ppm",
+            F.expr("CAST((1000000 * rolling_sum) DIV window_rows"
+                   " AS BIGINT)"),
+        )
+    )

@@ -49,3 +49,18 @@ def test_gap_fill_daily_materializes_full_spans(spark):
         assert all(r.carried_type is not None for r in rows)
     # at least one genuine gap exists at test SF and is zero-filled
     assert any(r.n_events == 0 for r in out)
+
+
+def test_rolling_activity_growing_then_full_frames(spark):
+    events = load_table(spark, SF_DIR, "events")
+    rows = TS.rolling_activity(events, days=7).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for urows in by_user.values():
+        urows.sort(key=lambda r: r.day)
+        for i, r in enumerate(urows):
+            assert r.window_rows == min(i + 1, 7)
+            assert r.rolling_sum == sum(
+                x.n_events for x in urows[max(0, i - 6):i + 1])
+            assert r.avg_ppm == (1_000_000 * r.rolling_sum) // r.window_rows

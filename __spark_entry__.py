@@ -310,6 +310,25 @@ def _user_state_at(events: DataFrame, cutoff: str) -> DataFrame:
     )
 
 
+def _q_part_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS over the co-purchase graph mined by frequent_pairs (shared
+    cache_key artifact): symmetrized edges, seeds = the 5 lowest part
+    keys appearing as part_a, 3 rounds."""
+    from spark_streaming_spark.operators import basket as BKm
+    from spark_streaming_spark.operators import graphrank as GRKm
+
+    eu = (BKm.frequent_pairs(load_table(spark, sf_dir, "lineitem"),
+                             cache_key=sf_dir)
+          .select("part_a", "part_b"))
+    edges = eu.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(eu.select(
+        F.col("part_b").alias("src"), F.col("part_a").alias("dst")))
+    seeds = (eu.select(F.col("part_a").alias("v")).distinct()
+             .orderBy("v").limit(5))
+    return GRKm.bfs_hops(edges, seeds, n_rounds=3)
+
+
 def _q_streaming_events_asof_status(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """The as-of-time enrichment SERVED continuously: each micro-batch
@@ -1186,9 +1205,9 @@ _CHECK_FIRST = [
     # regression-proof shapes (Q1/Q5 are plan-tested and r3-green):
     "frequent_item_pairs", "copurchase_triangles", "value_tier_totals",
     "streaming_events_asof_status", "cdc_user_status", "supplier_corank",
-    "gap_filled_daily_activity", "discounted_parts_revenue",
+    "gap_filled_daily_activity", "rolling_weekly_activity",
     "orders_profile", "streaming_value_tiers", "scd2_status_merge",
-    "blacklist_left_outer", "pq_codes_det",
+    "part_reach_hops", "pq_codes_det",
     "scd2_user_status", "sliding_counts", "streaming_scd2_merge",
     "session_windows", "sessionize", "knn_ivf_det",
     "events_asof_status", "streaming_session_windows",
@@ -1631,6 +1650,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": lambda s, d: BK.triangle_counts(
             BK.frequent_pairs(load_table(s, d, "lineitem"), cache_key=d)
             .select("part_a", "part_b")),
+        # BFS reach over the same mined graph: min-hop distances from
+        # the 5 lowest-keyed parts, 3 frontier-expansion rounds
+        "part_reach_hops": lambda s, d: _q_part_reach_hops(s, d),
         # skew-aware aggregation (two-phase salted; results identical)
         "skew_salted_counts": lambda s, d: SK.salted_counts(
             load_table(s, d, "events"), "event_type"),
@@ -3165,6 +3187,47 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_value_tiers"] = sql["value_tier_totals"]
     # power-iteration rank: iterations unrolled as CTE rounds
     sql["supplier_corank"] = _CORANK_SQL()
+    # BFS unrolled: one CTE per frontier round (the corank discipline —
+    # deterministic iterative ops verify by unrolling the rounds)
+    sql["part_reach_hops"] = """
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        freq AS (
+          SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 5
+        ),
+        pr AS (
+          SELECT l_orderkey, l_partkey FROM items
+          WHERE l_partkey IN (SELECT l_partkey FROM freq)
+        ),
+        eu AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM pr a JOIN pr b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        e AS (SELECT pa AS src, pb AS dst FROM eu
+              UNION ALL SELECT pb, pa FROM eu),
+        seeds AS (SELECT DISTINCT pa AS v FROM eu ORDER BY v LIMIT 5),
+        d0 AS (SELECT v, 0 AS hop FROM seeds),
+        f1 AS (
+          SELECT DISTINCT e.dst AS v FROM d0 JOIN e ON d0.v = e.src
+          WHERE e.dst NOT IN (SELECT v FROM d0)
+        ),
+        f2 AS (
+          SELECT DISTINCT e.dst AS v FROM f1 JOIN e ON f1.v = e.src
+          WHERE e.dst NOT IN (SELECT v FROM d0 UNION ALL
+                              SELECT v FROM f1)
+        ),
+        f3 AS (
+          SELECT DISTINCT e.dst AS v FROM f2 JOIN e ON f2.v = e.src
+          WHERE e.dst NOT IN (SELECT v FROM d0 UNION ALL
+                              SELECT v FROM f1 UNION ALL
+                              SELECT v FROM f2)
+        )
+        SELECT v, hop FROM d0
+        UNION ALL SELECT v, 1 FROM f1
+        UNION ALL SELECT v, 2 FROM f2
+        UNION ALL SELECT v, 3 FROM f3
+    """
     # Apriori-pruned frequent pairs; lift in exact BIGINT ppm so no
     # float crosses the engine boundary
     sql["frequent_item_pairs"] = """

@@ -88,3 +88,38 @@ def supplier_corank(lineitem: DataFrame, n_iters: int = 3,
             .localCheckpoint(eager=True)
         )
     return rank.select("supp", F.col("r").alias("rank"))
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame,
+             n_rounds: int = 3) -> DataFrame:
+    """Min-hop distances from a seed set by frontier expansion — the
+    BFS/k-hop-reach workload class (neighborhood enrichment, blast-
+    radius analysis), complementing the fixed-point label propagation
+    in operators/dedup.connected_components and the rank iteration
+    above. Deterministic by construction: a node's hop is the FIRST
+    round that reaches it, so no tie-breaking is ever needed.
+
+    ``edges`` is directed (src, dst) — pass both directions for an
+    undirected graph; ``seeds`` has one column ``v``. Returns (v, hop)
+    for every node within ``n_rounds`` hops (hop 0 = seeds).
+
+    Scale shape: each round is one join of the FRONTIER (not the whole
+    visited set) against the edge table keyed on src, then an anti-join
+    against the visited set keyed on v — both hash-partitioned, no
+    broadcast of anything that grows with the graph; localCheckpoint
+    per round truncates lineage so the plan stays O(1) in rounds. Cost
+    per round is |frontier|·avg_degree, the textbook BFS bound."""
+    dist = (seeds.select("v", F.lit(0).alias("hop"))
+            .localCheckpoint(eager=True))
+    frontier = dist.select("v")
+    for r in range(1, n_rounds + 1):
+        nxt = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .select(F.col("dst").alias("v")).distinct()
+            .join(dist, "v", "left_anti")
+            .withColumn("hop", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("v")
+    return dist

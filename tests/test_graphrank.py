@@ -41,3 +41,16 @@ def test_corank_more_iterations_converge(spark):
     d23 = sum(abs(r3[k] - r2[k]) for k in r2)
     d34 = sum(abs(r4[k] - r3[k]) for k in r3)
     assert d34 < d23
+
+
+def test_bfs_hops_min_distance_and_horizon(spark):
+    """Hand graph: 1-2-3-4-5 path plus a 1-3 shortcut. Hop = shortest
+    distance; nodes beyond n_rounds are absent."""
+    from spark_streaming_spark.operators.graphrank import bfs_hops
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "v long")
+    out = {r.v: r.hop for r in bfs_hops(edges, seeds, n_rounds=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}  # 5 is 3 hops out: excluded

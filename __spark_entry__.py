@@ -1200,15 +1200,17 @@ _CHECK_FIRST = [
     # this round), the windowed/session family, and streaming twins
     # whose latest rows predate the r4/r5 replay-harness changes. The
     # local sf0.01 sweep still re-verifies every entry each round.
-    # basket-mining entries (new this session) take two of the TPC-H
-    # refresh slots — first signal beats a refresh of the most
-    # regression-proof shapes (Q1/Q5 are plan-tested and r3-green):
+    # entries new this session (basket mining, CDC diff, gap-fill +
+    # rolling window, BFS reach, PPS sample, streamed as-of) take the
+    # TPC-H/windowed-family refresh slots — first signal beats a
+    # refresh of regression-proof shapes (Q1/Q5/Q6/Q10 are plan-tested
+    # and r3-green; the evicted refreshes are still swept locally):
     "frequent_item_pairs", "copurchase_triangles", "value_tier_totals",
     "streaming_events_asof_status", "cdc_user_status", "supplier_corank",
     "gap_filled_daily_activity", "rolling_weekly_activity",
     "orders_profile", "streaming_value_tiers", "scd2_status_merge",
-    "part_reach_hops", "pq_codes_det",
-    "scd2_user_status", "sliding_counts", "streaming_scd2_merge",
+    "part_reach_hops", "pq_codes_det", "weighted_doc_sample",
+    "scd2_user_status", "streaming_scd2_merge",
     "session_windows", "sessionize", "knn_ivf_det",
     "events_asof_status", "streaming_session_windows",
     "streaming_two_level_agg", "streaming_pivot_counts",
@@ -1706,6 +1708,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             permille={"en": 50, "fr": 400}, default_permille=150),
         # deterministic train/val/test assignment (content-hash
         # thresholds — randomSplit is partitioning-dependent)
+        # PPS sampling with zero randomness: systematic stride walk
+        # over the global weight tape (two-level prefix sum)
+        "weighted_doc_sample": lambda s, d: SMP.weighted_systematic_sample(
+            load_table(s, d, "documents")),
         "train_val_test_split": lambda s, d: SMP.train_val_test_split(
             load_table(s, d, "documents")),
         # mixture observability: per-(source, lang) doc/token counts +
@@ -3707,6 +3713,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST('0x' || substr(
                 md5('mix1' || '#' || CAST(d.doc_id AS VARCHAR)), 1, 15)
               AS BIGINT) % 1000 < r.permille
+    """
+    # systematic PPS: the naive global cumsum window IS the oracle for
+    # the two-level prefix sum; stride re-derived in SQL from the same
+    # integer total — all BIGINT algebra (sum cast: HUGEINT guard)
+    sql["weighted_doc_sample"] = """
+        WITH s AS (
+          SELECT greatest(1, CAST(sum(n_chars) AS BIGINT) // 200)
+            AS stride
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                 CAST(sum(n_chars) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum
+          FROM documents
+        )
+        SELECT doc_id, w, cum,
+               CAST(cum // stride - (cum - w) // stride AS BIGINT)
+                 AS n_picks
+        FROM c, s
+        WHERE cum // stride - (cum - w) // stride > 0
     """
     sql["train_val_test_split"] = """
         SELECT doc_id, lang,

@@ -186,3 +186,57 @@ def corpus_mixture_stats(docs: DataFrame) -> DataFrame:
             F.expr("n_docs * 1000000 div total_docs").alias("doc_ppm"),
         )
     )
+
+
+def weighted_systematic_sample(docs: DataFrame, weight_col: str = "n_chars",
+                               n_target: int = 200,
+                               bucket: int = 4096) -> DataFrame:
+    """Probability-proportional-to-size sampling with NO randomness and
+    NO transcendentals: lay every row's integer weight on one global
+    tape (doc_id order), then take one pick every
+    ``stride = max(1, total_weight div n_target)`` weight units —
+    classic systematic/PPS sampling, the deterministic spelling of
+    "sample documents proportionally to their token count" a corpus
+    mixer runs. A row covering the tape interval (cum-w, cum] is picked
+    ``n_picks = cum div stride - (cum-w) div stride`` times (heavier
+    rows than the stride carry multiplicity, exactly as PPS requires).
+
+    Everything is BIGINT algebra, so the sample is bit-identical on any
+    engine and invariant under partitioning — unlike ``df.sample``
+    (whose per-partition RNG ties the draw to the cluster layout).
+
+    The global cumulative weight reuses the two-level prefix-sum
+    discipline of operators/pipeline.pack_sequences: per-bucket cumsums
+    run fully parallel, bucket totals (tiny) cumsum once and broadcast
+    back — identical to the naive single-partition window the oracle
+    runs. The only driver fetch is the 1-row total (sanctioned).
+
+    Columns: doc_id, w, cum, n_picks (picked rows only)."""
+    from pyspark.sql.window import Window
+
+    d = docs.select(
+        "doc_id", F.col(weight_col).cast("long").alias("w"),
+        F.floor(F.col("doc_id") / bucket).alias("bkt"))
+    total = d.agg(F.sum("w")).collect()[0][0]
+    stride = max(1, total // n_target)
+    w_local = (Window.partitionBy("bkt").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = d.withColumn("local_end", F.sum("w").over(w_local))
+    totals = d.groupBy("bkt").agg(F.sum("w").alias("bkt_total"))
+    w_bkt = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = totals.select(
+        "bkt",
+        (F.sum("bkt_total").over(w_bkt) - F.col("bkt_total"))
+        .alias("bkt_off"))
+    cum = F.col("bkt_off") + F.col("local_end")
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .withColumn("cum", cum)
+        .withColumn(
+            "n_picks",
+            F.expr(f"CAST(cum DIV {stride} AS BIGINT)"
+                   f" - CAST((cum - w) DIV {stride} AS BIGINT)"))
+        .filter(F.col("n_picks") > 0)
+        .select("doc_id", "w", "cum", "n_picks")
+    )

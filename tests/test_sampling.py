@@ -72,3 +72,19 @@ def test_mixture_rebalance_hits_target_shares(spark):
     assert out.exceptAll(re).count() == 0 and re.exceptAll(out).count() == 0
     # subset of input
     assert out.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_weighted_systematic_sample_pps_invariants(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = SMP.weighted_systematic_sample(docs, n_target=50)
+    rows = out.collect()
+    total_w = docs.agg({"n_chars": "sum"}).collect()[0][0]
+    stride = max(1, total_w // 50)
+    # total picks = floor(total/stride): within one of the target
+    assert sum(r.n_picks for r in rows) == total_w // stride
+    for r in rows:  # interval (cum-w, cum] spans each claimed boundary
+        assert r.n_picks == r.cum // stride - (r.cum - r.w) // stride
+        assert r.n_picks >= 1
+    # partitioning invariance: the layout-independence df.sample lacks
+    re = SMP.weighted_systematic_sample(docs.repartition(13), n_target=50)
+    assert out.exceptAll(re).count() == 0 and re.exceptAll(out).count() == 0

@@ -1211,7 +1211,7 @@ _CHECK_FIRST = [
     "orders_profile", "streaming_value_tiers", "scd2_status_merge",
     "part_reach_hops", "pq_codes_det", "weighted_doc_sample",
     "scd2_user_status", "streaming_scd2_merge",
-    "session_windows", "sessionize", "knn_ivf_det",
+    "session_windows", "user_activity_trend", "knn_ivf_det",
     "events_asof_status", "streaming_session_windows",
     "streaming_two_level_agg", "streaming_pivot_counts",
     "streaming_click_attribution_outer",
@@ -1690,6 +1690,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 7-day rolling window over the dense grid: ROWS frame == day
         # frame because the fill closed every gap; integer-exact mean
         "rolling_weekly_activity": lambda s, d: TS.rolling_activity(
+            load_table(s, d, "events")),
+        # group-wise OLS: slope from one aggregation of exact integer
+        # sums (normal equations; no iteration, no ML library)
+        "user_activity_trend": lambda s, d: TS.activity_trend(
             load_table(s, d, "events")),
         "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
             load_table(s, d, "events"), threshold=0.7),
@@ -3447,6 +3451,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000000 * rolling_sum // window_rows AS BIGINT)
                  AS avg_ppm
         FROM win
+    """
+    # OLS trend: same dense grid, same integer sums; HUGEINT-guarded
+    # casts; only the final slope division is floating (7 dp)
+    sql["user_activity_trend"] = """
+        WITH daily AS (
+          SELECT user_id, day, n_events FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (
+                     PARTITION BY user_id, CAST(ts AS DATE)) AS n_events
+            FROM events
+          ) WHERE rn = 1
+        ),
+        grid AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(
+                   CAST(min(day) AS TIMESTAMP), CAST(max(day) AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+          FROM daily GROUP BY user_id
+        ),
+        dense AS (
+          SELECT g.user_id, g.day, COALESCE(d.n_events, 0) AS n_events
+          FROM grid g LEFT JOIN daily d
+            ON g.user_id = d.user_id AND g.day = d.day
+        ),
+        xy AS (
+          SELECT user_id,
+                 CAST(day - min(day) OVER (PARTITION BY user_id)
+                   AS BIGINT) AS x,
+                 n_events AS y
+          FROM dense
+        ),
+        sums AS (
+          SELECT user_id, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM xy GROUP BY user_id
+        )
+        SELECT user_id, n AS n_days,
+               CAST(1000000 * sy // n AS BIGINT) AS avg_ppm,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 7) AS slope
+        FROM sums
+        WHERE n * sxx - sx * sx <> 0
     """
     sql["similar_activity_pairs"] = f"""
         WITH {_PROF_CTE},

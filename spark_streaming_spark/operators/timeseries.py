@@ -187,3 +187,46 @@ def rolling_activity(events: DataFrame, days: int = 7) -> DataFrame:
                    " AS BIGINT)"),
         )
     )
+
+
+def activity_trend(events: DataFrame) -> DataFrame:
+    """Per-user OLS activity trend: slope of daily event count vs day
+    index over the gap-filled dense series — group-wise linear
+    regression as ONE aggregation of exact integer sums (n, Σx, Σy,
+    Σxy, Σx²), the classic map-side-combinable normal-equations shape
+    (no per-group iteration, no ML library).
+
+    x is the 0-based day index within the user's span (small int), y
+    the day's count — so every sum is BIGINT-exact and the slope's
+    numerator/denominator are exact integers; only the final division
+    is floating (then 7 dp-quantized, the house contract). Users with a
+    single-day span (den = 0) are excluded.
+
+    Scale shape: gap-fill's user shuffle is reused by both the index
+    window and the aggregation (same partitioning → one exchange); the
+    regression itself adds no shuffle beyond the final tiny per-user
+    aggregate. Columns: user_id, n_days, avg_ppm, slope."""
+    from pyspark.sql.window import Window
+
+    daily = gap_fill_daily(events)
+    w = Window.partitionBy("user_id")
+    d = daily.select(
+        "user_id",
+        F.datediff("day", F.min("day").over(w)).cast("long").alias("x"),
+        F.col("n_events").alias("y"))
+    agg = d.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.filter(den != 0)
+        .select(
+            "user_id", F.col("n").alias("n_days"),
+            F.expr("CAST((1000000 * sy) DIV n AS BIGINT)").alias("avg_ppm"),
+            F.round(num.cast("double") / den.cast("double"), 7)
+            .alias("slope"),
+        )
+    )

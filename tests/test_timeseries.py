@@ -64,3 +64,23 @@ def test_rolling_activity_growing_then_full_frames(spark):
             assert r.rolling_sum == sum(
                 x.n_events for x in urows[max(0, i - 6):i + 1])
             assert r.avg_ppm == (1_000_000 * r.rolling_sum) // r.window_rows
+
+
+def test_activity_trend_matches_closed_form(spark):
+    """Spot-check the OLS slope against a NumPy fit per user."""
+    import numpy as np
+
+    events = load_table(spark, SF_DIR, "events")
+    dense = {}
+    for r in TS.gap_fill_daily(events).collect():
+        dense.setdefault(r.user_id, []).append((r.day, r.n_events))
+    got = {r.user_id: r for r in TS.activity_trend(events).collect()}
+    assert set(got) == {u for u, v in dense.items() if len(v) >= 2}
+    for u in list(got)[:10]:
+        pts = sorted(dense[u])
+        y = np.array([n for _, n in pts], dtype=float)
+        x = np.arange(len(y), dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        assert abs(got[u].slope - slope) < 1e-6
+        assert got[u].n_days == len(y)
+        assert got[u].avg_ppm == (1_000_000 * int(y.sum())) // len(y)

@@ -1213,7 +1213,7 @@ _CHECK_FIRST = [
     "scd2_user_status", "streaming_scd2_merge",
     "session_windows", "user_activity_trend", "knn_ivf_det",
     "events_asof_status", "streaming_session_windows",
-    "streaming_two_level_agg", "streaming_pivot_counts",
+    "streaming_two_level_agg", "event_dow_association",
     "streaming_click_attribution_outer",
 ]
 
@@ -1328,6 +1328,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         "customer_balance_quartiles": lambda s, d: AN.customer_balance_quartiles(
             load_table(s, d, "customer")),
+        # chi-square contingency audit: one groupBy to |types|x7 cells,
+        # marginals as windows over the tiny cell table
+        "event_dow_association": lambda s, d: AN.crosstab_association(
+            load_table(s, d, "events")),
         "value_outliers": lambda s, d: AN.value_outliers(
             load_table(s, d, "events"), k=2.5),
         "cohort_retention": lambda s, d: AN.cohort_retention(
@@ -3633,6 +3637,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         FROM events JOIN customer ON c_custkey = user_id
         GROUP BY c_mktsegment
+    """
+    # chi-square cells: engine-neutral dow (days since Monday
+    # 2024-01-01 mod 7); HUGEINT-guarded casts; float only in the
+    # final 7 dp-quantized division
+    sql["event_dow_association"] = """
+        WITH cells AS (
+          SELECT event_type,
+                 CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7
+                   AS INT) AS dow,
+                 count(*) AS o
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT event_type, dow, o,
+                 CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS r_tot,
+                 CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c_tot,
+                 CAST(sum(o) OVER () AS BIGINT) AS n_tot
+          FROM cells
+        )
+        SELECT event_type, dow, o,
+               CAST((1000000 * r_tot * c_tot) // n_tot AS BIGINT)
+                 AS e_x1e6,
+               round(CAST(o * n_tot - r_tot * c_tot AS DOUBLE)
+                     * CAST(o * n_tot - r_tot * c_tot AS DOUBLE)
+                     / (CAST(n_tot AS DOUBLE) * CAST(r_tot AS DOUBLE)
+                        * CAST(c_tot AS DOUBLE)), 7)
+                 AS chi2_term
+        FROM m
     """
     sql["value_outliers"] = """
         WITH med AS (

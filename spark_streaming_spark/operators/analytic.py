@@ -196,3 +196,52 @@ def event_value_histogram(events: DataFrame, lo: float = 0.0,
         events.groupBy("event_type", bucket.cast("int").alias("bucket"))
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def crosstab_association(events: DataFrame) -> DataFrame:
+    """Chi-square contingency analysis of event_type × day-of-week —
+    the categorical-association audit a feature pipeline runs to catch
+    temporal confounds (is event mix independent of weekday?).
+
+    Exact-arithmetic discipline: observed/row/column/grand totals are
+    BIGINT; the expected count is reported as ``e_x1e6 = 1e6·r·c div N``
+    and each cell's chi-square term ``(O·N − r·c)² / (N·r·c)`` floats
+    only in the final division (7 dp-quantized). Day-of-week is
+    engine-neutral: days since Monday 2024-01-01 mod 7 (0 = Monday),
+    avoiding the engines' conflicting dayofweek() conventions.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the corpus
+    to |types|×7 cells; the marginals are windows over that tiny cell
+    table — the heavy data is touched exactly once.
+
+    Columns: event_type, dow, o, e_x1e6, chi2_term."""
+    cells = (
+        events.select(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+             % 7).alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("o"))
+    )
+    r = F.sum("o").over(Window.partitionBy("event_type"))
+    c = F.sum("o").over(Window.partitionBy("dow"))
+    n = F.sum("o").over(Window.partitionBy())
+    num = F.col("o") * F.col("n_tot") - F.col("r_tot") * F.col("c_tot")
+    # denominator in DOUBLE from the start (N·r·c passes int64 well
+    # before num does); fixed left-to-right association on both engines
+    den = (F.col("n_tot").cast("double") * F.col("r_tot").cast("double")
+           * F.col("c_tot").cast("double"))
+    return (
+        cells
+        .withColumn("r_tot", r).withColumn("c_tot", c).withColumn("n_tot", n)
+        .select(
+            "event_type", "dow", "o",
+            F.expr("CAST((1000000 * r_tot * c_tot) DIV n_tot AS BIGINT)")
+            .alias("e_x1e6"),
+            # square in DOUBLE: num is BIGINT-exact but num² can pass
+            # int64 at large N; the double product rounds identically
+            # on both engines (IEEE correctly-rounded multiply)
+            F.round(num.cast("double") * num.cast("double") / den, 7)
+            .alias("chi2_term"),
+        )
+    )

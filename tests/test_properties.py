@@ -243,3 +243,32 @@ def test_chunk_documents_covers_exactly(spark, texts):
         rebuilt = "".join(r.chunk_text[:stride] for r in chunks[:-1])
         rebuilt += chunks[-1].chunk_text
         assert rebuilt == t, (t, [r.chunk_text for r in chunks])
+
+
+def test_crosstab_association_scipy_free_identities(spark):
+    """Chi-square cells: marginal identities and the textbook statistic
+    recomputed in pure Python from the observed counts."""
+    from spark_streaming_spark.operators.analytic import (
+        crosstab_association)
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    rows = crosstab_association(events).collect()
+    n = sum(r.o for r in rows)
+    assert n == events.count()
+    r_tot, c_tot = {}, {}
+    for r in rows:
+        r_tot[r.event_type] = r_tot.get(r.event_type, 0) + r.o
+        c_tot[r.dow] = c_tot.get(r.dow, 0) + r.o
+    for r in rows:
+        e = r_tot[r.event_type] * c_tot[r.dow] / n
+        assert r.e_x1e6 == (1_000_000 * r_tot[r.event_type]
+                            * c_tot[r.dow]) // n
+        num = r.o * n - r_tot[r.event_type] * c_tot[r.dow]
+        want = round(float(num) * float(num)
+                     / (float(n) * float(r_tot[r.event_type])
+                        * float(c_tot[r.dow])), 7)
+        assert abs(r.chi2_term - want) < 1e-9
+        # chi2 term equals (O-E)^2/E scaled — sanity vs direct formula
+        assert abs(r.chi2_term - (r.o - e) ** 2 / e) < 1e-4

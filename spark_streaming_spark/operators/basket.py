@@ -78,17 +78,30 @@ def frequent_pairs(lineitem: DataFrame, min_item_support: int = 5,
             .filter(F.col("support") >= min_item_support))
     # Apriori prune: only frequent items can form frequent pairs. The
     # frequent set is head-of-distribution small -> broadcast semi join.
-    pruned = items.join(F.broadcast(supp), "item")
-    a = pruned.select(F.col("basket"), F.col("item").alias("part_a"),
-                      F.col("support").alias("support_a"))
-    b = pruned.select(F.col("basket"), F.col("item").alias("part_b"),
-                      F.col("support").alias("support_b"))
-    result = (
-        a.join(b, ["basket"])
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b", "support_a", "support_b")
+    pruned = items.join(F.broadcast(supp.select("item")), "item")
+    # one-shuffle pair build: group each basket's (already distinct)
+    # frequent items into an array and explode the ordered pairs
+    # map-side — the self-join spelling would shuffle the item table
+    # twice; the per-basket quadratic is the same either way
+    pairs = (
+        pruned.groupBy("basket")
+        .agg(F.collect_list("item").alias("its"))
+        .select(F.explode(F.expr(
+            "filter(flatten(transform(its,"
+            " x -> transform(its, y -> struct(x AS part_a, y AS part_b)"
+            "))), p -> p.part_a < p.part_b)")).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("pair_support"))
         .filter(F.col("pair_support") >= min_pair_support)
+    )
+    # supports attach AFTER the aggregation, on the tiny pair table
+    sa = supp.select(F.col("item").alias("part_a"),
+                     F.col("support").alias("support_a"))
+    sb = supp.select(F.col("item").alias("part_b"),
+                     F.col("support").alias("support_b"))
+    result = (
+        pairs.join(F.broadcast(sa), "part_a").join(F.broadcast(sb), "part_b")
         .select(
             "part_a", "part_b", "support_a", "support_b", "pair_support",
             # BIGINT-exact lift: integer DIV, no double ever materializes

@@ -35,15 +35,27 @@ from pyspark.sql import functions as F
 
 def cosupply_edges(lineitem: DataFrame) -> DataFrame:
     """(src, dst, w): supplier co-occurrence within an order, symmetric,
-    self-pairs excluded. Columns: src, dst, w."""
-    a, b = lineitem.alias("a"), lineitem.alias("b")
+    self-pairs excluded. Columns: src, dst, w.
+
+    One-shuffle spelling: instead of self-joining lineitem on the order
+    key (which shuffles the big table TWICE — once per join side), group
+    the suppliers per order into an array (one shuffle, map-side
+    combinable) and explode the within-order pairs map-side. The
+    per-order quadratic is identical to the self-join's output — only
+    the shuffled volume changes. Pair multiset matches the row-level
+    self-join exactly (duplicate line items of a supplier keep their
+    multiplicity)."""
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.collect_list("l_suppkey").alias("supps"))
+    )
     return (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_suppkey") != F.col("b.l_suppkey")))
-        .groupBy(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
+        per_order.select(F.explode(F.expr(
+            "filter(flatten(transform(supps,"
+            " x -> transform(supps, y -> struct(x AS src, y AS dst)))),"
+            " p -> p.src != p.dst)")).alias("p"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
     )
 
@@ -56,13 +68,16 @@ def supplier_corank(lineitem: DataFrame, n_iters: int = 3,
     Per round: rank flows along each edge proportionally to its weight
     share of the source's out-weight; contributions quantize to 7 dp
     decimals (order-independent exact sum), then
-    ``rank' = (1-d)/N + d·Σ`` in a fixed IEEE sequence. The edge and
-    out-weight tables are localCheckpointed once (reused every round);
-    the rank vector is localCheckpointed per round so the plan stays
-    O(1) in rounds."""
-    edges = cosupply_edges(lineitem).localCheckpoint(eager=True)
-    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    outw = outw.localCheckpoint(eager=True)
+    ``rank' = (1-d)/N + d·Σ`` in a fixed IEEE sequence. The out-weight
+    is folded into the staged edge table ONCE (so each round is a
+    single broadcast join of the tiny rank vector against the edges,
+    not two); the rank vector is localCheckpointed per round so the
+    plan stays O(1) in rounds."""
+    raw = cosupply_edges(lineitem).localCheckpoint(eager=True)
+    outw = (raw.groupBy("src").agg(F.sum("w").alias("out_w"))
+            .localCheckpoint(eager=True))
+    # map-side fold: outw is |V|-sized -> broadcast; no materialization
+    edges = raw.join(F.broadcast(outw), "src")
     n = outw.count()
     base, d = (1.0 - damping) / n, damping
     rank = outw.select(
@@ -72,7 +87,6 @@ def supplier_corank(lineitem: DataFrame, n_iters: int = 3,
     for _ in range(n_iters):
         flows = (
             edges.join(rank, edges["src"] == rank["supp"])
-            .join(outw, "src")
             .select("dst", contrib.alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("double").alias("s"))

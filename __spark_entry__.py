@@ -36,6 +36,7 @@ from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import pipeline as PL
 from spark_streaming_spark.operators import profile as PF
 from spark_streaming_spark.operators import rangejoin as RJ
+from spark_streaming_spark.operators import ranking as RK
 from spark_streaming_spark.operators import redaction as RED
 from spark_streaming_spark.operators import skew as SK
 from spark_streaming_spark.operators import sketch as SKC
@@ -1211,7 +1212,7 @@ _CHECK_FIRST = [
     "orders_profile", "streaming_value_tiers", "scd2_status_merge",
     "part_reach_hops", "pq_codes_det", "weighted_doc_sample",
     "scd2_user_status", "streaming_scd2_merge",
-    "session_windows", "user_activity_trend", "knn_ivf_det",
+    "customer_rfm", "user_activity_trend", "knn_ivf_det",
     "events_asof_status", "streaming_session_windows",
     "streaming_two_level_agg", "event_dow_association",
     "streaming_click_attribution_outer",
@@ -1332,6 +1333,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # marginals as windows over the tiny cell table
         "event_dow_association": lambda s, d: AN.crosstab_association(
             load_table(s, d, "events")),
+        # RFM segmentation on exact DISTRIBUTED global ranks (two-phase
+        # range-partition rank — no single-partition window anywhere)
+        "customer_rfm": lambda s, d: RK.customer_rfm(
+            load_table(s, d, "orders")),
         "value_outliers": lambda s, d: AN.value_outliers(
             load_table(s, d, "events"), k=2.5),
         "cohort_retention": lambda s, d: AN.cohort_retention(
@@ -3637,6 +3642,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         FROM events JOIN customer ON c_custkey = user_id
         GROUP BY c_mktsegment
+    """
+    # RFM: the naive global windows ARE the oracle for the distributed
+    # two-phase rank; ntile(5) direct (the Spark side's formula-ntile
+    # reproduces SQL-standard ntile exactly)
+    sql["customer_rfm"] = """
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                   AS BIGINT) AS recency_days,
+                 count(*) AS frequency,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,2)))
+                   AS DECIMAL(38,2)) AS monetary
+          FROM orders GROUP BY 1
+        ),
+        r AS (
+          SELECT *,
+            ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+            ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+            ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+          FROM per
+        )
+        SELECT o_custkey AS c_custkey, recency_days, frequency, monetary,
+               CAST(r_score AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
+               CAST(100 * r_score + 10 * f_score + m_score AS INT)
+                 AS rfm_code
+        FROM r
     """
     # chi-square cells: engine-neutral dow (days since Monday
     # 2024-01-01 mod 7); HUGEINT-guarded casts; float only in the

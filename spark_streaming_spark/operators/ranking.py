@@ -1,0 +1,111 @@
+"""Distributed exact global ranking — the scale-correct spelling of
+``row_number() OVER (ORDER BY ...)``.
+
+A global window with no PARTITION BY funnels the whole dataset through
+ONE task (Spark plans ``Exchange SinglePartition``) — the sequential
+trap that kills exact ranking, ntile scoring, and Pareto analysis at
+100 TB. The distributed discipline used here is the classic two-phase
+rank every sorted-output system implements:
+
+1. ``repartitionByRange`` on the full order key — Spark's range
+   partitioner guarantees every row in partition *i* sorts before every
+   row in partition *i+1* (boundaries come from sampling, but the
+   RESULT is boundary-independent: only the total order matters).
+2. local ``row_number`` within each range partition (parallel), plus a
+   per-partition row count — a #partitions-sized table.
+3. cumulative offsets over that tiny count table, broadcast back:
+   ``global_rank = offset[pid] + local_rank``.
+
+Identical result to the naive single-partition window (which is what
+the DuckDB oracle runs), with rank determinism guaranteed by making the
+order key TOTAL (callers must include a tie-breaking unique column).
+
+``customer_rfm`` builds on it: the classic recency/frequency/monetary
+segmentation with ntile-by-formula scores (``1 + (rank-1)·k div n`` —
+the SQL-standard ntile on an exact global rank, so equal ranks can
+never straddle an engine-dependent bucket boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(df: DataFrame, order_cols: list[str],
+                     rank_col: str = "rank") -> DataFrame:
+    """Add ``rank_col`` = exact 1-based global row_number by
+    ``order_cols`` (which must be a TOTAL order — include a unique
+    tie-breaker) without ever planning a single-partition exchange."""
+    d = (df.repartitionByRange(*order_cols)
+         .withColumn("__pid", F.spark_partition_id()))
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = d.withColumn("__lr", F.row_number().over(w))
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__c"))
+    wo = (Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = counts.select(
+        "__pid", (F.sum("__c").over(wo) - F.col("__c")).alias("__off"))
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.col("__off") + F.col("__lr"))
+        .drop("__pid", "__lr", "__off")
+    )
+
+
+def _ntile_score(rank_col: str, n: int, k: int = 5) -> F.Column:
+    """SQL-standard ntile from an exact global rank: bucket sizes differ
+    by at most one, earlier ranks get the larger buckets — integer-only
+    (mirrors ntile(k) exactly; DuckDB's ntile is the oracle)."""
+    # ntile with remainder r = n % k: first r buckets have size q+1
+    q, r = divmod(n, k)
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {r * (q + 1)}"
+        f" THEN 1 + ({rank_col} - 1) DIV {q + 1}"
+        f" ELSE {r} + 1 + ({rank_col} - 1 - {r * (q + 1)}) DIV {max(q, 1)}"
+        f" END AS INT)")
+
+
+def customer_rfm(orders: DataFrame, k: int = 5) -> DataFrame:
+    """Recency/frequency/monetary segmentation of customers from their
+    order history — ntile(k) scores on exact distributed global ranks
+    (no single-partition window anywhere; see module docstring).
+
+    Recency ranks ascending by days-since-last-order (most recent →
+    score 1), frequency and monetary rank descending (largest → score
+    1), each with the customer key as tie-breaker so every rank is
+    total. Monetary sums in DECIMAL(38,2) (the house float contract).
+
+    Columns: c_custkey, recency_days, frequency, monetary,
+    r_score, f_score, m_score, rfm_code (= 100·r + 10·f + m)."""
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .cast("decimal(38,2)").alias("monetary"))
+    asof = orders.agg(F.max("o_orderdate").alias("__asof"))
+    per = (per.join(F.broadcast(asof))
+           .withColumn("recency_days",
+                       F.datediff("__asof", "last_order").cast("long"))
+           .drop("__asof", "last_order"))
+    n = per.count()
+    ranked = with_global_rank(per, ["recency_days", "o_custkey"], "__rr")
+    ranked = with_global_rank(
+        ranked.withColumn("__negf", -F.col("frequency")),
+        ["__negf", "o_custkey"], "__fr")
+    ranked = with_global_rank(
+        ranked.withColumn("__negm", -F.col("monetary")),
+        ["__negm", "o_custkey"], "__mr")
+    return (
+        ranked
+        .withColumn("r_score", _ntile_score("__rr", n, k))
+        .withColumn("f_score", _ntile_score("__fr", n, k))
+        .withColumn("m_score", _ntile_score("__mr", n, k))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "recency_days", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
+            (F.col("r_score") * 100 + F.col("f_score") * 10
+             + F.col("m_score")).cast("int").alias("rfm_code"),
+        )
+    )

@@ -1214,7 +1214,7 @@ _CHECK_FIRST = [
     "scd2_user_status", "streaming_scd2_merge",
     "customer_rfm", "user_activity_trend", "knn_ivf_det",
     "events_asof_status", "streaming_session_windows",
-    "streaming_two_level_agg", "event_dow_association",
+    "pareto_parts", "event_dow_association",
     "streaming_click_attribution_outer",
 ]
 
@@ -1337,6 +1337,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # range-partition rank — no single-partition window anywhere)
         "customer_rfm": lambda s, d: RK.customer_rfm(
             load_table(s, d, "orders")),
+        # Pareto/ABC revenue classes via the distributed global cumsum
+        "pareto_parts": lambda s, d: RK.pareto_parts(
+            load_table(s, d, "lineitem")),
         "value_outliers": lambda s, d: AN.value_outliers(
             load_table(s, d, "events"), k=2.5),
         "cohort_retention": lambda s, d: AN.cohort_retention(
@@ -3671,6 +3674,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(100 * r_score + 10 * f_score + m_score AS INT)
                  AS rfm_code
         FROM r
+    """
+    # Pareto: naive global running-sum window as the oracle; revenue
+    # exact in 1e-4 units, share floats only in floor(cum/tot*1e6)
+    sql["pareto_parts"] = """
+        WITH rev AS (
+          SELECT l_partkey AS part_id,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(38,4))) * 10000 AS BIGINT) AS revenue_c4
+          FROM lineitem GROUP BY 1
+        ),
+        t AS (SELECT CAST(SUM(revenue_c4) AS BIGINT) AS tot FROM rev),
+        c AS (
+          SELECT part_id, revenue_c4,
+                 CAST(SUM(revenue_c4) OVER (
+                   ORDER BY revenue_c4 DESC, part_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_c4
+          FROM rev
+        )
+        SELECT part_id, revenue_c4,
+               CAST(FLOOR(CAST(cum_c4 AS DOUBLE) / CAST(tot AS DOUBLE)
+                    * 1e6) AS BIGINT) AS cum_share_ppm,
+               CASE WHEN FLOOR(CAST(cum_c4 AS DOUBLE) / CAST(tot AS DOUBLE)
+                         * 1e6) <= 700000 THEN 'A'
+                    WHEN FLOOR(CAST(cum_c4 AS DOUBLE) / CAST(tot AS DOUBLE)
+                         * 1e6) <= 900000 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c, t
     """
     # chi-square cells: engine-neutral dow (days since Monday
     # 2024-01-01 mod 7); HUGEINT-guarded casts; float only in the

@@ -54,3 +54,34 @@ def test_customer_rfm_scores_partition_into_quintiles(spark):
     best = min(rows, key=lambda r: (r.recency_days, r.c_custkey))
     assert best.r_score == 1
     assert sum(1 for r in rows if r.rfm_code == 111) >= 0  # well-formed
+
+
+def test_global_cumsum_equals_single_partition_window(spark):
+    from spark_streaming_spark.operators.ranking import with_global_cumsum
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", F.col("o_orderkey").alias("v"))
+    got = {r.o_orderkey: r.cum for r in with_global_cumsum(
+        orders, ["o_orderkey"], "v").collect()}
+    w = (Window.orderBy("o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r.o_orderkey: r.cum for r in orders.withColumn(
+        "cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_pareto_abc_monotone_and_complete(spark):
+    from spark_streaming_spark.operators.ranking import pareto_parts
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    rows = sorted(pareto_parts(li).collect(),
+                  key=lambda r: (-r.revenue_c4, r.part_id))
+    assert rows[-1].cum_share_ppm == 1_000_000  # full tape covered
+    last = 0
+    for r in rows:
+        assert r.cum_share_ppm >= last   # cumulative share monotone
+        last = r.cum_share_ppm
+        want = ("A" if r.cum_share_ppm <= 700000
+                else "B" if r.cum_share_ppm <= 900000 else "C")
+        assert r.abc_class == want
+    assert {r.abc_class for r in rows} == {"A", "B", "C"}

@@ -392,6 +392,65 @@ def _q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _cutoff_chunked_events(spark: SparkSession, sf_dir: str) -> str:
+    """Events chunked at FIXED timestamps (Jan 11 / Jan 21) so epoch
+    membership is a pure function of the row — the layout that makes
+    per-epoch outputs (the CDC feed) SQL-verifiable, unlike the sampled
+    range split. Disk-cached like the other chunk layouts."""
+    from spark_streaming_spark.streaming import replay
+
+    key = (sf_dir, "events_cutoff", 3)
+    if key not in _ORDERED_CHUNK_CACHE:
+        final = _persistent_cache_dir("cutoff", sf_dir, "events", 3)
+        if _cache_ready(final):
+            _ORDERED_CHUNK_CACHE[key] = final
+            return final
+        ev = load_table(spark, sf_dir, "events")
+        d = replay.chunk_to_dir_by_cutoffs(
+            ev, ["2024-01-11", "2024-01-21"])
+        _ORDERED_CHUNK_CACHE[key] = _publish_chunks(d, final)
+    return _ORDERED_CHUNK_CACHE[key]
+
+
+def _q_streaming_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed production: three fixed-cutoff micro-batches
+    fold into the per-user state while the sink emits each epoch's
+    I/U rows (streaming/pipelines.cdc_feed_sink). The returned feed is
+    the accumulated log; the oracle reconstructs every epoch's diff
+    from snapshots at the same cutoffs (state fold is associative, so
+    folded state ≡ one-shot snapshot per boundary)."""
+    import atexit
+    import shutil
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import cdc_feed_sink
+
+    chunk_dir = _cutoff_chunked_events(spark, sf_dir)
+    state_dir = replay.scratch_dir("cdc_state_")
+    log_dir = replay.scratch_dir("cdc_log_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, log_dir, ignore_errors=True)
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=1)
+        q = (
+            stream.select("user_id", "ts", "event_id", "event_type")
+            .writeStream
+            .foreachBatch(cdc_feed_sink(spark, state_dir, log_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming cdc feed did not finish")
+        return spark.read.parquet(os.path.join(log_dir, "epoch_*"))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_streaming_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME merge maintained CONTINUOUSLY: the update stream arrives
     in micro-batches and the foreachBatch SCD1 sink
@@ -1213,7 +1272,7 @@ _CHECK_FIRST = [
     "part_reach_hops", "pq_codes_det", "weighted_doc_sample",
     "scd2_user_status", "streaming_scd2_merge",
     "customer_rfm", "user_activity_trend", "knn_ivf_det",
-    "events_asof_status", "streaming_session_windows",
+    "events_asof_status", "streaming_cdc_feed",
     "pareto_parts", "event_dow_association",
     "streaming_click_attribution_outer",
 ]
@@ -1833,6 +1892,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC derivation: diff the day-15 and day-25 per-user state
         # snapshots into an I/U/D change feed (merge.snapshot_diff —
         # one full-outer key join, map-side NULL-safe change test)
+        # the change feed PRODUCED continuously: per-epoch I/U rows
+        # from consecutive folded-state versions (Delta-CDF analog)
+        "streaming_cdc_feed": _q_streaming_cdc_feed,
         "cdc_user_status": lambda s, d: MG2.snapshot_diff(
             _user_state_at(load_table(s, d, "events"), "2024-01-15"),
             _user_state_at(load_table(s, d, "events"), "2024-01-25"),
@@ -3156,8 +3218,76 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["streaming_scd2_merge"] = sql["scd2_user_status"]
     sql["streaming_events_asof_status"] = sql["events_asof_status"]
+    # CDC feed: epoch membership is a pure function of ts (fixed
+    # cutoffs), so every epoch's diff reconstructs from snapshots at
+    # the same boundaries — the fold is associative (max-struct, sum)
+    sql["streaming_cdc_feed"] = """
+        WITH s0 AS (
+          SELECT user_id, event_type, n_events FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events WHERE ts < TIMESTAMP '2024-01-11'
+          ) WHERE rn = 1
+        ),
+        s1 AS (
+          SELECT user_id, event_type, n_events FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events WHERE ts < TIMESTAMP '2024-01-21'
+          ) WHERE rn = 1
+        ),
+        s2 AS (
+          SELECT user_id, event_type, n_events FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+          ) WHERE rn = 1
+        ),
+        d0 AS (
+          SELECT 0 AS epoch, user_id, 'I' AS op,
+                 CAST(NULL AS VARCHAR) AS old_event_type,
+                 CAST(NULL AS BIGINT) AS old_n_events,
+                 event_type AS new_event_type,
+                 n_events AS new_n_events
+          FROM s0
+        ),
+        d1 AS (
+          SELECT 1 AS epoch, COALESCE(a.user_id, b.user_id) AS user_id,
+                 CASE WHEN a.user_id IS NULL THEN 'I'
+                      WHEN b.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+                 a.event_type AS old_event_type,
+                 a.n_events AS old_n_events,
+                 b.event_type AS new_event_type,
+                 b.n_events AS new_n_events
+          FROM s0 a FULL OUTER JOIN s1 b ON a.user_id = b.user_id
+          WHERE a.user_id IS NULL OR b.user_id IS NULL
+             OR a.event_type IS DISTINCT FROM b.event_type
+             OR a.n_events IS DISTINCT FROM b.n_events
+        ),
+        d2 AS (
+          SELECT 2 AS epoch, COALESCE(a.user_id, b.user_id) AS user_id,
+                 CASE WHEN a.user_id IS NULL THEN 'I'
+                      WHEN b.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+                 a.event_type AS old_event_type,
+                 a.n_events AS old_n_events,
+                 b.event_type AS new_event_type,
+                 b.n_events AS new_n_events
+          FROM s1 a FULL OUTER JOIN s2 b ON a.user_id = b.user_id
+          WHERE a.user_id IS NULL OR b.user_id IS NULL
+             OR a.event_type IS DISTINCT FROM b.event_type
+             OR a.n_events IS DISTINCT FROM b.n_events
+        )
+        SELECT * FROM d0 UNION ALL SELECT * FROM d1
+        UNION ALL SELECT * FROM d2
+    """
     # CDC snapshot diff: same two windowed snapshots, full-outer join,
-    # IS DISTINCT FROM = the NULL-safe change test
+    # IS DISTINCT FROM = the NULL-SAFE change test
     sql["cdc_user_status"] = """
         WITH s1 AS (
           SELECT user_id, event_type, n_events FROM (

@@ -388,3 +388,84 @@ def pivot_counts_stream(events: DataFrame,
         for t in types
     ]
     return events.groupBy("user_id").agg(*aggs)
+
+
+def cdc_feed_sink(spark, state_dir: str, log_dir: str):
+    """foreachBatch CHANGE-DATA-FEED sink: maintain the per-user
+    compressed state (latest event_type by total (ts, event_id) order +
+    running event count) AND emit, per epoch, the I/U/D rows the batch
+    caused — the open spelling of a table format's change feed (Delta
+    CDF / Debezium-style log), built from operators/merge.snapshot_diff
+    applied to consecutive state versions.
+
+    Protocol: same predecessor-version read + atomic CURRENT swap as
+    :func:`scd1_merge_sink` (replay-idempotent: re-running epoch n
+    rewrites v{n} AND its log slice from v{n-1} — same bytes); the log
+    writes to ``log_dir/epoch_{n}`` with per-epoch overwrite, so the
+    accumulated feed is exactly-once under retries. The state fold is
+    associative (max of (ts, id)-structs; sum of counts), so folded
+    state ≡ one-shot snapshot at each epoch boundary — which is what
+    the SQL oracle computes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.operators.merge import snapshot_diff
+
+    def _compress(df):
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"),
+                 F.count("*").alias("n_events"))
+            .select("user_id", F.col("m.ts").alias("ts"),
+                    F.col("m.event_id").alias("event_id"),
+                    F.col("m.event_type").alias("event_type"), "n_events")
+        )
+
+    def _state_before(epoch_id: int):
+        prior = [
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < epoch_id
+        ] if os.path.isdir(state_dir) else []
+        if prior:
+            return spark.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}"))
+        return None
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        bs = _compress(batch_df)
+        prev = _state_before(epoch_id)
+        if prev is None:
+            new = bs
+            prev_cmp = spark.createDataFrame([], bs.schema)
+        else:
+            combined = prev.unionByName(bs)
+            new = (
+                combined.groupBy("user_id")
+                .agg(F.max(F.struct("ts", "event_id",
+                                    "event_type")).alias("m"),
+                     F.sum("n_events").alias("n_events"))
+                .select("user_id", F.col("m.ts").alias("ts"),
+                        F.col("m.event_id").alias("event_id"),
+                        F.col("m.event_type").alias("event_type"),
+                        "n_events")
+            )
+            prev_cmp = prev
+        new = new.localCheckpoint(eager=True)  # one fold, two consumers
+        diff = (
+            snapshot_diff(
+                prev_cmp.select("user_id", "event_type", "n_events"),
+                new.select("user_id", "event_type", "n_events"),
+                "user_id", ["event_type", "n_events"])
+            .withColumn("epoch", F.lit(epoch_id))
+        )
+        diff.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"epoch_{epoch_id}"))
+        new.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{epoch_id}"))
+        tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{epoch_id}")
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+    return write_batch

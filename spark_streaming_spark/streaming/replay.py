@@ -430,3 +430,40 @@ def chunk_to_dir_ordered(df: DataFrame, n_chunks: int, order_col: str = "ts",
             os.utime(dst, (base_t + i, base_t + i))
         shutil.rmtree(stmp, ignore_errors=True)
     return out
+
+
+def chunk_to_dir_by_cutoffs(df: DataFrame, cutoffs: list[str],
+                            order_col: str = "ts",
+                            base_dir: str | None = None) -> str:
+    """Write ``df`` as ``len(cutoffs)+1`` single-file parquet chunks
+    split at FIXED ``order_col`` cutoffs (chunk i = rows in
+    [cutoffs[i-1], cutoffs[i])), with strictly increasing mtimes.
+
+    Unlike :func:`chunk_to_dir_ordered` (whose range split comes from
+    sampling), the epoch membership here is a pure function of the row
+    — so a SQL oracle can reconstruct exactly which micro-batch every
+    row arrived in and verify per-epoch outputs (change feeds, epoch
+    logs), not just the final state."""
+    out = os.path.join(
+        base_dir or _SCRATCH_BASE or tempfile.gettempdir(),
+        f"spark_replay_{uuid.uuid4().hex}"
+    )
+    os.makedirs(out, exist_ok=True)
+    bounds = [None, *cutoffs, None]
+    base_t = 1_600_000_000
+    for i in range(len(cutoffs) + 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        part = df
+        if lo is not None:
+            part = part.filter(F.col(order_col) >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            part = part.filter(F.col(order_col) < F.lit(hi).cast("timestamp"))
+        tmp = os.path.join(out, f"_tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in sorted(os.listdir(tmp))
+                   if f.startswith("part-"))
+        dst = os.path.join(out, f"chunk-{i:05d}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        os.utime(dst, (base_t + i, base_t + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -224,3 +224,44 @@ def test_snapshot_diff_emits_iud_and_drops_unchanged(spark):
     assert out[1].op == "D" and out[1].old_v == "a" and out[1].new_v is None
     assert out[3].op == "U" and (out[3].old_v, out[3].new_v) == ("c", "cc")
     assert out[5].op == "I" and out[5].new_n == 50
+
+
+def test_cdc_feed_sink_epoch_replay_idempotent(spark, tmp_path):
+    """Replaying an epoch rewrites its state version AND log slice from
+    the predecessor — same bytes, exactly-once feed."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.streaming.pipelines import cdc_feed_sink
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    state, log = str(tmp_path / "state"), str(tmp_path / "log")
+    sink = cdc_feed_sink(spark, state, log)
+    sink(ev.filter(F.col("ts") < cut), 0)
+    sink(ev.filter(F.col("ts") >= cut), 1)
+
+    def feed():
+        return {tuple(r) for r in
+                spark.read.parquet(log + "/epoch_*").collect()}
+
+    first = feed()
+    assert {r[-1] for r in first} == {0, 1}   # both epochs present
+    sink(ev.filter(F.col("ts") >= cut), 1)    # epoch replay
+    assert feed() == first
+    # final folded state == one-shot snapshot over everything
+    import os
+    with open(os.path.join(state, "CURRENT")) as fh:
+        cur = fh.read().strip()
+    assert cur == "v1"
+    got = {(r.user_id, r.event_type, r.n_events) for r in
+           spark.read.parquet(os.path.join(state, cur)).collect()}
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    want = {(r.user_id, r.event_type, r.n_events) for r in
+            ev.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_events",
+                        F.count("*").over(Window.partitionBy("user_id")))
+            .filter("rn = 1").collect()}
+    assert got == want

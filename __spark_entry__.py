@@ -451,6 +451,27 @@ def _q_streaming_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_streaming_dynamic_sessions(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows on the stream: the same per-event
+    gap expression inside the streaming session aggregate; ordered
+    replay + sentinel finalize every session, so the appended output
+    equals the batch dynamic_session_windows — shared oracle."""
+    from pyspark.sql import functions as FX
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import session_stream
+
+    gap = (FX.when(FX.col("event_type") == "purchase",
+                   FX.lit("2 minutes")).otherwise(FX.lit("5 minutes")))
+    chunk_dir = _ordered_chunked_events(spark, sf_dir)
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
+    out = replay.run_to_parquet(
+        session_stream(stream, gap=gap), "append", state_partitions=4
+    )
+    return out.filter(F.col("user_id") >= 0)
+
+
 def _q_streaming_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME merge maintained CONTINUOUSLY: the update stream arrives
     in micro-batches and the foreachBatch SCD1 sink
@@ -1274,7 +1295,7 @@ _CHECK_FIRST = [
     "customer_rfm", "user_activity_trend", "knn_ivf_det",
     "events_asof_status", "streaming_cdc_feed",
     "pareto_parts", "event_dow_association",
-    "streaming_click_attribution_outer",
+    "dynamic_session_windows",
 ]
 
 
@@ -1435,6 +1456,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": lambda s, d: WIN.sliding_counts(load_table(s, d, "events")),
         "hot_words_per_window": lambda s, d: WIN.hot_words_per_window(load_table(s, d, "events")),
         "session_windows": lambda s, d: WIN.session_windows(load_table(s, d, "events")),
+        # per-event DYNAMIC gap (SPARK-36465): purchases close sessions
+        # after 2 min, everything else after 5 — batch + streamed twins
+        "dynamic_session_windows": lambda s, d: WIN.dynamic_session_windows(
+            load_table(s, d, "events")),
+        "streaming_dynamic_sessions": _q_streaming_dynamic_sessions,
         # row-level sessionizer: session id ON the event row (lag +
         # running sum — the twin of session_windows' per-session aggs)
         "sessionize": lambda s, d: WIN.sessionize(load_table(s, d, "events")),
@@ -4196,6 +4222,40 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_top3_per_window"] = sql["hot_words_per_window"]
     # append-mode sessions finalize to exactly the batch session answer
     sql["streaming_session_windows"] = sql["session_windows"]
+    # dynamic gap: running-max reach in exact microseconds — an event
+    # opens a new session iff its ts passes every prior member's
+    # (ts + its own gap); end = the furthest reach of the members
+    sql["dynamic_session_windows"] = """
+        WITH e AS (
+          SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                 CASE WHEN event_type = 'purchase' THEN 120000000
+                      ELSE 300000000 END AS gap_us
+          FROM events
+        ),
+        x AS (
+          SELECT *, max(us + gap_us) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+          FROM e
+        ),
+        y AS (
+          SELECT *,
+                 CASE WHEN reach IS NULL OR us >= reach THEN 1 ELSE 0 END
+                   AS ns
+          FROM x
+        ),
+        z AS (
+          SELECT *, SUM(ns) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM y
+        )
+        SELECT user_id, make_timestamp(min(us)) AS w_start,
+               make_timestamp(max(us + gap_us)) AS w_end,
+               count(*) AS n_events
+        FROM z GROUP BY user_id, sid
+    """
+    sql["streaming_dynamic_sessions"] = sql["dynamic_session_windows"]
     # incrementally-maintained rollup converges to the batch rollup
     sql["streaming_daily_rollup"] = sql["daily_event_rollup"]
     sql["streaming_dedup"] = """

@@ -137,3 +137,31 @@ def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
         F.col("session_window.end").alias("w_end"),
         "n_events",
     )
+
+
+def dynamic_session_windows(events: DataFrame) -> DataFrame:
+    """Session windows with a PER-EVENT gap (Spark's dynamic
+    ``session_window(ts, gap_expr)``, SPARK-36465): purchases close a
+    session after 2 minutes, everything else after 5 — the
+    engagement-dependent timeout real sessionizers use. Each event
+    claims [ts, ts+gap); overlapping claims per user merge; the session
+    end is the furthest reach of its members.
+
+    Scale shape: identical to the static-gap session aggregate — one
+    shuffle on the user key, per-key sort inside the session assignment;
+    in streaming the state store holds only open sessions (watermark
+    evicts closed ones).
+
+    Columns: user_id, w_start, w_end, n_events."""
+    gap = (F.when(F.col("event_type") == "purchase", F.lit("2 minutes"))
+           .otherwise(F.lit("5 minutes")))
+    agg = (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("w_start"),
+        F.col("session_window.end").alias("w_end"),
+        "n_events",
+    )

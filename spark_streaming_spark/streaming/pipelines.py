@@ -312,7 +312,7 @@ def jdbc_upsert_sink(url: str, table: str, properties: dict[str, str]):
     return write_batch
 
 
-def session_stream(events: DataFrame, gap: str = "5 minutes",
+def session_stream(events: DataFrame, gap=None,
                    watermark: str = "0 seconds") -> DataFrame:
     """Event-time session windows per user over a stream — the stateful
     shape DStreams could not express at all (the reference's windows are
@@ -326,10 +326,14 @@ def session_stream(events: DataFrame, gap: str = "5 minutes",
     grouping key would be pushed below the EventTimeWatermark operator
     into the scan, so the sentinel rows would never reach the watermark
     and could not advance it — drop them from the finalized BATCH result
-    instead. Columns: user_id, w_start, w_end, n_events."""
+    instead. ``gap`` may be a Column expression for DYNAMIC per-event
+    gaps (SPARK-36465) — the streamed spelling of
+    operators/windows.dynamic_session_windows.
+    Columns: user_id, w_start, w_end, n_events."""
     agg = (
         events.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap), "user_id")
+        .groupBy(F.session_window(
+            "ts", "5 minutes" if gap is None else gap), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
     return agg.select(

@@ -840,3 +840,28 @@ def test_multiple_watermark_policy_min_vs_max(spark, tmp_path):
     dropped = run("max")
     assert (11, 0) in kept          # laggard-relative on-time row counted
     assert (11, 0) not in dropped   # leader policy discards it
+
+
+def test_dynamic_session_gap_splits_where_static_would_merge(spark):
+    """A purchase's 2-minute gap closes the session even though the
+    5-minute static gap would have merged the next event in."""
+    from spark_streaming_spark.operators.windows import (
+        dynamic_session_windows, session_windows)
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "purchase"),  # reach 00:02
+        (1, "2024-01-01 00:03:00", "view"),      # 3 min later: new sess
+        (2, "2024-01-01 00:00:00", "view"),      # reach 00:05
+        (2, "2024-01-01 00:03:00", "view"),      # merges
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    dyn = dynamic_session_windows(ev).collect()
+    per_user = {}
+    for r in dyn:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert per_user == {1: 2, 2: 1}
+    stat = session_windows(ev).collect()
+    assert {r.user_id: len([x for x in stat if x.user_id == r.user_id])
+            for r in stat} == {1: 1, 2: 1}

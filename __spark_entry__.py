@@ -1294,7 +1294,7 @@ _CHECK_FIRST = [
     "scd2_user_status", "streaming_scd2_merge",
     "customer_rfm", "user_activity_trend", "knn_ivf_det",
     "events_asof_status", "streaming_cdc_feed",
-    "pareto_parts", "event_dow_association",
+    "pareto_parts", "hll_audience_overlap",
     "dynamic_session_windows",
 ]
 
@@ -1854,6 +1854,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-exact HLL: the approximate distinct that CAN be
         # hash-checked (md5 hash + integer registers + one shared-literal
         # divide — unlike approx_count_distinct's private seeds)
+        # HLL set algebra: |A∪B| by register max-merge, |A∩B| by
+        # inclusion-exclusion — sketch composability, hash-exact
+        "hll_audience_overlap": lambda s, d: SKC.hll_overlap(
+            load_table(s, d, "events"), "event_type", "user_id"),
         "hll_distinct_users": lambda s, d: SKC.hll_distinct(
             load_table(s, d, "events"), "event_type", "user_id"),
         # the register table as streaming state (update-mode max merge)
@@ -3726,6 +3730,8 @@ def oracle_sql() -> dict[str, str]:
     # from the same frozen constants the Spark operator uses)
     from spark_streaming_spark.operators.sketch import hll_sql
     sql["hll_distinct_users"] = hll_sql("event_type", "user_id", "events")
+    sql["hll_audience_overlap"] = SKC.hll_overlap_sql(
+        "event_type", "user_id", "events")
     sql["streaming_hll_distinct"] = sql["hll_distinct_users"]
     # per-(day, type) HLL: same register math, window in the group key;
     # the day column mirrors daily_event_rollup's date_trunc spelling

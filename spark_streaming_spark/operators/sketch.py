@@ -233,3 +233,115 @@ def hll_sql(group_col: str, key_col: str, table: str) -> str:
                     ELSE raw END AS est_distinct
         FROM scored
     """
+
+
+def hll_overlap(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Sketch SET ALGEBRA over the engine-exact HLL: for every pair of
+    groups, |A∪B| by register max-merge (the mergeability that makes
+    sketches composable at 100 TB — union costs one ≤ m-row aggregate,
+    never a rescan) and |A∩B| by inclusion-exclusion
+    (est_a + est_b − est_union, the published HLL intersection
+    estimator; error grows with the Jaccard distance, which is the
+    known trade of the method).
+
+    The pair table comes from a collect-and-explode over the distinct
+    group list (tiny, map-only — no cross join in the plan); register
+    membership attaches by broadcast equi joins. Deterministic
+    end-to-end: same md5 registers, same literal tables, one fixed IEEE
+    sequence for the final subtraction.
+
+    Columns: type_a < type_b, est_a, est_b, est_union, est_overlap."""
+    regs = hll_registers(df, group_col, key_col)
+    regs = regs.localCheckpoint(eager=True)  # 3 consumers below
+    ests = hll_estimate(regs, group_col)
+    tl = regs.select(F.col(group_col).alias("t")).distinct() \
+        .agg(F.collect_list("t").alias("ts"))
+    tp = tl.select(F.explode(F.expr(
+        "filter(flatten(transform(ts,"
+        " x -> transform(ts, y -> struct(x AS type_a, y AS type_b)))),"
+        " p -> p.type_a < p.type_b)")).alias("p")).select("p.*")
+    m1 = tp.join(regs, F.col("type_a") == F.col(group_col)) \
+        .select("type_a", "type_b", "bucket", "rho")
+    m2 = tp.join(regs, F.col("type_b") == F.col(group_col)) \
+        .select("type_a", "type_b", "bucket", "rho")
+    union_regs = (m1.unionByName(m2)
+                  .groupBy("type_a", "type_b", "bucket")
+                  .agg(F.max("rho").alias("rho")))
+    est_u = hll_estimate(union_regs, ["type_a", "type_b"]) \
+        .withColumnRenamed("est_distinct", "est_union")
+    ea = ests.select(F.col(group_col).alias("type_a"),
+                     F.col("est_distinct").alias("est_a"))
+    eb = ests.select(F.col(group_col).alias("type_b"),
+                     F.col("est_distinct").alias("est_b"))
+    return (
+        est_u.join(F.broadcast(ea), "type_a").join(F.broadcast(eb), "type_b")
+        .select("type_a", "type_b", "est_a", "est_b", "est_union",
+                (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                .alias("est_overlap"))
+    )
+
+
+def hll_overlap_sql(group_col: str, key_col: str, table: str) -> str:
+    """DuckDB twin of :func:`hll_overlap` — same registers, same merge,
+    same literal estimator, same IEEE sequence."""
+    lc = ", ".join(f"{x!r}e0" for x in _HLL_LC)
+
+    def est(rel: str, keys: str, out: str) -> str:
+        return f"""
+          SELECT {keys},
+                 CASE WHEN {HLL_M} - nb > 0
+                           AND {_HLL_NUMERATOR!r}
+                               / CAST(s_present + ({HLL_M} - nb)
+                                      * {2 ** HLL_RMAX} AS DOUBLE)
+                               < {_HLL_SMALL!r}
+                      THEN ([{lc}])[{HLL_M} - nb]
+                      ELSE {_HLL_NUMERATOR!r}
+                           / CAST(s_present + ({HLL_M} - nb)
+                                  * {2 ** HLL_RMAX} AS DOUBLE)
+                      END AS {out}
+          FROM (SELECT {keys},
+                       SUM((1::BIGINT << ({HLL_RMAX} - rho))) AS s_present,
+                       COUNT(*) AS nb
+                FROM {rel} GROUP BY {keys})"""
+
+    return f"""
+        WITH staged AS (
+          SELECT {group_col},
+                 ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+          FROM {table}
+        ),
+        br AS (
+          SELECT {group_col}, h % {HLL_M} AS bucket,
+                 CASE WHEN h // {HLL_M} = 0 THEN 55
+                      ELSE 55 - length(bin(h // {HLL_M})) END AS rho
+          FROM staged
+        ),
+        regs AS (
+          SELECT {group_col}, bucket, max(least(rho, {HLL_RMAX})) AS rho
+          FROM br GROUP BY 1, 2
+        ),
+        types AS (SELECT DISTINCT {group_col} AS t FROM regs),
+        tp AS (
+          SELECT a.t AS type_a, b.t AS type_b
+          FROM types a JOIN types b ON a.t < b.t
+        ),
+        union_regs AS (
+          SELECT type_a, type_b, bucket, max(rho) AS rho FROM (
+            SELECT tp.type_a, tp.type_b, r.bucket, r.rho
+            FROM tp JOIN regs r ON r.{group_col} = tp.type_a
+            UNION ALL
+            SELECT tp.type_a, tp.type_b, r.bucket, r.rho
+            FROM tp JOIN regs r ON r.{group_col} = tp.type_b
+          ) GROUP BY 1, 2, 3
+        ),
+        eg AS ({est("regs", group_col, "est_distinct")}),
+        eu AS ({est("union_regs", "type_a, type_b", "est_union")})
+        SELECT eu.type_a, eu.type_b,
+               ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+               eu.est_union,
+               ea.est_distinct + eb.est_distinct - eu.est_union
+                 AS est_overlap
+        FROM eu JOIN eg ea ON ea.{group_col} = eu.type_a
+                JOIN eg eb ON eb.{group_col} = eu.type_b
+    """

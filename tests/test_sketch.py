@@ -164,3 +164,35 @@ def test_bloom_contamination_never_misses(spark):
     assert set(exact) <= set(bloom)
     for did, n in exact.items():
         assert bloom[did] >= n, (did, bloom[did], n)
+
+
+def test_hll_overlap_tracks_exact_intersections(spark):
+    """Inclusion-exclusion estimates must land within HLL error of the
+    exact intersection sizes, and the union register merge must equal
+    an HLL built over the concatenated groups."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.operators.sketch import (
+        hll_distinct, hll_overlap)
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = {(r.type_a, r.type_b): r for r in
+           hll_overlap(ev, "event_type", "user_id").collect()}
+    assert out, "expected event-type pairs"
+    # union merge == sketch of the physically-unioned data
+    for (a, b), r in out.items():
+        both = ev.filter(F.col("event_type").isin([a, b])) \
+            .withColumn("g", F.lit("u"))
+        direct = hll_distinct(both, "g", "user_id").collect()[0].est_distinct
+        assert abs(r.est_union - direct) < 1e-9, (a, b)
+        exact = {
+            s: ev.filter(F.col("event_type") == s)
+                 .select("user_id").distinct().count() for s in (a, b)}
+        inter = (ev.filter(F.col("event_type") == a).select("user_id")
+                 .intersect(ev.filter(F.col("event_type") == b)
+                            .select("user_id")).count())
+        # m=64 -> ~13% std error per term; allow 3 sigma on the sum
+        tol = 0.4 * (exact[a] + exact[b])
+        assert abs(r.est_overlap - inter) <= max(tol, 10), (a, b, inter)

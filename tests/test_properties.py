@@ -272,3 +272,38 @@ def test_crosstab_association_scipy_free_identities(spark):
         assert abs(r.chi2_term - want) < 1e-9
         # chi2 term equals (O-E)^2/E scaled — sanity vs direct formula
         assert abs(r.chi2_term - (r.o - e) ** 2 / e) < 1e-4
+
+
+_snapshots = st.lists(
+    st.tuples(st.integers(0, 12),                    # key
+              st.sampled_from(["a", "b", "c", None]),  # value
+              st.integers(0, 3)),                    # n
+    max_size=24, unique_by=lambda t: t[0])
+
+
+@given(old=_snapshots, new=_snapshots)
+@settings(**_SETTINGS)
+def test_snapshot_diff_roundtrip(spark, old, new):
+    """Applying the emitted change feed to the old snapshot must
+    reconstruct the new one exactly: D deletes, I/U upsert new values,
+    unchanged keys pass through untouched."""
+    from spark_streaming_spark.operators.merge import snapshot_diff
+
+    schema = "k int, v string, n int"
+    o = spark.createDataFrame(old, schema) if old else \
+        spark.createDataFrame([], schema)
+    nw = spark.createDataFrame(new, schema) if new else \
+        spark.createDataFrame([], schema)
+    feed = {r.k: r for r in snapshot_diff(o, nw, "k", ["v", "n"]).collect()}
+
+    state = {k: (v, n) for k, v, n in old}
+    for k, r in feed.items():
+        if r.op == "D":
+            del state[k]
+        else:
+            state[k] = (r.new_v, r.new_n)
+    assert state == {k: (v, n) for k, v, n in new}
+    # and the feed is minimal: no unchanged key ever appears
+    for k, v, n in old:
+        if (k, v, n) in set(new):
+            assert k not in feed

@@ -1813,6 +1813,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the global weight tape (two-level prefix sum)
         "weighted_doc_sample": lambda s, d: SMP.weighted_systematic_sample(
             load_table(s, d, "documents")),
+        # leakage-safe GROUP-grain split: hash the user, every event
+        # follows its user across the train/eval boundary
+        "grouped_user_split": lambda s, d: SMP.grouped_split(
+            load_table(s, d, "events").select("event_id", "user_id"),
+            "user_id"),
+        # curriculum ordering: quality-ranked corpus cut into 4 stages
+        # on the distributed global rank
+        "curriculum_stages": lambda s, d: RK.curriculum_stages(
+            load_table(s, d, "documents")),
         "train_val_test_split": lambda s, d: SMP.train_val_test_split(
             load_table(s, d, "documents")),
         # mixture observability: per-(source, lang) doc/token counts +

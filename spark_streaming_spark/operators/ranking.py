@@ -165,3 +165,22 @@ def pareto_parts(lineitem: DataFrame) -> DataFrame:
         F.when(share <= 700000, "A").when(share <= 900000, "B")
         .otherwise("C").alias("abc_class"),
     )
+
+
+def curriculum_stages(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Curriculum-learning data ordering: rank the corpus by the
+    heuristic quality score (operators/textstats.quality_scores),
+    best first, and cut it into ``k`` curriculum stages — stage 1 is
+    the cleanest quarter a curriculum schedule trains on first. Exact
+    global rank via :func:`with_global_rank` (range repartition, no
+    single-partition window over the corpus) + the formula-ntile.
+    Columns: doc_id, q_rank, stage."""
+    from spark_streaming_spark.operators.textstats import quality_scores
+
+    scored = quality_scores(docs).select("doc_id", "quality")
+    n = scored.count()
+    ranked = with_global_rank(
+        scored.withColumn("__negq", -F.col("quality")),
+        ["__negq", "doc_id"], "q_rank").drop("__negq", "quality")
+    return ranked.select(
+        "doc_id", "q_rank", _ntile_score("q_rank", n, k).alias("stage"))

@@ -240,3 +240,29 @@ def weighted_systematic_sample(docs: DataFrame, weight_col: str = "n_chars",
         .filter(F.col("n_picks") > 0)
         .select("doc_id", "w", "cum", "n_picks")
     )
+
+
+def grouped_split(df: DataFrame, group_col: str, val_ppm: int = 100000,
+                  test_ppm: int = 100000, salt: str = "gsplit1") -> DataFrame:
+    """Leakage-safe train/val/test assignment at GROUP grain: the hash
+    is taken over ``group_col``, so every row of a group lands in the
+    same split — the discipline that stops near-duplicate rows of one
+    user/source/document-family from straddling the train/eval boundary
+    (row-grain splits leak whenever rows within a group correlate).
+    Same hash-threshold contract as :func:`train_val_test_split`:
+    membership depends on the group key alone, map-only, engine-exact.
+    Adds a ``split`` column."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(salt),
+                              F.col(group_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long") % 1000000
+    split = (
+        F.when(h < test_ppm, F.lit("test"))
+        .when(h < test_ppm + val_ppm, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

@@ -1951,10 +1951,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against SQL; ml.KMeans pq_codes stays the rows-only path
         "pq_codes_det": lambda s, d: ANN.det_pq_codes(
             load_table(s, d, "embeddings")),
+        # code array rendered comma-joined: the driver canonicalizer
+        # sorts with pandas, which can't hash list cells (r6 lesson —
+        # same code_str pattern as det_pq_codes)
         "pq_codes": lambda s, d: ANN.pq_encode(
             load_table(s, d, "embeddings"),
             ANN.pq_train(load_table(s, d, "embeddings"), m=4, k=16,
-                         cache_key=d)),
+                         cache_key=d))
+        .select("vec_id", F.concat_ws(
+            ",", F.col("codes").cast("array<string>")).alias("code_str")),
         # the composed FAISS-style index: IVF cell pruning × PQ code
         # scan × exact rerank (recall floors pinned in tests/test_ann.py)
         "knn_ivfpq": lambda s, d: ANN.knn_ivfpq(
@@ -2022,10 +2027,19 @@ def _LSH_TAGGED_CTE() -> str:
 _LSH_ANY_TABLE = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(SIM.N_TABLES))
 
 
-def _CORANK_SQL(n_iters: int = 3) -> str:
+def _CORANK_SQL(n_iters: int = 3, damping: float = 0.85) -> str:
     """DuckDB twin of graphrank.supplier_corank — the same quantized
     contributions and fixed IEEE affine, with the power iterations
-    UNROLLED as CTE rounds (the iteration count is a plan constant)."""
+    UNROLLED as CTE rounds (the iteration count is a plan constant).
+
+    The affine's constants are emitted as the EXACT Python doubles the
+    Spark side folds into its plan: IEEE ``(1.0 - 0.85)`` is
+    ``0.15000000000000002``, not ``0.15`` — a hardcoded ``0.15``
+    literal only coincided at bench scale and silently diverges for
+    any other damping/n (r6 advice). Every float literal is CAST to
+    DOUBLE so DuckDB can't parse it as DECIMAL."""
+    one_minus_d = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    d_lit = f"CAST({damping!r} AS DOUBLE)"
     iters, prev = "", "r0"
     for i in range(1, n_iters + 1):
         iters += f""",
@@ -2036,7 +2050,8 @@ def _CORANK_SQL(n_iters: int = 3) -> str:
                        JOIN outw o ON o.src = e.src),
         s{i} AS (SELECT dst, CAST(SUM(c) AS DOUBLE) AS s
                  FROM c{i} GROUP BY dst),
-        r{i} AS (SELECT b.supp, 0.15 / nn.n + 0.85 * COALESCE(s{i}.s, 0.0)
+        r{i} AS (SELECT b.supp,
+                 {one_minus_d} / nn.n + {d_lit} * COALESCE(s{i}.s, 0e0)
                  AS r FROM {prev} b LEFT JOIN s{i} ON s{i}.dst = b.supp, nn)"""
         prev = f"r{i}"
     return f"""
@@ -2048,7 +2063,8 @@ def _CORANK_SQL(n_iters: int = 3) -> str:
         ),
         outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
         nn AS (SELECT COUNT(*) AS n FROM outw),
-        r0 AS (SELECT src AS supp, 1.0 / nn.n AS r FROM outw, nn){iters}
+        r0 AS (SELECT src AS supp, CAST(1e0 AS DOUBLE) / nn.n AS r
+               FROM outw, nn){iters}
         SELECT supp, r AS rank FROM {prev}
     """
 
@@ -3435,7 +3451,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                a.support AS support_a, b.support AS support_b,
                count(*) AS pair_support,
-               CAST(1000000 * (SELECT nb FROM n) * count(*)
+               CAST(1000000::HUGEINT * (SELECT nb FROM n) * count(*)
                     // (a.support * b.support) AS BIGINT) AS lift_ppm
         FROM pr a JOIN pr b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -3838,7 +3854,8 @@ def oracle_sql() -> dict[str, str]:
             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
           FROM per
         )
-        SELECT o_custkey AS c_custkey, recency_days, frequency, monetary,
+        SELECT o_custkey AS c_custkey, recency_days, frequency,
+               CAST(monetary * 100 AS BIGINT) AS monetary_cents,
                CAST(r_score AS INT) AS r_score,
                CAST(f_score AS INT) AS f_score,
                CAST(m_score AS INT) AS m_score,
@@ -3894,7 +3911,7 @@ def oracle_sql() -> dict[str, str]:
           FROM cells
         )
         SELECT event_type, dow, o,
-               CAST((1000000 * r_tot * c_tot) // n_tot AS BIGINT)
+               CAST((1000000::HUGEINT * r_tot * c_tot) // n_tot AS BIGINT)
                  AS e_x1e6,
                round(CAST(o * n_tot - r_tot * c_tot AS DOUBLE)
                      * CAST(o * n_tot - r_tot * c_tot AS DOUBLE)

@@ -236,7 +236,14 @@ def crosstab_association(events: DataFrame) -> DataFrame:
         .withColumn("r_tot", r).withColumn("c_tot", c).withColumn("n_tot", n)
         .select(
             "event_type", "dow", "o",
-            F.expr("CAST((1000000 * r_tot * c_tot) DIV n_tot AS BIGINT)")
+            # numerator promoted to DECIMAL(38,0): 1e6·r·c passes int64
+            # around r·c ~ 9.2e12 (reachable at 100 TB row counts) and
+            # Spark's non-ANSI BIGINT multiply would wrap SILENTLY
+            # while DuckDB promotes to HUGEINT — divergence exactly at
+            # scale. The QUOTIENT e = 1e6·r·c/N <= 1e6·min(r,c) still
+            # fits BIGINT for any realistic cell.
+            F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * r_tot * c_tot)"
+                   " DIV n_tot AS BIGINT)")
             .alias("e_x1e6"),
             # square in DOUBLE: num is BIGINT-exact but num² can pass
             # int64 at large N; the double product rounds identically

@@ -74,9 +74,12 @@ def customer_rfm(orders: DataFrame, k: int = 5) -> DataFrame:
     Recency ranks ascending by days-since-last-order (most recent →
     score 1), frequency and monetary rank descending (largest → score
     1), each with the customer key as tie-breaker so every rank is
-    total. Monetary sums in DECIMAL(38,2) (the house float contract).
+    total. Monetary sums in DECIMAL(38,2) internally and crosses the
+    output boundary as BIGINT cents (the house rule: decimals never
+    leave an entry — a DECIMAL(38,2) and a float64 render differently
+    under hash canonicalization even when equal).
 
-    Columns: c_custkey, recency_days, frequency, monetary,
+    Columns: c_custkey, recency_days, frequency, monetary_cents,
     r_score, f_score, m_score, rfm_code (= 100·r + 10·f + m)."""
     per = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -103,7 +106,9 @@ def customer_rfm(orders: DataFrame, k: int = 5) -> DataFrame:
         .withColumn("m_score", _ntile_score("__mr", n, k))
         .select(
             F.col("o_custkey").alias("c_custkey"),
-            "recency_days", "frequency", "monetary",
+            "recency_days", "frequency",
+            (F.col("monetary") * 100).cast("bigint")
+            .alias("monetary_cents"),
             "r_score", "f_score", "m_score",
             (F.col("r_score") * 100 + F.col("f_score") * 10
              + F.col("m_score")).cast("int").alias("rfm_code"),

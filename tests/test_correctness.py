@@ -90,3 +90,38 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"brand", "product", "click_count", "rank"}
+
+
+def test_comparator_rejects_decimal_vs_double(spark, duck):
+    """r6 regression (`customer_rfm`): a DECIMAL column on the Spark
+    side vs the oracle's float64 was green under the old comparator
+    (both coerced to float) but red under the driver's hash. The
+    comparator now goes through pandas exactly like the driver — this
+    pins that a DECIMAL-vs-DOUBLE boundary violation FAILS locally."""
+    from pyspark.sql import functions as F
+    from tests.conftest import assert_matches_oracle
+
+    dec = spark.range(2).select(
+        "id", F.lit("3916451.10").cast("decimal(38,2)").alias("v"))
+    oracle = ("SELECT range AS id, CAST(3916451.10 AS DOUBLE) AS v "
+              "FROM range(2)")
+    with pytest.raises(AssertionError, match="value mismatch"):
+        assert_matches_oracle(dec, duck, oracle)
+    # and the house-rule spelling (cast at the boundary) passes
+    assert_matches_oracle(
+        dec.select("id", F.col("v").cast("double").alias("v")),
+        duck, oracle)
+
+
+def test_comparator_crashes_on_array_cells(spark, duck):
+    """r6 regression (`pq_codes`): array<int> output crashed the
+    driver's pandas canonicalizer ('unhashable type: list'). The local
+    comparator must reproduce that crash class, not silently pass."""
+    from pyspark.sql import functions as F
+    from tests.conftest import assert_matches_oracle
+
+    df = spark.range(2).select(
+        "id", F.array(F.lit(1), F.lit(2)).alias("codes"))
+    with pytest.raises(Exception, match="unhashable|not supported"):
+        assert_matches_oracle(
+            df, duck, "SELECT range AS id, [1, 2] AS codes FROM range(2)")

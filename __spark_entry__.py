@@ -412,6 +412,55 @@ def _cutoff_chunked_events(spark: SparkSession, sf_dir: str) -> str:
     return _ORDERED_CHUNK_CACHE[key]
 
 
+def _q_streaming_scd2_asof_feed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """As-of enrichment against a CHANGING SCD2 history: three fixed-
+    cutoff micro-batches each fold their dimension changes into the
+    versioned history and THEN as-of join their facts against the
+    just-updated state (streaming/pipelines.scd2_asof_enrich_sink) —
+    epoch n's facts pick up versions created IN epoch n, which the
+    frozen-artifact spelling (`streaming_events_asof_status`) cannot.
+    The accumulated per-epoch feed — epoch column included — equals the
+    batch as-of join with epoch derived from the fact timestamp, so the
+    whole feed is hash-checked by one SQL oracle (per-epoch verified,
+    like `streaming_cdc_feed`)."""
+    import atexit
+    import shutil
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import (
+        scd2_asof_enrich_sink)
+
+    chunk_dir = _cutoff_chunked_events(spark, sf_dir)
+    state_dir = replay.scratch_dir("scd2_asof_state_")
+    log_dir = replay.scratch_dir("scd2_asof_log_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, log_dir, ignore_errors=True)
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=1)
+        q = (
+            stream.select("event_id", "user_id", "ts", "event_type",
+                          "value")
+            .writeStream
+            .foreachBatch(scd2_asof_enrich_sink(
+                spark, "user_id", "ts", ["event_type"],
+                ["event_id", "user_id", "ts", "value"],
+                state_dir, log_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming scd2 as-of feed did not finish")
+        return spark.read.parquet(os.path.join(log_dir, "epoch_*"))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_streaming_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed production: three fixed-cutoff micro-batches
     fold into the per-user state while the sink emits each epoch's
@@ -1107,6 +1156,19 @@ def _q_streaming_windowed_hll(spark: SparkSession,
     return SKC.hll_estimate(regs, ["day", "event_type"])
 
 
+def _q_kmv_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag p25/p50/p75/p95 of l_quantity from the KMV
+    quantile sketch (operators/sketch.py): bounded state (k=200 rows per
+    group at ANY scale), mergeable, engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = SKC.kmv_quantile_registers(
+        li, "l_returnflag", "l_quantity", ["l_orderkey", "l_linenumber"])
+    return SKC.kmv_quantiles(regs, {
+        "p25_qty": 250000, "p50_qty": 500000,
+        "p75_qty": 750000, "p95_qty": 950000,
+    }).withColumnRenamed("grp", "l_returnflag")
+
+
 def _q_streaming_hll_distinct(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """The HLL register table maintained as STREAMING STATE: the
@@ -1249,53 +1311,41 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # Round-6 window (VERDICT r5 "Next round" #1). Priority order:
-    # (a) the 8 entries that have NEVER had a driver row — all were
-    # rows-only by nature; knn_graph_lsh got a full hash-checked oracle
-    # this round (VERDICT r5 #2), the others still record a rows-only
-    # check, which proves they execute and row-count at sf0.01:
-    "knn_graph_lsh", "bpe_train_merges", "bpe_segment_stats",
-    "knn_ivf", "knn_ivfpq", "pq_codes", "pq_search_topk",
-    "media_byte_features",
-    # (b) entries new this round, never driver-checked: the epoch-
-    # idempotent streaming sink spelling (VERDICT r5 #3) and the
-    # continuously-running corpus-prep gate (VERDICT r5 #8):
-    "streaming_jsonl_sink", "streaming_corpus_prep",
-    # (c) the 16 stale entries whose latest green row is r1/r2-vintage
-    # (incl. the two intentionally-no-oracle approx twins, r1): after
-    # this round every registered entry's signal is ≤ 4 rounds old.
-    # customer_order_distribution (Q13) and waiting_suppliers (Q21)
-    # pair with this round's new plan asserts (VERDICT r5 #7):
-    "priority_shipping_mix", "customer_order_distribution",
-    "waiting_suppliers", "cohort_retention", "simhash_pairs",
-    "dedup_embedding_cosine", "grouped_agg_token_totals",
-    "quality_filter", "repetition_signals", "contamination_check",
-    "pack_sequences", "lm_bigram_scores", "daily_event_rollup",
-    "multimodal_meta", "approx_quantity_quantiles",
-    "approx_distinct_users",
-    # (d) the remaining 24 slots: first-signal for every OTHER entry
-    # added this round (value_tier_totals + streamed twin, the SCD2
-    # trio, supplier_corank, knn_ivf_det, orders_profile — "a first
-    # signal beats a refresh"), then r3-vintage refreshes: TPC-H core
-    # shapes (incl. Q18, whose pre-join partial-agg plan got pinned
-    # this round), the windowed/session family, and streaming twins
-    # whose latest rows predate the r4/r5 replay-harness changes. The
-    # local sf0.01 sweep still re-verifies every entry each round.
-    # entries new this session (basket mining, CDC diff, gap-fill +
-    # rolling window, BFS reach, PPS sample, streamed as-of) take the
-    # TPC-H/windowed-family refresh slots — first signal beats a
-    # refresh of regression-proof shapes (Q1/Q5/Q6/Q10 are plan-tested
-    # and r3-green; the evicted refreshes are still swept locally):
-    "frequent_item_pairs", "copurchase_triangles", "value_tier_totals",
-    "streaming_events_asof_status", "cdc_user_status", "supplier_corank",
-    "gap_filled_daily_activity", "rolling_weekly_activity",
-    "orders_profile", "streaming_value_tiers", "scd2_status_merge",
-    "part_reach_hops", "pq_codes_det", "weighted_doc_sample",
-    "scd2_user_status", "streaming_scd2_merge",
-    "customer_rfm", "user_activity_trend", "knn_ivf_det",
-    "events_asof_status", "streaming_cdc_feed",
-    "pareto_parts", "hll_audience_overlap",
-    "dynamic_session_windows",
+    # Round-8 window (VERDICT r7 "Next round" #1). Priority order:
+    # (a) the 4 entries that had NEVER had a driver row through r7.
+    # curriculum_stages and grouped_user_split gained exact DuckDB
+    # oracles this round (VERDICT r7 #2 — md5-threshold split at group
+    # grain; native row_number/ntile over the bit-identical quality
+    # order); the other two were already oracled but never windowed:
+    "event_dow_association", "streaming_dynamic_sessions",
+    "curriculum_stages", "grouped_user_split",
+    # (b) entries NEW this round, both hash-oracled (VERDICT r7 #6/#7):
+    # the changing-SCD2 as-of feed (per-epoch verified) and the
+    # KLL-class engine-exact quantile sketch:
+    "streaming_scd2_asof_feed", "kmv_quantity_quantiles",
+    # (c) every no_oracle row is OUT of the window this round (r7
+    # verdict "What's wrong" #1): they banked their rows-only signal
+    # twice (r6+r7); the local sf0.01 sweep still executes them.
+    # (d) the 44 remaining slots: oldest-signal oracle-backed entries —
+    # all r3-vintage (their latest green driver row predates the r4
+    # replay-harness and r6 comparator changes). Order follows the
+    # vintage audit; the r4/r5-vintage tail rotates in next round.
+    "audio_windows", "blacklist_left_outer", "bpe_token_stats",
+    "centroid_assign", "click_attribution_outer", "daily_user_journeys",
+    "deterministic_sample", "discounted_parts_revenue",
+    "embedding_quantize", "event_counts_unpivot", "event_value_histogram",
+    "hot_words_per_window", "idle_rich_customers", "inter_arrival_stats",
+    "large_volume_orders", "market_share", "media_resize_meta",
+    "monthly_event_stats", "nation_trade_volume", "order_priority_counts",
+    "pandas_token_counts", "pii_redaction", "pricing_summary",
+    "promo_revenue", "returned_items_report", "revenue_by_nation",
+    "rolling_spend_90d", "scd1_customer_merge", "session_windows",
+    "sessionize", "skew_salted_sum", "sliding_counts",
+    "small_qty_part_revenue", "stratified_sample",
+    "streaming_click_attribution_outer", "streaming_histogram",
+    "streaming_pivot_counts", "streaming_session_windows",
+    "streaming_two_level_agg", "synthetic_source_rollup", "term_stats",
+    "top3_products_per_brand", "top_revenue_orders", "top_supplier",
 ]
 
 
@@ -1869,6 +1919,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), "event_type", "user_id"),
         "hll_distinct_users": lambda s, d: SKC.hll_distinct(
             load_table(s, d, "events"), "event_type", "user_id"),
+        # KLL-class bounded-state quantile sketch, engine-exact: KMV
+        # bottom-k registers (md5-deterministic "compaction") → exact
+        # integer rank pick; hash-checked because the estimates are raw
+        # input doubles selected by integer math on both engines
+        "kmv_quantity_quantiles": _q_kmv_quantity_quantiles,
         # the register table as streaming state (update-mode max merge)
         "streaming_hll_distinct": _q_streaming_hll_distinct,
         # sketch per time window: HLL registers keyed by (day, type)
@@ -1934,6 +1989,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the change feed PRODUCED continuously: per-epoch I/U rows
         # from consecutive folded-state versions (Delta-CDF analog)
         "streaming_cdc_feed": _q_streaming_cdc_feed,
+        # as-of enrichment against a CHANGING history: fold dim changes
+        # into SCD2 state, then join the same epoch's facts against the
+        # just-updated versions (per-epoch hash-verified feed)
+        "streaming_scd2_asof_feed": _q_streaming_scd2_asof_feed,
         "cdc_user_status": lambda s, d: MG2.snapshot_diff(
             _user_state_at(load_table(s, d, "events"), "2024-01-15"),
             _user_state_at(load_table(s, d, "events"), "2024-01-25"),
@@ -3273,6 +3332,37 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["streaming_scd2_merge"] = sql["scd2_user_status"]
     sql["streaming_events_asof_status"] = sql["events_asof_status"]
+    # changing-history as-of feed: merge ≡ rebuild (streaming_scd2_merge
+    # claim) + a version's interval at fact time t is final once all
+    # changes with ts <= t are folded, so the per-epoch incremental feed
+    # equals the batch join with epoch a pure function of ts (fixed
+    # cutoffs Jan 11 / Jan 21 — replay._cutoff_chunked_events layout)
+    sql["streaming_scd2_asof_feed"] = """
+        WITH d AS (
+          SELECT user_id, ts, event_type FROM (
+            SELECT user_id, ts, event_type,
+                   row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_type) AS rn,
+                   lag(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_type) AS prev
+            FROM events
+          ) WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        ),
+        hist AS (
+          SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_type) AS valid_to
+          FROM d
+        )
+        SELECT f.event_id, f.user_id, f.ts, f.value,
+               h.event_type, h.valid_from,
+               CAST(CASE WHEN f.ts < TIMESTAMP '2024-01-11' THEN 0
+                         WHEN f.ts < TIMESTAMP '2024-01-21' THEN 1
+                         ELSE 2 END AS INTEGER) AS epoch
+        FROM events f JOIN hist h
+          ON f.user_id = h.user_id AND f.ts >= h.valid_from
+             AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    """
     # CDC feed: epoch membership is a pure function of ts (fixed
     # cutoffs), so every epoch's diff reconstructs from snapshots at
     # the same boundaries — the fold is associative (max-struct, sum)
@@ -3452,7 +3542,7 @@ def oracle_sql() -> dict[str, str]:
                a.support AS support_a, b.support AS support_b,
                count(*) AS pair_support,
                CAST(1000000::HUGEINT * (SELECT nb FROM n) * count(*)
-                    // (a.support * b.support) AS BIGINT) AS lift_ppm
+                    // (a.support::HUGEINT * b.support) AS BIGINT) AS lift_ppm
         FROM pr a JOIN pr b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2, 3, 4
@@ -3754,6 +3844,39 @@ def oracle_sql() -> dict[str, str]:
     # engine-exact HLL twin (operators/sketch.hll_sql generates the SQL
     # from the same frozen constants the Spark operator uses)
     from spark_streaming_spark.operators.sketch import hll_sql
+    # KMV quantile sketch: DuckDB replays the identical bottom-k
+    # selection (md5 over the row identity) and integer rank pick, so
+    # the APPROXIMATE quantiles hash-compare exactly — the
+    # hll_distinct treatment applied to rank queries.
+    sql["kmv_quantity_quantiles"] = """
+        WITH h AS (
+          SELECT l_returnflag AS grp, l_quantity AS v,
+                 md5('kll1' || '#' || CAST(l_orderkey AS VARCHAR)
+                     || '#' || CAST(l_linenumber AS VARCHAR)) AS hh
+          FROM lineitem
+        ),
+        reg AS (
+          SELECT grp, v, hh,
+                 row_number() OVER (PARTITION BY grp ORDER BY hh) AS rn
+          FROM h QUALIFY rn <= 200
+        ),
+        ranked AS (
+          SELECT grp, v,
+                 row_number() OVER (PARTITION BY grp ORDER BY v, hh) AS vr,
+                 count(*) OVER (PARTITION BY grp) AS n
+          FROM reg
+        )
+        SELECT grp AS l_returnflag,
+               max(CASE WHEN vr = 250000 * (n - 1) // 1000000 + 1
+                        THEN v END) AS p25_qty,
+               max(CASE WHEN vr = 500000 * (n - 1) // 1000000 + 1
+                        THEN v END) AS p50_qty,
+               max(CASE WHEN vr = 750000 * (n - 1) // 1000000 + 1
+                        THEN v END) AS p75_qty,
+               max(CASE WHEN vr = 950000 * (n - 1) // 1000000 + 1
+                        THEN v END) AS p95_qty
+        FROM ranked GROUP BY grp
+    """
     sql["hll_distinct_users"] = hll_sql("event_type", "user_id", "events")
     sql["hll_audience_overlap"] = SKC.hll_overlap_sql(
         "event_type", "user_id", "events")
@@ -4085,6 +4208,52 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) % 1000000 AS h
           FROM documents
         )
+    """
+    # grouped_user_split: same md5-threshold contract as
+    # train_val_test_split but hashed at GROUP grain (user_id), so the
+    # oracle proves every event of a user shares the user's split.
+    sql["grouped_user_split"] = """
+        SELECT event_id, user_id,
+               CASE WHEN h < 100000 THEN 'test'
+                    WHEN h < 200000 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM (
+          SELECT event_id, user_id,
+                 CAST('0x' || substr(
+                     md5('gsplit1' || '#' || CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 1000000 AS h
+          FROM events
+        )
+    """
+    # curriculum_stages: DuckDB's native row_number/ntile over the same
+    # (quality DESC, doc_id) total order is the oracle for the engine's
+    # range-repartition global rank + formula-ntile. Quality doubles are
+    # bit-identical across engines (same op tree; quality_scores is
+    # hash-green), so the ordering — and hence rank and stage — agrees.
+    sql["curriculum_stages"] = f"""
+        WITH feats AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g'))
+                      AS DOUBLE) / length(text) AS punct_ratio,
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+                   / len(string_split(lower(text), ' ')) AS stop_ratio
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id,
+                 least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+                   + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2
+                   + least(stop_ratio * 5.0, 1.0) * 0.3 AS quality
+          FROM feats
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
+                 AS BIGINT) AS q_rank,
+               CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id)
+                 AS INTEGER) AS stage
+        FROM scored
     """
     sql["corpus_mixture_stats"] = """
         WITH cells AS (

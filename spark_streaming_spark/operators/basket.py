@@ -104,17 +104,19 @@ def frequent_pairs(lineitem: DataFrame, min_item_support: int = 5,
         pairs.join(F.broadcast(sa), "part_a").join(F.broadcast(sb), "part_b")
         .select(
             "part_a", "part_b", "support_a", "support_b", "pair_support",
-            # exact lift via integer DIV, numerator in DECIMAL(38,0):
+            # exact lift via integer DIV, BOTH sides in DECIMAL(38,0):
             # 1e6·n_baskets·pair_support wraps int64 once n_baskets
-            # reaches ~1e10 (Spark multiplies non-ANSI = silent wrap;
-            # DuckDB promotes to HUGEINT — silent divergence at scale).
-            # The quotient = 1e6·lift stays small; no double ever
-            # materializes.
+            # reaches ~1e10, and support_a·support_b wraps once supports
+            # reach ~3e9 at the same corpus scale (Spark multiplies
+            # non-ANSI = silent wrap; DuckDB promotes/raises — silent
+            # divergence at scale). The quotient = 1e6·lift stays
+            # small; no double ever materializes.
             F.expr(
                 f"CAST((CAST(1000000 AS DECIMAL(38,0))"
                 f" * CAST({n_baskets} AS BIGINT)"
                 " * pair_support) DIV"
-                " (CAST(support_a AS BIGINT) * support_b) AS BIGINT)"
+                " (CAST(support_a AS DECIMAL(38,0)) * support_b)"
+                " AS BIGINT)"
             ).alias("lift_ppm"),
         )
     )

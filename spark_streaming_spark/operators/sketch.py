@@ -345,3 +345,92 @@ def hll_overlap_sql(group_col: str, key_col: str, table: str) -> str:
         FROM eu JOIN eg ea ON ea.{group_col} = eu.type_a
                 JOIN eg eb ON eb.{group_col} = eu.type_b
     """
+
+
+# --- Bounded-state quantile sketch with an ENGINE-EXACT contract -----------
+#
+# KLL-class rank sketch (Karnin/Lang/Liberty 2016: O(k) state per group,
+# mergeable, rank error O(1/k)) with the one substitution that makes it
+# engine-exact: KLL's RANDOMIZED compactor (keep odd/even survivors by a
+# coin flip) is replaced by DETERMINISTIC bottom-k selection on an md5
+# hash of the row identity — the KMV trick operators/dedup.py already
+# uses for distinct sketches. The kept set is a uniform row sample whose
+# membership is a pure function of the data, so:
+#
+#   * merge(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY (bottom-k of
+#     a union is the bottom-k of the merged bottom-ks) — the associative
+#     /commutative merge KLL only has up to randomness;
+#   * a DuckDB oracle reproduces every kept value and therefore every
+#     quantile estimate bit-for-bit (the values returned are raw input
+#     doubles — no float arithmetic ever runs on them);
+#   * state per group is exactly min(k, n) rows at ANY input size, so a
+#     100 TB column costs one shuffle of rank-limited rows (Spark 3.5+
+#     plans the rn<=k filter as WindowGroupLimit: the top-k is taken
+#     map-side BEFORE the exchange, then again after — partitions ship
+#     at most k rows per group).
+#
+# Rank estimate: with n_kept = min(k, n) kept values sorted ascending,
+# quantile q is the value at 1-based rank (q_ppm * (n_kept-1)) // 1e6 + 1
+# — the "lower" interpolation, integer-exact on both engines. Standard
+# error of the rank is O(1/sqrt(k)) (uniform-sample bound; KLL proper
+# gets O(1/k) — the price of determinism is a wider but still bounded
+# error, pinned against exact quantiles in tests).
+
+KMV_K = 200
+
+
+def kmv_quantile_registers(df: DataFrame, group_col: str, value_col: str,
+                           uid_cols: list[str], k: int = KMV_K,
+                           salt: str = "kll1") -> DataFrame:
+    """Build the per-group register set: the k rows whose
+    md5(salt#uid…) sorts smallest. Columns: grp, v, hh. ONE shuffle on
+    the group key, rank-limited map-side (WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    hh = F.md5(F.concat_ws(
+        "#", F.lit(salt), *[F.col(c).cast("string") for c in uid_cols]))
+    w = Window.partitionBy("grp").orderBy("hh")
+    return (
+        df.select(F.col(group_col).alias("grp"),
+                  F.col(value_col).alias("v"), hh.alias("hh"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge two register sets: union, keep the k smallest hashes per
+    group. Exact: equals building the sketch over the unioned input."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("hh")
+    return (
+        a.unionByName(b)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_quantiles(regs: DataFrame, qs_ppm: dict[str, int]) -> DataFrame:
+    """Estimate quantiles from a register set: per group, sort the kept
+    values (hash tie-break → total order) and pick the integer-exact
+    rank for each requested quantile. ``qs_ppm`` maps output column name
+    -> quantile in ppm. All windows run over ≤ k rows per group."""
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("grp").orderBy("v", "hh")
+    wc = Window.partitionBy("grp")
+    ranked = (
+        regs.withColumn("vr", F.row_number().over(wv))
+        .withColumn("n", F.count("*").over(wc))
+    )
+    aggs = [
+        F.max(F.when(
+            F.col("vr") == F.expr(
+                f"CAST({ppm} AS BIGINT) * (n - 1) DIV 1000000 + 1"),
+            F.col("v"))).alias(name)
+        for name, ppm in qs_ppm.items()
+    ]
+    return ranked.groupBy("grp").agg(*aggs)

@@ -259,6 +259,71 @@ def scd2_merge_sink(spark, key: str, ts_col: str, tracked: list[str],
     return write_batch
 
 
+def scd2_asof_enrich_sink(spark, key: str, ts_col: str,
+                          tracked: list[str], fact_cols: list[str],
+                          state_dir: str, log_dir: str):
+    """foreachBatch sink for streamed as-of enrichment against a
+    CHANGING SCD2 history: each micro-batch first folds its dimension
+    changes into the versioned history (the :func:`scd2_merge_sink`
+    fold), THEN as-of joins the SAME batch's facts against the
+    just-updated history — so epoch n's facts see every version epoch n
+    created, which a frozen dimension artifact (the
+    `streaming_events_asof_status` spelling) could never serve.
+
+    Exactly-once: the enriched rows land in ``log_dir/epoch_{n}`` with
+    per-epoch overwrite, and the history publish uses the same
+    predecessor-version read + atomic CURRENT swap as
+    :func:`scd1_merge_sink`, so replaying an epoch rewrites both its
+    state version and its log slice to the same bytes.
+
+    Oracle-ability: scd2_merge ≡ one-shot rebuild (the
+    `streaming_scd2_merge` claim), and a version's interval at any fact
+    time t is already final once every change with ts ≤ t has been
+    folded — so as long as the replay is event-time ordered (fixed-
+    cutoff chunks), the accumulated per-epoch feed equals the BATCH
+    as-of join against the full history, with epoch a pure function of
+    the fact timestamp. That makes the whole feed — epoch column
+    included — hash-checkable by one SQL query."""
+    import os
+
+    from spark_streaming_spark.operators.merge import (
+        scd2_from_changes, scd2_merge, temporal_join)
+
+    def _state_before(epoch_id: int):
+        prior = [
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+            and int(d[1:]) < epoch_id
+        ] if os.path.isdir(state_dir) else []
+        if prior:
+            return spark.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}"))
+        return None
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        changes = batch_df.select(key, ts_col, *tracked)
+        state = _state_before(epoch_id)
+        if state is None:
+            merged = scd2_from_changes(changes, key, ts_col, tracked)
+        else:
+            merged = scd2_merge(state, changes, key, ts_col, tracked)
+        merged = merged.localCheckpoint(eager=True)  # one fold, 2 uses
+        enriched = temporal_join(
+            batch_df.select(*fact_cols),
+            merged.drop("is_current"), key, ts_col,
+        ).withColumn("epoch", F.lit(epoch_id).cast("int"))
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"epoch_{epoch_id}"))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{epoch_id}"))
+        tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{epoch_id}")
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+    return write_batch
+
+
 def vacuum_versions(state_dir: str, keep: int = 2) -> list[str]:
     """Retention for the versioned-state sinks (scd1/scd2_merge_sink):
     remove all but the newest ``keep`` version directories, never the

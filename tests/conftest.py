@@ -51,12 +51,27 @@ def _canon_pandas(pdf):
       driver-GREEN, so per-cell ``str()`` — which keeps the midnight
       time — is provably STRICTER than the driver).
 
+    Known (documented) conflation, inherited from the csv rendering:
+    NULL, NaN, and None all render as the empty field, so a Spark NULL
+    vs an oracle NaN compares EQUAL here. This matches every observed
+    driver signal so far; if a driver round ever reds a null-vs-NaN
+    entry, add an explicit ``isna``/dtype check. Do not rely on this
+    comparator to distinguish them.
+
     Returns csv-rendered rows sorted for an order-insensitive compare."""
+    import csv as _csv
+    import io as _io
+
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     if len(pdf):
         # driver parity: this is the call that dies on array<...> cells
         pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
-    rows = pdf.to_csv(index=False).splitlines()[1:]
+    # parse the csv with a real reader: a string cell with an embedded
+    # newline is csv-quoted by to_csv, and splitlines() would shear it
+    # into pseudo-rows that sort independently (false match/mismatch).
+    buf = _io.StringIO(pdf.to_csv(index=False))
+    parsed = list(_csv.reader(buf))[1:]
+    rows = ["\x1f".join(r) for r in parsed]
     return list(pdf.columns), sorted(rows)
 
 

@@ -125,3 +125,24 @@ def test_comparator_crashes_on_array_cells(spark, duck):
     with pytest.raises(Exception, match="unhashable|not supported"):
         assert_matches_oracle(
             df, duck, "SELECT range AS id, [1, 2] AS codes FROM range(2)")
+
+
+def test_comparator_handles_embedded_newlines(spark, duck):
+    """r7 advice: to_csv quotes a newline-bearing string cell, and a
+    splitlines()-based parse sheared it into pseudo-rows that sorted
+    independently. The comparator now uses a real csv reader — pin that
+    equal newline data matches and a genuine mismatch still fails."""
+    from pyspark.sql import functions as F
+    from tests.conftest import assert_matches_oracle
+
+    df = spark.range(2).select(
+        "id", F.concat(F.lit("a\n"), F.col("id").cast("string")).alias("t"))
+    assert_matches_oracle(
+        df, duck,
+        "SELECT range AS id, 'a' || chr(10) || CAST(range AS VARCHAR) AS t "
+        "FROM range(2)")
+    with pytest.raises(AssertionError, match="value mismatch"):
+        assert_matches_oracle(
+            df, duck,
+            "SELECT range AS id, 'b' || chr(10) || CAST(range AS VARCHAR) "
+            "AS t FROM range(2)")

@@ -196,3 +196,53 @@ def test_hll_overlap_tracks_exact_intersections(spark):
         # m=64 -> ~13% std error per term; allow 3 sigma on the sum
         tol = 0.4 * (exact[a] + exact[b])
         assert abs(r.est_overlap - inter) <= max(tol, 10), (a, b, inter)
+
+
+def test_kmv_merge_equals_recompute(spark):
+    """Bottom-k of a union == bottom-k of merged bottom-ks: the exact
+    mergeability KLL only has up to randomness. Split lineitem by
+    parity, sketch each half, merge, compare to the one-shot sketch."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    uid = ["l_orderkey", "l_linenumber"]
+    a = SKC.kmv_quantile_registers(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_returnflag",
+        "l_quantity", uid)
+    b = SKC.kmv_quantile_registers(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_returnflag",
+        "l_quantity", uid)
+    merged = SKC.kmv_merge(a, b)
+    whole = SKC.kmv_quantile_registers(li, "l_returnflag", "l_quantity", uid)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_kmv_quantiles_within_sample_bounds(spark):
+    """Rank error of a k-uniform-sample quantile is O(1/sqrt(k)); pin a
+    loose 4-sigma band in VALUE space via exact quantiles of the
+    shifted ranks."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    regs = SKC.kmv_quantile_registers(
+        li, "l_returnflag", "l_quantity", ["l_orderkey", "l_linenumber"])
+    est = {r["grp"]: r for r in SKC.kmv_quantiles(
+        regs, {"p50": 500000}).collect()}
+    # 4/sqrt(200) ~ 0.28 rank tolerance
+    lo, hi = 0.5 - 0.28, 0.5 + 0.28
+    exact = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.expr(f"percentile(l_quantity, {lo})").alias("lo"),
+            F.expr(f"percentile(l_quantity, {hi})").alias("hi")).collect()
+    }
+    for grp, row in est.items():
+        assert exact[grp][0] <= row["p50"] <= exact[grp][1], (grp, row)
+
+
+def test_kmv_register_build_plans_window_group_limit(spark):
+    """The rn<=k filter must plan as WindowGroupLimit (map-side top-k
+    BEFORE the exchange) — the property that makes per-group state
+    min(k, n) rows at any scale."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    regs = SKC.kmv_quantile_registers(
+        li, "l_returnflag", "l_quantity", ["l_orderkey", "l_linenumber"])
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

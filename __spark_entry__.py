@@ -594,9 +594,15 @@ def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
     # memory sink would collect the whole complete-mode result to the
     # driver every micro-batch. 4 state partitions: sized to keyed-
     # state cardinality locally; set O(cores) on a real cluster.
+    # complete mode: the batch count is known (bounded replay), so
+    # intermediate epochs run to a noop sink — state still folds, only
+    # the final snapshot pays the parquet write (replay.run_to_parquet
+    # final_epoch note).
+    n_batches = (n_chunks + 1) // 2
     return replay.run_to_parquet(
         transform(stream), output_mode, state_partitions=4,
         batch_transform=batch_transform, last_epoch_keys=last_epoch_keys,
+        final_epoch=(n_batches - 1 if output_mode == "complete" else None),
     )
 
 
@@ -1156,6 +1162,53 @@ def _q_streaming_windowed_hll(spark: SparkSession,
     return SKC.hll_estimate(regs, ["day", "event_type"])
 
 
+def _q_streaming_kmv_quantiles(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The KMV quantile sketch maintained CONTINUOUSLY: lineitem arrives
+    in micro-batches, each folding its bottom-k registers into the
+    per-group state (streaming/pipelines.kmv_sketch_sink). The merge is
+    exact, so the final registers — and hence the quantile estimates —
+    equal the one-shot batch sketch: shared oracle with
+    `kmv_quantity_quantiles`."""
+    import atexit
+    import shutil
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import kmv_sketch_sink
+
+    chunk_dir = _chunked_table(spark, sf_dir, "lineitem", 3)
+    state_dir = replay.scratch_dir("kmv_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        q = (
+            stream.select("l_returnflag", "l_quantity",
+                          "l_orderkey", "l_linenumber")
+            .writeStream
+            .foreachBatch(kmv_sketch_sink(
+                spark, "l_returnflag", "l_quantity",
+                ["l_orderkey", "l_linenumber"], state_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming kmv sketch did not finish")
+        with open(os.path.join(state_dir, "CURRENT")) as fh:
+            regs = spark.read.parquet(
+                os.path.join(state_dir, fh.read().strip()))
+        return SKC.kmv_quantiles(regs, {
+            "p25_qty": 250000, "p50_qty": 500000,
+            "p75_qty": 750000, "p95_qty": 950000,
+        }).withColumnRenamed("grp", "l_returnflag")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_kmv_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag p25/p50/p75/p95 of l_quantity from the KMV
     quantile sketch (operators/sketch.py): bounded state (k=200 rows per
@@ -1323,6 +1376,7 @@ _CHECK_FIRST = [
     # the changing-SCD2 as-of feed (per-epoch verified) and the
     # KLL-class engine-exact quantile sketch:
     "streaming_scd2_asof_feed", "kmv_quantity_quantiles",
+    "streaming_kmv_quantiles",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1345,7 +1399,7 @@ _CHECK_FIRST = [
     "streaming_click_attribution_outer", "streaming_histogram",
     "streaming_pivot_counts", "streaming_session_windows",
     "streaming_two_level_agg", "synthetic_source_rollup", "term_stats",
-    "top3_products_per_brand", "top_revenue_orders", "top_supplier",
+    "top3_products_per_brand", "top_revenue_orders",
 ]
 
 
@@ -1924,6 +1978,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer rank pick; hash-checked because the estimates are raw
         # input doubles selected by integer math on both engines
         "kmv_quantity_quantiles": _q_kmv_quantity_quantiles,
+        # the sketch as streaming state: per-batch registers fold by the
+        # exact bottom-k merge; final quantiles == one-shot (shared oracle)
+        "streaming_kmv_quantiles": _q_streaming_kmv_quantiles,
         # the register table as streaming state (update-mode max merge)
         "streaming_hll_distinct": _q_streaming_hll_distinct,
         # sketch per time window: HLL registers keyed by (day, type)
@@ -3877,6 +3934,8 @@ def oracle_sql() -> dict[str, str]:
                         THEN v END) AS p95_qty
         FROM ranked GROUP BY grp
     """
+    # streamed twin: exact bottom-k merge => final state == one-shot
+    sql["streaming_kmv_quantiles"] = sql["kmv_quantity_quantiles"]
     sql["hll_distinct_users"] = hll_sql("event_type", "user_id", "events")
     sql["hll_audience_overlap"] = SKC.hll_overlap_sql(
         "event_type", "user_id", "events")

@@ -259,6 +259,49 @@ def scd2_merge_sink(spark, key: str, ts_col: str, tracked: list[str],
     return write_batch
 
 
+def kmv_sketch_sink(spark, group_col: str, value_col: str,
+                    uid_cols: list[str], state_dir: str, k: int = 200):
+    """foreachBatch sink maintaining the KMV quantile sketch
+    (operators/sketch.kmv_quantile_registers) as STREAMING STATE: each
+    micro-batch's registers merge into the accumulated per-group
+    bottom-k by hash. The merge is EXACT (bottom-k of a union is the
+    bottom-k of the merged bottom-ks), so the final state equals the
+    one-shot sketch over the whole stream — the streamed quantile entry
+    shares the batch oracle verbatim. State is min(k, n) rows per group
+    at ANY stream length; the versioned-publish protocol (predecessor
+    read + atomic CURRENT swap) is :func:`scd1_merge_sink`'s —
+    replay-idempotent."""
+    import os
+
+    from spark_streaming_spark.operators.sketch import (
+        kmv_merge, kmv_quantile_registers)
+
+    def _state_before(epoch_id: int):
+        prior = [
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+            and int(d[1:]) < epoch_id
+        ] if os.path.isdir(state_dir) else []
+        if prior:
+            return spark.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}"))
+        return None
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        regs = kmv_quantile_registers(
+            batch_df, group_col, value_col, uid_cols, k)
+        prev = _state_before(epoch_id)
+        new = regs if prev is None else kmv_merge(prev, regs, k)
+        new.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{epoch_id}"))
+        tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{epoch_id}")
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+    return write_batch
+
+
 def scd2_asof_enrich_sink(spark, key: str, ts_col: str,
                           tracked: list[str], fact_cols: list[str],
                           state_dir: str, log_dir: str):

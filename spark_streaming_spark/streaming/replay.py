@@ -98,11 +98,20 @@ def chunk_to_dir(df: DataFrame, n_chunks: int, base_dir: str | None = None) -> s
     return out
 
 
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def stream_from_dir(spark: SparkSession, path: str,
                     files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over a chunked directory (schema inferred from
-    the parquet footers at plan time)."""
-    schema = spark.read.parquet(path).schema
+    the parquet footers at plan time). Chunk dirs are immutable once
+    published (uuid / cache-sentinel layouts), so the footer-derived
+    schema is cached per path — the batch-read schema probe costs
+    ~150 ms per call and every replay of the same table repeats it."""
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -152,7 +161,8 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
                    state_partitions: int | None = None,
                    batch_transform=None,
                    last_epoch_keys: list[str] | None = None,
-                   keep_epoch: bool = False) -> DataFrame:
+                   keep_epoch: bool = False,
+                   final_epoch: int | None = None) -> DataFrame:
     """Run a streaming DataFrame to completion with availableNow into a
     DISTRIBUTED parquet sink and return the final result as a batch scan.
 
@@ -223,10 +233,26 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
                 .option("checkpointLocation", ckpt)
             )
         else:
-            def overwrite_epoch(batch_df: DataFrame, _epoch_id: int) -> None:
+            # ``final_epoch`` (complete mode): when the caller knows the
+            # number of micro-batches upfront (a bounded replay does:
+            # ceil(chunks / files_per_trigger)), intermediate epochs run
+            # to a NOOP sink — the plan must still execute (the state
+            # update rides on it; an empty foreachBatch body fails the
+            # query outright, test-pinned) but only the LAST epoch's
+            # snapshot is ever read, so earlier parquet writes + the
+            # batch_transform are pure harness cost. ``wrote`` guards a
+            # mispredicted final epoch: failing loud beats returning an
+            # empty scan as if it were the result.
+            state = {"wrote": final_epoch is None}
+
+            def overwrite_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+                if final_epoch is not None and epoch_id < final_epoch:
+                    batch_df.write.format("noop").mode("overwrite").save()
+                    return
                 if batch_transform is not None:
                     batch_df = batch_transform(batch_df)
                 batch_df.write.mode("overwrite").parquet(out)
+                state["wrote"] = True
 
             writer = (
                 stream_df.writeStream.foreachBatch(overwrite_epoch)
@@ -246,6 +272,11 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+    if output_mode not in ("append", "update") and not state["wrote"]:
+        raise RuntimeError(
+            f"final_epoch={final_epoch} never fired (replay produced "
+            f"fewer micro-batches than predicted) — no result written"
+        )
     if output_mode == "update":
         result = spark.read.parquet(out)
         if last_epoch_keys:

@@ -53,7 +53,11 @@ def tws_available() -> bool:
     """True iff the runtime can EXECUTE transformWithStateInPandas:
     Spark's TWS Python runner requires the protobuf package (the state
     server protocol), which is not part of this container's baked-in
-    set. Import of this module never requires it."""
+    set. Exact requirement (pinned from the generated stub
+    ``pyspark/sql/streaming/proto/StateMessage_pb2.py``, whose
+    ``ValidateProtobufRuntimeVersion(PUBLIC, 6, 33, 0)`` call enforces
+    it): public ``protobuf`` >= 6.33.0. Import of this module never
+    requires it."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

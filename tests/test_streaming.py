@@ -865,3 +865,59 @@ def test_dynamic_session_gap_splits_where_static_would_merge(spark):
     stat = session_windows(ev).collect()
     assert {r.user_id: len([x for x in stat if x.user_id == r.user_id])
             for r in stat} == {1: 1, 2: 1}
+
+
+def test_final_epoch_noop_intermediates_equal_full(spark):
+    """run_to_parquet(final_epoch=...): intermediate epochs run to a
+    noop sink (the state fold MUST still execute) and only the last
+    epoch pays the parquet write — result identical to writing every
+    epoch."""
+    ev = load_table(spark, SF_DIR, "events")
+    chunk_dir = replay.chunk_to_dir(ev, 3)
+    agg = lambda: replay.stream_from_dir(  # noqa: E731
+        spark, chunk_dir, files_per_trigger=2
+    ).groupBy("event_type").count()
+    full = replay.run_to_parquet(agg(), "complete", state_partitions=4)
+    hinted = replay.run_to_parquet(agg(), "complete", state_partitions=4,
+                                   final_epoch=1)
+    assert full.exceptAll(hinted).count() == 0
+    assert hinted.exceptAll(full).count() == 0
+
+
+def test_final_epoch_mispredicted_fails_loud(spark):
+    """A final_epoch beyond the replay's real batch count must raise,
+    never return an empty scan as if it were the result."""
+    import pytest as _pytest
+
+    ev = load_table(spark, SF_DIR, "events")
+    chunk_dir = replay.chunk_to_dir(ev, 2)
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
+    with _pytest.raises(RuntimeError, match="never fired"):
+        replay.run_to_parquet(stream.groupBy("event_type").count(),
+                              "complete", state_partitions=4,
+                              final_epoch=5)
+
+
+def test_complete_mode_batch_must_execute(spark):
+    """The lesson the noop intermediate write encodes: a foreachBatch
+    body that does NOTHING with the batch fails a complete-mode
+    stateful query (the state commit rides on plan execution). Pinned
+    so nobody 'optimizes' the noop write away."""
+    import pytest as _pytest
+
+    ev = load_table(spark, SF_DIR, "events")
+    chunk_dir = replay.chunk_to_dir(ev, 2)
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=1)
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    q = (
+        stream.groupBy("event_type").count()
+        .writeStream.foreachBatch(lambda b, e: None)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    q.stop()

@@ -1209,6 +1209,21 @@ def _q_streaming_kmv_quantiles(spark: SparkSession,
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the NEAREST click of the same user
+    within 5 minutes, either direction, backward winning exact ties —
+    the generic as-of join (operators/asof.asof_join) exercising all
+    three direction paths and the per-side tolerance gate."""
+    ev = load_table(spark, sf_dir, "events")
+    return AS.asof_join(
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id",
+        direction="nearest", tolerance_sec=300)
+
+
 def _q_kmv_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag p25/p50/p75/p95 of l_quantity from the KMV
     quantile sketch (operators/sketch.py): bounded state (k=200 rows per
@@ -1376,7 +1391,7 @@ _CHECK_FIRST = [
     # the changing-SCD2 as-of feed (per-epoch verified) and the
     # KLL-class engine-exact quantile sketch:
     "streaming_scd2_asof_feed", "kmv_quantity_quantiles",
-    "streaming_kmv_quantiles",
+    "streaming_kmv_quantiles", "purchase_nearest_click",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1399,7 +1414,7 @@ _CHECK_FIRST = [
     "streaming_click_attribution_outer", "streaming_histogram",
     "streaming_pivot_counts", "streaming_session_windows",
     "streaming_two_level_agg", "synthetic_source_rollup", "term_stats",
-    "top3_products_per_brand", "top_revenue_orders",
+    "top3_products_per_brand",
 ]
 
 
@@ -1713,6 +1728,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as-of join (union+window composition, no range-join blowup)
         "asof_click_attribution": lambda s, d: AS.asof_click_attribution(
             load_table(s, d, "events")),
+        # generic as-of: NEAREST direction + per-side tolerance (pandas
+        # merge_asof parity; one shuffle serves both direction windows)
+        "purchase_nearest_click": _q_purchase_nearest_click,
         # keyless band (range) join via 1-D grid blocking: equi-join on
         # eps-wide time cells instead of the O(n^2) inequality plan
         "band_cooccurrence": lambda s, d: AS.band_cooccurrence(
@@ -4609,6 +4627,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
                click_id, click_ts
         FROM w WHERE is_p AND click_id IS NOT NULL
+    """
+    # generic as-of, nearest + tolerance: the identical union + two-
+    # window spelling (backward window: right rows sort BEFORE left at
+    # equal ts; forward window: AFTER — both inclusive), tolerance
+    # gates each side in exact integer microseconds BEFORE the nearest
+    # choice (pandas merge_asof rule), backward wins exact ties
+    sql["purchase_nearest_click"] = """
+        WITH u AS (
+          SELECT user_id, ts, event_id, value, FALSE AS is_r,
+                 CAST(NULL AS BIGINT) AS rid
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, NULL, NULL, TRUE, event_id
+          FROM events WHERE event_type = 'click'
+        ),
+        w AS (
+          SELECT *,
+            last_value(CASE WHEN is_r THEN ts END IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts, (CASE WHEN is_r THEN 0 ELSE 1 END), rid
+              ROWS UNBOUNDED PRECEDING) AS b_ts,
+            last_value(CASE WHEN is_r THEN rid END IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts, (CASE WHEN is_r THEN 0 ELSE 1 END), rid
+              ROWS UNBOUNDED PRECEDING) AS b_id,
+            first_value(CASE WHEN is_r THEN ts END IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts, (CASE WHEN is_r THEN 1 ELSE 0 END), rid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ts,
+            first_value(CASE WHEN is_r THEN rid END IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts, (CASE WHEN is_r THEN 1 ELSE 0 END), rid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_id
+          FROM u
+        ),
+        g AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN epoch_us(ts) - epoch_us(b_ts) <= 300000000
+                      THEN b_ts END AS b_ts,
+                 CASE WHEN epoch_us(ts) - epoch_us(b_ts) <= 300000000
+                      THEN b_id END AS b_id,
+                 CASE WHEN epoch_us(f_ts) - epoch_us(ts) <= 300000000
+                      THEN f_ts END AS f_ts,
+                 CASE WHEN epoch_us(f_ts) - epoch_us(ts) <= 300000000
+                      THEN f_id END AS f_id
+          FROM w WHERE NOT is_r
+        )
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                      epoch_us(ts) - epoch_us(b_ts)
+                        <= epoch_us(f_ts) - epoch_us(ts))
+                    THEN b_id ELSE f_id END AS asof_id,
+               CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                      epoch_us(ts) - epoch_us(b_ts)
+                        <= epoch_us(f_ts) - epoch_us(ts))
+                    THEN b_ts ELSE f_ts END AS asof_ts
+        FROM g
     """
     # band join oracle: the direct inequality spelling (DuckDB may plan
     # an IEJoin; the ANSWER is what's compared, not the plan) — exact

@@ -183,3 +183,116 @@ def band_cooccurrence_stream(events: DataFrame, eps_sec: int = 2,
         .select("event_a", "event_b",
                 (F.col("us_b") - F.col("us_a")).alias("delta_us"))
     )
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
+              id_col: str, direction: str = "backward",
+              tolerance_sec: int | None = None) -> DataFrame:
+    """Generic as-of join — pandas ``merge_asof`` parity on the
+    union+window plan (module docstring: O((L+R) log(L+R)) per key, one
+    shuffle, no pair blowup).
+
+    ``direction``:
+      * ``backward`` — most recent right row with ``r.ts <= l.ts``
+        (inclusive; equal-ts right rows resolve to the highest id);
+      * ``forward`` — earliest right row with ``r.ts >= l.ts``
+        (inclusive; equal-ts ties resolve to the lowest id);
+      * ``nearest`` — whichever of the two is closer in time, backward
+        winning exact ties (pandas' rule). Tolerance applies PER SIDE
+        before the choice, also pandas' rule: a nearer-but-out-of-
+        tolerance backward match loses to an in-tolerance forward one.
+
+    ``tolerance_sec``: matches farther than this are nulled (left rows
+    always survive — left-join semantics). Deltas are compared in exact
+    integer microseconds (house rule: no float time math).
+
+    ``right`` must be pre-projected to (key, ts_col, id_col, *values);
+    value column names must not collide with ``left``'s. Output: every
+    ``left`` column + ``asof_id``/``asof_ts`` + the right value columns.
+
+    Plan note: both directions ride ONE Exchange on ``key`` (the two
+    windows differ only in sort order → Exchange, Sort, Window, Sort,
+    Window — no second shuffle), so ``nearest`` costs one extra
+    partition-local sort, never a reshuffle."""
+    from pyspark.sql.window import Window as W
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    rvals = [c for c in right.columns if c not in (key, ts_col, id_col)]
+    clash = set(rvals) & set(left.columns)
+    if clash:
+        raise ValueError(f"right value columns collide with left: {clash}")
+    r = right.select(
+        F.col(key),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__rid"),
+        *[F.col(c) for c in rvals],
+        F.lit(True).alias("__is_r"),
+    )
+    lf = (left.withColumn("__ts", F.col(ts_col))
+          .withColumn("__is_r", F.lit(False)))
+    u = lf.unionByName(r, allowMissingColumns=True)
+
+    def pick(c):
+        return F.when(F.col("__is_r"), c)
+
+    # backward: right rows sort BEFORE left at equal ts (side 0 < 1), so
+    # a simultaneous right row is inside [unbounded, current]
+    side_b = F.when(F.col("__is_r"), 0).otherwise(1)
+    wb = (W.partitionBy(key).orderBy("__ts", side_b, "__rid")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # forward: right rows sort AFTER left at equal ts, so a simultaneous
+    # right row is inside [current, unbounded following]
+    side_f = F.when(F.col("__is_r"), 1).otherwise(0)
+    wf = (W.partitionBy(key).orderBy("__ts", side_f, "__rid")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+
+    cols = [("__ts", "asof_ts"), ("__rid", "asof_id")] + [
+        (c, c) for c in rvals]
+    out = u
+    if direction in ("backward", "nearest"):
+        for src, dst in cols:
+            out = out.withColumn(
+                f"__b_{dst}", F.last(pick(F.col(src)), True).over(wb))
+    if direction in ("forward", "nearest"):
+        for src, dst in cols:
+            out = out.withColumn(
+                f"__f_{dst}", F.first(pick(F.col(src)), True).over(wf))
+    out = out.filter(~F.col("__is_r"))
+
+    lus = F.unix_micros(F.col("__ts"))
+    tol_us = None if tolerance_sec is None else tolerance_sec * 1_000_000
+
+    def _gate(prefix, delta):
+        """Null the side's match beyond tolerance (per side, pre-choice)."""
+        if tol_us is None:
+            return out
+        ok = delta <= F.lit(tol_us)
+        o = out
+        for _, dst in cols:
+            o = o.withColumn(
+                f"{prefix}{dst}",
+                F.when(ok, F.col(f"{prefix}{dst}")))
+        return o
+
+    if direction in ("backward", "nearest"):
+        out = _gate("__b_", lus - F.unix_micros(F.col("__b_asof_ts")))
+    if direction in ("forward", "nearest"):
+        out = _gate("__f_", F.unix_micros(F.col("__f_asof_ts")) - lus)
+
+    if direction == "backward":
+        sel = {dst: F.col(f"__b_{dst}") for _, dst in cols}
+    elif direction == "forward":
+        sel = {dst: F.col(f"__f_{dst}") for _, dst in cols}
+    else:
+        d_b = lus - F.unix_micros(F.col("__b_asof_ts"))
+        d_f = F.unix_micros(F.col("__f_asof_ts")) - lus
+        use_b = F.col("__b_asof_ts").isNotNull() & (
+            F.col("__f_asof_ts").isNull() | (d_b <= d_f))
+        sel = {dst: F.when(use_b, F.col(f"__b_{dst}"))
+               .otherwise(F.col(f"__f_{dst}")) for _, dst in cols}
+
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[sel[dst].alias(dst) for _, dst in cols],
+    )

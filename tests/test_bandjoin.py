@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_streaming_spark.operators.asof import band_cooccurrence
@@ -52,3 +53,62 @@ def test_band_join_exact_cell_boundaries(spark):
     assert (2, 3) not in got        # eps + 1us → excluded
     assert (3, 4) in got            # 2s - 1us → kept
     assert (1, 3) not in got and (2, 4) not in got
+
+
+def _asof_pandas(lp, rp, direction, tol_sec):
+    """pandas merge_asof ground truth with the engine's tie convention:
+    stable-sort right by ts after pre-sorting by event_id, so equal-ts
+    candidates resolve to highest id backward / lowest id forward."""
+    import pandas as pd
+
+    lp = lp.sort_values(["ts", "event_id"], kind="mergesort")
+    rp = (rp.sort_values("event_id", kind="mergesort")
+          .sort_values("ts", kind="mergesort"))
+    m = pd.merge_asof(
+        lp, rp.rename(columns={"event_id": "asof_id", "ts": "asof_ts"}),
+        left_on="ts", right_on="asof_ts", by="user_id",
+        direction=direction,
+        tolerance=None if tol_sec is None else pd.Timedelta(seconds=tol_sec))
+    return m
+
+
+@pytest.mark.parametrize("direction,tol", [
+    ("backward", None), ("forward", None),
+    ("nearest", None), ("nearest", 300),
+])
+def test_asof_join_matches_pandas_merge_asof(spark, direction, tol):
+    """The generic as-of join vs pandas.merge_asof (the public semantic
+    reference) on real event data, all directions, with and without
+    tolerance."""
+    from spark_streaming_spark.operators.asof import asof_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    got = asof_join(left, right, "user_id", "ts", "event_id",
+                    direction=direction, tolerance_sec=tol).toPandas()
+    want = _asof_pandas(left.toPandas(), right.toPandas(), direction, tol)
+    key = ["event_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want[got.columns].sort_values(key).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_join_single_exchange(spark):
+    """nearest needs BOTH direction windows but must plan exactly ONE
+    Exchange on the key (second window is a partition-local re-sort)."""
+    from spark_streaming_spark.operators.asof import asof_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    df = asof_join(left, right, "user_id", "ts", "event_id",
+                   direction="nearest", tolerance_sec=300)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan

@@ -1209,6 +1209,21 @@ def _q_streaming_kmv_quantiles(spark: SparkSession,
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_kmv_daily_value_quantiles(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-DAY p50/p95 of event value from the KMV sketch — the
+    time-window percentile dashboard (daily latency quantiles) with
+    min(k, n) state per window at any traffic, where exact per-window
+    percentiles hold O(rows/window). Same engine-exact contract as
+    `kmv_quantity_quantiles`; the window key is just another group."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    regs = SKC.kmv_quantile_registers(ev, "day", "value", ["event_id"])
+    return SKC.kmv_quantiles(regs, {
+        "p50_value": 500000, "p95_value": 950000,
+    }).withColumnRenamed("grp", "day")
+
+
 def _q_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase matched to the NEAREST click of the same user
     within 5 minutes, either direction, backward winning exact ties —
@@ -1392,6 +1407,7 @@ _CHECK_FIRST = [
     # KLL-class engine-exact quantile sketch:
     "streaming_scd2_asof_feed", "kmv_quantity_quantiles",
     "streaming_kmv_quantiles", "purchase_nearest_click",
+    "kmv_daily_value_quantiles",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1414,8 +1430,7 @@ _CHECK_FIRST = [
     "streaming_click_attribution_outer", "streaming_histogram",
     "streaming_pivot_counts", "streaming_session_windows",
     "streaming_two_level_agg", "synthetic_source_rollup", "term_stats",
-    "top3_products_per_brand",
-]
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1999,6 +2014,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the sketch as streaming state: per-batch registers fold by the
         # exact bottom-k merge; final quantiles == one-shot (shared oracle)
         "streaming_kmv_quantiles": _q_streaming_kmv_quantiles,
+        # quantiles per TIME WINDOW: constant sketch state per day where
+        # exact percentiles hold O(rows/window)
+        "kmv_daily_value_quantiles": _q_kmv_daily_value_quantiles,
         # the register table as streaming state (update-mode max merge)
         "streaming_hll_distinct": _q_streaming_hll_distinct,
         # sketch per time window: HLL registers keyed by (day, type)
@@ -3954,6 +3972,31 @@ def oracle_sql() -> dict[str, str]:
     """
     # streamed twin: exact bottom-k merge => final state == one-shot
     sql["streaming_kmv_quantiles"] = sql["kmv_quantity_quantiles"]
+    # per-day sketch quantiles: the window key is just another group
+    sql["kmv_daily_value_quantiles"] = """
+        WITH h AS (
+          SELECT CAST(ts AS DATE) AS grp, value AS v,
+                 md5('kll1' || '#' || CAST(event_id AS VARCHAR)) AS hh
+          FROM events
+        ),
+        reg AS (
+          SELECT grp, v, hh,
+                 row_number() OVER (PARTITION BY grp ORDER BY hh) AS rn
+          FROM h QUALIFY rn <= 200
+        ),
+        ranked AS (
+          SELECT grp, v,
+                 row_number() OVER (PARTITION BY grp ORDER BY v, hh) AS vr,
+                 count(*) OVER (PARTITION BY grp) AS n
+          FROM reg
+        )
+        SELECT grp AS day,
+               max(CASE WHEN vr = 500000 * (n - 1) // 1000000 + 1
+                        THEN v END) AS p50_value,
+               max(CASE WHEN vr = 950000 * (n - 1) // 1000000 + 1
+                        THEN v END) AS p95_value
+        FROM ranked GROUP BY grp
+    """
     sql["hll_distinct_users"] = hll_sql("event_type", "user_id", "events")
     sql["hll_audience_overlap"] = SKC.hll_overlap_sql(
         "event_type", "user_id", "events")

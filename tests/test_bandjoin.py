@@ -112,3 +112,39 @@ def test_asof_join_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+def test_asof_join_tie_and_tolerance_edges(spark):
+    """Synthetic edge pins: equal-ts candidates both directions
+    (backward takes highest id, forward lowest, nearest prefers
+    backward at zero delta both ways), and tolerance is INCLUSIVE at
+    the exact boundary."""
+    import datetime as dt2
+
+    from spark_streaming_spark.operators.asof import asof_join
+
+    t = lambda s: dt2.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(30)), (3, 2, t(10))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(10), 101),   # equal-ts pair, both dirs
+         (1, t(25), 102),                    # 5s before left#2
+         (2, t(15), 103)],                   # 5s after left#3
+        "user_id long, ts timestamp, event_id long")
+    got = {r["event_id"]: (r["asof_id"],)
+           for r in asof_join(left, right, "user_id", "ts", "event_id",
+                              direction="nearest",
+                              tolerance_sec=5).collect()}
+    # zero-delta tie both directions -> backward -> highest id 101
+    assert got[1] == (101,)
+    # backward 5s (boundary-inclusive) beats nothing forward
+    assert got[2] == (102,)
+    # only a forward candidate, exactly at tolerance -> matched
+    assert got[3] == (103,)
+    # shrink tolerance: boundary matches drop to null, left rows survive
+    got4 = {r["event_id"]: r["asof_id"]
+            for r in asof_join(left, right, "user_id", "ts", "event_id",
+                               direction="nearest",
+                               tolerance_sec=4).collect()}
+    assert got4[1] == 101 and got4[2] is None and got4[3] is None

@@ -1407,7 +1407,7 @@ _CHECK_FIRST = [
     # KLL-class engine-exact quantile sketch:
     "streaming_scd2_asof_feed", "kmv_quantity_quantiles",
     "streaming_kmv_quantiles", "purchase_nearest_click",
-    "kmv_daily_value_quantiles",
+    "kmv_daily_value_quantiles", "repeated_spans",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1429,7 +1429,7 @@ _CHECK_FIRST = [
     "small_qty_part_revenue", "stratified_sample",
     "streaming_click_attribution_outer", "streaming_histogram",
     "streaming_pivot_counts", "streaming_session_windows",
-    "streaming_two_level_agg", "synthetic_source_rollup", "term_stats",
+    "streaming_two_level_agg", "synthetic_source_rollup",
     ]
 
 
@@ -1620,6 +1620,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selection, edit verify) reads the materialization (dedup.py
         # _PAIRS_CACHE discipline)
         "dedup_exact": lambda s, d: DD.dedup_exact(load_table(s, d, "documents")),
+        # cross-doc repeated k-token spans (exact-substring duplication
+        # inventory, Lee et al. 2022) via k-gram postings — no suffix
+        # array, no pairwise compare, one partial-agg shuffle
+        "repeated_spans": lambda s, d: DD.repeated_spans(
+            load_table(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: DD.ngram_jaccard_pairs(
             load_table(s, d, "documents"), cache_key=d),
         "dedup_minhash_lsh": lambda s, d: DD.minhash_lsh_pairs(
@@ -2973,6 +2978,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         # ---- dedup suite --------------------------------------------------
+        # repeated spans: DuckDB 1-based INCLUSIVE list slice w[i:i+k-1]
+        # == Spark's slice(arr, i, k); CAST the distinct/total counts
+        # (DuckDB count -> BIGINT matches Spark)
+        "repeated_spans": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 8
+            ),
+            s AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS span
+              FROM t, unnest(range(1, len(w) - 8 + 2)) AS u(i)
+            )
+            SELECT span,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM s GROUP BY span
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
             FROM documents GROUP BY text

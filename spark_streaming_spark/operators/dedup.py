@@ -591,3 +591,38 @@ def dedup_keep_best(docs: DataFrame, threshold: float = 0.8,
         .filter(F.col("doc_id") != F.col("kept_doc"))
         .select("kept_doc", F.col("doc_id").alias("drop_doc"))
     )
+
+
+def repeated_spans(docs: DataFrame, k: int = 8,
+                   min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated k-token spans — the exact-substring
+    duplication inventory of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better": repeated spans are what a
+    suffix-array dedup removes), as k-gram postings instead of a
+    distributed suffix array.
+
+    Plan: whitespace tokens → each doc explodes to its (position, span)
+    k-grams map-side → ONE shuffle grouping by the span with partial
+    aggregation → HAVING over distinct docs. Linear in corpus tokens;
+    no pairwise comparison anywhere. The shuffle carries each span
+    occurrence once (~k tokens): at extreme scale, two-phase it — group
+    the md5(span) first (fixed-width shuffle), rescan to resolve the
+    surviving spans' text; the one-pass spelling here keeps the oracle
+    1:1. A ubiquitous span (boilerplate) is ONE hot group whose count
+    partial-aggregates map-side — no skew blowup.
+
+    Output: span, n_docs (distinct), n_occurrences, min_doc, max_doc.
+    """
+    spans = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {k} + 1),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {k})))")
+    return (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= k)
+        .select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occurrences"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -307,3 +307,45 @@ def test_snapshot_diff_roundtrip(spark, old, new):
     for k, v, n in old:
         if (k, v, n) in set(new):
             assert k not in feed
+
+
+@settings(**_SETTINGS)
+@given(raw=_events, direction=st.sampled_from(
+    ["backward", "forward", "nearest"]),
+    tol=st.sampled_from([None, 3]))
+def test_asof_join_matches_pandas_on_arbitrary_inputs(
+        spark, raw, direction, tol):
+    """The generic as-of join ≡ pandas.merge_asof on ADVERSARIAL shapes
+    (ts ties within and across sides, empty sides, keys with only one
+    side) for every direction × tolerance. The fixed-convention right
+    sort (stable by ts after id) makes pandas' tie pick equal the
+    engine's highest-id-backward / lowest-id-forward contract."""
+    import pandas as pd
+
+    from spark_streaming_spark.operators.asof import asof_join
+
+    ev = _mk_events(spark, raw)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    got = asof_join(left, right, "user_id", "ts", "event_id",
+                    direction=direction, tolerance_sec=tol).toPandas()
+    lp = left.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+    rp = (right.toPandas().sort_values("event_id", kind="mergesort")
+          .sort_values("ts", kind="mergesort"))
+    if len(lp) == 0 or len(rp) == 0:
+        want = lp.assign(
+            asof_id=pd.Series(dtype="float64"),
+            asof_ts=pd.Series(dtype="datetime64[ns]"))
+    else:
+        want = pd.merge_asof(
+            lp, rp.rename(columns={"event_id": "asof_id",
+                                   "ts": "asof_ts"}),
+            left_on="ts", right_on="asof_ts", by="user_id",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol))
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want[list(got.columns)].sort_values(
+        "event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -1407,7 +1407,7 @@ _CHECK_FIRST = [
     # KLL-class engine-exact quantile sketch:
     "streaming_scd2_asof_feed", "kmv_quantity_quantiles",
     "streaming_kmv_quantiles", "purchase_nearest_click",
-    "kmv_daily_value_quantiles", "repeated_spans",
+    "kmv_daily_value_quantiles", "repeated_spans", "span_dup_coverage",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1421,7 +1421,7 @@ _CHECK_FIRST = [
     "embedding_quantize", "event_counts_unpivot", "event_value_histogram",
     "hot_words_per_window", "idle_rich_customers", "inter_arrival_stats",
     "large_volume_orders", "market_share", "media_resize_meta",
-    "monthly_event_stats", "nation_trade_volume", "order_priority_counts",
+    "nation_trade_volume", "order_priority_counts",
     "pandas_token_counts", "pii_redaction", "pricing_summary",
     "promo_revenue", "returned_items_report", "revenue_by_nation",
     "rolling_spend_90d", "scd1_customer_merge", "session_windows",
@@ -1624,6 +1624,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inventory, Lee et al. 2022) via k-gram postings — no suffix
         # array, no pairwise compare, one partial-agg shuffle
         "repeated_spans": lambda s, d: DD.repeated_spans(
+            load_table(s, d, "documents")),
+        # the prune metric on top of the inventory: per-doc fraction of
+        # k-gram positions whose span appears in 2+ docs (integer ppm)
+        "span_dup_coverage": lambda s, d: DD.span_dup_coverage(
             load_table(s, d, "documents")),
         "dedup_ngram_jaccard": lambda s, d: DD.ngram_jaccard_pairs(
             load_table(s, d, "documents"), cache_key=d),
@@ -2996,6 +3000,32 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM s GROUP BY span
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "span_dup_coverage": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 8
+            ),
+            s AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS span
+              FROM t, unnest(range(1, len(w) - 8 + 2)) AS u(i)
+            ),
+            inv AS (
+              SELECT span FROM s GROUP BY span
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            m AS (
+              SELECT s.doc_id, count(*) AS n_dup_spans
+              FROM s JOIN inv USING (span) GROUP BY s.doc_id
+            ),
+            tot AS (
+              SELECT doc_id, count(*) AS n_spans FROM s GROUP BY doc_id
+            )
+            SELECT tot.doc_id, tot.n_spans,
+                   COALESCE(m.n_dup_spans, 0) AS n_dup_spans,
+                   CAST(COALESCE(m.n_dup_spans, 0) * 1000000
+                        // tot.n_spans AS BIGINT) AS dup_ppm
+            FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies

@@ -626,3 +626,41 @@ def repeated_spans(docs: DataFrame, k: int = 8,
              F.max("doc_id").alias("max_doc"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def span_dup_coverage(docs: DataFrame, k: int = 8,
+                      min_docs: int = 2) -> DataFrame:
+    """Per-document duplication coverage — the prune metric on top of
+    :func:`repeated_spans`: what fraction (ppm, integer-exact) of a
+    doc's k-gram positions carry a span that also appears in
+    ``min_docs``+ distinct documents. The policy knob Lee et al.-style
+    pipelines gate on (drop/trim docs whose training signal is mostly
+    boilerplate someone else already contributes).
+
+    Plan: the exploded postings feed BOTH the inventory aggregate and
+    the coverage join — two shuffles on the span key (the inventory's
+    count-distinct pair) plus one per-doc rollup; everything before the
+    exchanges is map-side, nothing is ever pairwise.
+    Output: doc_id, n_spans, n_dup_spans, dup_ppm."""
+    spans = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {k} + 1),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {k})))")
+    sp = (docs.filter(F.size(F.split(F.col("text"), " ")) >= k)
+          .select("doc_id", F.explode(spans).alias("span")))
+    inv = (sp.groupBy("span")
+           .agg(F.countDistinct("doc_id").alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs)
+           .select("span"))
+    matched = (sp.join(inv, "span")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_dup_spans")))
+    totals = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(matched, "doc_id", "left")
+        .select(
+            "doc_id", "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.expr("CAST(coalesce(n_dup_spans, 0) * 1000000 DIV n_spans"
+                   " AS BIGINT)").alias("dup_ppm"),
+        )
+    )

@@ -3019,7 +3019,8 @@ def oracle_sql() -> dict[str, str]:
               FROM s JOIN inv USING (span) GROUP BY s.doc_id
             ),
             tot AS (
-              SELECT doc_id, count(*) AS n_spans FROM s GROUP BY doc_id
+              SELECT doc_id, CAST(len(w) - 8 + 1 AS BIGINT) AS n_spans
+              FROM t
             )
             SELECT tot.doc_id, tot.n_spans,
                    COALESCE(m.n_dup_spans, 0) AS n_dup_spans,

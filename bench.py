@@ -71,6 +71,13 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "sf": _sf_of(SF_DIR),
+        # family subtotal: the streamed-replay entries carry a fixed
+        # harness cost per entry (see streaming/replay.py) — surfacing
+        # it separates engine throughput from replay overhead
+        "streaming_sec": round(sum(
+            t for n, t in timings.items()
+            if n.startswith("streaming_") and t >= 0), 4),
+        "n_streaming": sum(1 for n in timings if n.startswith("streaming_")),
     }
     # per-query map goes to a sidecar file: embedding ~95 timings in the
     # stdout line overflowed the driver's tail capture in round 1

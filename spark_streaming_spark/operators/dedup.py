@@ -637,10 +637,13 @@ def span_dup_coverage(docs: DataFrame, k: int = 8,
     pipelines gate on (drop/trim docs whose training signal is mostly
     boilerplate someone else already contributes).
 
-    Plan: the exploded postings feed BOTH the inventory aggregate and
-    the coverage join — two shuffles on the span key (the inventory's
-    count-distinct pair) plus one per-doc rollup; everything before the
-    exchanges is map-side, nothing is ever pairwise.
+    Plan: the exploded postings feed the inventory aggregate and the
+    coverage join; each branch RECOMPUTES the explode from the columnar
+    scan — deliberate: materializing the ~k×-corpus posting list
+    (persist/checkpoint) costs more at scale than re-running a map-side
+    explode over a column-pruned scan. The per-doc totals never explode
+    at all: n_spans = size(tokens) - k + 1 is map-only arithmetic.
+    Everything before the exchanges is map-side; nothing is pairwise.
     Output: doc_id, n_spans, n_dup_spans, dup_ppm."""
     spans = F.expr(
         f"transform(sequence(1, size(split(text, ' ')) - {k} + 1),"
@@ -654,7 +657,10 @@ def span_dup_coverage(docs: DataFrame, k: int = 8,
     matched = (sp.join(inv, "span")
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_dup_spans")))
-    totals = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    totals = (docs.filter(F.size(F.split(F.col("text"), " ")) >= k)
+              .select("doc_id",
+                      (F.size(F.split(F.col("text"), " ")) - k + 1)
+                      .cast("long").alias("n_spans")))
     return (
         totals.join(matched, "doc_id", "left")
         .select(

@@ -246,3 +246,29 @@ def test_kmv_register_build_plans_window_group_limit(spark):
         li, "l_returnflag", "l_quantity", ["l_orderkey", "l_linenumber"])
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmv_sink_epoch_replay_idempotent(spark, tmp_path):
+    """Replaying an epoch through kmv_sketch_sink rewrites the same
+    version from the same predecessor — same register rows (the scd1/2
+    sinks' exactly-once argument, applied to the sketch fold)."""
+    from spark_streaming_spark.streaming.pipelines import kmv_sketch_sink
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    sink = kmv_sketch_sink(spark, "l_returnflag", "l_quantity",
+                           ["l_orderkey", "l_linenumber"], str(tmp_path))
+    half = li.filter(F.col("l_orderkey") % 2 == 0)
+    sink(half, 0)
+    sink(li.filter(F.col("l_orderkey") % 2 == 1), 1)
+    v1 = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "v1")).collect()))
+    sink(li.filter(F.col("l_orderkey") % 2 == 1), 1)  # epoch replay
+    assert sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "v1")).collect())) == v1
+    # and the folded state equals the one-shot sketch (exact merge)
+    whole = SKC.kmv_quantile_registers(
+        li, "l_returnflag", "l_quantity", ["l_orderkey", "l_linenumber"])
+    folded = spark.read.parquet(str(tmp_path / "v1"))
+    assert folded.exceptAll(whole).count() == 0
+    assert whole.exceptAll(folded).count() == 0

@@ -1224,6 +1224,29 @@ def _q_kmv_daily_value_quantiles(spark: SparkSession,
     }).withColumnRenamed("grp", "day")
 
 
+def _q_winsorized_event_values(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Approximate winsorization — the sketch put to WORK in a
+    pipeline: per-day p05/p95 from the KMV quantile sketch (bounded
+    state per window), broadcast back (the quantile table is
+    O(windows) rows at any traffic), values clipped map-side. Exact
+    winsorization needs exact per-group percentiles — a full sort or
+    O(rows/window) state; this is the 100 TB spelling. All outputs are
+    raw input doubles or boundary picks — hash-exact."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    regs = SKC.kmv_quantile_registers(ev, "day", "value", ["event_id"])
+    qt = SKC.kmv_quantiles(regs, {"p05": 50000, "p95": 950000})
+    return (
+        ev.join(F.broadcast(qt.withColumnRenamed("grp", "day")), "day")
+        .select(
+            "event_id", "day", "value",
+            F.least(F.greatest(F.col("value"), F.col("p05")),
+                    F.col("p95")).alias("value_winsorized"),
+        )
+    )
+
+
 def _q_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase matched to the NEAREST click of the same user
     within 5 minutes, either direction, backward winning exact ties —
@@ -1407,7 +1430,8 @@ _CHECK_FIRST = [
     # KLL-class engine-exact quantile sketch:
     "streaming_scd2_asof_feed", "kmv_quantity_quantiles",
     "streaming_kmv_quantiles", "purchase_nearest_click",
-    "kmv_daily_value_quantiles", "repeated_spans", "span_dup_coverage",
+    "kmv_daily_value_quantiles", "winsorized_event_values",
+    "repeated_spans", "span_dup_coverage",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1419,7 +1443,7 @@ _CHECK_FIRST = [
     "centroid_assign", "click_attribution_outer", "daily_user_journeys",
     "deterministic_sample", "discounted_parts_revenue",
     "embedding_quantize", "event_counts_unpivot", "event_value_histogram",
-    "hot_words_per_window", "idle_rich_customers", "inter_arrival_stats",
+    "hot_words_per_window", "idle_rich_customers",
     "large_volume_orders", "market_share", "media_resize_meta",
     "nation_trade_volume", "order_priority_counts",
     "pandas_token_counts", "pii_redaction", "pricing_summary",
@@ -2026,6 +2050,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantiles per TIME WINDOW: constant sketch state per day where
         # exact percentiles hold O(rows/window)
         "kmv_daily_value_quantiles": _q_kmv_daily_value_quantiles,
+        # the sketch put to work: broadcast per-day p05/p95, map-side clip
+        "winsorized_event_values": _q_winsorized_event_values,
         # the register table as streaming state (update-mode max merge)
         "streaming_hll_distinct": _q_streaming_hll_distinct,
         # sketch per time window: HLL registers keyed by (day, type)
@@ -4027,6 +4053,39 @@ def oracle_sql() -> dict[str, str]:
     """
     # streamed twin: exact bottom-k merge => final state == one-shot
     sql["streaming_kmv_quantiles"] = sql["kmv_quantity_quantiles"]
+    # approximate winsorization: the per-day sketch quantiles joined
+    # back, values clipped — every output is a raw double or a raw
+    # boundary pick, so the whole row set hash-compares
+    sql["winsorized_event_values"] = """
+        WITH h AS (
+          SELECT CAST(ts AS DATE) AS grp, value AS v,
+                 md5('kll1' || '#' || CAST(event_id AS VARCHAR)) AS hh
+          FROM events
+        ),
+        reg AS (
+          SELECT grp, v, hh,
+                 row_number() OVER (PARTITION BY grp ORDER BY hh) AS rn
+          FROM h QUALIFY rn <= 200
+        ),
+        ranked AS (
+          SELECT grp, v,
+                 row_number() OVER (PARTITION BY grp ORDER BY v, hh) AS vr,
+                 count(*) OVER (PARTITION BY grp) AS n
+          FROM reg
+        ),
+        qt AS (
+          SELECT grp AS day,
+                 max(CASE WHEN vr = 50000 * (n - 1) // 1000000 + 1
+                          THEN v END) AS p05,
+                 max(CASE WHEN vr = 950000 * (n - 1) // 1000000 + 1
+                          THEN v END) AS p95
+          FROM ranked GROUP BY grp
+        )
+        SELECT e.event_id, CAST(e.ts AS DATE) AS day, e.value,
+               least(greatest(e.value, qt.p05), qt.p95)
+                 AS value_winsorized
+        FROM events e JOIN qt ON CAST(e.ts AS DATE) = qt.day
+    """
     # per-day sketch quantiles: the window key is just another group
     sql["kmv_daily_value_quantiles"] = """
         WITH h AS (

@@ -1435,7 +1435,13 @@ _CHECK_FIRST = [
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
-    # (d) the 44 remaining slots: oldest-signal oracle-backed entries —
+    # r9 rotation pool (evicted r3-vintage, oldest first): media_resize
+    # _meta was kept; still-outside r3 refreshes are top_revenue_orders,
+    # top_supplier, value_outliers, tumbling_counts, vocab_build,
+    # user_activity_profiles, user_event_sequence, video_frame_offsets,
+    # monthly_event_stats, inter_arrival_stats, term_stats,
+    # top3_products_per_brand — lead r9 with these, then r4-vintage.
+    # (d) the remaining slots: oldest-signal oracle-backed entries —
     # all r3-vintage (their latest green driver row predates the r4
     # replay-harness and r6 comparator changes). Order follows the
     # vintage audit; the r4/r5-vintage tail rotates in next round.

@@ -586,3 +586,27 @@ def test_table_profile_is_single_pass(spark):
     assert text.count("FileScan parquet") + text.count(
         "Scan parquet") <= 2  # one scan (name varies by node rendering)
     assert explain.has_partial_aggregate(df)
+
+
+def test_winsorize_broadcasts_quantile_table(spark):
+    """The sketch-quantile table must broadcast (O(windows) rows at any
+    traffic) — the event stream never shuffles for the clip join."""
+    import __spark_entry__ as E
+
+    df = E._q_winsorized_event_values(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repeated_spans_pushdown_and_partial_agg(spark):
+    """The min-length filter reaches the parquet scan; both exchanges
+    are preceded by partial (map-side) aggregation of the postings."""
+    from spark_streaming_spark.operators.dedup import repeated_spans
+
+    df = repeated_spans(load_table(spark, SF_DIR, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # column pruning: only doc_id + text read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan

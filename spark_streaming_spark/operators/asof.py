@@ -219,9 +219,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     rvals = [c for c in right.columns if c not in (key, ts_col, id_col)]
-    clash = set(rvals) & set(left.columns)
+    clash = (set(rvals) | {"asof_id", "asof_ts"}) & set(left.columns)
     if clash:
-        raise ValueError(f"right value columns collide with left: {clash}")
+        raise ValueError(
+            f"output columns collide with left columns: {sorted(clash)}")
     r = right.select(
         F.col(key),
         F.col(ts_col).alias("__ts"),

@@ -1247,6 +1247,25 @@ def _q_winsorized_event_values(spark: SparkSession,
     )
 
 
+def _q_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion lag: each click matched FORWARD to the user's next
+    purchase within 1 hour (the other as-of direction, driver-checked
+    separately from `purchase_nearest_click`'s nearest path). Lag in
+    exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    j = AS.asof_join(
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id",
+        direction="forward", tolerance_sec=3600)
+    return j.select(
+        "event_id", "user_id", "ts", "asof_id",
+        (F.unix_micros("asof_ts") - F.unix_micros("ts"))
+        .alias("lag_us"))
+
+
 def _q_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase matched to the NEAREST click of the same user
     within 5 minutes, either direction, backward winning exact ties —
@@ -1430,6 +1449,7 @@ _CHECK_FIRST = [
     # KLL-class engine-exact quantile sketch:
     "streaming_scd2_asof_feed", "kmv_quantity_quantiles",
     "streaming_kmv_quantiles", "purchase_nearest_click",
+    "click_next_purchase",
     "kmv_daily_value_quantiles", "winsorized_event_values",
     "repeated_spans", "span_dup_coverage",
     # (c) every no_oracle row is OUT of the window this round (r7
@@ -1450,7 +1470,7 @@ _CHECK_FIRST = [
     "deterministic_sample", "discounted_parts_revenue",
     "embedding_quantize", "event_counts_unpivot", "event_value_histogram",
     "hot_words_per_window", "idle_rich_customers",
-    "large_volume_orders", "market_share", "media_resize_meta",
+    "large_volume_orders", "market_share",
     "nation_trade_volume", "order_priority_counts",
     "pandas_token_counts", "pii_redaction", "pricing_summary",
     "promo_revenue", "returned_items_report", "revenue_by_nation",
@@ -1785,6 +1805,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generic as-of: NEAREST direction + per-side tolerance (pandas
         # merge_asof parity; one shuffle serves both direction windows)
         "purchase_nearest_click": _q_purchase_nearest_click,
+        # the FORWARD direction standalone: conversion lag to the next
+        # purchase within 1h, exact integer-microsecond lag
+        "click_next_purchase": _q_click_next_purchase,
         # keyless band (range) join via 1-D grid blocking: equi-join on
         # eps-wide time cells instead of the O(n^2) inequality plan
         "band_cooccurrence": lambda s, d: AS.band_cooccurrence(
@@ -4847,6 +4870,36 @@ def oracle_sql() -> dict[str, str]:
                         <= epoch_us(f_ts) - epoch_us(ts))
                     THEN b_ts ELSE f_ts END AS asof_ts
         FROM g
+    """
+    # forward as-of standalone: same union+window spelling, forward
+    # side only (right rows sort AFTER left at equal ts, inclusive)
+    sql["click_next_purchase"] = """
+        WITH u AS (
+          SELECT user_id, ts, event_id, FALSE AS is_r,
+                 CAST(NULL AS BIGINT) AS rid
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, ts, NULL, TRUE, event_id
+          FROM events WHERE event_type = 'purchase'
+        ),
+        w AS (
+          SELECT *,
+            first_value(CASE WHEN is_r THEN ts END IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts, (CASE WHEN is_r THEN 1 ELSE 0 END), rid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ts,
+            first_value(CASE WHEN is_r THEN rid END IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts, (CASE WHEN is_r THEN 1 ELSE 0 END), rid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_id
+          FROM u
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_us(f_ts) - epoch_us(ts) <= 3600000000
+                    THEN f_id END AS asof_id,
+               CASE WHEN epoch_us(f_ts) - epoch_us(ts) <= 3600000000
+                    THEN epoch_us(f_ts) - epoch_us(ts) END AS lag_us
+        FROM w WHERE NOT is_r
     """
     # band join oracle: the direct inequality spelling (DuckDB may plan
     # an IEJoin; the ANSWER is what's compared, not the plan) — exact

@@ -1209,6 +1209,53 @@ def _q_streaming_kmv_quantiles(spark: SparkSession,
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_streaming_theta_overlap(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The Theta bottom-k distinct sketch maintained CONTINUOUSLY:
+    events arrive in micro-batches, each folding its per-group registers
+    into the accumulated state (streaming/pipelines.theta_sketch_sink).
+    The merge is exact (bottom-k of a distinct union), so the final
+    registers — and every pairwise intersection/union estimate — equal
+    the one-shot batch sketch: shared oracle with
+    `theta_audience_overlap`."""
+    import atexit
+    import shutil
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import theta_sketch_sink
+
+    chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
+    state_dir = replay.scratch_dir("theta_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        q = (
+            stream.select(
+                "event_type",
+                F.concat_ws(
+                    "#", F.col("user_id").cast("string"),
+                    F.to_date("ts").cast("string")).alias("akey"))
+            .writeStream
+            .foreachBatch(theta_sketch_sink(
+                spark, "event_type", "akey", state_dir, k=64))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming theta sketch did not finish")
+        with open(os.path.join(state_dir, "CURRENT")) as fh:
+            regs = spark.read.parquet(
+                os.path.join(state_dir, fh.read().strip()))
+        return SKC.theta_overlap_from_registers(regs, k=64)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_kmv_daily_value_quantiles(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Per-DAY p50/p95 of event value from the KMV sketch — the
@@ -1411,6 +1458,24 @@ def _q_streaming_centroid_ingest(spark: SparkSession,
     )
 
 
+def _q_streaming_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint INDEX built continuously (the MOSS index as
+    a stream): documents arrive as micro-batches and each batch winnows
+    map-only (operators/textstats.winnow_fingerprints — zero shuffle
+    per batch, so the streaming plan is scan-speed too). Selection is
+    per-document, every doc appears in exactly one micro-batch, so the
+    union of per-batch outputs equals one-shot batch winnowing — shared
+    oracle."""
+    from spark_streaming_spark.streaming import replay
+
+    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
+    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
+    return replay.run_foreach_to_parquet(
+        stream, lambda b: TX.winnow_fingerprints(b),
+        state_partitions=4,
+    )
+
+
 def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton key of (user_id, floor(value)) per event — the clustering
     key zorder_layout sorts by; exact across engines because it is pure
@@ -1452,6 +1517,20 @@ _CHECK_FIRST = [
     "click_next_purchase",
     "kmv_daily_value_quantiles", "winsorized_event_values",
     "repeated_spans", "span_dup_coverage",
+    # (b2) entries NEW in the round-8 continuation, all hash-oracled:
+    # winnowing fingerprints (Schleimer 2003), content-defined chunking
+    # (LBFS/FastCDC), Theta bottom-k set algebra, LOCF time-weighted
+    # mean, ANN recall eval:
+    "winnow_fingerprints", "winnow_overlap", "cdc_chunks",
+    "cdc_dup_chunks", "theta_audience_overlap", "time_weighted_value",
+    "lsh_graph_recall", "streaming_winnow",
+    # (b3) later round-8 additions, all hash-oracled: the shuffle-grid
+    # range join (both sides fact-sized, no equi key), corpus-shard TV
+    # drift (pure-integer statistic), and the streamed Theta register
+    # fold (exact merge — shares the batch oracle):
+    "ship_window_order_counts", "token_drift_tv", "top_drift_tokens",
+    "streaming_theta_overlap", "split_leakage_pairs",
+    "split_leakage_matrix",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1474,12 +1553,13 @@ _CHECK_FIRST = [
     "nation_trade_volume", "order_priority_counts",
     "pandas_token_counts", "pii_redaction", "pricing_summary",
     "promo_revenue", "returned_items_report", "revenue_by_nation",
-    "rolling_spend_90d", "scd1_customer_merge", "session_windows",
-    "sessionize", "skew_salted_sum", "sliding_counts",
-    "small_qty_part_revenue", "stratified_sample",
-    "streaming_click_attribution_outer", "streaming_histogram",
-    "streaming_pivot_counts", "streaming_session_windows",
-    "streaming_two_level_agg", "synthetic_source_rollup",
+    # (14 r3-vintage refreshes displaced by the (b2)/(b3) additions —
+    # they join the r9 rotation pool above:
+    # streaming_click_attribution_outer, streaming_histogram,
+    # streaming_pivot_counts, streaming_session_windows,
+    # streaming_two_level_agg, synthetic_source_rollup, sliding_counts,
+    # stratified_sample, session_windows, sessionize, skew_salted_sum,
+    # small_qty_part_revenue, rolling_spend_90d, scd1_customer_merge)
     ]
 
 
@@ -1705,6 +1785,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": lambda s, d: DD.dedup_edit_distance(
             load_table(s, d, "documents"), cache_key=d),
         "dedup_simhash": lambda s, d: DD.simhash(load_table(s, d, "documents")),
+        # eval-contamination audit: near-dup pairs straddling the
+        # md5-threshold split — split recomputed map-side from doc_id
+        # (operators/sampling.split_of), zero joins beyond the pair build
+        "split_leakage_pairs": lambda s, d: DD.split_leakage_pairs(
+            load_table(s, d, "documents")),
+        "split_leakage_matrix": lambda s, d: DD.split_leakage_matrix(
+            load_table(s, d, "documents")),
         # threshold 0.35, not the semantic default 0.9: the driver's
         # embeddings are random (within-bucket max cosine ≈ 0.43), so any
         # higher threshold would hash-match on empty sets — vacuous
@@ -1718,6 +1805,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # claims LSH, so its bench number must measure the LSH machinery,
         # not the small-n broadcast fallback (round-3 ADVICE)
         "knn_graph_lsh": lambda s, d: SIM.knn_graph_lsh(
+            load_table(s, d, "embeddings"), dense_fallback_pairs=0),
+        # ANN quality eval (ann-benchmarks protocol): per-query recall@k
+        # of the LSH graph vs the exact graph — hash-checked because
+        # both graphs are deterministic and recall_ppm is integer DIV
+        "lsh_graph_recall": lambda s, d: SIM.knn_graph_recall(
             load_table(s, d, "embeddings"), dense_fallback_pairs=0),
         "similar_pairs_lsh": lambda s, d: SIM.similar_pairs_lsh(
             load_table(s, d, "embeddings"), cache_key=d),
@@ -1842,7 +1934,22 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
         "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
+        "winnow_fingerprints": lambda s, d: TX.winnow_fingerprints(
+            load_table(s, d, "documents")),
+        "winnow_overlap": lambda s, d: TX.winnow_overlap(
+            load_table(s, d, "documents")),
+        # streamed ingest twin: per-batch map-only winnowing; union of
+        # batches == one-shot (every doc in exactly one batch) — shared
+        # oracle
+        "streaming_winnow": _q_streaming_winnow,
         "vocab_build": lambda s, d: TX.vocab_build(
+            load_table(s, d, "documents")),
+        # corpus-shard drift: total-variation distance between the even/
+        # odd doc_id token distributions — cross-multiplied to pure
+        # integer (DECIMAL(38,0) accumulate), final ppm one integer DIV
+        "token_drift_tv": lambda s, d: TX.token_drift_tv(
+            load_table(s, d, "documents")),
+        "top_drift_tokens": lambda s, d: TX.top_drift_tokens(
             load_table(s, d, "documents")),
         # feature-hashed bag-of-words (hashing trick): text -> fixed-dim
         # sparse vector, the bridge into the ANN stack; long form is the
@@ -1889,6 +1996,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_scores": lambda s, d: PL.lm_bigram_scores(
             load_table(s, d, "documents")),
         # RAG-prep chunking: overlapping char windows, map-only explode
+        "cdc_chunks": lambda s, d: PL.cdc_chunks(
+            load_table(s, d, "documents")),
+        "cdc_dup_chunks": lambda s, d: PL.cdc_dup_chunks(
+            load_table(s, d, "documents")),
         "chunk_documents": lambda s, d: PL.chunk_documents(
             load_table(s, d, "documents")),
         # PII redaction (operators/redaction.py): the synthetic corpus has
@@ -1927,6 +2038,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, "events",
             lambda st: RJ.value_tier_totals(st, RJ.value_tiers(s)),
             "complete"),
+        # SHUFFLE-grid range join (operators/rangejoin.py range_join):
+        # both sides fact-sized, no equi key — intervals replicate into
+        # span/B+1 grid cells, points key by their one cell, ordinary
+        # shuffled equi join + residual BETWEEN; never a nested loop
+        "ship_window_order_counts": lambda s, d: RJ.ship_window_order_counts(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")),
         # one-pass data-quality profile (operators/profile.py): every
         # per-column audit metric from a single Aggregate over one scan
         "orders_profile": lambda s, d: PF.table_profile(
@@ -1989,6 +2106,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         # group-wise OLS: slope from one aggregation of exact integer
         # sums (normal equations; no iteration, no ML library)
+        # TimescaleDB-style LOCF time-weighted mean (hypertable rollup):
+        # integer-us durations, per-term DECIMAL(38,7) quantize, one
+        # final divide at 7 dp — hash-exact
+        "time_weighted_value": lambda s, d: TS.time_weighted_avg(
+            load_table(s, d, "events")),
         "user_activity_trend": lambda s, d: TS.activity_trend(
             load_table(s, d, "events")),
         "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
@@ -2068,6 +2190,22 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), "event_type", "user_id"),
         "hll_distinct_users": lambda s, d: SKC.hll_distinct(
             load_table(s, d, "events"), "event_type", "user_id"),
+        # Theta/KMV bottom-k distinct sketch: DIRECT set intersection
+        # (retained hashes below the pairwise θ), vs HLL's
+        # inclusion-exclusion — the complementary sketch family. Key is
+        # user-day (daily-audience overlap) so the per-type sets
+        # genuinely differ; k=64 keeps the ESTIMATION path exercised at
+        # every driver SF (user-days ≫ 64 even at sf0.001).
+        "theta_audience_overlap": lambda s, d: SKC.theta_overlap(
+            load_table(s, d, "events").select(
+                "event_type",
+                F.concat_ws(
+                    "#", F.col("user_id").cast("string"),
+                    F.to_date("ts").cast("string")).alias("akey")),
+            "event_type", "akey", k=64),
+        # streamed ingest twin: per-micro-batch register fold
+        # (pipelines.theta_sketch_sink) — exact merge, shared oracle
+        "streaming_theta_overlap": _q_streaming_theta_overlap,
         # KLL-class bounded-state quantile sketch, engine-exact: KMV
         # bottom-k registers (md5-deterministic "compaction") → exact
         # integer rank pick; hash-checked because the estimates are raw
@@ -2224,6 +2362,73 @@ sh AS (
   FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) ii
 )
 """
+
+# Winnowing selection (Schleimer et al. 2003; operators/textstats.py
+# winnow_fingerprints). The Spark side is map-only array algebra; this
+# spelling selects the SAME rows with a window MAX over the packed key
+# (MAXH - h)*2^21 + pos — max key ⇔ min hash, rightmost tie, the paper's
+# rule. Constants frozen with the operator: k=3, w=4, 32-bit md5 prefix.
+_WINNOW_CTE = """
+wtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wshp AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+2], ' ') AS sh,
+         greatest(len(t) - 2, 1) AS n_sh
+  FROM wtoks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i) ii
+),
+wkey AS (
+  SELECT doc_id, pos, n_sh,
+         (4294967295 - ('0x' || substr(md5(sh), 1, 8))::BIGINT) * 2097152
+           + pos AS key
+  FROM wshp
+),
+wsel AS (
+  SELECT doc_id, pos, n_sh,
+         max(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sk
+  FROM wkey
+),
+winnow AS (
+  SELECT DISTINCT doc_id, sk % 2097152 AS pos,
+         4294967295 - sk // 2097152 AS fp
+  FROM wsel WHERE pos <= greatest(n_sh - 4, 0)
+)
+"""
+
+# SimHash register build (operators/dedup.simhash_pairs): md5 60-bit
+# token hashes, per-bit majority vote — shared by the pair inventory and
+# the split-leakage audit entries.
+_SIMHASH_CTE = """
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+h AS (SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+      FROM tok),
+votes AS (
+  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS vote
+  FROM h, (SELECT unnest(range(0, 60)) AS j) js
+  GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0
+                       THEN (CAST(1 AS BIGINT) << j)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+def _split_case(key_expr: str, val_ppm: int = 50000,
+                test_ppm: int = 50000, salt: str = "split1") -> str:
+    """The operators/sampling.split_of md5-threshold CASE, as DuckDB SQL
+    over an arbitrary key expression (train_val_test_split's oracle uses
+    the same formula inline)."""
+    h = (f"(CAST('0x' || substr(md5('{salt}' || '#' || "
+         f"CAST({key_expr} AS VARCHAR)), 1, 15) AS BIGINT) % 1000000)")
+    return (f"(CASE WHEN {h} < {test_ppm} THEN 'test' "
+            f"WHEN {h} < {test_ppm + val_ppm} THEN 'val' "
+            f"ELSE 'train' END)")
+
 
 _STOPWORDS_SQL = "('the','and','is','of','to','in','a','that')"
 
@@ -3191,29 +3396,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = doc_b
             WHERE levenshtein(da.text, db.text) <= 6
         """,
-        "simhash_pairs": """
-            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                         FROM documents),
-            h AS (SELECT doc_id,
-                         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
-                  FROM tok),
-            votes AS (
-              SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS vote
-              FROM h, (SELECT unnest(range(0, 60)) AS j) js
-              GROUP BY doc_id, j
-            ),
-            sh AS (
-              SELECT doc_id,
-                     CAST(SUM(CASE WHEN vote > 0
-                                   THEN (CAST(1 AS BIGINT) << j)
-                                   ELSE 0 END) AS BIGINT) AS simhash
-              FROM votes GROUP BY doc_id
-            )
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTE}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
                      AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # split-leakage audit: the simhash pair inventory labeled with
+        # the md5-threshold split of each end (a pure function of
+        # doc_id — Spark labels map-side, the oracle inlines the CASE)
+        "split_leakage_pairs": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                     AS hamming,
+                   {_split_case('a.doc_id')} AS split_a,
+                   {_split_case('b.doc_id')} AS split_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              AND {_split_case('a.doc_id')} <> {_split_case('b.doc_id')}
+        """,
+        "split_leakage_matrix": f"""
+            WITH {_SIMHASH_CTE},
+            lp AS (
+              SELECT least({_split_case('a.doc_id')},
+                           {_split_case('b.doc_id')}) AS split_lo,
+                     greatest({_split_case('a.doc_id')},
+                              {_split_case('b.doc_id')}) AS split_hi
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ),
+            cells AS (
+              SELECT split_lo, split_hi, count(*) AS n_pairs
+              FROM lp GROUP BY 1, 2
+            ),
+            tot AS (SELECT SUM(n_pairs) AS total_pairs FROM cells)
+            SELECT split_lo, split_hi, CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(n_pairs * 1000000 // total_pairs AS BIGINT)
+                     AS pair_ppm
+            FROM cells, tot
         """,
         # ---- similarity search -------------------------------------------
         "knn_bruteforce": f"""
@@ -3426,7 +3649,48 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_doc
             FROM fps GROUP BY fp HAVING count(*) > 1
         """,
+        "winnow_fingerprints": f"""
+            WITH {_WINNOW_CTE}
+            SELECT doc_id, pos, fp FROM winnow
+        """,
+        "streaming_winnow": f"""
+            WITH {_WINNOW_CTE}
+            SELECT doc_id, pos, fp FROM winnow
+        """,
+        "winnow_overlap": f"""
+            WITH {_WINNOW_CTE},
+            wf AS (SELECT DISTINCT doc_id, fp FROM winnow),
+            keep AS (
+              SELECT fp FROM wf GROUP BY fp
+              HAVING count(*) >= 2 AND count(*) <= 32
+            ),
+            posting AS (SELECT wf.doc_id, wf.fp FROM wf JOIN keep USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM posting a JOIN posting b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
     }
+    # lsh_graph_recall composes the two graph oracles verbatim (exact
+    # knn_graph ground truth vs the LSH approximation) — recall_ppm is
+    # integer floor-divide on both engines (Spark DIV ≡ DuckDB //)
+    sql["lsh_graph_recall"] = f"""
+        WITH exact_g AS ({sql["knn_graph"]}),
+        approx_g AS ({sql["knn_graph_lsh"]}),
+        q AS (
+          SELECT vec_id, count(*) AS n_exact FROM exact_g GROUP BY 1
+        ),
+        h AS (
+          SELECT e.vec_id, count(*) AS n_hit
+          FROM exact_g e
+          JOIN approx_g a ON a.vec_id = e.vec_id AND a.nbr = e.nbr
+          GROUP BY 1
+        )
+        SELECT q.vec_id, q.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+               (1000000 * coalesce(h.n_hit, 0)) // q.n_exact AS recall_ppm
+        FROM q LEFT JOIN h ON h.vec_id = q.vec_id
+    """
     sql["skew_salted_counts"] = """
         SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
     """
@@ -3685,6 +3949,21 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY tier
     """
     sql["streaming_value_tiers"] = sql["value_tier_totals"]
+    # shuffle-grid range join (operators/rangejoin.py range_join): the
+    # oracle spells the containment directly (DuckDB plans IEJoin); day
+    # numbers are exact integers so the BETWEEN is pure int compare
+    sql["ship_window_order_counts"] = """
+        SELECT o.o_orderkey,
+               count(*) AS n_shipped,
+               min(CAST(l.l_shipdate AS DATE)) AS first_ship,
+               max(CAST(l.l_shipdate AS DATE)) AS last_ship
+        FROM orders o JOIN lineitem l
+          ON CAST(l.l_shipdate AS DATE)
+               BETWEEN CAST(o.o_orderdate AS DATE)
+                   AND CAST(o.o_orderdate AS DATE) + 6
+        WHERE l.l_quantity <= 2
+        GROUP BY 1
+    """
     # power-iteration rank: iterations unrolled as CTE rounds
     sql["supplier_corank"] = _CORANK_SQL()
     # BFS unrolled: one CTE per frontier round (the corank discipline —
@@ -3942,6 +4221,29 @@ def oracle_sql() -> dict[str, str]:
                  AS avg_ppm
         FROM win
     """
+    # LOCF time-weighted mean (operators/timeseries.time_weighted_avg):
+    # epoch_us ≡ unix_micros; per-term DECIMAL(38,7) quantize before the
+    # exact sum; one divide, 7 dp
+    sql["time_weighted_value"] = """
+        WITH d AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+        ),
+        t AS (
+          SELECT user_id, us, value,
+                 lead(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) - us AS dur
+          FROM d
+        ),
+        a AS (
+          SELECT user_id, count(*) AS n_events,
+                 max(us) - min(us) AS span_us,
+                 SUM(CAST(value * dur AS DECIMAL(38,7))) AS s
+          FROM t GROUP BY 1
+        )
+        SELECT user_id, n_events, span_us,
+               round(CAST(s AS DOUBLE) / span_us, 7) AS twa_value
+        FROM a WHERE span_us > 0
+    """
     # OLS trend: same dense grid, same integer sums; HUGEINT-guarded
     # casts; only the final slope division is floating (7 dp)
     sql["user_activity_trend"] = """
@@ -4143,6 +4445,12 @@ def oracle_sql() -> dict[str, str]:
     sql["hll_distinct_users"] = hll_sql("event_type", "user_id", "events")
     sql["hll_audience_overlap"] = SKC.hll_overlap_sql(
         "event_type", "user_id", "events")
+    sql["theta_audience_overlap"] = SKC.theta_overlap_sql(
+        "event_type", "akey",
+        "(SELECT event_type, CAST(user_id AS VARCHAR) || '#' || "
+        "CAST(CAST(ts AS DATE) AS VARCHAR) AS akey FROM events)",
+        k=64)
+    sql["streaming_theta_overlap"] = sql["theta_audience_overlap"]
     sql["streaming_hll_distinct"] = sql["hll_distinct_users"]
     # per-(day, type) HLL: same register math, window in the group key;
     # the day column mirrors daily_event_rollup's date_trunc spelling
@@ -4415,6 +4723,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
                  AS total_tokens
         FROM documents GROUP BY lang
+    """
+    # corpus drift (operators/textstats.token_drift_tv): TV distance in
+    # exact ppm — cross-multiplied numerators in HUGEINT (Spark
+    # accumulates the same sums in DECIMAL(38,0)), one integer
+    # floor-divide at the end; SUMs cast to BIGINT at the boundary
+    _DRIFT_CTE = """
+dtok AS (
+  SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+dcounts AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_a,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_b
+  FROM dtok WHERE token <> '' GROUP BY 1
+),
+dtot AS (
+  SELECT CAST(SUM(cnt_a) AS HUGEINT) AS tot_a,
+         CAST(SUM(cnt_b) AS HUGEINT) AS tot_b
+  FROM dcounts
+),
+dscored AS (
+  SELECT token, cnt_a, cnt_b, tot_a, tot_b,
+         abs(CAST(cnt_a AS HUGEINT) * tot_b
+             - CAST(cnt_b AS HUGEINT) * tot_a) AS num
+  FROM dcounts, dtot
+)
+"""
+    sql["token_drift_tv"] = f"""
+        WITH {_DRIFT_CTE}
+        SELECT CAST(max(tot_a) AS BIGINT) AS tot_a,
+               CAST(max(tot_b) AS BIGINT) AS tot_b,
+               count(*) AS n_tokens,
+               CAST((SUM(num) * 1000000)
+                    // (max(tot_a) * max(tot_b) * 2) AS BIGINT) AS tv_ppm
+        FROM dscored
+    """
+    sql["top_drift_tokens"] = f"""
+        WITH {_DRIFT_CTE},
+        dranked AS (
+          SELECT token, cnt_a, cnt_b, num, tot_a, tot_b,
+                 CAST(row_number() OVER (ORDER BY num DESC, token)
+                      AS INTEGER) AS rank
+          FROM dscored
+        )
+        SELECT token, cnt_a, cnt_b,
+               CAST((num * 1000000) // (tot_a * tot_b) AS BIGINT)
+                 AS drift_ppm,
+               rank
+        FROM dranked WHERE rank <= 20
     """
     sql["mixture_rebalance"] = """
         WITH w AS (
@@ -5600,6 +5960,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS INT) AS run_len
         FROM grouped GROUP BY doc_id, token, grp
         HAVING COUNT(*) >= 2
+    """
+    # cdc_chunks (operators/pipeline.py — LBFS/FastCDC boundary rule at
+    # token granularity): the Spark side derives chunks map-only with
+    # array algebra; this spelling makes the same cuts with a running
+    # window sum over boundary flags. Constants frozen with the
+    # operator: k=3 gram, divisor 8, 32-bit md5 prefix; signature is
+    # Σ rank·tokhash in HUGEINT → DECIMAL(38,0) (Spark accumulates the
+    # same sum in DECIMAL(38,0)).
+    _CDC_CTE = """
+ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+cpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok,
+         CASE WHEN i - 1 >= 2 AND i - 1 <= len(t) - 2
+                   AND ('0x' || substr(md5(array_to_string(t[i-2:i], ' ')),
+                                       1, 8))::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS flag
+  FROM ctoks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii
+),
+cchunk AS (
+  SELECT doc_id, pos, tok,
+         coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM cpos
+),
+crn AS (
+  SELECT doc_id, chunk_idx, pos, tok,
+         row_number() OVER (PARTITION BY doc_id, chunk_idx
+                            ORDER BY pos) AS rn
+  FROM cchunk
+),
+cagg AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         min(pos) AS first_pos, count(*) AS n_tokens,
+         CAST(SUM(rn::HUGEINT * ('0x' || substr(md5(tok), 1, 8))::BIGINT)
+              % 2305843009213693951 AS BIGINT) AS chunk_sig
+  FROM crn GROUP BY 1, 2
+)
+"""
+    sql["cdc_chunks"] = f"""
+        WITH {_CDC_CTE}
+        SELECT doc_id, chunk_idx, first_pos, n_tokens, chunk_sig FROM cagg
+    """
+    sql["cdc_dup_chunks"] = f"""
+        WITH {_CDC_CTE}
+        SELECT chunk_sig, n_tokens, count(*) AS n_occ,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM cagg WHERE n_tokens >= 4
+        GROUP BY 1, 2 HAVING count(*) > 1
     """
     # chunk_documents: starts 0, 200, 400, … ≤ len-1 (empty docs keep one
     # empty chunk at 0); substr is 1-based in both engines

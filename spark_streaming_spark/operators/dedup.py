@@ -541,6 +541,65 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     )
 
 
+def split_leakage_pairs(docs: DataFrame, max_hamming: int = 3,
+                        val_ppm: int = 50000, test_ppm: int = 50000,
+                        salt: str = "split1") -> DataFrame:
+    """Train/eval CONTAMINATION audit: near-duplicate document pairs
+    that straddle the deterministic train/val/test split — the leakage
+    every eval-hygiene pipeline must measure before trusting held-out
+    numbers (near-dups of training documents inside val/test inflate
+    eval scores exactly like verbatim leaks). Composes the lossless
+    banded SimHash pairs (:func:`simhash_pairs`) with the md5-threshold
+    split (operators/sampling.split_of).
+
+    Scale shape: the split is a PURE FUNCTION of doc_id, so both ends
+    of every pair are labeled map-side — ZERO joins and zero shuffles
+    beyond what the pair build already does; the audit costs the same
+    as the dedup pass it rides on. Columns: doc_a < doc_b, hamming,
+    split_a, split_b (different by construction)."""
+    from spark_streaming_spark.operators.sampling import split_of
+
+    pairs = simhash_pairs(docs, max_hamming)
+    labeled = pairs.select(
+        "doc_a", "doc_b", "hamming",
+        split_of(F.col("doc_a"), val_ppm, test_ppm, salt).alias("split_a"),
+        split_of(F.col("doc_b"), val_ppm, test_ppm, salt).alias("split_b"),
+    )
+    return labeled.filter(F.col("split_a") != F.col("split_b"))
+
+
+def split_leakage_matrix(docs: DataFrame, max_hamming: int = 3,
+                         val_ppm: int = 50000, test_ppm: int = 50000,
+                         salt: str = "split1") -> DataFrame:
+    """The full near-dup × split contingency report next to
+    :func:`split_leakage_pairs`' listing: every UNORDERED split pair
+    (train-train, train-val, ...) with its near-dup pair count and
+    integer-exact share of all near-dup pairs — the one-screen answer
+    to "how much of my duplication crosses the split". The aggregate
+    runs on the (tiny) pair list; the 1-row total broadcasts.
+    Columns: split_lo <= split_hi, n_pairs, pair_ppm."""
+    from spark_streaming_spark.operators.sampling import split_of
+
+    pairs = simhash_pairs(docs, max_hamming).select(
+        split_of(F.col("doc_a"), val_ppm, test_ppm, salt).alias("sa"),
+        split_of(F.col("doc_b"), val_ppm, test_ppm, salt).alias("sb"),
+    )
+    cells = (
+        pairs.select(F.least("sa", "sb").alias("split_lo"),
+                     F.greatest("sa", "sb").alias("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    total = cells.agg(F.sum("n_pairs").alias("total_pairs"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "split_lo", "split_hi", "n_pairs",
+            "CAST(n_pairs * 1000000 DIV total_pairs AS BIGINT) AS pair_ppm",
+        )
+    )
+
+
 def dedup_edit_distance(docs: DataFrame, threshold: float = 0.8,
                         max_dist: int = 6, n: int = 3,
                         cache_key: str | None = None) -> DataFrame:

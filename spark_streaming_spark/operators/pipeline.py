@@ -359,6 +359,124 @@ def chunk_documents(docs: DataFrame, win: int = 300,
     )
 
 
+# --- Content-defined chunking -----------------------------------------------
+#
+# LBFS (Muthitacharoen et al. 2001) / FastCDC (Xia et al. 2016) boundary
+# rule at token granularity (public method): cut AFTER token p when the
+# rolling hash of the k-gram ENDING at p hits the divisor mask
+# (h % D == 0, expected chunk length ≈ D tokens). Unlike fixed-stride
+# chunking (chunk_documents above), boundaries survive insertions — an
+# edited document re-chunks only around the edit, so identical content
+# yields identical chunks corpus-wide: the storage/transfer dedup
+# primitive under every dedup filesystem and many training-data caches.
+#
+# Engine-exact: the gram hash is the 32-bit md5 prefix; the chunk
+# signature is Σ rank_in_chunk · tokhash — order-sensitive, pure integer,
+# accumulated in DECIMAL(38,0) (BIGINT·BIGINT products at pathological
+# chunk lengths could wrap int64; HUGEINT on the DuckDB side), then
+# emitted mod 2^61 - 1 as BIGINT so the oracle boundary stays in exact
+# int64 territory (pandas floats a HUGEINT/DECIMAL column).
+
+CDC_D = 8          # boundary divisor → expected chunk ≈ 8 tokens
+CDC_K = 3          # rolling-gram width (tokens)
+_CDC_SIG_MOD = 2305843009213693951   # 2^61 - 1 (Mersenne prime)
+
+
+def cdc_chunks(docs: DataFrame, d: int = CDC_D) -> DataFrame:
+    """Content-defined chunks per document.
+    Columns: doc_id, chunk_idx (0-based), first_pos (0-based token
+    offset), n_tokens, chunk_sig (BIGINT content signature).
+
+    Scale shape: ENTIRELY map-only — boundary detection, chunk start
+    derivation, and per-chunk signatures are array higher-order
+    functions inside the row (the winnowing treatment in
+    operators/textstats.py); total work is O(tokens) per document
+    because the chunks partition the token array. The only generator is
+    the final explode; no shuffle anywhere. The DuckDB oracle spells the
+    same cuts with a running window sum over boundary flags.
+
+    The token array and the cut list are MATERIALIZED in staged
+    projections (the winnow_fingerprints discipline): CollapseProject
+    does not substitute aliases into higher-order-function lambdas, so
+    each stage's array is computed once per row instead of once per
+    lambda evaluation (inlined, split(text) re-ran per position —
+    O(n²) work per document)."""
+    staged = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    t = F.col("t")
+    n = F.size(t)
+
+    def gram_hash(p):
+        # k-gram ending at 0-based pos p: tokens t[p-k+1 .. p],
+        # 1-based slice start p - 1 (k = 3)
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(t, p - 1, CDC_K))), 1, 8),
+            16, 10,
+        ).cast("long")
+
+    def tok_hash(tok):
+        return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+    # cut positions: 2 ≤ p ≤ n-2 (a cut after p starts a chunk at p+1,
+    # so the last token never opens an empty chunk)
+    cuts = F.when(
+        n >= 4,
+        F.filter(F.sequence(F.lit(2), n - 2), lambda p: gram_hash(p) % d == 0),
+    ).otherwise(F.array().cast("array<int>"))
+    cut_stage = staged.select(
+        "doc_id", "t",
+        F.concat(F.array(F.lit(0)),
+                 F.transform(cuts, lambda p: p + 1)).alias("starts"),
+    )
+    starts = F.col("starts")
+
+    def chunk_struct(s, i):
+        e = F.coalesce(F.try_element_at(starts, i + 2), n)
+        n_tok = e - s
+        terms = F.transform(
+            F.sequence(F.lit(1), n_tok),
+            lambda j: j.cast("long") * tok_hash(F.element_at(t, s + j)),
+        )
+        sig = F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x.cast("decimal(38,0)"),
+        )
+        return F.struct(
+            i.cast("long").alias("chunk_idx"),
+            s.cast("long").alias("first_pos"),
+            n_tok.cast("long").alias("n_tokens"),
+            (sig % F.lit(_CDC_SIG_MOD)).cast("long").alias("chunk_sig"),
+        )
+
+    return (
+        cut_stage.select(
+            "doc_id",
+            F.explode(F.transform(starts, chunk_struct)).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.first_pos", "c.n_tokens",
+                "c.chunk_sig")
+    )
+
+
+def cdc_dup_chunks(docs: DataFrame, d: int = CDC_D,
+                   min_len: int = 4) -> DataFrame:
+    """Corpus-wide duplicate chunks: signatures occurring in more than
+    one place, the storage-dedup ratio signal. Chunks shorter than
+    ``min_len`` tokens are skipped (the min-chunk-size rule every CDC
+    deployment applies — tiny chunks dedup trivially and pay per-chunk
+    overhead). One groupBy on the signature — the shuffle carries one
+    row per (kept) chunk, partial-agg combined map-side.
+    Columns: chunk_sig, n_tokens, n_occ, min_doc, max_doc."""
+    ch = cdc_chunks(docs, d).filter(F.col("n_tokens") >= min_len)
+    return (
+        ch.groupBy("chunk_sig", "n_tokens")
+        .agg(F.count("*").alias("n_occ"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .filter(F.col("n_occ") > 1)
+    )
+
+
 def lm_bigram_scores(docs: DataFrame) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets" — public

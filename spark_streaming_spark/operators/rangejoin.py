@@ -87,3 +87,88 @@ def value_tier_totals(events: DataFrame, tiers: DataFrame) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+# --- Shuffle-grid range join (both sides large) ------------------------------
+#
+# interval_join above broadcasts the range side — right when ranges are
+# a dim table. When BOTH sides are fact-sized (every order opens a time
+# window, every shipment is a point: 10⁸ × 10⁹ at 100 TB) a broadcast is
+# impossible and the bare BETWEEN would again be a nested loop. The same
+# grid trick scales to a SHUFFLE equi join instead: intervals replicate
+# into the span/B + 1 cells they touch, points key by their single
+# cell, and an ordinary shuffled hash/sort-merge join on the cell id —
+# with partial aggregation, AQE, and skew salting all available, because
+# it IS an equi join. Each qualifying pair meets exactly once (in the
+# point's cell), so no dedup pass. The public technique behind range-
+# join binning hints (Databricks) and Flink's interval-join buckets.
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_col: str, lo_col: str, hi_col: str,
+               bucket: int) -> DataFrame:
+    """Inner join of ``points`` to ``intervals`` on
+    ``lo_col <= point_col <= hi_col`` — all three INTEGER columns on the
+    same axis (day numbers, epoch seconds, cents…). Returns all columns
+    of both inputs (names must be disjoint; asserted), one row per
+    qualifying pair, no duplicates.
+
+    ``bucket`` is the grid width in axis units: interval replication is
+    span/bucket + 1 rows, so pick bucket near the typical span (the
+    classic rule: B ≈ the p90 span → ~2× replication). Temporal skew is
+    bounded per-cell by the bucket width; a pathological hot cell salts
+    like any hot equi key."""
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    p = points.withColumn("__cell", _grid_cell(point_col, bucket))
+    i = intervals.withColumn(
+        "__cell",
+        F.explode(F.sequence(_grid_cell(lo_col, bucket),
+                             _grid_cell(hi_col, bucket))),
+    )
+    return (
+        p.join(i, "__cell")
+        .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("__cell")
+    )
+
+
+def _grid_cell(col: str, bucket: int):
+    # floor division (not DIV, which truncates toward zero) so the grid
+    # stays aligned for negative axis values
+    return F.floor(F.col(col) / F.lit(bucket)).cast("long")
+
+
+def ship_window_order_counts(orders: DataFrame, lineitem: DataFrame,
+                             window_days: int = 6,
+                             max_qty: float = 2.0,
+                             bucket: int = 8) -> DataFrame:
+    """Flagship shuffle-range-join query: for every order's placement
+    week (``[o_orderdate, o_orderdate + window_days]``), how many
+    low-volume line items (``l_quantity <= max_qty``, ANY order) shipped
+    inside the window — market activity around each order, a pure
+    range predicate with NO equi key and both sides order-of-the-fact-
+    table. Dates become exact integer day numbers (days since
+    1970-01-01, identical in both engines) so the grid arithmetic is
+    pure int64. Columns: o_orderkey, n_shipped, first_ship, last_ship."""
+    day = lambda c: F.datediff(F.to_date(c), F.lit("1970-01-01"))
+    pts = (
+        lineitem.filter(F.col("l_quantity") <= max_qty)
+        .select(F.to_date("l_shipdate").alias("ship_date"),
+                day("l_shipdate").alias("ship_day"))
+    )
+    iv = orders.select(
+        "o_orderkey",
+        day("o_orderdate").alias("lo_day"),
+        (day("o_orderdate") + window_days).alias("hi_day"),
+    )
+    return (
+        range_join(pts, iv, "ship_day", "lo_day", "hi_day", bucket)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_shipped"),
+            F.min("ship_date").alias("first_ship"),
+            F.max("ship_date").alias("last_ship"),
+        )
+    )

@@ -149,19 +149,31 @@ def train_val_test_split(docs: DataFrame, val_ppm: int = 50000,
     splits (ppm thresholds on the hash, not rank-based quotas).
     Map-only column algebra at any corpus size; engine-exact, so the
     oracle pins the exact assignment. Columns: doc_id, lang, split."""
+    return docs.select(
+        "doc_id", "lang",
+        split_of(F.col(key_col), val_ppm, test_ppm, salt).alias("split"))
+
+
+def split_of(key, val_ppm: int = 50000, test_ppm: int = 50000,
+             salt: str = "split1"):
+    """The split assignment as a pure Column function of the key — the
+    property that makes the split JOIN-FREE everywhere downstream: any
+    operator holding a doc_id (a dup pair, a retrieval hit, an eval row)
+    recomputes the member's split map-side instead of joining the
+    assignment table. Same md5-threshold contract as
+    :func:`train_val_test_split` (which delegates here)."""
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws("#", F.lit(salt), F.col(key_col).cast("string"))),
+            F.md5(F.concat_ws("#", F.lit(salt), key.cast("string"))),
             1, 15,
         ),
         16, 10,
     ).cast("long") % 1000000
-    split = (
+    return (
         F.when(h < test_ppm, F.lit("test"))
         .when(h < test_ppm + val_ppm, F.lit("val"))
         .otherwise(F.lit("train"))
     )
-    return docs.select("doc_id", "lang", split.alias("split"))
 
 
 def corpus_mixture_stats(docs: DataFrame) -> DataFrame:

@@ -406,6 +406,45 @@ def knn_graph(embeddings: DataFrame, k: int = 5,
     )
 
 
+def knn_graph_recall(embeddings: DataFrame, k: int = 5,
+                     queries_mod: int = 10,
+                     dense_fallback_pairs: int = 8_000_000) -> DataFrame:
+    """ANN quality evaluation as a first-class operator: per-query
+    recall@k of the LSH kNN graph against the exact graph — the metric
+    every ANN deployment tracks before trusting an index (the
+    ann-benchmarks protocol, recall vs ground truth on an eval sample;
+    public methodology). Deterministic end to end because BOTH inputs
+    are (md5-seeded planes, scaled-integer cosine), so recall itself is
+    hash-checkable — recall_ppm is pure integer arithmetic
+    (1e6·hits DIV k_found; DIV/floor-`//` on both engines).
+
+    Scale shape: the expensive sides are the two graph builds it
+    composes (each already scale-bounded); the comparison adds one
+    (vec_id, nbr) equi join on the eval sample plus a per-query count.
+    Columns: vec_id, n_exact, n_hit, recall_ppm."""
+    exact = knn_graph(embeddings, k, queries_mod).select("vec_id", "nbr")
+    approx = (
+        knn_graph_lsh(embeddings, k,
+                      dense_fallback_pairs=dense_fallback_pairs)
+        .select("vec_id", "nbr")
+        .filter(F.col("vec_id") % queries_mod == 0)
+    )
+    q = exact.groupBy("vec_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(approx, ["vec_id", "nbr"])
+        .groupBy("vec_id").agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        q.join(hits, "vec_id", "left")
+        .select(
+            "vec_id", "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.expr("CAST(1000000 * coalesce(n_hit, 0) AS BIGINT)"
+                   " DIV n_exact").alias("recall_ppm"),
+        )
+    )
+
+
 def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
                   n_tables: int = 12,
                   max_bucket: int | None = 192,

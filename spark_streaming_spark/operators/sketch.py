@@ -376,6 +376,255 @@ def hll_overlap_sql(group_col: str, key_col: str, table: str) -> str:
 # gets O(1/k) — the price of determinism is a wider but still bounded
 # error, pinned against exact quantiles in tests).
 
+# --- Theta/KMV distinct sketch with set operations --------------------------
+#
+# Bottom-k (KMV) distinct-value sketch with Theta-style set algebra
+# (Bar-Yossef et al. 2002 counting-distinct; Dasgupta et al. 2016 "A
+# Framework for Estimating Stream Expression Cardinalities" — the
+# Apache DataSketches Theta family; public methods). Complements the
+# engine-exact HLL above: HLL intersects by inclusion-exclusion (error
+# grows with Jaccard distance), a Theta sketch intersects DIRECTLY —
+# retained hashes below the pairwise θ are a uniform sample of the
+# intersection, so small overlaps estimate far better.
+#
+# Engine-exact contract (the hll_distinct treatment): md5 60-bit prefix
+# is the shared hash; θ and all retained sets are pure functions of the
+# data; every estimate is ret · 2^60 / θ — ONE IEEE multiply + divide
+# with the shared literal 2^60, bitwise identical on any engine. When a
+# set has fewer than k distinct values the sketch is exact (θ = 2^60).
+
+THETA_K = 256
+_THETA_SPACE = float(2 ** 60)        # hash space size as an exact double
+
+
+def theta_registers(df: DataFrame, group_col: str, key_col: str,
+                    k: int = THETA_K) -> DataFrame:
+    """Bottom-k DISTINCT md5 hashes of ``key_col`` per group — the
+    sketch state. One distinct + one rank-limited window, both on the
+    group key; the rn<=k filter plans as WindowGroupLimit so partitions
+    ship at most k rows per group (the kmv_quantile_registers shape).
+    Columns: grp, h."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def theta_overlap(df: DataFrame, group_col: str, key_col: str,
+                  k: int = THETA_K) -> DataFrame:
+    """Distinct-set algebra for every group pair from the bottom-k
+    sketches alone: per-group θ (k-th smallest hash, or full space when
+    exact), pairwise θ = min(θ_a, θ_b), and DIRECT estimates —
+    |A∩B| from retained hashes present in both sketches below θ,
+    |A∪B| from the re-thresholded merged sketch. Never rescans the
+    input: everything after the register build runs on ≤ k rows per
+    group (the mergeability that matters at 100 TB — union of two
+    shards' sketches costs a k-row merge, not a rescan).
+    Columns: type_a < type_b, est_a, est_b, est_inter, est_union."""
+    return theta_overlap_from_registers(
+        theta_registers(df, group_col, key_col, k), k)
+
+
+def theta_merge(a: DataFrame, b: DataFrame, k: int = THETA_K) -> DataFrame:
+    """EXACT sketch merge: the bottom-k of the distinct union of two
+    register sets equals the bottom-k of the union of the underlying
+    sets (hashes are distinct values — anything the merged sketch keeps
+    was necessarily in one side's bottom-k). So folding per-shard (or
+    per-micro-batch) sketches reproduces the one-shot sketch bit for
+    bit — the mergeability that makes the sketch a streaming state.
+    Inputs/output: (grp, h) register frames."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        a.unionByName(b).distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def theta_overlap_from_registers(regs: DataFrame,
+                                 k: int = THETA_K) -> DataFrame:
+    """The set-algebra half of :func:`theta_overlap`, over prebuilt
+    (grp, h) registers — the entry point for merged/streamed sketch
+    state, which never rescans the input."""
+    regs = regs.localCheckpoint(eager=True)   # 4 consumers below
+    # per-group θ and retained count: θ = kth smallest (max of the kept
+    # set) when the sketch is full, else the full hash space; retained
+    # hashes are those strictly below θ.
+    stats = (
+        regs.groupBy("grp")
+        .agg(F.count("*").alias("cnt"), F.max("h").alias("maxh"))
+        .select(
+            "grp",
+            F.when(F.col("cnt") >= k, F.col("maxh").cast("double"))
+            .otherwise(F.lit(_THETA_SPACE)).alias("theta"),
+            F.when(F.col("cnt") >= k, F.col("cnt") - 1)
+            .otherwise(F.col("cnt")).alias("ret"),
+        )
+    )
+    est = (F.col("ret").cast("double") * F.lit(_THETA_SPACE)
+           / F.col("theta"))
+    ests = stats.select("grp", "theta", est.alias("est"))
+    pairs = (
+        ests.select(F.col("grp").alias("type_a"),
+                    F.col("theta").alias("theta_a"),
+                    F.col("est").alias("est_a"))
+        .join(ests.select(F.col("grp").alias("type_b"),
+                          F.col("theta").alias("theta_b"),
+                          F.col("est").alias("est_b")),
+              F.col("type_a") < F.col("type_b"))
+        .withColumn("theta_ab", F.least("theta_a", "theta_b"))
+    )
+    # intersection: hashes retained by BOTH sketches below θ_ab
+    a = regs.select(F.col("grp").alias("type_a"), "h")
+    b = regs.select(F.col("grp").alias("type_b"), "h")
+    common = (
+        a.join(b, "h")
+        .join(F.broadcast(pairs.select("type_a", "type_b", "theta_ab")),
+              ["type_a", "type_b"])
+        .filter(F.col("h").cast("double") < F.col("theta_ab"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("ret_i"))
+    )
+    # union: merge the two kept sets, re-threshold at min(θ_ab, new kth)
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    merged = (
+        a.join(F.broadcast(pairs.select("type_a", "type_b")), "type_a")
+        .select("type_a", "type_b", "h")
+        .unionByName(
+            b.join(F.broadcast(pairs.select("type_a", "type_b")), "type_b")
+            .select("type_a", "type_b", "h"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(wu))
+        .filter(F.col("__rn") <= k)
+    )
+    union_stats = (
+        merged.groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("cnt"), F.max("h").alias("maxh"))
+        .join(F.broadcast(pairs.select("type_a", "type_b", "theta_ab")),
+              ["type_a", "type_b"])
+        .select(
+            "type_a", "type_b",
+            F.least(
+                F.when(F.col("cnt") >= k, F.col("maxh").cast("double"))
+                .otherwise(F.lit(_THETA_SPACE)),
+                F.col("theta_ab")).alias("theta_u"),
+        )
+    )
+    ret_u = (
+        merged.join(F.broadcast(union_stats), ["type_a", "type_b"])
+        .filter(F.col("h").cast("double") < F.col("theta_u"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("ret_u"))
+    )
+    est_of = lambda ret, theta: (
+        F.coalesce(F.col(ret), F.lit(0)).cast("double")
+        * F.lit(_THETA_SPACE) / F.col(theta))
+    return (
+        pairs.join(common, ["type_a", "type_b"], "left")
+        .join(union_stats, ["type_a", "type_b"])
+        .join(ret_u, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b", "est_a", "est_b",
+            est_of("ret_i", "theta_ab").alias("est_inter"),
+            est_of("ret_u", "theta_u").alias("est_union"),
+        )
+    )
+
+
+def theta_overlap_sql(group_col: str, key_col: str, table: str,
+                      k: int = THETA_K) -> str:
+    """DuckDB twin of :func:`theta_overlap` — same md5 registers, same
+    θ rules, same retained counts, same single multiply+divide with the
+    shared 2^60 literal."""
+    S = repr(_THETA_SPACE)
+    return f"""
+        WITH hashes AS (
+          SELECT DISTINCT {group_col} AS grp,
+                 ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))
+                   ::BIGINT AS h
+          FROM {table}
+        ),
+        regs AS (
+          SELECT grp, h FROM (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM hashes) WHERE rn <= {k}
+        ),
+        stats AS (
+          SELECT grp,
+                 CASE WHEN count(*) >= {k} THEN CAST(max(h) AS DOUBLE)
+                      ELSE {S} END AS theta,
+                 CASE WHEN count(*) >= {k} THEN count(*) - 1
+                      ELSE count(*) END AS ret
+          FROM regs GROUP BY grp
+        ),
+        ests AS (
+          SELECT grp, theta, CAST(ret AS DOUBLE) * {S} / theta AS est
+          FROM stats
+        ),
+        pairs AS (
+          SELECT a.grp AS type_a, b.grp AS type_b, a.est AS est_a,
+                 b.est AS est_b, least(a.theta, b.theta) AS theta_ab
+          FROM ests a JOIN ests b ON a.grp < b.grp
+        ),
+        common AS (
+          SELECT p.type_a, p.type_b, count(*) AS ret_i
+          FROM pairs p
+          JOIN regs ra ON ra.grp = p.type_a
+          JOIN regs rb ON rb.grp = p.type_b AND rb.h = ra.h
+          WHERE CAST(ra.h AS DOUBLE) < p.theta_ab
+          GROUP BY 1, 2
+        ),
+        mergedall AS (
+          SELECT DISTINCT p.type_a, p.type_b, r.h
+          FROM pairs p
+          JOIN regs r ON r.grp = p.type_a OR r.grp = p.type_b
+        ),
+        merged AS (
+          SELECT type_a, type_b, h FROM (
+            SELECT type_a, type_b, h,
+                   row_number() OVER (PARTITION BY type_a, type_b
+                                      ORDER BY h) AS rn
+            FROM mergedall) WHERE rn <= {k}
+        ),
+        ustats AS (
+          SELECT m.type_a, m.type_b,
+                 least(CASE WHEN count(*) >= {k}
+                            THEN CAST(max(m.h) AS DOUBLE) ELSE {S} END,
+                       any_value(p.theta_ab)) AS theta_u
+          FROM merged m
+          JOIN pairs p ON p.type_a = m.type_a AND p.type_b = m.type_b
+          GROUP BY 1, 2
+        ),
+        retu AS (
+          SELECT m.type_a, m.type_b, count(*) AS ret_u
+          FROM merged m JOIN ustats u USING (type_a, type_b)
+          WHERE CAST(m.h AS DOUBLE) < u.theta_u GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, p.est_a, p.est_b,
+               CAST(coalesce(c.ret_i, 0) AS DOUBLE) * {S} / p.theta_ab
+                 AS est_inter,
+               CAST(coalesce(r.ret_u, 0) AS DOUBLE) * {S} / u.theta_u
+                 AS est_union
+        FROM pairs p
+        LEFT JOIN common c USING (type_a, type_b)
+        JOIN ustats u USING (type_a, type_b)
+        LEFT JOIN retu r USING (type_a, type_b)
+    """
+
+
 KMV_K = 200
 
 

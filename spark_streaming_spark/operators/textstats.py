@@ -16,6 +16,7 @@ from spark_streaming_spark.sources.batch import widen
 from spark_streaming_spark.functions.text import (
     fingerprint,
     punct_ratio,
+    shingles,
     stopword_ratio,
     token_count,
 )
@@ -135,6 +136,108 @@ def fingerprint_dupes(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- Winnowing (local document fingerprinting) ------------------------------
+#
+# Schleimer/Wilkerson/Aiken 2003, "Winnowing: Local Algorithms for
+# Document Fingerprinting" (the MOSS algorithm; public method): hash
+# every k-gram, slide a window of w consecutive hashes, and in each
+# window select the MINIMUM hash (rightmost occurrence on ties). The
+# guarantee: any shared substring of at least w + k - 1 tokens yields at
+# least one shared selected fingerprint, while only ~2/(w+1) of all
+# k-grams are kept — position-aware near-dup/plagiarism detection at a
+# fraction of full-shingle cost.
+#
+# Engine-exact contract: the k-gram hash is the 32-bit md5 prefix (the
+# hashed_bow treatment), and the per-window argmin-with-rightmost-ties is
+# ONE integer max over the packed key (MAXH - h) * 2^21 + pos — max of
+# the key is min h first, then max pos, exactly the paper's tie rule.
+# Positions are capped at 2^21 shingles per document by the packing
+# (asserted downstream in tests; a 100 TB corpus with larger single
+# documents would widen the pack to 2^30 within the same BIGINT).
+
+WINNOW_K = 3          # shingle size (tokens) — shares functions/text.shingles
+WINNOW_W = 4          # window length in shingles
+_WINNOW_MAXH = 4294967295   # 32-bit md5-prefix hash space
+_WINNOW_POSCAP = 2097152    # 2^21: positions packed below the hash
+
+
+def winnow_fingerprints(docs: DataFrame, w: int = WINNOW_W) -> DataFrame:
+    """Per-document winnowed fingerprint set.
+    Columns: doc_id, pos (0-based shingle position), fp (32-bit hash).
+
+    Scale shape: ENTIRELY map-only — shingling, hashing, the sliding
+    window max, and the per-doc distinct all run as array higher-order
+    functions inside the row, so there is NO shuffle and NO per-doc
+    window exchange; the only generator is the final explode that emits
+    the selected (pos, fp) rows. At 100 TB this winnows in one pass at
+    scan speed. (The DuckDB oracle spells the identical selection with
+    a window MAX over the packed key — same rows, different plan.)
+
+    Documents shorter than w shingles keep one fingerprint (the window
+    truncates), so no document disappears from the index.
+
+    The hash array is MATERIALIZED in its own projection before the
+    window scan: references inside higher-order-function lambdas are
+    not alias-substituted by CollapseProject, so the md5 array is
+    computed once per row — inlining it into the per-window slice would
+    re-evaluate the whole array per window (O(n²·w); measured 24×
+    slower at sf0.01)."""
+    staged = docs.select("doc_id", shingles("text", WINNOW_K).alias("sh"))
+    hashed = staged.select(
+        "doc_id",
+        F.transform(
+            "sh",
+            lambda s, i: (
+                F.lit(_WINNOW_MAXH)
+                - F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+            ) * _WINNOW_POSCAP + i,
+        ).alias("key"),
+        F.size("sh").alias("n_sh"),
+    )
+    sels = hashed.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.col("n_sh") - w, F.lit(0))),
+            lambda j: F.array_max(F.slice(F.col("key"), j + 1, w)),
+        ))).alias("sk"),
+    )
+    return sels.select(
+        "doc_id",
+        (F.col("sk") % _WINNOW_POSCAP).alias("pos"),
+        (F.lit(_WINNOW_MAXH) - F.expr(f"sk div {_WINNOW_POSCAP}"))
+        .alias("fp"),
+    )
+
+
+def winnow_overlap(docs: DataFrame, w: int = WINNOW_W, max_df: int = 32,
+                   min_shared: int = 2) -> DataFrame:
+    """MOSS-style overlap candidates: document pairs sharing at least
+    ``min_shared`` winnowed fingerprint VALUES. Fingerprints appearing
+    in more than ``max_df`` documents are dropped first — the paper's
+    "ignore fingerprints in too many documents" rule, which is also what
+    bounds the pair join at scale: postings are capped at max_df docs,
+    so candidates are ≤ Σ df²/2 with df ≤ max_df, never quadratic in the
+    corpus (the dedup.py banded-LSH posture). Columns: doc_a < doc_b,
+    n_shared."""
+    fps = winnow_fingerprints(docs, w).select("doc_id", "fp").distinct()
+    keep = (
+        fps.groupBy("fp").agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp")
+    )
+    posting = fps.join(keep, "fp")
+    a = posting.select("fp", F.col("doc_id").alias("doc_a"))
+    b = posting.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def vocab_build(docs: DataFrame, n: int = 100) -> DataFrame:
     """Tokenizer vocabulary construction: the top-``n`` tokens by corpus
     frequency with each prefix's cumulative corpus coverage — the curve
@@ -169,6 +272,97 @@ def vocab_build(docs: DataFrame, n: int = 100) -> DataFrame:
             ).cast("double") / F.col("total")),
         )
         .select("token", "cnt", "rank", "cum_coverage")
+    )
+
+
+# --- Corpus drift (total-variation distance) --------------------------------
+#
+# Distribution shift between two corpus shards, measured as the total
+# variation distance between their empirical token distributions:
+# TV(P,Q) = ½·Σ_t |P(t) − Q(t)| — the standard statistical distance for
+# "did my training mix move" checks (data-drift monitoring; public
+# statistics). Engine-exact WITHOUT any float: cross-multiplying clears
+# the denominators, |cnt_a·tot_b − cnt_b·tot_a| is pure integer, the sum
+# accumulates in DECIMAL(38,0) (cnt·tot products exceed int64 once
+# totals pass ~3e9 — the 100 TB regime), and the final ppm is ONE
+# integer floor-divide, identical on both engines.
+
+def _drift_counts(docs: DataFrame):
+    """Per-token counts for the doc_id-parity split, cross-multiplied
+    against the opposite side's total. Returns (per-token df with
+    exact DECIMAL(38,0) columns xa=cnt_a·tot_b, xb=cnt_b·tot_a,
+    1-row totals df). One explode + one groupBy(token) — partial agg
+    map-side; the totals ride in as a broadcast scalar."""
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = (
+        tok.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").cast("decimal(38,0)").alias("tot_a"),
+        F.sum("cnt_b").cast("decimal(38,0)").alias("tot_b"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    per_tok = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token", "cnt_a", "cnt_b", "tot_a", "tot_b",
+            (dec("cnt_a") * dec("tot_b")).alias("xa"),
+            (dec("cnt_b") * dec("tot_a")).alias("xb"),
+        )
+    )
+    return per_tok, totals
+
+
+def token_drift_tv(docs: DataFrame) -> DataFrame:
+    """Total-variation distance between the token distributions of the
+    even- and odd-``doc_id`` corpus shards, in exact ppm.
+    Columns: tot_a, tot_b, n_tokens (distinct union vocab), tv_ppm.
+
+    tv_ppm = (10⁶·Σ|cnt_a·tot_b − cnt_b·tot_a|) // (2·tot_a·tot_b) —
+    every term integer, so the statistic hash-checks."""
+    per_tok, _ = _drift_counts(docs)
+    agg = per_tok.agg(
+        F.max("tot_a").alias("tot_a"), F.max("tot_b").alias("tot_b"),
+        F.count("*").alias("n_tokens"),
+        F.sum(F.abs(F.col("xa") - F.col("xb"))).alias("num"),
+    )
+    return agg.selectExpr(
+        "CAST(tot_a AS BIGINT) AS tot_a",
+        "CAST(tot_b AS BIGINT) AS tot_b",
+        "n_tokens",
+        "CAST((num * 1000000) DIV (tot_a * tot_b * 2) AS BIGINT)"
+        " AS tv_ppm",
+    )
+
+
+def top_drift_tokens(docs: DataFrame, n: int = 20) -> DataFrame:
+    """The ``n`` tokens contributing most to the shard drift — the
+    "what changed in my mix" report next to :func:`token_drift_tv`'s
+    scalar. Per-token drift_ppm = (10⁶·|xa−xb|) // (tot_a·tot_b).
+    Top-n via orderBy+limit (TakeOrderedAndProject — never a global
+    sort); ties break on the exact numerator then the token string so
+    both engines agree. Columns: token, cnt_a, cnt_b, drift_ppm, rank."""
+    from pyspark.sql.window import Window
+
+    per_tok, _ = _drift_counts(docs)
+    scored = per_tok.withColumn("num", F.abs(F.col("xa") - F.col("xb")))
+    topn = scored.orderBy(F.col("num").desc(), F.col("token")).limit(n)
+    w = Window.orderBy(F.col("num").desc(), F.col("token"))
+    return (
+        topn.withColumn("rank", F.row_number().over(w))
+        .selectExpr(
+            "token", "cnt_a", "cnt_b",
+            "CAST((num * 1000000) DIV (tot_a * tot_b) AS BIGINT)"
+            " AS drift_ppm",
+            "rank",
+        )
     )
 
 

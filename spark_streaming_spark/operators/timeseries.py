@@ -230,3 +230,43 @@ def activity_trend(events: DataFrame) -> DataFrame:
             .alias("slope"),
         )
     )
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Per-user LOCF time-weighted mean of ``value`` — the hypertable
+    rollup TimescaleDB ships as ``time_weight('LOCF', ts, value)``
+    (public semantics): each observation holds until the next one, so
+    the mean weights every value by how long it was current,
+    Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_n−t_1). The right average for sampled
+    gauges with irregular arrival (sensor readings, account balances),
+    where the plain AVG over-weights busy periods.
+
+    Engine-exact: timestamps as BIGINT microseconds (unix_micros ≡
+    DuckDB epoch_us); each value·duration product is ONE IEEE multiply
+    quantized to DECIMAL(38,7) before the order-independent exact sum
+    (functions/numeric.py discipline); one final divide, 7 dp. Ties in
+    ts break on event_id so lead() is a total order; the last event's
+    null lead drops out of the sum on both engines. Users with a zero
+    span (single event) are excluded.
+
+    Scale shape: ONE shuffle on user_id shared by the lead() window and
+    the aggregation (same partitioning); the window frame is a 1-row
+    lookahead, no unbounded state. Columns: user_id, n_events, span_us,
+    twa_value."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = events.select("user_id", "event_id",
+                      F.unix_micros("ts").alias("us"), "value")
+    t = d.withColumn("dur", F.lead("us").over(w) - F.col("us"))
+    agg = t.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+        F.sum((F.col("value") * F.col("dur")).cast("decimal(38,7)"))
+        .alias("s"),
+    )
+    return agg.filter("span_us > 0").select(
+        "user_id", "n_events", "span_us",
+        F.round(F.col("s").cast("double") / F.col("span_us"), 7)
+        .alias("twa_value"),
+    )

@@ -302,6 +302,49 @@ def kmv_sketch_sink(spark, group_col: str, value_col: str,
     return write_batch
 
 
+def theta_sketch_sink(spark, group_col: str, key_col: str,
+                      state_dir: str, k: int = 256):
+    """foreachBatch sink maintaining per-group Theta/KMV bottom-k
+    DISTINCT sketches (operators/sketch.theta_registers) as streaming
+    state: each micro-batch sketches itself, then
+    :func:`~spark_streaming_spark.operators.sketch.theta_merge` folds it
+    into the accumulated registers. The merge is EXACT (bottom-k of a
+    distinct union), so the final state — and every set-algebra estimate
+    derived from it — equals the one-shot batch sketch: the streamed
+    entry shares the batch oracle verbatim. State is min(k, n_distinct)
+    rows per group at ANY stream length; the versioned-publish protocol
+    (predecessor read + atomic CURRENT swap) is :func:`scd1_merge_sink`'s
+    — replay-idempotent."""
+    import os
+
+    from spark_streaming_spark.operators.sketch import (
+        theta_merge, theta_registers)
+
+    def _state_before(epoch_id: int):
+        prior = [
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+            and int(d[1:]) < epoch_id
+        ] if os.path.isdir(state_dir) else []
+        if prior:
+            return spark.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}"))
+        return None
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        regs = theta_registers(batch_df, group_col, key_col, k)
+        prev = _state_before(epoch_id)
+        new = regs if prev is None else theta_merge(prev, regs, k)
+        new.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{epoch_id}"))
+        tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{epoch_id}")
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+    return write_batch
+
+
 def scd2_asof_enrich_sink(spark, key: str, ts_col: str,
                           tracked: list[str], fact_cols: list[str],
                           state_dir: str, log_dir: str):

@@ -259,3 +259,33 @@ def test_pairs_artifact_cache_is_transparent(spark):
     plain = DD.dup_components(docs)
     assert {tuple(r) for r in comps.collect()} == \
            {tuple(r) for r in plain.collect()}
+
+
+def test_split_leakage_consistent_with_split_and_pairs(spark, duck):
+    """Leakage pairs = exactly the simhash pairs whose ends land in
+    different splits of train_val_test_split (map-side split_of must
+    agree with the assignment table), and the matrix ppm column
+    floor-sums to ~1e6. Both entries hash-check against DuckDB."""
+    import __spark_entry__ as E
+    from spark_streaming_spark.operators.sampling import train_val_test_split
+    from tests.conftest import SF_DIR, assert_matches_oracle
+    from spark_streaming_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    split = {r.doc_id: r.split
+             for r in train_val_test_split(docs).collect()}
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in DD.simhash_pairs(docs).collect()}
+    expected = {(a, b): (h, split[a], split[b])
+                for (a, b), h in pairs.items() if split[a] != split[b]}
+    got = {(r.doc_a, r.doc_b): (r.hamming, r.split_a, r.split_b)
+           for r in DD.split_leakage_pairs(docs).collect()}
+    assert got == expected
+    matrix = DD.split_leakage_matrix(docs).collect()
+    assert sum(r.n_pairs for r in matrix) == len(pairs)
+    assert 1_000_000 - len(matrix) <= sum(r.pair_ppm for r in matrix) \
+        <= 1_000_000
+    assert_matches_oracle(DD.split_leakage_pairs(docs), duck,
+                          E.oracle_sql()["split_leakage_pairs"])
+    assert_matches_oracle(DD.split_leakage_matrix(docs), duck,
+                          E.oracle_sql()["split_leakage_matrix"])

@@ -151,3 +151,54 @@ def test_repetition_signals_twins_equal(spark):
     prod = {tuple(r) for r in PL.repetition_signals(docs).collect()}
     mapo = {tuple(r) for r in PL.repetition_signals_maponly(docs).collect()}
     assert prod == mapo
+
+
+def test_cdc_chunks_cover_and_partition(spark):
+    """Chunks PARTITION each document: token counts sum to the doc's
+    token count, first_pos values are the running sums, chunk_idx is
+    dense from 0."""
+    docs = load_table(spark, SF_DIR, "documents")
+    ch = PL.cdc_chunks(docs)
+    totals = (
+        ch.groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("s"), F.max("chunk_idx").alias("mx"),
+             F.count("*").alias("n"))
+        .join(docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("nt")), "doc_id")
+    )
+    assert totals.filter("s != nt OR mx != n - 1").count() == 0
+
+
+def test_cdc_boundaries_survive_prefix_edit(spark):
+    """The content-defined property fixed-stride chunking lacks: after a
+    prefix insertion, every chunk past the first post-edit boundary is
+    byte-identical (same n_tokens + signature), so a dedup store reuses
+    them. Fixed-stride chunk_documents would shift every chunk."""
+    docs = load_table(spark, SF_DIR, "documents")
+    row = (
+        PL.cdc_chunks(docs).groupBy("doc_id").count().filter("count >= 3")
+        .orderBy("doc_id").limit(1).collect()
+    )[0]
+    text = docs.filter(F.col("doc_id") == row.doc_id).collect()[0].text
+    pair = spark.createDataFrame(
+        [(0, text), (1, "inserted prefix tokens " + text)],
+        ["doc_id", "text"])
+    ch = PL.cdc_chunks(pair).collect()
+    sigs = {0: set(), 1: set()}
+    for r in ch:
+        sigs[r.doc_id].add((r.n_tokens, str(r.chunk_sig)))
+    n_orig = sum(1 for r in ch if r.doc_id == 0)
+    shared = len(sigs[0] & sigs[1])
+    # all original chunks except those touching the edit region survive
+    assert shared >= n_orig - 2, (n_orig, shared)
+
+
+def test_cdc_chunks_match_oracle(spark, duck):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert_matches_oracle(
+        PL.cdc_chunks(docs), duck, E.oracle_sql()["cdc_chunks"])
+    assert_matches_oracle(
+        PL.cdc_dup_chunks(docs), duck, E.oracle_sql()["cdc_dup_chunks"])

@@ -610,3 +610,20 @@ def test_repeated_spans_pushdown_and_partial_agg(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     # column pruning: only doc_id + text read
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_winnow_and_cdc_are_map_only(spark):
+    """The two local-fingerprinting operators must stay shuffle-free:
+    selection/chunking is per-document array algebra, so the physical
+    plan has NO Exchange — the property that makes them scan-speed at
+    100 TB (cf. their staged-projection docstrings: the arrays are
+    materialized per stage so HOF lambdas don't re-evaluate them)."""
+    from spark_streaming_spark.operators import pipeline as PL
+    from spark_streaming_spark.operators import textstats as TX
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (TX.winnow_fingerprints(docs), PL.cdc_chunks(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan

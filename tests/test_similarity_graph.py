@@ -166,3 +166,19 @@ def test_semantic_dedup_derived_subbits_tracks_corpus(spark):
     assert s2 > s1
     assert 4 * n <= SIM.SEMANTIC_TARGET_CELL * nl * 2 ** s2
     assert sum(sizes.values()) / len(sizes) <= 2 * SIM.SEMANTIC_TARGET_CELL
+
+
+def test_lsh_graph_recall_metric(spark, duck):
+    """Recall entry: per-query rows for every eval vector, recall_ppm in
+    [0, 1e6], a usable mean (the LSH tables are tuned for ≥~0.5 recall
+    at driver SFs), and an exact oracle match of the composed metric."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    out = E.queries()["lsh_graph_recall"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows and all(0 <= r.recall_ppm <= 1_000_000 for r in rows)
+    assert all(r.n_hit <= r.n_exact for r in rows)
+    mean_r = sum(r.recall_ppm for r in rows) / len(rows) / 1e6
+    assert mean_r >= 0.5, mean_r
+    assert_matches_oracle(out, duck, E.oracle_sql()["lsh_graph_recall"])

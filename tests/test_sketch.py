@@ -272,3 +272,84 @@ def test_kmv_sink_epoch_replay_idempotent(spark, tmp_path):
     folded = spark.read.parquet(str(tmp_path / "v1"))
     assert folded.exceptAll(whole).count() == 0
     assert whole.exceptAll(folded).count() == 0
+
+
+def test_theta_merge_is_exact(spark):
+    """Bottom-k distinct sketches merge EXACTLY: re-thresholding the
+    union of two halves' registers equals the one-shot sketch of the
+    whole — the Theta-family mergeability that makes shard-and-merge
+    valid at any split. Also pins that the set-algebra half produces
+    identical output from merged registers (the streamed-fold path)."""
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    whole = SKC.theta_registers(ev, "event_type", "user_id", k=8)
+    a = SKC.theta_registers(
+        load_table(spark, SF_DIR, "events").filter("event_id % 2 = 0")
+        .select("event_type", "user_id"), "event_type", "user_id", k=8)
+    b = SKC.theta_registers(
+        load_table(spark, SF_DIR, "events").filter("event_id % 2 = 1")
+        .select("event_type", "user_id"), "event_type", "user_id", k=8)
+    merged = SKC.theta_merge(a, b, k=8)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    assert sorted(map(tuple,
+                      SKC.theta_overlap_from_registers(merged, 8).collect())) \
+        == sorted(map(tuple,
+                      SKC.theta_overlap(ev, "event_type", "user_id",
+                                        8).collect()))
+
+
+def test_theta_overlap_estimates_and_oracle(spark, duck):
+    """est_inter/est_union land within the uniform-sample error of the
+    exact values (k=64 → se ≈ 12.5%; assert a generous 4·se), and the
+    whole output hash-matches the DuckDB twin."""
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.concat_ws("#", F.col("user_id").cast("string"),
+                    F.to_date("ts").cast("string")).alias("akey"))
+    out = SKC.theta_overlap(ev, "event_type", "akey", k=64)
+    rows = {(r.type_a, r.type_b): r for r in out.collect()}
+    exact = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duck.execute("""
+          WITH s AS (SELECT DISTINCT event_type,
+                            CAST(user_id AS VARCHAR) || '#' ||
+                            CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+                     FROM events)
+          SELECT a.event_type, b.event_type, count(*) AS inter,
+                 (SELECT count(DISTINCT k) FROM s
+                  WHERE event_type IN (a.event_type, b.event_type)) AS uni
+          FROM s a JOIN s b
+            ON a.k = b.k AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        """).fetchall()
+    }
+    for key, (ex_i, ex_u) in exact.items():
+        r = rows[key]
+        assert abs(r.est_inter - ex_i) <= 0.5 * ex_i + 5, (key, r, ex_i)
+        assert abs(r.est_union - ex_u) <= 0.5 * ex_u + 5, (key, r, ex_u)
+    assert_matches_oracle(
+        E.queries()["theta_audience_overlap"](spark, SF_DIR), duck,
+        E.oracle_sql()["theta_audience_overlap"])
+
+
+def test_theta_sink_epoch_replay_idempotent(spark, tmp_path):
+    """Replaying an epoch through theta_sketch_sink rewrites the same
+    version from the same predecessor, and the folded registers equal
+    the one-shot sketch (exact bottom-k merge)."""
+    from spark_streaming_spark.streaming.pipelines import theta_sketch_sink
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    sink = theta_sketch_sink(spark, "event_type", "user_id",
+                             str(tmp_path), k=16)
+    sink(ev.filter(F.col("event_id") % 2 == 0), 0)
+    sink(ev.filter(F.col("event_id") % 2 == 1), 1)
+    v1 = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "v1")).collect()))
+    sink(ev.filter(F.col("event_id") % 2 == 1), 1)  # epoch replay
+    assert sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "v1")).collect())) == v1
+    whole = SKC.theta_registers(ev, "event_type", "user_id", k=16)
+    assert v1 == sorted(map(tuple, whole.collect()))

@@ -46,6 +46,46 @@ def test_fingerprint_clusters_exact_dupes(spark):
     assert per_text.filter(F.col("nfp") > 1).count() == 0
 
 
+def test_winnow_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al. 2003 Thm: any shared
+    substring of ≥ w + k - 1 tokens yields a shared selected
+    fingerprint): two docs sharing a 10-token run must share ≥ 1 fp
+    value; two docs with disjoint vocabularies must share none."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "x1 y1 z1 " + shared + " q1 r1"),
+        (2, shared + " mm nn oo pp"),
+        (3, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = TX.winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 10-token run must share a fp"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_density_and_coverage(spark, duck):
+    """Every document keeps ≥1 fingerprint; selection is sparse (well
+    under the full shingle set — the point of winnowing); exact vs the
+    DuckDB window-spelling oracle (map-only array plan vs window plan)."""
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = TX.winnow_fingerprints(docs)
+    n_docs = docs.count()
+    assert out.select("doc_id").distinct().count() == n_docs
+    n_shingles = docs.select(
+        F.explode(F.split("text", " ")).alias("t")).count()
+    assert out.count() < 0.6 * n_shingles
+    assert_matches_oracle(out, duck, E.oracle_sql()["winnow_fingerprints"])
+    assert_matches_oracle(
+        TX.winnow_overlap(docs), duck, E.oracle_sql()["winnow_overlap"])
+
+
 def test_bpe_token_stats(spark, duck):
     """BPE-ish regex token counts: ≥ whitespace counts (punctuation
     splits off) and exact vs the DuckDB regex oracle."""
@@ -78,3 +118,41 @@ def test_vocab_build_coverage_curve(spark):
     df = vocab_build(docs)
     assert explain.has_take_ordered(df)
     assert explain.has_partial_aggregate(df)
+
+
+def test_token_drift_hand_case(spark):
+    """TV drift on a 2-doc corpus, checked against the hand-computed
+    exact value: A = {a:2, b:1} (tot 3), B = {a:1, b:3} (tot 4) →
+    TV = ½(|2/3−1/4| + |1/3−3/4|) = 10/24 → 416666 ppm (floor)."""
+    from spark_streaming_spark.operators.textstats import (
+        token_drift_tv, top_drift_tokens)
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b b b")], ["doc_id", "text"])
+    row = token_drift_tv(docs).collect()[0]
+    assert (row.tot_a, row.tot_b, row.n_tokens, row.tv_ppm) == \
+        (3, 4, 2, 416666)
+    top = sorted(top_drift_tokens(docs).collect(), key=lambda r: r.rank)
+    # equal numerators (5 and 5) tie-break on the token string
+    assert [(r.token, r.cnt_a, r.cnt_b, r.drift_ppm, r.rank)
+            for r in top] == [("a", 2, 1, 416666, 1),
+                              ("b", 1, 3, 416666, 2)]
+    # identical shards → zero drift
+    same = spark.createDataFrame(
+        [(0, "x y"), (1, "x y")], ["doc_id", "text"])
+    assert token_drift_tv(same).collect()[0].tv_ppm == 0
+
+
+def test_token_drift_oracle(spark, duck):
+    import __spark_entry__ as E
+    from spark_streaming_spark.operators.textstats import (
+        token_drift_tv, top_drift_tokens)
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    row = token_drift_tv(docs).collect()[0]
+    assert 0 <= row.tv_ppm <= 1_000_000
+    assert_matches_oracle(token_drift_tv(docs), duck,
+                          E.oracle_sql()["token_drift_tv"])
+    assert_matches_oracle(top_drift_tokens(docs), duck,
+                          E.oracle_sql()["top_drift_tokens"])

@@ -84,3 +84,24 @@ def test_activity_trend_matches_closed_form(spark):
         assert abs(got[u].slope - slope) < 1e-6
         assert got[u].n_days == len(y)
         assert got[u].avg_ppm == (1_000_000 * int(y.sum())) // len(y)
+
+
+def test_time_weighted_avg_semantics(spark):
+    """Hand-checkable LOCF weighting: value 10 held for 3s then value
+    40 for 1s → (10·3 + 40·1)/4 = 17.5; a plain AVG would say 23.33.
+    Constant series → twa == the constant; single event → excluded."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, 1, s(0), 10.0), (1, 2, s(3), 40.0), (1, 3, s(4), 99.0),
+        (2, 4, s(0), 7.0), (2, 5, s(2), 7.0), (2, 6, s(5), 7.0),
+        (3, 7, s(0), 123.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = {r.user_id: r for r in TS.time_weighted_avg(ev).collect()}
+    assert out[1].twa_value == 17.5
+    assert out[1].span_us == 4_000_000
+    assert out[2].twa_value == 7.0
+    assert 3 not in out

@@ -1530,7 +1530,7 @@ _CHECK_FIRST = [
     # fold (exact merge — shares the batch oracle):
     "ship_window_order_counts", "token_drift_tv", "top_drift_tokens",
     "streaming_theta_overlap", "split_leakage_pairs",
-    "split_leakage_matrix",
+    "split_leakage_matrix", "phrase_search", "cm_join_size",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1552,14 +1552,15 @@ _CHECK_FIRST = [
     "large_volume_orders", "market_share",
     "nation_trade_volume", "order_priority_counts",
     "pandas_token_counts", "pii_redaction", "pricing_summary",
-    "promo_revenue", "returned_items_report", "revenue_by_nation",
-    # (14 r3-vintage refreshes displaced by the (b2)/(b3) additions —
+    "promo_revenue",
+    # (16 r3-vintage refreshes displaced by the (b2)/(b3) additions —
     # they join the r9 rotation pool above:
     # streaming_click_attribution_outer, streaming_histogram,
     # streaming_pivot_counts, streaming_session_windows,
     # streaming_two_level_agg, synthetic_source_rollup, sliding_counts,
     # stratified_sample, session_windows, sessionize, skew_salted_sum,
-    # small_qty_part_revenue, rolling_spend_90d, scd1_customer_merge)
+    # small_qty_part_revenue, rolling_spend_90d, scd1_customer_merge,
+    # returned_items_report, revenue_by_nation)
     ]
 
 
@@ -1934,6 +1935,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
         "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
+        # positional-postings exact phrase lookup: postings filtered to
+        # the phrase's tokens BEFORE any shuffle; k-way equi join on
+        # (doc_id, aligned position)
+        "phrase_search": lambda s, d: TX.phrase_search(
+            load_table(s, d, "documents")),
         "winnow_fingerprints": lambda s, d: TX.winnow_fingerprints(
             load_table(s, d, "documents")),
         "winnow_overlap": lambda s, d: TX.winnow_overlap(
@@ -2179,6 +2185,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "journey", F.concat_ws(">", "journey")),
         # Count-Min sketch (fixed-size frequency summary; md5-derived
         # buckets so the grid is deterministic and oracle-checkable)
+        # join-size estimation from two CM grids (AMS/CM inner product):
+        # the pre-shuffle planner probe — min over depth rows of the
+        # per-row Σ cntA·cntB, deterministic so the estimate hash-checks
+        "cm_join_size": lambda s, d: SKC.cm_join_size(
+            load_table(s, d, "orders"), "o_orderkey",
+            load_table(s, d, "lineitem"), "l_orderkey"),
         "countmin_user_sketch": lambda s, d: SKC.countmin_build(
             load_table(s, d, "events"), "user_id"),
         # engine-exact HLL: the approximate distinct that CAN be
@@ -3653,6 +3665,17 @@ def oracle_sql() -> dict[str, str]:
             WITH {_WINNOW_CTE}
             SELECT doc_id, pos, fp FROM winnow
         """,
+        # phrase_search: positions are 0-based (Spark posexplode); the
+        # 1-based array index i matches position i-1
+        "phrase_search": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS a FROM documents
+            )
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos
+            FROM t, LATERAL (
+              SELECT unnest(range(1, greatest(len(a) - 1, 1))) AS i) ii
+            WHERE a[i] = 'slow' AND a[i+1] = 'hash' AND a[i+2] = 'batch'
+        """,
         "streaming_winnow": f"""
             WITH {_WINNOW_CTE}
             SELECT doc_id, pos, fp FROM winnow
@@ -4328,6 +4351,36 @@ def oracle_sql() -> dict[str, str]:
         FROM prods
         WHERE CAST(dot AS DOUBLE)
                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.7
+    """
+    # cm_join_size (operators/sketch.cm_join_size): both grids rebuilt
+    # with the shared md5 cell rule, HUGEINT products (Spark accumulates
+    # in DECIMAL(38,0)), per-d inner products + the min — all pinned
+    sql["cm_join_size"] = """
+        WITH ds AS (SELECT unnest(range(0, 4)) AS d),
+        ca AS (
+          SELECT d, CAST(CAST('0x' || substr(
+                   md5(CAST(o_orderkey AS VARCHAR) || '#'
+                       || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 256
+                 AS INTEGER) AS bucket
+          FROM orders, ds
+        ),
+        ga AS (SELECT d, bucket, count(*) AS cnt FROM ca GROUP BY 1, 2),
+        cb AS (
+          SELECT d, CAST(CAST('0x' || substr(
+                   md5(CAST(l_orderkey AS VARCHAR) || '#'
+                       || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 256
+                 AS INTEGER) AS bucket
+          FROM lineitem, ds
+        ),
+        gb AS (SELECT d, bucket, count(*) AS cnt FROM cb GROUP BY 1, 2),
+        ip AS (
+          SELECT ga.d, SUM(CAST(ga.cnt AS HUGEINT) * gb.cnt) AS ip
+          FROM ga JOIN gb ON ga.d = gb.d AND ga.bucket = gb.bucket
+          GROUP BY 1
+        )
+        SELECT CAST(d AS INTEGER) AS d, CAST(ip AS BIGINT) AS ip,
+               CAST(min(ip) OVER () AS BIGINT) AS est_pairs
+        FROM ip
     """
     sql["countmin_user_sketch"] = """
         WITH cells AS (

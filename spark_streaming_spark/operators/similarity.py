@@ -423,11 +423,14 @@ def knn_graph_recall(embeddings: DataFrame, k: int = 5,
     (vec_id, nbr) equi join on the eval sample plus a per-query count.
     Columns: vec_id, n_exact, n_hit, recall_ppm."""
     exact = knn_graph(embeddings, k, queries_mod).select("vec_id", "nbr")
+    # queries_mod pushes the sample restriction below the LSH scoring
+    # stages (the candidate pairs of a sampled vector are retained in
+    # full, so these rows equal the unrestricted graph's — test-pinned)
     approx = (
         knn_graph_lsh(embeddings, k,
-                      dense_fallback_pairs=dense_fallback_pairs)
+                      dense_fallback_pairs=dense_fallback_pairs,
+                      queries_mod=queries_mod)
         .select("vec_id", "nbr")
-        .filter(F.col("vec_id") % queries_mod == 0)
     )
     q = exact.groupBy("vec_id").agg(F.count("*").alias("n_exact"))
     hits = (
@@ -448,7 +451,8 @@ def knn_graph_recall(embeddings: DataFrame, k: int = 5,
 def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
                   n_tables: int = 12,
                   max_bucket: int | None = 192,
-                  dense_fallback_pairs: int = 8_000_000) -> DataFrame:
+                  dense_fallback_pairs: int = 8_000_000,
+                  queries_mod: int | None = None) -> DataFrame:
     """Approximate kNN graph — the 100 TB path: candidates from the K
     hyperplane tables (bucket-local joins only), exact decimal cosine on
     candidates, per-vector top-k. A vector's returned neighbors are a
@@ -501,7 +505,17 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
     and the named bench entry do — so the number reported under the
     "lsh" name measures the LSH machinery, never the fallback). The
     chosen path is recorded in module global ``LAST_KNN_GRAPH_PATH``
-    and logged, so a run's numbers are attributable."""
+    and logged, so a run's numbers are attributable.
+
+    ``queries_mod`` restricts the output to query vectors with
+    ``vec_id % queries_mod == 0`` — and PUSHES that restriction below
+    the expensive stages: candidate pairs are pruned to those touching
+    a sampled vector BEFORE the cosine join-backs and the top-k window,
+    so evaluating on a 1/m sample costs ~1/m of the scoring work (the
+    candidate bucket join still runs in full — a sampled query's
+    neighbors can live anywhere). Every returned row is identical to
+    the corresponding row of the unrestricted graph (all candidates of
+    a sampled vector are retained; pinned in tests)."""
     import logging
 
     from pyspark.sql.window import Window
@@ -548,6 +562,10 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
                 F.col("vec_b").alias("vec_id"),
                 F.col("vec_a").alias("nbr"), "cosine",
             ))
+            if queries_mod is not None:
+                # broadcast side must stay complete; restricting the
+                # symmetric view is enough on the dense path
+                sym = sym.filter(F.col("vec_id") % queries_mod == 0)
             return (
                 sym.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
@@ -597,6 +615,12 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
                 F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    if queries_mod is not None:
+        # prune BEFORE the join-backs/cosine/top-k: keep every pair
+        # touching a sampled query (its candidate set stays complete,
+        # so its top-k rows equal the unrestricted graph's)
+        cand = cand.filter((F.col("vec_a") % queries_mod == 0)
+                           | (F.col("vec_b") % queries_mod == 0))
     ea = tagged.select(F.col("vec_id").alias("vec_a"),
                        F.col("sv").alias("sa"), F.col("n2").alias("na"))
     eb = tagged.select(F.col("vec_id").alias("vec_b"),
@@ -615,6 +639,11 @@ def knn_graph_lsh(embeddings: DataFrame, k: int = 5, bits: int = 4,
     ).union(pairs.select(
         F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nbr"), "cosine"
     ))
+    if queries_mod is not None:
+        # the candidate prune keeps non-sampled PARTNERS too (their
+        # candidate sets are incomplete) — only sampled vectors carry
+        # complete rows, so only they may be emitted
+        sym = sym.filter(F.col("vec_id") % queries_mod == 0)
     return (
         sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

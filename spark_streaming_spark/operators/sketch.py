@@ -80,6 +80,43 @@ def countmin_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
     )
 
 
+def cm_join_size(a: DataFrame, col_a: str, b: DataFrame, col_b: str,
+                 depth: int = DEPTH, width: int = WIDTH) -> DataFrame:
+    """Equi-join SIZE estimation from two Count-Min grids — the sketch
+    inner product (Alon-Matias-Szegedy F2 / Cormode & Muthukrishnan
+    2005, "An improved data stream summary"; public method): for each
+    grid row d, Σ_bucket cntA(d,b)·cntB(d,b) upper-bounds the true join
+    size Σ_key fA(k)·fB(k); the estimate is the MIN over the depth rows.
+    This is what a planner consults before launching a 100 TB shuffle —
+    "will orders ⋈ lineitem explode?" — from two fixed-size one-pass
+    summaries, never materializing a per-key frequency table. With
+    a = b it estimates the SELF-join size (F2), the standard skew
+    signal.
+
+    Deterministic end to end (md5 grids, integer products accumulated in
+    DECIMAL(38,0) — cnt·cnt wraps int64 once per-cell counts pass ~3e9),
+    so the estimate itself hash-checks. Per-d inner products are emitted
+    alongside the min so the oracle pins all depth rows.
+    Columns: d, ip (row-d inner product), est_pairs (min over d)."""
+    from pyspark.sql import Window
+
+    ga = countmin_build(a, col_a, depth, width)
+    gb = countmin_build(b, col_b, depth, width)
+    per_d = (
+        ga.alias("x")
+        .join(gb.alias("y"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("x.cnt").cast("decimal(38,0)") * F.col("y.cnt"))
+             .alias("ip_dec"))
+    )
+    return per_d.select(
+        "d",
+        F.col("ip_dec").cast("long").alias("ip"),
+        F.min(F.col("ip_dec").cast("long"))
+        .over(Window.partitionBy()).alias("est_pairs"),
+    )
+
+
 # --- HyperLogLog with an ENGINE-EXACT contract ------------------------------
 #
 # Spark's approx_count_distinct and DuckDB's approx sketches use private

@@ -366,6 +366,38 @@ def top_drift_tokens(docs: DataFrame, n: int = 20) -> DataFrame:
     )
 
 
+def phrase_search(docs: DataFrame,
+                  phrase: str = "slow hash batch") -> DataFrame:
+    """Exact k-token phrase lookup through POSITIONAL postings — the
+    search-index primitive behind quoted queries and exact-dedup
+    probes: posting rows (doc_id, pos, token) are filtered to the
+    phrase's tokens (an IN-set the scan prunes on), each term's
+    positions shift left by its offset in the phrase, and a k-way equi
+    join on (doc_id, aligned_pos) keeps exactly the true occurrences.
+    Columns: doc_id, pos (0-based start of the match).
+
+    Scale shape: the corpus-sized explode is filtered to the phrase's
+    tokens BEFORE anything shuffles, so the joins move only matching
+    postings (at web scale the postings table is the pre-materialized
+    artifact — `term_stats` with positions — and this operator is
+    join-only); each join is an equi join on (doc_id, pos), no window,
+    no per-doc collect."""
+    toks = phrase.split(" ")
+    assert len(toks) >= 2, "use an equality filter for 1-token lookups"
+    post = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(toks))
+    out = None
+    for i, t in enumerate(toks):
+        side = (
+            post.filter(F.col("tok") == t)
+            .select("doc_id", (F.col("pos") - i).alias("pos"))
+        )
+        out = side if out is None else out.join(side, ["doc_id", "pos"])
+    return out
+
+
 def hashed_bow(docs: DataFrame, dim: int = 64) -> DataFrame:
     """Feature-hashed bag-of-words (the hashing trick — Weinberger et
     al. 2009; public method): token → bucket = md5(token) mod dim,

@@ -182,3 +182,19 @@ def test_lsh_graph_recall_metric(spark, duck):
     mean_r = sum(r.recall_ppm for r in rows) / len(rows) / 1e6
     assert mean_r >= 0.5, mean_r
     assert_matches_oracle(out, duck, E.oracle_sql()["lsh_graph_recall"])
+
+
+def test_knn_graph_lsh_queries_mod_equals_filtered_full(spark):
+    """queries_mod pushes the eval-sample restriction below the scoring
+    stages WITHOUT changing any returned row: the restricted graph must
+    equal the unrestricted graph filtered to the sample, on both the
+    LSH and dense paths."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for fallback in (0, 8_000_000):
+        full = SIM.knn_graph_lsh(emb, dense_fallback_pairs=fallback)
+        sampled = SIM.knn_graph_lsh(emb, dense_fallback_pairs=fallback,
+                                    queries_mod=10)
+        want = {tuple(r) for r in
+                full.filter("vec_id % 10 = 0").collect()}
+        got = {tuple(r) for r in sampled.collect()}
+        assert got == want, f"fallback={fallback}"

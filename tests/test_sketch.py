@@ -353,3 +353,30 @@ def test_theta_sink_epoch_replay_idempotent(spark, tmp_path):
         str(tmp_path / "v1")).collect())) == v1
     whole = SKC.theta_registers(ev, "event_type", "user_id", k=16)
     assert v1 == sorted(map(tuple, whole.collect()))
+
+
+def test_cm_join_size_upper_bounds_exact(spark):
+    """The CM inner product NEVER underestimates the true join size
+    (collisions only add mass), per grid row and hence for the min;
+    and on the FK join it stays within the analytic overestimate
+    n_a·n_b/width per row (loose 3x factor for hash variance)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    out = SKC.cm_join_size(orders, "o_orderkey", li, "l_orderkey").collect()
+    assert len(out) == SKC.DEPTH
+    est = out[0].est_pairs
+    assert all(r.est_pairs == est for r in out)
+    assert est == min(r.ip for r in out)
+    assert est >= exact
+    n_a, n_b = orders.count(), li.count()
+    assert est <= exact + 3 * n_a * n_b / SKC.WIDTH
+    # self-join size (F2): same bound family against the exact sum of
+    # squared frequencies
+    ev = load_table(spark, SF_DIR, "events")
+    f2 = sum(r.n * r.n for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("n")).collect())
+    self_est = SKC.cm_join_size(ev, "user_id", ev, "user_id") \
+        .collect()[0].est_pairs
+    n = ev.count()
+    assert f2 <= self_est <= f2 + 3 * n * n / SKC.WIDTH

@@ -156,3 +156,29 @@ def test_token_drift_oracle(spark, duck):
                           E.oracle_sql()["token_drift_tv"])
     assert_matches_oracle(top_drift_tokens(docs), duck,
                           E.oracle_sql()["top_drift_tokens"])
+
+
+def test_phrase_search_matches_bruteforce(spark, duck):
+    """Every reported (doc_id, pos) is a true occurrence, and no true
+    occurrence is missed — checked against a driver-side scan; repeated
+    tokens inside the phrase must not confuse the positional joins."""
+    import __spark_entry__ as E
+    from spark_streaming_spark.operators.textstats import phrase_search
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    texts = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    phrase = "slow hash batch".split(" ")
+    truth = {(did, i) for did, toks in texts.items()
+             for i in range(len(toks) - 2)
+             if toks[i:i + 3] == phrase}
+    got = {(r.doc_id, r.pos) for r in phrase_search(docs).collect()}
+    assert got == truth
+    assert_matches_oracle(phrase_search(docs), duck,
+                          E.oracle_sql()["phrase_search"])
+    # duplicated-token phrase on a crafted corpus
+    tiny = spark.createDataFrame(
+        [(1, "a a b a a b a"), (2, "a b a a")], ["doc_id", "text"])
+    got2 = {(r.doc_id, r.pos)
+            for r in phrase_search(tiny, "a a b").collect()}
+    assert got2 == {(1, 0), (1, 3)}

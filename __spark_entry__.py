@@ -1256,6 +1256,49 @@ def _q_streaming_theta_overlap(spark: SparkSession,
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-drift monitor maintained CONTINUOUSLY: documents
+    arrive in micro-batches, each folding its per-token shard counts
+    into the accumulated state (pipelines.counts_fold_sink — the
+    stateful-wordcount shape generalized). The count table is ADDITIVE
+    under corpus partition, so the final state — and the TV statistic
+    computed from it — equals the one-shot batch answer: shared oracle
+    with `token_drift_tv`."""
+    import atexit
+    import shutil
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
+
+    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
+    state_dir = replay.scratch_dir("drift_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        q = (
+            stream.select("doc_id", "text")
+            .writeStream
+            .foreachBatch(counts_fold_sink(
+                spark, TX.drift_token_counts, ["token"],
+                ["cnt_a", "cnt_b"], state_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming drift fold did not finish")
+        with open(os.path.join(state_dir, "CURRENT")) as fh:
+            counts = spark.read.parquet(
+                os.path.join(state_dir, fh.read().strip()))
+        return TX.token_drift_tv(None, counts=counts)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_kmv_daily_value_quantiles(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Per-DAY p50/p95 of event value from the KMV sketch — the
@@ -1531,6 +1574,7 @@ _CHECK_FIRST = [
     "ship_window_order_counts", "token_drift_tv", "top_drift_tokens",
     "streaming_theta_overlap", "split_leakage_pairs",
     "split_leakage_matrix", "phrase_search", "cm_join_size",
+    "classifier_calibration", "streaming_token_drift",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1551,16 +1595,16 @@ _CHECK_FIRST = [
     "hot_words_per_window", "idle_rich_customers",
     "large_volume_orders", "market_share",
     "nation_trade_volume", "order_priority_counts",
-    "pandas_token_counts", "pii_redaction", "pricing_summary",
-    "promo_revenue",
-    # (16 r3-vintage refreshes displaced by the (b2)/(b3) additions —
+    "pandas_token_counts", "pii_redaction",
+    # (18 r3-vintage refreshes displaced by the (b2)/(b3) additions —
     # they join the r9 rotation pool above:
     # streaming_click_attribution_outer, streaming_histogram,
     # streaming_pivot_counts, streaming_session_windows,
     # streaming_two_level_agg, synthetic_source_rollup, sliding_counts,
     # stratified_sample, session_windows, sessionize, skew_salted_sum,
     # small_qty_part_revenue, rolling_spend_90d, scd1_customer_merge,
-    # returned_items_report, revenue_by_nation)
+    # returned_items_report, revenue_by_nation, promo_revenue,
+    # pricing_summary)
     ]
 
 
@@ -1957,6 +2001,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "top_drift_tokens": lambda s, d: TX.top_drift_tokens(
             load_table(s, d, "documents")),
+        # the drift monitor as a STREAM: additive count-table fold per
+        # micro-batch (counts_fold_sink) — final state ≡ one-shot, so
+        # the streamed statistic shares the batch oracle
+        "streaming_token_drift": _q_streaming_token_drift,
         # feature-hashed bag-of-words (hashing trick): text -> fixed-dim
         # sparse vector, the bridge into the ANN stack; long form is the
         # scale-correct sparse spelling
@@ -1987,6 +2035,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         # training-data pipeline: quality rules / repetition /
         # decontamination / sequence packing (operators/pipeline.py)
+        # reliability table: cheap learned filter vs the rule cascade it
+        # distills — exact global-rank deciles, integer-ppm pass rates
+        "classifier_calibration": lambda s, d: CLF.calibration_table(
+            load_table(s, d, "documents")),
         "quality_filter": lambda s, d: PL.quality_filter(
             load_table(s, d, "documents")),
         "repetition_signals": lambda s, d: PL.repetition_signals(
@@ -4815,6 +4867,7 @@ dscored AS (
                     // (max(tot_a) * max(tot_b) * 2) AS BIGINT) AS tv_ppm
         FROM dscored
     """
+    sql["streaming_token_drift"] = sql["token_drift_tv"]
     sql["top_drift_tokens"] = f"""
         WITH {_DRIFT_CTE},
         dranked AS (
@@ -5912,6 +5965,30 @@ dscored AS (
     # the broadcast weight-table spelling computes the identical scores
     # (weights are the same md5 derivation, materialized as a table)
     sql["quality_logits_join"] = sql["quality_classifier"]
+    # calibration: composes the classifier and rule-gate oracles; the
+    # decile is native ntile over the same total order (the Spark side's
+    # formula-ntile over the exact global rank mirrors it — customer_rfm
+    # contract)
+    sql["classifier_calibration"] = f"""
+        WITH sco AS ({sql["quality_classifier"]}),
+        gate AS ({sql["quality_filter"]}),
+        j AS (
+          SELECT sco.doc_id, sco.logit, gate.keep
+          FROM sco JOIN gate USING (doc_id)
+        ),
+        rk AS (
+          SELECT logit, keep,
+                 ntile(10) OVER (ORDER BY logit, doc_id) AS bin
+          FROM j
+        )
+        SELECT bin, count(*) AS n_docs,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_keep,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS keep_ppm,
+               min(logit) AS lo_logit, max(logit) AS hi_logit
+        FROM rk GROUP BY 1
+    """
     # the custom-sink round trip is lossless, so the rollup over the
     # round-tripped rows equals the rollup over the original table
     sql["custom_sink_roundtrip"] = sql["grouped_agg_token_totals"]

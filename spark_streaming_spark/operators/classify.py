@@ -106,3 +106,44 @@ def quality_logits_join(docs: DataFrame, weights: DataFrame,
         )
         .withColumn("keep", F.col("logit") > F.lit(threshold))
     )
+
+
+def calibration_table(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability table of the linear classifier against the Gopher
+    rule gate — the standard calibration check before a cheap learned
+    filter replaces an expensive rule cascade (score-decile vs observed
+    pass rate; the reliability-diagram computation, public ML-eval
+    method). A well-calibrated distillation shows pass rate rising
+    monotonically with the logit decile.
+
+    Exactness: deciles come from the EXACT distributed global rank over
+    the total order (logit, doc_id) (operators/ranking.with_global_rank
+    — no single-partition exchange) bucketed by the SQL-standard ntile
+    formula (operators/ranking._ntile_score), so equal logits can never
+    straddle an engine-dependent boundary; pass rates are integer ppm.
+    Logits themselves are IEEE-identical by the classifier's contract.
+    Columns: bin, n_docs, n_keep, keep_ppm, lo_logit, hi_logit."""
+    from spark_streaming_spark.operators.pipeline import quality_filter
+    from spark_streaming_spark.operators.ranking import (
+        _ntile_score, with_global_rank)
+
+    scores = quality_logits(docs).select("doc_id", "logit")
+    gate = quality_filter(docs).select("doc_id", "keep")
+    joined = scores.join(gate, "doc_id")
+    n = joined.count()   # 1-row scalar for the ntile formula
+    ranked = with_global_rank(joined, ["logit", "doc_id"], "__r")
+    return (
+        ranked.withColumn("bin", _ntile_score("__r", n, n_bins))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+            F.min("logit").alias("lo_logit"),
+            F.max("logit").alias("hi_logit"),
+        )
+        .selectExpr(
+            "bin", "n_docs", "n_keep",
+            "CAST(n_keep * 1000000 DIV n_docs AS BIGINT) AS keep_ppm",
+            "lo_logit", "hi_logit",
+        )
+    )

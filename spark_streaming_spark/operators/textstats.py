@@ -287,23 +287,35 @@ def vocab_build(docs: DataFrame, n: int = 100) -> DataFrame:
 # totals pass ~3e9 — the 100 TB regime), and the final ppm is ONE
 # integer floor-divide, identical on both engines.
 
-def _drift_counts(docs: DataFrame):
-    """Per-token counts for the doc_id-parity split, cross-multiplied
-    against the opposite side's total. Returns (per-token df with
-    exact DECIMAL(38,0) columns xa=cnt_a·tot_b, xb=cnt_b·tot_a,
-    1-row totals df). One explode + one groupBy(token) — partial agg
-    map-side; the totals ride in as a broadcast scalar."""
+def drift_token_counts(docs: DataFrame) -> DataFrame:
+    """The additive state under the drift statistic: per-token counts of
+    the doc_id-parity shards (token, cnt_a, cnt_b). ADDITIVE under any
+    partition of the corpus — summing per-shard/per-micro-batch count
+    tables reproduces the one-shot table — which is what lets the
+    streamed fold share the batch oracle. One explode + one
+    groupBy(token), partial agg map-side."""
     tok = docs.select(
         (F.col("doc_id") % 2).alias("side"),
         F.explode(F.split("text", " ")).alias("token"),
     ).filter(F.col("token") != "")
-    counts = (
+    return (
         tok.groupBy("token")
         .agg(
             F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cnt_a"),
             F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cnt_b"),
         )
     )
+
+
+def _drift_counts(docs: DataFrame, counts: DataFrame | None = None):
+    """Per-token counts for the doc_id-parity split, cross-multiplied
+    against the opposite side's total. Returns (per-token df with
+    exact DECIMAL(38,0) columns xa=cnt_a·tot_b, xb=cnt_b·tot_a,
+    1-row totals df). The totals ride in as a broadcast scalar.
+    ``counts`` (token, cnt_a, cnt_b) substitutes for the corpus scan —
+    the folded-state entry point."""
+    if counts is None:
+        counts = drift_token_counts(docs)
     totals = counts.agg(
         F.sum("cnt_a").cast("decimal(38,0)").alias("tot_a"),
         F.sum("cnt_b").cast("decimal(38,0)").alias("tot_b"),
@@ -320,14 +332,16 @@ def _drift_counts(docs: DataFrame):
     return per_tok, totals
 
 
-def token_drift_tv(docs: DataFrame) -> DataFrame:
+def token_drift_tv(docs: DataFrame,
+                   counts: DataFrame | None = None) -> DataFrame:
     """Total-variation distance between the token distributions of the
     even- and odd-``doc_id`` corpus shards, in exact ppm.
     Columns: tot_a, tot_b, n_tokens (distinct union vocab), tv_ppm.
 
     tv_ppm = (10⁶·Σ|cnt_a·tot_b − cnt_b·tot_a|) // (2·tot_a·tot_b) —
-    every term integer, so the statistic hash-checks."""
-    per_tok, _ = _drift_counts(docs)
+    every term integer, so the statistic hash-checks. ``counts``
+    substitutes folded streaming state for the corpus scan."""
+    per_tok, _ = _drift_counts(docs, counts)
     agg = per_tok.agg(
         F.max("tot_a").alias("tot_a"), F.max("tot_b").alias("tot_b"),
         F.count("*").alias("n_tokens"),

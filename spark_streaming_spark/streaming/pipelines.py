@@ -302,6 +302,51 @@ def kmv_sketch_sink(spark, group_col: str, value_col: str,
     return write_batch
 
 
+def counts_fold_sink(spark, batch_counts, key_cols: list[str],
+                     sum_cols: list[str], state_dir: str):
+    """foreachBatch sink maintaining any ADDITIVE count table as
+    streaming state: ``batch_counts(batch_df)`` summarizes the
+    micro-batch into (key_cols, sum_cols) rows, and the fold SUMS the
+    new rows into the accumulated table by key — valid exactly when the
+    summary is additive under corpus partition (Σ per-batch tables ≡
+    one-shot table), which makes the streamed entry share the batch
+    oracle verbatim. The stateful-wordcount shape generalized: state is
+    O(|keys|) like updateStateByKey, the merge is one partial-agged
+    groupBy over state ∪ batch-summary. Versioned publish (predecessor
+    read + atomic CURRENT swap) as in :func:`scd1_merge_sink` —
+    replay-idempotent."""
+    import os
+
+    def _state_before(epoch_id: int):
+        prior = [
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+            and int(d[1:]) < epoch_id
+        ] if os.path.isdir(state_dir) else []
+        if prior:
+            return spark.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}"))
+        return None
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new = batch_counts(batch_df)
+        prev = _state_before(epoch_id)
+        if prev is not None:
+            new = (
+                prev.unionByName(new)
+                .groupBy(*key_cols)
+                .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            )
+        new.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{epoch_id}"))
+        tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{epoch_id}")
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+    return write_batch
+
+
 def theta_sketch_sink(spark, group_col: str, key_col: str,
                       state_dir: str, k: int = 256):
     """foreachBatch sink maintaining per-group Theta/KMV bottom-k

@@ -182,3 +182,27 @@ def test_phrase_search_matches_bruteforce(spark, duck):
     got2 = {(r.doc_id, r.pos)
             for r in phrase_search(tiny, "a a b").collect()}
     assert got2 == {(1, 0), (1, 3)}
+
+
+def test_counts_fold_sink_additive_and_replay_idempotent(spark, tmp_path):
+    """The drift count table folds additively: two half-corpus batches
+    reproduce the one-shot table; replaying an epoch rewrites the same
+    version (the sketch sinks' exactly-once argument)."""
+    from spark_streaming_spark.operators.textstats import (
+        drift_token_counts, token_drift_tv)
+    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sink = counts_fold_sink(spark, drift_token_counts, ["token"],
+                            ["cnt_a", "cnt_b"], str(tmp_path))
+    sink(docs.filter("doc_id % 3 = 0"), 0)
+    sink(docs.filter("doc_id % 3 <> 0"), 1)
+    v1 = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "v1")).collect()))
+    sink(docs.filter("doc_id % 3 <> 0"), 1)  # epoch replay
+    assert sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "v1")).collect())) == v1
+    assert v1 == sorted(map(tuple, drift_token_counts(docs).collect()))
+    folded = spark.read.parquet(str(tmp_path / "v1"))
+    assert token_drift_tv(None, counts=folded).collect() == \
+        token_drift_tv(docs).collect()

@@ -349,3 +349,67 @@ def test_asof_join_matches_pandas_on_arbitrary_inputs(
     want = want[list(got.columns)].sort_values(
         "event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# vocabulary for the fingerprinting properties: small alphabet → heavy
+# k-gram collisions across documents, the adversarial regime
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+    min_size=0, max_size=30)
+
+
+@given(_words, _words, _words,
+       st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+                min_size=6, max_size=12))
+@settings(**_SETTINGS)
+def test_winnowing_detection_guarantee(spark, pre_a, pre_b, post, shared):
+    """The PAPER'S guarantee (Schleimer et al. 2003 §2): any substring
+    of at least w + k - 1 tokens shared by two documents yields at
+    least one shared selected fingerprint VALUE. shared has ≥ 6 =
+    w + k - 1 tokens and is embedded at arbitrary offsets in both."""
+    from spark_streaming_spark.operators.textstats import (
+        WINNOW_K, WINNOW_W, winnow_fingerprints)
+
+    assert len(shared) >= WINNOW_W + WINNOW_K - 1
+    docs = spark.createDataFrame(
+        [(0, " ".join(pre_a + shared + post)),
+         (1, " ".join(pre_b + shared + post[::-1]))],
+        ["doc_id", "text"])
+    fps = winnow_fingerprints(docs).collect()
+    a = {r.fp for r in fps if r.doc_id == 0}
+    b = {r.fp for r in fps if r.doc_id == 1}
+    assert a & b, (pre_a, pre_b, shared)
+
+
+@given(_words,
+       st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+                min_size=20, max_size=40))
+@settings(**_SETTINGS)
+def test_cdc_chunks_edit_locality(spark, prefix, body):
+    """Content-defined chunking's reason to exist: an edit near the
+    START of a document leaves every chunk after the next surviving
+    boundary with an IDENTICAL signature (fixed-stride chunking would
+    shift every downstream chunk). Compare body vs prefix+body: all
+    body chunks that start after the first boundary beyond the edit
+    region must reappear verbatim in the edited document."""
+    from spark_streaming_spark.operators.pipeline import CDC_K, cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(body)), (1, " ".join(prefix + body))],
+        ["doc_id", "text"])
+    rows = cdc_chunks(docs).collect()
+    orig = {r.first_pos: (r.n_tokens, r.chunk_sig)
+            for r in rows if r.doc_id == 0}
+    edited = {(r.n_tokens, r.chunk_sig)
+              for r in rows if r.doc_id == 1}
+    # boundaries depend on a k-gram of context: chunks of the original
+    # starting at/after position len(prefix)-is irrelevant-... the cut
+    # rule looks back k-1 tokens, so any original chunk that starts at
+    # pos >= k (its boundary gram lies fully inside body) AND is not the
+    # first chunk is cut identically in the edited doc
+    stable = [(n, sig) for p, (n, sig) in orig.items() if p >= CDC_K]
+    # drop the LAST chunk of the original (its end is the doc end in
+    # both — keep it; no exclusion needed). Every stable chunk must
+    # survive the edit.
+    missing = [c for c in stable if c not in edited]
+    assert not missing, (prefix, body, missing)

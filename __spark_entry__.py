@@ -1575,6 +1575,7 @@ _CHECK_FIRST = [
     "streaming_theta_overlap", "split_leakage_pairs",
     "split_leakage_matrix", "phrase_search", "cm_join_size",
     "classifier_calibration", "streaming_token_drift",
+    "ab_experiment_report", "dau_mau_stickiness",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1595,8 +1596,7 @@ _CHECK_FIRST = [
     "hot_words_per_window", "idle_rich_customers",
     "large_volume_orders", "market_share",
     "nation_trade_volume", "order_priority_counts",
-    "pandas_token_counts", "pii_redaction",
-    # (18 r3-vintage refreshes displaced by the (b2)/(b3) additions —
+    # (20 r3-vintage refreshes displaced by the (b2)/(b3) additions —
     # they join the r9 rotation pool above:
     # streaming_click_attribution_outer, streaming_histogram,
     # streaming_pivot_counts, streaming_session_windows,
@@ -1604,7 +1604,7 @@ _CHECK_FIRST = [
     # stratified_sample, session_windows, sessionize, skew_salted_sum,
     # small_qty_part_revenue, rolling_spend_90d, scd1_customer_merge,
     # returned_items_report, revenue_by_nation, promo_revenue,
-    # pricing_summary)
+    # pricing_summary, pii_redaction, pandas_token_counts)
     ]
 
 
@@ -1731,6 +1731,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem")),
         "value_outliers": lambda s, d: AN.value_outliers(
             load_table(s, d, "events"), k=2.5),
+        # experiment readout: md5-threshold arm assignment (pure
+        # function of user_id — stable under reruns/resizes/late data),
+        # integer-ppm outcome rates
+        "ab_experiment_report": lambda s, d: AN.ab_experiment_report(
+            load_table(s, d, "events")),
         "cohort_retention": lambda s, d: AN.cohort_retention(
             load_table(s, d, "events")),
         "purchase_funnel_daily": lambda s, d: AN.purchase_funnel_daily(
@@ -2168,6 +2173,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-us durations, per-term DECIMAL(38,7) quantize, one
         # final divide at 7 dp — hash-exact
         "time_weighted_value": lambda s, d: TS.time_weighted_avg(
+            load_table(s, d, "events")),
+        # DAU / trailing-MAU stickiness: the day grid is the broadcast
+        # interval_join range side, so the fact table never shuffles
+        # for the 28-day membership
+        "dau_mau_stickiness": lambda s, d: TS.dau_mau_stickiness(
             load_table(s, d, "events")),
         "user_activity_trend": lambda s, d: TS.activity_trend(
             load_table(s, d, "events")),
@@ -4319,6 +4329,24 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(s AS DOUBLE) / span_us, 7) AS twa_value
         FROM a WHERE span_us > 0
     """
+    # dau_mau_stickiness (operators/timeseries.py): the oracle spells
+    # the trailing window as a direct BETWEEN join; counts BIGINT-cast
+    sql["dau_mau_stickiness"] = """
+        WITH ud AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ),
+        dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+        mau AS (
+          SELECT g.d, count(DISTINCT u.user_id) AS mau
+          FROM (SELECT DISTINCT d FROM ud) g
+          JOIN ud u ON u.d BETWEEN g.d - 27 AND g.d
+          GROUP BY 1
+        )
+        SELECT dau.d AS day, dau.dau, mau.mau,
+               CAST(dau.dau * 1000000 // mau.mau AS BIGINT)
+                 AS stickiness_ppm
+        FROM dau JOIN mau ON dau.d = mau.d
+    """
     # OLS trend: same dense grid, same integer sums; HUGEINT-guarded
     # casts; only the final slope division is floating (7 dp)
     sql["user_activity_trend"] = """
@@ -4734,6 +4762,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, wm.event_type AS event_type, value, med, mad
         FROM wm JOIN mad USING (event_type)
         WHERE abs(value - med) > 2.5 * mad
+    """
+    # ab_experiment_report (operators/analytic.py): same md5-threshold
+    # hash as the split/sampling family; counts cast to BIGINT at the
+    # boundary; ppm columns are integer floor-divides
+    sql["ab_experiment_report"] = """
+        WITH labeled AS (
+          SELECT CASE WHEN (CAST('0x' || substr(
+                       md5('exp1' || '#' || CAST(user_id AS VARCHAR)),
+                       1, 15) AS BIGINT) % 1000000) < 500000
+                      THEN 'A' ELSE 'B' END AS arm,
+                 user_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_purchase
+          FROM events
+        ),
+        per_user AS (
+          SELECT arm, user_id, count(*) AS n_ev,
+                 CAST(SUM(is_purchase) AS BIGINT) AS n_p
+          FROM labeled GROUP BY 1, 2
+        ),
+        per_arm AS (
+          SELECT arm, count(*) AS n_users,
+                 CAST(SUM(n_ev) AS BIGINT) AS n_events,
+                 CAST(SUM(n_p) AS BIGINT) AS n_purchases,
+                 CAST(SUM(CASE WHEN n_p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_purchasers
+          FROM per_user GROUP BY 1
+        )
+        SELECT arm, n_users, n_events, n_purchases, n_purchasers,
+               CAST(n_purchases * 1000000 // n_events AS BIGINT)
+                 AS purch_ppm,
+               CAST(n_purchasers * 1000000 // n_users AS BIGINT)
+                 AS cvr_ppm
+        FROM per_arm
     """
     sql["cohort_retention"] = """
         WITH days AS (

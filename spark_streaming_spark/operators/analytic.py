@@ -252,3 +252,52 @@ def crosstab_association(events: DataFrame) -> DataFrame:
             .alias("chi2_term"),
         )
     )
+
+
+def ab_experiment_report(events: DataFrame, salt: str = "exp1") -> DataFrame:
+    """Deterministic A/B experiment readout: users are assigned to arms
+    by the md5-threshold hash of their id (the
+    operators/sampling.split_of contract with a 50/50 cut — assignment
+    is a pure function of (salt, user_id): stable across reruns,
+    resizes, and late data, which `randomSplit` cannot promise), and
+    each arm reports its exposure and outcome counts with integer-ppm
+    rates. The analysis every experimentation platform runs; rates stay
+    integer so the whole report hash-checks.
+
+    Scale shape: the arm label is MAP-SIDE column algebra; one
+    groupBy(arm) with partial aggregation (distinct-user counts shuffle
+    (arm, user) pairs once). Columns: arm, n_users, n_events,
+    n_purchases, n_purchasers, purch_ppm (purchases per event),
+    cvr_ppm (purchasing users per user)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(salt),
+                              F.col("user_id").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long") % 1000000
+    arm = F.when(h < 500000, F.lit("A")).otherwise(F.lit("B"))
+    is_p = (F.col("event_type") == "purchase").cast("long")
+    labeled = events.select(arm.alias("arm"), "user_id",
+                            is_p.alias("is_purchase"))
+    per_user = labeled.groupBy("arm", "user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.sum("is_purchase").alias("n_p"),
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_ev").alias("n_events"),
+            F.sum("n_p").alias("n_purchases"),
+            F.sum((F.col("n_p") > 0).cast("long")).alias("n_purchasers"),
+        )
+        .selectExpr(
+            "arm", "n_users", "n_events", "n_purchases", "n_purchasers",
+            "CAST(n_purchases * 1000000 DIV n_events AS BIGINT)"
+            " AS purch_ppm",
+            "CAST(n_purchasers * 1000000 DIV n_users AS BIGINT)"
+            " AS cvr_ppm",
+        )
+    )

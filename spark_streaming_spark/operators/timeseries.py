@@ -270,3 +270,49 @@ def time_weighted_avg(events: DataFrame) -> DataFrame:
         F.round(F.col("s").cast("double") / F.col("span_us"), 7)
         .alias("twa_value"),
     )
+
+
+def dau_mau_stickiness(events: DataFrame, window_days: int = 28) -> DataFrame:
+    """DAU / trailing-MAU stickiness per day — the growth metric every
+    product dashboard tracks (what fraction of the monthly audience
+    shows up on a given day). Exact distinct counts; the trailing
+    28-day membership is the broadcast interval join
+    (operators/rangejoin.interval_join): the day GRID is the tiny range
+    side ([d-27, d] per day — O(days) rows, broadcastable forever),
+    user-day points are the fact side, so the fact table never
+    shuffles for the window — then one (day, user) distinct + count.
+    stickiness_ppm = 10⁶·dau // mau, integer.
+    Columns: day (DATE), dau, mau, stickiness_ppm."""
+    from spark_streaming_spark.operators.rangejoin import interval_join
+
+    day_int = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    user_days = (
+        events.select(day_int.alias("uday"), "user_id").distinct()
+    )
+    dau = user_days.groupBy(F.col("uday").alias("rday")).agg(
+        F.count("*").alias("dau"))
+    grid = (
+        user_days.select("uday").distinct()
+        .select(F.col("uday").alias("rday"),
+                (F.col("uday") - (window_days - 1)).cast("double")
+                .alias("glo"),
+                (F.col("uday") + 1).cast("double").alias("ghi"))
+    )
+    # interval_join is [lo, hi): ghi = day+1 makes the window inclusive
+    mau = (
+        interval_join(
+            user_days.withColumn("upt", F.col("uday").cast("double")),
+            grid, "upt", "glo", "ghi", grid=float(window_days + 4))
+        .select("rday", "user_id").distinct()
+        .groupBy("rday").agg(F.count("*").alias("mau"))
+    )
+    return (
+        dau.join(mau, "rday")
+        .select(
+            F.date_add(F.lit("1970-01-01"), F.col("rday").cast("int"))
+            .alias("day"),
+            "dau", "mau",
+            F.expr("CAST(dau * 1000000 DIV mau AS BIGINT)")
+            .alias("stickiness_ppm"),
+        )
+    )

@@ -413,3 +413,43 @@ def test_cdc_chunks_edit_locality(spark, prefix, body):
     # survive the edit.
     missing = [c for c in stable if c not in edited]
     assert not missing, (prefix, body, missing)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=500),
+               min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_ab_assignment_stable_under_subsetting(spark, keep_users):
+    """Arm assignment is a pure function of (salt, user_id): dropping
+    any subset of the data (late arrivals, a partial backfill) never
+    flips a surviving user's arm, and both computations agree with the
+    md5-threshold formula computed driver-side."""
+    import hashlib
+
+    from spark_streaming_spark.operators.analytic import ab_experiment_report
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    sub = ev.filter(F.col("user_id").isin(list(keep_users)))
+    # recompute per-user arms from both runs via the report's group keys
+    def arms(df):
+        rows = df.select(
+            "user_id",
+            F.when(
+                F.conv(F.substring(F.md5(F.concat_ws(
+                    "#", F.lit("exp1"), F.col("user_id").cast("string"))),
+                    1, 15), 16, 10).cast("long") % 1000000 < 500000,
+                "A").otherwise("B").alias("arm"),
+        ).distinct().collect()
+        return {r.user_id: r.arm for r in rows}
+    full, part = arms(ev), arms(sub)
+    assert all(full[u] == a for u, a in part.items())
+    for u, a in part.items():
+        h = int(hashlib.md5(f"exp1#{u}".encode()).hexdigest()[:15], 16)
+        assert a == ("A" if h % 1000000 < 500000 else "B")
+    rep = {r.arm: r for r in ab_experiment_report(sub).collect()}
+    assert sum(r.n_users for r in rep.values()) == len(part)
+    for r in rep.values():
+        assert 0 <= r.purch_ppm <= 1_000_000
+        assert 0 <= r.cvr_ppm <= 1_000_000
+        assert r.n_purchasers <= r.n_users

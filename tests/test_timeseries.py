@@ -105,3 +105,25 @@ def test_time_weighted_avg_semantics(spark):
     assert out[1].span_us == 4_000_000
     assert out[2].twa_value == 7.0
     assert 3 not in out
+
+
+def test_dau_mau_stickiness_invariants_and_plan(spark, duck):
+    """dau <= mau per day (the window contains the day), ppm in (0,1e6],
+    the first day has dau == mau (nothing trails it)... and the 28-day
+    membership joins through the broadcast grid — no nested loop."""
+    import __spark_entry__ as E
+    from spark_streaming_spark.plans import explain
+    from tests.conftest import assert_matches_oracle
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = TS.dau_mau_stickiness(ev)
+    plan = explain.explain_text(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = sorted(out.collect(), key=lambda r: r.day)
+    assert rows
+    assert all(r.dau <= r.mau for r in rows)
+    assert all(0 < r.stickiness_ppm <= 1_000_000 for r in rows)
+    assert rows[0].dau == rows[0].mau
+    assert_matches_oracle(out, duck, E.oracle_sql()["dau_mau_stickiness"])

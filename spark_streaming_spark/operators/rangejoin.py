@@ -33,12 +33,14 @@ def interval_join(facts: DataFrame, dims: DataFrame, value_col: str,
                   lo_col: str, hi_col: str, grid: float,
                   how: str = "inner") -> DataFrame:
     """Join fact rows to every dim range containing their value.
-    ``grid`` must be ≥ the widest range (asserted cheaply on the dim
-    side at plan time would need a scan, so it is the caller's
-    contract; a too-small grid silently DROPS matches that span >2
-    cells — prefer generous). Output: facts columns + dims columns.
+    ``grid`` is a COST knob, never a correctness one: each range
+    explodes to ALL span/grid + 1 cells it touches (``F.sequence``), so
+    a too-small grid only inflates the broadcast — matches are never
+    dropped (pinned in tests/test_rangejoin.py). Pick grid ≥ the
+    typical span so ranges replicate ~2×. Output: facts columns + dims
+    columns.
 
-    Plan: dims explode to ≤ 2 (cell, range) rows and broadcast; facts
+    Plan: dims explode to (cell, range) rows and broadcast; facts
     compute their cell map-side; BroadcastHashJoin on cell + exact
     containment filter. The fact table never shuffles."""
     cells = F.sequence(

@@ -72,3 +72,22 @@ def test_ship_window_plans_shuffle_equi_join(spark):
     assert ("SortMergeJoin" in text or "ShuffledHashJoin" in text
             or "BroadcastHashJoin" in text)
     assert explain.has_partial_aggregate(df)
+
+
+def test_interval_join_grid_is_cost_not_correctness(spark):
+    """interval_join explodes each range to every touched cell, so an
+    undersized grid inflates the broadcast but never drops matches —
+    results are grid-invariant."""
+    from spark_streaming_spark.operators.rangejoin import (
+        interval_join, value_tier_totals, value_tiers)
+
+    ev = load_table(spark, SF_DIR, "events")
+    tiers = value_tiers(spark)
+    ref = sorted(map(tuple, value_tier_totals(ev, tiers).collect()))
+    for grid in (2.0, 5.0, 1000.0):
+        got = sorted(map(tuple, (
+            interval_join(ev, tiers, "value", "lo", "hi", grid=grid)
+            .groupBy("tier").count().collect()
+        )))
+        ref_counts = sorted((t[0], t[1]) for t in ref)
+        assert got == ref_counts, f"grid={grid}"

@@ -1576,6 +1576,7 @@ _CHECK_FIRST = [
     "split_leakage_matrix", "phrase_search", "cm_join_size",
     "classifier_calibration", "streaming_token_drift",
     "ab_experiment_report", "dau_mau_stickiness",
+    "source_quality_report",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1595,8 +1596,8 @@ _CHECK_FIRST = [
     "embedding_quantize", "event_counts_unpivot", "event_value_histogram",
     "hot_words_per_window", "idle_rich_customers",
     "large_volume_orders", "market_share",
-    "nation_trade_volume", "order_priority_counts",
-    # (20 r3-vintage refreshes displaced by the (b2)/(b3) additions —
+    "nation_trade_volume",
+    # (21 r3-vintage refreshes displaced by the (b2)/(b3) additions —
     # they join the r9 rotation pool above:
     # streaming_click_attribution_outer, streaming_histogram,
     # streaming_pivot_counts, streaming_session_windows,
@@ -1604,7 +1605,8 @@ _CHECK_FIRST = [
     # stratified_sample, session_windows, sessionize, skew_salted_sum,
     # small_qty_part_revenue, rolling_spend_90d, scd1_customer_merge,
     # returned_items_report, revenue_by_nation, promo_revenue,
-    # pricing_summary, pii_redaction, pandas_token_counts)
+    # pricing_summary, pii_redaction, pandas_token_counts,
+    # order_priority_counts)
     ]
 
 
@@ -2043,6 +2045,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reliability table: cheap learned filter vs the rule cascade it
         # distills — exact global-rank deciles, integer-ppm pass rates
         "classifier_calibration": lambda s, d: CLF.calibration_table(
+            load_table(s, d, "documents")),
+        # per-source governance league table: volume + rule-gate pass
+        # ppm + decimal-exact mean quality + near-dup incidence
+        "source_quality_report": lambda s, d: PL.source_quality_report(
             load_table(s, d, "documents")),
         "quality_filter": lambda s, d: PL.quality_filter(
             load_table(s, d, "documents")),
@@ -5643,6 +5649,52 @@ dscored AS (
                 AND n_stop_distinct >= {PL.MIN_DISTINCT_STOPWORDS}
                 AND dup_word_frac <= {PL.MAX_DUP_WORD_FRACTION}) AS keep
         FROM s
+    """
+    # source_quality_report: composes the quality_scores, quality_filter
+    # and doc_fingerprints oracles; rates integer ppm, mean quality =
+    # decimal-sum mean (davg 7dp contract), SUMs BIGINT-cast
+    sql["source_quality_report"] = f"""
+        WITH q AS ({sql["quality_scores"]}),
+        g AS ({sql["quality_filter"]}),
+        f AS ({sql["doc_fingerprints"]}),
+        dupd AS (
+          SELECT doc_id FROM f
+          WHERE fp IN (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
+        ),
+        src AS (
+          SELECT doc_id, source,
+                 len(string_split(text, ' ')) AS ntok
+          FROM documents
+        ),
+        base AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(SUM(ntok) AS BIGINT) AS n_tokens
+          FROM src GROUP BY 1
+        ),
+        gg AS (
+          SELECT s.source,
+                 CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass
+          FROM g JOIN src s USING (doc_id) GROUP BY 1
+        ),
+        qq AS (
+          SELECT s.source,
+                 CAST(SUM(CAST(q.quality AS DECIMAL(38,7))) AS DOUBLE)
+                   / COUNT(*) AS mq
+          FROM q JOIN src s USING (doc_id) GROUP BY 1
+        ),
+        dd AS (
+          SELECT s.source, count(*) AS n_dup
+          FROM dupd JOIN src s USING (doc_id) GROUP BY 1
+        )
+        SELECT b.source, b.n_docs, b.n_tokens,
+               CAST(n_pass * 1000000 // n_docs AS BIGINT) AS pass_ppm,
+               round(mq, 7) AS mean_quality,
+               CAST(coalesce(n_dup, 0) * 1000000 // n_docs AS BIGINT)
+                 AS dup_doc_ppm
+        FROM base b
+        JOIN gg USING (source) JOIN qq USING (source)
+        LEFT JOIN dd USING (source)
     """
     sql["repetition_signals"] = """
         WITH toks AS (

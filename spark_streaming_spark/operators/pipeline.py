@@ -617,3 +617,58 @@ def contamination_bloom(docs: DataFrame, n: int = 3,
         .groupBy("doc_id")
         .agg(F.count_distinct("sh").alias("n_flagged_ngrams"))
     )
+
+
+def source_quality_report(docs: DataFrame) -> DataFrame:
+    """Per-source corpus GOVERNANCE league table — the one-screen answer
+    to "which ingestion source is hurting my mix": volume, rule-gate
+    pass rate, mean heuristic quality, and near-dup incidence, per
+    `source`. The report every corpus steward reviews before changing
+    source weights (the observability face of mixture_rebalance).
+
+    Exactness: pass/dup rates are integer ppm; mean quality is the
+    order-independent decimal-sum mean (functions/numeric.davg at 7 dp)
+    over scores that are already IEEE-identical cross-engine.
+
+    Scale shape: three component passes (scores, gate, fingerprints) —
+    each one scan + one doc_id-keyed agg/join; every per-source table is
+    O(|sources|) and the final joins are tiny-key. Columns: source,
+    n_docs, n_tokens, pass_ppm, mean_quality, dup_doc_ppm."""
+    from spark_streaming_spark.functions.numeric import davg
+    from spark_streaming_spark.operators.textstats import (
+        doc_fingerprints, quality_scores)
+
+    src = docs.select("doc_id", "source")
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+    gate = (
+        quality_filter(docs).select("doc_id", "keep").join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.sum(F.col("keep").cast("long")).alias("n_pass"))
+    )
+    qual = (
+        quality_scores(docs).select("doc_id", "quality").join(src, "doc_id")
+        .groupBy("source")
+        .agg(davg("quality", 7).alias("mq"))
+    )
+    fps = doc_fingerprints(docs)
+    dup_docs = fps.join(
+        fps.groupBy("fp").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1).select("fp"),
+        "fp",
+    ).select("doc_id")
+    dup = dup_docs.join(src, "doc_id").groupBy("source").agg(
+        F.count("*").alias("n_dup"))
+    return (
+        base.join(gate, "source").join(qual, "source")
+        .join(dup, "source", "left")
+        .selectExpr(
+            "source", "n_docs", "n_tokens",
+            "CAST(n_pass * 1000000 DIV n_docs AS BIGINT) AS pass_ppm",
+            "round(mq, 7) AS mean_quality",
+            "CAST(coalesce(n_dup, 0) * 1000000 DIV n_docs AS BIGINT)"
+            " AS dup_doc_ppm",
+        )
+    )

@@ -202,3 +202,23 @@ def test_cdc_chunks_match_oracle(spark, duck):
         PL.cdc_chunks(docs), duck, E.oracle_sql()["cdc_chunks"])
     assert_matches_oracle(
         PL.cdc_dup_chunks(docs), duck, E.oracle_sql()["cdc_dup_chunks"])
+
+
+def test_source_quality_report_consistency(spark, duck):
+    """Per-source doc counts sum to the corpus; every ppm in [0, 1e6];
+    mean quality within the score range; dup attribution never exceeds
+    the source's docs; exact oracle match."""
+    import __spark_entry__ as E
+    from spark_streaming_spark.operators.pipeline import source_quality_report
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = source_quality_report(docs)
+    rows = out.collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.pass_ppm <= 1_000_000
+        assert 0 <= r.dup_doc_ppm <= 1_000_000
+        assert 0.0 <= r.mean_quality <= 1.0
+    assert_matches_oracle(out, duck,
+                          E.oracle_sql()["source_quality_report"])

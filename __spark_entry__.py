@@ -1299,6 +1299,28 @@ def _q_streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_cm_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimation as a first-class query: the exact
+    top-20 heavy-hitter users (orderBy+limit — TakeOrderedAndProject)
+    probed against the fixed-size grid (operators/sketch
+    countmin_estimate — the grid broadcasts), with the exact count and
+    the collision overestimate alongside. est >= exact for every key —
+    the CM guarantee the tests pin — and both sides are md5-
+    deterministic, so the error column itself hash-checks."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = SKC.countmin_build(ev, "user_id")
+    top = (
+        ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id")).limit(20)
+    )
+    return (
+        SKC.countmin_estimate(grid, top.select("user_id"), "user_id")
+        .join(top, "user_id")
+        .select("user_id", "exact_cnt", F.col("est").alias("est_cnt"),
+                (F.col("est") - F.col("exact_cnt")).alias("overest"))
+    )
+
+
 def _q_kmv_daily_value_quantiles(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Per-DAY p50/p95 of event value from the KMV sketch — the
@@ -1576,7 +1598,8 @@ _CHECK_FIRST = [
     "split_leakage_matrix", "phrase_search", "cm_join_size",
     "classifier_calibration", "streaming_token_drift",
     "ab_experiment_report", "dau_mau_stickiness",
-    "source_quality_report",
+    "source_quality_report", "margin_mined_pairs", "join_key_discovery",
+    "cm_user_estimates",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1595,9 +1618,7 @@ _CHECK_FIRST = [
     "deterministic_sample", "discounted_parts_revenue",
     "embedding_quantize", "event_counts_unpivot", "event_value_histogram",
     "hot_words_per_window", "idle_rich_customers",
-    "large_volume_orders", "market_share",
-    "nation_trade_volume",
-    # (21 r3-vintage refreshes displaced by the (b2)/(b3) additions —
+    # (24 r3-vintage refreshes displaced by the (b2)/(b3) additions —
     # they join the r9 rotation pool above:
     # streaming_click_attribution_outer, streaming_histogram,
     # streaming_pivot_counts, streaming_session_windows,
@@ -1606,7 +1627,8 @@ _CHECK_FIRST = [
     # small_qty_part_revenue, rolling_spend_90d, scd1_customer_merge,
     # returned_items_report, revenue_by_nation, promo_revenue,
     # pricing_summary, pii_redaction, pandas_token_counts,
-    # order_priority_counts)
+    # order_priority_counts, market_share, nation_trade_volume,
+    # large_volume_orders)
     ]
 
 
@@ -1863,6 +1885,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both graphs are deterministic and recall_ppm is integer DIV
         "lsh_graph_recall": lambda s, d: SIM.knn_graph_recall(
             load_table(s, d, "embeddings"), dense_fallback_pairs=0),
+        # margin-based pair mining (Artetxe & Schwenk 2019): top-1 cosine
+        # scored against the query's neighborhood mean, cross-label only
+        "margin_mined_pairs": lambda s, d: SIM.margin_mined_pairs(
+            load_table(s, d, "embeddings")),
         "similar_pairs_lsh": lambda s, d: SIM.similar_pairs_lsh(
             load_table(s, d, "embeddings"), cache_key=d),
         "label_centroids": lambda s, d: SIM.label_centroids(
@@ -2259,6 +2285,24 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_join_size": lambda s, d: SKC.cm_join_size(
             load_table(s, d, "orders"), "o_orderkey",
             load_table(s, d, "lineitem"), "l_orderkey"),
+        # joinable-column discovery: Theta containment over column value
+        # sets — finds the FK edges (containment ≈ 1) without joining
+        "join_key_discovery": lambda s, d: SKC.join_key_discovery([
+            ("customer.c_custkey", load_table(s, d, "customer"),
+             "c_custkey"),
+            ("orders.o_custkey", load_table(s, d, "orders"), "o_custkey"),
+            ("orders.o_orderkey", load_table(s, d, "orders"),
+             "o_orderkey"),
+            ("lineitem.l_orderkey", load_table(s, d, "lineitem"),
+             "l_orderkey"),
+            ("part.p_partkey", load_table(s, d, "part"), "p_partkey"),
+            ("lineitem.l_partkey", load_table(s, d, "lineitem"),
+             "l_partkey"),
+        ]),
+        # the estimate API as a query: CM point estimates for the top-20
+        # exact heavy hitters, with the exact count and the overestimate
+        # alongside — the sketch-error report (est >= exact always)
+        "cm_user_estimates": _q_cm_user_estimates,
         "countmin_user_sketch": lambda s, d: SKC.countmin_build(
             load_table(s, d, "events"), "user_id"),
         # engine-exact HLL: the approximate distinct that CAN be
@@ -3782,6 +3826,29 @@ def oracle_sql() -> dict[str, str]:
                (1000000 * coalesce(h.n_hit, 0)) // q.n_exact AS recall_ppm
         FROM q LEFT JOIN h ON h.vec_id = q.vec_id
     """
+    # margin_mined_pairs: composes the exact-graph oracle; neighborhood
+    # mean = decimal-sum mean; margin = one further IEEE divide, 7 dp
+    sql["margin_mined_pairs"] = f"""
+        WITH g AS ({sql["knn_graph"]}),
+        mc AS (
+          SELECT vec_id,
+                 CAST(SUM(CAST(cosine AS DECIMAL(38,7))) AS DOUBLE)
+                   / count(*) AS mean_cos
+          FROM g GROUP BY 1
+        ),
+        t1 AS (SELECT vec_id, nbr, cosine FROM g WHERE rank = 1),
+        j AS (
+          SELECT t1.vec_id, t1.nbr, ea.label AS label_a,
+                 eb.label AS label_b, t1.cosine AS cos_top1,
+                 t1.cosine / mc.mean_cos AS mraw
+          FROM t1 JOIN mc USING (vec_id)
+          JOIN embeddings ea ON ea.vec_id = t1.vec_id
+          JOIN embeddings eb ON eb.vec_id = t1.nbr
+        )
+        SELECT vec_id, nbr, label_a, label_b, cos_top1,
+               round(mraw, 7) AS margin
+        FROM j WHERE mraw >= 1.02 AND label_a <> label_b
+    """
     sql["skew_salted_counts"] = """
         SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
     """
@@ -4468,6 +4535,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(ip) OVER () AS BIGINT) AS est_pairs
         FROM ip
     """
+    # cm_user_estimates: grid + probes rebuilt with the shared md5 cell
+    # rule; deterministic top-20 (count desc, user_id tiebreak)
+    sql["cm_user_estimates"] = """
+        WITH ds AS (SELECT unnest(range(0, 4)) AS d),
+        grid AS (
+          SELECT d, bucket, count(*) AS cnt FROM (
+            SELECT d, CAST(CAST('0x' || substr(
+                     md5(CAST(user_id AS VARCHAR) || '#'
+                         || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 256
+                   AS INTEGER) AS bucket
+            FROM events, ds) GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+          ORDER BY exact_cnt DESC, user_id LIMIT 20
+        ),
+        probes AS (
+          SELECT t.user_id, d,
+                 CAST(CAST('0x' || substr(
+                     md5(CAST(t.user_id AS VARCHAR) || '#'
+                         || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 256
+                   AS INTEGER) AS bucket
+          FROM top t, ds
+        ),
+        est AS (
+          SELECT p.user_id, min(coalesce(g.cnt, 0)) AS est_cnt
+          FROM probes p
+          LEFT JOIN grid g ON g.d = p.d AND g.bucket = p.bucket
+          GROUP BY 1
+        )
+        SELECT t.user_id, CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+               CAST(e.est_cnt AS BIGINT) AS est_cnt,
+               CAST(e.est_cnt - t.exact_cnt AS BIGINT) AS overest
+        FROM top t JOIN est e USING (user_id)
+    """
     sql["countmin_user_sketch"] = """
         WITH cells AS (
           SELECT d,
@@ -4590,6 +4692,14 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CAST(ts AS DATE) AS VARCHAR) AS akey FROM events)",
         k=64)
     sql["streaming_theta_overlap"] = sql["theta_audience_overlap"]
+    sql["join_key_discovery"] = SKC.join_key_discovery_sql([
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("part.p_partkey", "part", "p_partkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ])
     sql["streaming_hll_distinct"] = sql["hll_distinct_users"]
     # per-(day, type) HLL: same register math, window in the group key;
     # the day column mirrors daily_event_rollup's date_trunc spelling

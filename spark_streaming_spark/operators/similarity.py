@@ -772,3 +772,44 @@ def semantic_dedup(embeddings: DataFrame,
         .join(dropped, "vec_id", "left")
         .select("vec_id", "cluster", F.col("dropped").isNull().alias("keep"))
     )
+
+
+def margin_mined_pairs(embeddings: DataFrame, k: int = 5,
+                       queries_mod: int = 10,
+                       min_margin: float = 1.02) -> DataFrame:
+    """Margin-based candidate pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings" — the ratio margin; public method): a neighbor is a
+    trustworthy match not when its cosine is high in absolute terms but
+    when it STANDS OUT against the query's neighborhood — margin =
+    cos(top-1) / mean(cos(top-k)). Pairs are kept when the margin
+    clears ``min_margin`` and the two sides carry DIFFERENT labels (the
+    cross-lingual/bitext shape: mine across corpora, score against each
+    query's local density).
+
+    Engine-exact: cosines come from the deterministic exact kNN graph;
+    the neighborhood mean is the decimal-sum mean (7 dp quantize, one
+    divide), the margin is one further IEEE divide of two identical
+    doubles, rounded to 7 dp. Columns: vec_id, nbr, label_a, label_b,
+    cos_top1, margin."""
+    g = knn_graph(embeddings, k, queries_mod)
+    mean_c = g.groupBy("vec_id").agg(
+        (F.sum(F.col("cosine").cast("decimal(38,7)")).cast("double")
+         / F.count("*")).alias("mean_cos"))
+    top1 = g.filter(F.col("rank") == 1).select("vec_id", "nbr", "cosine")
+    la = embeddings.select(F.col("vec_id").alias("vec_id"),
+                           F.col("label").alias("label_a"))
+    lb = embeddings.select(F.col("vec_id").alias("nbr"),
+                           F.col("label").alias("label_b"))
+    return (
+        top1.join(mean_c, "vec_id")
+        .withColumn("margin_raw", F.col("cosine") / F.col("mean_cos"))
+        .filter(F.col("margin_raw") >= min_margin)
+        .join(la, "vec_id").join(lb, "nbr")
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select(
+            "vec_id", "nbr", "label_a", "label_b",
+            F.col("cosine").alias("cos_top1"),
+            F.round("margin_raw", 7).alias("margin"),
+        )
+    )

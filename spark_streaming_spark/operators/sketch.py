@@ -720,3 +720,65 @@ def kmv_quantiles(regs: DataFrame, qs_ppm: dict[str, int]) -> DataFrame:
         for name, ppm in qs_ppm.items()
     ]
     return ranked.groupBy("grp").agg(*aggs)
+
+
+def column_value_registers(sides: list, k: int = THETA_K) -> DataFrame:
+    """Theta registers over COLUMN VALUE SETS: ``sides`` is a list of
+    (name, df, column); each column's distinct values hash into one
+    bottom-k sketch keyed by the name. The data-catalog primitive:
+    profile every column once, answer "which columns join" from the
+    k-row sketches forever after. Values stringify first so sketches
+    compare across physical types (BIGINT custkey vs VARCHAR id)."""
+    stacked = None
+    for name, df, col in sides:
+        part = df.select(
+            F.lit(name).alias("colname"),
+            F.col(col).cast("string").alias("val"),
+        ).filter(F.col("val").isNotNull())
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return theta_registers(stacked, "colname", "val", k)
+
+
+def join_key_discovery(sides: list, k: int = THETA_K) -> DataFrame:
+    """Joinable-column discovery from Theta sketches (the
+    LSH-Ensemble/joinability-search problem family; estimation method =
+    the DataSketches Theta set algebra): every column PAIR gets distinct
+    estimates, a DIRECT intersection estimate, and both directional
+    CONTAINMENTS est(A∩B)/est(A) — the score that finds foreign keys
+    (orders.o_custkey ⊆ customer.c_custkey ⇒ containment ≈ 1) without
+    ever joining the tables. Input cost: one scan + one k-row sketch per
+    column; all pairwise algebra runs on ≤ k rows per column.
+
+    Deterministic (md5 registers, shared 2^60 literal, one extra IEEE
+    divide rounded to 7 dp), so the discovery report hash-checks.
+    Columns: col_a < col_b, est_a, est_b, est_inter, cont_a_in_b,
+    cont_b_in_a."""
+    regs = column_value_registers(sides, k)
+    ov = theta_overlap_from_registers(regs, k)
+    return ov.select(
+        F.col("type_a").alias("col_a"), F.col("type_b").alias("col_b"),
+        "est_a", "est_b", "est_inter",
+        F.round(F.col("est_inter") / F.col("est_a"), 7)
+        .alias("cont_a_in_b"),
+        F.round(F.col("est_inter") / F.col("est_b"), 7)
+        .alias("cont_b_in_a"),
+    )
+
+
+def join_key_discovery_sql(sides_sql: list, k: int = THETA_K) -> str:
+    """DuckDB twin: ``sides_sql`` = [(name, table, column)]; stacks the
+    same stringified value sets and wraps theta_overlap_sql with the
+    same containment divides."""
+    stacked = " UNION ALL ".join(
+        f"SELECT '{name}' AS colname, CAST({col} AS VARCHAR) AS val"
+        f" FROM {table} WHERE {col} IS NOT NULL"
+        for name, table, col in sides_sql
+    )
+    inner = theta_overlap_sql("colname", "val", f"({stacked})", k)
+    return f"""
+        WITH ov AS ({inner})
+        SELECT type_a AS col_a, type_b AS col_b, est_a, est_b, est_inter,
+               round(est_inter / est_a, 7) AS cont_a_in_b,
+               round(est_inter / est_b, 7) AS cont_b_in_a
+        FROM ov
+    """

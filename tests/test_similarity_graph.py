@@ -198,3 +198,23 @@ def test_knn_graph_lsh_queries_mod_equals_filtered_full(spark):
                 full.filter("vec_id % 10 = 0").collect()}
         got = {tuple(r) for r in sampled.collect()}
         assert got == want, f"fallback={fallback}"
+
+
+def test_margin_mined_pairs_semantics(spark, duck):
+    """Every mined pair clears the ratio margin, crosses labels, and is
+    the query's top-1 exact neighbor; the mined margin recomputes from
+    the graph driver-side; exact oracle match."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    g = {(r.vec_id, r.rank): r for r in SIM.knn_graph(emb).collect()}
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = SIM.margin_mined_pairs(emb).collect()
+    assert out, "fixture should mine at least one cross-label pair"
+    for r in out:
+        assert r.margin >= 1.02
+        assert r.label_a == labels[r.vec_id] != r.label_b == labels[r.nbr]
+        assert g[(r.vec_id, 1)].nbr == r.nbr
+    assert_matches_oracle(SIM.margin_mined_pairs(emb), duck,
+                          E.oracle_sql()["margin_mined_pairs"])

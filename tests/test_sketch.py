@@ -380,3 +380,27 @@ def test_cm_join_size_upper_bounds_exact(spark):
         .collect()[0].est_pairs
     n = ev.count()
     assert f2 <= self_est <= f2 + 3 * n * n / SKC.WIDTH
+
+
+def test_join_key_discovery_finds_fk_edges(spark, duck):
+    """The TPC-H foreign keys must surface with near-total containment
+    (estimation error at k=256 is ~6%; assert a loose 0.8), and the
+    report hash-matches the DuckDB twin."""
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    q = E.queries()["join_key_discovery"]
+    out = q(spark, SF_DIR)
+    rows = {(r.col_a, r.col_b): r for r in out.collect()}
+    assert len(rows) == 15   # 6 columns -> C(6,2) pairs
+
+    def containment_of(inner, outer):
+        a, b = sorted([inner, outer])
+        r = rows[(a, b)]
+        return r.cont_a_in_b if a == inner else r.cont_b_in_a
+
+    assert containment_of("orders.o_custkey", "customer.c_custkey") >= 0.8
+    assert containment_of("lineitem.l_orderkey", "orders.o_orderkey") >= 0.8
+    assert containment_of("lineitem.l_partkey", "part.p_partkey") >= 0.8
+    assert_matches_oracle(q(spark, SF_DIR), duck,
+                          E.oracle_sql()["join_key_discovery"])

@@ -1299,6 +1299,47 @@ def _q_streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_streaming_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min grid maintained CONTINUOUSLY: events arrive in
+    micro-batches, each batch's grid folds by CELL-WISE ADDITION — the
+    CM merge — through the generic additive-state sink
+    (pipelines.counts_fold_sink with batch_counts = countmin_build).
+    Addition over a corpus partition reproduces the one-shot grid, so
+    the streamed sketch shares `countmin_user_sketch`'s oracle."""
+    import atexit
+    import shutil
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
+
+    chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
+    state_dir = replay.scratch_dir("cm_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        q = (
+            stream.select("user_id")
+            .writeStream
+            .foreachBatch(counts_fold_sink(
+                spark, lambda b: SKC.countmin_build(b, "user_id"),
+                ["d", "bucket"], ["cnt"], state_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming cm fold did not finish")
+        with open(os.path.join(state_dir, "CURRENT")) as fh:
+            return spark.read.parquet(
+                os.path.join(state_dir, fh.read().strip()))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_cm_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min point estimation as a first-class query: the exact
     top-20 heavy-hitter users (orderBy+limit — TakeOrderedAndProject)
@@ -1599,7 +1640,7 @@ _CHECK_FIRST = [
     "classifier_calibration", "streaming_token_drift",
     "ab_experiment_report", "dau_mau_stickiness",
     "source_quality_report", "margin_mined_pairs", "join_key_discovery",
-    "cm_user_estimates",
+    "cm_user_estimates", "streaming_cm_sketch",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1617,8 +1658,8 @@ _CHECK_FIRST = [
     "centroid_assign", "click_attribution_outer", "daily_user_journeys",
     "deterministic_sample", "discounted_parts_revenue",
     "embedding_quantize", "event_counts_unpivot", "event_value_histogram",
-    "hot_words_per_window", "idle_rich_customers",
-    # (24 r3-vintage refreshes displaced by the (b2)/(b3) additions —
+    "hot_words_per_window",
+    # (25 r3-vintage refreshes displaced by the (b2)/(b3) additions —
     # they join the r9 rotation pool above:
     # streaming_click_attribution_outer, streaming_histogram,
     # streaming_pivot_counts, streaming_session_windows,
@@ -1628,7 +1669,7 @@ _CHECK_FIRST = [
     # returned_items_report, revenue_by_nation, promo_revenue,
     # pricing_summary, pii_redaction, pandas_token_counts,
     # order_priority_counts, market_share, nation_trade_volume,
-    # large_volume_orders)
+    # large_volume_orders, idle_rich_customers)
     ]
 
 
@@ -2303,6 +2344,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact heavy hitters, with the exact count and the overestimate
         # alongside — the sketch-error report (est >= exact always)
         "cm_user_estimates": _q_cm_user_estimates,
+        # the CM grid folded per micro-batch (cell-wise addition = the
+        # CM merge) — shares the one-shot grid's oracle
+        "streaming_cm_sketch": _q_streaming_cm_sketch,
         "countmin_user_sketch": lambda s, d: SKC.countmin_build(
             load_table(s, d, "events"), "user_id"),
         # engine-exact HLL: the approximate distinct that CAN be
@@ -4581,6 +4625,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(d AS INTEGER) AS d, bucket, count(*) AS cnt
         FROM cells GROUP BY d, bucket
     """
+    # the streamed CM fold reproduces the one-shot grid exactly
+    # (cell-wise addition over a corpus partition) — shared oracle
+    sql["streaming_cm_sketch"] = sql["countmin_user_sketch"]
     sql["media_resize_meta"] = """
         SELECT doc_id AS media_id,
                strlen(text) AS n_bytes_in,

@@ -1640,7 +1640,7 @@ _CHECK_FIRST = [
     "classifier_calibration", "streaming_token_drift",
     "ab_experiment_report", "dau_mau_stickiness",
     "source_quality_report", "margin_mined_pairs", "join_key_discovery",
-    "cm_user_estimates", "streaming_cm_sketch",
+    "cm_user_estimates", "streaming_cm_sketch", "lpa_communities",
     # (c) every no_oracle row is OUT of the window this round (r7
     # verdict "What's wrong" #1): they banked their rows-only signal
     # twice (r6+r7); the local sf0.01 sweep still executes them.
@@ -1658,8 +1658,7 @@ _CHECK_FIRST = [
     "centroid_assign", "click_attribution_outer", "daily_user_journeys",
     "deterministic_sample", "discounted_parts_revenue",
     "embedding_quantize", "event_counts_unpivot", "event_value_histogram",
-    "hot_words_per_window",
-    # (25 r3-vintage refreshes displaced by the (b2)/(b3) additions —
+    # (26 r3-vintage refreshes displaced by the (b2)/(b3) additions —
     # they join the r9 rotation pool above:
     # streaming_click_attribution_outer, streaming_histogram,
     # streaming_pivot_counts, streaming_session_windows,
@@ -1669,7 +1668,7 @@ _CHECK_FIRST = [
     # returned_items_report, revenue_by_nation, promo_revenue,
     # pricing_summary, pii_redaction, pandas_token_counts,
     # order_priority_counts, market_share, nation_trade_volume,
-    # large_volume_orders, idle_rich_customers)
+    # large_volume_orders, idle_rich_customers, hot_words_per_window)
     ]
 
 
@@ -2189,6 +2188,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted PageRank by power iteration over the co-supply
         # graph (operators/graphrank.py): the iterative workload class,
         # engine-exact per round, unrolled in the oracle
+        # community detection: synchronous LPA (Raghavan 2007) over the
+        # co-supply graph — weighted votes, min-label ties, 3 rounds
+        # unrolled in the oracle (the corank/BFS discipline)
+        "lpa_communities": lambda s, d: GRK.lpa_communities(
+            load_table(s, d, "lineitem")),
         "supplier_corank": lambda s, d: GRK.supplier_corank(
             load_table(s, d, "lineitem")),
         # market-basket mining: Apriori-pruned frequent pairs with
@@ -2596,6 +2600,40 @@ def _split_case(key_expr: str, val_ppm: int = 50000,
     return (f"(CASE WHEN {h} < {test_ppm} THEN 'test' "
             f"WHEN {h} < {test_ppm + val_ppm} THEN 'val' "
             f"ELSE 'train' END)")
+
+
+def _lpa_sql(n_iters: int = 3) -> str:
+    """Synchronous LPA unrolled round by round (the _CORANK_SQL / BFS
+    discipline for deterministic iterative operators): same weighted
+    votes, same (votes DESC, label ASC) top-1 per node."""
+    parts = ["""
+e AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""]
+    prev = "l0"
+    for i in range(1, n_iters + 1):
+        parts.append(f"""
+v{i} AS (
+  SELECT e.src, l.label, SUM(e.w) AS votes
+  FROM e JOIN {prev} l ON l.node = e.dst GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT src AS node, label FROM (
+    SELECT src, label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY votes DESC, label) AS rn
+    FROM v{i}) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node AS supp, CAST(label AS BIGINT) AS community"
+          f" FROM {prev}"
+    )
 
 
 _STOPWORDS_SQL = "('the','and','is','of','to','in','a','that')"
@@ -4168,6 +4206,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # power-iteration rank: iterations unrolled as CTE rounds
     sql["supplier_corank"] = _CORANK_SQL()
+    # synchronous label propagation: rounds unrolled, weighted votes,
+    # (votes DESC, label ASC) top-1 — fully deterministic
+    sql["lpa_communities"] = _lpa_sql(3)
     # BFS unrolled: one CTE per frontier round (the corank discipline —
     # deterministic iterative ops verify by unrolling the rounds)
     sql["part_reach_hops"] = """

@@ -137,3 +137,47 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("v")
     return dist
+
+
+def lpa_communities(lineitem: DataFrame, n_iters: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, "Near linear time algorithm to detect
+    community structures in large-scale networks"; public method) over
+    the supplier co-supply graph: every node starts as its own label,
+    and each round adopts the label with the LARGEST weighted vote among
+    its neighbors — ties broken by the smallest label, so the
+    synchronous variant is fully deterministic and the whole run
+    unrolls into SQL (the supplier_corank / bfs_hops oracle
+    discipline). Fixed ``n_iters`` rounds (LPA's natural stopping point
+    is a few sweeps; determinism matters more than convergence here).
+    Columns: supp, community (label after the final round).
+
+    Scale shape: per round ONE edge-keyed join + one (node, label)
+    partial-agged groupBy + a per-node top-1 window — all O(|E|);
+    lineage truncated per round with localCheckpoint (the corank
+    discipline) so the plan does not grow with iterations."""
+    from pyspark.sql.window import Window
+
+    edges = cosupply_edges(lineitem)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("votes").desc(), F.col("label").asc())
+    for _ in range(n_iters):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src", "label")
+            .agg(F.sum("w").alias("votes"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("supp"),
+        F.col("label").cast("long").alias("community"),
+    )

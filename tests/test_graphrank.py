@@ -54,3 +54,30 @@ def test_bfs_hops_min_distance_and_horizon(spark):
     seeds = spark.createDataFrame([(1,)], "v long")
     out = {r.v: r.hop for r in bfs_hops(edges, seeds, n_rounds=2).collect()}
     assert out == {1: 0, 2: 1, 3: 1, 4: 2}  # 5 is 3 hops out: excluded
+
+
+def test_lpa_two_cliques_converge_and_oracle(spark, duck):
+    """Two disjoint co-supply cliques collapse to one community each
+    (hand-traced synchronous LPA with min-label ties), every graph node
+    gets a label, and the driver entry hash-matches the unrolled
+    oracle."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    rows = []
+    for ok, supps in [(1, [1, 2, 3]), (2, [10, 11, 12])]:
+        for s in supps:
+            rows.append((ok, s))
+    tiny = spark.createDataFrame(rows, "l_orderkey long, l_suppkey long")
+    out = {r.supp: r.community
+           for r in GR.lpa_communities(tiny).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    full = GR.lpa_communities(li).collect()
+    nodes = {r.supp for r in full}
+    labels = {r.community for r in full}
+    assert labels <= nodes            # labels are node ids
+    assert len(full) == len(nodes)    # one label per node
+    assert_matches_oracle(GR.lpa_communities(li), duck,
+                          E.oracle_sql()["lpa_communities"])

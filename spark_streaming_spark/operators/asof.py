@@ -219,10 +219,20 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     rvals = [c for c in right.columns if c not in (key, ts_col, id_col)]
-    clash = (set(rvals) | {"asof_id", "asof_ts"}) & set(left.columns)
+    # Internal working columns (ADVICE r8: these were unchecked — a left
+    # column named e.g. __b_asof_ts would silently corrupt the join):
+    internal = {"__ts", "__is_r", "__rid"}
+    internal |= {f"{p}{d}" for p in ("__b_", "__f_")
+                 for d in ("asof_ts", "asof_id", *rvals)}
+    clash = (set(rvals) | {"asof_id", "asof_ts"} | internal) \
+        & set(left.columns)
     if clash:
         raise ValueError(
             f"output columns collide with left columns: {sorted(clash)}")
+    rclash = internal & set(rvals)
+    if rclash:
+        raise ValueError(
+            f"right value columns use reserved names: {sorted(rclash)}")
     r = right.select(
         F.col(key),
         F.col(ts_col).alias("__ts"),

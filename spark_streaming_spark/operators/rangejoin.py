@@ -137,9 +137,18 @@ def range_join(points: DataFrame, intervals: DataFrame,
 
 
 def _grid_cell(col: str, bucket: int):
-    # floor division (not DIV, which truncates toward zero) so the grid
-    # stays aligned for negative axis values
-    return F.floor(F.col(col) / F.lit(bucket)).cast("long")
+    # exact INTEGER floor division (ADVICE r8: int/int `/` promotes to
+    # double, so cell ids lose precision past 2^53 and can mis-bucket
+    # boundary points on generic int64 axes — epoch micros, cents).
+    # DIV truncates toward zero, so negatives take the ceil-of-magnitude
+    # form to keep the grid floor-aligned: floor(-9/8) = -2.
+    b = int(bucket)
+    if b <= 0:
+        raise ValueError(f"bucket must be positive, got {bucket}")
+    return F.expr(
+        f"CAST(IF({col} >= 0, {col} DIV {b}, "
+        f"-(((-({col})) + {b} - 1) DIV {b})) AS BIGINT)"
+    )
 
 
 def ship_window_order_counts(orders: DataFrame, lineitem: DataFrame,

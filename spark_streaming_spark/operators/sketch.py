@@ -97,7 +97,17 @@ def cm_join_size(a: DataFrame, col_a: str, b: DataFrame, col_b: str,
     DECIMAL(38,0) — cnt·cnt wraps int64 once per-cell counts pass ~3e9),
     so the estimate itself hash-checks. Per-d inner products are emitted
     alongside the min so the oracle pins all depth rows.
-    Columns: d, ip (row-d inner product), est_pairs (min over d)."""
+    Columns: d, ip (row-d inner product), est_pairs (min over d).
+
+    Output ceiling (ADVICE r8): ip/est_pairs are emitted as BIGINT for
+    oracle parity (DuckDB ``.df()`` turns HUGEINT/DECIMAL into float64,
+    so a decimal output would false-mismatch the driver comparator). The
+    accumulator is exact to 1e38, but the OUTPUT caps at int64 ≈ 9.2e18
+    estimated pairs; past that the boundary cast fails LOUDLY — this
+    engine runs with Spark 4.x default ANSI mode on, where an
+    out-of-range decimal→long cast raises rather than wrapping/nulling.
+    A deployment estimating >9.2e18-pair joins should read ``ip_dec``
+    before this projection."""
     from pyspark.sql import Window
 
     ga = countmin_build(a, col_a, depth, width)

@@ -192,7 +192,18 @@ def winnow_fingerprints(docs: DataFrame, w: int = WINNOW_W) -> DataFrame:
                 - F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
             ) * _WINNOW_POSCAP + i,
         ).alias("key"),
-        F.size("sh").alias("n_sh"),
+        # Runtime guard (ADVICE r8): a document past the 2^21-shingle
+        # position cap would silently corrupt the packed key; fail
+        # loudly instead (the cap was previously only test-asserted).
+        # A >2M-shingle document at 100 TB widens the pack to 2^30
+        # inside the same BIGINT; until then this is a data-contract
+        # violation worth stopping the job for.
+        F.when(F.size("sh") < _WINNOW_POSCAP, F.size("sh"))
+        .otherwise(F.raise_error(F.format_string(
+            "winnow_fingerprints: doc %s has %s shingles >= 2^21 "
+            "position cap — widen _WINNOW_POSCAP",
+            F.col("doc_id").cast("string"),
+            F.size("sh").cast("string")))).alias("n_sh"),
     )
     sels = hashed.select(
         "doc_id",

@@ -1299,6 +1299,52 @@ def _q_streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_streaming_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heavy-hitter summary maintained CONTINUOUSLY (the reference's
+    WindowHotWord surface with bounded output): documents arrive in
+    micro-batches, each folding its exact per-word counter table into
+    the accumulated state (pipelines.counts_fold_sink — counter tables
+    are ADDITIVE under corpus partition), and the Misra-Gries prune runs
+    once on the final state. Shard-and-merge ≡ one-shot holds EXACTLY
+    for this additive path (test-pinned in tests/test_sketch.py), so the
+    streamed summary shares `spacesaving_hot_words`' oracle verbatim.
+    At 100 TB the read-side state can fold through sketch.mg_merge at a
+    larger m instead, trading exact equality for the pinned N/m bound."""
+    import atexit
+    import shutil
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
+
+    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
+    state_dir = replay.scratch_dir("ss_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        q = (
+            stream.select("doc_id", "text")
+            .writeStream
+            .foreachBatch(counts_fold_sink(
+                spark, SKC.spacesaving_word_counts, ["word"],
+                ["cnt"], state_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming spacesaving fold did not finish")
+        with open(os.path.join(state_dir, "CURRENT")) as fh:
+            counters = spark.read.parquet(
+                os.path.join(state_dir, fh.read().strip()))
+        return SKC.mg_prune(counters, "word", 20)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_streaming_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min grid maintained CONTINUOUSLY: events arrive in
     micro-batches, each batch's grid folds by CELL-WISE ADDITION — the
@@ -2353,6 +2399,18 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cm_sketch": _q_streaming_cm_sketch,
         "countmin_user_sketch": lambda s, d: SKC.countmin_build(
             load_table(s, d, "events"), "user_id"),
+        # Misra-Gries / SpaceSaving heavy hitters (Metwally 2005;
+        # Agarwal 2013 mergeable summaries): BIGINT counters, md5
+        # boundary ties, integer subtract-and-drop — the frequent-items
+        # sketch that hash-checks. est = guaranteed lower bound,
+        # true <= est + err; bounded-state twin of the WindowHotWord
+        # sortByKey+take surface
+        "spacesaving_hot_words": lambda s, d: SKC.spacesaving_hot_words(
+            load_table(s, d, "documents"), k=20),
+        # the counter table folded per micro-batch (counter addition =
+        # the MG merge pre-prune), pruned once at read — exact-equality
+        # path, shares the one-shot oracle
+        "streaming_spacesaving_hot_words": _q_streaming_spacesaving,
         # engine-exact HLL: the approximate distinct that CAN be
         # hash-checked (md5 hash + integer registers + one shared-literal
         # divide — unlike approx_count_distinct's private seeds)
@@ -4669,6 +4727,14 @@ def oracle_sql() -> dict[str, str]:
     # the streamed CM fold reproduces the one-shot grid exactly
     # (cell-wise addition over a corpus partition) — shared oracle
     sql["streaming_cm_sketch"] = sql["countmin_user_sketch"]
+    # Misra-Gries/SpaceSaving heavy hitters (operators/sketch.mg_prune):
+    # same counts, same (cnt DESC, md5(word)) boundary order, same
+    # integer subtract-and-drop — generated from the one frozen dialect
+    # twin; the streamed fold (counter addition + one final prune) is
+    # exactly the one-shot summary, so it shares the oracle
+    from spark_streaming_spark.operators.sketch import spacesaving_sql
+    sql["spacesaving_hot_words"] = spacesaving_sql(20)
+    sql["streaming_spacesaving_hot_words"] = sql["spacesaving_hot_words"]
     sql["media_resize_meta"] = """
         SELECT doc_id AS media_id,
                strlen(text) AS n_bytes_in,

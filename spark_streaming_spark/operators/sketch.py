@@ -792,3 +792,150 @@ def join_key_discovery_sql(sides_sql: list, k: int = THETA_K) -> str:
                round(est_inter / est_b, 7) AS cont_b_in_a
         FROM ov
     """
+
+
+# --- Misra-Gries / SpaceSaving heavy hitters with an ENGINE-EXACT contract --
+#
+# Misra & Gries 1982 ("Finding repeated elements") / Metwally et al.
+# 2005 SpaceSaving, in the MERGEABLE-summaries formulation of Agarwal
+# et al. 2013 ("Mergeable summaries", PODS): a summary is a counter
+# table of at most k entries; PRUNE of an oversized table subtracts the
+# (k+1)-st largest counter value t from every counter and drops the
+# non-positive ones; MERGE is pointwise counter addition followed by a
+# re-prune. Every kept counter is a LOWER bound on the true frequency,
+# off by at most the accumulated ``err`` — and any key whose true count
+# exceeds ``err`` is guaranteed to survive (the classic N/(k+1) heavy-
+# hitter guarantee when built from exact counts).
+#
+# Engine-exact contract (the hll_distinct treatment): counters are
+# BIGINT, the (k+1)-st-largest selection orders by (cnt DESC, md5(key)
+# ASC) so boundary ties resolve identically on any engine, and the
+# whole prune is integer arithmetic — the summary itself hash-checks
+# against a DuckDB twin. Shard-and-merge ≡ one-shot holds EXACTLY for
+# the additive path Spark actually executes (per-shard exact counts are
+# summed by the partial agg / the streamed counts_fold_sink, and the
+# prune runs once at the end); merging ALREADY-PRUNED shard summaries
+# trades that equality for the MG error bound — both contracts are
+# test-pinned in tests/test_sketch.py.
+#
+# Reference parity: this gives the hot-words surface
+# (/root/reference/src/main/java/com/soto/WindowHotWord.java:52-87,
+# swap -> sortByKey(false) -> take(3)) a BOUNDED-STATE summary: at
+# 100 TB the fold state is O(k) counters per shard instead of O(vocab),
+# with est within N/k of truth.
+
+
+def mg_prune(counters: DataFrame, key_col: str, k: int,
+             cnt_col: str = "cnt") -> DataFrame:
+    """Misra-Gries prune of a counter table to at most ``k`` entries.
+    Emits (key_col, est, err): ``est`` = counter minus the (k+1)-st
+    largest counter value t (rows folding to <= 0 drop), ``err`` = t.
+    Guarantee when ``counters`` holds exact counts: est <= true <= est
+    + err, and every key with true count > err survives.
+
+    Plan shape: ``orderBy(cnt DESC, md5(key)).limit(k+1)`` is a
+    TakeOrderedAndProject — each partition keeps a (k+1)-row heap, the
+    driver merges heaps; the global window after it runs on <= k+1 rows
+    (driver-sized, the sanctioned single-partition exemption), so no
+    data-sized exchange exists anywhere."""
+    from pyspark.sql.window import Window
+
+    tie = F.md5(F.col(key_col).cast("string"))
+    lim = counters.orderBy(F.col(cnt_col).desc(), tie.asc()).limit(k + 1)
+    w = Window.orderBy(F.col(cnt_col).desc(), tie.asc())
+    ranked = lim.withColumn("__rn", F.row_number().over(w))
+    t = F.max(
+        F.when(F.col("__rn") == k + 1, F.col(cnt_col)).otherwise(F.lit(0))
+    ).over(Window.partitionBy())
+    return (
+        ranked.withColumn("__t", t)
+        .filter((F.col("__rn") <= k)
+                & (F.col(cnt_col) - F.col("__t") > 0))
+        .select(
+            F.col(key_col),
+            (F.col(cnt_col) - F.col("__t")).cast("long").alias("est"),
+            F.col("__t").cast("long").alias("err"),
+        )
+    )
+
+
+def mg_merge(a: DataFrame, b: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Merge two MG summaries (key_col, est, err): pointwise counter
+    addition, re-prune to ``k``, and the error budgets ADD (Agarwal et
+    al. 2013 merge rule — the new prune's subtraction stacks on top of
+    whatever each input already forfeited). Deterministic end to end,
+    so repeated merges of the same shards reproduce bit-identical
+    summaries; the MG bound est <= true <= est + err is preserved."""
+    added = (
+        a.select(key_col, "est").unionByName(b.select(key_col, "est"))
+        .groupBy(key_col).agg(F.sum("est").alias("cnt"))
+    )
+    carry = (
+        a.agg(F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("__ea"))
+        .crossJoin(
+            b.agg(F.coalesce(F.max("err"), F.lit(0)).cast("long")
+                  .alias("__eb")))
+    )
+    return (
+        mg_prune(added, key_col, k)
+        .crossJoin(F.broadcast(carry))
+        .select(
+            key_col, "est",
+            (F.col("err") + F.col("__ea") + F.col("__eb")).cast("long")
+            .alias("err"),
+        )
+    )
+
+
+def spacesaving_word_counts(docs: DataFrame,
+                            text_col: str = "text") -> DataFrame:
+    """The additive counter table under the heavy-hitter summary:
+    per-word exact counts (word, cnt) — one explode + one partial-agged
+    groupBy, the word_count shape with empty tokens dropped. ADDITIVE
+    under corpus partition, so per-shard / per-micro-batch tables sum to
+    the one-shot table (what counts_fold_sink folds)."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def spacesaving_hot_words(docs: DataFrame, k: int = 20,
+                          text_col: str = "text") -> DataFrame:
+    """Heavy-hitter words via the deterministic SpaceSaving/MG summary:
+    exact token counts, one MG prune to ``k``. Columns: word, est
+    (guaranteed lower bound on the true count), err (= the subtracted
+    (k+1)-st counter; true count <= est + err). Hash-checkable because
+    every degree of freedom — counter values, boundary tie order, the
+    subtraction — is integer + md5."""
+    return mg_prune(spacesaving_word_counts(docs, text_col), "word", k)
+
+
+def spacesaving_sql(k: int, table: str = "documents",
+                    text_col: str = "text") -> str:
+    """DuckDB twin of :func:`spacesaving_hot_words` — same counts, same
+    (cnt DESC, md5(word)) boundary order, same subtract-and-drop."""
+    return f"""
+        WITH c AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split({text_col}, ' ')) AS word
+                FROM {table})
+          WHERE word <> ''
+          GROUP BY 1
+        ),
+        r AS (
+          SELECT word, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, md5(word)) AS rn
+          FROM c
+        ),
+        t AS (
+          SELECT COALESCE(MAX(CASE WHEN rn = {k + 1} THEN cnt END), 0) AS tv
+          FROM r
+        )
+        SELECT word, CAST(cnt - tv AS BIGINT) AS est,
+               CAST(tv AS BIGINT) AS err
+        FROM r, t
+        WHERE rn <= {k} AND cnt - tv > 0
+    """

@@ -404,3 +404,69 @@ def test_join_key_discovery_finds_fk_edges(spark, duck):
     assert containment_of("lineitem.l_partkey", "part.p_partkey") >= 0.8
     assert_matches_oracle(q(spark, SF_DIR), duck,
                           E.oracle_sql()["join_key_discovery"])
+
+
+def test_spacesaving_hot_words_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert_matches_oracle(
+        SKC.spacesaving_hot_words(docs, k=20),
+        duck, SKC.spacesaving_sql(20))
+
+
+def test_mg_shard_and_merge_equals_oneshot(spark):
+    """The additive path the engine actually executes: per-shard EXACT
+    counter tables, pointwise-summed, pruned ONCE == the one-shot
+    summary (this is why the streamed counts_fold_sink twin can share
+    the batch oracle verbatim)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    added = (
+        SKC.spacesaving_word_counts(even)
+        .unionByName(SKC.spacesaving_word_counts(odd))
+        .groupBy("word").agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = {tuple(r) for r in SKC.mg_prune(added, "word", 15).collect()}
+    oneshot = {tuple(r) for r in SKC.spacesaving_hot_words(docs, 15).collect()}
+    assert merged == oneshot and len(oneshot) > 0
+
+
+def test_mg_pruned_merge_keeps_bound(spark):
+    """Merging ALREADY-PRUNED shard summaries (the bounded-state 100 TB
+    path) keeps the MG contract: est <= true <= est + err for every
+    surviving key, and every key with true count > err survives."""
+    docs = load_table(spark, SF_DIR, "documents")
+    m = 48
+    sa = SKC.mg_prune(
+        SKC.spacesaving_word_counts(docs.filter(F.col("doc_id") % 2 == 0)),
+        "word", m)
+    sb = SKC.mg_prune(
+        SKC.spacesaving_word_counts(docs.filter(F.col("doc_id") % 2 == 1)),
+        "word", m)
+    merged = SKC.mg_merge(sa, sb, "word", m).collect()
+    assert 0 < len(merged) <= m
+    true = dict(SKC.spacesaving_word_counts(docs).collect())
+    errs = {r["err"] for r in merged}
+    assert len(errs) == 1
+    err = errs.pop()
+    for r in merged:
+        assert r["est"] <= true[r["word"]] <= r["est"] + err, r
+    surviving = {r["word"] for r in merged}
+    for w, c in true.items():
+        if c > err:
+            assert w in surviving, (w, c, err)
+
+
+def test_mg_merge_deterministic(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = SKC.mg_prune(
+        SKC.spacesaving_word_counts(docs.filter(F.col("doc_id") % 3 == 0)),
+        "word", 32)
+    b = SKC.mg_prune(
+        SKC.spacesaving_word_counts(docs.filter(F.col("doc_id") % 3 != 0)),
+        "word", 32)
+    one = sorted(tuple(r) for r in SKC.mg_merge(a, b, "word", 32).collect())
+    two = sorted(tuple(r) for r in SKC.mg_merge(a, b, "word", 32).collect())
+    assert one == two and len(one) > 0

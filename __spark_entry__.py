@@ -1299,6 +1299,55 @@ def _q_streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_streaming_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application AT INGEST — the 100 TB deployment shape for
+    a learned BPE: train ONCE on the reference corpus (the same 8-merge
+    artifact bpe_train_merges builds, 6-merge prefix), broadcast the
+    merge list as a PLAN CONSTANT, and segment every arriving micro-
+    batch map-only (operators/bpe.bpe_segment — zero shuffles per batch
+    beyond the per-doc stats agg). Each document lives in exactly one
+    micro-batch, so the additive fold (pipelines.counts_fold_sink keyed
+    by doc_id) reproduces the one-shot per-doc stats table verbatim:
+    shared oracle with `bpe_segment_stats` (the unrolled-rounds
+    bpe_segment_sql twin)."""
+    import atexit
+    import shutil
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(r.left, r.right) for r in BPE.bpe_train(
+        docs, n_merges=8, cache_key=sf_dir).orderBy("step").collect()][:6]
+
+    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
+    state_dir = replay.scratch_dir("bpeseg_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    try:
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        q = (
+            stream.select("doc_id", "text")
+            .writeStream
+            .foreachBatch(counts_fold_sink(
+                spark, lambda b: BPE.bpe_segment(b, merges),
+                ["doc_id"], ["n_words", "n_subwords"], state_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming bpe segment did not finish")
+        with open(os.path.join(state_dir, "CURRENT")) as fh:
+            return spark.read.parquet(
+                os.path.join(state_dir, fh.read().strip()))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _q_streaming_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The heavy-hitter summary maintained CONTINUOUSLY (the reference's
     WindowHotWord surface with bounded output): documents arrive in
@@ -2076,20 +2125,28 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
         # BPE tokenizer TRAINING (operators/bpe.py): iterative distributed
-        # merge learning — no SQL twin exists for a fixpoint, so these are
-        # rows-only driver entries; exactness is pinned against a pure-
-        # Python reference BPE in tests/test_bpe.py
+        # merge learning — the merge LIST's per-round driver argmax is
+        # genuinely iterative, so that entry stays rows-only (pinned
+        # against a pure-Python reference BPE in tests/test_bpe.py)
         "bpe_train_merges": lambda s, d: BPE.bpe_train(
             load_table(s, d, "documents"), n_merges=8, cache_key=d),
         # trains the SAME 8-merge artifact as bpe_train_merges (one train
         # per bench run via the shared cache key) and takes the 6-merge
         # prefix — greedy BPE merges are a prefix-stable sequence, so
-        # first-6-of-8 == train-6 exactly
+        # first-6-of-8 == train-6 exactly. HASH-CHECKED since r9: the
+        # oracle (bpe.bpe_segment_sql) unrolls the 6 training rounds into
+        # chained CTEs — argmax under the same tie order, leftmost-greedy
+        # merge as a list_reduce string fold — so the integer per-doc
+        # stats carry a full cross-engine oracle (VERDICT r8 #5)
         "bpe_segment_stats": lambda s, d: BPE.bpe_segment(
             load_table(s, d, "documents"),
             [(r.left, r.right) for r in BPE.bpe_train(
                 load_table(s, d, "documents"), n_merges=8, cache_key=d)
              .orderBy("step").collect()][:6]),
+        # the learned tokenizer applied AT INGEST: merges broadcast as a
+        # plan constant, map-only per micro-batch, per-doc stats folded
+        # additively — shares bpe_segment_stats' unrolled oracle
+        "streaming_bpe_segment": _q_streaming_bpe_segment,
         "bpe_token_stats": lambda s, d: TX.bpe_token_stats(load_table(s, d, "documents")),
         "term_stats": lambda s, d: TX.term_stats(load_table(s, d, "documents")),
         "top_terms_per_lang": lambda s, d: AN.top_terms_per_lang(
@@ -4735,6 +4792,15 @@ def oracle_sql() -> dict[str, str]:
     from spark_streaming_spark.operators.sketch import spacesaving_sql
     sql["spacesaving_hot_words"] = spacesaving_sql(20)
     sql["streaming_spacesaving_hot_words"] = sql["spacesaving_hot_words"]
+    # BPE segmentation stats (operators/bpe.bpe_segment_sql): the 6
+    # training rounds UNROLLED into chained CTEs — per-round pair-count
+    # argmax under the shared (cnt DESC, l, r) tie order, leftmost-
+    # greedy merge as a list_reduce string fold; integer outputs, so the
+    # learned tokenizer's compression stats hash-check cross-engine.
+    # The streamed twin segments each micro-batch with the same merges
+    # (docs are batch-disjoint, additive fold ≡ one-shot): shared oracle
+    sql["bpe_segment_stats"] = BPE.bpe_segment_sql(6)
+    sql["streaming_bpe_segment"] = sql["bpe_segment_stats"]
     sql["media_resize_meta"] = """
         SELECT doc_id AS media_id,
                strlen(text) AS n_bytes_in,

@@ -164,3 +164,69 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
             F.sum(F.size("syms")).cast("long").alias("n_subwords"),
         )
     )
+
+
+def bpe_segment_sql(n_merges: int, table: str = "documents") -> str:
+    """DuckDB twin of ``bpe_train(n_merges)`` + :func:`bpe_segment` —
+    the training loop UNROLLED into ``n_merges`` chained CTE rounds (the
+    lpa_communities discipline: a deterministic iteration with a fixed
+    round count is SQL-expressible by unrolling). Each round recomputes
+    pair counts from the current vocabulary segmentation, picks the
+    argmax pair under the same (cnt DESC, l, r ASC) tie order, and
+    applies the leftmost-greedy merge as a ``list_reduce`` string fold:
+    the accumulator is the segmented word packed on chr(31) (symbols are
+    space-split tokens, so they never contain it), seeded with a chr(30)
+    sentinel so the first symbol never merges into nothing; a tail
+    symbol equal to ``l`` followed by ``r`` folds into ``l||r``, and the
+    just-merged tail no longer ends with chr(31)||l — exactly the
+    leftmost-first overlap rule of the Spark fold (_merge_expr).
+
+    This makes the SEGMENTATION STATS hash-checkable (VERDICT r8 #5):
+    the entry's integer (doc_id, n_words, n_subwords) rows now carry a
+    full cross-engine oracle; only the merge LIST entry stays rows-only
+    (its per-round driver argmax is the genuinely iterative part —
+    pinned against a pure-Python reference in tests instead)."""
+    rounds = []
+    prev = "w0"
+    for k in range(1, n_merges + 1):
+        rounds.append(f"""
+        p{k} AS (
+          SELECT z[1] AS l, z[2] AS r, SUM(freq) AS cnt
+          FROM {prev}, LATERAL (
+            SELECT unnest(list_zip(syms[1:-2], syms[2:-1])) AS z) zz
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2
+        ),
+        m{k} AS (SELECT l, r FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+        w{k} AS (
+          SELECT word, freq,
+            string_split(list_reduce(list_prepend(chr(30), syms),
+              (acc, x) -> CASE
+                WHEN x = m{k}.r AND ends_with(acc, chr(31) || m{k}.l)
+                THEN left(acc, length(acc) - length(m{k}.l))
+                     || m{k}.l || m{k}.r
+                ELSE acc || chr(31) || x END), chr(31))[2:] AS syms
+          FROM {prev}, m{k}
+        )""")
+        prev = f"w{k}"
+    return f"""
+        WITH w0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                 list_transform(range(1, length(word) + 1),
+                                i -> substr(word, i, 1)) AS syms
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM {table})
+          WHERE word <> ''
+          GROUP BY word
+        ),{",".join(rounds)},
+        docw AS (
+          SELECT doc_id, word
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM {table})
+          WHERE word <> ''
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(SUM(len({prev}.syms)) AS BIGINT) AS n_subwords
+        FROM docw JOIN {prev} USING (word)
+        GROUP BY doc_id
+    """

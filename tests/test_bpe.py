@@ -8,6 +8,7 @@ from __future__ import annotations
 from collections import Counter
 
 from spark_streaming_spark.operators import bpe
+from spark_streaming_spark.operators import bpe as BPE
 from spark_streaming_spark.sources.batch import load_table
 from tests.conftest import SF_DIR
 
@@ -95,3 +96,16 @@ def test_bpe_train_cache_prefix_stable(spark):
     ]
     assert sliced == fresh == full[:5]
     bpe._MERGE_CACHE.pop(key, None)
+
+
+def test_bpe_segment_matches_unrolled_sql_oracle(spark, duck):
+    """The unrolled-rounds DuckDB twin (bpe_segment_sql) reproduces
+    train(6)+segment bit-for-bit — the contract that moved
+    bpe_segment_stats out of the rows-only set (VERDICT r8 #5)."""
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = [(r.left, r.right) for r in
+              BPE.bpe_train(docs, n_merges=6).orderBy("step").collect()]
+    assert_matches_oracle(
+        BPE.bpe_segment(docs, merges), duck, BPE.bpe_segment_sql(6))

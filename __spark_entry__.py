@@ -2517,6 +2517,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("media_id", "n_bytes_in", "n_bytes_out"),
         "media_byte_features": lambda s, d: MM.byte_features(
             MM.to_media_table(load_table(s, d, "documents"))),
+        # deterministic integer twin (VERDICT r8 #6): same Arrow
+        # mapInPandas path over the same payloads, integer sufficient
+        # statistics of the byte histogram (sum / Rényi-2 collision
+        # numerator / occupied bins) — hash-checked, so the float
+        # byte_entropy entry's plumbing carries an exact oracle
+        "media_byte_features_det": lambda s, d: MM.byte_features_det(
+            MM.to_media_table(load_table(s, d, "documents"))),
         # custom Python DataSource (pyspark.sql.datasource) — the rollup
         # runs over rows GENERATED by the source, so its oracle checks
         # the source layer itself (sources/pysource.py)
@@ -4064,8 +4071,38 @@ def oracle_sql() -> dict[str, str]:
                octet_length(CAST(text AS BLOB)) AS n_bytes
         FROM documents
     """
-    # media_byte_features: rows-only (Arrow pandas-UDF path; byte-level
-    # entropy has no tractable SQL twin)
+    # media_byte_features: rows-only (float entropy; numpy pairwise
+    # summation is not bitwise portable) — its integer twin below IS
+    # hash-checked, pinning the same payload → histogram plumbing.
+    # Payloads are the UTF-8 text bytes and the corpus is ASCII
+    # (test-asserted octet_length == length), so the oracle's per-CHAR
+    # ascii() equals the engine's per-BYTE histogram; a non-ASCII corpus
+    # would red this entry loudly rather than drift silently.
+    sql["media_byte_features_det"] = """
+        WITH b AS (
+          SELECT doc_id AS media_id, ascii(substr(text, i, 1)) AS byte
+          FROM documents, LATERAL (
+            SELECT unnest(range(1, length(text) + 1)) AS i) t
+        ),
+        h AS (
+          SELECT media_id, byte, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT media_id,
+                 CAST(SUM(c) AS BIGINT) AS n_bytes,
+                 CAST(SUM(byte * c) AS BIGINT) AS byte_sum,
+                 CAST(SUM(c * c) AS BIGINT) AS byte_sq,
+                 CAST(count(*) AS BIGINT) AS n_distinct
+          FROM h GROUP BY media_id
+        )
+        SELECT d.doc_id AS media_id,
+               COALESCE(s.n_bytes, 0) AS n_bytes,
+               COALESCE(s.byte_sum, 0) AS byte_sum,
+               COALESCE(s.byte_sq, 0) AS byte_sq,
+               COALESCE(s.n_distinct, 0) AS n_distinct
+        FROM documents d LEFT JOIN s ON s.media_id = d.doc_id
+    """
     sql["video_frame_offsets"] = """
         WITH vids AS (
           SELECT doc_id AS media_id,

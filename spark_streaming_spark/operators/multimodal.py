@@ -295,3 +295,57 @@ def audio_windows(media: DataFrame, sample_rate: int = 8000,
             F.lit(win_bytes).cast("long").alias("byte_len"),
         )
     )
+
+
+_FEATURE_DET_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("byte_sum", LongType()),
+    StructField("byte_sq", LongType()),
+    StructField("n_distinct", LongType()),
+])
+
+
+def byte_features_det(media: DataFrame) -> DataFrame:
+    """Deterministic INTEGER twin of :func:`byte_features` (VERDICT r8
+    #6) — the same real Arrow ``mapInPandas`` plumbing over the binary
+    payloads, emitting the integer sufficient statistics of the byte
+    histogram instead of float entropy, so the multimodal family's
+    feature extraction hash-checks cross-engine:
+
+    * ``byte_sum`` — Σ byte values (exact mean numerator:
+      mean_byte = byte_sum / n_bytes);
+    * ``byte_sq`` — Σ c_b² over the 256-bin histogram, the collision /
+      Rényi-2 numerator (H₂ = log2(n_bytes² / byte_sq) — the float is
+      derivable, the stored statistic exact);
+    * ``n_distinct`` — occupied histogram bins.
+
+    Bounded per document (c_b ≤ n_bytes), so byte_sq stays far below
+    int64 at any corpus scale — per-doc statistics never accumulate
+    across documents. Columns: media_id, n_bytes, byte_sum, byte_sq,
+    n_distinct."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256).astype(np.int64)
+                rows.append((
+                    mid,
+                    int(arr.size),
+                    int(arr.sum(dtype=np.int64)),
+                    int((counts * counts).sum()),
+                    int((counts > 0).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "byte_sum", "byte_sq",
+                         "n_distinct"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=_FEATURE_DET_SCHEMA
+    )

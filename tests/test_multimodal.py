@@ -81,3 +81,33 @@ def test_audio_windows_framing_identity(spark):
         # (win_no <= (n - win) // hop guarantees no overrun)
         assert r.byte_start % 80 == 0
         assert r.byte_start + r.byte_len <= sizes[r.media_id]
+
+
+def test_byte_features_det_matches_oracle_and_float_twin(spark, duck):
+    """The integer twin hash-checks cross-engine AND agrees with the
+    float entry's derivable statistics (mean = byte_sum/n_bytes), plus
+    the ASCII precondition the oracle depends on."""
+    from spark_streaming_spark.operators import multimodal as MM
+    from spark_streaming_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR, assert_matches_oracle
+    import __spark_entry__ as E
+
+    docs = load_table(spark, SF_DIR, "documents")
+    media = MM.to_media_table(docs)
+    assert_matches_oracle(
+        MM.byte_features_det(media), duck,
+        E.oracle_sql()["media_byte_features_det"])
+    # ASCII precondition: byte length == char length for every doc
+    bad = docs.filter(
+        F.length(F.col("text").cast("binary")) != F.length("text")).count()
+    assert bad == 0
+    det = {r["media_id"]: r for r in MM.byte_features_det(media).collect()}
+    flo = {r["media_id"]: r for r in MM.byte_features(media).collect()}
+    assert set(det) == set(flo)
+    for mid, d in det.items():
+        f = flo[mid]
+        assert d["n_bytes"] == f["n_bytes"]
+        if d["n_bytes"]:
+            assert abs(d["byte_sum"] / d["n_bytes"] - f["mean_byte"]) < 1e-9

@@ -729,3 +729,56 @@ def span_dup_coverage(docs: DataFrame, k: int = 8,
                    " AS BIGINT)").alias("dup_ppm"),
         )
     )
+
+
+def dup_communities(docs: DataFrame, max_hamming: int = 3,
+                    n_iters: int = 3) -> DataFrame:
+    """Near-duplicate GRAPH communities (VERDICT r8 #8): synchronous
+    label propagation (graphrank.lpa_propagate — Raghavan 2007) over the
+    lossless banded SimHash pair graph (:func:`simhash_pairs`), instead
+    of the transitive closure :func:`dup_components` computes. The
+    difference matters at loose thresholds: connected components chains
+    A~B~C~… into one mega-cluster even when the ends share nothing,
+    while LPA's weighted majority votes split such chains at their weak
+    links — the better clustering for near-dup KEEP-BEST decisions.
+
+    Votes are weighted by closeness: w = max_hamming + 1 - hamming
+    (integer, so the vote sums hash-check), edges fed in both
+    directions PLUS a full-weight SELF edge per edge-touched node (a
+    document is hamming-0 similar to itself). The self vote is what
+    stabilizes synchronous LPA: without it an isolated dup pair SWAPS
+    labels every round (the classic bipartite oscillation) and lands in
+    two different "communities" after any odd round count — with it the
+    pair converges to the min label in two rounds. Documents with no
+    near-dup edge are their own singleton community — one left join,
+    never entering the iteration. Fixed ``n_iters`` rounds, min-label
+    ties: fully deterministic, and the oracle unrolls the rounds (the
+    lpa_communities discipline).
+
+    Scale shape: the pair build is the banded-LSH plan (never
+    all-pairs); each LPA round is one edge join + one partial-agged
+    vote groupBy + a per-node top-1 window, all O(|near-dup edges|) —
+    and the near-dup graph is orders of magnitude smaller than the
+    corpus. Columns: doc_id, community."""
+    from spark_streaming_spark.operators.graphrank import lpa_propagate
+
+    pairs = simhash_pairs(docs, max_hamming)
+    wcol = (F.lit(max_hamming + 1) - F.col("hamming")).cast("long")
+    fwd = pairs.select(F.col("doc_a").alias("src"),
+                       F.col("doc_b").alias("dst"), wcol.alias("w"))
+    rev = pairs.select(F.col("doc_b").alias("src"),
+                       F.col("doc_a").alias("dst"), wcol.alias("w"))
+    sym = fwd.unionByName(rev)
+    self_edges = sym.select("src").distinct().select(
+        "src", F.col("src").alias("dst"),
+        F.lit(max_hamming + 1).cast("long").alias("w"))
+    labels = lpa_propagate(sym.unionByName(self_edges), n_iters)
+    return (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).cast("long")
+            .alias("community"),
+        )
+    )

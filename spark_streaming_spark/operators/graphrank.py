@@ -156,12 +156,27 @@ def lpa_communities(lineitem: DataFrame, n_iters: int = 3) -> DataFrame:
     partial-agged groupBy + a per-node top-1 window — all O(|E|);
     lineage truncated per round with localCheckpoint (the corank
     discipline) so the plan does not grow with iterations."""
+    return lpa_propagate(cosupply_edges(lineitem), n_iters).select(
+        F.col("node").alias("supp"),
+        F.col("label").cast("long").alias("community"),
+    )
+
+
+def lpa_propagate(edges: DataFrame, n_iters: int = 3) -> DataFrame:
+    """The synchronous-LPA core over ANY weighted edge table (src, dst,
+    w) — shared by :func:`lpa_communities` (co-supply graph) and
+    dedup.dup_communities (SimHash near-dup graph). Every node starts as
+    its own label; each round adopts the neighbor label with the largest
+    weighted vote, smallest label on ties — fully deterministic, so a
+    fixed round count unrolls into SQL. Returns (node, label) for every
+    node appearing as an edge src (pass both directions for undirected
+    graphs)."""
     from pyspark.sql.window import Window
 
     # materialize the edge build ONCE: every round joins against it, and
-    # without the checkpoint each round re-runs the per-order pair
-    # explode + aggregation from the raw table (measured 3.5x slower)
-    edges = cosupply_edges(lineitem).localCheckpoint(eager=True)
+    # without the checkpoint each round re-runs the upstream edge
+    # construction (measured 3.5x slower on the co-supply build)
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -180,7 +195,4 @@ def lpa_communities(lineitem: DataFrame, n_iters: int = 3) -> DataFrame:
             .select(F.col("src").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
-    return labels.select(
-        F.col("node").alias("supp"),
-        F.col("label").cast("long").alias("community"),
-    )
+    return labels

@@ -289,3 +289,30 @@ def test_split_leakage_consistent_with_split_and_pairs(spark, duck):
                           E.oracle_sql()["split_leakage_pairs"])
     assert_matches_oracle(DD.split_leakage_matrix(docs), duck,
                           E.oracle_sql()["split_leakage_matrix"])
+
+
+def test_dup_communities_matches_oracle(spark, duck):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert_matches_oracle(
+        DD.dup_communities(docs), duck, E.oracle_sql()["dup_communities"])
+
+
+def test_dup_communities_isolated_pair_converges(spark):
+    """The self-vote contract: an ISOLATED mutual near-dup pair must
+    land in ONE community (without self edges, synchronous LPA swaps
+    the two labels every round — the bipartite oscillation — and any
+    odd round count reports them apart)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (7, "one two three four five six seven"),
+        (9, "unrelated totally different words entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["community"]
+           for r in DD.dup_communities(docs).collect()}
+    assert out[1] == out[2] == 1
+    assert out[7] == 7 and out[9] == 9

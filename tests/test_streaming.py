@@ -921,3 +921,36 @@ def test_complete_mode_batch_must_execute(spark):
         q.awaitTermination(120)
         q.processAllAvailable()
     q.stop()
+
+
+def test_final_epoch_overprediction_fails_loud(spark):
+    """VERDICT r8 #7 failure injection: a replay that produces FEWER
+    micro-batches than ``final_epoch`` predicted must raise — the noop
+    fast path skipped every epoch, so returning the (empty) scan as if
+    it were the result would be a silent wrong answer."""
+    import pytest as _pytest
+
+    df = spark.range(40).select(
+        (F.col("id") % 4).alias("k"), F.lit(1).alias("v"))
+    d = replay.chunk_to_dir(df, 4)
+    agg = (replay.stream_from_dir(spark, d)
+           .groupBy("k").agg(F.sum("v").alias("s")))
+    with _pytest.raises(RuntimeError, match="never fired"):
+        replay.run_to_parquet(agg, "complete", final_epoch=10)
+
+
+def test_final_epoch_underprediction_returns_true_final_snapshot(spark):
+    """The converse injection: MORE micro-batches than predicted. Every
+    epoch >= final_epoch takes the real write path, so the extra epochs
+    OVERWRITE with later (cumulative, still-correct) complete-mode
+    snapshots and the returned scan is the true final state — pinned
+    equal to the batch answer, not merely non-empty."""
+    df = spark.range(40).select(
+        (F.col("id") % 4).alias("k"), F.lit(1).alias("v"))
+    d = replay.chunk_to_dir(df, 4)
+    agg = (replay.stream_from_dir(spark, d)
+           .groupBy("k").agg(F.sum("v").alias("s")))
+    # 4 chunks / 1 per trigger = epochs 0..3; predict only 2
+    out = replay.run_to_parquet(agg, "complete", final_epoch=1)
+    got = {r["k"]: r["s"] for r in out.collect()}
+    assert got == {0: 10, 1: 10, 2: 10, 3: 10}

@@ -197,11 +197,122 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
 
     ``keep_epoch`` (update mode): retain the epoch_id column — lets
     tests assert per-trigger output is bounded by changed keys."""
+    return start_to_parquet(
+        stream_df, output_mode,
+        state_partitions=state_partitions,
+        batch_transform=batch_transform,
+        last_epoch_keys=last_epoch_keys,
+        keep_epoch=keep_epoch,
+        final_epoch=final_epoch,
+    ).finish(timeout_sec)
+
+
+def run_many_to_parquet(jobs: list[dict], timeout_sec: int = 300) -> list[DataFrame]:
+    """Co-schedule SEVERAL independent availableNow replays on the one
+    session and await them together (VERDICT r8 #3): each job is a
+    kwargs dict for :func:`start_to_parquet`. Structured Streaming runs
+    concurrent queries on the shared scheduler, so n sibling replays
+    pay ~one replay's wall clock instead of n — this is what cuts the
+    per-entry harness floor when several streamed entries share a
+    source (the bench/driver runs them in one process and the first
+    sibling primes a result cache for the rest).
+
+    Failure coupling is deliberate: if any sibling fails, the whole
+    group raises — better one loud error than a cached partial family.
+    """
+    handles = [start_to_parquet(**j) for j in jobs]
+    err = None
+    results: list[DataFrame | None] = []
+    for h in handles:
+        try:
+            results.append(h.finish(timeout_sec))
+        except Exception as e:        # keep finishing/stopping the rest
+            results.append(None)
+            if err is None:
+                err = e
+    if err is not None:
+        raise err
+    return results
+
+
+class _ParquetRun:
+    """In-flight availableNow replay started by :func:`start_to_parquet`:
+    holds the query plus everything :meth:`finish` needs to await it,
+    enforce the final_epoch guard, and read the sink back."""
+
+    def __init__(self, q, spark, out, mode, schema, had_transform,
+                 last_epoch_keys, keep_epoch, final_epoch, wrote_state,
+                 ckpt):
+        self.q = q
+        self.spark = spark
+        self.out = out
+        self.mode = mode
+        self.schema = schema
+        self.had_transform = had_transform
+        self.last_epoch_keys = last_epoch_keys
+        self.keep_epoch = keep_epoch
+        self.final_epoch = final_epoch
+        self.wrote_state = wrote_state
+        self.ckpt = ckpt
+
+    def finish(self, timeout_sec: int = 300) -> DataFrame:
+        try:
+            finished = self.q.awaitTermination(timeout_sec)
+            if not finished:
+                # stopping here would leave a truncated (append) or stale
+                # (complete) parquet result that reads as if it were final
+                raise TimeoutError(
+                    f"stream did not finish within {timeout_sec}s — "
+                    f"refusing to return a partial result"
+                )
+        finally:
+            self.q.stop()
+            shutil.rmtree(self.ckpt, ignore_errors=True)
+        spark, out = self.spark, self.out
+        if self.mode not in ("append", "update") \
+                and not self.wrote_state["wrote"]:
+            raise RuntimeError(
+                f"final_epoch={self.final_epoch} never fired (replay "
+                f"produced fewer micro-batches than predicted) — no "
+                f"result written"
+            )
+        if self.mode == "foreach":
+            return spark.read.parquet(out).drop("epoch_id")
+        if self.mode == "update":
+            result = spark.read.parquet(out)
+            if self.last_epoch_keys:
+                from pyspark.sql.window import Window as W
+
+                w = W.partitionBy(*self.last_epoch_keys).orderBy(
+                    F.col("epoch_id").desc()
+                )
+                result = (
+                    result.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            return result if self.keep_epoch else result.drop("epoch_id")
+        if self.had_transform:
+            return spark.read.parquet(out)  # schema set by the transform
+        return spark.read.schema(self.schema).parquet(out)
+
+
+def start_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
+                     state_partitions: int | None = None,
+                     batch_transform=None,
+                     last_epoch_keys: list[str] | None = None,
+                     keep_epoch: bool = False,
+                     final_epoch: int | None = None) -> _ParquetRun:
+    """Start (without awaiting) the availableNow parquet replay that
+    :func:`run_to_parquet` documents — the start half of the start/
+    finish split that lets :func:`run_many_to_parquet` overlap sibling
+    replays. All parameter semantics are run_to_parquet's."""
     out = scratch_dir("spark_stream_out_")
     ckpt = scratch_dir("spark_ckpt_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     spark = stream_df.sparkSession
 
+    state = {"wrote": True}
     with _state_partitions(spark, state_partitions):
         if output_mode == "append":
             if batch_transform is not None:
@@ -243,7 +354,7 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
             # batch_transform are pure harness cost. ``wrote`` guards a
             # mispredicted final epoch: failing loud beats returning an
             # empty scan as if it were the result.
-            state = {"wrote": final_epoch is None}
+            state["wrote"] = final_epoch is None
 
             def overwrite_epoch(batch_df: DataFrame, epoch_id: int) -> None:
                 if final_epoch is not None and epoch_id < final_epoch:
@@ -260,40 +371,11 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "complete",
                 .option("checkpointLocation", ckpt)
             )
         q = writer.trigger(availableNow=True).start()
-    try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            # stopping here would leave a truncated (append) or stale
-            # (complete) parquet result that reads as if it were final
-            raise TimeoutError(
-                f"stream did not finish within {timeout_sec}s — refusing to "
-                f"return a partial result"
-            )
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-    if output_mode not in ("append", "update") and not state["wrote"]:
-        raise RuntimeError(
-            f"final_epoch={final_epoch} never fired (replay produced "
-            f"fewer micro-batches than predicted) — no result written"
-        )
-    if output_mode == "update":
-        result = spark.read.parquet(out)
-        if last_epoch_keys:
-            from pyspark.sql.window import Window as W
-
-            w = W.partitionBy(*last_epoch_keys).orderBy(
-                F.col("epoch_id").desc()
-            )
-            result = (
-                result.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        return result if keep_epoch else result.drop("epoch_id")
-    if batch_transform is not None:
-        return spark.read.parquet(out)  # schema set by the transform
-    return spark.read.schema(stream_df.schema).parquet(out)
+    return _ParquetRun(
+        q, spark, out, output_mode, stream_df.schema,
+        batch_transform is not None, last_epoch_keys, keep_epoch,
+        final_epoch, state, ckpt,
+    )
 
 
 def run_polled_to_parquet(stream_df: DataFrame, target_input_rows: int,
@@ -368,6 +450,17 @@ def run_foreach_to_parquet(stream_df: DataFrame, batch_fn,
     append idempotent under replay, exactly like the update-mode sink in
     :func:`run_to_parquet`. Returns the union of all epochs' results as
     a batch scan (epoch column dropped)."""
+    return start_foreach_to_parquet(
+        stream_df, batch_fn, state_partitions=state_partitions,
+    ).finish(timeout_sec)
+
+
+def start_foreach_to_parquet(stream_df: DataFrame, batch_fn,
+                             state_partitions: int | None = None) -> "_ParquetRun":
+    """Start half of :func:`run_foreach_to_parquet` (the
+    run_many_to_parquet / co-scheduling split): starts the foreachBatch
+    epoch-partitioned sink and returns a handle whose ``finish`` awaits
+    the query and reads back the union of epochs."""
     out = scratch_dir("spark_stream_out_")
     ckpt = scratch_dir("spark_ckpt_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
@@ -391,16 +484,12 @@ def run_foreach_to_parquet(stream_df: DataFrame, batch_fn,
             .trigger(availableNow=True)
             .start()
         )
-    try:
-        if not q.awaitTermination(timeout_sec):
-            raise TimeoutError(
-                f"stream did not finish within {timeout_sec}s — refusing "
-                f"to return a partial result"
-            )
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(out).drop("epoch_id")
+    # reuse _ParquetRun with "update"-free flags: keep_epoch=False via a
+    # plain read + drop in a closure-less shape — mode "foreach" reads
+    # the epoch union
+    run = _ParquetRun(q, spark, out, "foreach", None, False, None, False,
+                      None, {"wrote": True}, ckpt)
+    return run
 
 
 def cleanup(path: str) -> None:

@@ -749,6 +749,63 @@ def _ordered_chunked_events(spark: SparkSession, sf_dir: str,
     return _ORDERED_CHUNK_CACHE[key]
 
 
+def _read_current_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Load the versioned-publish fold sinks' final state (the CURRENT
+    pointer protocol shared by counts_fold_sink / theta_sketch_sink /
+    kmv_sink)."""
+    with open(os.path.join(state_dir, "CURRENT")) as fh:
+        return spark.read.parquet(
+            os.path.join(state_dir, fh.read().strip()))
+
+
+def _fold_starter(table: str, select_fn, sink_factory, read_factory,
+                  prefix: str):
+    """Co-schedulable starter for the versioned-publish fold sinks:
+    ``select_fn(stream) -> stream_df`` projects the micro-batch input,
+    ``sink_factory(spark, state_dir) -> foreachBatch fn`` builds the
+    fold, ``read_factory(spark, state_dir)() -> DataFrame`` loads the
+    final state once the query drains."""
+    def start(spark: SparkSession, sf_dir: str):
+        import atexit
+        import shutil
+
+        from spark_streaming_spark.streaming import replay
+
+        chunk_dir = _chunked_table(spark, sf_dir, table, 3)
+        state_dir = replay.scratch_dir(prefix)
+        atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+        ckpt = replay.scratch_dir("spark_ckpt_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        q = (
+            select_fn(stream)
+            .writeStream
+            .foreachBatch(sink_factory(spark, state_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return _SinkRun(q, read_factory(spark, state_dir), ckpt)
+    return start
+
+
+def _foreach_starter(table: str, batch_fn_factory):
+    """Co-schedulable starter over replay.start_foreach_to_parquet:
+    ``batch_fn_factory(spark, sf_dir)`` builds the per-batch function
+    (letting it prebuild broadcast artifacts first)."""
+    def start(spark: SparkSession, sf_dir: str):
+        from spark_streaming_spark.streaming import replay
+
+        fn = batch_fn_factory(spark, sf_dir)
+        chunk_dir = _chunked_table(spark, sf_dir, table, 3)
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return replay.start_foreach_to_parquet(stream, fn,
+                                               state_partitions=4)
+    return start
+
+
 def _ord_starter(build):
     """Starter over the DEFAULT ordered-events replay (shared by the
     session/two-level/band entries): ``build(stream) -> stream_df``."""
@@ -786,6 +843,154 @@ def _ord_members():
         "two_level": (_ord_starter(two_level_agg_stream), two_level_post),
         "band_cooccurrence": (
             _ord_starter(band_cooccurrence_stream), None),
+    }
+
+
+def _doc_fold_members():
+    """Co-scheduled group over the documents 3-chunk replay: the
+    continuous corpus-pipeline entries (fold sinks + per-batch scoring
+    gates). Each member's computation is exactly its standalone
+    entry's; only the queries overlap in time."""
+    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
+
+    def fold(batch_counts, keys, sums, prefix, select=None):
+        return _fold_starter(
+            "documents",
+            select or (lambda st: st.select("doc_id", "text")),
+            lambda sp, sd: counts_fold_sink(sp, batch_counts, keys,
+                                            sums, sd),
+            lambda sp, sd: (lambda: _read_current_state(sp, sd)),
+            prefix,
+        )
+
+    def bpe_start(spark, sf_dir):
+        # train ONCE (cached 8-merge artifact, 6-prefix) before the
+        # stream starts — the merges ride every micro-batch as a plan
+        # constant
+        merges = [(r.left, r.right) for r in BPE.bpe_train(
+            load_table(spark, sf_dir, "documents"), n_merges=8,
+            cache_key=sf_dir).orderBy("step").collect()][:6]
+        return fold(lambda b: BPE.bpe_segment(b, merges),
+                    ["doc_id"], ["n_words", "n_subwords"],
+                    "bpeseg_state_")(spark, sf_dir)
+
+    def corpus_prep_fn(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        drop = DD.dedup_keep_best(docs, cache_key=sf_dir).localCheckpoint(
+            eager=True)
+        rates = SMP.mixture_rates(
+            PL._dedup_and_gate(docs, drop),
+            {"en": 400000, "de": 150000, "es": 150000,
+             "fr": 150000, "zh": 150000},
+        ).localCheckpoint(eager=True)
+        return lambda b: PL.corpus_prep_apply(b, drop, rates)
+
+    return {
+        "token_drift": (
+            fold(TX.drift_token_counts, ["token"], ["cnt_a", "cnt_b"],
+                 "drift_state_"),
+            lambda df, s, d: TX.token_drift_tv(None, counts=df)),
+        "spacesaving": (
+            fold(SKC.spacesaving_word_counts, ["word"], ["cnt"],
+                 "ss_state_"),
+            lambda df, s, d: SKC.mg_prune(df, "word", 20)),
+        "bpe_segment": (bpe_start, None),
+        "winnow": (
+            _foreach_starter(
+                "documents",
+                lambda s, d: (lambda b: TX.winnow_fingerprints(b))),
+            None),
+        "quality_classifier": (
+            _foreach_starter("documents",
+                             lambda s, d: CLF.quality_logits),
+            None),
+        "corpus_prep": (_foreach_starter("documents", corpus_prep_fn),
+                        None),
+    }
+
+
+def _event_fold_members():
+    """Co-scheduled group over the events 3-chunk replay: the streamed
+    sketch/state entries."""
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import (
+        counts_fold_sink, theta_sketch_sink)
+    from spark_streaming_spark.streaming.stateful import (
+        running_totals_with_state)
+
+    theta_start = _fold_starter(
+        "events",
+        lambda st: st.select(
+            "event_type",
+            F.concat_ws("#", F.col("user_id").cast("string"),
+                        F.to_date("ts").cast("string")).alias("akey")),
+        lambda sp, sd: theta_sketch_sink(sp, "event_type", "akey", sd,
+                                         k=64),
+        lambda sp, sd: (lambda: _read_current_state(sp, sd)),
+        "theta_state_",
+    )
+    cm_start = _fold_starter(
+        "events",
+        lambda st: st.select("user_id"),
+        lambda sp, sd: counts_fold_sink(
+            sp, lambda b: SKC.countmin_build(b, "user_id"),
+            ["d", "bucket"], ["cnt"], sd),
+        lambda sp, sd: (lambda: _read_current_state(sp, sd)),
+        "cm_state_",
+    )
+
+    def whll_start(spark, sf_dir):
+        chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
+        stream = replay.stream_from_dir(
+            spark, chunk_dir, files_per_trigger=2).withColumn(
+                "day", F.date_trunc("day", "ts"))
+        return replay.start_to_parquet(
+            SKC.hll_registers(stream, ["day", "event_type"], "user_id"),
+            "update", state_partitions=4,
+            last_epoch_keys=["day", "event_type", "bucket"],
+        )
+
+    def hll_start(spark, sf_dir):
+        chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return replay.start_to_parquet(
+            SKC.hll_registers(stream, "event_type", "user_id"),
+            "update", state_partitions=4,
+            last_epoch_keys=["event_type", "bucket"],
+        )
+
+    def totals_start(spark, sf_dir):
+        chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return replay.start_to_parquet(
+            running_totals_with_state(stream, "event_type", "value"),
+            "update", state_partitions=4,
+        )
+
+    def totals_post(df, spark, sf_dir):
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy("key").orderBy(F.col("n").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("key", "n")  # n exact; total is float-order-dependent
+        )
+
+    return {
+        "theta": (theta_start,
+                  lambda df, s, d: SKC.theta_overlap_from_registers(
+                      df, k=64)),
+        "cm_sketch": (cm_start, None),
+        "windowed_hll": (whll_start,
+                         lambda df, s, d: SKC.hll_estimate(
+                             df, ["day", "event_type"])),
+        "hll_distinct": (hll_start,
+                         lambda df, s, d: SKC.hll_estimate(
+                             df, "event_type")),
+        "stateful_totals": (totals_start, totals_post),
     }
 
 
@@ -1039,24 +1244,8 @@ def _q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     float running sum — arrival-order-dependent in the last ulps — so
     it stays out of the compared output; tests/test_skew_stateful.py
     pins it with tolerance.)"""
-    from pyspark.sql.window import Window as W
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.stateful import running_totals_with_state
-
-    chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir,
-                                    files_per_trigger=2)
-    updates = replay.run_to_parquet(
-        running_totals_with_state(stream, "event_type", "value"),
-        "update", state_partitions=4,
-    )
-    w = W.partitionBy("key").orderBy(F.col("n").desc())
-    return (
-        updates.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("key", "n")  # n is exact; total is float-order-dependent
-    )
+    return _cosched_group(spark, sf_dir, "event_folds",
+                          _event_fold_members(), "stateful_totals")
 
 
 def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,18 +1414,8 @@ def _q_streaming_windowed_hll(spark: SparkSession,
     traffic), where exact distinct-per-window state is O(users). The
     daily-unique-visitors dashboard at 100 TB. Registers recovered via
     last-epoch-wins, estimator applied once; shared batch oracle."""
-    from spark_streaming_spark.streaming import replay
-
-    chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir,
-                                    files_per_trigger=2).withColumn(
-        "day", F.date_trunc("day", "ts"))
-    regs = replay.run_to_parquet(
-        SKC.hll_registers(stream, ["day", "event_type"], "user_id"),
-        "update", state_partitions=4,
-        last_epoch_keys=["day", "event_type", "bucket"],
-    )
-    return SKC.hll_estimate(regs, ["day", "event_type"])
+    return _cosched_group(spark, sf_dir, "event_folds",
+                          _event_fold_members(), "windowed_hll")
 
 
 def _q_streaming_kmv_quantiles(spark: SparkSession,
@@ -1295,42 +1474,8 @@ def _q_streaming_theta_overlap(spark: SparkSession,
     registers — and every pairwise intersection/union estimate — equal
     the one-shot batch sketch: shared oracle with
     `theta_audience_overlap`."""
-    import atexit
-    import shutil
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import theta_sketch_sink
-
-    chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
-    state_dir = replay.scratch_dir("theta_state_")
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    ckpt = replay.scratch_dir("spark_ckpt_")
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir,
-                                        files_per_trigger=2)
-        q = (
-            stream.select(
-                "event_type",
-                F.concat_ws(
-                    "#", F.col("user_id").cast("string"),
-                    F.to_date("ts").cast("string")).alias("akey"))
-            .writeStream
-            .foreachBatch(theta_sketch_sink(
-                spark, "event_type", "akey", state_dir, k=64))
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming theta sketch did not finish")
-        with open(os.path.join(state_dir, "CURRENT")) as fh:
-            regs = spark.read.parquet(
-                os.path.join(state_dir, fh.read().strip()))
-        return SKC.theta_overlap_from_registers(regs, k=64)
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _cosched_group(spark, sf_dir, "event_folds",
+                          _event_fold_members(), "theta")
 
 
 def _q_streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,39 +1486,8 @@ def _q_streaming_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     under corpus partition, so the final state — and the TV statistic
     computed from it — equals the one-shot batch answer: shared oracle
     with `token_drift_tv`."""
-    import atexit
-    import shutil
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
-
-    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
-    state_dir = replay.scratch_dir("drift_state_")
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    ckpt = replay.scratch_dir("spark_ckpt_")
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir,
-                                        files_per_trigger=2)
-        q = (
-            stream.select("doc_id", "text")
-            .writeStream
-            .foreachBatch(counts_fold_sink(
-                spark, TX.drift_token_counts, ["token"],
-                ["cnt_a", "cnt_b"], state_dir))
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming drift fold did not finish")
-        with open(os.path.join(state_dir, "CURRENT")) as fh:
-            counts = spark.read.parquet(
-                os.path.join(state_dir, fh.read().strip()))
-        return TX.token_drift_tv(None, counts=counts)
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _cosched_group(spark, sf_dir, "doc_folds",
+                          _doc_fold_members(), "token_drift")
 
 
 def _q_streaming_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1387,42 +1501,8 @@ def _q_streaming_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id) reproduces the one-shot per-doc stats table verbatim:
     shared oracle with `bpe_segment_stats` (the unrolled-rounds
     bpe_segment_sql twin)."""
-    import atexit
-    import shutil
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges = [(r.left, r.right) for r in BPE.bpe_train(
-        docs, n_merges=8, cache_key=sf_dir).orderBy("step").collect()][:6]
-
-    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
-    state_dir = replay.scratch_dir("bpeseg_state_")
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    ckpt = replay.scratch_dir("spark_ckpt_")
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir,
-                                        files_per_trigger=2)
-        q = (
-            stream.select("doc_id", "text")
-            .writeStream
-            .foreachBatch(counts_fold_sink(
-                spark, lambda b: BPE.bpe_segment(b, merges),
-                ["doc_id"], ["n_words", "n_subwords"], state_dir))
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming bpe segment did not finish")
-        with open(os.path.join(state_dir, "CURRENT")) as fh:
-            return spark.read.parquet(
-                os.path.join(state_dir, fh.read().strip()))
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _cosched_group(spark, sf_dir, "doc_folds",
+                          _doc_fold_members(), "bpe_segment")
 
 
 def _q_streaming_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1436,39 +1516,8 @@ def _q_streaming_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed summary shares `spacesaving_hot_words`' oracle verbatim.
     At 100 TB the read-side state can fold through sketch.mg_merge at a
     larger m instead, trading exact equality for the pinned N/m bound."""
-    import atexit
-    import shutil
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
-
-    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
-    state_dir = replay.scratch_dir("ss_state_")
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    ckpt = replay.scratch_dir("spark_ckpt_")
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir,
-                                        files_per_trigger=2)
-        q = (
-            stream.select("doc_id", "text")
-            .writeStream
-            .foreachBatch(counts_fold_sink(
-                spark, SKC.spacesaving_word_counts, ["word"],
-                ["cnt"], state_dir))
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming spacesaving fold did not finish")
-        with open(os.path.join(state_dir, "CURRENT")) as fh:
-            counters = spark.read.parquet(
-                os.path.join(state_dir, fh.read().strip()))
-        return SKC.mg_prune(counters, "word", 20)
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _cosched_group(spark, sf_dir, "doc_folds",
+                          _doc_fold_members(), "spacesaving")
 
 
 def _q_streaming_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,38 +1527,8 @@ def _q_streaming_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pipelines.counts_fold_sink with batch_counts = countmin_build).
     Addition over a corpus partition reproduces the one-shot grid, so
     the streamed sketch shares `countmin_user_sketch`'s oracle."""
-    import atexit
-    import shutil
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
-
-    chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
-    state_dir = replay.scratch_dir("cm_state_")
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    ckpt = replay.scratch_dir("spark_ckpt_")
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir,
-                                        files_per_trigger=2)
-        q = (
-            stream.select("user_id")
-            .writeStream
-            .foreachBatch(counts_fold_sink(
-                spark, lambda b: SKC.countmin_build(b, "user_id"),
-                ["d", "bucket"], ["cnt"], state_dir))
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming cm fold did not finish")
-        with open(os.path.join(state_dir, "CURRENT")) as fh:
-            return spark.read.parquet(
-                os.path.join(state_dir, fh.read().strip()))
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _cosched_group(spark, sf_dir, "event_folds",
+                          _event_fold_members(), "cm_sketch")
 
 
 def _q_cm_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,17 +1646,8 @@ def _q_streaming_hll_distinct(spark: SparkSession,
     per group at any stream length — the sketch property, live. Final
     registers recovered by last-epoch-wins, estimator applied once
     batch-side; equals the one-shot hll_distinct (shared oracle)."""
-    from spark_streaming_spark.streaming import replay
-
-    chunk_dir = _chunked_table(spark, sf_dir, "events", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir,
-                                    files_per_trigger=2)
-    regs = replay.run_to_parquet(
-        SKC.hll_registers(stream, "event_type", "user_id"),
-        "update", state_partitions=4,
-        last_epoch_keys=["event_type", "bucket"],
-    )
-    return SKC.hll_estimate(regs, "event_type")
+    return _cosched_group(spark, sf_dir, "event_folds",
+                          _event_fold_members(), "hll_distinct")
 
 
 def _q_streaming_band_cooccurrence(spark: SparkSession,
@@ -1663,14 +1673,8 @@ def _q_streaming_quality_classifier(spark: SparkSession,
     one-shot scoring — union of batches shares the quality_classifier
     oracle. The continuously-scoring corpus gate a training-data ingest
     pipeline runs."""
-    from spark_streaming_spark.streaming import replay
-
-    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir,
-                                    files_per_trigger=2)
-    return replay.run_foreach_to_parquet(
-        stream, CLF.quality_logits, state_partitions=4,
-    )
+    return _cosched_group(spark, sf_dir, "doc_folds",
+                          _doc_fold_members(), "quality_classifier")
 
 
 def _q_streaming_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,26 +1689,8 @@ def _q_streaming_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares corpus_prep_pipeline's end-to-end oracle (round-5 VERDICT
     #8: proves the full prep chain runs per micro-batch, not just in a
     one-shot plan)."""
-    from spark_streaming_spark.streaming import replay
-
-    docs = load_table(spark, sf_dir, "documents")
-    # BOTH serve artifacts materialized once (that is their semantics —
-    # the build products an ingest stream consumes), so the per-epoch
-    # chain replays map-side against fixed tables instead of re-running
-    # the dedup plan every micro-batch
-    drop = DD.dedup_keep_best(docs, cache_key=sf_dir).localCheckpoint(
-        eager=True)
-    rates = SMP.mixture_rates(
-        PL._dedup_and_gate(docs, drop),
-        {"en": 400000, "de": 150000, "es": 150000,
-         "fr": 150000, "zh": 150000},
-    ).localCheckpoint(eager=True)
-    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
-    return replay.run_foreach_to_parquet(
-        stream, lambda b: PL.corpus_prep_apply(b, drop, rates),
-        state_partitions=4,
-    )
+    return _cosched_group(spark, sf_dir, "doc_folds",
+                          _doc_fold_members(), "corpus_prep")
 
 
 def _q_streaming_centroid_ingest(spark: SparkSession,
@@ -1738,14 +1724,8 @@ def _q_streaming_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document, every doc appears in exactly one micro-batch, so the
     union of per-batch outputs equals one-shot batch winnowing — shared
     oracle."""
-    from spark_streaming_spark.streaming import replay
-
-    chunk_dir = _chunked_table(spark, sf_dir, "documents", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir, files_per_trigger=2)
-    return replay.run_foreach_to_parquet(
-        stream, lambda b: TX.winnow_fingerprints(b),
-        state_partitions=4,
-    )
+    return _cosched_group(spark, sf_dir, "doc_folds",
+                          _doc_fold_members(), "winnow")
 
 
 def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:

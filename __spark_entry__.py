@@ -1035,21 +1035,31 @@ def _cosched_group(spark: SparkSession, sf_dir: str, group: str,
     entry's output (applied per call — cheap, deterministic)."""
     key = (group, sf_dir, spark.sparkContext.applicationId)
     got = _COSCHED_RESULTS.get(key)
-    if got is None:
+    # REDEEM-ONCE: each member may consume a cached group run exactly
+    # once; invoking the same member again (bench's second interleaved
+    # pass) re-runs the whole group fresh. Without this, pass 2 would
+    # return instantly from cache and the min-of-2 bench would report
+    # ~0 for every member — hiding the group's true cost. With it, the
+    # group's cost lands on the SAME leader in both passes (queries()
+    # iteration order is deterministic), so per-query mins and the
+    # family total stay honest.
+    if got is None or want in got["redeemed"]:
         handles = {n: starter(spark, sf_dir)
                    for n, (starter, _post) in members.items()}
-        got, err = {}, None
+        results, err = {}, None
         for n, h in handles.items():
             try:
-                got[n] = h.finish(300)
+                results[n] = h.finish(300)
             except Exception as e:  # noqa: BLE001 — finish/stop the rest
                 if err is None:
                     err = e
         if err is not None:
             raise err
+        got = {"results": results, "redeemed": set()}
         _COSCHED_RESULTS[key] = got
+    got["redeemed"].add(want)
     starter_post = members[want][1]
-    df = got[want]
+    df = got["results"][want]
     return starter_post(df, spark, sf_dir) if starter_post else df
 
 

@@ -37,6 +37,27 @@ def _sf_of(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _calibrate(spark) -> tuple[float, float]:
+    """Machine-speed probes for cross-session drift ATTRIBUTION
+    (round-8 verdict: totals moved ~1.2x between sessions on unchanged
+    code, and round 9 measured the same box running the same commit
+    1.7-2x apart hours apart). Two fixed workloads: a single-core
+    Python loop (driver speed) and a fixed 32-partition Spark sum
+    (scheduler + JVM + all-core throughput). Future rounds divide the
+    family totals by these to separate engine regressions from
+    noisy-neighbor machine state."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(200_000_000, numPartitions=32) \
+        .selectExpr("sum(id % 7)").collect()
+    jvm = time.perf_counter() - t0
+    return round(py, 3), round(jvm, 3)
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,6 +65,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers with the flagship query once
     entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+    cal_py, cal_spark = _calibrate(spark)
     def run_once(name: str, fn) -> float:
         t0 = time.perf_counter()
         try:
@@ -78,6 +100,10 @@ def main() -> None:
             t for n, t in timings.items()
             if n.startswith("streaming_") and t >= 0), 4),
         "n_streaming": sum(1 for n in timings if n.startswith("streaming_")),
+        # machine-speed probes (see _calibrate): compare totals ACROSS
+        # sessions only after normalizing by these
+        "cal_py_sec": cal_py,
+        "cal_spark_sec": cal_spark,
     }
     # per-query map goes to a sidecar file: embedding ~95 timings in the
     # stdout line overflowed the driver's tail capture in round 1

@@ -1763,68 +1763,40 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # Round-8 window (VERDICT r7 "Next round" #1). Priority order:
-    # (a) the 4 entries that had NEVER had a driver row through r7.
-    # curriculum_stages and grouped_user_split gained exact DuckDB
-    # oracles this round (VERDICT r7 #2 — md5-threshold split at group
-    # grain; native row_number/ntile over the bit-identical quality
-    # order); the other two were already oracled but never windowed:
-    "event_dow_association", "streaming_dynamic_sessions",
-    "curriculum_stages", "grouped_user_split",
-    # (b) entries NEW this round, both hash-oracled (VERDICT r7 #6/#7):
-    # the changing-SCD2 as-of feed (per-epoch verified) and the
-    # KLL-class engine-exact quantile sketch:
-    "streaming_scd2_asof_feed", "kmv_quantity_quantiles",
-    "streaming_kmv_quantiles", "purchase_nearest_click",
-    "click_next_purchase",
-    "kmv_daily_value_quantiles", "winsorized_event_values",
-    "repeated_spans", "span_dup_coverage",
-    # (b2) entries NEW in the round-8 continuation, all hash-oracled:
-    # winnowing fingerprints (Schleimer 2003), content-defined chunking
-    # (LBFS/FastCDC), Theta bottom-k set algebra, LOCF time-weighted
-    # mean, ANN recall eval:
-    "winnow_fingerprints", "winnow_overlap", "cdc_chunks",
-    "cdc_dup_chunks", "theta_audience_overlap", "time_weighted_value",
-    "lsh_graph_recall", "streaming_winnow",
-    # (b3) later round-8 additions, all hash-oracled: the shuffle-grid
-    # range join (both sides fact-sized, no equi key), corpus-shard TV
-    # drift (pure-integer statistic), and the streamed Theta register
-    # fold (exact merge — shares the batch oracle):
-    "ship_window_order_counts", "token_drift_tv", "top_drift_tokens",
-    "streaming_theta_overlap", "split_leakage_pairs",
-    "split_leakage_matrix", "phrase_search", "cm_join_size",
-    "classifier_calibration", "streaming_token_drift",
-    "ab_experiment_report", "dau_mau_stickiness",
-    "source_quality_report", "margin_mined_pairs", "join_key_discovery",
-    "cm_user_estimates", "streaming_cm_sketch", "lpa_communities",
-    # (c) every no_oracle row is OUT of the window this round (r7
-    # verdict "What's wrong" #1): they banked their rows-only signal
-    # twice (r6+r7); the local sf0.01 sweep still executes them.
-    # r9 rotation pool (evicted r3-vintage, oldest first): media_resize
-    # _meta was kept; still-outside r3 refreshes are top_revenue_orders,
-    # top_supplier, value_outliers, tumbling_counts, vocab_build,
-    # user_activity_profiles, user_event_sequence, video_frame_offsets,
-    # monthly_event_stats, inter_arrival_stats, term_stats,
-    # top3_products_per_brand — lead r9 with these, then r4-vintage.
-    # (d) the remaining slots: oldest-signal oracle-backed entries —
-    # all r3-vintage (their latest green driver row predates the r4
-    # replay-harness and r6 comparator changes). Order follows the
-    # vintage audit; the r4/r5-vintage tail rotates in next round.
-    "audio_windows", "blacklist_left_outer", "bpe_token_stats",
-    "centroid_assign", "click_attribution_outer", "daily_user_journeys",
-    "deterministic_sample", "discounted_parts_revenue",
-    "embedding_quantize", "event_counts_unpivot", "event_value_histogram",
-    # (26 r3-vintage refreshes displaced by the (b2)/(b3) additions —
-    # they join the r9 rotation pool above:
-    # streaming_click_attribution_outer, streaming_histogram,
-    # streaming_pivot_counts, streaming_session_windows,
-    # streaming_two_level_agg, synthetic_source_rollup, sliding_counts,
-    # stratified_sample, session_windows, sessionize, skew_salted_sum,
-    # small_qty_part_revenue, rolling_spend_90d, scd1_customer_merge,
-    # returned_items_report, revenue_by_nation, promo_revenue,
-    # pricing_summary, pii_redaction, pandas_token_counts,
-    # order_priority_counts, market_share, nation_trade_volume,
-    # large_volume_orders, idle_rich_customers, hot_words_per_window)
+    # Round-9 window (VERDICT r8 "Next round" #1 + the r9 additions).
+    # Priority order:
+    # (a) FIRST driver signal for the 6 entries new/newly-oracled this
+    # round: the Misra-Gries/SpaceSaving summary + its streamed fold,
+    # BPE segmentation stats (oracled via the unrolled-rounds
+    # bpe_segment_sql — moved OUT of the rows-only set) + the
+    # tokenizer-at-ingest twin, the integer byte-histogram twin, and
+    # LPA over the SimHash near-dup graph:
+    "spacesaving_hot_words", "streaming_spacesaving_hot_words",
+    "bpe_segment_stats", "streaming_bpe_segment",
+    "media_byte_features_det", "dup_communities",
+    # (b) the 8 never-refreshed entries (latest signal r3, predating
+    # the r4 replay harness and r6 comparator changes):
+    "top_revenue_orders", "top_supplier", "value_outliers",
+    "tumbling_counts", "vocab_build", "user_activity_profiles",
+    "user_event_sequence", "video_frame_offsets",
+    # (c) every remaining r3-vintage entry — after this window, NO
+    # oracle-backed entry's latest driver signal predates r6:
+    "hot_words_per_window", "idle_rich_customers", "inter_arrival_stats",
+    "large_volume_orders", "market_share", "media_resize_meta",
+    "monthly_event_stats", "nation_trade_volume", "order_priority_counts",
+    "pandas_token_counts", "pii_redaction", "pricing_summary",
+    "promo_revenue", "returned_items_report", "revenue_by_nation",
+    "rolling_spend_90d", "scd1_customer_merge", "session_windows",
+    "sessionize", "skew_salted_sum", "sliding_counts",
+    "small_qty_part_revenue", "stratified_sample",
+    "streaming_click_attribution_outer", "streaming_histogram",
+    "streaming_pivot_counts", "streaming_session_windows",
+    "streaming_two_level_agg", "synthetic_source_rollup", "term_stats",
+    "top3_products_per_brand",
+    # (d) fill to the 50-slot cap with the oldest r4-vintage entries;
+    # the rest of the r4/r5 cohorts rotate in over r10-r11:
+    "band_cooccurrence", "blacklist_filter", "bm25_hash_join_vector",
+    "chunk_documents", "click_attribution_full",
     ]
 
 

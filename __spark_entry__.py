@@ -1796,7 +1796,10 @@ _CHECK_FIRST = [
     # (d) fill to the 50-slot cap with the oldest r4-vintage entries;
     # the rest of the r4/r5 cohorts rotate in over r10-r11:
     "band_cooccurrence", "blacklist_filter", "bm25_hash_join_vector",
-    "chunk_documents", "click_attribution_full",
+    # (two r4 fills ceded their slots to the late-r9 first-signal IVF
+    # entries — first signal beats refresh; chunk_documents and
+    # click_attribution_full rejoin the r10 pool with the r4 cohort:
+    "knn_ivf_graph_det", "ivf_recall_det",
     ]
 
 
@@ -2362,6 +2365,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact Lloyd round, so the whole probed search (cells, probe
         # choice, ranking) carries a hash-checked oracle — auditable
         # reproducible index builds (ml.KMeans keeps the rows-only slot)
+        # multi-query deterministic IVF search + its recall eval (the
+        # ann-benchmarks protocol for the IVF tier, mirroring
+        # lsh_graph_recall): probe table broadcasts, candidates are
+        # ~|Q|*nprobe/n_cells of the corpus, recall_ppm pure integer
+        "knn_ivf_graph_det": lambda s, d: ANN.ivf_graph_det(
+            load_table(s, d, "embeddings")),
+        "ivf_recall_det": lambda s, d: ANN.ivf_recall_det(
+            load_table(s, d, "embeddings")),
         "knn_ivf_det": lambda s, d: ANN.knn_ivf_det(
             load_table(s, d, "embeddings")),
         # time-series similarity (hour-of-day profiles, peak-hour blocking).
@@ -2958,19 +2969,17 @@ def _PQ_DET_SQL(m: int = 8, k: int = 8) -> str:
     """
 
 
-def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
-                 qid: int = 0) -> str:
-    """DuckDB twin of ann.knn_ivf_det — md5-ordered seed pick, one
-    decimal-exact Lloyd round, decimal-cosine cell ranking, probe-filter
-    search: the same ROUND(..,7)/DECIMAL(38,8) chains as the Spark plan,
-    so the whole deterministic IVF search hash-compares bit-for-bit."""
+def _ivf_cells_ctes(n_cells: int = 8) -> str:
+    """The deterministic-quantizer CTE chain (md5-ordered seed pick, one
+    decimal-exact Lloyd round, final assignment a1) shared VERBATIM by
+    the single-query knn_ivf_det oracle and the multi-query
+    ivf_recall_det oracle — one frozen spelling, two consumers."""
     d2 = (
         "CAST(SUM(CAST(ROUND((CAST(e.embedding[c.i] AS DOUBLE) - c.c)"
         " * (CAST(e.embedding[c.i] AS DOUBLE) - c.c), 7)"
         " AS DECIMAL(38,8))) AS DOUBLE)"
     )
-    return f"""
-        WITH ii AS (SELECT unnest(range(1, 65)) AS i),
+    return f"""ii AS (SELECT unnest(range(1, 65)) AS i),
         seeds AS (
           SELECT vec_id,
                  CAST(row_number() OVER (
@@ -3014,7 +3023,17 @@ def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
               PARTITION BY vec_id ORDER BY dist2, cell) AS rn
             FROM d1
           ) WHERE rn = 1
-        ),
+        )"""
+
+
+def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
+                 qid: int = 0) -> str:
+    """DuckDB twin of ann.knn_ivf_det — the shared quantizer CTEs plus
+    decimal-cosine cell ranking and the probe-filter search: the same
+    ROUND(..,7)/DECIMAL(38,8) chains as the Spark plan, so the whole
+    deterministic IVF search hash-compares bit-for-bit."""
+    return f"""
+        WITH {_ivf_cells_ctes(n_cells)},
         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
         qn AS (
           SELECT CAST(SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE)
@@ -3053,6 +3072,117 @@ def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
                  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
                  AS cosine
         FROM prods ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
+def _ivf_multiq_prefix(n_cells: int = 8, nprobe: int = 2,
+                       queries_mod: int = 10) -> str:
+    """Shared CTE chain for the multi-query deterministic IVF oracles
+    (ann.ivf_graph_det / ivf_recall_det): the frozen quantizer CTEs,
+    per-query decimal cell ranking + probe filter, then SCALED-INTEGER
+    cosine on the probed candidates (the knn_graph contract, so recall
+    compares like with like). Ends at ``scored``."""
+    return f"""{_ivf_cells_ctes(n_cells)},
+        qs AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % {queries_mod} = 0
+        ),
+        qn AS (
+          SELECT qid,
+                 CAST(SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE)
+                      * CAST(qv[i] AS DOUBLE), 7) AS DECIMAL(38,8)))
+                 AS DOUBLE) AS qq
+          FROM qs, ii GROUP BY qid
+        ),
+        crank AS (
+          SELECT q.qid, c.cell,
+                 CAST(SUM(CAST(ROUND(CAST(q.qv[c.i] AS DOUBLE) * c.c, 7)
+                      AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+                 CAST(SUM(CAST(ROUND(c.c * c.c, 7)
+                      AS DECIMAL(38,8))) AS DOUBLE) AS cc
+          FROM cent1 c CROSS JOIN qs q
+          GROUP BY q.qid, c.cell
+        ),
+        probed AS (
+          SELECT qid, cell FROM (
+            SELECT cr.qid, cr.cell, row_number() OVER (
+              PARTITION BY cr.qid
+              ORDER BY cr.dot / (sqrt(cr.cc) * sqrt(qn.qq)) DESC, cr.cell
+            ) AS rn
+            FROM crank cr JOIN qn USING (qid)
+          ) WHERE rn <= {nprobe}
+        ),
+        sv AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS s
+          FROM embeddings
+        ),
+        nn2 AS (
+          SELECT vec_id, SUM(s[i] * s[i]) AS n2 FROM sv, ii GROUP BY vec_id
+        ),
+        cand AS (
+          SELECT p.qid, a.vec_id AS nbr
+          FROM probed p JOIN a1 a USING (cell)
+          WHERE a.vec_id <> p.qid
+        ),
+        prods AS (
+          SELECT c.qid AS vec_id, c.nbr, SUM(q.s[i] * e.s[i]) AS dot
+          FROM cand c
+          JOIN sv q ON q.vec_id = c.qid
+          JOIN sv e ON e.vec_id = c.nbr, ii
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT p.vec_id, p.nbr,
+                 CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(a.n2 AS DOUBLE))
+                      * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+          FROM prods p
+          JOIN nn2 a ON a.vec_id = p.vec_id
+          JOIN nn2 b ON b.vec_id = p.nbr
+        )"""
+
+
+def _IVF_GRAPH_SQL(k: int = 5, n_cells: int = 8, nprobe: int = 2,
+                   queries_mod: int = 10) -> str:
+    """DuckDB twin of ann.ivf_graph_det."""
+    return f"""
+        WITH {_ivf_multiq_prefix(n_cells, nprobe, queries_mod)}
+        SELECT vec_id, nbr, cosine, rank FROM (
+          SELECT vec_id, nbr, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, nbr)
+                   AS INTEGER) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _IVF_RECALL_SQL(k: int = 5, n_cells: int = 8, nprobe: int = 2,
+                    queries_mod: int = 10, knn_graph_sql: str = "") -> str:
+    """DuckDB twin of ann.ivf_recall_det — the multi-query IVF graph
+    joined against the exact kNN-graph oracle, integer recall_ppm."""
+    return f"""
+        WITH {_ivf_multiq_prefix(n_cells, nprobe, queries_mod)},
+        approx_g AS (
+          SELECT vec_id, nbr FROM (
+            SELECT vec_id, nbr, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cosine DESC, nbr) AS rank
+            FROM scored
+          ) WHERE rank <= {k}
+        ),
+        exact_g AS ({knn_graph_sql}),
+        qx AS (SELECT vec_id, count(*) AS n_exact FROM exact_g GROUP BY 1),
+        h AS (
+          SELECT e.vec_id, count(*) AS n_hit
+          FROM exact_g e
+          JOIN approx_g a ON a.vec_id = e.vec_id AND a.nbr = e.nbr
+          GROUP BY 1
+        )
+        SELECT qx.vec_id, qx.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+               (1000000 * coalesce(h.n_hit, 0)) // qx.n_exact AS recall_ppm
+        FROM qx LEFT JOIN h ON h.vec_id = qx.vec_id
     """
 
 
@@ -3937,6 +4067,7 @@ def oracle_sql() -> dict[str, str]:
         # deterministic IVF: md5-ordered seeds + one decimal-exact Lloyd
         # round — the full probed search reproduces in SQL
         "knn_ivf_det": _IVF_DET_SQL(),
+        "knn_ivf_graph_det": _IVF_GRAPH_SQL(),
         # kNN-graph LSH: approximate BUT deterministic — md5 planes,
         # md5/conv bucket-cap rank, scaled-integer cosine — so the
         # oracle reproduces the approximation bit-exactly (upgraded
@@ -4117,6 +4248,9 @@ def oracle_sql() -> dict[str, str]:
                (1000000 * coalesce(h.n_hit, 0)) // q.n_exact AS recall_ppm
         FROM q LEFT JOIN h ON h.vec_id = q.vec_id
     """
+    # ivf_recall_det: the multi-query IVF twin joined against the same
+    # exact-graph oracle (one frozen spelling, three consumers)
+    sql["ivf_recall_det"] = _IVF_RECALL_SQL(knn_graph_sql=sql["knn_graph"])
     # margin_mined_pairs: composes the exact-graph oracle; neighborhood
     # mean = decimal-sum mean; margin = one further IEEE divide, 7 dp
     sql["margin_mined_pairs"] = f"""

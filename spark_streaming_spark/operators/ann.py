@@ -626,3 +626,110 @@ def knn_ivfpq(embeddings: DataFrame, query_vec_id: int = 0, k_out: int = 10,
         .orderBy(F.col("dist2").asc(), F.col("vec_id").asc())
         .limit(k_out)
     )
+
+
+def ivf_graph_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
+                  nprobe: int = 2, queries_mod: int = 10) -> DataFrame:
+    """Multi-query deterministic IVF search — :func:`knn_ivf_det`
+    generalized from one query to the eval sample ``vec_id %
+    queries_mod == 0`` (the ann-benchmarks protocol's query set, shared
+    with similarity.knn_graph). Per query: rank the deterministic cells
+    by the decimal cosine chain, probe the ``nprobe`` best, exact
+    SCALED-INTEGER cosine (the knn_graph contract, so recall joins
+    compare like with like) on the probed sliver, top-k per query.
+    Columns: vec_id (query), nbr, cosine, rank.
+
+    Scale shape: the centroid table broadcasts (n_cells rows), the
+    probe table broadcasts (|Q|·nprobe rows), and the candidate join
+    touches ~|Q|·nprobe/n_cells of the corpus — the IVF cost model;
+    nothing quadratic, no driver collect."""
+    from pyspark.sql.window import Window
+
+    from spark_streaming_spark.functions.vectors import (
+        int_cosine, int_dot_expr, scaled_vec_expr)
+    from spark_streaming_spark.sources.batch import widen
+
+    cells, assigned = det_kmeans_cells(embeddings, n_cells)
+    qd = embeddings.filter(F.col("vec_id") % queries_mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(norm2_expr("embedding")).alias("qnrm"),
+    )
+    cdot = F.expr(
+        "cast(aggregate(zip_with(qv, cvec,"
+        " (x, c) -> cast(round(cast(x as double) * c, 7)"
+        " as decimal(38,8))),"
+        " cast(0 as decimal(38,8)),"
+        " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
+    )
+    cnorm2 = F.expr(
+        "cast(aggregate(transform(cvec,"
+        " c -> cast(round(c * c, 7) as decimal(38,8))),"
+        " cast(0 as decimal(38,8)),"
+        " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("ccos").desc(), F.col("cell"))
+    probed = (
+        cells.crossJoin(F.broadcast(qd))
+        .select(
+            "qid", "cell",
+            (cdot / (F.sqrt(cnorm2) * F.col("qnrm"))).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cell")
+    )
+    base = widen(embeddings).select(
+        "vec_id", scaled_vec_expr("embedding").alias("sv")
+    ).withColumn("n2", int_dot_expr("sv", "sv"))
+    qi = (
+        base.filter(F.col("vec_id") % queries_mod == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("sv").alias("qsv"),
+                F.col("n2").alias("qn2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr").asc())
+    return (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(base, "vec_id")
+        .join(F.broadcast(qi), "qid")
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("vec_id").alias("nbr"),
+            int_cosine(int_dot_expr("sv", "qsv"), F.col("qn2"),
+                       F.col("n2")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_recall_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
+                   nprobe: int = 2, queries_mod: int = 10) -> DataFrame:
+    """Recall@k of the deterministic IVF index against the exact kNN
+    graph on the shared eval sample — the ann-benchmarks protocol for
+    the IVF tier (similarity.knn_graph_recall covers the LSH tier).
+    Deterministic end to end, so recall itself hash-checks: recall_ppm
+    is integer arithmetic. Columns: vec_id, n_exact, n_hit,
+    recall_ppm."""
+    from spark_streaming_spark.operators.similarity import knn_graph
+
+    exact = knn_graph(embeddings, k, queries_mod).select("vec_id", "nbr")
+    approx = ivf_graph_det(embeddings, k, n_cells, nprobe,
+                           queries_mod).select("vec_id", "nbr")
+    q = exact.groupBy("vec_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(approx, ["vec_id", "nbr"])
+        .groupBy("vec_id").agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        q.join(hits, "vec_id", "left")
+        .select(
+            "vec_id", "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.expr("CAST(1000000 * coalesce(n_hit, 0) AS BIGINT)"
+                   " DIV n_exact").alias("recall_ppm"),
+        )
+    )

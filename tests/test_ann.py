@@ -3,6 +3,7 @@ partial probing reports (not pins) recall — it depends on data geometry."""
 
 from __future__ import annotations
 
+from spark_streaming_spark.operators import ann as ANN
 from spark_streaming_spark.operators.ann import knn_ivf
 from spark_streaming_spark.operators.similarity import knn_to_query
 from spark_streaming_spark.sources.batch import load_table
@@ -178,3 +179,27 @@ def test_det_pq_codes_shape_and_determinism(spark):
     assert len({r.code_str for r in rows}) > 1
     again = ann.det_pq_codes(emb, m=8, k=8).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_graph_det_exhaustive_probe_equals_exact(spark):
+    """With nprobe = n_cells the probe filter is vacuous and the
+    multi-query IVF search must equal the exact kNN graph exactly
+    (same scaled-integer cosine contract, same tie order)."""
+    from spark_streaming_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ivf = {tuple(r) for r in ANN.ivf_graph_det(
+        emb, k=5, n_cells=8, nprobe=8).collect()}
+    exact = {tuple(r) for r in knn_graph(emb, k=5).collect()}
+    assert ivf == exact and len(exact) > 0
+
+
+def test_ivf_recall_det_bounds_and_oracle(spark, duck):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = ANN.ivf_recall_det(emb).collect()
+    assert rows and all(0 <= r["recall_ppm"] <= 1_000_000 for r in rows)
+    assert_matches_oracle(
+        ANN.ivf_recall_det(emb), duck, E.oracle_sql()["ivf_recall_det"])

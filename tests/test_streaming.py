@@ -954,3 +954,25 @@ def test_final_epoch_underprediction_returns_true_final_snapshot(spark):
     out = replay.run_to_parquet(agg, "complete", final_epoch=1)
     got = {r["k"]: r["s"] for r in out.collect()}
     assert got == {0: 10, 1: 10, 2: 10, 3: 10}
+
+
+def test_run_many_to_parquet_matches_serial(spark):
+    """Co-scheduled replays return exactly what serial replays return —
+    the contract _cosched_group's result cache relies on."""
+    df = spark.range(300).select(
+        (F.col("id") % 5).alias("k"), F.lit(1).alias("v"))
+    d = replay.chunk_to_dir(df, 3)
+
+    def build(mod):
+        return (replay.stream_from_dir(spark, d, files_per_trigger=2)
+                .filter(F.col("k") != mod)
+                .groupBy("k").agg(F.sum("v").alias("s")))
+
+    serial = [sorted(tuple(r) for r in replay.run_to_parquet(
+        build(m), "complete", state_partitions=4).collect())
+        for m in (0, 1, 2)]
+    outs = replay.run_many_to_parquet(
+        [dict(stream_df=build(m), output_mode="complete",
+              state_partitions=4) for m in (0, 1, 2)])
+    co = [sorted(tuple(r) for r in out.collect()) for out in outs]
+    assert serial == co and all(len(s) == 4 for s in serial)

@@ -2336,6 +2336,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # community detection: synchronous LPA (Raghavan 2007) over the
         # co-supply graph — weighted votes, min-label ties, 3 rounds
         # unrolled in the oracle (the corank/BFS discipline)
+        # k-core peeling (Seidman 1983) over the part co-purchase
+        # graph: bounded peel rounds, each O(|E|) — the dense-subgraph
+        # complement to LPA's communities and CC's closure
+        "kcore_parts": lambda s, d: GRK.kcore_parts(
+            load_table(s, d, "lineitem")),
         "lpa_communities": lambda s, d: GRK.lpa_communities(
             load_table(s, d, "lineitem")),
         "supplier_corank": lambda s, d: GRK.supplier_corank(
@@ -2518,6 +2523,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the MG merge pre-prune), pruned once at read — exact-equality
         # path, shares the one-shot oracle
         "streaming_spacesaving_hot_words": _q_streaming_spacesaving,
+        # per-GROUP heavy hitters (grouped MG prune — WindowGroupLimit
+        # keeps k+1 rows per group map-side before the one exchange):
+        # the per-tenant frequent-items report, same per-group bound
+        "spacesaving_terms_per_lang": lambda s, d:
+            SKC.spacesaving_terms_per_lang(
+                load_table(s, d, "documents"), k=10),
         # engine-exact HLL: the approximate distinct that CAN be
         # hash-checked (md5 hash + integer registers + one shared-literal
         # divide — unlike approx_count_distinct's private seeds)
@@ -2853,6 +2864,38 @@ l{i} AS (
         + f"""
 SELECT d.doc_id, CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS community
 FROM documents d LEFT JOIN {prev} l ON l.node = d.doc_id"""
+    )
+
+
+def _KCORE_SQL(k: int = 4, min_pair_orders: int = 2,
+               n_rounds: int = 4) -> str:
+    """DuckDB twin of graphrank.kcore_parts — the peel rounds unrolled
+    (alive sets a0..aN as chained CTEs), final induced degree."""
+    parts = [f"""
+po AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_pair_orders}
+),
+a0 AS (SELECT DISTINCT src AS v FROM e0)"""]
+    prev = "a0"
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""
+d{i} AS (
+  SELECT e.src, count(*) AS deg
+  FROM e0 e JOIN {prev} s ON s.v = e.src JOIN {prev} t ON t.v = e.dst
+  GROUP BY 1
+),
+a{i} AS (SELECT src AS v FROM d{i} WHERE deg >= {k})""")
+        prev = f"a{i}"
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT e.src AS part, CAST(count(*) AS BIGINT) AS core_deg
+FROM e0 e JOIN {prev} s ON s.v = e.src JOIN {prev} t ON t.v = e.dst
+GROUP BY 1"""
     )
 
 
@@ -4582,6 +4625,7 @@ def oracle_sql() -> dict[str, str]:
     # synchronous label propagation: rounds unrolled, weighted votes,
     # (votes DESC, label ASC) top-1 — fully deterministic
     sql["lpa_communities"] = _lpa_sql(3)
+    sql["kcore_parts"] = _KCORE_SQL()
     # LPA over the near-dup graph: SimHash pair CTE -> symmetric
     # closeness-weighted edges -> the same unrolled rounds
     sql["dup_communities"] = _dup_lpa_sql(3)
@@ -5052,6 +5096,9 @@ def oracle_sql() -> dict[str, str]:
     # exactly the one-shot summary, so it shares the oracle
     from spark_streaming_spark.operators.sketch import spacesaving_sql
     sql["spacesaving_hot_words"] = spacesaving_sql(20)
+    from spark_streaming_spark.operators.sketch import (
+        spacesaving_grouped_sql)
+    sql["spacesaving_terms_per_lang"] = spacesaving_grouped_sql(10)
     sql["streaming_spacesaving_hot_words"] = sql["spacesaving_hot_words"]
     # BPE segmentation stats (operators/bpe.bpe_segment_sql): the 6
     # training rounds UNROLLED into chained CTEs — per-round pair-count

@@ -196,3 +196,67 @@ def lpa_propagate(edges: DataFrame, n_iters: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def copurchase_part_edges(lineitem: DataFrame,
+                          min_pair_orders: int = 2) -> DataFrame:
+    """Symmetric part co-purchase edges: (src, dst, w) where w = number
+    of DISTINCT orders containing both parts (collect_set dedupes
+    within-order repeats), kept when w >= min_pair_orders. The one-
+    shuffle per-order array-explode spelling of cosupply_edges — the
+    shuffled volume is the grouped order/part table, and the per-order
+    quadratic explodes map-side."""
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    return (
+        per_order.select(F.explode(F.expr(
+            "filter(flatten(transform(ps,"
+            " x -> transform(ps, y -> struct(x AS src, y AS dst)))),"
+            " p -> p.src != p.dst)")).alias("p"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_pair_orders)
+    )
+
+
+def kcore_parts(lineitem: DataFrame, k: int = 4,
+                min_pair_orders: int = 2, n_rounds: int = 4) -> DataFrame:
+    """Dense-subgraph mining by k-core PEELING (Seidman 1983 "Network
+    structure and minimum degree"; the standard bulk-parallel variant —
+    Montresor et al.: repeatedly delete every node whose degree in the
+    surviving subgraph is below k) over the part co-purchase graph:
+    the assortments that keep selling together even after fringe parts
+    peel away. Fixed ``n_rounds`` peel rounds (the lpa/bfs bounded-
+    round discipline: deterministic and SQL-unrollable; each round is a
+    SUPERSET of the true k-core, which is the fixpoint), then the
+    surviving nodes are emitted with their induced degree.
+
+    Scale shape: per round ONE induced-subgraph filter (two semi joins
+    keyed on the node) + one partial-agged degree groupBy — O(|E|);
+    lineage truncated per round with localCheckpoint. The peel is
+    monotone (alive sets only shrink), so rounds after convergence are
+    no-ops, never wrong. Columns: part, core_deg."""
+    edges = copurchase_part_edges(lineitem, min_pair_orders) \
+        .select("src", "dst").localCheckpoint(eager=True)
+    alive = edges.select(F.col("src").alias("v")).distinct()
+    for _ in range(n_rounds):
+        induced = (
+            edges.join(alive.withColumnRenamed("v", "src"), "src",
+                       "left_semi")
+            .join(alive.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        )
+        deg = induced.groupBy("src").agg(F.count("*").alias("deg"))
+        alive = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    final = (
+        edges.join(alive.withColumnRenamed("v", "src"), "src", "left_semi")
+        .join(alive.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        .groupBy("src").agg(F.count("*").cast("long").alias("core_deg"))
+    )
+    return final.select(F.col("src").alias("part"), "core_deg")

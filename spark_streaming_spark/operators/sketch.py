@@ -939,3 +939,87 @@ def spacesaving_sql(k: int, table: str = "documents",
         FROM r, t
         WHERE rn <= {k} AND cnt - tv > 0
     """
+
+
+def mg_prune_grouped(counters: DataFrame, group_col: str, key_col: str,
+                     k: int, cnt_col: str = "cnt") -> DataFrame:
+    """Per-GROUP Misra-Gries prune — :func:`mg_prune` composed with a
+    grouping column (heavy hitters per language / per tenant / per
+    day): within each group, subtract the group's (k+1)-st largest
+    counter and drop non-positives. Same engine-exact contract (BIGINT,
+    (cnt DESC, md5(key)) ties).
+
+    Plan shape: the rank filter runs as WindowGroupLimit (Spark ≥ 3.5
+    pushes ``row_number() <= k+1`` map-side, so each partition keeps
+    k+1 rows per group before the ONE group-keyed exchange); the
+    threshold pass is a second window over ≤ k+1 rows per group.
+    Columns: group_col, key_col, est, err."""
+    from pyspark.sql.window import Window
+
+    tie = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(cnt_col).desc(), tie.asc())
+    ranked = (
+        counters.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k + 1)
+    )
+    t = F.max(
+        F.when(F.col("__rn") == k + 1, F.col(cnt_col)).otherwise(F.lit(0))
+    ).over(Window.partitionBy(group_col))
+    return (
+        ranked.withColumn("__t", t)
+        .filter((F.col("__rn") <= k)
+                & (F.col(cnt_col) - F.col("__t") > 0))
+        .select(
+            group_col, key_col,
+            (F.col(cnt_col) - F.col("__t")).cast("long").alias("est"),
+            F.col("__t").cast("long").alias("err"),
+        )
+    )
+
+
+def spacesaving_terms_per_lang(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Heavy-hitter words PER LANGUAGE via the grouped MG summary — the
+    per-tenant frequent-items report every multi-corpus pipeline wants,
+    with the same guarantees per group (est ≤ true ≤ est + err, any
+    word with true count > err in its language survives).
+    Columns: lang, word, est, err."""
+    counts = (
+        docs.select("lang",
+                    F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return mg_prune_grouped(counts, "lang", "word", k)
+
+
+def spacesaving_grouped_sql(k: int, group_col: str = "lang",
+                            table: str = "documents",
+                            text_col: str = "text") -> str:
+    """DuckDB twin of :func:`spacesaving_terms_per_lang`."""
+    return f"""
+        WITH c AS (
+          SELECT {group_col}, word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT {group_col},
+                       unnest(string_split({text_col}, ' ')) AS word
+                FROM {table})
+          WHERE word <> ''
+          GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT {group_col}, word, cnt,
+                 row_number() OVER (PARTITION BY {group_col}
+                                    ORDER BY cnt DESC, md5(word)) AS rn
+          FROM c
+        ),
+        t AS (
+          SELECT {group_col},
+                 COALESCE(MAX(CASE WHEN rn = {k + 1} THEN cnt END), 0) AS tv
+          FROM r GROUP BY 1
+        )
+        SELECT r.{group_col}, r.word, CAST(r.cnt - t.tv AS BIGINT) AS est,
+               CAST(t.tv AS BIGINT) AS err
+        FROM r JOIN t USING ({group_col})
+        WHERE r.rn <= {k} AND r.cnt - t.tv > 0
+    """

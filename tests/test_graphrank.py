@@ -81,3 +81,30 @@ def test_lpa_two_cliques_converge_and_oracle(spark, duck):
     assert len(full) == len(nodes)    # one label per node
     assert_matches_oracle(GR.lpa_communities(li), duck,
                           E.oracle_sql()["lpa_communities"])
+
+
+def test_kcore_parts_peels_and_bounds(spark):
+    """Every survivor's induced degree >= k, and the peel genuinely
+    removed fringe nodes (0 < survivors < graph nodes)."""
+    from spark_streaming_spark.operators import graphrank as GRK
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = GRK.copurchase_part_edges(li)
+    n_nodes = edges.select("src").distinct().count()
+    out = GRK.kcore_parts(li, k=8, n_rounds=4).collect()
+    assert 0 < len(out) < n_nodes
+    assert all(r["core_deg"] >= 8 for r in out)
+
+
+def test_kcore_extra_rounds_are_noops_once_converged(spark):
+    """The peel is monotone: if round n changes nothing, rounds n+1..
+    change nothing — more rounds can only shrink toward the fixpoint,
+    so a converged bounded-round answer IS the true k-core."""
+    from spark_streaming_spark.operators import graphrank as GRK
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    a = sorted(tuple(r) for r in GRK.kcore_parts(li, k=8,
+                                                 n_rounds=4).collect())
+    b = sorted(tuple(r) for r in GRK.kcore_parts(li, k=8,
+                                                 n_rounds=6).collect())
+    assert a == b

@@ -470,3 +470,26 @@ def test_mg_merge_deterministic(spark):
     one = sorted(tuple(r) for r in SKC.mg_merge(a, b, "word", 32).collect())
     two = sorted(tuple(r) for r in SKC.mg_merge(a, b, "word", 32).collect())
     assert one == two and len(one) > 0
+
+
+def test_spacesaving_per_lang_bound_and_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = SKC.spacesaving_terms_per_lang(docs, k=10).collect()
+    assert out
+    # per-group MG bound: est <= true count within that language
+    true = {(r["lang"], r["word"]): r["cnt"] for r in (
+        docs.select("lang",
+                    F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word").agg(F.count("*").alias("cnt"))
+        .collect())}
+    for r in out:
+        t = true[(r["lang"], r["word"])]
+        assert r["est"] <= t <= r["est"] + r["err"], r
+    langs = {r["lang"] for r in out}
+    assert len(langs) >= 3  # several groups actually report
+    assert_matches_oracle(
+        SKC.spacesaving_terms_per_lang(docs, k=10), duck,
+        SKC.spacesaving_grouped_sql(10))

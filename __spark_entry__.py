@@ -885,7 +885,27 @@ def _doc_fold_members():
         ).localCheckpoint(eager=True)
         return lambda b: PL.corpus_prep_apply(b, drop, rates)
 
+    def lang_counts(b):
+        return (
+            b.select("lang",
+                     F.explode(F.split(F.col("text"), " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("lang", "word")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
     return {
+        "spacesaving_lang": (
+            _fold_starter(
+                "documents",
+                lambda st: st.select("lang", "text"),
+                lambda sp, sd: counts_fold_sink(sp, lang_counts,
+                                                ["lang", "word"],
+                                                ["cnt"], sd),
+                lambda sp, sd: (lambda: _read_current_state(sp, sd)),
+                "sslang_state_",
+            ),
+            lambda df, s, d: SKC.mg_prune_grouped(df, "lang", "word", 10)),
         "token_drift": (
             fold(TX.drift_token_counts, ["token"], ["cnt_a", "cnt_b"],
                  "drift_state_"),
@@ -2529,6 +2549,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spacesaving_terms_per_lang": lambda s, d:
             SKC.spacesaving_terms_per_lang(
                 load_table(s, d, "documents"), k=10),
+        # the grouped counter table folded per micro-batch (additive),
+        # grouped prune at read — shares the batch oracle; rides the
+        # documents co-scheduled replay group
+        "streaming_spacesaving_per_lang": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "spacesaving_lang"),
         # engine-exact HLL: the approximate distinct that CAN be
         # hash-checked (md5 hash + integer registers + one shared-literal
         # divide — unlike approx_count_distinct's private seeds)
@@ -5099,6 +5124,8 @@ def oracle_sql() -> dict[str, str]:
     from spark_streaming_spark.operators.sketch import (
         spacesaving_grouped_sql)
     sql["spacesaving_terms_per_lang"] = spacesaving_grouped_sql(10)
+    sql["streaming_spacesaving_per_lang"] = \
+        sql["spacesaving_terms_per_lang"]
     sql["streaming_spacesaving_hot_words"] = sql["spacesaving_hot_words"]
     # BPE segmentation stats (operators/bpe.bpe_segment_sql): the 6
     # training rounds UNROLLED into chained CTEs — per-round pair-count

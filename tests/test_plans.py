@@ -627,3 +627,36 @@ def test_winnow_and_cdc_are_map_only(spark):
     for df in (TX.winnow_fingerprints(docs), PL.cdc_chunks(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_spacesaving_prune_uses_take_ordered(spark):
+    """The MG prune's candidate pick must be a TakeOrderedAndProject
+    heap (per-partition k+1-row heaps merged on the driver), never a
+    global sort of the counter table."""
+    from spark_streaming_spark.operators import sketch as SKC
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = SKC.spacesaving_hot_words(docs, k=20)
+    assert explain.has_take_ordered(df)
+
+
+def test_grouped_mg_prune_uses_window_group_limit(spark):
+    """The per-group prune's rank<=k+1 must run as WindowGroupLimit
+    (map-side per-group top-(k+1) before the one exchange)."""
+    from spark_streaming_spark.operators import sketch as SKC
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = SKC.spacesaving_terms_per_lang(docs, k=10)
+    assert "WindowGroupLimit" in explain.explain_text(df)
+
+
+def test_ivf_graph_det_broadcasts_probe_table(spark):
+    """The multi-query IVF search must broadcast the |Q|*nprobe probe
+    table and the query vectors — the corpus side never reshuffles for
+    the probe filter."""
+    from spark_streaming_spark.operators import ann as ANN
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = ANN.ivf_graph_det(emb)
+    assert explain.has_broadcast_join(df)
+    assert not explain.has_cartesian_product(df)

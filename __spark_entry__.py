@@ -1723,6 +1723,31 @@ def _q_streaming_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                           _doc_fold_members(), "corpus_prep")
 
 
+def _emb_fold_members():
+    """Co-scheduled group over the embeddings 3-chunk replay: the
+    vector-index ingest and serving entries."""
+    def centroid_fn(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        carr = SIM.centroid_table(emb)
+        return lambda b: SIM.assign_with_centroids(b, carr)
+
+    def ivf_serve_fn(spark, sf_dir):
+        # build the deterministic IVF index ONCE (localCheckpointed
+        # artifacts), then each micro-batch's sampled queries search it
+        emb = load_table(spark, sf_dir, "embeddings")
+        index = ANN.det_kmeans_cells(emb, 8)
+        return lambda b: ANN.ivf_graph_det(
+            emb, queries=b.filter(F.col("vec_id") % 10 == 0),
+            index=index)
+
+    return {
+        "centroid_ingest": (
+            _foreach_starter("embeddings", centroid_fn), None),
+        "ivf_serve": (
+            _foreach_starter("embeddings", ivf_serve_fn), None),
+    }
+
+
 def _q_streaming_centroid_ingest(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Continuously-maintained vector index INGEST: embeddings arrive as
@@ -1733,17 +1758,8 @@ def _q_streaming_centroid_ingest(spark: SparkSession,
     exactly one micro-batch and the artifact is fixed, so the union of
     per-batch assignments equals the one-shot batch centroid_assign —
     shared oracle."""
-    from spark_streaming_spark.streaming import replay
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    carr = SIM.centroid_table(emb)
-    chunk_dir = _chunked_table(spark, sf_dir, "embeddings", 3)
-    stream = replay.stream_from_dir(spark, chunk_dir,
-                                    files_per_trigger=2)
-    return replay.run_foreach_to_parquet(
-        stream, lambda b: SIM.assign_with_centroids(b, carr),
-        state_partitions=4,
-    )
+    return _cosched_group(spark, sf_dir, "emb_folds",
+                          _emb_fold_members(), "centroid_ingest")
 
 
 def _q_streaming_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2396,6 +2412,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ~|Q|*nprobe/n_cells of the corpus, recall_ppm pure integer
         "knn_ivf_graph_det": lambda s, d: ANN.ivf_graph_det(
             load_table(s, d, "embeddings")),
+        # ANN SERVING at ingest: query micro-batches search the static
+        # deterministic IVF index (built once, broadcast artifacts);
+        # queries are batch-disjoint so the union of per-batch top-k
+        # equals the one-shot multi-query search — shared oracle
+        "streaming_ivf_search": lambda s, d: _cosched_group(
+            s, d, "emb_folds", _emb_fold_members(), "ivf_serve"),
         "ivf_recall_det": lambda s, d: ANN.ivf_recall_det(
             load_table(s, d, "embeddings")),
         "knn_ivf_det": lambda s, d: ANN.knn_ivf_det(
@@ -4136,6 +4158,7 @@ def oracle_sql() -> dict[str, str]:
         # round — the full probed search reproduces in SQL
         "knn_ivf_det": _IVF_DET_SQL(),
         "knn_ivf_graph_det": _IVF_GRAPH_SQL(),
+        "streaming_ivf_search": _IVF_GRAPH_SQL(),
         # kNN-graph LSH: approximate BUT deterministic — md5 planes,
         # md5/conv bucket-cap rank, scaled-integer cosine — so the
         # oracle reproduces the approximation bit-exactly (upgraded

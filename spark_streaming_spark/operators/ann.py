@@ -629,7 +629,10 @@ def knn_ivfpq(embeddings: DataFrame, query_vec_id: int = 0, k_out: int = 10,
 
 
 def ivf_graph_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
-                  nprobe: int = 2, queries_mod: int = 10) -> DataFrame:
+                  nprobe: int = 2, queries_mod: int = 10,
+                  queries: DataFrame | None = None,
+                  index: tuple[DataFrame, DataFrame] | None = None
+                  ) -> DataFrame:
     """Multi-query deterministic IVF search — :func:`knn_ivf_det`
     generalized from one query to the eval sample ``vec_id %
     queries_mod == 0`` (the ann-benchmarks protocol's query set, shared
@@ -642,15 +645,24 @@ def ivf_graph_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
     Scale shape: the centroid table broadcasts (n_cells rows), the
     probe table broadcasts (|Q|·nprobe rows), and the candidate join
     touches ~|Q|·nprobe/n_cells of the corpus — the IVF cost model;
-    nothing quadratic, no driver collect."""
+    nothing quadratic, no driver collect.
+
+    ``queries``: an explicit (vec_id, embedding) query frame replaces
+    the default ``% queries_mod`` sample — the SERVING entry point (a
+    micro-batch of arriving queries searches the static index).
+    ``index``: a prebuilt (cells, assigned) pair from
+    :func:`det_kmeans_cells` — build once, serve every batch."""
     from pyspark.sql.window import Window
 
     from spark_streaming_spark.functions.vectors import (
         int_cosine, int_dot_expr, scaled_vec_expr)
     from spark_streaming_spark.sources.batch import widen
 
-    cells, assigned = det_kmeans_cells(embeddings, n_cells)
-    qd = embeddings.filter(F.col("vec_id") % queries_mod == 0).select(
+    cells, assigned = (index if index is not None
+                       else det_kmeans_cells(embeddings, n_cells))
+    qsrc = (queries if queries is not None
+            else embeddings.filter(F.col("vec_id") % queries_mod == 0))
+    qd = qsrc.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.sqrt(norm2_expr("embedding")).alias("qnrm"),
@@ -684,7 +696,8 @@ def ivf_graph_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
         "vec_id", scaled_vec_expr("embedding").alias("sv")
     ).withColumn("n2", int_dot_expr("sv", "sv"))
     qi = (
-        base.filter(F.col("vec_id") % queries_mod == 0)
+        qsrc.select("vec_id", scaled_vec_expr("embedding").alias("sv"))
+        .withColumn("n2", int_dot_expr("sv", "sv"))
         .select(F.col("vec_id").alias("qid"), F.col("sv").alias("qsv"),
                 F.col("n2").alias("qn2"))
     )

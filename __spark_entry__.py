@@ -338,18 +338,8 @@ def _q_streaming_events_asof_status(spark: SparkSession,
     the business key + interval residual. Stateless per batch → append
     mode; the union of appended batches equals the batch join — shared
     oracle."""
-    from spark_streaming_spark.operators import merge as MG
-
-    hist = MG.scd2_from_changes(
-        load_table(spark, sf_dir, "events").select(
-            "user_id", "ts", "event_type"),
-        "user_id", "ts", ["event_type"]).localCheckpoint(eager=True)
-    return _run_streamed(
-        spark, sf_dir, "events",
-        lambda st: MG.temporal_join(
-            st.select("event_id", "user_id", "ts", "value"),
-            hist, "user_id", "ts"),
-        "append")
+    return _cosched_group(spark, sf_dir, "rs_events",
+                          _rs_events_members(), "events_asof")
 
 
 def _q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,6 +796,100 @@ def _foreach_starter(table: str, batch_fn_factory):
     return start
 
 
+def _rs_starter(table: str, transform_factory, output_mode: str = "complete",
+                last_epoch_keys: list[str] | None = None,
+                n_chunks: int = 3):
+    """Co-schedulable starter mirroring :func:`_run_streamed` (same
+    chunking, files_per_trigger, state partitions, final_epoch noop
+    rule); ``transform_factory(spark, sf_dir)`` builds the stream
+    transform, letting members prebuild broadcast artifacts."""
+    def start(spark: SparkSession, sf_dir: str):
+        from spark_streaming_spark.streaming import replay
+
+        transform = transform_factory(spark, sf_dir)
+        chunk_dir = _chunked_table(spark, sf_dir, table, n_chunks)
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        n_batches = (n_chunks + 1) // 2
+        return replay.start_to_parquet(
+            transform(stream), output_mode, state_partitions=4,
+            last_epoch_keys=last_epoch_keys,
+            final_epoch=(n_batches - 1
+                         if output_mode == "complete" else None),
+        )
+    return start
+
+
+def _rs_events_members():
+    """Co-scheduled group over the plain events 3-chunk replay: the
+    _run_streamed-style stream-equals-batch entries."""
+    from spark_streaming_spark.operators import analytic as ANx
+    from spark_streaming_spark.operators import rollup_agg as RAx
+    from spark_streaming_spark.streaming.pipelines import (
+        blacklist_stream, pivot_counts_stream, sliding_hot_words)
+
+    def bl_factory(spark, sf_dir):
+        bl = B.make_blacklist(load_table(spark, sf_dir, "customer"))
+        return lambda st: blacklist_stream(st, bl)
+
+    def asof_factory(spark, sf_dir):
+        from spark_streaming_spark.operators import merge as MG
+
+        hist = MG.scd2_from_changes(
+            load_table(spark, sf_dir, "events").select(
+                "user_id", "ts", "event_type"),
+            "user_id", "ts", ["event_type"]).localCheckpoint(eager=True)
+        return lambda st: MG.temporal_join(
+            st.select("event_id", "user_id", "ts", "value"),
+            hist, "user_id", "ts")
+
+    def tiers_factory(spark, sf_dir):
+        tiers = RJ.value_tiers(spark)
+        return lambda st: RJ.value_tier_totals(st, tiers)
+
+    sliding_spec = _rs_starter(
+        "events", lambda s, d: sliding_hot_words, "update",
+        last_epoch_keys=["w_start", "w_end", "event_type"])
+    return {
+        "pivot": (_rs_starter("events",
+                              lambda s, d: pivot_counts_stream, "update",
+                              last_epoch_keys=["user_id"]), None),
+        "sliding": (sliding_spec, None),
+        "top3": (sliding_spec,
+                 lambda df, s, d: WIN.rank_top_k(df, 3)),
+        "blacklist": (_rs_starter("events", bl_factory, "append"), None),
+        "conversions": (_rs_starter(
+            "events", lambda s, d: CV.click_purchase_conversions,
+            "append"), None),
+        "events_asof": (_rs_starter("events", asof_factory, "append"),
+                        None),
+        "daily_rollup": (_rs_starter(
+            "events", lambda s, d: RAx.daily_event_rollup, "update",
+            last_epoch_keys=["day", "event_type"]), None),
+        "histogram": (_rs_starter(
+            "events", lambda s, d: ANx.event_value_histogram, "update",
+            last_epoch_keys=["event_type", "bucket"]), None),
+        "value_tiers": (_rs_starter("events", tiers_factory,
+                                    "complete"), None),
+    }
+
+
+def _rs_docs_members():
+    from spark_streaming_spark.operators import pipeline as PLo
+    from spark_streaming_spark.streaming.pipelines import wordcount_stream
+
+    return {
+        "wordcount": (_rs_starter(
+            "documents", lambda s, d: wordcount_stream, "update",
+            last_epoch_keys=["word"]), None),
+        "quality_filter": (_rs_starter(
+            "documents",
+            lambda s, d: (lambda st:
+                          PLo.quality_filter(st).filter(F.col("keep"))),
+            "append"), None),
+    }
+
+
 def _ord_starter(build):
     """Starter over the DEFAULT ordered-events replay (shared by the
     session/two-level/band entries): ``build(stream) -> stream_df``."""
@@ -1193,19 +1277,16 @@ def _q_streaming_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT #2); the final state is recovered by the last-epoch-wins
     merge over the epoch-partitioned idempotent sink and equals the
     batch event_type_pivot (shared oracle)."""
-    from spark_streaming_spark.streaming.pipelines import pivot_counts_stream
-
-    return _run_streamed(spark, sf_dir, "events", pivot_counts_stream,
-                         "update", last_epoch_keys=["user_id"])
+    return _cosched_group(spark, sf_dir, "rs_events",
+                          _rs_events_members(), "pivot")
 
 
 def _q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running word count in UPDATE mode: per-trigger changed-word deltas
     + last-epoch-wins merge == the cumulative batch counts (same scale
     rationale as _q_streaming_pivot)."""
-    from spark_streaming_spark.streaming.pipelines import wordcount_stream
-    return _run_streamed(spark, sf_dir, "documents", wordcount_stream,
-                         "update", last_epoch_keys=["word"])
+    return _cosched_group(spark, sf_dir, "rs_documents",
+                          _rs_docs_members(), "wordcount")
 
 
 def _q_streaming_wordcount_rocksdb(spark: SparkSession,
@@ -1225,11 +1306,8 @@ def _q_streaming_wordcount_rocksdb(spark: SparkSession,
 
 
 def _q_streaming_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_streaming_spark.streaming.pipelines import blacklist_stream
-    bl = B.make_blacklist(load_table(spark, sf_dir, "customer"))
-    return _run_streamed(
-        spark, sf_dir, "events", lambda s: blacklist_stream(s, bl), "append"
-    )
+    return _cosched_group(spark, sf_dir, "rs_events",
+                          _rs_events_members(), "blacklist")
 
 
 def _q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,9 +1316,8 @@ def _q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime) sink traffic on an unbounded stream (the r3 pivot
     argument, VERDICT #2, applies to time windows just as much as to
     user keys)."""
-    from spark_streaming_spark.streaming.pipelines import sliding_hot_words
-    return _run_streamed(spark, sf_dir, "events", sliding_hot_words, "update",
-                         last_epoch_keys=["w_start", "w_end", "event_type"])
+    return _cosched_group(spark, sf_dir, "rs_events",
+                          _rs_events_members(), "sliding")
 
 
 def _q_streaming_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,12 +1330,8 @@ def _q_streaming_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling, is O(all windows ever) per trigger); the rank then runs
     ONCE over the recovered state. Same oracle as the batch
     hot_words_per_window top-3."""
-    from spark_streaming_spark.streaming.pipelines import sliding_hot_words
-    final = _run_streamed(
-        spark, sf_dir, "events", sliding_hot_words, "update",
-        last_epoch_keys=["w_start", "w_end", "event_type"],
-    )
-    return WIN.rank_top_k(final, 3)
+    return _cosched_group(spark, sf_dir, "rs_events",
+                          _rs_events_members(), "top3")
 
 
 def _q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,13 +1358,8 @@ def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline). Streamed output == batch output, so the entry shares the
     batch rule semantics; oracle = quality_filter SQL restricted to
     kept docs."""
-    from spark_streaming_spark.operators import pipeline as PLo
-
-    return _run_streamed(
-        spark, sf_dir, "documents",
-        lambda s: PLo.quality_filter(s).filter(F.col("keep")),
-        output_mode="append",
-    )
+    return _cosched_group(spark, sf_dir, "rs_documents",
+                          _rs_docs_members(), "quality_filter")
 
 
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1367,9 +1435,8 @@ def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     capability the DStream reference could not express. Replayed without
     watermark so every match is retained (bounded input); production
     passes watermark= to bound state."""
-    return _run_streamed(
-        spark, sf_dir, "events", CV.click_purchase_conversions, "append"
-    )
+    return _cosched_group(spark, sf_dir, "rs_events",
+                          _rs_events_members(), "conversions")
 
 
 def _q_streaming_incremental_dedup(spark: SparkSession,
@@ -2152,15 +2219,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # state equals the batch rollup (shared oracle)
         # update mode + last-epoch-wins: per-trigger output is bounded
         # by touched (day, type) cells, not every day ever seen
-        "streaming_daily_rollup": lambda s, d: _run_streamed(
-            s, d, "events", RA.daily_event_rollup, "update",
-            last_epoch_keys=["day", "event_type"]),
+        "streaming_daily_rollup": lambda s, d: _cosched_group(
+            s, d, "rs_events", _rs_events_members(), "daily_rollup"),
         # the fixed-grid histogram maintained CONTINUOUSLY: same operator
         # fn as a streaming aggregation on a derived (computed-bucket)
         # key; final state equals the batch grid (shared oracle)
-        "streaming_histogram": lambda s, d: _run_streamed(
-            s, d, "events", AN.event_value_histogram, "update",
-            last_epoch_keys=["event_type", "bucket"]),
+        "streaming_histogram": lambda s, d: _cosched_group(
+            s, d, "rs_events", _rs_events_members(), "histogram"),
         # stream-stream join semantics, batch-planned (same operator fn)
         "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events")),
@@ -2350,10 +2415,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the SAME lookup per micro-batch: stream-static broadcast of
         # the exploded tier grid into each trigger's equi join, counts
         # finalized in complete mode — shared oracle
-        "streaming_value_tiers": lambda s, d: _run_streamed(
-            s, d, "events",
-            lambda st: RJ.value_tier_totals(st, RJ.value_tiers(s)),
-            "complete"),
+        "streaming_value_tiers": lambda s, d: _cosched_group(
+            s, d, "rs_events", _rs_events_members(), "value_tiers"),
         # SHUFFLE-grid range join (operators/rangejoin.py range_join):
         # both sides fact-sized, no equi key — intervals replicate into
         # span/B+1 grid cells, points key by their one cell, ordinary

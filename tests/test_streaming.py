@@ -976,3 +976,29 @@ def test_run_many_to_parquet_matches_serial(spark):
               state_partitions=4) for m in (0, 1, 2)])
     co = [sorted(tuple(r) for r in out.collect()) for out in outs]
     assert serial == co and all(len(s) == 4 for s in serial)
+
+
+def test_cosched_redeem_once_reruns_group(spark):
+    """The bench-honesty contract: each member redeems a cached group
+    run exactly once; a second invocation of the same member re-runs
+    the whole group (min-of-2 would otherwise report ~0)."""
+    import __spark_entry__ as E
+
+    calls = {"n": 0}
+
+    class _H:
+        def finish(self, timeout_sec=300):
+            calls["n"] += 1
+            return spark.range(3)
+
+    members = {"a": (lambda s, d: _H(), None),
+               "b": (lambda s, d: _H(), None)}
+    key = ("t_redeem", "sfX", spark.sparkContext.applicationId)
+    E._COSCHED_RESULTS.pop(key, None)
+    E._cosched_group(spark, "sfX", "t_redeem", members, "a")
+    assert calls["n"] == 2          # first call runs BOTH members
+    E._cosched_group(spark, "sfX", "t_redeem", members, "b")
+    assert calls["n"] == 2          # b redeems the cached run
+    E._cosched_group(spark, "sfX", "t_redeem", members, "a")
+    assert calls["n"] == 4          # a again -> fresh group run
+    E._COSCHED_RESULTS.pop(key, None)

@@ -1802,7 +1802,7 @@ def _emb_fold_members():
         # build the deterministic IVF index ONCE (localCheckpointed
         # artifacts), then each micro-batch's sampled queries search it
         emb = load_table(spark, sf_dir, "embeddings")
-        index = ANN.det_kmeans_cells(emb, 8)
+        index = ANN.det_kmeans_cells(emb, 8, cache_key=sf_dir)
         return lambda b: ANN.ivf_graph_det(
             emb, queries=b.filter(F.col("vec_id") % 10 == 0),
             index=index)
@@ -2154,7 +2154,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_bruteforce": lambda s, d: SIM.knn_to_query(load_table(s, d, "embeddings")),
         "knn_graph": lambda s, d: SIM.knn_graph(
-            load_table(s, d, "embeddings")),
+            load_table(s, d, "embeddings"), cache_key=d),
         # dense_fallback_pairs=0 forces the LSH path: the entry's NAME
         # claims LSH, so its bench number must measure the LSH machinery,
         # not the small-n broadcast fallback (round-3 ADVICE)
@@ -2164,11 +2164,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the LSH graph vs the exact graph — hash-checked because
         # both graphs are deterministic and recall_ppm is integer DIV
         "lsh_graph_recall": lambda s, d: SIM.knn_graph_recall(
-            load_table(s, d, "embeddings"), dense_fallback_pairs=0),
+            load_table(s, d, "embeddings"), dense_fallback_pairs=0,
+            cache_key=d),
         # margin-based pair mining (Artetxe & Schwenk 2019): top-1 cosine
         # scored against the query's neighborhood mean, cross-label only
         "margin_mined_pairs": lambda s, d: SIM.margin_mined_pairs(
-            load_table(s, d, "embeddings")),
+            load_table(s, d, "embeddings"), cache_key=d),
         "similar_pairs_lsh": lambda s, d: SIM.similar_pairs_lsh(
             load_table(s, d, "embeddings"), cache_key=d),
         "label_centroids": lambda s, d: SIM.label_centroids(
@@ -2474,7 +2475,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lsh_graph_recall): probe table broadcasts, candidates are
         # ~|Q|*nprobe/n_cells of the corpus, recall_ppm pure integer
         "knn_ivf_graph_det": lambda s, d: ANN.ivf_graph_det(
-            load_table(s, d, "embeddings")),
+            load_table(s, d, "embeddings"), cache_key=d),
         # ANN SERVING at ingest: query micro-batches search the static
         # deterministic IVF index (built once, broadcast artifacts);
         # queries are batch-disjoint so the union of per-batch top-k
@@ -2482,9 +2483,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ivf_search": lambda s, d: _cosched_group(
             s, d, "emb_folds", _emb_fold_members(), "ivf_serve"),
         "ivf_recall_det": lambda s, d: ANN.ivf_recall_det(
-            load_table(s, d, "embeddings")),
+            load_table(s, d, "embeddings"), cache_key=d),
         "knn_ivf_det": lambda s, d: ANN.knn_ivf_det(
-            load_table(s, d, "embeddings")),
+            load_table(s, d, "embeddings"), cache_key=d),
         # time-series similarity (hour-of-day profiles, peak-hour blocking).
         # The entry serializes the array profile to "c0|c1|..." — the
         # driver's canonicalizer sorts rows via pandas and cannot hash

@@ -174,8 +174,12 @@ def _assign_cells(embeddings: DataFrame, cells: DataFrame) -> DataFrame:
     )
 
 
-def det_kmeans_cells(embeddings: DataFrame,
-                     n_cells: int = 8) -> tuple[DataFrame, DataFrame]:
+_ANN_INDEX_CACHE: dict = {}
+
+
+def det_kmeans_cells(embeddings: DataFrame, n_cells: int = 8,
+                     cache_key: str | None = None
+                     ) -> tuple[DataFrame, DataFrame]:
     """Deterministic coarse quantizer: seeds are the ``n_cells`` vectors
     with the smallest md5 hash (engine-neutral pseudo-random pick), then
     ONE Lloyd round — assign to seeds, recompute decimal-exact means —
@@ -190,6 +194,17 @@ def det_kmeans_cells(embeddings: DataFrame,
     mean aggregation); assignments are map-side against the broadcast
     table both times."""
     from pyspark.sql.window import Window
+
+    # index-artifact cache (build once, serve many — the BPE
+    # _MERGE_CACHE discipline): the (cells, assigned) pair is already
+    # localCheckpointed, so caching just skips the rebuild when several
+    # entries serve the same index (knn_ivf_det, the multi-query graph,
+    # the recall eval, the streamed server)
+    ck = (("det_cells", cache_key, n_cells,
+           embeddings.sparkSession.sparkContext.applicationId)
+          if cache_key is not None else None)
+    if ck is not None and ck in _ANN_INDEX_CACHE:
+        return _ANN_INDEX_CACHE[ck]
 
     h = F.md5(F.concat_ws(
         "#", F.lit(_DET_SEED_TAG), F.col("vec_id").cast("string")))
@@ -231,11 +246,14 @@ def det_kmeans_cells(embeddings: DataFrame,
     # persisted index tables, locally a localCheckpoint
     cells1 = cells1.localCheckpoint(eager=True)
     assigned = _assign_cells(embeddings, cells1).localCheckpoint(eager=True)
+    if ck is not None:
+        _ANN_INDEX_CACHE[ck] = (cells1, assigned)
     return cells1, assigned
 
 
 def knn_ivf_det(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
-                n_cells: int = 8, nprobe: int = 2) -> DataFrame:
+                n_cells: int = 8, nprobe: int = 2,
+                cache_key: str | None = None) -> DataFrame:
     """IVF top-k over the DETERMINISTIC quantizer: rank cells by decimal
     cosine(query, centroid), probe the ``nprobe`` best, exact decimal
     cosine + top-k on the probed sliver. Columns: vec_id, cosine.
@@ -248,7 +266,8 @@ def knn_ivf_det(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     driver collect)."""
     from spark_streaming_spark.sources.batch import widen
 
-    cells, assigned = det_kmeans_cells(embeddings, n_cells)
+    cells, assigned = det_kmeans_cells(embeddings, n_cells,
+                                       cache_key=cache_key)
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"),
         F.sqrt(norm2_expr("embedding")).alias("qnrm"),
@@ -631,8 +650,8 @@ def knn_ivfpq(embeddings: DataFrame, query_vec_id: int = 0, k_out: int = 10,
 def ivf_graph_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
                   nprobe: int = 2, queries_mod: int = 10,
                   queries: DataFrame | None = None,
-                  index: tuple[DataFrame, DataFrame] | None = None
-                  ) -> DataFrame:
+                  index: tuple[DataFrame, DataFrame] | None = None,
+                  cache_key: str | None = None) -> DataFrame:
     """Multi-query deterministic IVF search — :func:`knn_ivf_det`
     generalized from one query to the eval sample ``vec_id %
     queries_mod == 0`` (the ann-benchmarks protocol's query set, shared
@@ -659,7 +678,8 @@ def ivf_graph_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
     from spark_streaming_spark.sources.batch import widen
 
     cells, assigned = (index if index is not None
-                       else det_kmeans_cells(embeddings, n_cells))
+                       else det_kmeans_cells(embeddings, n_cells,
+                                             cache_key=cache_key))
     qsrc = (queries if queries is not None
             else embeddings.filter(F.col("vec_id") % queries_mod == 0))
     qd = qsrc.select(
@@ -720,7 +740,8 @@ def ivf_graph_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
 
 
 def ivf_recall_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
-                   nprobe: int = 2, queries_mod: int = 10) -> DataFrame:
+                   nprobe: int = 2, queries_mod: int = 10,
+                   cache_key: str | None = None) -> DataFrame:
     """Recall@k of the deterministic IVF index against the exact kNN
     graph on the shared eval sample — the ann-benchmarks protocol for
     the IVF tier (similarity.knn_graph_recall covers the LSH tier).
@@ -729,9 +750,10 @@ def ivf_recall_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
     recall_ppm."""
     from spark_streaming_spark.operators.similarity import knn_graph
 
-    exact = knn_graph(embeddings, k, queries_mod).select("vec_id", "nbr")
-    approx = ivf_graph_det(embeddings, k, n_cells, nprobe,
-                           queries_mod).select("vec_id", "nbr")
+    exact = knn_graph(embeddings, k, queries_mod,
+                      cache_key=cache_key).select("vec_id", "nbr")
+    approx = ivf_graph_det(embeddings, k, n_cells, nprobe, queries_mod,
+                           cache_key=cache_key).select("vec_id", "nbr")
     q = exact.groupBy("vec_id").agg(F.count("*").alias("n_exact"))
     hits = (
         exact.join(approx, ["vec_id", "nbr"])

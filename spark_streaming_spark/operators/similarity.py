@@ -361,7 +361,8 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
 
 
 def knn_graph(embeddings: DataFrame, k: int = 5,
-              queries_mod: int = 10) -> DataFrame:
+              queries_mod: int = 10,
+              cache_key: str | None = None) -> DataFrame:
     """Exact cosine kNN JOIN: each QUERY vector's top-k neighbors in the
     full corpus, the workload behind retrieval eval / hard-negative
     mining / kNN classification. The query set is the deterministic
@@ -380,6 +381,16 @@ def knn_graph(embeddings: DataFrame, k: int = 5,
     against this tier in tests/test_similarity_graph.py)."""
     from pyspark.sql.window import Window
 
+    # ground-truth artifact cache (the _SIM_PAIRS_CACHE discipline): the
+    # exact eval graph is built once per corpus and consumed by every
+    # recall/mining entry riding it (lsh_graph_recall, ivf_recall_det,
+    # margin_mined_pairs) — ``cache_key`` models build-once/serve-many
+    ck = (("knn_graph", cache_key, k, queries_mod,
+           embeddings.sparkSession.sparkContext.applicationId)
+          if cache_key is not None else None)
+    if ck is not None and ck in _SIM_PAIRS_CACHE:
+        return _SIM_PAIRS_CACHE[ck]
+
     base = widen(embeddings).select(
         "vec_id", scaled_vec_expr("embedding").alias("sv")
     ).withColumn("n2", int_dot_expr("sv", "sv"))
@@ -391,7 +402,7 @@ def knn_graph(embeddings: DataFrame, k: int = 5,
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("nbr").asc()
     )
-    return (
+    out = (
         base.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
@@ -404,11 +415,16 @@ def knn_graph(embeddings: DataFrame, k: int = 5,
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    if ck is not None:
+        out = out.localCheckpoint(eager=True)
+        _SIM_PAIRS_CACHE[ck] = out
+    return out
 
 
 def knn_graph_recall(embeddings: DataFrame, k: int = 5,
                      queries_mod: int = 10,
-                     dense_fallback_pairs: int = 8_000_000) -> DataFrame:
+                     dense_fallback_pairs: int = 8_000_000,
+                     cache_key: str | None = None) -> DataFrame:
     """ANN quality evaluation as a first-class operator: per-query
     recall@k of the LSH kNN graph against the exact graph — the metric
     every ANN deployment tracks before trusting an index (the
@@ -422,7 +438,8 @@ def knn_graph_recall(embeddings: DataFrame, k: int = 5,
     composes (each already scale-bounded); the comparison adds one
     (vec_id, nbr) equi join on the eval sample plus a per-query count.
     Columns: vec_id, n_exact, n_hit, recall_ppm."""
-    exact = knn_graph(embeddings, k, queries_mod).select("vec_id", "nbr")
+    exact = knn_graph(embeddings, k, queries_mod,
+                      cache_key=cache_key).select("vec_id", "nbr")
     # queries_mod pushes the sample restriction below the LSH scoring
     # stages (the candidate pairs of a sampled vector are retained in
     # full, so these rows equal the unrestricted graph's — test-pinned)
@@ -776,7 +793,8 @@ def semantic_dedup(embeddings: DataFrame,
 
 def margin_mined_pairs(embeddings: DataFrame, k: int = 5,
                        queries_mod: int = 10,
-                       min_margin: float = 1.02) -> DataFrame:
+                       min_margin: float = 1.02,
+                       cache_key: str | None = None) -> DataFrame:
     """Margin-based candidate pair mining (Artetxe & Schwenk 2019,
     "Margin-based Parallel Corpus Mining with Multilingual Sentence
     Embeddings" — the ratio margin; public method): a neighbor is a
@@ -792,7 +810,7 @@ def margin_mined_pairs(embeddings: DataFrame, k: int = 5,
     divide), the margin is one further IEEE divide of two identical
     doubles, rounded to 7 dp. Columns: vec_id, nbr, label_a, label_b,
     cos_top1, margin."""
-    g = knn_graph(embeddings, k, queries_mod)
+    g = knn_graph(embeddings, k, queries_mod, cache_key=cache_key)
     mean_c = g.groupBy("vec_id").agg(
         (F.sum(F.col("cosine").cast("decimal(38,7)")).cast("double")
          / F.count("*")).alias("mean_cos"))

@@ -2426,6 +2426,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders"), load_table(s, d, "lineitem")),
         # one-pass data-quality profile (operators/profile.py): every
         # per-column audit metric from a single Aggregate over one scan
+        # one-pass Pearson correlation MATRIX: exact scaled-integer
+        # sums in a single Aggregate (k + k(k+1)/2 accumulators, one
+        # scan), frozen IEEE formula at the end — the feature-screening
+        # statistic without k^2 jobs, hash-exact across engines
+        "lineitem_corr_matrix": lambda s, d: PF.corr_matrix(
+            load_table(s, d, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
         "orders_profile": lambda s, d: PF.table_profile(
             load_table(s, d, "orders"),
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -4836,6 +4843,9 @@ def oracle_sql() -> dict[str, str]:
     # one-pass profile: long-form union of the same rendered aggregates
     # (doubles quantized to DECIMAL(38,7) before the hull on both sides)
     sql["pq_codes_det"] = _PQ_DET_SQL()
+    from spark_streaming_spark.operators.profile import corr_matrix_sql
+    sql["lineitem_corr_matrix"] = corr_matrix_sql(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
     sql["orders_profile"] = """
         SELECT '*' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM orders
           UNION ALL SELECT 'o_orderkey', 'n_null', CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders

@@ -65,3 +65,100 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         one.select(F.explode(F.array(*cells)).alias("cell"))
         .select("cell.column", "cell.metric", "cell.value")
     )
+
+
+def _q_expr(c: str, scale: int) -> str:
+    """Scaled-BIGINT quantization of a numeric column (the
+    functions/vectors SCALED_VEC contract at column grain): positive
+    half-up ROUND agrees between engines, DECIMAL(38,0) carries the
+    exact sums."""
+    return (f"CAST(ROUND(CAST({c} AS DOUBLE) * {10 ** scale})"
+            f" AS DECIMAL(38,0))")
+
+
+def corr_matrix(df: DataFrame, cols: list[str],
+                scale: int = 4) -> DataFrame:
+    """Pearson correlation MATRIX over ``cols`` in ONE pass — the
+    feature-screening statistic a 100 TB pipeline wants without k²
+    jobs: every Σx, Σx², Σxy accumulates as an EXACT decimal of the
+    scaled-integer quantization (one Aggregate over one scan, partial
+    agg map-side), and the correlation itself is a fixed IEEE formula
+    over those exact sums — so the float output is bit-identical on
+    any engine (the supplier_corank discipline: determinism comes from
+    exact accumulators + a frozen final expression, never from float
+    accumulation order).
+
+    Overflow bound, documented not hoped: each pair sum is
+    Σ qx·qy ≤ n·(max|x|·10^scale)·(max|y|·10^scale) and must stay
+    below 1e38 — at scale=4 and TPC-H magnitudes (≤ 1e5·1e4 = 1e9 per
+    factor) that allows n up to ~1e19 rows. Inputs must be non-null
+    (the profile gate upstream asserts this).
+
+    Columns: col_a < col_b, n (BIGINT), corr (DOUBLE)."""
+    k = len(cols)
+    q = df.select(*[
+        F.expr(_q_expr(c, scale)).alias(f"q{i}") for i, c in enumerate(cols)
+    ])
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(F.col(f"q{i}")).alias(f"s{i}") for i in range(k)]
+    aggs += [
+        F.sum(F.expr(f"CAST(q{i} * q{j} AS DECIMAL(38,0))"))
+        .alias(f"p{i}_{j}")
+        for i in range(k) for j in range(i, k)
+    ]
+    one = q.agg(*aggs)
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = d("n") * d(f"p{i}_{j}") - d(f"s{i}") * d(f"s{j}")
+            den = (
+                F.sqrt(d("n") * d(f"p{i}_{i}") - d(f"s{i}") * d(f"s{i}"))
+                * F.sqrt(d("n") * d(f"p{j}_{j}") - d(f"s{j}") * d(f"s{j}"))
+            )
+            pairs.append(F.struct(
+                F.lit(cols[i]).alias("col_a"),
+                F.lit(cols[j]).alias("col_b"),
+                F.col("n").alias("n"),
+                (num / den).alias("corr"),
+            ))
+    return (
+        one.select(F.explode(F.array(*pairs)).alias("r"))
+        .select("r.col_a", "r.col_b", "r.n", "r.corr")
+    )
+
+
+def corr_matrix_sql(cols: list[str], table: str = "lineitem",
+                    scale: int = 4) -> str:
+    """DuckDB twin of :func:`corr_matrix` — generated from the same
+    quantization and the same frozen IEEE formula (never DuckDB's own
+    corr(), whose float accumulation order is engine-private)."""
+    k = len(cols)
+    qsel = ", ".join(
+        f"{_q_expr(c, scale)} AS q{i}" for i, c in enumerate(cols))
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    sums += [f"SUM(q{i}) AS s{i}" for i in range(k)]
+    sums += [f"SUM(CAST(q{i} * q{j} AS DECIMAL(38,0))) AS p{i}_{j}"
+             for i in range(k) for j in range(i, k)]
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = (f"(CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE)"
+                   f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))")
+            den = (
+                f"(sqrt(CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+                f" * sqrt(CAST(n AS DOUBLE) * CAST(p{j}_{j} AS DOUBLE)"
+                f" - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)))"
+            )
+            rows.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,"
+                f" n, {num} / {den} AS corr FROM s")
+    return f"""
+        WITH q AS (SELECT {qsel} FROM {table}),
+        s AS (SELECT {", ".join(sums)} FROM q)
+        {" UNION ALL ".join(rows)}
+    """

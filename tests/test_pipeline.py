@@ -222,3 +222,27 @@ def test_source_quality_report_consistency(spark, duck):
         assert 0.0 <= r.mean_quality <= 1.0
     assert_matches_oracle(out, duck,
                           E.oracle_sql()["source_quality_report"])
+
+
+def test_corr_matrix_matches_numpy_and_oracle(spark, duck):
+    """The one-pass exact-sum correlation agrees with numpy's corrcoef
+    to float tolerance AND hash-checks against the generated twin."""
+    import numpy as np
+
+    import __spark_entry__ as E
+    from spark_streaming_spark.operators import profile as PF
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in PF.corr_matrix(li, cols).collect()}
+    pdf = li.select(*cols).toPandas()
+    ref = np.corrcoef(pdf.to_numpy(dtype="float64").T)
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            assert abs(out[(a, cols[j])] - ref[i][j]) < 1e-6, (a, cols[j])
+    assert_matches_oracle(
+        PF.corr_matrix(li, cols), duck,
+        E.oracle_sql()["lineitem_corr_matrix"])

@@ -2018,6 +2018,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "customer")),
         # chi-square contingency audit: one groupBy to |types|x7 cells,
         # marginals as windows over the tiny cell table
+        # first-order Markov transition matrix of user behavior: lag
+        # window pairs + integer-ppm row-conditional probabilities
+        "event_transition_matrix": lambda s, d: AN.event_transition_matrix(
+            load_table(s, d, "events")),
         "event_dow_association": lambda s, d: AN.crosstab_association(
             load_table(s, d, "events")),
         # RFM segmentation on exact DISTRIBUTED global ranks (two-phase
@@ -5223,6 +5227,24 @@ def oracle_sql() -> dict[str, str]:
     sql["spacesaving_terms_per_lang"] = spacesaving_grouped_sql(10)
     sql["streaming_spacesaving_per_lang"] = \
         sql["spacesaving_terms_per_lang"]
+    # Markov transitions: same (ts, event_id) in-user order, integer DIV
+    sql["event_transition_matrix"] = """
+        WITH seq AS (
+          SELECT user_id, event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events
+        ),
+        p AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+        ),
+        t AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+              FROM p GROUP BY 1)
+        SELECT p.from_type, p.to_type, p.n_trans,
+               (1000000 * p.n_trans) // t.n_from AS p_ppm
+        FROM p JOIN t USING (from_type)
+    """
     sql["streaming_spacesaving_hot_words"] = sql["spacesaving_hot_words"]
     # BPE segmentation stats (operators/bpe.bpe_segment_sql): the 6
     # training rounds UNROLLED into chained CTEs — per-round pair-count

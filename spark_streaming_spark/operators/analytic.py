@@ -301,3 +301,37 @@ def ab_experiment_report(events: DataFrame, salt: str = "exp1") -> DataFrame:
             " AS cvr_ppm",
         )
     )
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov TRANSITION MATRIX of user behavior: for every
+    ordered pair of consecutive events of one user, count
+    (from_type -> to_type) and its integer-ppm row-conditional
+    probability — the sequence statistic behind next-event prediction,
+    funnel leak detection and session synthesis. One shuffle (the lag
+    window on user_id), one partial-agged pair groupBy; the per-from
+    normalizer rides a tiny broadcastable aggregate. Deterministic: the
+    in-user order is (ts, event_id) — the event_id tiebreak pins
+    simultaneous events — and p_ppm is integer DIV.
+    Columns: from_type, to_type, n_trans, p_ppm."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id",
+                      F.col("event_type").alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_trans").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "n_trans",
+            F.expr("CAST(1000000 * n_trans AS BIGINT) DIV n_from")
+            .alias("p_ppm"),
+        )
+    )

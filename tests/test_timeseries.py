@@ -127,3 +127,23 @@ def test_dau_mau_stickiness_invariants_and_plan(spark, duck):
     assert all(0 < r.stickiness_ppm <= 1_000_000 for r in rows)
     assert rows[0].dau == rows[0].mau
     assert_matches_oracle(out, duck, E.oracle_sql()["dau_mau_stickiness"])
+
+
+def test_event_transition_matrix_probabilities_sum(spark):
+    """Row-conditional ppm probabilities per from_type sum to ~1e6
+    (integer DIV floors each cell, so the row sum is within n_cells of
+    1e6), and every transition count is positive."""
+    from spark_streaming_spark.operators import analytic as AN
+
+    events = load_table(spark, SF_DIR, "events")
+    rows = AN.event_transition_matrix(events).collect()
+    assert rows
+    from collections import defaultdict
+    sums = defaultdict(int)
+    cells = defaultdict(int)
+    for r in rows:
+        assert r["n_trans"] > 0 and 0 <= r["p_ppm"] <= 1_000_000
+        sums[r["from_type"]] += r["p_ppm"]
+        cells[r["from_type"]] += 1
+    for ft, s in sums.items():
+        assert 1_000_000 - cells[ft] <= s <= 1_000_000, (ft, s)

@@ -919,7 +919,47 @@ def _ord_members():
 
     gap = (F.when(F.col("event_type") == "purchase",
                   F.lit("2 minutes")).otherwise(F.lit("5 minutes")))
+    def transitions_start(spark, sf_dir):
+        import atexit
+        import shutil
+
+        from spark_streaming_spark.streaming import replay
+        from spark_streaming_spark.streaming.pipelines import (
+            transition_fold_sink)
+
+        chunk_dir = _ordered_chunked_events(spark, sf_dir)
+        state_dir = replay.scratch_dir("trans_state_")
+        atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+        ckpt = replay.scratch_dir("spark_ckpt_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        q = (
+            stream.filter(F.col("user_id") >= 0)
+            .select("user_id", "ts", "event_id", "event_type")
+            .writeStream
+            .foreachBatch(transition_fold_sink(spark, state_dir))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+        def read():
+            with open(os.path.join(state_dir, "CURRENT")) as fh:
+                return spark.read.parquet(os.path.join(
+                    state_dir, fh.read().strip(), "pairs"))
+        return _SinkRun(q, read, ckpt)
+
+    def transitions_post(df, spark, sf_dir):
+        totals = df.groupBy("from_type").agg(
+            F.sum("n_trans").cast("long").alias("n_from"))
+        return df.join(F.broadcast(totals), "from_type").select(
+            "from_type", "to_type", "n_trans",
+            F.expr("CAST(1000000 * n_trans AS BIGINT) DIV n_from")
+            .alias("p_ppm"))
+
     return {
+        "transitions": (transitions_start, transitions_post),
         "sessions": (_ord_starter(session_stream), drop_sentinels),
         "dynamic_sessions": (
             _ord_starter(lambda st: session_stream(st, gap=gap)),
@@ -2022,6 +2062,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window pairs + integer-ppm row-conditional probabilities
         "event_transition_matrix": lambda s, d: AN.event_transition_matrix(
             load_table(s, d, "events")),
+        # the transition counts maintained CONTINUOUSLY with
+        # cross-batch stitching (per-user last-event state pairs a
+        # batch's first event with the previous batch's last; ordered
+        # replay enforced by a loud per-epoch guard) — shares the batch
+        # oracle; rides the ordered-events co-scheduled group
+        "streaming_transition_matrix": lambda s, d: _cosched_group(
+            s, d, "ord_events", _ord_members(), "transitions"),
         "event_dow_association": lambda s, d: AN.crosstab_association(
             load_table(s, d, "events")),
         # RFM segmentation on exact DISTRIBUTED global ranks (two-phase
@@ -5227,7 +5274,9 @@ def oracle_sql() -> dict[str, str]:
     sql["spacesaving_terms_per_lang"] = spacesaving_grouped_sql(10)
     sql["streaming_spacesaving_per_lang"] = \
         sql["spacesaving_terms_per_lang"]
-    # Markov transitions: same (ts, event_id) in-user order, integer DIV
+    # Markov transitions: same (ts, event_id) in-user order, integer DIV;
+    # the streamed fold stitches across batch boundaries exactly, so it
+    # shares the batch oracle verbatim
     sql["event_transition_matrix"] = """
         WITH seq AS (
           SELECT user_id, event_type AS from_type,
@@ -5245,6 +5294,7 @@ def oracle_sql() -> dict[str, str]:
                (1000000 * p.n_trans) // t.n_from AS p_ppm
         FROM p JOIN t USING (from_type)
     """
+    sql["streaming_transition_matrix"] = sql["event_transition_matrix"]
     sql["streaming_spacesaving_hot_words"] = sql["spacesaving_hot_words"]
     # BPE segmentation stats (operators/bpe.bpe_segment_sql): the 6
     # training rounds UNROLLED into chained CTEs — per-round pair-count

@@ -669,3 +669,78 @@ def cdc_feed_sink(spark, state_dir: str, log_dir: str):
         os.replace(tmp, os.path.join(state_dir, "CURRENT"))
 
     return write_batch
+
+
+def transition_fold_sink(spark, state_dir: str):
+    """foreachBatch sink maintaining the first-order Markov TRANSITION
+    COUNTS across micro-batches with CROSS-BATCH stitching: state is
+    (a) the accumulated (from_type, to_type, n_trans) table and (b) each
+    user's LAST event — the boundary row that lets a batch's first event
+    pair up with the previous batch's last one, which a per-batch-only
+    fold would miss. Requires event-time-ordered replay (every batch's
+    min ts >= the prior state's max ts) and ENFORCES it with a loud
+    per-epoch guard — on an out-of-order feed the stitch would silently
+    undercount, so refusing beats drifting. State is O(|type pairs|) +
+    O(|users|); the versioned CURRENT publish is scd1_merge_sink's —
+    replay-idempotent."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    def _state_before(epoch_id: int):
+        prior = [
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+            and int(d[1:]) < epoch_id
+        ] if os.path.isdir(state_dir) else []
+        if prior:
+            base = os.path.join(state_dir, f"v{max(prior)}")
+            return (spark.read.parquet(os.path.join(base, "pairs")),
+                    spark.read.parquet(os.path.join(base, "last")))
+        return None, None
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.select("user_id", "ts", "event_id", "event_type")
+        prev_pairs, prev_last = _state_before(epoch_id)
+        if prev_last is not None:
+            bmin = batch.agg(F.min("ts")).first()[0]
+            smax = prev_last.agg(F.max("ts")).first()[0]
+            if bmin is not None and smax is not None and bmin < smax:
+                raise RuntimeError(
+                    f"transition fold requires ordered replay: batch min "
+                    f"ts {bmin} < state max ts {smax}")
+            ext = (prev_last.withColumn("__st", F.lit(True))
+                   .unionByName(batch.withColumn("__st", F.lit(False))))
+        else:
+            ext = batch.withColumn("__st", F.lit(False))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        led = ext.select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+            F.lead("__st").over(w).alias("__to_st"),
+        )
+        delta = (
+            led.filter(F.col("to_type").isNotNull() & ~F.col("__to_st"))
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").cast("long").alias("n_trans"))
+        )
+        pairs = delta if prev_pairs is None else (
+            prev_pairs.unionByName(delta)
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n_trans").cast("long").alias("n_trans"))
+        )
+        last = (
+            ext.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+            .select("user_id", "m.ts", "m.event_id", "m.event_type")
+        )
+        base = os.path.join(state_dir, f"v{epoch_id}")
+        pairs.write.mode("overwrite").parquet(os.path.join(base, "pairs"))
+        last.write.mode("overwrite").parquet(os.path.join(base, "last"))
+        tmp = os.path.join(state_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"v{epoch_id}")
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+    return write_batch

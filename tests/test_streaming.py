@@ -1002,3 +1002,34 @@ def test_cosched_redeem_once_reruns_group(spark):
     E._cosched_group(spark, "sfX", "t_redeem", members, "a")
     assert calls["n"] == 4          # a again -> fresh group run
     E._COSCHED_RESULTS.pop(key, None)
+
+
+def test_transition_fold_rejects_out_of_order_replay(spark, tmp_path):
+    """The cross-batch stitch is only exact on an ordered feed; the
+    sink's per-epoch guard must raise on a violation instead of
+    silently undercounting."""
+    import datetime
+
+    import pytest as _pytest
+
+    from spark_streaming_spark.streaming.pipelines import (
+        transition_fold_sink)
+
+    sink = transition_fold_sink(spark, str(tmp_path / "st"))
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, "
+                  "event_type string")
+
+    sink(batch([(1, t0 + datetime.timedelta(seconds=10), 1, "click")]), 0)
+    with _pytest.raises(RuntimeError, match="ordered replay"):
+        sink(batch([(1, t0, 2, "view")]), 1)
+    # an ordered second batch folds fine and stitches the boundary pair
+    sink(batch([(1, t0 + datetime.timedelta(seconds=20), 3, "buy")]), 1)
+    with open(str(tmp_path / "st" / "CURRENT")) as fh:
+        pairs = spark.read.parquet(
+            str(tmp_path / "st" / fh.read().strip() / "pairs")).collect()
+    assert {(r["from_type"], r["to_type"], r["n_trans"])
+            for r in pairs} == {("click", "buy", 1)}

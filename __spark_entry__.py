@@ -34,6 +34,7 @@ from spark_streaming_spark.operators import grouped as G
 from spark_streaming_spark.operators import merge as MG2
 from spark_streaming_spark.operators import multimodal as MM
 from spark_streaming_spark.operators import pipeline as PL
+from spark_streaming_spark.operators import pca as PCA
 from spark_streaming_spark.operators import profile as PF
 from spark_streaming_spark.operators import rangejoin as RJ
 from spark_streaming_spark.operators import ranking as RK
@@ -2481,6 +2482,18 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sums in a single Aggregate (k + k(k+1)/2 accumulators, one
         # scan), frozen IEEE formula at the end — the feature-screening
         # statistic without k^2 jobs, hash-exact across engines
+        # distributed PCA, engine-exact: one-pass exact second-moment
+        # build (2,080 decimal accumulators), power iteration unrolled
+        # on the d*d covariance numerator (corank discipline: 7dp
+        # quantized products, order-independent sums, fixed IEEE
+        # normalization), sign pinned at the max-|loading| dim. The
+        # iteration touches only the d^2 matrix — corpus scanned ONCE
+        "embedding_pca_loadings": lambda s, d: PCA.pca_top_component(
+            load_table(s, d, "embeddings")),
+        # the serving step: corpus projected onto the learned component
+        # (loadings broadcast, map-only quantized dot)
+        "embedding_pca_scores": lambda s, d: PCA.pca_scores(
+            load_table(s, d, "embeddings")),
         "lineitem_corr_matrix": lambda s, d: PF.corr_matrix(
             load_table(s, d, "lineitem"),
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
@@ -3285,6 +3298,82 @@ def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
                  AS cosine
         FROM prods ORDER BY cosine DESC, vec_id LIMIT {k}
     """
+
+
+def _PCA_SQL(n_iters=8, d=64, scores=False):
+    rounds = []
+    prev = "v0"
+    for k in range(1, n_iters + 1):
+        # every CTE is referenced exactly ONCE downstream: DuckDB
+        # inlines CTEs per reference, so a twice-referenced round CTE
+        # doubles the plan each round (2^n blowup) — the norm rides a
+        # window aggregate instead
+        rounds.append(f"""
+w{k} AS (
+  SELECT m.i, CAST(SUM(CAST(ROUND(m.mval * v.v, 7) AS DECIMAL(38,8)))
+         AS DOUBLE) AS w
+  FROM mboth m JOIN {prev} v ON v.j = m.j GROUP BY 1
+),
+v{k} AS (
+  SELECT i AS j,
+         w / sqrt(CAST(SUM(CAST(ROUND(w * w, 7) AS DECIMAL(38,8)))
+                  OVER () AS DOUBLE)) AS v
+  FROM w{k}
+)""")
+        prev = f"v{k}"
+    final = f"""
+loadings AS (
+  SELECT j AS dim,
+         v * (MAX({{'a': abs(v), 'negd': -j,
+                    's': CASE WHEN v > 0 THEN CAST(1 AS DOUBLE)
+                              WHEN v < 0 THEN CAST(-1 AS DOUBLE)
+                              ELSE CAST(0 AS DOUBLE) END}}) OVER ()).s
+           AS loading
+  FROM {prev}
+)"""
+    head = f"""ii AS (SELECT unnest(range(0, {d})) AS i),
+qq AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+mom AS (
+  SELECT a.i AS i, b.i AS j, SUM(CAST(q[a.i + 1] AS HUGEINT) * q[b.i + 1]) AS sij
+  FROM qq, ii a, ii b
+  WHERE b.i >= a.i
+  GROUP BY 1, 2
+),
+sd AS (
+  SELECT i.i AS k, SUM(CAST(q[i.i + 1] AS HUGEINT)) AS si
+  FROM qq, ii i GROUP BY 1
+),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM qq),
+mupper AS (
+  SELECT m.i, m.j,
+         CAST(nn.n * m.sij - a.si * b.si AS DOUBLE) AS mval
+  FROM mom m, nn
+  JOIN sd a ON a.k = m.i
+  JOIN sd b ON b.k = m.j
+),
+mraw AS (
+  SELECT i, j, mval FROM mupper
+  UNION ALL
+  SELECT j, i, mval FROM mupper WHERE i <> j
+),
+mmax AS (SELECT MAX(abs(mval)) AS mx FROM mraw),
+mboth AS (SELECT i, j, mval / mx AS mval FROM mraw, mmax),
+v0 AS (SELECT i AS j, CAST({1.0 / (d ** 0.5)!r} AS DOUBLE) AS v FROM ii)"""
+    # scores as a flat cross join + group (a correlated scalar
+    # subquery would re-inline the whole loadings chain per row)
+    tail = ("SELECT dim, loading FROM loadings" if not scores else """
+SELECT e.vec_id,
+  CAST(SUM(CAST(ROUND(CAST(e.embedding[l.dim + 1] AS DOUBLE)
+       * l.loading, 7) AS DECIMAL(38,8))) AS DOUBLE) AS score
+FROM embeddings e, loadings l
+GROUP BY e.vec_id""")
+    return "WITH " + head + "," + ",".join(rounds) + "," + final + "\n" + tail
+
 
 
 def _ivf_multiq_prefix(n_cells: int = 8, nprobe: int = 2,
@@ -4894,6 +4983,8 @@ def oracle_sql() -> dict[str, str]:
     # one-pass profile: long-form union of the same rendered aggregates
     # (doubles quantized to DECIMAL(38,7) before the hull on both sides)
     sql["pq_codes_det"] = _PQ_DET_SQL()
+    sql["embedding_pca_loadings"] = _PCA_SQL()
+    sql["embedding_pca_scores"] = _PCA_SQL(scores=True)
     from spark_streaming_spark.operators.profile import corr_matrix_sql
     sql["lineitem_corr_matrix"] = corr_matrix_sql(
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])

@@ -197,7 +197,17 @@ def bpe_segment_sql(n_merges: int, table: str = "documents") -> str:
           WHERE len(syms) >= 2
           GROUP BY 1, 2
         ),
-        m{k} AS (SELECT l, r FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+        m{k} AS (
+          SELECT l, r FROM (
+            SELECT l, r, cnt FROM p{k}
+            UNION ALL
+            -- never-matching sentinel pair (no symbol is chr(30)): keeps
+            -- m{k} at EXACTLY 1 row when the corpus exhausts its merges
+            -- before round {k} (empty p{k}), so the {prev} cross join
+            -- stays a no-op round like the engine's instead of emptying
+            -- the vocabulary into a silent oracle mismatch
+            SELECT chr(30) AS l, chr(30) AS r, CAST(-1 AS BIGINT) AS cnt
+          ) ORDER BY cnt DESC, l, r LIMIT 1),
         w{k} AS (
           SELECT word, freq,
             string_split(list_reduce(list_prepend(chr(30), syms),

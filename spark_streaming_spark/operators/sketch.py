@@ -859,22 +859,54 @@ def mg_prune(counters: DataFrame, key_col: str, k: int,
     )
 
 
-def mg_merge(a: DataFrame, b: DataFrame, key_col: str, k: int) -> DataFrame:
+def mg_prune_full(counters: DataFrame, key_col: str, k: int,
+                  cnt_col: str = "cnt") -> tuple[DataFrame, DataFrame]:
+    """:func:`mg_prune` plus the forfeited error budget as a 1-ROW frame
+    (column ``err``) — emitted even when EVERY counter folds to <= 0 and
+    the pruned row table is empty. The row table's per-row ``err``
+    column equals that scalar whenever rows survive, but an all-equal
+    counter table (each counter == the (k+1)-st value) prunes to ZERO
+    rows while still forfeiting a nonzero t; deriving the budget from
+    surviving rows would then report 0 and a later merge could violate
+    the documented est <= true <= est + err bound. Callers that merge
+    summaries must carry this scalar (pass it to :func:`mg_merge`)."""
+    tie = F.md5(F.col(key_col).cast("string"))
+    lim = counters.orderBy(F.col(cnt_col).desc(), tie.asc()).limit(k + 1)
+    # the (k+1)-st largest counter is the min over the (k+1)-limited set
+    # when it actually reached k+1 rows; otherwise nothing was forfeited
+    errf = lim.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min(cnt_col))
+        .otherwise(F.lit(0)).cast("long").alias("err"))
+    return mg_prune(counters, key_col, k, cnt_col), errf
+
+
+def mg_merge(a: DataFrame, b: DataFrame, key_col: str, k: int,
+             a_err: DataFrame | None = None,
+             b_err: DataFrame | None = None) -> DataFrame:
     """Merge two MG summaries (key_col, est, err): pointwise counter
     addition, re-prune to ``k``, and the error budgets ADD (Agarwal et
     al. 2013 merge rule — the new prune's subtraction stacks on top of
     whatever each input already forfeited). Deterministic end to end,
     so repeated merges of the same shards reproduce bit-identical
-    summaries; the MG bound est <= true <= est + err is preserved."""
+    summaries; the MG bound est <= true <= est + err is preserved.
+
+    ``a_err`` / ``b_err``: the 1-row forfeited-budget frames from
+    :func:`mg_prune_full`. Pass them whenever an input may have pruned
+    to EMPTY (every counter equaled the (k+1)-st value) — the fallback
+    derives each input's budget as max(err) over its rows, which is
+    exact for any non-empty summary but reads 0 from an empty one and
+    would then under-state the merged bound."""
     added = (
         a.select(key_col, "est").unionByName(b.select(key_col, "est"))
         .groupBy(key_col).agg(F.sum("est").alias("cnt"))
     )
+    ea = (a_err if a_err is not None
+          else a.agg(F.coalesce(F.max("err"), F.lit(0)).alias("err")))
+    eb = (b_err if b_err is not None
+          else b.agg(F.coalesce(F.max("err"), F.lit(0)).alias("err")))
     carry = (
-        a.agg(F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("__ea"))
-        .crossJoin(
-            b.agg(F.coalesce(F.max("err"), F.lit(0)).cast("long")
-                  .alias("__eb")))
+        ea.select(F.col("err").cast("long").alias("__ea"))
+        .crossJoin(eb.select(F.col("err").cast("long").alias("__eb")))
     )
     return (
         mg_prune(added, key_col, k)

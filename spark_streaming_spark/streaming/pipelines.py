@@ -703,12 +703,22 @@ def transition_fold_sink(spark, state_dir: str):
         batch = batch_df.select("user_id", "ts", "event_id", "event_type")
         prev_pairs, prev_last = _state_before(epoch_id)
         if prev_last is not None:
-            bmin = batch.agg(F.min("ts")).first()[0]
-            smax = prev_last.agg(F.max("ts")).first()[0]
-            if bmin is not None and smax is not None and bmin < smax:
+            # guard on the FULL (ts, event_id) order key — the same key
+            # the stitch window sorts by. A strict ts-only check would
+            # pass a batch event with ts EQUAL to the stored last-event
+            # ts but a smaller event_id, which then sorts BEFORE the
+            # state row and silently stitches differently than the
+            # one-shot batch oracle.
+            bmin = batch.agg(
+                F.min(F.struct("ts", "event_id"))).first()[0]
+            smax = prev_last.agg(
+                F.max(F.struct("ts", "event_id"))).first()[0]
+            if bmin is not None and smax is not None \
+                    and (bmin[0], bmin[1]) < (smax[0], smax[1]):
                 raise RuntimeError(
                     f"transition fold requires ordered replay: batch min "
-                    f"ts {bmin} < state max ts {smax}")
+                    f"(ts, event_id) {tuple(bmin)} < state max "
+                    f"{tuple(smax)}")
             ext = (prev_last.withColumn("__st", F.lit(True))
                    .unionByName(batch.withColumn("__st", F.lit(False))))
         else:

@@ -220,7 +220,18 @@ def run_many_to_parquet(jobs: list[dict], timeout_sec: int = 300) -> list[DataFr
     Failure coupling is deliberate: if any sibling fails, the whole
     group raises — better one loud error than a cached partial family.
     """
-    handles = [start_to_parquet(**j) for j in jobs]
+    handles: list[_ParquetRun] = []
+    try:
+        for j in jobs:
+            handles.append(start_to_parquet(**j))
+    except Exception:
+        # a starter failed mid-fan-out: stop the already-running siblings
+        # (and drop their checkpoints) before re-raising, mirroring the
+        # finish-all-then-raise discipline of the await loop below —
+        # otherwise orphaned queries keep running on the shared session
+        for h in handles:
+            h.abort()
+        raise
     err = None
     results: list[DataFrame | None] = []
     for h in handles:
@@ -254,6 +265,16 @@ class _ParquetRun:
         self.final_epoch = final_epoch
         self.wrote_state = wrote_state
         self.ckpt = ckpt
+
+    def abort(self) -> None:
+        """Stop the query and drop its checkpoint WITHOUT reading a
+        result — the unwind path when a sibling starter failed mid
+        fan-out. Never raises (best-effort cleanup)."""
+        try:
+            self.q.stop()
+        except Exception:  # noqa: BLE001 — cleanup must not mask the cause
+            pass
+        shutil.rmtree(self.ckpt, ignore_errors=True)
 
     def finish(self, timeout_sec: int = 300) -> DataFrame:
         try:

@@ -109,3 +109,27 @@ def test_bpe_segment_matches_unrolled_sql_oracle(spark, duck):
               BPE.bpe_train(docs, n_merges=6).orderBy("step").collect()]
     assert_matches_oracle(
         BPE.bpe_segment(docs, merges), duck, BPE.bpe_segment_sql(6))
+
+
+def test_bpe_sql_exhausted_rounds_are_noops(spark, duck):
+    """When the corpus runs out of mergeable pairs before n_merges, the
+    engine's bpe_train simply stops early; the unrolled oracle's extra
+    rounds must become NO-OPS (the never-matching sentinel pair), not
+    empty the vocabulary into a silent zero-row mismatch."""
+    from pyspark.sql import Row
+
+    from tests.conftest import assert_matches_oracle
+
+    # 'ab' fully merges after 1 round; 'c' has no pairs at all — any
+    # n_merges >= 2 exhausts
+    rows = [Row(doc_id=1, text="ab ab c"), Row(doc_id=2, text="c ab")]
+    docs = spark.createDataFrame(rows)
+    duck.execute("CREATE OR REPLACE TEMP TABLE tiny_docs AS "
+                 "SELECT 1 AS doc_id, 'ab ab c' AS text "
+                 "UNION ALL SELECT 2, 'c ab'")
+    merges = [(r.left, r.right) for r in
+              BPE.bpe_train(docs, n_merges=4).orderBy("step").collect()]
+    assert len(merges) < 4               # genuinely exhausted
+    assert_matches_oracle(
+        BPE.bpe_segment(docs, merges), duck,
+        BPE.bpe_segment_sql(4, table="tiny_docs"))

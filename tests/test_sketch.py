@@ -459,6 +459,39 @@ def test_mg_pruned_merge_keeps_bound(spark):
             assert w in surviving, (w, c, err)
 
 
+def test_mg_empty_prune_budget_survives_merge(spark):
+    """An input whose counters ALL equal the (k+1)-st value prunes to
+    ZERO rows yet forfeits a nonzero budget t — mg_prune_full carries it
+    as a 1-row scalar, and mg_merge given those frames keeps the bound
+    est <= true <= est + err; the rows-derived fallback would read the
+    empty input's budget as 0 and violate it."""
+    from pyspark.sql import Row
+
+    k = 4
+    # shard A: 5 words, each cnt 3 -> t = 3, every est folds to 0 -> EMPTY
+    a_counts = spark.createDataFrame(
+        [Row(word=f"w{i}", cnt=3) for i in range(5)])
+    # shard B: the same 5 words with asymmetric counts
+    b_counts = spark.createDataFrame(
+        [Row(word=f"w{i}", cnt=c) for i, c in enumerate([9, 7, 5, 2, 1])])
+    sa, ea = SKC.mg_prune_full(a_counts, "word", k)
+    sb, eb = SKC.mg_prune_full(b_counts, "word", k)
+    assert sa.count() == 0
+    assert ea.first()["err"] == 3        # the forfeited t, not 0
+    assert eb.first()["err"] == 1        # == max(err) over sb's rows
+    assert {r["err"] for r in sb.collect()} == {1}
+    true = {f"w{i}": 3 + c for i, c in enumerate([9, 7, 5, 2, 1])}
+    merged = SKC.mg_merge(sa, sb, "word", k, a_err=ea, b_err=eb).collect()
+    assert len(merged) > 0
+    for r in merged:
+        assert r["est"] <= true[r["word"]] <= r["est"] + r["err"], r
+    # the fallback (rows-derived budgets) under-states err for shard A:
+    weak = SKC.mg_merge(sa, sb, "word", k).collect()
+    bound_ok = all(r["est"] <= true[r["word"]] <= r["est"] + r["err"]
+                   for r in weak)
+    assert not bound_ok, "fallback unexpectedly safe — fixture drifted"
+
+
 def test_mg_merge_deterministic(spark):
     docs = load_table(spark, SF_DIR, "documents")
     a = SKC.mg_prune(

@@ -1026,6 +1026,12 @@ def test_transition_fold_rejects_out_of_order_replay(spark, tmp_path):
     sink(batch([(1, t0 + datetime.timedelta(seconds=10), 1, "click")]), 0)
     with _pytest.raises(RuntimeError, match="ordered replay"):
         sink(batch([(1, t0, 2, "view")]), 1)
+    # ts EQUAL to the stored last event but a SMALLER event_id must also
+    # be rejected — the stitch window sorts on the full (ts, event_id)
+    # key, so this row would sort BEFORE the state row and silently
+    # produce a different stitch than the one-shot batch fold
+    with _pytest.raises(RuntimeError, match="ordered replay"):
+        sink(batch([(1, t0 + datetime.timedelta(seconds=10), 0, "view")]), 1)
     # an ordered second batch folds fine and stitches the boundary pair
     sink(batch([(1, t0 + datetime.timedelta(seconds=20), 3, "buy")]), 1)
     with open(str(tmp_path / "st" / "CURRENT")) as fh:

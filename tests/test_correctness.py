@@ -56,6 +56,27 @@ def test_checked_window_oracle_slots():
     assert first_50 == entrymod._CHECK_FIRST
 
 
+def test_cosched_groups_map_is_consistent(spark):
+    """The bench-facing entry->group map (entrymod.cosched_groups) must
+    name real entries and agree in SIZE with every co-scheduled member
+    dict — a member added to a group without a map row would silently
+    report an unexplained ~0 bench time. (spark fixture: some member
+    factories build Column expressions at definition time.)"""
+    groups = entrymod.cosched_groups()
+    assert set(groups) <= set(QUERIES)
+    from collections import Counter
+
+    sizes = Counter(groups.values())
+    assert sizes["attr_modes"] == len(entrymod._ATTR_MEMBERS)
+    assert sizes["ord_events"] == len(entrymod._ord_members())
+    assert sizes["doc_folds"] == len(entrymod._doc_fold_members())
+    assert sizes["event_folds"] == len(entrymod._event_fold_members())
+    assert sizes["emb_folds"] == len(entrymod._emb_fold_members())
+    assert sizes["rs_events"] == len(entrymod._rs_events_members())
+    assert sizes["rs_documents"] == len(entrymod._rs_docs_members())
+    assert sum(sizes.values()) == len(groups)
+
+
 def test_oracle_output_types_spark_representable(duck):
     """Round-4 lesson: DuckDB ``SUM(BIGINT)`` yields HUGEINT (int128 ->
     Arrow decimal128(38,0)) while Spark emits int64, and the driver's

@@ -38,6 +38,74 @@ def test_pca_loadings_match_oracle_and_converge(spark, duck):
     assert rq8 >= 0.85 * lmax, (rq8, lmax)
 
 
+def test_pca_top2_orthogonal_and_captures_variance(spark, duck):
+    """VERDICT r9 #3 pins: the projected-iteration second component is
+    orthogonal to the first UP TO THE 7 dp QUANTIZER (the property
+    explicit rank-1 deflation cannot give when component 1 is not fully
+    converged — measured 0.06 residual cosine on this near-isotropic
+    fixture), and each component captures >= 85% of its matching
+    eigenvalue's variance. A strict Rayleigh ORDER pin (ray1 >= ray2)
+    is NOT sound here: lambda2/lambda1 ~ 0.93, so an 8-iteration
+    component 1 (ray1 ~ 0.90*l1) can trail a clean component 2 —
+    ordering is instead pinned against each component's OWN
+    eigenvalue."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert_matches_oracle(
+        PCA.pca_top_components(emb, 2), duck,
+        E.oracle_sql()["embedding_pca_top2"])
+    rows = PCA.pca_top_components(emb, 2).collect()
+    v = {1: np.zeros(64), 2: np.zeros(64)}
+    for r in rows:
+        v[r["component"]][r["dim"]] = r["loading"]
+    assert abs(np.linalg.norm(v[1]) - 1.0) < 1e-6
+    assert abs(np.linalg.norm(v[2]) - 1.0) < 1e-6
+    assert abs(float(v[1] @ v[2])) < 1e-5      # quantizer-level ortho
+    X = np.array(emb.select("embedding").toPandas()["embedding"].tolist(),
+                 dtype="float64")
+    C = np.cov(X.T, bias=True)
+    evals = np.linalg.eigvalsh(C)
+    l1, l2 = float(evals[-1]), float(evals[-2])
+    assert float(v[1] @ C @ v[1]) >= 0.85 * l1
+    assert float(v[2] @ C @ v[2]) >= 0.85 * l2
+    # and neither direction exceeds the spectrum's ceiling
+    assert float(v[2] @ C @ v[2]) <= l1 + 1e-9
+
+
+def test_pca_top2_component1_is_prefix_stable(spark):
+    """Projected iteration never looks at later components, so the
+    2-component build's component 1 equals the solo build bit-for-bit
+    (what lets the train-once cache serve smaller requests by
+    slicing)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    solo = {r["dim"]: r["loading"]
+            for r in PCA.pca_top_component(emb).collect()}
+    both = {r["dim"]: r["loading"]
+            for r in PCA.pca_top_components(emb, 2).collect()
+            if r["component"] == 1}
+    assert solo == both
+
+
+def test_pca_moment_fold_equals_oneshot(spark):
+    """The additive path the streamed twin executes: per-shard moment
+    tables, cell-wise summed, reach the SAME loadings as the one-shot
+    build — why streaming_pca_loadings shares the batch oracle
+    verbatim."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    even = PCA.second_moments(emb.filter(F.col("vec_id") % 2 == 0))
+    odd = PCA.second_moments(emb.filter(F.col("vec_id") % 2 == 1))
+    folded = (
+        even.unionByName(odd).groupBy("i", "j")
+        .agg(F.sum("sij").alias("sij"), F.sum("si").alias("si"),
+             F.sum("n_pairs").alias("n_pairs"))
+    )
+    got = sorted(tuple(r) for r in
+                 PCA.pca_top_component_from_moments(folded).collect())
+    want = sorted(tuple(r) for r in PCA.pca_top_component(emb).collect())
+    assert got == want
+
+
 def test_pca_scores_match_oracle_and_rayleigh(spark, duck):
     emb = load_table(spark, SF_DIR, "embeddings")
     assert_matches_oracle(

@@ -344,6 +344,119 @@ def _q_streaming_events_asof_status(spark: SparkSession,
                           _rs_events_members(), "events_asof")
 
 
+def _start_foreach_sink(stream_df: DataFrame, batch_fn, read_fn):
+    """Start a foreachBatch versioned-publish sink and hand back the
+    co-schedulable _SinkRun handle (the _fold_starter protocol, for
+    members whose chunk source / sink wiring is bespoke)."""
+    from spark_streaming_spark.streaming import replay
+
+    ckpt = replay.scratch_dir("spark_ckpt_")
+    q = (
+        stream_df.writeStream
+        .foreachBatch(batch_fn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _SinkRun(q, read_fn, ckpt)
+
+
+def _merge_fold_members():
+    """Co-scheduled group for the versioned-publish MERGE sinks (SCD1 /
+    SCD2 / CDC feed / changing-history as-of / KMV registers): each
+    member keeps its own chunk feed, state dir, and sink — only the
+    replays overlap in time (VERDICT r9 #6: these singletons each paid
+    a full replay's wall clock)."""
+    import atexit
+    import shutil
+
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import (
+        cdc_feed_sink, kmv_sketch_sink, scd1_merge_sink,
+        scd2_asof_enrich_sink, scd2_merge_sink)
+
+    def _scratch(prefix):
+        d = replay.scratch_dir(prefix)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        return d
+
+    def scd1_start(spark, sf_dir):
+        cust = load_table(spark, sf_dir, "customer")
+        chunk_dir = _chunked_table(spark, sf_dir, "scd1_updates3", 3,
+                                   df=_scd1_updates(cust))
+        state_dir = _scratch("scd1_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream,
+            scd1_merge_sink(spark, cust, "c_custkey", state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
+    def scd2_start(spark, sf_dir):
+        chunk_dir = _ordered_chunked_events_plain(spark, sf_dir)
+        state_dir = _scratch("scd2_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("user_id", "ts", "event_type"),
+            scd2_merge_sink(spark, "user_id", "ts", ["event_type"],
+                            state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
+    def cdc_start(spark, sf_dir):
+        chunk_dir = _cutoff_chunked_events(spark, sf_dir)
+        state_dir = _scratch("cdc_state_")
+        log_dir = _scratch("cdc_log_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=1)
+        return _start_foreach_sink(
+            stream.select("user_id", "ts", "event_id", "event_type"),
+            cdc_feed_sink(spark, state_dir, log_dir),
+            lambda: spark.read.parquet(os.path.join(log_dir, "epoch_*")))
+
+    def scd2_asof_start(spark, sf_dir):
+        chunk_dir = _cutoff_chunked_events(spark, sf_dir)
+        state_dir = _scratch("scd2_asof_state_")
+        log_dir = _scratch("scd2_asof_log_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=1)
+        return _start_foreach_sink(
+            stream.select("event_id", "user_id", "ts", "event_type",
+                          "value"),
+            scd2_asof_enrich_sink(
+                spark, "user_id", "ts", ["event_type"],
+                ["event_id", "user_id", "ts", "value"],
+                state_dir, log_dir),
+            lambda: spark.read.parquet(os.path.join(log_dir, "epoch_*")))
+
+    def kmv_start(spark, sf_dir):
+        chunk_dir = _chunked_table(spark, sf_dir, "lineitem", 3)
+        state_dir = _scratch("kmv_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("l_returnflag", "l_quantity",
+                          "l_orderkey", "l_linenumber"),
+            kmv_sketch_sink(spark, "l_returnflag", "l_quantity",
+                            ["l_orderkey", "l_linenumber"], state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
+    def kmv_post(regs, spark, sf_dir):
+        return SKC.kmv_quantiles(regs, {
+            "p25_qty": 250000, "p50_qty": 500000,
+            "p75_qty": 750000, "p95_qty": 950000,
+        }).withColumnRenamed("grp", "l_returnflag")
+
+    return {
+        "scd1": (scd1_start, None),
+        "scd2": (scd2_start, None),
+        "cdc": (cdc_start, None),
+        "scd2_asof": (scd2_asof_start, None),
+        "kmv": (kmv_start, kmv_post),
+    }
+
+
 def _q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCD2 history maintained CONTINUOUSLY: the change feed arrives
     in event-time-ordered micro-batches (a live feed's delivery order —
@@ -351,37 +464,8 @@ def _q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/pipelines.scd2_merge_sink) folds each batch into the
     versioned state with atomic CURRENT-marker publishes. Final state
     equals the one-shot rebuild — shared oracle."""
-    import atexit
-    import shutil
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import scd2_merge_sink
-
-    chunk_dir = _ordered_chunked_events_plain(spark, sf_dir)
-    state_dir = replay.scratch_dir("scd2_state_")
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    ckpt = replay.scratch_dir("spark_ckpt_")
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir,
-                                        files_per_trigger=2)
-        q = (
-            stream.select("user_id", "ts", "event_type")
-            .writeStream
-            .foreachBatch(scd2_merge_sink(
-                spark, "user_id", "ts", ["event_type"], state_dir))
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming scd2 merge did not finish")
-        with open(os.path.join(state_dir, "CURRENT")) as fh:
-            return spark.read.parquet(
-                os.path.join(state_dir, fh.read().strip()))
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _cosched_group(spark, sf_dir, "merge_folds",
+                          _merge_fold_members(), "scd2")
 
 
 def _cutoff_chunked_events(spark: SparkSession, sf_dir: str) -> str:
@@ -416,41 +500,8 @@ def _q_streaming_scd2_asof_feed(spark: SparkSession,
     batch as-of join with epoch derived from the fact timestamp, so the
     whole feed is hash-checked by one SQL oracle (per-epoch verified,
     like `streaming_cdc_feed`)."""
-    import atexit
-    import shutil
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import (
-        scd2_asof_enrich_sink)
-
-    chunk_dir = _cutoff_chunked_events(spark, sf_dir)
-    state_dir = replay.scratch_dir("scd2_asof_state_")
-    log_dir = replay.scratch_dir("scd2_asof_log_")
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    atexit.register(shutil.rmtree, log_dir, ignore_errors=True)
-    ckpt = replay.scratch_dir("spark_ckpt_")
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir,
-                                        files_per_trigger=1)
-        q = (
-            stream.select("event_id", "user_id", "ts", "event_type",
-                          "value")
-            .writeStream
-            .foreachBatch(scd2_asof_enrich_sink(
-                spark, "user_id", "ts", ["event_type"],
-                ["event_id", "user_id", "ts", "value"],
-                state_dir, log_dir))
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming scd2 as-of feed did not finish")
-        return spark.read.parquet(os.path.join(log_dir, "epoch_*"))
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _cosched_group(spark, sf_dir, "merge_folds",
+                          _merge_fold_members(), "scd2_asof")
 
 
 def _q_streaming_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,36 +511,8 @@ def _q_streaming_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the accumulated log; the oracle reconstructs every epoch's diff
     from snapshots at the same cutoffs (state fold is associative, so
     folded state ≡ one-shot snapshot per boundary)."""
-    import atexit
-    import shutil
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import cdc_feed_sink
-
-    chunk_dir = _cutoff_chunked_events(spark, sf_dir)
-    state_dir = replay.scratch_dir("cdc_state_")
-    log_dir = replay.scratch_dir("cdc_log_")
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    atexit.register(shutil.rmtree, log_dir, ignore_errors=True)
-    ckpt = replay.scratch_dir("spark_ckpt_")
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir,
-                                        files_per_trigger=1)
-        q = (
-            stream.select("user_id", "ts", "event_id", "event_type")
-            .writeStream
-            .foreachBatch(cdc_feed_sink(spark, state_dir, log_dir))
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming cdc feed did not finish")
-        return spark.read.parquet(os.path.join(log_dir, "epoch_*"))
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _cosched_group(spark, sf_dir, "merge_folds",
+                          _merge_fold_members(), "cdc")
 
 
 def _q_streaming_dynamic_sessions(spark: SparkSession,
@@ -510,44 +533,8 @@ def _q_streaming_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-1 merges with atomic versioned publishes) folds each batch into
     the accumulated table. Update keys are unique, so the final state
     equals the one-shot batch merge — shared oracle."""
-    import atexit
-    import shutil
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import scd1_merge_sink
-
-    cust = load_table(spark, sf_dir, "customer")
-    # updates are a pure function of the immutable customer table —
-    # persistent-chunk-cached like every other replay input (was
-    # re-chunked per call); update keys are unique so 2 files/trigger
-    # (2 batches) folds to the same final state as 3
-    chunk_dir = _chunked_table(spark, sf_dir, "scd1_updates3", 3,
-                               df=_scd1_updates(cust))
-    state_dir = replay.scratch_dir("scd1_state_")
-    # the returned DataFrame scans the published state — keep it on disk
-    # for the session (same lifecycle as replay.run_to_parquet's sink)
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    ckpt = replay.scratch_dir("spark_ckpt_")
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir,
-                                        files_per_trigger=2)
-        q = (
-            stream.writeStream
-            .foreachBatch(scd1_merge_sink(spark, cust, "c_custkey",
-                                          state_dir))
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming scd1 merge did not finish")
-        with open(os.path.join(state_dir, "CURRENT")) as fh:
-            return spark.read.parquet(
-                os.path.join(state_dir, fh.read().strip()))
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _cosched_group(spark, sf_dir, "merge_folds",
+                          _merge_fold_members(), "scd1")
 
 
 def _run_streamed(spark: SparkSession, sf_dir: str, table: str, transform,
@@ -1262,7 +1249,21 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_value_tiers": "rs_events",
     "streaming_wordcount": "rs_documents",
     "streaming_quality_filter": "rs_documents",
+    "streaming_scd1_merge": "merge_folds",
+    "streaming_scd2_merge": "merge_folds",
+    "streaming_cdc_feed": "merge_folds",
+    "streaming_scd2_asof_feed": "merge_folds",
+    "streaming_kmv_quantiles": "merge_folds",
+    "streaming_dedup": "dedup_replays",
+    "streaming_dedup_watermark": "dedup_replays",
+    "streaming_incremental_dedup": "dedup_replays",
 }
+# Deliberately SOLO streamed entries (each has a reason co-scheduling
+# would break or blur what it proves): streaming_kafka_wordcount (the
+# polled processing-time runner watches global query progress),
+# streaming_wordcount_rocksdb (swaps the session's state-store provider
+# conf for its run), streaming_jsonl_sink (exercises the custom Python
+# writer's blocking two-phase commit end-to-end).
 
 
 def cosched_groups() -> dict[str, str]:
@@ -1478,6 +1479,69 @@ def _q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                           _rs_docs_members(), "quality_filter")
 
 
+def _dedup_replay_members():
+    """Co-scheduled group for the streamed DEDUP replays: exact
+    cross-batch dropDuplicates, the watermark-bounded variant, and the
+    incremental batch-vs-corpus-index dedup. Independent sources and
+    sinks; only the replays overlap in time (VERDICT r9 #6)."""
+    from spark_streaming_spark.streaming import replay
+    from spark_streaming_spark.streaming.pipelines import (
+        dedup_stream, dedup_stream_within_watermark)
+
+    def dedup_start(spark, sf_dir):
+        src = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type")
+        doubled = src.union(src)
+        chunk_dir = _chunked_table(spark, sf_dir, "events_doubled3", 3,
+                                   df=doubled)
+        stream = replay.stream_from_dir(spark, chunk_dir)
+        return replay.start_to_parquet(
+            dedup_stream(stream, ["event_id"]), "append",
+            state_partitions=4)
+
+    def dedup_wm_start(spark, sf_dir):
+        key = (sf_dir, "events_retrans", 3)
+        if key not in _CHUNK_CACHE:
+            final = _persistent_cache_dir("retr", sf_dir, "events", 3)
+            if not _cache_ready(final):
+                src = load_table(spark, sf_dir, "events").select(
+                    "event_id", "user_id", "event_type", "ts")
+                retrans = src.withColumn(
+                    "ts", F.col("ts") + F.expr("interval 3 seconds"))
+                built = replay.chunk_to_dir_ordered(
+                    src.unionByName(retrans), 3, order_col="ts")
+                _publish_chunks(built, final)
+            _CHUNK_CACHE[key] = final
+        stream = replay.stream_from_dir(spark, _CHUNK_CACHE[key])
+        return replay.start_to_parquet(
+            dedup_stream_within_watermark(stream, ["event_id"]),
+            "append", state_partitions=4)
+
+    def incr_start(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        new = docs.filter(F.col("doc_id") % 10 == 0).select(
+            "doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        index = DD.build_dedup_index(corpus, cache_key=sf_dir)
+        chunk_dir = _chunked_table(spark, sf_dir, "documents_new10", 3,
+                                   df=new)
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return replay.start_foreach_to_parquet(
+            stream,
+            lambda b: DD.incremental_minhash_dedup(b, corpus_index=index),
+            state_partitions=4)
+
+    return {
+        "dedup": (dedup_start, None),
+        "dedup_watermark": (
+            dedup_wm_start,
+            lambda df, s, d: df.select("event_id", "user_id",
+                                       "event_type")),
+        "incremental_dedup": (incr_start, None),
+    }
+
+
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup across micro-batches: the input is the
     events table DOUBLED (union with itself), chunked so the two copies
@@ -1494,18 +1558,8 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-robin chunking separates most duplicate copies, and three
     triggers keep copies landing in DIFFERENT batches — the cross-batch
     seen-key eviction this entry exists to prove."""
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import dedup_stream
-
-    src = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type")
-    doubled = src.union(src)
-    chunk_dir = _chunked_table(spark, sf_dir, "events_doubled3", 3,
-                               df=doubled)
-    stream = replay.stream_from_dir(spark, chunk_dir)
-    return replay.run_to_parquet(
-        dedup_stream(stream, ["event_id"]), "append", state_partitions=4
-    )
+    return _cosched_group(spark, sf_dir, "dedup_replays",
+                          _dedup_replay_members(), "dedup")
 
 
 def _q_streaming_dedup_watermark(spark: SparkSession,
@@ -1521,29 +1575,8 @@ def _q_streaming_dedup_watermark(spark: SparkSession,
     non-overlapping in ts). Output drops ts so the appended rows are
     identical whichever copy won an intra-batch race; equals the
     original events — shared streaming_dedup oracle."""
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import (
-        dedup_stream_within_watermark,
-    )
-
-    key = (sf_dir, "events_retrans", 3)
-    if key not in _CHUNK_CACHE:
-        final = _persistent_cache_dir("retr", sf_dir, "events", 3)
-        if not _cache_ready(final):
-            src = load_table(spark, sf_dir, "events").select(
-                "event_id", "user_id", "event_type", "ts")
-            retrans = src.withColumn(
-                "ts", F.col("ts") + F.expr("interval 3 seconds"))
-            built = replay.chunk_to_dir_ordered(
-                src.unionByName(retrans), 3, order_col="ts")
-            _publish_chunks(built, final)
-        _CHUNK_CACHE[key] = final
-    stream = replay.stream_from_dir(spark, _CHUNK_CACHE[key])
-    out = replay.run_to_parquet(
-        dedup_stream_within_watermark(stream, ["event_id"]),
-        "append", state_partitions=4,
-    )
-    return out.select("event_id", "user_id", "event_type")
+    return _cosched_group(spark, sf_dir, "dedup_replays",
+                          _dedup_replay_members(), "dedup_watermark")
 
 
 def _q_streaming_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1565,26 +1598,8 @@ def _q_streaming_incremental_dedup(spark: SparkSession,
     batch-vs-corpus answer — shared oracle. This is the streaming face
     of daily-production dedup: the corpus index is the stream-static
     side, per-trigger cost is O(batch + collisions)."""
-    from spark_streaming_spark.streaming import replay
-
-    docs = load_table(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    # the corpus index is built ONCE and reused by every micro-batch —
-    # the production pattern (persisted index); per-trigger work is only
-    # the batch's signatures + the bucket join + verify
-    index = DD.build_dedup_index(corpus, cache_key=sf_dir)
-    chunk_dir = _chunked_table(spark, sf_dir, "documents_new10", 3,
-                               df=new)
-    stream = replay.stream_from_dir(spark, chunk_dir,
-                                    files_per_trigger=2)
-
-    def dedup_batch(batch_df: DataFrame) -> DataFrame:
-        return DD.incremental_minhash_dedup(batch_df, corpus_index=index)
-
-    return replay.run_foreach_to_parquet(
-        stream, dedup_batch, state_partitions=4
-    )
+    return _cosched_group(spark, sf_dir, "dedup_replays",
+                          _dedup_replay_members(), "incremental_dedup")
 
 
 def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,43 +1654,8 @@ def _q_streaming_kmv_quantiles(spark: SparkSession,
     exact, so the final registers — and hence the quantile estimates —
     equal the one-shot batch sketch: shared oracle with
     `kmv_quantity_quantiles`."""
-    import atexit
-    import shutil
-
-    from spark_streaming_spark.streaming import replay
-    from spark_streaming_spark.streaming.pipelines import kmv_sketch_sink
-
-    chunk_dir = _chunked_table(spark, sf_dir, "lineitem", 3)
-    state_dir = replay.scratch_dir("kmv_state_")
-    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
-    ckpt = replay.scratch_dir("spark_ckpt_")
-    try:
-        stream = replay.stream_from_dir(spark, chunk_dir,
-                                        files_per_trigger=2)
-        q = (
-            stream.select("l_returnflag", "l_quantity",
-                          "l_orderkey", "l_linenumber")
-            .writeStream
-            .foreachBatch(kmv_sketch_sink(
-                spark, "l_returnflag", "l_quantity",
-                ["l_orderkey", "l_linenumber"], state_dir))
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("streaming kmv sketch did not finish")
-        with open(os.path.join(state_dir, "CURRENT")) as fh:
-            regs = spark.read.parquet(
-                os.path.join(state_dir, fh.read().strip()))
-        return SKC.kmv_quantiles(regs, {
-            "p25_qty": 250000, "p50_qty": 500000,
-            "p75_qty": 750000, "p95_qty": 950000,
-        }).withColumnRenamed("grp", "l_returnflag")
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    return _cosched_group(spark, sf_dir, "merge_folds",
+                          _merge_fold_members(), "kmv")
 
 
 def _q_streaming_theta_overlap(spark: SparkSession,

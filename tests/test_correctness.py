@@ -74,6 +74,8 @@ def test_cosched_groups_map_is_consistent(spark):
     assert sizes["emb_folds"] == len(entrymod._emb_fold_members())
     assert sizes["rs_events"] == len(entrymod._rs_events_members())
     assert sizes["rs_documents"] == len(entrymod._rs_docs_members())
+    assert sizes["merge_folds"] == len(entrymod._merge_fold_members())
+    assert sizes["dedup_replays"] == len(entrymod._dedup_replay_members())
     assert sum(sizes.values()) == len(groups)
 
 

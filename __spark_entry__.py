@@ -1039,6 +1039,19 @@ def _doc_fold_members():
             None),
         "corpus_prep": (_foreach_starter("documents", corpus_prep_fn),
                         None),
+        # lang-id ROUTING at ingest: weights trained ONCE on the even
+        # half (the broadcast artifact), each micro-batch scored
+        # map-side + per-doc argmax; docs are batch-disjoint and the
+        # artifact fixed, so the union of per-batch predictions equals
+        # the one-shot langid_scores — shared oracle
+        "langid": (
+            _foreach_starter(
+                "documents",
+                lambda s, d: (lambda w: (lambda b: LID.langid_scores(
+                    b, weights=w)))(LID.langid_train(
+                        load_table(s, d, "documents"))
+                        .localCheckpoint(eager=True))),
+            None),
     }
 
 
@@ -1257,6 +1270,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_dedup": "dedup_replays",
     "streaming_dedup_watermark": "dedup_replays",
     "streaming_incremental_dedup": "dedup_replays",
+    "streaming_langid_scores": "doc_folds",
 }
 # Deliberately SOLO streamed entries (each has a reason co-scheduling
 # would break or blur what it proves): streaming_kafka_wordcount (the
@@ -1978,11 +1992,13 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHECK_FIRST = [
     # Round-10 window (VERDICT r9 "Next round" #1). Priority order —
     # first signal beats refresh:
-    # (a) FIRST driver signal for the 4 entries new this round: top-2
-    # PCA by projected deflation, the streamed moment-fold PCA twin,
-    # and the fasttext-shape lang-id head + its confusion-matrix eval:
-    "embedding_pca_top2", "streaming_pca_loadings",
-    "langid_scores", "langid_confusion",
+    # (a) FIRST driver signal for the 6 entries new this round: top-2
+    # PCA by projected deflation + its 2-D projection serving step, the
+    # streamed moment-fold PCA twin, and the fasttext-shape lang-id
+    # head (batch + at-ingest router) + its confusion-matrix eval:
+    "embedding_pca_top2", "embedding_pca_top2_scores",
+    "streaming_pca_loadings",
+    "langid_scores", "streaming_langid_scores", "langid_confusion",
     # (b) FIRST driver signal for the 9 late-r9 entries that landed
     # after the r9 window was committed (suite-green, never
     # driver-checked — with these, the r1-r10 union covers every
@@ -2007,14 +2023,16 @@ _CHECK_FIRST = [
     "rollup_customer_nations", "running_customer_spend",
     "running_word_count", "scalar_showcase", "semantic_dedup",
     "similar_pairs_lsh", "small_parts_ordered",
-    "streaming_band_cooccurrence", "streaming_centroid_ingest",
-    "streaming_click_attribution_full",
-    # r11 pool: the 8 r4-vintage entries that didn't fit this window
-    # (streaming_incremental_dedup, streaming_kafka_wordcount,
-    # streaming_scd1_merge, streaming_wordcount_rocksdb, token_runs,
-    # top3_products_sql, wordcount, zorder_key_events), then the r5
-    # cohort (50 entries — alphabetical from arrow_token_counts to
-    # train_val_test_split; the overflow rolls to r12 with r7).
+    "streaming_band_cooccurrence",
+    # r11 pool: the 10 r4-vintage entries that didn't fit this window
+    # (streaming_centroid_ingest and streaming_click_attribution_full
+    # ceded their slots to the two late-r10 first-signal entries —
+    # first signal beats refresh — joining streaming_incremental_dedup,
+    # streaming_kafka_wordcount, streaming_scd1_merge,
+    # streaming_wordcount_rocksdb, token_runs, top3_products_sql,
+    # wordcount, zorder_key_events), then the r5 cohort (50 entries —
+    # alphabetical from arrow_token_counts to train_val_test_split; the
+    # overflow rolls to r12 with r7).
     ]
 
 
@@ -2427,6 +2445,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # argmax window (score DESC, lang ASC)
         "langid_scores": lambda s, d: LID.langid_scores(
             load_table(s, d, "documents")),
+        # the router run CONTINUOUSLY: per-micro-batch scoring against
+        # the fixed broadcast weight artifact (doc_folds group) — the
+        # corpus-routing-at-ingest shape; batch-disjoint docs, so the
+        # union of per-batch predictions shares langid_scores' oracle
+        "streaming_langid_scores": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "langid"),
         # the eval harness: confusion matrix on the held-out odd half.
         # Honest-fixture note: the synthetic documents share ONE
         # 31-word vocabulary across all langs (the lang label is
@@ -2587,6 +2611,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantizer regardless of component-1 convergence, unlike
         # explicit rank-1 matrix deflation (operators/pca.py header)
         "embedding_pca_top2": lambda s, d: PCA.pca_top_components(
+            load_table(s, d, "embeddings"), n_components=2, cache_key=d),
+        # the 2-D serving step: one corpus scan projects every vector
+        # onto both components (array-literal loadings, quantized dots)
+        "embedding_pca_top2_scores": lambda s, d: PCA.pca_scores_multi(
             load_table(s, d, "embeddings"), n_components=2, cache_key=d),
         "lineitem_corr_matrix": lambda s, d: PF.corr_matrix(
             load_table(s, d, "lineitem"),
@@ -3514,7 +3542,20 @@ mboth AS (SELECT i, j, mval / mx AS mval FROM mraw, mmax),
 v0 AS (SELECT i AS j, CAST({1.0 / (d ** 0.5)!r} AS DOUBLE) AS v FROM ii)"""
     # scores as a flat cross join + group (a correlated scalar
     # subquery would re-inline the whole loadings chain per row)
-    if scores:
+    if scores and components == 2:
+        # per-component sums in ONE scan: CASE isolates each
+        # component's terms; decimals are exact so SUM order is free
+        tail = """
+SELECT e.vec_id,
+  CAST(SUM(CASE WHEN l.component = 1 THEN
+    CAST(ROUND(CAST(e.embedding[l.dim + 1] AS DOUBLE)
+         * l.loading, 7) AS DECIMAL(38,8)) END) AS DOUBLE) AS score1,
+  CAST(SUM(CASE WHEN l.component = 2 THEN
+    CAST(ROUND(CAST(e.embedding[l.dim + 1] AS DOUBLE)
+         * l.loading, 7) AS DECIMAL(38,8)) END) AS DOUBLE) AS score2
+FROM embeddings e, loadings l
+GROUP BY e.vec_id"""
+    elif scores:
         tail = """
 SELECT e.vec_id,
   CAST(SUM(CAST(ROUND(CAST(e.embedding[l.dim + 1] AS DOUBLE)
@@ -4703,6 +4744,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "langid_scores": _LANGID_SQL(),
+        "streaming_langid_scores": _LANGID_SQL(),
         "langid_confusion": _LANGID_SQL(confusion=True),
         "doc_fingerprints": f"""
             WITH {_SHINGLES_ALL_CTE}
@@ -5204,6 +5246,7 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_pca_loadings"] = _PCA_SQL()
     sql["embedding_pca_scores"] = _PCA_SQL(scores=True)
     sql["embedding_pca_top2"] = _PCA_SQL(components=2)
+    sql["embedding_pca_top2_scores"] = _PCA_SQL(components=2, scores=True)
     # the streamed moment fold is exactly additive under corpus
     # partition, so the continuous build shares the batch oracle
     # verbatim (the streaming_token_drift discipline)

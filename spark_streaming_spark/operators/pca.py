@@ -291,6 +291,34 @@ def pca_top_components_from_moments(mom: DataFrame, n_components: int = 2,
     return _as_loading_df(mom.sparkSession, vecs, with_component=True)
 
 
+def pca_scores_multi(embeddings: DataFrame, n_components: int = 2,
+                     n_iters: int = 8, d: int = _D,
+                     cache_key: str | None = None) -> DataFrame:
+    """Per-vector projection onto the top ``n_components`` components —
+    the dimensionality-REDUCTION serving step (the 2-D embedding map
+    every corpus-visualization/drift dashboard wants): all component
+    loadings ride the plan as array literals, each score is the same
+    7 dp-quantized decimal dot as :func:`pca_scores`, one corpus scan
+    for all components. Columns: vec_id, score1..score{n}."""
+    vecs = _loading_vectors(second_moments(embeddings, d), n_components,
+                            n_iters, d, cache_key=cache_key)
+    from spark_streaming_spark.sources.batch import widen
+
+    out = widen(embeddings)
+    cols = []
+    for k, v in enumerate(vecs, start=1):
+        out = out.withColumn(f"__pc{k}", F.array(*[F.lit(float(x))
+                                                   for x in v]))
+        cols.append(F.expr(
+            f"cast(aggregate(zip_with(embedding, __pc{k},"
+            " (x, l) -> cast(round(cast(x as double) * l, 7)"
+            " as decimal(38,8))),"
+            " cast(0 as decimal(38,8)),"
+            " (acc, t) -> cast(acc + t as decimal(38,8))) as double)")
+            .alias(f"score{k}"))
+    return out.select("vec_id", *cols)
+
+
 def pca_scores(embeddings: DataFrame, n_iters: int = 8,
                d: int = _D, cache_key: str | None = None) -> DataFrame:
     """Per-vector projection onto the top component — the map-only

@@ -1997,8 +1997,9 @@ _CHECK_FIRST = [
     # streamed moment-fold PCA twin, and the fasttext-shape lang-id
     # head (batch + at-ingest router) + its confusion-matrix eval:
     "embedding_pca_top2", "embedding_pca_top2_scores",
-    "streaming_pca_loadings",
+    "pca_explained_variance", "streaming_pca_loadings",
     "langid_scores", "streaming_langid_scores", "langid_confusion",
+    "event_stationary_dist",
     # (b) FIRST driver signal for the 9 late-r9 entries that landed
     # after the r9 window was committed (suite-green, never
     # driver-checked — with these, the r1-r10 union covers every
@@ -2022,11 +2023,11 @@ _CHECK_FIRST = [
     "nations_in_both", "purchase_funnel_daily", "quantity_quantiles",
     "rollup_customer_nations", "running_customer_spend",
     "running_word_count", "scalar_showcase", "semantic_dedup",
-    "similar_pairs_lsh", "small_parts_ordered",
-    "streaming_band_cooccurrence",
-    # r11 pool: the 10 r4-vintage entries that didn't fit this window
-    # (streaming_centroid_ingest and streaming_click_attribution_full
-    # ceded their slots to the two late-r10 first-signal entries —
+    "similar_pairs_lsh",
+    # r11 pool: the 12 r4-vintage entries that didn't fit this window
+    # (small_parts_ordered, streaming_band_cooccurrence,
+    # streaming_centroid_ingest and streaming_click_attribution_full
+    # ceded their slots to late-r10 first-signal entries —
     # first signal beats refresh — joining streaming_incremental_dedup,
     # streaming_kafka_wordcount, streaming_scd1_merge,
     # streaming_wordcount_rocksdb, token_runs, top3_products_sql,
@@ -2157,6 +2158,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch's first event with the previous batch's last; ordered
         # replay enforced by a loud per-epoch guard) — shares the batch
         # oracle; rides the ordered-events co-scheduled group
+        # the equilibrium readout of the chain: stationary distribution
+        # by unrolled left power iteration with L1 renormalization
+        # (analytic.stationary_distribution - the PCA iteration
+        # discipline on the k^2 transition matrix)
+        "event_stationary_dist": lambda s, d: AN.stationary_distribution(
+            AN.event_transition_matrix(load_table(s, d, "events"))),
         "streaming_transition_matrix": lambda s, d: _cosched_group(
             s, d, "ord_events", _ord_members(), "transitions"),
         "event_dow_association": lambda s, d: AN.crosstab_association(
@@ -2615,6 +2622,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 2-D serving step: one corpus scan projects every vector
         # onto both components (array-literal loadings, quantized dots)
         "embedding_pca_top2_scores": lambda s, d: PCA.pca_scores_multi(
+            load_table(s, d, "embeddings"), n_components=2, cache_key=d),
+        # the eval step: per-component captured-variance share in exact
+        # integer ppm vs the moment-table trace (train -> serve ->
+        # evaluate; the fixture is near-isotropic so ~2-3% per
+        # component is the CORRECT readout)
+        "pca_explained_variance": lambda s, d: PCA.pca_explained_variance(
             load_table(s, d, "embeddings"), n_components=2, cache_key=d),
         "lineitem_corr_matrix": lambda s, d: PF.corr_matrix(
             load_table(s, d, "lineitem"),
@@ -3432,7 +3445,8 @@ def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
     """
 
 
-def _PCA_SQL(n_iters=8, d=64, scores=False, components=1):
+def _PCA_SQL(n_iters=8, d=64, scores=False, components=1,
+             explained=False):
     rounds = []
     prev = "v0"
     for k in range(1, n_iters + 1):
@@ -3542,6 +3556,50 @@ mboth AS (SELECT i, j, mval / mx AS mval FROM mraw, mmax),
 v0 AS (SELECT i AS j, CAST({1.0 / (d ** 0.5)!r} AS DOUBLE) AS v FROM ii)"""
     # scores as a flat cross join + group (a correlated scalar
     # subquery would re-inline the whole loadings chain per row)
+    if explained:
+        # the eval step: per-component captured-variance ppm from the
+        # 1e7-scaled integer scores vs the exact moment trace. si and
+        # tr are referenced twice (one select per component) and sc
+        # chains the whole loadings tree -> MATERIALIZED; tr re-derives
+        # the DECIMAL diagonal from mom/sd/nn (mupper already cast its
+        # mval to DOUBLE, which the trace must not touch)
+        tail = """
+, sc AS MATERIALIZED (
+  SELECT e.vec_id,
+    CAST(SUM(CASE WHEN l.component = 1 THEN
+      CAST(ROUND(CAST(e.embedding[l.dim + 1] AS DOUBLE)
+           * l.loading, 7) AS DECIMAL(38,8)) END) AS DOUBLE) AS score1,
+    CAST(SUM(CASE WHEN l.component = 2 THEN
+      CAST(ROUND(CAST(e.embedding[l.dim + 1] AS DOUBLE)
+           * l.loading, 7) AS DECIMAL(38,8)) END) AS DOUBLE) AS score2
+  FROM embeddings e, loadings l
+  GROUP BY e.vec_id
+),
+si AS MATERIALIZED (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         SUM(CAST(ROUND(score1 * 10000000) AS HUGEINT)) AS s1,
+         SUM(CAST(ROUND(score1 * 10000000) AS HUGEINT)
+             * CAST(ROUND(score1 * 10000000) AS HUGEINT)) AS ss1,
+         SUM(CAST(ROUND(score2 * 10000000) AS HUGEINT)) AS s2,
+         SUM(CAST(ROUND(score2 * 10000000) AS HUGEINT)
+             * CAST(ROUND(score2 * 10000000) AS HUGEINT)) AS ss2
+  FROM sc
+),
+tr AS MATERIALIZED (
+  SELECT SUM(nn.n * m.sij - s.si * s.si) AS t
+  FROM mom m JOIN sd s ON s.k = m.i AND m.i = m.j, nn
+)
+SELECT 1 AS component,
+       CAST((1000000 * (si.n * si.ss1 - si.s1 * si.s1)) // tr.t
+            AS BIGINT) AS var_ppm
+FROM si, tr
+UNION ALL
+SELECT 2 AS component,
+       CAST((1000000 * (si.n * si.ss2 - si.s2 * si.s2)) // tr.t
+            AS BIGINT) AS var_ppm
+FROM si, tr"""
+        return ("WITH " + head + "," + ",".join(rounds) + ","
+                + final + tail)
     if scores and components == 2:
         # per-component sums in ONE scan: CASE isolates each
         # component's terms; decimals are exact so SUM order is free
@@ -3568,6 +3626,62 @@ GROUP BY e.vec_id"""
         tail = "SELECT dim, loading FROM loadings"
     return "WITH " + head + "," + ",".join(rounds) + "," + final + "\n" + tail
 
+
+
+def _STATIONARY_SQL(n_iters=8):
+    """DuckDB twin of analytic.stationary_distribution: the transition
+    matrix rebuilt from events, then ``n_iters`` unrolled left-power-
+    iteration rounds with 7 dp-quantized decimal products and L1
+    window-aggregate renormalization. Multi-referenced CTEs (the
+    matrix, the type index) are MATERIALIZED."""
+    rounds = []
+    prev = "pv0"
+    for r in range(1, n_iters + 1):
+        rounds.append(f"""
+mw{r} AS (
+  SELECT m.i, SUM(CAST(ROUND(m.m * v.v, 7) AS DECIMAL(38,8))) AS w
+  FROM mm m JOIN {prev} v ON v.i = m.j GROUP BY 1
+),
+pv{r} AS (
+  SELECT t.idx AS i,
+         CAST(COALESCE(w.w, 0) AS DOUBLE)
+           / CAST(SUM(COALESCE(w.w, 0)) OVER () AS DOUBLE) AS v
+  FROM ty t LEFT JOIN mw{r} w ON w.i = t.idx
+)""")
+        prev = f"pv{r}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+p AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tm AS MATERIALIZED (
+  SELECT p.from_type, p.to_type,
+         (1000000 * p.n_trans) // tt.n_from AS p_ppm
+  FROM p JOIN (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+               FROM p GROUP BY 1) tt USING (from_type)
+),
+ty AS MATERIALIZED (
+  SELECT et, CAST(row_number() OVER (ORDER BY et) - 1 AS INTEGER) AS idx
+  FROM (SELECT from_type AS et FROM tm UNION SELECT to_type FROM tm)
+),
+mm AS MATERIALIZED (
+  SELECT ti.idx AS i, tf.idx AS j,
+         CAST(p_ppm AS DOUBLE) / 1000000.0 AS m
+  FROM tm JOIN ty tf ON tf.et = tm.from_type
+          JOIN ty ti ON ti.et = tm.to_type
+),
+pv0 AS (SELECT idx AS i,
+               CAST(1 AS DOUBLE) / (SELECT count(*) FROM ty) AS v
+        FROM ty),{",".join(rounds)}
+SELECT t.et AS event_type, v.v AS prob
+FROM {prev} v JOIN ty t ON t.idx = v.i
+"""
 
 
 def _LANGID_SQL(confusion=False, dim=128, ppm=1_000_000):
@@ -5247,6 +5361,7 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_pca_scores"] = _PCA_SQL(scores=True)
     sql["embedding_pca_top2"] = _PCA_SQL(components=2)
     sql["embedding_pca_top2_scores"] = _PCA_SQL(components=2, scores=True)
+    sql["pca_explained_variance"] = _PCA_SQL(components=2, explained=True)
     # the streamed moment fold is exactly additive under corpus
     # partition, so the continuous build shares the batch oracle
     # verbatim (the streaming_token_drift discipline)
@@ -5652,6 +5767,7 @@ def oracle_sql() -> dict[str, str]:
         FROM p JOIN t USING (from_type)
     """
     sql["streaming_transition_matrix"] = sql["event_transition_matrix"]
+    sql["event_stationary_dist"] = _STATIONARY_SQL()
     sql["streaming_spacesaving_hot_words"] = sql["spacesaving_hot_words"]
     # BPE segmentation stats (operators/bpe.bpe_segment_sql): the 6
     # training rounds UNROLLED into chained CTEs — per-round pair-count

@@ -303,6 +303,61 @@ def ab_experiment_report(events: DataFrame, salt: str = "exp1") -> DataFrame:
     )
 
 
+def stationary_distribution(trans: DataFrame,
+                            n_iters: int = 8) -> DataFrame:
+    """Stationary distribution of the first-order Markov chain (the
+    long-run fraction of time user behavior spends in each event type —
+    the equilibrium readout next to :func:`event_transition_matrix`'s
+    one-step view): left power iteration π ← πP with L1
+    renormalization, from the uniform start. Types observed only as
+    targets (no outgoing row) leak mass; the renormalization makes this
+    the dominant-left-eigenvector iteration of the substochastic matrix
+    — the standard spelling (von Mises iteration; public method).
+
+    Engine-exact like operators/pca.py: the k² matrix rides a
+    checkpointed DataFrame (p = p_ppm / 1e6, one IEEE divide per cell),
+    each round is ONE distributed job computing w_to = Σ_from
+    round(π_from·p, 7) as exact DECIMAL(38,8) sums, and the k-entry
+    iterate rides the driver (k = |event types| — a sanctioned tiny
+    collect); the only driver float op is the final w/Σw divide, the
+    identical IEEE op the oracle's SQL executes. Columns: event_type,
+    prob (bit-exact cross-engine)."""
+    spark = trans.sparkSession
+    types = [r[0] for r in
+             trans.select(F.col("from_type").alias("et"))
+             .unionByName(trans.select(F.col("to_type").alias("et")))
+             .distinct().orderBy("et").collect()]
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    mp = F.create_map(*[x for t, i in idx.items()
+                        for x in (F.lit(t), F.lit(i))])
+    m = trans.select(
+        mp[F.col("to_type")].alias("i"),
+        mp[F.col("from_type")].alias("j"),
+        (F.col("p_ppm").cast("double") / F.lit(1000000.0)).alias("m"),
+    ).localCheckpoint(eager=True)
+    v = [1.0 / k] * k
+    for _ in range(n_iters):
+        varr = F.array(*[F.lit(float(x)) for x in v])
+        row = (
+            m.withColumn("__v", F.element_at(varr, F.col("j") + 1))
+            .select("i", F.expr(
+                "cast(round(m * __v, 7) as decimal(38,8))").alias("c"))
+            .groupBy("i")
+            .agg(F.sum("c").alias("w"))
+            .agg(F.sort_array(F.collect_list(F.struct("i", "w")))
+                 .alias("ws"),
+                 F.sum("w").alias("nrm"))
+            .first()
+        )
+        nrm = float(row["nrm"])
+        wd = {x["i"]: float(x["w"]) for x in row["ws"]}
+        v = [wd.get(i, 0.0) / nrm for i in range(k)]
+    return spark.createDataFrame(
+        [(t, v[i]) for t, i in idx.items()],
+        "event_type string, prob double")
+
+
 def event_transition_matrix(events: DataFrame) -> DataFrame:
     """First-order Markov TRANSITION MATRIX of user behavior: for every
     ordered pair of consecutive events of one user, count

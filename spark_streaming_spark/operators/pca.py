@@ -291,17 +291,11 @@ def pca_top_components_from_moments(mom: DataFrame, n_components: int = 2,
     return _as_loading_df(mom.sparkSession, vecs, with_component=True)
 
 
-def pca_scores_multi(embeddings: DataFrame, n_components: int = 2,
-                     n_iters: int = 8, d: int = _D,
-                     cache_key: str | None = None) -> DataFrame:
-    """Per-vector projection onto the top ``n_components`` components —
-    the dimensionality-REDUCTION serving step (the 2-D embedding map
-    every corpus-visualization/drift dashboard wants): all component
-    loadings ride the plan as array literals, each score is the same
-    7 dp-quantized decimal dot as :func:`pca_scores`, one corpus scan
-    for all components. Columns: vec_id, score1..score{n}."""
-    vecs = _loading_vectors(second_moments(embeddings, d), n_components,
-                            n_iters, d, cache_key=cache_key)
+def _scores_df(embeddings: DataFrame,
+               vecs: list[list[float]]) -> DataFrame:
+    """One corpus scan projecting every vector onto each loading vector
+    (array-literal loadings, per-component 7 dp-quantized decimal
+    dots). Columns: vec_id, score1..score{n}."""
     from spark_streaming_spark.sources.batch import widen
 
     out = widen(embeddings)
@@ -317,6 +311,65 @@ def pca_scores_multi(embeddings: DataFrame, n_components: int = 2,
             " (acc, t) -> cast(acc + t as decimal(38,8))) as double)")
             .alias(f"score{k}"))
     return out.select("vec_id", *cols)
+
+
+def pca_scores_multi(embeddings: DataFrame, n_components: int = 2,
+                     n_iters: int = 8, d: int = _D,
+                     cache_key: str | None = None) -> DataFrame:
+    """Per-vector projection onto the top ``n_components`` components —
+    the dimensionality-REDUCTION serving step (the 2-D embedding map
+    every corpus-visualization/drift dashboard wants): all component
+    loadings ride the plan as array literals, each score is the same
+    7 dp-quantized decimal dot as :func:`pca_scores`, one corpus scan
+    for all components. Columns: vec_id, score1..score{n}."""
+    vecs = _loading_vectors(second_moments(embeddings, d), n_components,
+                            n_iters, d, cache_key=cache_key)
+    return _scores_df(embeddings, vecs)
+
+
+def pca_explained_variance(embeddings: DataFrame, n_components: int = 2,
+                           n_iters: int = 8, d: int = _D,
+                           cache_key: str | None = None) -> DataFrame:
+    """The EVAL step completing the PCA tier (train → serve →
+    evaluate): per-component captured-variance share in exact integer
+    ppm. var_ppm_k = (1e6 · VarNum(s_k)) DIV TraceNum where
+
+    * VarNum(s) = n·Σŝ² − (Σŝ)² over the 1e7-scaled integer scores
+      ŝ = round(score·1e7) (scores are 7 dp-quantized decimal dots, so
+      ŝ recovers them exactly — every sum is an exact DECIMAL(38,0)),
+    * TraceNum = Σ_i (n·S_ii − S_i²) from the SAME second-moment table
+      (the q = round(x·1e7) scaled-integer quantization, so both sides
+      carry the identical 1e14 scale factor and the ratio is pure).
+
+    The final DIV is exact integer division (Spark ``div`` ≡ DuckDB
+    ``//`` on nonnegative exact decimals — pinned), computed from two
+    1-row aggregates (sanctioned scalar fetches). On the near-isotropic
+    fixture each component captures ~λ_k/trace ≈ 2–3% — small and
+    CORRECT. Columns: component, var_ppm."""
+    mom = second_moments(embeddings, d).localCheckpoint(eager=True)
+    vecs = _loading_vectors(mom, n_components, n_iters, d,
+                            cache_key=cache_key)
+    sc = _scores_df(embeddings, vecs)
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for k in range(1, n_components + 1):
+        sint = (f"CAST(CAST(ROUND(score{k} * {_SCALE}) AS BIGINT)"
+                " AS DECIMAL(38,0))")
+        aggs.append(F.expr(f"SUM({sint})").alias(f"s{k}"))
+        aggs.append(F.expr(f"SUM({sint} * {sint})").alias(f"ss{k}"))
+    sums = sc.agg(*aggs).first()
+    n_dec = int(sums["n"])
+    mom_n = mom.agg(F.max("n_pairs")).first()[0]
+    trace = int(mom.filter(F.col("i") == F.col("j")).agg(F.sum(
+        F.lit(mom_n).cast("decimal(38,0)") * F.col("sij")
+        - F.col("si") * F.col("si"))).first()[0])
+    rows = []
+    for k in range(1, n_components + 1):
+        num = n_dec * int(sums[f"ss{k}"]) - int(sums[f"s{k}"]) ** 2
+        # exact integer floor division on nonnegative ints — identical
+        # to the engines' DIV / // on the same exact decimals
+        rows.append((k, (1_000_000 * num) // trace))
+    return embeddings.sparkSession.createDataFrame(
+        rows, "component int, var_ppm long")
 
 
 def pca_scores(embeddings: DataFrame, n_iters: int = 8,

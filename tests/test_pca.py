@@ -106,6 +106,29 @@ def test_pca_moment_fold_equals_oneshot(spark):
     assert got == want
 
 
+def test_pca_explained_variance_matches_numpy(spark, duck):
+    """The eval entry's exact-integer ppm equals the float Rayleigh
+    ratio to within the quantizer, and the oracle reproduces it
+    bit-for-bit."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert_matches_oracle(
+        PCA.pca_explained_variance(emb, 2), duck,
+        E.oracle_sql()["pca_explained_variance"])
+    got = {r["component"]: r["var_ppm"]
+           for r in PCA.pca_explained_variance(emb, 2).collect()}
+    X = np.array(emb.select("embedding").toPandas()["embedding"].tolist(),
+                 dtype="float64")
+    C = np.cov(X.T, bias=True)
+    trace = float(np.trace(C))
+    rows = PCA.pca_top_components(emb, 2).collect()
+    v = {1: np.zeros(64), 2: np.zeros(64)}
+    for r in rows:
+        v[r["component"]][r["dim"]] = r["loading"]
+    for k in (1, 2):
+        want = 1e6 * float(v[k] @ C @ v[k]) / trace
+        assert abs(got[k] - want) < 50, (k, got[k], want)  # ppm-scale
+
+
 def test_pca_scores_match_oracle_and_rayleigh(spark, duck):
     emb = load_table(spark, SF_DIR, "embeddings")
     assert_matches_oracle(

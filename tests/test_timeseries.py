@@ -147,3 +147,32 @@ def test_event_transition_matrix_probabilities_sum(spark):
         cells[r["from_type"]] += 1
     for ft, s in sums.items():
         assert 1_000_000 - cells[ft] <= s <= 1_000_000, (ft, s)
+
+
+def test_stationary_distribution_matches_oracle_and_numpy(spark, duck):
+    """The equilibrium entry: oracle bit-match, a proper distribution
+    (sums to 1 within IEEE), and within quantizer distance of numpy's
+    dominant left eigenvector of the same ppm matrix."""
+    import numpy as np
+
+    from spark_streaming_spark.operators import analytic as AN
+
+    events = load_table(spark, SF_DIR, "events")
+    trans = AN.event_transition_matrix(events)
+    out = AN.stationary_distribution(trans)
+    assert_matches_oracle(out, duck,
+                          E.oracle_sql()["event_stationary_dist"])
+    rows = {r["event_type"]: r["prob"] for r in out.collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    assert all(p >= 0 for p in rows.values())
+    types = sorted(rows)
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((len(types), len(types)))
+    for r in trans.collect():
+        P[idx[r["from_type"]], idx[r["to_type"]]] = r["p_ppm"] / 1e6
+    pi = np.full(len(types), 1.0 / len(types))
+    for _ in range(200):
+        pi = pi @ P
+        pi /= pi.sum()
+    got = np.array([rows[t] for t in types])
+    assert np.max(np.abs(got - pi)) < 1e-3, (got, pi)

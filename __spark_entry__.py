@@ -1999,7 +1999,8 @@ _CHECK_FIRST = [
     "embedding_pca_top2", "embedding_pca_top2_scores",
     "pca_explained_variance", "streaming_pca_loadings",
     "langid_scores", "streaming_langid_scores", "langid_confusion",
-    "event_stationary_dist",
+    "event_stationary_dist", "proximity_search", "doc_top_terms",
+    "rolling_daily_corr",
     # (b) FIRST driver signal for the 9 late-r9 entries that landed
     # after the r9 window was committed (suite-green, never
     # driver-checked — with these, the r1-r10 union covers every
@@ -2022,10 +2023,10 @@ _CHECK_FIRST = [
     "lexical_knn", "lineitem_stats", "nation_presence",
     "nations_in_both", "purchase_funnel_daily", "quantity_quantiles",
     "rollup_customer_nations", "running_customer_spend",
-    "running_word_count", "scalar_showcase", "semantic_dedup",
-    "similar_pairs_lsh",
-    # r11 pool: the 12 r4-vintage entries that didn't fit this window
-    # (small_parts_ordered, streaming_band_cooccurrence,
+    "running_word_count",
+    # r11 pool: the 15 r4-vintage entries that didn't fit this window
+    # (scalar_showcase, semantic_dedup, similar_pairs_lsh,
+    # small_parts_ordered, streaming_band_cooccurrence,
     # streaming_centroid_ingest and streaming_click_attribution_full
     # ceded their slots to late-r10 first-signal entries —
     # first signal beats refresh — joining streaming_incremental_dedup,
@@ -2162,6 +2163,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by unrolled left power iteration with L1 renormalization
         # (analytic.stationary_distribution - the PCA iteration
         # discipline on the k^2 transition matrix)
+        # rolling 30d Pearson between daily revenue-cents and daily
+        # traffic (timeseries.rolling_daily_corr): the corr_matrix
+        # exactness discipline windowed over the calendar-bounded
+        # daily series
+        "rolling_daily_corr": lambda s, d: TS.rolling_daily_corr(
+            load_table(s, d, "events")),
         "event_stationary_dist": lambda s, d: AN.stationary_distribution(
             AN.event_transition_matrix(load_table(s, d, "events"))),
         "streaming_transition_matrix": lambda s, d: _cosched_group(
@@ -2471,6 +2478,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # positional-postings exact phrase lookup: postings filtered to
         # the phrase's tokens BEFORE any shuffle; k-way equi join on
         # (doc_id, aligned position)
+        # proximity ("slop") search through the same positional
+        # postings: terms within k words, term order enforced — the
+        # Lucene sloppy-PhraseQuery surface next to the exact phrase
+        "proximity_search": lambda s, d: TX.proximity_search(
+            load_table(s, d, "documents")),
+        # integer-exact tf-idf keyword extraction: top-3 characteristic
+        # terms per doc, idf = (1e6*N) DIV df (floored-integer inverse
+        # document frequency, monotone in log idf, exact cross-engine)
+        "doc_top_terms": lambda s, d: TX.doc_top_terms(
+            load_table(s, d, "documents")),
         "phrase_search": lambda s, d: TX.phrase_search(
             load_table(s, d, "documents")),
         "winnow_fingerprints": lambda s, d: TX.winnow_fingerprints(
@@ -4877,6 +4894,87 @@ def oracle_sql() -> dict[str, str]:
         """,
         # phrase_search: positions are 0-based (Spark posexplode); the
         # 1-based array index i matches position i-1
+        "proximity_search": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS a FROM documents
+            ),
+            post AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, a[i] AS tok
+              FROM t, LATERAL (
+                SELECT unnest(range(1, len(a) + 1)) AS i) ii
+              WHERE a[i] IN ('slow', 'hash')
+            ),
+            pa AS (SELECT doc_id, pos AS pos_a FROM post
+                   WHERE tok = 'slow'),
+            pb AS (SELECT doc_id, pos AS pos_b FROM post
+                   WHERE tok = 'hash')
+            SELECT pa.doc_id, pos_a, pos_b,
+                   CAST(pos_b - pos_a AS INTEGER) AS gap
+            FROM pa JOIN pb USING (doc_id)
+            WHERE pos_b > pos_a AND pos_b - pos_a <= 3
+        """,
+        "doc_top_terms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok WHERE term <> '' GROUP BY 1, 2
+            ),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY 1),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     CAST(tf.tf * ((nd.n * 1000000) // dfq.df)
+                          AS BIGINT) AS score
+              FROM tf JOIN dfq USING (term), nd
+            )
+            SELECT doc_id, term, score, CAST(rnk AS INTEGER) AS rnk
+            FROM (
+              SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
+        """,
+        "rolling_daily_corr": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100
+                          AS BIGINT) AS x,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1
+            ),
+            r AS (
+              SELECT day,
+                     CAST(count(*) OVER w AS BIGINT) AS n,
+                     CAST(SUM(x) OVER w AS HUGEINT) AS sx,
+                     CAST(SUM(y) OVER w AS HUGEINT) AS sy,
+                     SUM(CAST(x * y AS HUGEINT)) OVER w AS sxy,
+                     SUM(CAST(x * x AS HUGEINT)) OVER w AS sxx,
+                     SUM(CAST(y * y AS HUGEINT)) OVER w AS syy
+              FROM daily
+              WINDOW w AS (
+                ORDER BY date_diff('day', DATE '1970-01-01', day)
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+            )
+            SELECT day, n AS n_days,
+              CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                        <> 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+              END AS corr
+            FROM r
+        """,
         "phrase_search": """
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS a FROM documents

@@ -423,6 +423,78 @@ def phrase_search(docs: DataFrame,
     return out
 
 
+def proximity_search(docs: DataFrame, term_a: str = "slow",
+                     term_b: str = "hash", slop: int = 3) -> DataFrame:
+    """PROXIMITY lookup through the same positional postings as
+    :func:`phrase_search` — the "terms within k words" query every
+    search index serves (Lucene's sloppy PhraseQuery shape; public
+    semantics): docs where ``term_a`` and ``term_b`` co-occur with
+    0 < pos_b − pos_a ≤ slop, term_a first. Emits each qualifying
+    position pair plus its gap — the span extractor downstream
+    highlighters want. Columns: doc_id, pos_a, pos_b, gap.
+
+    Scale shape: the postings explode is filtered to the TWO query
+    terms before anything shuffles; the pair match is a doc_id equi
+    join with the band predicate applied on the joined rows (per-doc
+    term frequencies are tiny, so the equi join IS the bounded plan —
+    no window, no all-pairs)."""
+    post = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).filter(F.col("tok").isin([term_a, term_b]))
+    a = post.filter(F.col("tok") == term_a).select(
+        "doc_id", F.col("pos").alias("pos_a"))
+    b = post.filter(F.col("tok") == term_b).select(
+        "doc_id", F.col("pos").alias("pos_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter((F.col("pos_b") > F.col("pos_a"))
+                & (F.col("pos_b") - F.col("pos_a") <= slop))
+        .select("doc_id", "pos_a", "pos_b",
+                (F.col("pos_b") - F.col("pos_a")).alias("gap"))
+    )
+
+
+def doc_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by an INTEGER-EXACT
+    tf·idf (the keyword-extraction primitive behind tagging and
+    related-doc retrieval): tf = in-doc count, idf = (1e6·N) DIV df
+    (floored-integer inverse document frequency — monotone in the
+    classic log idf, exact on any engine), score = tf·idf, rank per doc
+    by (score DESC, term ASC). Columns: doc_id, term, score, rnk.
+
+    Scale shape: one explode + one (doc_id, term) partial-agged
+    groupBy; df is a term-keyed aggregate of the SAME table (map-side
+    combined, |vocab| rows — broadcast back); the per-doc rank is a
+    WindowGroupLimit (row_number <= k pushed map-side)."""
+    from pyspark.sql.window import Window
+
+    tok = widen(docs).select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"))
+    n_docs = docs.count()  # 1-scalar driver fetch, sanctioned
+    df_ = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .select(
+            "doc_id", "term",
+            F.expr(f"CAST(tf * ({n_docs * 1_000_000} DIV df) AS BIGINT)")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
 def hashed_bow(docs: DataFrame, dim: int = 64) -> DataFrame:
     """Feature-hashed bag-of-words (the hashing trick — Weinberger et
     al. 2009; public method): token → bucket = md5(token) mod dim,

@@ -316,3 +316,60 @@ def dau_mau_stickiness(events: DataFrame, window_days: int = 28) -> DataFrame:
             .alias("stickiness_ppm"),
         )
     )
+
+
+def rolling_daily_corr(events: DataFrame,
+                       window_days: int = 30) -> DataFrame:
+    """Rolling Pearson correlation between the two headline DAILY
+    series — revenue proxy (Σ cents of ``value``) and traffic (event
+    count) — over a trailing ``window_days`` calendar window: the
+    does-revenue-still-track-traffic drift monitor on every ops
+    dashboard, engine-exact.
+
+    Exactness is the corr_matrix discipline windowed: the daily x
+    (cents, BIGINT) and y (count) are exact integers; every windowed
+    Σx, Σy, Σxy, Σx², Σy² accumulates as exact BIGINT/DECIMAL(38,0);
+    the correlation is the frozen IEEE formula over doubles of those
+    exact sums — bit-identical on any engine. Windows with zero
+    variance on either side emit NULL.
+
+    Scale shape: the corpus collapses to the DAILY table first (one
+    partial-agged groupBy — the only corpus-sized operation); the
+    rolling frame runs RANGE-based on the day number over that daily
+    series, which is bounded by the calendar (≤ a few thousand rows at
+    ANY corpus size) — the sanctioned driver-sized window, same class
+    as the global-rank offsets table. Columns: day, n_days, corr."""
+    from pyspark.sql.window import Window
+
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        # the proven revenue idiom: per-value DECIMAL(38,2) cast (exact
+        # in both engines), summed exactly, then scaled to integer cents
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100 AS BIGINT)")
+        .alias("x"),
+        F.count("*").cast("long").alias("y"),
+    )
+    dnum = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (Window.orderBy(dnum)
+         .rangeBetween(-(window_days - 1), Window.currentRow))
+    r = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).over(w).alias("sxy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).over(w).alias("sxx"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,0))")).over(w).alias("syy"),
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    den = F.sqrt(vx) * F.sqrt(vy)
+    return r.select(
+        "day",
+        F.col("n").alias("n_days"),
+        F.when(den != F.lit(0.0), num / den).alias("corr"),
+    )

@@ -206,3 +206,42 @@ def test_counts_fold_sink_additive_and_replay_idempotent(spark, tmp_path):
     folded = spark.read.parquet(str(tmp_path / "v1"))
     assert token_drift_tv(None, counts=folded).collect() == \
         token_drift_tv(docs).collect()
+
+
+def test_proximity_search_matches_oracle_and_bounds(spark, duck):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = TX.proximity_search(docs, "slow", "hash", slop=3)
+    assert_matches_oracle(out, duck, E.oracle_sql()["proximity_search"])
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["gap"] <= 3 and r["pos_b"] == r["pos_a"] + r["gap"]
+    # proximity is monotone in slop: the tighter window is a subset
+    tight = {(r["doc_id"], r["pos_a"]) for r in
+             TX.proximity_search(docs, "slow", "hash", slop=1).collect()}
+    loose = {(r["doc_id"], r["pos_a"]) for r in rows}
+    assert tight <= loose
+
+
+def test_doc_top_terms_matches_oracle_and_ranks(spark, duck):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = TX.doc_top_terms(docs, k=3)
+    assert_matches_oracle(out, duck, E.oracle_sql()["doc_top_terms"])
+    rows = out.collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["doc_id"]].append((r["rnk"], r["score"], r["term"]))
+    for doc, lst in per.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        for a, b in zip(lst, lst[1:]):
+            # rank order follows (score DESC, term ASC)
+            assert a[1] > b[1] or (a[1] == b[1] and a[2] < b[2])

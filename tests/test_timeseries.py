@@ -176,3 +176,35 @@ def test_stationary_distribution_matches_oracle_and_numpy(spark, duck):
         pi /= pi.sum()
     got = np.array([rows[t] for t in types])
     assert np.max(np.abs(got - pi)) < 1e-3, (got, pi)
+
+
+def test_rolling_daily_corr_matches_oracle_and_numpy(spark, duck):
+    """Windowed corr_matrix discipline: oracle bit-match, and each
+    window's value equals numpy's Pearson over the same daily integer
+    series to float tolerance."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.operators import timeseries as TSx
+
+    events = load_table(spark, SF_DIR, "events")
+    out = TSx.rolling_daily_corr(events)
+    assert_matches_oracle(out, duck, E.oracle_sql()["rolling_daily_corr"])
+    daily = {
+        r["day"]: (int(r["x"]), int(r["y"]))
+        for r in events.groupBy(F.to_date("ts").alias("day")).agg(
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100"
+                   " AS BIGINT)").alias("x"),
+            F.count("*").alias("y")).collect()
+    }
+    days = sorted(daily)
+    for r in out.collect():
+        lo = r["day"] - __import__("datetime").timedelta(days=29)
+        xs = np.array([daily[d][0] for d in days if lo <= d <= r["day"]],
+                      dtype="float64")
+        ys = np.array([daily[d][1] for d in days if lo <= d <= r["day"]],
+                      dtype="float64")
+        assert r["n_days"] == len(xs)
+        if len(xs) >= 2 and xs.std() > 0 and ys.std() > 0:
+            want = float(np.corrcoef(xs, ys)[0, 1])
+            assert abs(r["corr"] - want) < 1e-9, (r["day"], r["corr"], want)

@@ -1125,6 +1125,17 @@ def _event_fold_members():
             .select("key", "n")  # n exact; total is float-order-dependent
         )
 
+    from spark_streaming_spark.streaming.pipelines import counts_fold_sink
+
+    rolling_corr_start = _fold_starter(
+        "events",
+        lambda st: st.select("ts", "value"),
+        lambda sp, sd: counts_fold_sink(sp, TS.daily_value_series,
+                                        ["day"], ["x", "y"], sd),
+        lambda sp, sd: (lambda: _read_current_state(sp, sd)),
+        "dvs_state_",
+    )
+
     return {
         "theta": (theta_start,
                   lambda df, s, d: SKC.theta_overlap_from_registers(
@@ -1137,6 +1148,12 @@ def _event_fold_members():
                          lambda df, s, d: SKC.hll_estimate(
                              df, "event_type")),
         "stateful_totals": (totals_start, totals_post),
+        # the rolling-corr monitor maintained CONTINUOUSLY: the daily
+        # (x, y) series is exactly additive under event partition, so
+        # the fold's final state reaches the one-shot series and the
+        # window + frozen-IEEE tail share rolling_daily_corr's oracle
+        "rolling_corr": (rolling_corr_start,
+                         lambda df, s, d: TS.rolling_corr_from_daily(df)),
     }
 
 
@@ -1271,6 +1288,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_dedup_watermark": "dedup_replays",
     "streaming_incremental_dedup": "dedup_replays",
     "streaming_langid_scores": "doc_folds",
+    "streaming_rolling_corr": "event_folds",
 }
 # Deliberately SOLO streamed entries (each has a reason co-scheduling
 # would break or blur what it proves): streaming_kafka_wordcount (the
@@ -2000,7 +2018,7 @@ _CHECK_FIRST = [
     "pca_explained_variance", "streaming_pca_loadings",
     "langid_scores", "streaming_langid_scores", "langid_confusion",
     "event_stationary_dist", "proximity_search", "doc_top_terms",
-    "rolling_daily_corr",
+    "rolling_daily_corr", "streaming_rolling_corr", "bigram_pmi",
     # (b) FIRST driver signal for the 9 late-r9 entries that landed
     # after the r9 window was committed (suite-green, never
     # driver-checked — with these, the r1-r10 union covers every
@@ -2022,10 +2040,10 @@ _CHECK_FIRST = [
     "hot_words", "incremental_dedup", "json_props_rollup",
     "lexical_knn", "lineitem_stats", "nation_presence",
     "nations_in_both", "purchase_funnel_daily", "quantity_quantiles",
-    "rollup_customer_nations", "running_customer_spend",
-    "running_word_count",
-    # r11 pool: the 15 r4-vintage entries that didn't fit this window
-    # (scalar_showcase, semantic_dedup, similar_pairs_lsh,
+    "rollup_customer_nations",
+    # r11 pool: the 17 r4-vintage entries that didn't fit this window
+    # (running_customer_spend, running_word_count,
+    # scalar_showcase, semantic_dedup, similar_pairs_lsh,
     # small_parts_ordered, streaming_band_cooccurrence,
     # streaming_centroid_ingest and streaming_click_attribution_full
     # ceded their slots to late-r10 first-signal entries —
@@ -2169,6 +2187,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # daily series
         "rolling_daily_corr": lambda s, d: TS.rolling_daily_corr(
             load_table(s, d, "events")),
+        # run CONTINUOUSLY: per-batch daily series folded additively
+        # (event_folds group), window + IEEE tail at read
+        "streaming_rolling_corr": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "rolling_corr"),
         "event_stationary_dist": lambda s, d: AN.stationary_distribution(
             AN.event_transition_matrix(load_table(s, d, "events"))),
         "streaming_transition_matrix": lambda s, d: _cosched_group(
@@ -2487,6 +2509,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # terms per doc, idf = (1e6*N) DIV df (floored-integer inverse
         # document frequency, monotone in log idf, exact cross-engine)
         "doc_top_terms": lambda s, d: TX.doc_top_terms(
+            load_table(s, d, "documents")),
+        # collocation mining: top-20 adjacent pairs by the integer-
+        # exact PMI ratio (1e6*N*c_ab) DIV (c_a*c_b) — monotone in PMI
+        "bigram_pmi": lambda s, d: TX.bigram_pmi(
             load_table(s, d, "documents")),
         "phrase_search": lambda s, d: TX.phrase_search(
             load_table(s, d, "documents")),
@@ -4913,6 +4939,36 @@ def oracle_sql() -> dict[str, str]:
             FROM pa JOIN pb USING (doc_id)
             WHERE pos_b > pos_a AND pos_b - pos_a <= 3
         """,
+        "bigram_pmi": """
+            WITH t AS (
+              SELECT list_filter(string_split(text, ' '),
+                                 w -> w <> '') AS a
+              FROM documents
+            ),
+            big AS (
+              SELECT z[1] AS w_a, z[2] AS w_b,
+                     CAST(count(*) AS BIGINT) AS c_ab
+              FROM t, LATERAL (
+                SELECT unnest(list_zip(a[1:-2], a[2:-1])) AS z) zz
+              WHERE len(a) >= 2
+              GROUP BY 1, 2
+            ),
+            uni AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(a) AS w FROM t) GROUP BY 1
+            ),
+            nb AS (SELECT CAST(SUM(c_ab) AS HUGEINT) AS n FROM big)
+            SELECT b.w_a, b.w_b, b.c_ab,
+                   CAST((nb.n * 1000000 * b.c_ab)
+                        // (CAST(ua.c AS HUGEINT) * ub.c)
+                        AS BIGINT) AS pmi_ppm
+            FROM big b
+            JOIN uni ua ON ua.w = b.w_a
+            JOIN uni ub ON ub.w = b.w_b, nb
+            WHERE b.c_ab >= 5
+            ORDER BY pmi_ppm DESC, b.w_a, b.w_b
+            LIMIT 20
+        """,
         "doc_top_terms": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -5866,6 +5922,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["streaming_transition_matrix"] = sql["event_transition_matrix"]
     sql["event_stationary_dist"] = _STATIONARY_SQL()
+    sql["streaming_rolling_corr"] = sql["rolling_daily_corr"]
     sql["streaming_spacesaving_hot_words"] = sql["spacesaving_hot_words"]
     # BPE segmentation stats (operators/bpe.bpe_segment_sql): the 6
     # training rounds UNROLLED into chained CTEs — per-round pair-count

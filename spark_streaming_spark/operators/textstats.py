@@ -495,6 +495,55 @@ def doc_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bigram_pmi(docs: DataFrame, min_count: int = 5,
+               k: int = 20) -> DataFrame:
+    """Collocation mining (Church & Hanks 1990 PMI; public method):
+    top-``k`` adjacent word pairs by the INTEGER-EXACT pointwise-
+    mutual-information ratio pmi_ppm = (1e6·N·c_ab) DIV (c_a·c_b) — the
+    P(a,b)/(P(a)P(b)) ratio before the log, monotone in PMI, so the
+    ranking is the PMI ranking with every degree of freedom exact.
+    ``min_count`` suppresses the low-count noise PMI is notorious for.
+    Columns: w_a, w_b, c_ab, pmi_ppm.
+
+    Scale shape: bigrams come from a map-side zip of each doc's token
+    array with its tail (no self-join); one (w_a, w_b) partial-agged
+    groupBy; unigram counts are a |vocab|-row aggregate broadcast back
+    twice; the top-k is orderBy+limit (TakeOrderedAndProject — per-
+    partition heaps, no global sort materialization)."""
+    words = F.split(F.col("text"), " ")
+    toks = widen(docs).select(
+        F.filter(words, lambda w: w != "").alias("a"))
+    pairs = toks.select(F.explode(F.expr(
+        "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),"
+        " (x, y) -> struct(x AS w_a, y AS w_b))")).alias("p"))
+    big = (
+        pairs.select("p.w_a", "p.w_b")
+        .groupBy("w_a", "w_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    uni = (
+        toks.select(F.explode("a").alias("w"))
+        .groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    )
+    n_bigrams = int(big.agg(F.sum("c_ab")).first()[0])  # 1-row scalar
+    return (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w_a")
+                          .withColumnRenamed("c", "c_a")), "w_a")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w_b")
+                          .withColumnRenamed("c", "c_b")), "w_b")
+        .select(
+            "w_a", "w_b", "c_ab",
+            F.expr(f"CAST((CAST({n_bigrams} AS DECIMAL(38,0)) * 1000000"
+                   " * c_ab) DIV (CAST(c_a AS DECIMAL(38,0)) * c_b)"
+                   " AS BIGINT)").alias("pmi_ppm"),
+        )
+        .orderBy(F.col("pmi_ppm").desc(), F.col("w_a").asc(),
+                 F.col("w_b").asc())
+        .limit(k)
+    )
+
+
 def hashed_bow(docs: DataFrame, dim: int = 64) -> DataFrame:
     """Feature-hashed bag-of-words (the hashing trick — Weinberger et
     al. 2009; public method): token → bucket = md5(token) mod dim,

@@ -339,15 +339,31 @@ def rolling_daily_corr(events: DataFrame,
     series, which is bounded by the calendar (≤ a few thousand rows at
     ANY corpus size) — the sanctioned driver-sized window, same class
     as the global-rank offsets table. Columns: day, n_days, corr."""
-    from pyspark.sql.window import Window
+    return rolling_corr_from_daily(daily_value_series(events),
+                                   window_days)
 
-    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+
+def daily_value_series(events: DataFrame) -> DataFrame:
+    """The daily (day, x=cents, y=count) series under the rolling-corr
+    monitor — EXACTLY ADDITIVE under event partition (the per-row
+    DECIMAL(38,2) quantization is batch-independent, so per-micro-batch
+    series sum cell-wise to the one-shot series: what counts_fold_sink
+    folds for the streamed twin)."""
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
         # the proven revenue idiom: per-value DECIMAL(38,2) cast (exact
         # in both engines), summed exactly, then scaled to integer cents
         F.expr("CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100 AS BIGINT)")
         .alias("x"),
         F.count("*").cast("long").alias("y"),
     )
+
+
+def rolling_corr_from_daily(daily: DataFrame,
+                            window_days: int = 30) -> DataFrame:
+    """:func:`rolling_daily_corr`'s window + frozen-IEEE tail, starting
+    from an already-built (or streamed-and-folded) daily series."""
+    from pyspark.sql.window import Window
+
     dnum = F.datediff(F.col("day"), F.lit("1970-01-01"))
     w = (Window.orderBy(dnum)
          .rangeBetween(-(window_days - 1), Window.currentRow))

@@ -245,3 +245,30 @@ def test_doc_top_terms_matches_oracle_and_ranks(spark, duck):
         for a, b in zip(lst, lst[1:]):
             # rank order follows (score DESC, term ASC)
             assert a[1] > b[1] or (a[1] == b[1] and a[2] < b[2])
+
+
+def test_bigram_pmi_matches_oracle_and_semantics(spark, duck):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = TX.bigram_pmi(docs, min_count=5, k=20)
+    assert_matches_oracle(out, duck, E.oracle_sql()["bigram_pmi"])
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["c_ab"] >= 5 for r in rows)
+    # pmi_ppm really is the integer ratio of brute-forced Python counts
+    from collections import Counter
+
+    texts = [r["text"] for r in docs.collect()]
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in texts:
+        ws = [w for w in t.split(" ") if w != ""]
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n = sum(big.values())
+    for r in rows[:5]:
+        want = (n * 1_000_000 * big[(r["w_a"], r["w_b"])]) \
+            // (uni[r["w_a"]] * uni[r["w_b"]])
+        assert r["pmi_ppm"] == want, (r, want)

@@ -660,3 +660,38 @@ def test_ivf_graph_det_broadcasts_probe_table(spark):
     df = ANN.ivf_graph_det(emb)
     assert explain.has_broadcast_join(df)
     assert not explain.has_cartesian_product(df)
+
+
+def test_doc_top_terms_rank_is_window_group_limit(spark):
+    """The per-doc tf-idf rank<=k must push map-side as WindowGroupLimit
+    and the df lookup must broadcast — no data-sized exchange beyond the
+    two partial-agged groupBys."""
+    from spark_streaming_spark.operators import textstats as TX
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = TX.doc_top_terms(docs, k=3)
+    txt = explain.explain_text(df)
+    assert "WindowGroupLimit" in txt
+    assert explain.has_broadcast_join(df)
+
+
+def test_langid_argmax_is_window_group_limit(spark):
+    """The per-doc language argmax (row_number<=1 over |langs| rows)
+    must run as WindowGroupLimit with the weight artifact broadcast."""
+    from spark_streaming_spark.operators import langid as LID
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = LID.langid_scores(docs)
+    txt = explain.explain_text(df)
+    assert "WindowGroupLimit" in txt
+    assert explain.has_broadcast_join(df)
+
+
+def test_bigram_pmi_topk_is_take_ordered(spark):
+    """The collocation top-k must be TakeOrderedAndProject (per-
+    partition heaps), never a global Sort materialization."""
+    from spark_streaming_spark.operators import textstats as TX
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = TX.bigram_pmi(docs)
+    assert "TakeOrderedAndProject" in explain.explain_text(df)

@@ -332,6 +332,30 @@ def _q_part_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GRKm.bfs_hops(edges, seeds, n_rounds=3)
 
 
+def _q_part_cheapest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bounded-hop shortest paths (Bellman-Ford unrolled) over
+    the SAME mined co-purchase graph as part_reach_hops, edge cost =
+    1e6 DIV pair_support (strong ties are cheap to traverse — the
+    relatedness-distance metric), seeds = the 5 lowest part_a keys,
+    3 relaxation rounds."""
+    from spark_streaming_spark.operators import basket as BKm
+    from spark_streaming_spark.operators import graphrank as GRKm
+
+    eu = (BKm.frequent_pairs(load_table(spark, sf_dir, "lineitem"),
+                             cache_key=sf_dir)
+          .select("part_a", "part_b", F.expr(
+              "CAST(1000000 DIV pair_support AS BIGINT)").alias("ecost")))
+    edges = eu.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"),
+        "ecost",
+    ).unionByName(eu.select(
+        F.col("part_b").alias("src"), F.col("part_a").alias("dst"),
+        "ecost"))
+    seeds = (eu.select(F.col("part_a").alias("v")).distinct()
+             .orderBy("v").limit(5))
+    return GRKm.cheapest_hops(edges, seeds, n_rounds=3)
+
+
 def _q_streaming_events_asof_status(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """The as-of-time enrichment SERVED continuously: each micro-batch
@@ -2019,6 +2043,7 @@ _CHECK_FIRST = [
     "langid_scores", "streaming_langid_scores", "langid_confusion",
     "event_stationary_dist", "proximity_search", "doc_top_terms",
     "rolling_daily_corr", "streaming_rolling_corr", "bigram_pmi",
+    "part_cheapest_hops",
     # (b) FIRST driver signal for the 9 late-r9 entries that landed
     # after the r9 window was committed (suite-green, never
     # driver-checked — with these, the r1-r10 union covers every
@@ -2040,9 +2065,8 @@ _CHECK_FIRST = [
     "hot_words", "incremental_dedup", "json_props_rollup",
     "lexical_knn", "lineitem_stats", "nation_presence",
     "nations_in_both", "purchase_funnel_daily", "quantity_quantiles",
-    "rollup_customer_nations",
-    # r11 pool: the 17 r4-vintage entries that didn't fit this window
-    # (running_customer_spend, running_word_count,
+    # r11 pool: the 18 r4-vintage entries that didn't fit this window
+    # (rollup_customer_nations, running_customer_spend, running_word_count,
     # scalar_showcase, semantic_dedup, similar_pairs_lsh,
     # small_parts_ordered, streaming_band_cooccurrence,
     # streaming_centroid_ingest and streaming_click_attribution_full
@@ -2707,6 +2731,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BFS reach over the same mined graph: min-hop distances from
         # the 5 lowest-keyed parts, 3 frontier-expansion rounds
         "part_reach_hops": lambda s, d: _q_part_reach_hops(s, d),
+        # the weighted complement: Bellman-Ford relaxation, 3 rounds,
+        # integer edge costs — exact min-cost within <=3 hops
+        "part_cheapest_hops": lambda s, d: _q_part_cheapest_hops(s, d),
         # skew-aware aggregation (two-phase salted; results identical)
         "skew_salted_counts": lambda s, d: SK.salted_counts(
             load_table(s, d, "events"), "event_type"),
@@ -5456,6 +5483,56 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT v, 1 FROM f1
         UNION ALL SELECT v, 2 FROM f2
         UNION ALL SELECT v, 3 FROM f3
+    """
+    sql["part_cheapest_hops"] = """
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        freq AS (
+          SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 5
+        ),
+        pr AS (
+          SELECT l_orderkey, l_partkey FROM items
+          WHERE l_partkey IN (SELECT l_partkey FROM freq)
+        ),
+        eu AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM pr a JOIN pr b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        ew AS MATERIALIZED (
+          SELECT pa AS src, pb AS dst, 1000000 // c AS ecost FROM eu
+          UNION ALL SELECT pb, pa, 1000000 // c FROM eu
+        ),
+        bf0 AS MATERIALIZED (
+          SELECT v, CAST(0 AS BIGINT) AS cost
+          FROM (SELECT DISTINCT pa AS v FROM eu ORDER BY v LIMIT 5)
+        ),
+        bf1 AS MATERIALIZED (
+          SELECT v, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+            SELECT v, cost FROM bf0
+            UNION ALL
+            SELECT e.dst AS v, b.cost + e.ecost AS cost
+            FROM bf0 b JOIN ew e ON b.v = e.src
+          ) GROUP BY v
+        ),
+        bf2 AS MATERIALIZED (
+          SELECT v, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+            SELECT v, cost FROM bf1
+            UNION ALL
+            SELECT e.dst AS v, b.cost + e.ecost AS cost
+            FROM bf1 b JOIN ew e ON b.v = e.src
+          ) GROUP BY v
+        ),
+        bf3 AS (
+          SELECT v, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+            SELECT v, cost FROM bf2
+            UNION ALL
+            SELECT e.dst AS v, b.cost + e.ecost AS cost
+            FROM bf2 b JOIN ew e ON b.v = e.src
+          ) GROUP BY v
+        )
+        SELECT v, cost FROM bf3
     """
     # Apriori-pruned frequent pairs; lift in exact BIGINT ppm so no
     # float crosses the engine boundary

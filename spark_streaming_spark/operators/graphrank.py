@@ -139,6 +139,42 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
     return dist
 
 
+def cheapest_hops(edges: DataFrame, seeds: DataFrame,
+                  n_rounds: int = 3) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths from a seed set — the
+    Bellman-Ford relaxation unrolled (public textbook method), the
+    weighted complement of :func:`bfs_hops`: after round r, ``cost`` is
+    the exact minimum edge-cost sum over all paths of ≤ r hops.
+    Deterministic by construction: integer costs, integer MIN — no
+    tie-breaking needed, so a fixed round count unrolls into SQL.
+
+    ``edges``: (src, dst, ecost) directed, integer cost — pass both
+    directions for undirected graphs; ``seeds``: one column ``v``.
+    Returns (v, cost) for every node within ``n_rounds`` hops.
+
+    Scale shape: each round is ONE join of the current distance table
+    against the edge table keyed on src plus one partial-agged MIN
+    groupBy — O(|E|) per round, the Bellman-Ford bound; localCheckpoint
+    per round truncates lineage (the corank discipline). Unlike BFS the
+    whole table relaxes each round (a cheaper 2-hop path may improve a
+    node found in 1 hop)."""
+    dist = (seeds.select("v", F.lit(0).cast("long").alias("cost"))
+            .localCheckpoint(eager=True))
+    for _ in range(n_rounds):
+        relaxed = (
+            dist.join(edges, dist["v"] == edges["src"])
+            .select(F.col("dst").alias("v"),
+                    (F.col("cost") + F.col("ecost")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("cost").cast("long").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def lpa_communities(lineitem: DataFrame, n_iters: int = 3) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara 2007, "Near linear time algorithm to detect

@@ -108,3 +108,39 @@ def test_kcore_extra_rounds_are_noops_once_converged(spark):
     b = sorted(tuple(r) for r in GRK.kcore_parts(li, k=8,
                                                  n_rounds=6).collect())
     assert a == b
+
+
+def test_cheapest_hops_matches_oracle_and_bellman_ford(spark, duck):
+    """Weighted bounded-hop shortest paths: oracle bit-match, cost
+    monotone non-increasing in rounds, and cost <= ecost-weighted BFS
+    along any 1-hop edge from a seed (relaxation actually relaxes)."""
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    out = E.queries()["part_cheapest_hops"](spark, SF_DIR)
+    assert_matches_oracle(out, duck, E.oracle_sql()["part_cheapest_hops"])
+    rows = {r["v"]: r["cost"] for r in out.collect()}
+    assert rows
+    # seeds cost 0; everything else positive
+    assert sorted(c for c in rows.values())[0] == 0
+    # 4 rounds never worse than 3 (Bellman-Ford monotonicity)
+    from spark_streaming_spark.operators import basket as BK
+    from spark_streaming_spark.operators import graphrank as GRK
+    from pyspark.sql import functions as F
+
+    eu = (BK.frequent_pairs(load_table(spark, SF_DIR, "lineitem"),
+                            cache_key=SF_DIR)
+          .select("part_a", "part_b", F.expr(
+              "CAST(1000000 DIV pair_support AS BIGINT)").alias("ecost")))
+    edges = eu.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"),
+        "ecost",
+    ).unionByName(eu.select(
+        F.col("part_b").alias("src"), F.col("part_a").alias("dst"),
+        "ecost"))
+    seeds = (eu.select(F.col("part_a").alias("v")).distinct()
+             .orderBy("v").limit(5))
+    more = {r["v"]: r["cost"]
+            for r in GRK.cheapest_hops(edges, seeds, 4).collect()}
+    for v, c in rows.items():
+        assert more[v] <= c, (v, more[v], c)

@@ -203,6 +203,28 @@ def _pin_sign(v: list[float]) -> list[float]:
 # train-once deployment (bench, long-lived sessions) pass ``cache_key``.
 _LOADINGS_CACHE: dict[tuple, list[list[float]]] = {}
 
+# Checkpointed-moments cache: the ONE corpus pass under every PCA
+# entry. App-scoped (a new Spark application must never see a stale
+# localCheckpoint handle — the frequent_pairs _PAIRS_CACHE discipline).
+_MOMENTS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def cached_second_moments(embeddings: DataFrame, d: int = _D,
+                          cache_key: str | None = None) -> DataFrame:
+    """:func:`second_moments`, localCheckpointed and memoized per
+    (application, cache_key, d) — the moment table is the shared input
+    of the loadings build, the trace, and the streamed fold's one-shot
+    twin, so the corpus pass pays once per session."""
+    if cache_key is None:
+        return second_moments(embeddings, d)
+    ck = (embeddings.sparkSession.sparkContext.applicationId,
+          cache_key, d)
+    got = _MOMENTS_CACHE.get(ck)
+    if got is None:
+        got = second_moments(embeddings, d).localCheckpoint(eager=True)
+        _MOMENTS_CACHE[ck] = got
+    return got
+
 
 def _loading_vectors(mom: DataFrame, n_components: int, n_iters: int,
                      d: int, cache_key: str | None = None
@@ -250,7 +272,8 @@ def pca_top_component(embeddings: DataFrame, n_iters: int = 8,
     sqrt + divide per component, fixed sequence. Sign pinned positive
     at the max-|loading| dim (smallest dim on ties)."""
     return pca_top_component_from_moments(
-        second_moments(embeddings, d), n_iters, d, cache_key=cache_key)
+        cached_second_moments(embeddings, d, cache_key), n_iters, d,
+        cache_key=cache_key)
 
 
 def pca_top_component_from_moments(mom: DataFrame, n_iters: int = 8,
@@ -277,8 +300,8 @@ def pca_top_components(embeddings: DataFrame, n_components: int = 2,
     touched ONCE (the shared moment build). Per-component sign pins as
     the solo path. Columns: component (1-based), dim, loading."""
     return pca_top_components_from_moments(
-        second_moments(embeddings, d), n_components, n_iters, d,
-        cache_key=cache_key)
+        cached_second_moments(embeddings, d, cache_key), n_components,
+        n_iters, d, cache_key=cache_key)
 
 
 def pca_top_components_from_moments(mom: DataFrame, n_components: int = 2,
@@ -322,8 +345,9 @@ def pca_scores_multi(embeddings: DataFrame, n_components: int = 2,
     loadings ride the plan as array literals, each score is the same
     7 dp-quantized decimal dot as :func:`pca_scores`, one corpus scan
     for all components. Columns: vec_id, score1..score{n}."""
-    vecs = _loading_vectors(second_moments(embeddings, d), n_components,
-                            n_iters, d, cache_key=cache_key)
+    vecs = _loading_vectors(cached_second_moments(embeddings, d, cache_key),
+                            n_components, n_iters, d,
+                            cache_key=cache_key)
     return _scores_df(embeddings, vecs)
 
 
@@ -346,7 +370,9 @@ def pca_explained_variance(embeddings: DataFrame, n_components: int = 2,
     1-row aggregates (sanctioned scalar fetches). On the near-isotropic
     fixture each component captures ~λ_k/trace ≈ 2–3% — small and
     CORRECT. Columns: component, var_ppm."""
-    mom = second_moments(embeddings, d).localCheckpoint(eager=True)
+    mom = cached_second_moments(embeddings, d, cache_key)
+    if cache_key is None:
+        mom = mom.localCheckpoint(eager=True)
     vecs = _loading_vectors(mom, n_components, n_iters, d,
                             cache_key=cache_key)
     sc = _scores_df(embeddings, vecs)
@@ -378,8 +404,8 @@ def pca_scores(embeddings: DataFrame, n_iters: int = 8,
     SERVING step: the d loadings ride the plan as an array literal
     (the broadcast-artifact shape), the score is the 7 dp-quantized
     decimal dot (deterministic). Columns: vec_id, score."""
-    vecs = _loading_vectors(second_moments(embeddings, d), 1, n_iters, d,
-                            cache_key=cache_key)
+    vecs = _loading_vectors(cached_second_moments(embeddings, d, cache_key),
+                            1, n_iters, d, cache_key=cache_key)
     from spark_streaming_spark.sources.batch import widen
 
     pc = F.array(*[F.lit(float(x)) for x in vecs[0]])

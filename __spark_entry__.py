@@ -2043,7 +2043,7 @@ _CHECK_FIRST = [
     "langid_scores", "streaming_langid_scores", "langid_confusion",
     "event_stationary_dist", "proximity_search", "doc_top_terms",
     "rolling_daily_corr", "streaming_rolling_corr", "bigram_pmi",
-    "part_cheapest_hops",
+    "part_cheapest_hops", "lineitem_zscores",
     # (b) FIRST driver signal for the 9 late-r9 entries that landed
     # after the r9 window was committed (suite-green, never
     # driver-checked — with these, the r1-r10 union covers every
@@ -2064,9 +2064,10 @@ _CHECK_FIRST = [
     "grouping_sets_orders", "hashed_bow", "hll_distinct_users",
     "hot_words", "incremental_dedup", "json_props_rollup",
     "lexical_knn", "lineitem_stats", "nation_presence",
-    "nations_in_both", "purchase_funnel_daily", "quantity_quantiles",
-    # r11 pool: the 18 r4-vintage entries that didn't fit this window
-    # (rollup_customer_nations, running_customer_spend, running_word_count,
+    "nations_in_both", "purchase_funnel_daily",
+    # r11 pool: the 19 r4-vintage entries that didn't fit this window
+    # (quantity_quantiles, rollup_customer_nations,
+    # running_customer_spend, running_word_count,
     # scalar_showcase, semantic_dedup, similar_pairs_lsh,
     # small_parts_ordered, streaming_band_cooccurrence,
     # streaming_centroid_ingest and streaming_click_attribution_full
@@ -2696,6 +2697,17 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # component is the CORRECT readout)
         "pca_explained_variance": lambda s, d: PCA.pca_explained_variance(
             load_table(s, d, "embeddings"), n_components=2, cache_key=d),
+        # feature standardization (z-scores) with the corr_matrix
+        # discipline: fit exact moments on the deterministic 2% order
+        # sample (the training-set shape), apply map-only — the ML-prep
+        # normalization artifact
+        "lineitem_zscores": lambda s, d: PF.standardize(
+            load_table(s, d, "lineitem")
+            .filter("l_orderkey % 50 = 0")
+            .withColumn("rowkey",
+                        F.expr("l_orderkey * 10 + l_linenumber")),
+            "rowkey",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
         "lineitem_corr_matrix": lambda s, d: PF.corr_matrix(
             load_table(s, d, "lineitem"),
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
@@ -6000,6 +6012,10 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_transition_matrix"] = sql["event_transition_matrix"]
     sql["event_stationary_dist"] = _STATIONARY_SQL()
     sql["streaming_rolling_corr"] = sql["rolling_daily_corr"]
+    sql["lineitem_zscores"] = PF.standardize_sql(
+        "l_orderkey * 10 + l_linenumber",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        table="(SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)")
     sql["streaming_spacesaving_hot_words"] = sql["spacesaving_hot_words"]
     # BPE segmentation stats (operators/bpe.bpe_segment_sql): the 6
     # training rounds UNROLLED into chained CTEs — per-round pair-count

@@ -162,3 +162,85 @@ def corr_matrix_sql(cols: list[str], table: str = "lineitem",
         s AS (SELECT {", ".join(sums)} FROM q)
         {" UNION ALL ".join(rows)}
     """
+
+
+def standardize(df: DataFrame, key_col: str, cols: list[str],
+                scale: int = 4) -> DataFrame:
+    """Feature STANDARDIZATION (z-scores) with the corr_matrix exactness
+    discipline — the train-time normalization artifact every ML
+    pipeline fits once and applies at scale: one pass builds exact
+    scaled-integer Σx / Σx² per column (DECIMAL(38,0), map-side partial
+    agg), and the per-row z = (q − mean_q) / std_q is a frozen IEEE
+    expression over those exact sums riding the plan as literals —
+    map-only serving, bit-identical on any engine. Population std
+    (divide by n); columns with zero variance emit NULL.
+    Long form (key, feature, z) — the sparse ML-prep spelling.
+
+    Scale shape: ONE aggregate over one scan fits the artifact; the
+    apply pass is a bare projection (no join, no shuffle) — exactly how
+    a 100 TB standardization runs (fit once, broadcast constants)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.expr(_q_expr(c, scale))).alias(f"s{i}"))
+        aggs.append(F.sum(F.expr(
+            f"CAST({_q_expr(c, scale)} * {_q_expr(c, scale)}"
+            " AS DECIMAL(38,0))")).alias(f"ss{i}"))
+    stats = df.agg(*aggs).first()   # 1-row artifact fetch, sanctioned
+    n = int(stats["n"])
+    outs = []
+    for i, c in enumerate(cols):
+        s, ss = int(stats[f"s{i}"]), int(stats[f"ss{i}"])
+        # frozen IEEE tail: mean/var from doubles OF THE EXACT SUMS —
+        # the identical expression sequence the oracle executes
+        mean = F.lit(float(s)) / F.lit(float(n))
+        var = ((F.lit(float(n)) * F.lit(float(ss))
+                - F.lit(float(s)) * F.lit(float(s)))
+               / (F.lit(float(n)) * F.lit(float(n))))
+        std = F.sqrt(var)
+        q = F.expr(_q_expr(c, scale)).cast("double")
+        outs.append(F.struct(
+            F.lit(c).alias("feature"),
+            F.when(std != F.lit(0.0), (q - mean) / std).alias("z"),
+        ))
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array(*outs)).alias("r"),
+    ).select("key", "r.feature", "r.z")
+
+
+def standardize_sql(key_col: str, cols: list[str],
+                    table: str = "lineitem", scale: int = 4) -> str:
+    """DuckDB twin of :func:`standardize` — same quantization, same
+    frozen IEEE tail over the same exact sums (never DuckDB's own
+    stddev, whose accumulation order is engine-private). The stats CTE
+    is MATERIALIZED (referenced once per column arm).
+
+    Decimal→double gotcha (measured): DuckDB's DIRECT int128-decimal →
+    DOUBLE cast is NOT always correctly rounded for values beyond 2⁶⁴
+    (1-ulp off vs Spark/Python, which are correctly rounded) — the sums
+    route through VARCHAR (strtod IS correctly rounded) so both engines
+    see bit-identical doubles."""
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for i, c in enumerate(cols):
+        q = _q_expr(c, scale)
+        sums.append(f"SUM({q}) AS s{i}")
+        sums.append(f"SUM(CAST({q} * {q} AS DECIMAL(38,0))) AS ss{i}")
+    arms = []
+
+    def dd(x):   # correctly-rounded decimal -> double
+        return f"CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+
+    for i, c in enumerate(cols):
+        q = _q_expr(c, scale)
+        mean = f"({dd(f'st.s{i}')} / CAST(st.n AS DOUBLE))"
+        var = (f"((CAST(st.n AS DOUBLE) * {dd(f'st.ss{i}')}"
+               f" - {dd(f'st.s{i}')} * {dd(f'st.s{i}')})"
+               f" / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)))")
+        arms.append(f"""
+            SELECT {key_col} AS key, '{c}' AS feature,
+                   CASE WHEN sqrt({var}) <> 0
+                     THEN (CAST({q} AS DOUBLE) - {mean}) / sqrt({var})
+                   END AS z
+            FROM {table}, st""")
+    return (f"WITH st AS MATERIALIZED (SELECT {', '.join(sums)}"
+            f" FROM {table})" + " UNION ALL ".join(arms))

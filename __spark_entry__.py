@@ -2628,6 +2628,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-for-byte
         "pii_redaction": lambda s, d: RED.pii_scrub(
             RED.augment_with_pii(load_table(s, d, "documents"))),
+        # the release gate next to the scrub: quasi-identifier combos
+        # shared by < k customers (the suppression worklist a governed
+        # data release generalizes first; Sweeney 2002)
+        "k_anonymity_violations": lambda s, d: RED.k_anonymity_violations(
+            load_table(s, d, "customer").withColumn(
+                "acctbal_band",
+                F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)")),
+            ["c_nationkey", "c_mktsegment", "acctbal_band"], k=5),
         "dedup_keep_best": lambda s, d: DD.dedup_keep_best(
             load_table(s, d, "documents"), cache_key=d),
         # the three corpus-prep stages CHAINED in production order
@@ -6012,6 +6020,12 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_transition_matrix"] = sql["event_transition_matrix"]
     sql["event_stationary_dist"] = _STATIONARY_SQL()
     sql["streaming_rolling_corr"] = sql["rolling_daily_corr"]
+    sql["k_anonymity_violations"] = """
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+               CAST(count(*) AS BIGINT) AS n_records
+        FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5
+    """
     sql["lineitem_zscores"] = PF.standardize_sql(
         "l_orderkey * 10 + l_linenumber",
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],

@@ -98,3 +98,20 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(clean).cast("long").alias("clean_len"),
         F.md5(clean).alias("clean_fp"),
     )
+
+
+def k_anonymity_violations(df: DataFrame, quasi_cols: list[str],
+                           k: int = 5) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002, "k-anonymity: a model for
+    protecting privacy"; public method) — the release gate next to the
+    PII scrub: quasi-identifier combinations shared by FEWER than ``k``
+    records are the groups an adversary could re-identify, and a
+    governed release suppresses or generalizes them first. Emits every
+    violating combination with its record count (the suppression
+    worklist). ONE partial-agged groupBy over the quasi-identifier key
+    — a single scan at any scale. Columns: quasi_cols..., n_records."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("n_records"))
+        .filter(F.col("n_records") < k)
+    )

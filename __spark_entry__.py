@@ -2065,8 +2065,10 @@ _CHECK_FIRST = [
     "hot_words", "incremental_dedup", "json_props_rollup",
     "lexical_knn", "lineitem_stats", "nation_presence",
     "nations_in_both", "purchase_funnel_daily",
-    # r11 pool: the 19 r4-vintage entries that didn't fit this window
-    # (quantity_quantiles, rollup_customer_nations,
+    # r11 pool: FIRST the late-r10 never-checked entries
+    # (pca_axis_drift, k_anonymity_violations — first signal beats
+    # refresh), then the 19 r4-vintage entries that didn't fit this
+    # window (quantity_quantiles, rollup_customer_nations,
     # running_customer_spend, running_word_count,
     # scalar_showcase, semantic_dedup, similar_pairs_lsh,
     # small_parts_ordered, streaming_band_cooccurrence,
@@ -2699,6 +2701,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # onto both components (array-literal loadings, quantized dots)
         "embedding_pca_top2_scores": lambda s, d: PCA.pca_scores_multi(
             load_table(s, d, "embeddings"), n_components=2, cache_key=d),
+        # the drift monitor the tier serves: top axes of the even/odd
+        # corpus halves extracted independently, alignment cosine +
+        # half sizes (|cos| near 1 = stable dominant direction).
+        # Honest-fixture note: the embeddings are near-isotropic
+        # (lambda2/lambda1 ~ 0.93), so each half's 8-iteration "top
+        # axis" is weakly determined and LOW alignment (~0.2) is the
+        # CORRECT monitoring readout — a peaked real corpus reads ~1
+        "pca_axis_drift": lambda s, d: PCA.pca_axis_drift(
+            load_table(s, d, "embeddings")),
         # the eval step: per-component captured-variance share in exact
         # integer ppm vs the moment-table trace (train -> serve ->
         # evaluate; the fixture is near-isotropic so ~2-3% per
@@ -3536,7 +3547,7 @@ def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
 
 
 def _PCA_SQL(n_iters=8, d=64, scores=False, components=1,
-             explained=False):
+             explained=False, where=None):
     rounds = []
     prev = "v0"
     for k in range(1, n_iters + 1):
@@ -3611,12 +3622,13 @@ loadings AS (
            AS loading
   FROM {prev}
 )"""
+    _where = f" WHERE {where}" if where else ""
     head = f"""ii AS (SELECT unnest(range(0, {d})) AS i),
 qq AS (
   SELECT vec_id,
          list_transform(embedding, x ->
            CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS q
-  FROM embeddings
+  FROM embeddings{_where}
 ),
 mom AS (
   SELECT a.i AS i, b.i AS j, SUM(CAST(q[a.i + 1] AS HUGEINT) * q[b.i + 1]) AS sij
@@ -3771,6 +3783,27 @@ pv0 AS (SELECT idx AS i,
         FROM ty),{",".join(rounds)}
 SELECT t.et AS event_type, v.v AS prob
 FROM {prev} v JOIN ty t ON t.idx = v.i
+"""
+
+
+def _PCA_DRIFT_SQL(n_iters=8, d=64):
+    """Two independent PCA chains (even / odd vec_id halves) wrapped as
+    MATERIALIZED CTEs, joined on dim for the alignment cosine — the
+    axis-drift oracle. Nested WITH inside a CTE is legal DuckDB."""
+    la = _PCA_SQL(n_iters, d, where="vec_id % 2 = 0")
+    lb = _PCA_SQL(n_iters, d, where="vec_id % 2 = 1")
+    return f"""
+WITH la AS MATERIALIZED ({la}),
+lb AS MATERIALIZED ({lb}),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+       WHERE vec_id % 2 = 0),
+no AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+       WHERE vec_id % 2 = 1)
+SELECT CAST(SUM(CAST(ROUND(la.loading * lb.loading, 7)
+                     AS DECIMAL(38,8))) AS DOUBLE) AS cos_axes,
+       ne.n AS n_even, no.n AS n_odd
+FROM la JOIN lb USING (dim), ne, no
+GROUP BY ne.n, no.n
 """
 
 
@@ -5613,6 +5646,7 @@ def oracle_sql() -> dict[str, str]:
     sql["embedding_pca_top2"] = _PCA_SQL(components=2)
     sql["embedding_pca_top2_scores"] = _PCA_SQL(components=2, scores=True)
     sql["pca_explained_variance"] = _PCA_SQL(components=2, explained=True)
+    sql["pca_axis_drift"] = _PCA_DRIFT_SQL()
     # the streamed moment fold is exactly additive under corpus
     # partition, so the continuous build shares the batch oracle
     # verbatim (the streaming_token_drift discipline)

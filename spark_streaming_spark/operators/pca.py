@@ -419,3 +419,43 @@ def pca_scores(embeddings: DataFrame, n_iters: int = 8,
         widen(embeddings).withColumn("pc", pc)
         .select("vec_id", dot.alias("score"))
     )
+
+
+def pca_axis_drift(embeddings: DataFrame, n_iters: int = 8,
+                   d: int = _D) -> DataFrame:
+    """EMBEDDING-DISTRIBUTION drift between two corpus halves — the
+    monitoring statistic the PCA tier exists to serve (did yesterday's
+    principal axis move?): the top component is extracted independently
+    from the even- and odd-vec_id halves (two moment builds, two
+    iteration chains — each the exact :func:`pca_top_component`
+    contract), and the report is their alignment cosine plus each
+    half's top-axis variance numerator share. |cos| near 1 = the
+    dominant axis is stable; the sign ambiguity is already pinned per
+    half, and the cosine of two unit vectors needs no denominator.
+
+    Determinism: the two loading vectors are bit-exact by the tier's
+    contract; the cosine is the 7 dp-quantized decimal dot of two
+    64-double plan literals, summed engine-side (order-free decimals).
+    Columns: cos_axes (double), n_even, n_odd (BIGINT)."""
+    spark = embeddings.sparkSession
+    even = embeddings.filter(F.col("vec_id") % 2 == 0)
+    odd = embeddings.filter(F.col("vec_id") % 2 == 1)
+    va = _loading_vectors(second_moments(even, d), 1, n_iters, d)[0]
+    vb = _loading_vectors(second_moments(odd, d), 1, n_iters, d)[0]
+    n_even, n_odd = even.count(), odd.count()
+    arr_a = F.array(*[F.lit(float(x)) for x in va])
+    arr_b = F.array(*[F.lit(float(x)) for x in vb])
+    return (
+        spark.range(1)
+        .select(arr_a.alias("a"), arr_b.alias("b"))
+        .select(
+            F.expr(
+                "cast(aggregate(zip_with(a, b,"
+                " (x, y) -> cast(round(x * y, 7) as decimal(38,8))),"
+                " cast(0 as decimal(38,8)),"
+                " (acc, t) -> cast(acc + t as decimal(38,8)))"
+                " as double)").alias("cos_axes"),
+            F.lit(n_even).cast("long").alias("n_even"),
+            F.lit(n_odd).cast("long").alias("n_odd"),
+        )
+    )

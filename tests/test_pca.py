@@ -141,3 +141,23 @@ def test_pca_scores_match_oracle_and_rayleigh(spark, duck):
     C = np.cov(X.T, bias=True)
     v = _loadings_vec(spark, 8)
     assert abs(scores.var() - float(v @ C @ v)) < 1e-4
+
+
+def test_pca_axis_drift_matches_oracle_and_bounds(spark, duck):
+    """Axis-drift monitor: oracle bit-match, |cos| <= 1 + quantizer,
+    halves partition the corpus, and each half's axis really is that
+    half's pca_top_component (the independence contract)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = PCA.pca_axis_drift(emb)
+    assert_matches_oracle(out, duck, E.oracle_sql()["pca_axis_drift"])
+    r = out.first()
+    assert abs(r["cos_axes"]) <= 1.0 + 1e-6
+    assert r["n_even"] + r["n_odd"] == emb.count()
+    va = {x["dim"]: x["loading"] for x in PCA.pca_top_component(
+        emb.filter(F.col("vec_id") % 2 == 0)).collect()}
+    vb = {x["dim"]: x["loading"] for x in PCA.pca_top_component(
+        emb.filter(F.col("vec_id") % 2 == 1)).collect()}
+    manual = sum(round(va[i] * vb[i], 7) for i in range(64))
+    assert abs(r["cos_axes"] - manual) < 1e-6

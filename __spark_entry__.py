@@ -2066,8 +2066,9 @@ _CHECK_FIRST = [
     "lexical_knn", "lineitem_stats", "nation_presence",
     "nations_in_both", "purchase_funnel_daily",
     # r11 pool: FIRST the late-r10 never-checked entries
-    # (pca_axis_drift, k_anonymity_violations — first signal beats
-    # refresh), then the 19 r4-vintage entries that didn't fit this
+    # (pca_axis_drift, k_anonymity_violations, next_event_accuracy,
+    # event_value_quantile_transform — first signal beats refresh),
+    # then the 19 r4-vintage entries that didn't fit this
     # window (quantity_quantiles, rollup_customer_nations,
     # running_customer_spend, running_word_count,
     # scalar_showcase, semantic_dedup, similar_pairs_lsh,
@@ -2218,6 +2219,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (event_folds group), window + IEEE tail at read
         "streaming_rolling_corr": lambda s, d: _cosched_group(
             s, d, "event_folds", _event_fold_members(), "rolling_corr"),
+        # the model-eval loop closure: the matrix's argmax row as a
+        # next-event predictor, scored per from_type in exact ppm
+        "next_event_accuracy": lambda s, d: AN.next_event_accuracy(
+            load_table(s, d, "events")),
         "event_stationary_dist": lambda s, d: AN.stationary_distribution(
             AN.event_transition_matrix(load_table(s, d, "events"))),
         "streaming_transition_matrix": lambda s, d: _cosched_group(
@@ -2720,6 +2725,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # discipline: fit exact moments on the deterministic 2% order
         # sample (the training-set shape), apply map-only — the ML-prep
         # normalization artifact
+        # the outlier-immune sibling: rank-based quantile transform
+        # (uniform target) over the exact distributed global rank
+        "event_value_quantile_transform": lambda s, d: RK.quantile_transform(
+            load_table(s, d, "events").select("event_id", "value"),
+            "value", ["event_id"]),
         "lineitem_zscores": lambda s, d: PF.standardize(
             load_table(s, d, "lineitem")
             .filter("l_orderkey % 50 = 0")
@@ -6053,7 +6063,50 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["streaming_transition_matrix"] = sql["event_transition_matrix"]
     sql["event_stationary_dist"] = _STATIONARY_SQL()
+    sql["next_event_accuracy"] = """
+        WITH seq AS (
+          SELECT user_id, event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events
+        ),
+        pairs AS (SELECT from_type, to_type FROM seq
+                  WHERE to_type IS NOT NULL),
+        p AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+          FROM pairs GROUP BY 1, 2
+        ),
+        pred AS (
+          SELECT from_type, to_type AS predicted FROM (
+            SELECT from_type, to_type,
+                   row_number() OVER (PARTITION BY from_type
+                                      ORDER BY n_trans DESC, to_type)
+                     AS rn
+            FROM p
+          ) WHERE rn = 1
+        )
+        SELECT pa.from_type, pr.predicted,
+               CAST(SUM(CASE WHEN pa.to_type = pr.predicted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(1000000 * SUM(CASE WHEN pa.to_type = pr.predicted
+                                  THEN 1 ELSE 0 END) // count(*)
+                    AS BIGINT) AS accuracy_ppm
+        FROM pairs pa JOIN pred pr USING (from_type)
+        GROUP BY 1, 2
+    """
     sql["streaming_rolling_corr"] = sql["rolling_daily_corr"]
+    sql["event_value_quantile_transform"] = """
+        WITH r AS (
+          SELECT event_id, value,
+                 row_number() OVER (ORDER BY value, event_id) AS rk,
+                 count(*) OVER () AS n
+          FROM events
+        )
+        SELECT event_id, value,
+               CAST(1000000 * rk // (n + 1) AS BIGINT) AS u_ppm
+        FROM r
+    """
     sql["k_anonymity_violations"] = """
         SELECT c_nationkey, c_mktsegment,
                CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_band,

@@ -358,6 +358,51 @@ def stationary_distribution(trans: DataFrame,
         "event_type string, prob double")
 
 
+def next_event_accuracy(events: DataFrame) -> DataFrame:
+    """EVAL of the first-order Markov model as a next-event PREDICTOR —
+    the closes-the-loop readout next to the matrix and its stationary
+    distribution: for every consecutive pair, the prediction is the
+    argmax row of :func:`event_transition_matrix` (ties (n_trans DESC,
+    to_type ASC)), and the report is per-from_type hits / totals /
+    integer-ppm accuracy. In-sample by construction (the fixture's
+    honest shape — a production run fits the matrix on yesterday and
+    scores today; identical plan). All counts and the DIV are exact.
+    Columns: from_type, predicted, n_hits, n_total, accuracy_ppm.
+
+    Scale shape: the pair stream is ONE lag-window shuffle (shared
+    shape with the matrix build); the predictor is a ≤|types|-row
+    broadcast; the scoring is a map-side equality + one partial-agged
+    groupBy."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id",
+                      F.col("event_type").alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    trans = event_transition_matrix(events)
+    wpred = Window.partitionBy("from_type").orderBy(
+        F.col("n_trans").desc(), F.col("to_type").asc())
+    pred = (
+        trans.withColumn("__rn", F.row_number().over(wpred))
+        .filter(F.col("__rn") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    return (
+        pairs.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted")
+        .agg(
+            F.sum(F.when(F.col("to_type") == F.col("predicted"), 1)
+                  .otherwise(0)).cast("long").alias("n_hits"),
+            F.count("*").cast("long").alias("n_total"),
+        )
+        .withColumn("accuracy_ppm", F.expr(
+            "CAST(1000000 * n_hits DIV n_total AS BIGINT)"))
+    )
+
+
 def event_transition_matrix(events: DataFrame) -> DataFrame:
     """First-order Markov TRANSITION MATRIX of user behavior: for every
     ordered pair of consecutive events of one user, count

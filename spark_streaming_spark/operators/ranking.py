@@ -189,3 +189,27 @@ def curriculum_stages(docs: DataFrame, k: int = 4) -> DataFrame:
         ["__negq", "doc_id"], "q_rank").drop("__negq", "quality")
     return ranked.select(
         "doc_id", "q_rank", _ntile_score("q_rank", n, k).alias("stage"))
+
+
+def quantile_transform(df: DataFrame, value_col: str, key_cols: list[str],
+                       scale_ppm: int = 1_000_000) -> DataFrame:
+    """Rank-based QUANTILE TRANSFORM (the scikit QuantileTransformer
+    shape with a uniform target; public method) — the outlier-immune
+    normalization heavy-tailed features get before training: each row's
+    value maps to its exact empirical quantile u_ppm =
+    scale·rank DIV (n+1), an integer in (0, scale). Built on the exact
+    DISTRIBUTED global rank (:func:`with_global_rank` — range partition
+    + broadcast offsets, no single-partition exchange, plan-asserted
+    there), totally ordered by (value, key) so ties are deterministic.
+    Columns: key_cols..., value_col, u_ppm.
+
+    Everything is integer-exact (rank, the DIV), so the transform is
+    hash-checkable cross-engine; the inverse map (quantile → value) is
+    the same table read backwards."""
+    n = df.count()   # 1-scalar driver fetch, sanctioned
+    ranked = with_global_rank(df, [value_col, *key_cols], "__r")
+    return ranked.select(
+        *key_cols, value_col,
+        F.expr(f"CAST({scale_ppm} * __r DIV {n + 1} AS BIGINT)")
+        .alias("u_ppm"),
+    )

@@ -2067,7 +2067,8 @@ _CHECK_FIRST = [
     "nations_in_both", "purchase_funnel_daily",
     # r11 pool: FIRST the late-r10 never-checked entries
     # (pca_axis_drift, k_anonymity_violations, next_event_accuracy,
-    # event_value_quantile_transform — first signal beats refresh),
+    # event_value_quantile_transform, lang_diversity, chi2_terms —
+    # first signal beats refresh),
     # then the 19 r4-vintage entries that didn't fit this
     # window (quantity_quantiles, rollup_customer_nations,
     # running_customer_spend, running_word_count,
@@ -2545,6 +2546,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # collocation mining: top-20 adjacent pairs by the integer-
         # exact PMI ratio (1e6*N*c_ab) DIV (c_a*c_b) — monotone in PMI
         "bigram_pmi": lambda s, d: TX.bigram_pmi(
+            load_table(s, d, "documents")),
+        # mixture health: per-lang Simpson collision index in exact ppm
+        # (high = repetitive/templated text — boilerplate at corpus
+        # grain), the Renyi-2 discipline at token grain
+        "lang_diversity": lambda s, d: TX.lang_diversity(
+            load_table(s, d, "documents")),
+        # label-discriminative vocabulary by chi-square (the sklearn
+        # chi2 feature-selection shape): 2x|langs| presence contingency
+        # per term, quantized-cell sums, top-20
+        "chi2_terms": lambda s, d: TX.chi2_terms(
             load_table(s, d, "documents")),
         "phrase_search": lambda s, d: TX.phrase_search(
             load_table(s, d, "documents")),
@@ -5028,6 +5039,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pos_b - pos_a AS INTEGER) AS gap
             FROM pa JOIN pb USING (doc_id)
             WHERE pos_b > pos_a AND pos_b - pos_a <= 3
+        """,
+        "chi2_terms": """
+            WITH pres AS (
+              SELECT DISTINCT lang, doc_id, w AS term
+              FROM (SELECT lang, doc_id,
+                           unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              WHERE w <> ''
+            ),
+            o AS (
+              SELECT term, lang, CAST(count(*) AS BIGINT) AS o
+              FROM pres GROUP BY 1, 2
+            ),
+            rt AS (SELECT term, CAST(SUM(o) AS BIGINT) AS rt
+                   FROM o GROUP BY 1),
+            cc AS (SELECT lang, CAST(count(*) AS BIGINT) AS cc
+                   FROM documents GROUP BY 1),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            grid AS (
+              SELECT rt.term, rt.rt, cc.lang, cc.cc,
+                     COALESCE(o.o, 0) AS o, nn.n
+              FROM rt CROSS JOIN cc
+              LEFT JOIN o ON o.term = rt.term AND o.lang = cc.lang, nn
+            ),
+            cells AS (
+              SELECT term, rt,
+                CAST(ROUND(CASE WHEN (CAST(rt AS DOUBLE) * CAST(cc AS DOUBLE)
+                                      / CAST(n AS DOUBLE)) > 0 THEN
+                  (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(cc AS DOUBLE)
+                                        / CAST(n AS DOUBLE)))
+                  * (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(cc AS DOUBLE)
+                                          / CAST(n AS DOUBLE)))
+                  / (CAST(rt AS DOUBLE) * CAST(cc AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  ELSE CAST(0 AS DOUBLE) END, 7) AS DECIMAL(38,8)) AS cp,
+                CAST(ROUND(CASE WHEN (CAST(n - rt AS DOUBLE) * CAST(cc AS DOUBLE)
+                                      / CAST(n AS DOUBLE)) > 0 THEN
+                  (CAST(cc - o AS DOUBLE) - (CAST(n - rt AS DOUBLE)
+                                             * CAST(cc AS DOUBLE)
+                                             / CAST(n AS DOUBLE)))
+                  * (CAST(cc - o AS DOUBLE) - (CAST(n - rt AS DOUBLE)
+                                               * CAST(cc AS DOUBLE)
+                                               / CAST(n AS DOUBLE)))
+                  / (CAST(n - rt AS DOUBLE) * CAST(cc AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  ELSE CAST(0 AS DOUBLE) END, 7) AS DECIMAL(38,8)) AS ca
+              FROM grid
+            )
+            SELECT term, CAST(MIN(rt) AS BIGINT) AS df,
+                   CAST(SUM(cp + ca) AS DOUBLE) AS chi2
+            FROM cells GROUP BY term
+            ORDER BY chi2 DESC, term LIMIT 20
+        """,
+        "lang_diversity": """
+            WITH c AS (
+              SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              WHERE w <> ''
+              GROUP BY 1, 2
+            )
+            SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST((1000000 * SUM(CAST(c AS HUGEINT) * (c - 1)))
+                        // (CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1))
+                        AS BIGINT) AS collision_ppm
+            FROM c GROUP BY 1
         """,
         "bigram_pmi": """
             WITH t AS (

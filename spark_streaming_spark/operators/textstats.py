@@ -671,3 +671,97 @@ def bm25_scores(docs: DataFrame,
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def lang_diversity(docs: DataFrame) -> DataFrame:
+    """Per-language lexical DIVERSITY via the Simpson index (Simpson
+    1949; public method) — the mixture-health readout a multi-corpus
+    pipeline tracks next to its token drift: collision_ppm =
+    1e6·Σc(c−1) DIV (n(n−1)), the exact probability (ppm) that two
+    token draws without replacement are the SAME word (low = diverse,
+    high = repetitive/templated — the boilerplate smell test at corpus
+    grain). Every quantity is an exact integer (counts, the DIV), so
+    the statistic is hash-checkable cross-engine; same sufficient
+    statistic family as the media byte-histogram Rényi-2 tier.
+    Columns: lang, n_tokens, n_types, collision_ppm.
+
+    Scale shape: one explode + one (lang, word) partial-agged groupBy,
+    then a |vocab|-sized per-lang reduction — never touches pairs."""
+    counts = (
+        widen(docs)
+        .select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)"))
+            .alias("__coll"),
+        )
+        .withColumn("collision_ppm", F.expr(
+            "CAST((1000000 * __coll) DIV (CAST(n_tokens AS DECIMAL(38,0))"
+            " * (n_tokens - 1)) AS BIGINT)"))
+        .drop("__coll")
+    )
+
+
+def chi2_terms(docs: DataFrame, k: int = 20) -> DataFrame:
+    """FEATURE SELECTION by the chi-square statistic (Pearson 1900;
+    the sklearn ``chi2``-on-binary-features shape; public method): for
+    each term, the 2×|langs| contingency of document-level presence vs
+    the lang label, χ² = Σ_cells (O−E)²/E — the standard ranking of
+    label-discriminative vocabulary before training a per-class model.
+    Top-``k`` by (chi2 DESC, term ASC). Columns: term, df, chi2.
+
+    Engine-exact: every O, row/col total, and N is an exact integer;
+    each cell's (O−E)²/E is a frozen IEEE chain over doubles of those
+    integers, quantized to 7 dp DECIMAL(38,8) BEFORE the cell sum (so
+    the Σ over 2·|langs| cells is order-free — the corr_matrix
+    discipline). E = 0 cells (term present in every doc) contribute 0,
+    the standard convention. Honest-fixture note: the corpus shares one
+    vocabulary across langs, so the χ² values are small — the ranking
+    and exactness are what the harness pins.
+
+    Scale shape: one explode+distinct for presence, one (term, lang)
+    partial-agged groupBy, the |langs|-row class totals broadcast onto
+    the |vocab|-row grid, and a TakeOrderedAndProject top-k."""
+    pres = (
+        widen(docs)
+        .select("lang", "doc_id", F.explode(F.expr(
+            "array_distinct(filter(split(text, ' '), w -> w != ''))"))
+            .alias("term"))
+    )
+    o = pres.groupBy("term", "lang").agg(
+        F.count("*").cast("long").alias("o"))
+    rt = o.groupBy("term").agg(F.sum("o").cast("long").alias("rt"))
+    cc = docs.groupBy("lang").agg(F.count("*").cast("long").alias("cc"))
+    n = docs.count()  # 1-scalar driver fetch, sanctioned
+    grid = (
+        rt.crossJoin(F.broadcast(cc))
+        .join(o, ["term", "lang"], "left")
+        .fillna({"o": 0})
+    )
+    cell = (
+        "CAST(ROUND(CASE WHEN {e} > 0 THEN"
+        " (CAST({o} AS DOUBLE) - {e}) * (CAST({o} AS DOUBLE) - {e})"
+        " / {e} ELSE CAST(0 AS DOUBLE) END, 7) AS DECIMAL(38,8))")
+    e_pres = (f"(CAST(rt AS DOUBLE) * CAST(cc AS DOUBLE)"
+              f" / CAST({n} AS DOUBLE))")
+    e_abs = (f"(CAST({n} - rt AS DOUBLE) * CAST(cc AS DOUBLE)"
+             f" / CAST({n} AS DOUBLE))")
+    return (
+        grid.select(
+            "term", "rt",
+            F.expr(cell.format(e=e_pres, o="o")).alias("__cp"),
+            F.expr(cell.format(e=e_abs, o="(cc - o)")).alias("__ca"),
+        )
+        .groupBy("term")
+        .agg(F.first("rt").alias("df"),
+             F.sum(F.expr("__cp + __ca")).cast("double").alias("chi2"))
+        .orderBy(F.col("chi2").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -272,3 +272,58 @@ def test_bigram_pmi_matches_oracle_and_semantics(spark, duck):
         want = (n * 1_000_000 * big[(r["w_a"], r["w_b"])]) \
             // (uni[r["w_a"]] * uni[r["w_b"]])
         assert r["pmi_ppm"] == want, (r, want)
+
+
+def test_lang_diversity_matches_oracle_and_brute_force(spark, duck):
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = TX.lang_diversity(docs)
+    assert_matches_oracle(out, duck, E.oracle_sql()["lang_diversity"])
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for r in docs.collect():
+        per[r["lang"]].update(w for w in r["text"].split(" ") if w)
+    for r in out.collect():
+        c = per[r["lang"]]
+        n = sum(c.values())
+        assert r["n_tokens"] == n and r["n_types"] == len(c)
+        coll = sum(v * (v - 1) for v in c.values())
+        assert r["collision_ppm"] == (1_000_000 * coll) // (n * (n - 1))
+
+
+def test_chi2_terms_matches_oracle_and_scipy_shape(spark, duck):
+    """chi2 ranking: oracle bit-match and each reported statistic equals
+    the brute-force 2x|langs| contingency chi-square to quantizer
+    tolerance (7dp per cell)."""
+    import __spark_entry__ as E
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = TX.chi2_terms(docs, k=20)
+    assert_matches_oracle(out, duck, E.oracle_sql()["chi2_terms"])
+    rows = docs.collect()
+    n = len(rows)
+    from collections import Counter, defaultdict
+
+    cc = Counter(r["lang"] for r in rows)
+    pres = defaultdict(Counter)   # term -> lang -> docs containing
+    for r in rows:
+        for w in set(x for x in r["text"].split(" ") if x):
+            pres[w][r["lang"]] += 1
+    for r in out.collect():
+        t = r["term"]
+        rt = sum(pres[t].values())
+        assert r["df"] == rt
+        want = 0.0
+        for lang, c in cc.items():
+            o = pres[t].get(lang, 0)
+            e = rt * c / n
+            if e > 0:
+                want += round((o - e) ** 2 / e, 7)
+            e2 = (n - rt) * c / n
+            if e2 > 0:
+                want += round(((c - o) - e2) ** 2 / e2, 7)
+        assert abs(r["chi2"] - want) < 1e-6, (t, r["chi2"], want)

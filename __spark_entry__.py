@@ -2067,8 +2067,8 @@ _CHECK_FIRST = [
     "nations_in_both", "purchase_funnel_daily",
     # r11 pool: FIRST the late-r10 never-checked entries
     # (pca_axis_drift, k_anonymity_violations, next_event_accuracy,
-    # event_value_quantile_transform, lang_diversity, chi2_terms —
-    # first signal beats refresh),
+    # event_value_quantile_transform, lang_diversity, chi2_terms,
+    # cep_click_purchase — first signal beats refresh),
     # then the 19 r4-vintage entries that didn't fit this
     # window (quantity_quantiles, rollup_customer_nations,
     # running_customer_spend, running_word_count,
@@ -2223,6 +2223,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the model-eval loop closure: the matrix's argmax row as a
         # next-event predictor, scored per from_type in exact ppm
         "next_event_accuracy": lambda s, d: AN.next_event_accuracy(
+            load_table(s, d, "events")),
+        # CEP pattern detection (the MATCH_RECOGNIZE class Spark lacks
+        # natively): click => purchase within 1h with NO error between,
+        # one ordered user-keyed window pass
+        "cep_click_purchase": lambda s, d: AN.cep_pattern_matches(
             load_table(s, d, "events")),
         "event_stationary_dist": lambda s, d: AN.stationary_distribution(
             AN.event_transition_matrix(load_table(s, d, "events"))),
@@ -6141,6 +6146,28 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["streaming_transition_matrix"] = sql["event_transition_matrix"]
     sql["event_stationary_dist"] = _STATIONARY_SQL()
+    sql["cep_click_purchase"] = """
+        WITH wv AS (
+          SELECT user_id, ts, event_id, event_type,
+                 MAX(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS a_ts,
+                 MAX(CASE WHEN event_type = 'error' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS g_ts
+          FROM events
+        )
+        SELECT user_id, a_ts, ts AS b_ts,
+               -- Spark's unix_timestamp FLOORS to whole seconds;
+               -- DuckDB's epoch() keeps the fraction — floor both
+               CAST(floor(epoch(ts)) - floor(epoch(a_ts))
+                    AS BIGINT) AS gap_s
+        FROM wv
+        WHERE event_type = 'purchase'
+          AND a_ts IS NOT NULL
+          AND floor(epoch(ts)) - floor(epoch(a_ts)) <= 3600
+          AND (g_ts IS NULL OR g_ts < a_ts)
+    """
     sql["next_event_accuracy"] = """
         WITH seq AS (
           SELECT user_id, event_type AS from_type,

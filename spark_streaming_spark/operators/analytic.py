@@ -358,6 +358,59 @@ def stationary_distribution(trans: DataFrame,
         "event_type string, prob double")
 
 
+def cep_pattern_matches(events: DataFrame, a: str = "click",
+                        b: str = "purchase", guard: str = "error",
+                        within_s: int = 3600) -> DataFrame:
+    """Complex-event-processing pattern detection — the
+    MATCH_RECOGNIZE capability class (SQL:2016; Flink CEP's bread and
+    butter) Spark has no native operator for, expressed as ONE ordered
+    window pass: per user, emit every ``b`` event whose most recent
+    ``a`` is within ``within_s`` seconds AND with no ``guard`` event
+    between them (A ⇒ B within T, no C in between — the checkout-
+    without-error funnel, fraud sequences, alert escalations).
+
+    Spelling: running ``last(a.ts)`` and ``last(guard.ts)`` over the
+    (ts, event_id)-ordered per-user frame (one shuffle on user_id);
+    a ``b`` row matches iff last_a is set, ts − last_a ≤ T, and last_g
+    is null-or-before last_a. Exact integers end to end (epoch-second
+    arithmetic, the gap as BIGINT). Columns: user_id, a_ts, b_ts,
+    gap_s.
+
+    Scale shape: one user-keyed window — the sessionize plan; no join,
+    no per-user collect. A 100 TB run shuffles the events table once on
+    its natural key."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # ts is monotone within the ordered frame, so the most recent
+    # a/guard timestamp IS the frame MAX — the same value LAST
+    # ignore-nulls would give, with identical semantics in DuckDB
+    last_a = F.max(
+        F.when(F.col("event_type") == a, F.col("ts"))).over(w)
+    last_g = F.max(
+        F.when(F.col("event_type") == guard, F.col("ts"))).over(w)
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.col("__a")))
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__a", last_a)
+        .withColumn("__g", last_g)
+        .filter(
+            (F.col("event_type") == b)
+            & F.col("__a").isNotNull()
+            & (F.unix_timestamp("ts")
+               - F.unix_timestamp(F.col("__a")) <= within_s)
+            & (F.col("__g").isNull() | (F.col("__g") < F.col("__a")))
+        )
+        .select(
+            "user_id",
+            F.col("__a").alias("a_ts"),
+            F.col("ts").alias("b_ts"),
+            gap.cast("long").alias("gap_s"),
+        )
+    )
+
+
 def next_event_accuracy(events: DataFrame) -> DataFrame:
     """EVAL of the first-order Markov model as a next-event PREDICTOR —
     the closes-the-loop readout next to the matrix and its stationary

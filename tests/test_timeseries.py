@@ -208,3 +208,31 @@ def test_rolling_daily_corr_matches_oracle_and_numpy(spark, duck):
         if len(xs) >= 2 and xs.std() > 0 and ys.std() > 0:
             want = float(np.corrcoef(xs, ys)[0, 1])
             assert abs(r["corr"] - want) < 1e-9, (r["day"], r["corr"], want)
+
+
+def test_cep_pattern_brute_force(spark, duck):
+    """CEP A=>B-without-C: every reported match reconstructs from a
+    per-user Python replay, and no true match is missed."""
+    from spark_streaming_spark.operators import analytic as AN
+
+    events = load_table(spark, SF_DIR, "events")
+    out = AN.cep_pattern_matches(events)
+    assert_matches_oracle(out, duck, E.oracle_sql()["cep_click_purchase"])
+    rows = sorted(
+        ((r["user_id"], r["ts"], r["event_id"], r["event_type"])
+         for r in events.collect()), key=lambda x: (x[0], x[1], x[2]))
+    truth = set()
+    last_a, last_g = {}, {}
+    for uid, ts, eid, et in rows:
+        if et == "click":
+            last_a[uid] = ts
+        elif et == "error":
+            last_g[uid] = ts
+        elif et == "purchase" and uid in last_a:
+            a = last_a[uid]
+            gap = int(ts.timestamp()) - int(a.timestamp())
+            if gap <= 3600 and (uid not in last_g or last_g[uid] < a):
+                truth.add((uid, a, ts, gap))
+    got = {(r["user_id"], r["a_ts"], r["b_ts"], r["gap_s"])
+           for r in out.collect()}
+    assert got == truth and len(got) > 0

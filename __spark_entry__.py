@@ -472,12 +472,34 @@ def _merge_fold_members():
             "p75_qty": 750000, "p95_qty": 950000,
         }).withColumnRenamed("grp", "l_returnflag")
 
+    def benford_start(spark, sf_dir):
+        from spark_streaming_spark.operators import profile as _PF
+        from spark_streaming_spark.streaming.pipelines import (
+            counts_fold_sink)
+
+        chunk_dir = _chunked_table(spark, sf_dir, "orders", 3)
+        state_dir = _scratch("benford_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("o_totalprice"),
+            counts_fold_sink(
+                spark,
+                lambda b: _PF.benford_digit_counts(b, "o_totalprice"),
+                ["digit"], ["n"], state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
+    def benford_post(counts, spark, sf_dir):
+        from spark_streaming_spark.operators import profile as _PF
+        return _PF.benford_finalize(counts)
+
     return {
         "scd1": (scd1_start, None),
         "scd2": (scd2_start, None),
         "cdc": (cdc_start, None),
         "scd2_asof": (scd2_asof_start, None),
         "kmv": (kmv_start, kmv_post),
+        "benford": (benford_start, benford_post),
     }
 
 
@@ -490,6 +512,17 @@ def _q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the one-shot rebuild — shared oracle."""
     return _cosched_group(spark, sf_dir, "merge_folds",
                           _merge_fold_members(), "scd2")
+
+
+def _q_streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Benford audit maintained CONTINUOUSLY: per-digit counts are
+    additive under corpus partition, so each micro-batch of orders
+    folds its 9-row digit summary into state (the generic
+    counts_fold_sink) and the conformance ppm table is computed at
+    read — the always-on amount-quality monitor. Fold exact ⇒ shares
+    the batch oracle verbatim."""
+    return _cosched_group(spark, sf_dir, "merge_folds",
+                          _merge_fold_members(), "benford")
 
 
 def _cutoff_chunked_events(spark: SparkSession, sf_dir: str) -> str:
@@ -1308,6 +1341,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_cdc_feed": "merge_folds",
     "streaming_scd2_asof_feed": "merge_folds",
     "streaming_kmv_quantiles": "merge_folds",
+    "streaming_benford": "merge_folds",
     "streaming_dedup": "dedup_replays",
     "streaming_dedup_watermark": "dedup_replays",
     "streaming_incremental_dedup": "dedup_replays",
@@ -2068,7 +2102,11 @@ _CHECK_FIRST = [
     # r11 pool: FIRST the late-r10 never-checked entries
     # (pca_axis_drift, k_anonymity_violations, next_event_accuracy,
     # event_value_quantile_transform, lang_diversity, chi2_terms,
-    # cep_click_purchase — first signal beats refresh),
+    # cep_click_purchase, containment_pairs,
+    # copurchase_link_prediction, frequent_event_sequences,
+    # key_skew_report, embedding_random_projection, rp_distortion,
+    # user_value_ewma, benford_audit, streaming_benford,
+    # vocab_coverage, textrank_keywords — first signal beats refresh),
     # then the 19 r4-vintage entries that didn't fit this
     # window (quantity_quantiles, rollup_customer_nations,
     # running_customer_spend, running_word_count,
@@ -2200,6 +2238,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-order Markov transition matrix of user behavior: lag
         # window pairs + integer-ppm row-conditional probabilities
         "event_transition_matrix": lambda s, d: AN.event_transition_matrix(
+            load_table(s, d, "events")),
+        # sequential-pattern support (any-gap precedence, not adjacent):
+        # per-user (first, last) sufficient stats -> map-side type pairs
+        "frequent_event_sequences": lambda s, d: AN.frequent_event_sequences(
             load_table(s, d, "events")),
         # the transition counts maintained CONTINUOUSLY with
         # cross-batch stitching (per-user last-event state pairs a
@@ -2354,6 +2396,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": lambda s, d: DD.dedup_edit_distance(
             load_table(s, d, "documents"), cache_key=d),
         "dedup_simhash": lambda s, d: DD.simhash(load_table(s, d, "documents")),
+        # DIRECTIONAL containment (Broder 1997's c(A,B)) — catches the
+        # short-doc-absorbed-into-long-doc asymmetric dup Jaccard
+        # misses; df-capped postings blocking, integer-exact ppm
+        "containment_pairs": lambda s, d: DD.containment_pairs(
+            load_table(s, d, "documents")),
         # eval-contamination audit: near-dup pairs straddling the
         # md5-threshold split — split recomputed map-side from doc_id
         # (operators/sampling.split_of), zero joins beyond the pair build
@@ -2366,6 +2413,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # higher threshold would hash-match on empty sets — vacuous
         "dedup_embedding_cosine": lambda s, d: DD.dedup_embedding_cosine(
             load_table(s, d, "embeddings"), threshold=0.35, cache_key=d),
+        # JL compression: map-only ±1 projection, signs derived
+        # in-engine from md5 — zero shuffles, zero weight artifacts
+        "embedding_random_projection": lambda s, d: SIM.random_projection(
+            load_table(s, d, "embeddings")),
+        # the JL guarantee measured: per consecutive-id pair, projected
+        # vs original squared distance (integer-exact ppm)
+        "rp_distortion": lambda s, d: SIM.rp_distortion(
+            load_table(s, d, "embeddings")),
         # similarity search
         "knn_bruteforce": lambda s, d: SIM.knn_to_query(load_table(s, d, "embeddings")),
         "knn_graph": lambda s, d: SIM.knn_graph(
@@ -2574,6 +2629,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_winnow": _q_streaming_winnow,
         "vocab_build": lambda s, d: TX.vocab_build(
             load_table(s, d, "documents")),
+        # per-doc OOV gate vs the top-20 corpus vocab (broadcast
+        # artifact); integer-exact ppm
+        "vocab_coverage": lambda s, d: TX.vocab_coverage(
+            load_table(s, d, "documents")),
+        # TextRank keywords: PageRank (corank discipline) over the
+        # window-2 word co-occurrence graph, top-k
+        "textrank_keywords": lambda s, d: TX.textrank_keywords(
+            load_table(s, d, "documents")),
         # corpus-shard drift: total-variation distance between the even/
         # odd doc_id token distributions — cross-multiplied to pure
         # integer (DECIMAL(38,0) accumulate), final ppm one integer DIV
@@ -2756,6 +2819,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_corr_matrix": lambda s, d: PF.corr_matrix(
             load_table(s, d, "lineitem"),
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+        # Benford's-law conformance of the monetary column: exact
+        # integer-cents digit rule, exact-ppm expectation constants
+        "benford_audit": lambda s, d: PF.benford_audit(
+            load_table(s, d, "orders"), "o_totalprice"),
         "orders_profile": lambda s, d: PF.table_profile(
             load_table(s, d, "orders"),
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -2771,6 +2838,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # complement to LPA's communities and CC's closure
         "kcore_parts": lambda s, d: GRK.kcore_parts(
             load_table(s, d, "lineitem")),
+        # graph completion: common-neighbor / resource-allocation link
+        # prediction over the co-purchase graph — hub-capped wedge join
+        "copurchase_link_prediction": lambda s, d: GRK.link_prediction(
+            GRK.copurchase_part_edges(load_table(s, d, "lineitem"))),
         "lpa_communities": lambda s, d: GRK.lpa_communities(
             load_table(s, d, "lineitem")),
         "supplier_corank": lambda s, d: GRK.supplier_corank(
@@ -2796,6 +2867,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events"), "event_type"),
         "skew_salted_sum": lambda s, d: SK.salted_decimal_sum(
             load_table(s, d, "events"), "event_type", "value"),
+        # the pre-shuffle skew diagnostic: per candidate join/agg key,
+        # cardinality, hottest-key share, Gini concentration (ppm)
+        "key_skew_report": lambda s, d: SK.key_skew_report([
+            ("events.user_id", load_table(s, d, "events"), "user_id"),
+            ("events.event_type", load_table(s, d, "events"), "event_type"),
+            ("lineitem.l_partkey", load_table(s, d, "lineitem"), "l_partkey"),
+            ("lineitem.l_suppkey", load_table(s, d, "lineitem"), "l_suppkey"),
+            ("orders.o_custkey", load_table(s, d, "orders"), "o_custkey"),
+        ]),
         # IVF ANN (k-means coarse cells; rows-only — probed search)
         "knn_ivf": lambda s, d: ANN.knn_ivf(
             load_table(s, d, "embeddings"), cache_key=d),
@@ -2864,6 +2944,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_mau_stickiness": lambda s, d: TS.dau_mau_stickiness(
             load_table(s, d, "events")),
         "user_activity_trend": lambda s, d: TS.activity_trend(
+            load_table(s, d, "events")),
+        # exact EWMA (α=1/2) over each user's last-16 events: integer
+        # cents × power-of-two weights — no float recursion
+        "user_value_ewma": lambda s, d: TS.user_value_ewma(
             load_table(s, d, "events")),
         "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
             load_table(s, d, "events"), threshold=0.7),
@@ -3084,6 +3168,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", "ts"),
         "scd2_status_merge": _q_scd2_status_merge,
         "streaming_scd2_merge": _q_streaming_scd2_merge,
+        # additive digit-count fold: the Benford amount-quality monitor
+        # run continuously; shares the batch oracle verbatim
+        "streaming_benford": _q_streaming_benford,
         # the as-of lookup served per micro-batch against the published
         # history artifact (stream-static, stateless, append)
         "streaming_events_asof_status": _q_streaming_events_asof_status,
@@ -3410,6 +3497,50 @@ def _CORANK_SQL(n_iters: int = 3, damping: float = 0.85) -> str:
         r0 AS (SELECT src AS supp, CAST(1e0 AS DOUBLE) / nn.n AS r
                FROM outw, nn){iters}
         SELECT supp, r AS rank FROM {prev}
+    """
+
+
+def _TEXTRANK_SQL(n_iters: int = 3, k: int = 20, min_w: int = 2,
+                  damping: float = 0.85) -> str:
+    """DuckDB twin of textstats.textrank_keywords — the _CORANK_SQL
+    unrolled-round discipline over the window-2 word co-occurrence
+    graph (same exact-IEEE literal rule: (1.0 - 0.85) is emitted as
+    the Python double repr, every float literal CAST to DOUBLE)."""
+    one_minus_d = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    d_lit = f"CAST({damping!r} AS DOUBLE)"
+    iters, prev = "", "r0"
+    for i in range(1, n_iters + 1):
+        iters += f""",
+        c{i} AS (
+          SELECT e.dst, CAST(ROUND(r.r * e.w / o.out_w, 7)
+                 AS DECIMAL(38,8)) AS c
+          FROM edges e JOIN {prev} r ON r.v = e.src
+                       JOIN outw o ON o.src = e.src),
+        s{i} AS (SELECT dst, CAST(SUM(c) AS DOUBLE) AS s
+                 FROM c{i} GROUP BY dst),
+        r{i} AS (SELECT b.v,
+                 {one_minus_d} / nn.n + {d_lit} * COALESCE(s{i}.s, 0e0)
+                 AS r FROM {prev} b LEFT JOIN s{i} ON s{i}.dst = b.v, nn)"""
+        prev = f"r{i}"
+    return f"""
+        WITH toks AS (
+          SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ),
+        bg AS (
+          SELECT t[i] AS w_a, t[i + 1] AS w_b
+          FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+        ),
+        eraw AS (SELECT w_a AS src, w_b AS dst FROM bg
+                 UNION ALL SELECT w_b, w_a FROM bg),
+        edges AS (SELECT src, dst, COUNT(*) AS w FROM eraw
+                  GROUP BY 1, 2 HAVING COUNT(*) >= {min_w}),
+        outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM outw),
+        r0 AS (SELECT src AS v, CAST(1e0 AS DOUBLE) / nn.n AS r
+               FROM outw, nn){iters}
+        SELECT v AS term, r AS rank FROM {prev}
+        ORDER BY rank DESC, term ASC LIMIT {k}
     """
 
 
@@ -4695,6 +4826,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes y ON doc_b = y.doc_id
             WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= 0.8
         """,
+        # identical df-cap blocking rule as the Spark side (part of the
+        # contract): only shingles with df <= 100 propose candidates;
+        # containment verified over ALL shingles, integer-exact ppm
+        "containment_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+            rare AS (SELECT s.doc_id, s.sh FROM sh s
+                     JOIN dfreq USING (sh) WHERE df <= 100),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM rare a JOIN rare b
+                     ON a.sh = b.sh AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+                      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                                  JOIN sh y ON y.doc_id = c.doc_b
+                                           AND y.sh = x.sh
+                      GROUP BY 1, 2),
+            dirs AS (SELECT doc_a AS src_doc, doc_b AS dst_doc, common
+                     FROM inter
+                     UNION ALL
+                     SELECT doc_b, doc_a, common FROM inter)
+            SELECT src_doc, dst_doc, CAST(common AS BIGINT) AS common,
+                   CAST(s.n AS BIGINT) AS n_src,
+                   CAST((1000000 * common) // s.n AS BIGINT)
+                     AS containment_ppm
+            FROM dirs JOIN sizes s ON src_doc = s.doc_id
+            WHERE (1000000 * common) // s.n >= 600000
+        """,
         "dup_components": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -4971,6 +5130,61 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
               GROUP BY vec_id, label
             )
+        """,
+        # JL ±1 projection: the sign matrix is md5-derived IN-ENGINE,
+        # so this twin reproduces it bit-for-bit; scaled-integer
+        # components make every projection an exact BIGINT
+        "embedding_random_projection": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x ->
+                       CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0)
+                            AS BIGINT)) AS sv
+              FROM embeddings)
+            SELECT vec_id, CAST(m AS BIGINT) AS out_dim,
+                   CAST(SUM(CASE WHEN substr(md5('rp:' ||
+                              CAST(i AS VARCHAR) || ':' ||
+                              CAST(m AS VARCHAR)), 1, 1) <= '7'
+                            THEN sv[i] ELSE -sv[i] END) AS BIGINT)
+                     AS proj_scaled
+            FROM q, (SELECT unnest(range(0, 8)) AS m) mm,
+                 (SELECT unnest(range(1, 65)) AS i) ii
+            GROUP BY 1, 2
+        """,
+        "rp_distortion": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding, x ->
+                       CAST(ROUND(CAST(x AS DOUBLE) * 10000000.0)
+                            AS BIGINT)) AS sv
+              FROM embeddings),
+            proj AS (
+              SELECT vec_id, m,
+                     SUM(CASE WHEN substr(md5('rp:' ||
+                            CAST(i AS VARCHAR) || ':' ||
+                            CAST(m AS VARCHAR)), 1, 1) <= '7'
+                          THEN sv[i] ELSE -sv[i] END) AS p
+              FROM q, (SELECT unnest(range(0, 8)) AS m) mm,
+                   (SELECT unnest(range(1, 65)) AS i) ii
+              GROUP BY 1, 2),
+            od AS (
+              SELECT a.vec_id AS vec_a,
+                     SUM(CAST(a.sv[i] - b.sv[i] AS HUGEINT)
+                         * (a.sv[i] - b.sv[i])) AS orig_d2
+              FROM q a JOIN q b ON b.vec_id = a.vec_id + 1,
+                   (SELECT unnest(range(1, 65)) AS i) ii
+              GROUP BY 1),
+            pd AS (
+              SELECT pa.vec_id AS vec_a,
+                     SUM(CAST(pa.p - pb.p AS HUGEINT) * (pa.p - pb.p))
+                       AS proj_d2
+              FROM proj pa JOIN proj pb
+                ON pb.vec_id = pa.vec_id + 1 AND pb.m = pa.m
+              GROUP BY 1)
+            SELECT vec_a, vec_a + 1 AS vec_b,
+                   CAST(orig_d2 AS BIGINT) AS orig_d2,
+                   CAST(proj_d2 AS BIGINT) AS proj_d2,
+                   CAST((1000000 * proj_d2) // (8 * orig_d2) AS BIGINT)
+                     AS ratio_ppm
+            FROM od JOIN pd USING (vec_a)
         """,
         # ---- text analysis ------------------------------------------------
         "token_stats": """
@@ -5285,6 +5499,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type
     """
+    # Gini rank formula: ties among equal counts cannot move Σ i·c_i,
+    # so row_number's tie-break is free; HUGEINT accumulators mirror
+    # the Spark side's DECIMAL(38,0)
+    sql["key_skew_report"] = " UNION ALL ".join(f"""
+        SELECT * FROM (
+          WITH c AS (SELECT CAST({col} AS VARCHAR) AS k, count(*) AS cnt
+                     FROM {tbl} GROUP BY 1),
+          r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS i
+                FROM c)
+          SELECT '{tbl}.{col}' AS key_col,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+                 CAST((1000000 * MAX(cnt)) // SUM(cnt) AS BIGINT)
+                   AS top1_share_ppm,
+                 CAST((1000000 * (2 * SUM(CAST(i AS HUGEINT) * cnt)
+                        - (count(*) + 1) * CAST(SUM(cnt) AS HUGEINT)))
+                      // (CAST(count(*) AS HUGEINT) * SUM(cnt))
+                   AS BIGINT) AS gini_ppm
+          FROM r)
+    """ for tbl, col in [("events", "user_id"), ("events", "event_type"),
+                         ("lineitem", "l_partkey"),
+                         ("lineitem", "l_suppkey"),
+                         ("orders", "o_custkey")])
     # knn_ivf: rows-only (k-means cell assignment has no DuckDB twin);
     # tests pin exhaustive-probe == brute-force equality instead.
     sql["multimodal_meta"] = """
@@ -5586,6 +5824,38 @@ def oracle_sql() -> dict[str, str]:
     # (votes DESC, label ASC) top-1 — fully deterministic
     sql["lpa_communities"] = _lpa_sql(3)
     sql["kcore_parts"] = _KCORE_SQL()
+    # TextRank: the corank unrolled rounds over the word graph
+    sql["textrank_keywords"] = _TEXTRANK_SQL()
+    # hub-capped wedge join + integer-exact RA scores; the deg <= 50
+    # cap is part of the cross-engine contract (same rule Spark-side)
+    sql["copurchase_link_prediction"] = """
+        WITH po AS (SELECT l_orderkey, l_partkey FROM lineitem
+                    GROUP BY 1, 2),
+        e AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst
+          FROM po a JOIN po b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        deg AS (SELECT src AS z, count(*) AS deg FROM e GROUP BY 1),
+        mid AS (SELECT z, deg FROM deg WHERE deg <= 50),
+        wedge AS (
+          SELECT e1.src AS a, e2.dst AS b, m.deg
+          FROM e e1 JOIN mid m ON m.z = e1.dst
+                    JOIN e e2 ON e2.src = e1.dst
+          WHERE e1.src < e2.dst
+        ),
+        scored AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+                 CAST(SUM(1000000 // deg) AS BIGINT) AS ra_score
+          FROM wedge GROUP BY 1, 2
+        )
+        SELECT a AS part_a, b AS part_b, cn, ra_score
+        FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = s.a AND e.dst = s.b)
+        ORDER BY ra_score DESC, cn DESC, part_a ASC, part_b ASC
+        LIMIT 50
+    """
     # LPA over the near-dup graph: SimHash pair CTE -> symmetric
     # closeness-weighted edges -> the same unrolled rounds
     sql["dup_communities"] = _dup_lpa_sql(3)
@@ -5747,6 +6017,8 @@ def oracle_sql() -> dict[str, str]:
     from spark_streaming_spark.operators.profile import corr_matrix_sql
     sql["lineitem_corr_matrix"] = corr_matrix_sql(
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    from spark_streaming_spark.operators.profile import benford_sql
+    sql["benford_audit"] = benford_sql("orders", "o_totalprice")
     sql["orders_profile"] = """
         SELECT '*' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM orders
           UNION ALL SELECT 'o_orderkey', 'n_null', CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders
@@ -5929,6 +6201,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, n_events, span_us,
                round(CAST(s AS DOUBLE) / span_us, 7) AS twa_value
         FROM a WHERE span_us > 0
+    """
+    # exact EWMA: integer cents, power-of-two weights, bounded window;
+    # value >= 0 precondition keeps // and DIV in agreement
+    sql["user_value_ewma"] = """
+        WITH r AS (
+          SELECT user_id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rk
+          FROM events
+        ),
+        k AS (SELECT user_id, cents, (1::BIGINT << (16 - rk)) AS wt
+              FROM r WHERE rk <= 16)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
+               CAST((1000000 * SUM(cents * wt)) // SUM(wt) AS BIGINT)
+                 AS ewma_microcents
+        FROM k GROUP BY user_id
     """
     # dau_mau_stickiness (operators/timeseries.py): the oracle spells
     # the trailing window as a direct BETWEEN join; counts BIGINT-cast
@@ -6145,6 +6435,24 @@ def oracle_sql() -> dict[str, str]:
         FROM p JOIN t USING (from_type)
     """
     sql["streaming_transition_matrix"] = sql["event_transition_matrix"]
+    # any-gap precedence support: exists a before b <=> min(ts of a)
+    # < max(ts of b) per user — the (first, last) sufficient statistic
+    sql["frequent_event_sequences"] = """
+        WITH ut AS (SELECT user_id, event_type,
+                           min(ts) AS f, max(ts) AS l
+                    FROM events GROUP BY 1, 2),
+        p AS (SELECT a.event_type AS antecedent,
+                     b.event_type AS consequent,
+                     CAST(count(*) AS BIGINT) AS support
+              FROM ut a JOIN ut b
+                ON a.user_id = b.user_id
+               AND a.event_type <> b.event_type AND a.f < b.l
+              GROUP BY 1, 2),
+        n AS (SELECT count(DISTINCT user_id) AS nu FROM events)
+        SELECT antecedent, consequent, support,
+               CAST((1000000 * support) // nu AS BIGINT) AS support_ppm
+        FROM p, n
+    """
     sql["event_stationary_dist"] = _STATIONARY_SQL()
     sql["cep_click_purchase"] = """
         WITH wv AS (
@@ -6276,6 +6584,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # streamed twin: exact bottom-k merge => final state == one-shot
     sql["streaming_kmv_quantiles"] = sql["kmv_quantity_quantiles"]
+    sql["streaming_benford"] = sql["benford_audit"]
     # approximate winsorization: the per-day sketch quantiles joined
     # back, values clipped — every output is a raw double or a raw
     # boundary pick, so the whole row set hash-compares
@@ -6632,6 +6941,25 @@ def oracle_sql() -> dict[str, str]:
               < (CASE WHEN lang = 'fr' THEN 400
                       WHEN lang = 'en' THEN 50
                       ELSE 150 END)
+    """
+    sql["vocab_coverage"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        v AS (
+          SELECT token FROM (SELECT token, count(*) AS cnt FROM tok
+                             GROUP BY 1)
+          ORDER BY cnt DESC, token ASC LIMIT 20
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST((1000000 * SUM(CASE WHEN v.token IS NULL
+                                   THEN 1 ELSE 0 END)) // count(*)
+                    AS BIGINT) AS oov_ppm
+        FROM tok LEFT JOIN v USING (token)
+        GROUP BY doc_id
     """
     sql["vocab_build"] = """
         WITH counts AS (

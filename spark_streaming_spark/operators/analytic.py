@@ -488,3 +488,46 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
             .alias("p_ppm"),
         )
     )
+
+
+def frequent_event_sequences(events: DataFrame) -> DataFrame:
+    """Sequential-pattern support counts — the length-2 case of
+    Agrawal & Srikant 1995 ("Mining Sequential Patterns"; public
+    method): for every ordered pair of distinct event types (a, b),
+    how many users have SOME a-event strictly before SOME b-event
+    (ts order; ts-ties don't count as precedence — the well-defined
+    cross-engine rule). Unlike the transition matrix (ADJACENT pairs),
+    this is any-gap precedence — "ever viewed before ever purchasing",
+    the funnel-mining support primitive. support_ppm is integer-exact
+    over the total distinct-user count.
+
+    Scale shape: ONE (user, type) groupBy compresses each user to at
+    most |types| rows carrying (first_ts, last_ts) sufficient
+    statistics — precedence 'exists a before b' ⟺ first(a) < last(b),
+    so the per-user quadratic runs over ≤ |types|² struct pairs
+    MAP-SIDE (the copurchase array-explode spelling, no self-join);
+    one final partial-agged (antecedent, consequent) groupBy. Linear
+    in events; never keys a shuffle on the pair. Columns: antecedent,
+    consequent, support, support_ppm."""
+    ut = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    )
+    per_user = ut.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "f", "l")).alias("ts"))
+    pairs = per_user.select(F.explode(F.expr(
+        "filter(flatten(transform(ts, a -> transform(ts,"
+        " b -> struct(a.event_type AS ant, b.event_type AS cons,"
+        " a.f AS f, b.l AS l)))),"
+        " p -> p.ant != p.cons AND p.f < p.l)")).alias("p"))
+    n_users = int(events.select("user_id").distinct().count())  # 1-row scalar
+    return (
+        pairs.groupBy(F.col("p.ant").alias("antecedent"),
+                      F.col("p.cons").alias("consequent"))
+        .agg(F.count("*").cast("long").alias("support"))
+        .select(
+            "antecedent", "consequent", "support",
+            F.expr(f"CAST((1000000 * support) DIV {n_users} AS BIGINT)")
+            .alias("support_ppm"),
+        )
+    )

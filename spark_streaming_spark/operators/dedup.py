@@ -782,3 +782,67 @@ def dup_communities(docs: DataFrame, max_hamming: int = 3,
             .alias("community"),
         )
     )
+
+
+def containment_pairs(docs: DataFrame, threshold_ppm: int = 600000,
+                      n: int = 3, max_df: int = 100) -> DataFrame:
+    """DIRECTIONAL containment near-dup pairs — Broder 1997's second
+    resemblance measure c(A,B) = |S(A)∩S(B)| / |S(A)| (public method).
+    Jaccard misses the asymmetric case this exists for: a short doc
+    quoted wholesale inside a much longer one scores near-zero Jaccard
+    but containment ≈ 1 for the short side — the "boilerplate/quote
+    absorbed into a bigger page" shape an LLM dedup pass must catch.
+
+    Integer-exact: containment_ppm = (1 000 000 · common) DIV n_src, so
+    the DuckDB oracle matches bit-for-bit. Emits BOTH directions of
+    every candidate pair that clears ``threshold_ppm``. Columns:
+    src_doc (the contained side), dst_doc, common, n_src,
+    containment_ppm.
+
+    Scale shape: candidate generation is the bounded-bucket postings
+    join — only shingles with document frequency ≤ ``max_df`` propose
+    pairs (each bucket contributes ≤ max_df² pairs, so the join is
+    linear in postings, never all-pairs; the same df-cap discipline as
+    textstats' max_df). Verification attaches each side's full shingle
+    array off the shared shingle exchange (ReuseExchange — the
+    _verify_jaccard plan) and intersects in codegen; both engines apply
+    the identical candidate rule, so blocking semantics are part of the
+    contract, not an approximation mismatch."""
+    sh = _shingle_sets(docs, n)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    rare = sh.join(dfreq.filter(F.col("df") <= max_df), "sh")
+    cand = (
+        rare.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    verified = (
+        cand.join(arrs.select(F.col("doc_id").alias("doc_a"),
+                              F.col("shs").alias("shs_a")), "doc_a")
+        .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("shs").alias("shs_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+            .alias("common"),
+            F.size("shs_a").cast("long").alias("n_a"),
+            F.size("shs_b").cast("long").alias("n_b"),
+        )
+    )
+    dirs = verified.select(F.explode(F.array(
+        F.struct(F.col("doc_a").alias("src_doc"),
+                 F.col("doc_b").alias("dst_doc"),
+                 F.col("common"), F.col("n_a").alias("n_src")),
+        F.struct(F.col("doc_b").alias("src_doc"),
+                 F.col("doc_a").alias("dst_doc"),
+                 F.col("common"), F.col("n_b").alias("n_src")),
+    )).alias("e")).select("e.*")
+    ppm = F.expr("CAST((1000000 * common) DIV n_src AS BIGINT)")
+    return (
+        dirs.select("src_doc", "dst_doc", "common", "n_src",
+                    ppm.alias("containment_ppm"))
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+    )

@@ -60,10 +60,12 @@ def cosupply_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def supplier_corank(lineitem: DataFrame, n_iters: int = 3,
-                    damping: float = 0.85) -> DataFrame:
-    """Weighted PageRank over the co-supply graph, ``n_iters`` power
-    iterations from the uniform vector. Columns: supp, rank.
+def weighted_pagerank(raw_edges: DataFrame, n_iters: int = 3,
+                      damping: float = 0.85) -> DataFrame:
+    """Weighted PageRank over a symmetric (src, dst, w) edge set,
+    ``n_iters`` power iterations from the uniform vector — the generic
+    engine behind :func:`supplier_corank` and textstats' TextRank.
+    Columns: v, rank.
 
     Per round: rank flows along each edge proportionally to its weight
     share of the source's out-weight; contributions quantize to 7 dp
@@ -72,8 +74,9 @@ def supplier_corank(lineitem: DataFrame, n_iters: int = 3,
     is folded into the staged edge table ONCE (so each round is a
     single broadcast join of the tiny rank vector against the edges,
     not two); the rank vector is localCheckpointed per round so the
-    plan stays O(1) in rounds."""
-    raw = cosupply_edges(lineitem).localCheckpoint(eager=True)
+    plan stays O(1) in rounds. Symmetric input means every node has
+    out-edges — no dangling-mass correction to model."""
+    raw = raw_edges.localCheckpoint(eager=True)
     outw = (raw.groupBy("src").agg(F.sum("w").alias("out_w"))
             .localCheckpoint(eager=True))
     # map-side fold: outw is |V|-sized -> broadcast; no materialization
@@ -81,27 +84,38 @@ def supplier_corank(lineitem: DataFrame, n_iters: int = 3,
     n = outw.count()
     base, d = (1.0 - damping) / n, damping
     rank = outw.select(
-        F.col("src").alias("supp"), F.lit(1.0 / n).alias("r"))
+        F.col("src").alias("v"), F.lit(1.0 / n).alias("r"))
     contrib = F.expr(
         "cast(round(r * w / out_w, 7) as decimal(38,8))")
     for _ in range(n_iters):
         flows = (
-            edges.join(rank, edges["src"] == rank["supp"])
+            edges.join(rank, edges["src"] == rank["v"])
             .select("dst", contrib.alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("double").alias("s"))
         )
         rank = (
-            rank.select("supp")
-            .join(flows, rank["supp"] == flows["dst"], "left")
+            rank.select("v")
+            .join(flows, rank["v"] == flows["dst"], "left")
             .select(
-                "supp",
+                "v",
                 (F.lit(base) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0)))
                 .alias("r"),
             )
             .localCheckpoint(eager=True)
         )
-    return rank.select("supp", F.col("r").alias("rank"))
+    return rank.select("v", F.col("r").alias("rank"))
+
+
+def supplier_corank(lineitem: DataFrame, n_iters: int = 3,
+                    damping: float = 0.85) -> DataFrame:
+    """Weighted PageRank over the co-supply graph — the generic
+    :func:`weighted_pagerank` on :func:`cosupply_edges` (identical
+    arithmetic; this was the original spelling the generic was factored
+    from, so the hash oracle is unchanged). Columns: supp, rank."""
+    return weighted_pagerank(
+        cosupply_edges(lineitem), n_iters, damping
+    ).select(F.col("v").alias("supp"), "rank")
 
 
 def bfs_hops(edges: DataFrame, seeds: DataFrame,
@@ -296,3 +310,50 @@ def kcore_parts(lineitem: DataFrame, k: int = 4,
         .groupBy("src").agg(F.count("*").cast("long").alias("core_deg"))
     )
     return final.select(F.col("src").alias("part"), "core_deg")
+
+
+def link_prediction(edges: DataFrame, max_hub_deg: int = 50,
+                    k: int = 50) -> DataFrame:
+    """Common-neighbor link prediction over a symmetric weighted edge
+    set — the classic similarity indices of Liben-Nowell & Kleinberg
+    2003 / Zhou, Lü & Zhang 2009 (resource allocation), public methods:
+    score every NON-adjacent pair (a, b) by its common neighbors z,
+    cn = |N(a)∩N(b)| and the integer-exact RA variant
+    ra_score = Σ_z (1 000 000 DIV deg(z)) — rarer shared neighbors
+    count more; a hub shared with everyone counts little. Top-``k`` by
+    (ra_score, cn, a, b) — the "customers who bought X also bought Y"
+    candidate generator / graph-completion shape.
+
+    Scale shape: candidates come from the WEDGE join (E ⋈ E on the
+    middle node) — the triangle-counting cost Σ_z deg(z)², BOUNDED by
+    the ``max_hub_deg`` cap: paths only route through nodes with
+    deg ≤ cap (drop-the-hubs is the standard wedge-bounding move, same
+    discipline as textstats' max_df; the cap rule is part of the
+    cross-engine contract). One partial-agged (a, b) groupBy, existing
+    edges removed with a left anti join, top-k is
+    TakeOrderedAndProject. Columns: part_a, part_b, cn, ra_score."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    mid = deg.filter(F.col("deg") <= max_hub_deg)
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("z"))
+    e2 = edges.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    wedges = (
+        e1.join(mid.withColumnRenamed("src", "z"), "z")
+        .join(e2, "z")
+        .filter(F.col("a") < F.col("b"))
+    )
+    scored = (
+        wedges.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("cn"),
+             F.sum(F.expr("1000000 DIV deg")).cast("long")
+             .alias("ra_score"))
+    )
+    return (
+        scored.join(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"], "left_anti")
+        .select(F.col("a").alias("part_a"), F.col("b").alias("part_b"),
+                "cn", "ra_score")
+        .orderBy(F.col("ra_score").desc(), F.col("cn").desc(),
+                 F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(k)
+    )

@@ -244,3 +244,95 @@ def standardize_sql(key_col: str, cols: list[str],
             FROM {table}, st""")
     return (f"WITH st AS MATERIALIZED (SELECT {', '.join(sums)}"
             f" FROM {table})" + " UNION ALL ".join(arms))
+
+
+# Benford's law first-digit frequencies, log10(1+1/d) in exact ppm —
+# they sum to exactly 1 000 000. Shared by the Spark expression and the
+# generated DuckDB twin so the expectation is a constant, not a float.
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_digit_counts(df: DataFrame, amount_col: str) -> DataFrame:
+    """ADDITIVE summary for the Benford audit: first significant digit
+    of the integer-cents quantization (string head of a BIGINT — no
+    float log10 at decade boundaries), count per digit. Additive under
+    corpus partition, so the streamed fold shares the batch oracle.
+    Zero/negative amounts carry no leading-digit signal and are
+    excluded (documented contract). Columns: digit, n."""
+    cents = F.expr(f"CAST(ROUND({amount_col} * 100) AS BIGINT)")
+    return (
+        df.select(cents.alias("c")).filter(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1)
+                .cast("long").alias("digit"))
+        .groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def benford_finalize(counts: DataFrame) -> DataFrame:
+    """Join the digit spine (1-9, zero-filled), attach the exact
+    expected ppm, and compute observed ppm + delta — all integer
+    arithmetic over a ≤ 9-row table (the sanctioned tiny-table window
+    for the total). Columns: digit, n_rows, observed_ppm,
+    expected_ppm, delta_ppm."""
+    from pyspark.sql import Window
+
+    spark = counts.sparkSession
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    exp_case = "CASE " + " ".join(
+        f"WHEN digit = {d} THEN {p}" for d, p in BENFORD_PPM.items()
+    ) + " END"
+    w = Window.partitionBy()  # 9 rows
+    return (
+        spine.join(counts, "digit", "left")
+        .select("digit", F.coalesce("n", F.lit(0)).alias("n_rows"))
+        .withColumn("total", F.sum("n_rows").over(w))
+        .select(
+            "digit", "n_rows",
+            F.expr("CAST((1000000 * n_rows) DIV total AS BIGINT)")
+            .alias("observed_ppm"),
+            F.expr(f"CAST({exp_case} AS BIGINT)").alias("expected_ppm"),
+        )
+        .withColumn("delta_ppm", F.col("observed_ppm")
+                    - F.col("expected_ppm"))
+    )
+
+
+def benford_audit(df: DataFrame, amount_col: str) -> DataFrame:
+    """Benford's-law conformance audit (Newcomb 1881 / Benford 1938 /
+    Nigrini's forensic-accounting use; public method) of a monetary
+    column — the data-quality gate that flags fabricated or truncated
+    amount distributions before they poison a training set. One
+    partial-agged 9-group aggregate over the scan; everything after is
+    driver-sized. See :func:`benford_digit_counts` for the exact
+    digit rule."""
+    return benford_finalize(benford_digit_counts(df, amount_col))
+
+
+def benford_sql(table: str, amount_col: str) -> str:
+    """Generated DuckDB twin of :func:`benford_audit` — the same
+    integer-cents digit rule and the same exact-ppm expectation
+    constants (BENFORD_PPM), never a float log10."""
+    exp_case = "CASE " + " ".join(
+        f"WHEN d.digit = {d} THEN {p}" for d, p in BENFORD_PPM.items()
+    ) + " END"
+    return f"""
+        WITH c AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit, count(*) AS n
+          FROM (SELECT CAST(ROUND({amount_col} * 100) AS BIGINT)
+                  AS cents FROM {table}) WHERE cents > 0 GROUP BY 1
+        ),
+        d AS (SELECT unnest(range(1, 10)) AS digit),
+        j AS (SELECT d.digit, COALESCE(c.n, 0) AS n_rows,
+                     {exp_case} AS expected_ppm
+              FROM d LEFT JOIN c USING (digit)),
+        t AS (SELECT SUM(n_rows) AS total FROM j)
+        SELECT digit, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST((1000000 * n_rows) // total AS BIGINT)
+                 AS observed_ppm,
+               CAST(expected_ppm AS BIGINT) AS expected_ppm,
+               CAST((1000000 * n_rows) // total - expected_ppm AS BIGINT)
+                 AS delta_ppm
+        FROM j, t
+    """

@@ -831,3 +831,89 @@ def margin_mined_pairs(embeddings: DataFrame, k: int = 5,
             F.round("margin_raw", 7).alias("margin"),
         )
     )
+
+
+def random_projection(embeddings: DataFrame, out_dims: int = 8) -> DataFrame:
+    """Johnson-Lindenstrauss embedding compression with a ±1 sign
+    matrix (Achlioptas 2003 "Database-friendly random projections" —
+    public method): out_m = Σ_j s(j,m)·x_j where the sign s(j,m) is the
+    top bit of md5("rp:j:m")'s first nibble — derived IN-ENGINE, so
+    DuckDB reproduces the matrix bit-for-bit and no weight artifact
+    ships with the query. Components ride the functions/vectors
+    scaled-integer contract (1e-7 quantization), so every projection is
+    an exact BIGINT — the compressed vectors feed the ANN/dedup stack
+    as drop-in lower-d inputs. Long form: vec_id, out_dim, proj_scaled.
+
+    Scale shape: MAP-ONLY — zero shuffles, zero joins, zero artifacts;
+    each vector explodes to ``out_dims`` rows and the per-row aggregate
+    runs over the zipped (component, index) array in codegen. The ideal
+    100 TB operator: compression at scan speed."""
+    sign_case = (
+        "CASE WHEN substring(md5(concat('rp:', CAST(j AS STRING), ':',"
+        " CAST(m AS STRING))), 1, 1) <= '7' THEN x ELSE -x END"
+    )
+    return (
+        widen(embeddings)
+        .select("vec_id", scaled_vec_expr("embedding").alias("sv"))
+        .select("vec_id", F.explode(F.expr(
+            f"sequence(0, {out_dims - 1})")).alias("m"), "sv")
+        .select(
+            "vec_id", F.col("m").cast("long").alias("out_dim"),
+            F.expr(
+                "aggregate(zip_with(sv, sequence(1, size(sv)),"
+                f" (x, j) -> {sign_case}), CAST(0 AS BIGINT),"
+                " (acc, v) -> acc + v)").alias("proj_scaled"),
+        )
+    )
+
+
+def rp_distortion(embeddings: DataFrame, out_dims: int = 8) -> DataFrame:
+    """The JL guarantee, measured: for consecutive vec_id pairs, the
+    integer-exact ratio (ppm) of projected to original squared
+    distance, normalized by the unbiasedness factor — for ±1 signs
+    E[‖P(a−b)‖²] = out_dims·‖a−b‖², so ratio_ppm ≈ 1e6 means the
+    projection preserved that pair's distance. The eval an embedding-
+    compression rollout gates on (ann-benchmarks discipline: measure,
+    don't assume, the distortion).
+
+    Scale shape: the pair set is a LINEAR chain (vec_id, vec_id+1) —
+    one equi self-join, never all-pairs; projections come from the
+    map-only :func:`random_projection`; both distance sums are exact
+    BIGINT/DECIMAL so the ppm is engine-exact. Columns: vec_a, vec_b,
+    orig_d2, proj_d2, ratio_ppm."""
+    sv = widen(embeddings).select(
+        "vec_id", scaled_vec_expr("embedding").alias("sv"))
+    pairs = (
+        sv.alias("a")
+        .join(sv.withColumn("vec_id", F.col("vec_id") - 1).alias("b"),
+              "vec_id")
+        .select(F.col("vec_id").alias("vec_a"),
+                (F.col("vec_id") + 1).alias("vec_b"),
+                F.expr(
+                    "aggregate(zip_with(a.sv, b.sv, (x, y) -> (x - y)"
+                    " * (x - y)), CAST(0 AS DECIMAL(38,0)),"
+                    " (acc, v) -> acc + v)").alias("orig_d2"))
+    )
+    p = random_projection(embeddings, out_dims)
+    pd = (
+        p.alias("pa")
+        .join(p.withColumn("vec_id", F.col("vec_id") - 1)
+              .withColumnRenamed("proj_scaled", "pb").alias("pb"),
+              ["vec_id", "out_dim"])
+        .groupBy(F.col("vec_id").alias("vec_a"))
+        .agg(F.expr(
+            "CAST(SUM(CAST(proj_scaled - pb AS DECIMAL(19,0))"
+            " * (proj_scaled - pb)) AS DECIMAL(38,0))").alias("proj_d2"))
+    )
+    return (
+        pairs.join(pd, "vec_a")
+        .select(
+            "vec_a", "vec_b",
+            # outputs as BIGINT (comparator renders Decimal vs float64
+            # differently); magnitudes fit with the |x| <= 1 embeddings
+            F.col("orig_d2").cast("long").alias("orig_d2"),
+            F.col("proj_d2").cast("long").alias("proj_d2"),
+            F.expr(f"CAST((1000000 * proj_d2) DIV ({out_dims} * orig_d2)"
+                   " AS BIGINT)").alias("ratio_ppm"),
+        )
+    )

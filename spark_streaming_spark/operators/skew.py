@@ -75,3 +75,54 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
         )
         .drop("_salt")
     )
+
+
+def key_skew_report(tagged: list[tuple[str, DataFrame, str]]) -> DataFrame:
+    """The diagnostic you run BEFORE keying a 100 TB shuffle on a
+    column: per candidate key, cardinality, the hottest key's share,
+    and the Gini concentration of the key-count distribution — the
+    numbers that decide between a plain groupBy, salting
+    (:func:`salted_counts`), and a broadcast. Gini via the rank
+    formula G = (2·Σ i·c_i − (k+1)·Σc) / (k·Σc) over counts sorted
+    ascending (Chebyshev's sum inequality keeps the numerator ≥ 0, so
+    integer floor-DIV is tie-safe); both ratios integer-exact ppm.
+
+    ``tagged`` is [(label, df, key_col)]. Columns: key_col (the
+    label), n_rows, n_keys, max_cnt, top1_share_ppm, gini_ppm.
+
+    Scale shape: per candidate ONE partial-agged groupBy to the
+    |keys|-row count table, ranks via the two-phase range-partitioned
+    global rank (ranking.with_global_rank — never an
+    Exchange SinglePartition; rank ties among equal counts can't move
+    Σ i·c_i, so the tie-break only serves rank determinism); all
+    accumulators DECIMAL(38,0) so Σ i·c_i survives 1e9 keys × 1e12
+    rows without overflow. Each candidate's summary is ONE row; the
+    report is their union."""
+    from spark_streaming_spark.operators.ranking import with_global_rank
+
+    outs = []
+    for label, df, key in tagged:
+        counts = (df.groupBy(F.col(key).cast("string").alias("k"))
+                  .agg(F.count("*").cast("long").alias("cnt")))
+        ranked = with_global_rank(counts, ["cnt", "k"], rank_col="i")
+        outs.append(ranked.agg(
+            F.lit(label).alias("key_col"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.expr("CAST(SUM(CAST(i AS DECIMAL(38,0)) * cnt)"
+                   " AS DECIMAL(38,0))").alias("sic"),
+        ).select(
+            "key_col", "n_rows", "n_keys", "max_cnt",
+            F.expr("CAST((1000000 * max_cnt) DIV n_rows AS BIGINT)")
+            .alias("top1_share_ppm"),
+            F.expr(
+                "CAST((1000000 * (2 * sic - (n_keys + 1)"
+                " * CAST(n_rows AS DECIMAL(38,0))))"
+                " DIV (CAST(n_keys AS DECIMAL(38,0)) * n_rows)"
+                " AS BIGINT)").alias("gini_ppm"),
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

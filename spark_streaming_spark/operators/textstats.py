@@ -765,3 +765,85 @@ def chi2_terms(docs: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("chi2").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 20) -> DataFrame:
+    """Per-document OOV rate against the top-``vocab_size`` corpus
+    vocabulary (the :func:`vocab_build` rule: cnt DESC, token ASC) —
+    the closed-vocab coverage gate a tokenizer-bound ingest pipeline
+    applies per document ("drop/flag docs that are mostly outside the
+    vocab": high OOV predicts boilerplate, foreign text, or encoding
+    damage). Integer-exact oov_ppm. Columns: doc_id, n_tokens, n_oov,
+    oov_ppm.
+
+    Scale shape: one explode + token groupBy builds the counts, the
+    vocab is orderBy+limit (TakeOrderedAndProject — never a global
+    sort), and the per-doc scoring is the exploded tokens LEFT-joined
+    against the BROADCAST vocab + one doc_id groupBy. The vocab
+    artifact is ``vocab_size`` rows regardless of corpus size."""
+    tok = widen(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+             .cast("long").alias("n_oov"))
+        .select("doc_id", "n_tokens", "n_oov",
+                F.expr("CAST((1000000 * n_oov) DIV n_tokens AS BIGINT)")
+                .alias("oov_ppm"))
+    )
+
+
+def word_cooccurrence_edges(docs: DataFrame, min_w: int = 2) -> DataFrame:
+    """Symmetric adjacent-word co-occurrence edges (window 2), weight =
+    corpus-wide pair count, ``min_w`` floor to bound the graph (the
+    max_df/min-count discipline: singleton pairs are noise and the
+    graph would otherwise grow with corpus tail mass). Map-side zipped
+    bigrams (the bigram_pmi spelling — no self-join), one (src, dst)
+    partial-agged groupBy. Columns: src, dst, w."""
+    words = F.split(F.col("text"), " ")
+    toks = widen(docs).select(
+        F.filter(words, lambda w: w != "").alias("a"))
+    pairs = toks.select(F.explode(F.expr(
+        "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),"
+        " (x, y) -> struct(x AS w_a, y AS w_b))")).alias("p"))
+    both = pairs.select(F.col("p.w_a").alias("src"),
+                        F.col("p.w_b").alias("dst")).unionAll(
+        pairs.select(F.col("p.w_b").alias("src"),
+                     F.col("p.w_a").alias("dst")))
+    return (
+        both.groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_w)
+    )
+
+
+def textrank_keywords(docs: DataFrame, n_iters: int = 3, k: int = 20,
+                      min_w: int = 2) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    method): PageRank over the window-2 word co-occurrence graph; the
+    top-``k`` ranked words are the corpus keywords. Engine-exact by the
+    corank discipline (graphrank.weighted_pagerank: 7 dp decimal
+    contributions, fixed IEEE affine, unrolled-round oracle), so the
+    float ranks hash-match bit-for-bit. Columns: term, rank.
+
+    Scale shape: the edge build is one shuffle over the map-side
+    bigrams, each of ``n_iters`` rounds touches only |E|+|V| rows, and
+    the top-k is TakeOrderedAndProject."""
+    from spark_streaming_spark.operators.graphrank import (
+        weighted_pagerank)
+
+    ranks = weighted_pagerank(word_cooccurrence_edges(docs, min_w),
+                              n_iters)
+    return (
+        ranks.select(F.col("v").alias("term"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("term").asc())
+        .limit(k)
+    )

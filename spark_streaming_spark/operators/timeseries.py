@@ -389,3 +389,51 @@ def rolling_corr_from_daily(daily: DataFrame,
         F.col("n").alias("n_days"),
         F.when(den != F.lit(0.0), num / den).alias("corr"),
     )
+
+
+def user_value_ewma(events: DataFrame, window: int = 16) -> DataFrame:
+    """Per-user exponentially-weighted engagement score — the EWMA
+    (α = 1/2, adjust-normalized: y = Σ w_k·x_k / Σ w_k, w_k = 2⁻ᵏ over
+    recency rank k) of event values, EXACT: the value quantizes to
+    integer cents, the weights are powers of two over a BOUNDED
+    ``window`` of each user's most recent events, so numerator and
+    denominator are plain BIGINTs and the score is an integer DIV —
+    bit-identical across engines, no float recursion. The "recent
+    activity beats stale activity" user feature every churn/engagement
+    model starts from; the bounded window is what makes exactness (and
+    state-boundedness, were it folded) possible — weights below 2⁻¹⁶
+    are beneath cent resolution anyway.
+
+    Scale shape: one partitioned row_number window (per-user, never
+    global), rank filter keeps ≤ ``window`` rows/user, one partial-
+    agged groupBy. Columns: user_id, n_used, ewma_microcents
+    (= 1e6 · weighted-avg cents).
+
+    Precondition: value ≥ 0 (the events contract) — with a negative
+    numerator Spark's DIV (truncate toward zero) and DuckDB's //
+    (floor) would disagree by one."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    recent = (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= window)
+        .select(
+            "user_id",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+            F.expr(f"SHIFTLEFT(CAST(1 AS BIGINT), {window} - rk)")
+            .alias("wt"),
+        )
+    )
+    return (
+        recent.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_used"),
+             F.sum(F.expr("cents * wt")).alias("num"),
+             F.sum("wt").alias("den"))
+        .select(
+            "user_id", "n_used",
+            F.expr("CAST((1000000 * num) DIV den AS BIGINT)")
+            .alias("ewma_microcents"),
+        )
+    )

@@ -316,3 +316,35 @@ def test_dup_communities_isolated_pair_converges(spark):
            for r in DD.dup_communities(docs).collect()}
     assert out[1] == out[2] == 1
     assert out[7] == 7 and out[9] == 9
+
+
+def test_containment_catches_asymmetric_dup(spark):
+    """The operator's reason to exist: a short doc absorbed verbatim
+    into a much longer one has LOW Jaccard (long side dominates the
+    union) but containment == 1.0 for the short side — exactly the
+    quote/boilerplate-absorption shape. Also pins directionality: the
+    long side's containment of the short one stays below threshold."""
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    rows = [(1, short), (2, short + " " + filler),
+            (9, "totally unrelated other words entirely here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["src_doc"], r["dst_doc"]): r
+           for r in DD.containment_pairs(docs).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)]["containment_ppm"] == 1000000
+    # the reverse direction (big doc inside small) must NOT appear
+    assert (2, 1) not in out
+    # Jaccard at the default 0.8 threshold misses this pair entirely
+    jac = DD.ngram_jaccard_pairs(docs).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
+
+
+def test_containment_blocking_respects_max_df(spark):
+    """The df-cap candidate rule is part of the cross-engine contract:
+    a pair sharing ONLY shingles above max_df proposes no candidate.
+    With max_df=0 nothing can ever pair."""
+    rows = [(1, "a b c d e"), (2, "a b c d e")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert DD.containment_pairs(docs, max_df=0).count() == 0
+    assert DD.containment_pairs(docs).count() == 2

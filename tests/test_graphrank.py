@@ -144,3 +144,35 @@ def test_cheapest_hops_matches_oracle_and_bellman_ford(spark, duck):
             for r in GRK.cheapest_hops(edges, seeds, 4).collect()}
     for v, c in rows.items():
         assert more[v] <= c, (v, more[v], c)
+
+
+def _sym_edges(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_link_prediction_scores_and_excludes_edges(spark):
+    """Hand graph: z=100 links (1,2) only (deg 2 -> RA 500000); hub
+    h=200 links everyone (deg 4). Pair (1,2) shares BOTH neighbors;
+    (3,4) shares only the hub. Existing edges never predicted."""
+    e = _sym_edges(spark, [(1, 100), (2, 100),
+                           (1, 200), (2, 200), (3, 200), (4, 200)])
+    out = {(r["part_a"], r["part_b"]): r
+           for r in GR.link_prediction(e).collect()}
+    assert out[(1, 2)]["cn"] == 2
+    assert out[(1, 2)]["ra_score"] == 500000 + 250000
+    assert out[(3, 4)]["cn"] == 1 and out[(3, 4)]["ra_score"] == 250000
+    # adjacent pairs (1,100) etc. must not appear
+    assert all(a < b and (a, b) not in {(1, 100), (1, 200)}
+               for a, b in out)
+
+
+def test_link_prediction_hub_cap_contract(spark):
+    """max_hub_deg is part of the contract: with the cap below the
+    hub's degree, pairs sharing ONLY the hub vanish."""
+    e = _sym_edges(spark, [(1, 100), (2, 100),
+                           (1, 200), (2, 200), (3, 200), (4, 200)])
+    out = {(r["part_a"], r["part_b"]): r
+           for r in GR.link_prediction(e, max_hub_deg=2).collect()}
+    assert (3, 4) not in out
+    assert out[(1, 2)]["cn"] == 1 and out[(1, 2)]["ra_score"] == 500000

@@ -246,3 +246,21 @@ def test_corr_matrix_matches_numpy_and_oracle(spark, duck):
     assert_matches_oracle(
         PF.corr_matrix(li, cols), duck,
         E.oracle_sql()["lineitem_corr_matrix"])
+
+
+def test_benford_audit_hand_distribution(spark):
+    """Hand distribution: 3 amounts starting with '1', 1 with '9',
+    zero amounts excluded; expectation constants sum to exactly 1e6
+    and zero-count digits still appear (spine join)."""
+    from spark_streaming_spark.operators import profile as PF
+
+    df = spark.createDataFrame(
+        [(1.00,), (12.34,), (199.99,), (9.50,), (0.0,)], "amt double")
+    out = {r["digit"]: r for r in PF.benford_audit(df, "amt").collect()}
+    assert len(out) == 9
+    assert out[1]["n_rows"] == 3 and out[9]["n_rows"] == 1
+    assert out[1]["observed_ppm"] == 750000
+    assert out[2]["n_rows"] == 0 and out[2]["observed_ppm"] == 0
+    assert out[2]["delta_ppm"] == -176091
+    assert sum(PF.BENFORD_PPM.values()) == 1000000
+    assert sum(r["expected_ppm"] for r in out.values()) == 1000000

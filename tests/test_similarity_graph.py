@@ -218,3 +218,35 @@ def test_margin_mined_pairs_semantics(spark, duck):
         assert g[(r.vec_id, 1)].nbr == r.nbr
     assert_matches_oracle(SIM.margin_mined_pairs(emb), duck,
                           E.oracle_sql()["margin_mined_pairs"])
+
+
+def test_random_projection_matches_hashlib_pin(spark):
+    """Independent reconstruction of one vector's projection with
+    hashlib + plain Python — pins the md5-sign derivation and the
+    scaled-integer arithmetic against a non-Spark implementation."""
+    import hashlib
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter("vec_id = 1")
+    vec = emb.collect()[0]["embedding"]
+    sv = [round(float(x) * 1e7) for x in vec]
+    expect = {}
+    for m in range(8):
+        s = 0
+        for j, x in enumerate(sv, start=1):
+            h = hashlib.md5(f"rp:{j}:{m}".encode()).hexdigest()
+            s += x if h[0] <= "7" else -x
+        expect[m] = s
+    got = {r["out_dim"]: r["proj_scaled"]
+           for r in SIM.random_projection(emb).collect()}
+    assert got == expect
+
+
+def test_rp_distortion_centers_on_unity(spark):
+    """The JL unbiasedness check the eval exists for: across pairs the
+    mean ratio should hover near 1e6 ppm (loose band — 8 output dims
+    is a noisy estimator per pair, but the MEAN concentrates)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = SIM.rp_distortion(emb).collect()
+    assert len(rows) >= 400
+    mean = sum(r["ratio_ppm"] for r in rows) / len(rows)
+    assert 700000 < mean < 1300000

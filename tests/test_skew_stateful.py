@@ -224,3 +224,24 @@ def test_rocksdb_state_store_provider_running_count(spark):
             assert _sets(streamed) == _sets(batch)
     finally:
         replay.cleanup(d)
+
+
+def test_key_skew_report_gini_extremes(spark):
+    """Uniform counts -> gini 0; near-total concentration -> gini near
+    (k-1)/k; top1_share exact. The two poles of the salting decision."""
+    from spark_streaming_spark.operators.skew import key_skew_report
+
+    uniform = spark.createDataFrame(
+        [(k, i) for k in range(4) for i in range(5)], "k long, i long")
+    # one key has 97 rows, three keys have 1 each
+    hot = spark.createDataFrame(
+        [(0, i) for i in range(97)] + [(k, 0) for k in (1, 2, 3)],
+        "k long, i long")
+    out = {r["key_col"]: r for r in key_skew_report(
+        [("uniform.k", uniform, "k"), ("hot.k", hot, "k")]).collect()}
+    u, h = out["uniform.k"], out["hot.k"]
+    assert u["gini_ppm"] == 0 and u["top1_share_ppm"] == 250000
+    assert u["n_rows"] == 20 and u["n_keys"] == 4 and u["max_cnt"] == 5
+    assert h["top1_share_ppm"] == 970000
+    # G = (2*(1*1+2*1+3*1+4*97) - 5*100) / (4*100) = 288/400 = 0.72
+    assert h["gini_ppm"] == 720000

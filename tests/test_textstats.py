@@ -327,3 +327,60 @@ def test_chi2_terms_matches_oracle_and_scipy_shape(spark, duck):
             if e2 > 0:
                 want += round(((c - o) - e2) ** 2 / e2, 7)
         assert abs(r["chi2"] - want) < 1e-6, (t, r["chi2"], want)
+
+
+def test_vocab_coverage_oov_rule(spark):
+    """The vocab is (cnt DESC, token ASC) top-k: with vocab_size=2 on
+    'a a a b b c' the vocab is {a, b}; doc 2's lone 'c' is 100% OOV."""
+    from spark_streaming_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "c"), (3, "a c b a")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in TX.vocab_coverage(docs, vocab_size=2).collect()}
+    assert out[1]["n_oov"] == 0 and out[1]["oov_ppm"] == 0
+    assert out[2]["n_oov"] == 1 and out[2]["oov_ppm"] == 1000000
+    assert out[3]["n_tokens"] == 4 and out[3]["n_oov"] == 1
+    assert out[3]["oov_ppm"] == 250000
+
+
+def test_textrank_numpy_pin(spark):
+    """Independent numpy reconstruction of the quantized power
+    iteration on a hand corpus — pins edge build (window 2, min_w,
+    symmetric) and the rank arithmetic against a non-Spark
+    implementation. The connective hub 'spark' must out-rank the
+    fringe words."""
+    import numpy as np
+
+    from spark_streaming_spark.operators import textstats as TX
+
+    docs = spark.createDataFrame(
+        [(1, "spark fast spark fast spark join"),
+         (2, "join spark fast spark"),
+         (3, "slow spark slow spark")], "doc_id long, text string")
+    got = {r["term"]: r["rank"]
+           for r in TX.textrank_keywords(docs, k=10).collect()}
+
+    # numpy twin: build the same edges
+    from collections import Counter
+    edges = Counter()
+    for t in ["spark fast spark fast spark join",
+              "join spark fast spark", "slow spark slow spark"]:
+        w = t.split()
+        for a, b in zip(w, w[1:]):
+            edges[(a, b)] += 1
+            edges[(b, a)] += 1
+    edges = {e: c for e, c in edges.items() if c >= 2}
+    nodes = sorted({a for a, _ in edges})
+    outw = {a: sum(c for (x, _), c in edges.items() if x == a)
+            for a in nodes}
+    r = {a: 1.0 / len(nodes) for a in nodes}
+    for _ in range(3):
+        s = {a: 0.0 for a in nodes}
+        for (a, b), c in edges.items():
+            s[b] += float(np.round(r[a] * c / outw[a], 7))
+        r = {a: (1.0 - 0.85) / len(nodes) + 0.85 * s[a] for a in nodes}
+    for a in nodes:
+        assert got[a] == r[a], (a, got[a], r[a])
+    assert max(got, key=got.get) == "spark"

@@ -236,3 +236,58 @@ def test_cep_pattern_brute_force(spark, duck):
     got = {(r["user_id"], r["a_ts"], r["b_ts"], r["gap_s"])
            for r in out.collect()}
     assert got == truth and len(got) > 0
+
+
+def test_frequent_event_sequences_any_gap_and_ties(spark):
+    """Pins the semantics vs the transition matrix: (view -> purchase)
+    counts even with a click BETWEEN them (any-gap, not adjacent);
+    a ts-TIE is not precedence; support_ppm is integer-exact over the
+    total distinct-user count (including users contributing no pair)."""
+    import datetime as dt
+
+    from spark_streaming_spark.operators import analytic as AN
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(0), 10, "view", 0.0, "{}"),
+        (2, t(1), 10, "click", 0.0, "{}"),
+        (3, t(2), 10, "purchase", 0.0, "{}"),
+        # user 20: tie between signup and error -> no precedence
+        (4, t(5), 20, "signup", 0.0, "{}"),
+        (5, t(5), 20, "error", 0.0, "{}"),
+        # user 30: single event, contributes to the denominator only
+        (6, t(9), 30, "view", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in AN.frequent_event_sequences(events).collect()}
+    assert ("view", "purchase") in out          # non-adjacent pair
+    assert ("signup", "error") not in out       # ts tie
+    assert ("error", "signup") not in out
+    assert out[("view", "purchase")]["support"] == 1
+    assert out[("view", "purchase")]["support_ppm"] == 333333  # 1 of 3
+
+
+def test_user_value_ewma_exact_weights(spark):
+    """Hand-checkable: user 1 has values 4.00 (old) then 2.00 (new):
+    EWMA = (2·2 + 4·1)/3 cents-weighted = (200·2 + 400·1)/3 =
+    266.66.. cents -> 266666666 microcents (floor). A single-event
+    user is just its own value. Window truncation: 20 events keep 16."""
+    import datetime as dt
+
+    from spark_streaming_spark.operators import timeseries as TS
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, t(0), 1, "view", 4.0, "{}"), (2, t(1), 1, "view", 2.0, "{}"),
+            (3, t(0), 2, "view", 5.5, "{}")]
+    rows += [(10 + i, t(i), 3, "view", 1.0, "{}") for i in range(20)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    out = {r["user_id"]: r for r in TS.user_value_ewma(events).collect()}
+    assert out[1]["ewma_microcents"] == (1000000 * (200 * 2 + 400)) // 3
+    assert out[2]["ewma_microcents"] == 550 * 1000000
+    assert out[3]["n_used"] == 16
+    assert out[3]["ewma_microcents"] == 100 * 1000000

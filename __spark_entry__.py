@@ -154,7 +154,7 @@ def _q_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.grouped_agg_token_totals(back)
 
 
-def _q_streaming_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _misc_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents REPLAYED as a bounded stream and written through the
     custom sink's epoch-idempotent foreachBatch spelling
     (sources/pysink.py stream_jsonl — per-epoch two-phase commit, each
@@ -188,6 +188,70 @@ def _q_streaming_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema("doc_id bigint, lang string, text string").json(
         files)
     return G.grouped_agg_token_totals(back)
+
+
+def _misc_replay_members():
+    """The three structurally-special streaming singletons (polled
+    fake-Kafka runner, RocksDB-provider wordcount, custom-sink
+    roundtrip) — each a BLOCKING runner with no startable handle, so
+    they co-schedule via :func:`_threaded_group` instead of
+    :func:`_cosched_group`."""
+    return {
+        "kafka_wordcount": _misc_kafka_wordcount,
+        "wordcount_rocksdb": _misc_wordcount_rocksdb,
+        "jsonl_sink": _misc_jsonl_sink,
+    }
+
+
+def _threaded_group(spark: SparkSession, sf_dir: str, group: str,
+                    members: dict, want: str) -> DataFrame:
+    """_cosched_group for BLOCKING runners: members are plain
+    ``fn(spark, sf_dir) -> DataFrame`` callables run concurrently on
+    Spark's thread-safe scheduler (overlapping each runner's fixed
+    replay/trigger/commit latency), with the same redeem-once and
+    fail-loudly contract. Provider-context note: the RocksDB member
+    flips the session's state-store provider around its query start; a
+    sibling starting in that window may also get RocksDB — harmless BY
+    THE ENTRY'S OWN CONTRACT (provider choice must never change
+    results; that invariance is what the rocksdb entry proves)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    key = (group, sf_dir, spark.sparkContext.applicationId)
+    got = _COSCHED_RESULTS.get(key)
+    if got is None or want in got["redeemed"]:
+        with ThreadPoolExecutor(max_workers=len(members)) as ex:
+            futs = {n: ex.submit(fn, spark, sf_dir)
+                    for n, fn in members.items()}
+            results, err = {}, None
+            for n, f in futs.items():
+                try:
+                    results[n] = f.result(timeout=600)
+                except Exception as e:  # noqa: BLE001 — drain the rest
+                    if err is None:
+                        err = e
+        if err is not None:
+            raise err
+        got = {"results": results, "redeemed": set()}
+        _COSCHED_RESULTS[key] = got
+    got["redeemed"].add(want)
+    return got["results"][want]
+
+
+def _q_streaming_kafka_wordcount(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    return _threaded_group(spark, sf_dir, "misc_replays",
+                           _misc_replay_members(), "kafka_wordcount")
+
+
+def _q_streaming_wordcount_rocksdb(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    return _threaded_group(spark, sf_dir, "misc_replays",
+                           _misc_replay_members(), "wordcount_rocksdb")
+
+
+def _q_streaming_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _threaded_group(spark, sf_dir, "misc_replays",
+                           _misc_replay_members(), "jsonl_sink")
 
 
 def _q_sql_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,6 +557,29 @@ def _merge_fold_members():
         from spark_streaming_spark.operators import profile as _PF
         return _PF.benford_finalize(counts)
 
+    def fkaudit_start(spark, sf_dir):
+        from spark_streaming_spark.operators import profile as _PF
+        from spark_streaming_spark.streaming.pipelines import (
+            counts_fold_sink)
+
+        chunk_dir = _chunked_table(spark, sf_dir, "orders", 3)
+        state_dir = _scratch("fkaudit_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("o_custkey"),
+            counts_fold_sink(
+                spark,
+                lambda b: _PF.child_key_counts(b, "o_custkey"),
+                ["k"], ["n_rows"], state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
+    def fkaudit_post(ck, spark, sf_dir):
+        from spark_streaming_spark.operators import profile as _PF
+        return _PF.fk_audit_from_child_counts(
+            "orders.o_custkey->customer", ck,
+            load_table(spark, sf_dir, "customer"), "c_custkey")
+
     return {
         "scd1": (scd1_start, None),
         "scd2": (scd2_start, None),
@@ -500,6 +587,10 @@ def _merge_fold_members():
         "scd2_asof": (scd2_asof_start, None),
         "kmv": (kmv_start, kmv_post),
         "benford": (benford_start, benford_post),
+        # FK audit maintained CONTINUOUSLY: child-key counts are
+        # additive, the parent side is static — fold counts per batch,
+        # audit at read; shares the batch edge's oracle shape
+        "fkaudit": (fkaudit_start, fkaudit_post),
     }
 
 
@@ -1080,6 +1171,13 @@ def _doc_fold_members():
             fold(TX.drift_token_counts, ["token"], ["cnt_a", "cnt_b"],
                  "drift_state_"),
             lambda df, s, d: TX.token_drift_tv(None, counts=df)),
+        # TextRank maintained CONTINUOUSLY: window-2 pair counts are
+        # additive, so the fold reaches the one-shot edge table and the
+        # min_w floor + rank iteration run at read over TOTALS
+        "textrank": (
+            fold(lambda b: TX.word_cooccurrence_edges(b, min_w=1),
+                 ["src", "dst"], ["w"], "textrank_state_"),
+            lambda df, s, d: TX.textrank_from_edges(df)),
         "spacesaving": (
             fold(SKC.spacesaving_word_counts, ["word"], ["cnt"],
                  "ss_state_"),
@@ -1193,7 +1291,23 @@ def _event_fold_members():
         "dvs_state_",
     )
 
+    seq_start = _fold_starter(
+        "events",
+        lambda st: st.select("user_id", "event_type", "ts"),
+        lambda sp, sd: counts_fold_sink(
+            sp, AN.user_type_spans, ["user_id", "event_type"],
+            ["f", "l"], sd, agg_fns={"f": "min", "l": "max"}),
+        lambda sp, sd: (lambda: _read_current_state(sp, sd)),
+        "seq_state_",
+    )
+
     return {
+        # any-gap precedence support maintained CONTINUOUSLY: the
+        # (user, type, first, last) sufficient stats are min/max
+        # semilattice merges, so the fold reaches the one-shot stats
+        # table and the support tail shares the batch oracle
+        "sequences": (seq_start,
+                      lambda df, s, d: AN.sequences_from_stats(df)),
         "theta": (theta_start,
                   lambda df, s, d: SKC.theta_overlap_from_registers(
                       df, k=64)),
@@ -1342,6 +1456,12 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_scd2_asof_feed": "merge_folds",
     "streaming_kmv_quantiles": "merge_folds",
     "streaming_benford": "merge_folds",
+    "streaming_referential_audit": "merge_folds",
+    "streaming_textrank": "doc_folds",
+    "streaming_event_sequences": "event_folds",
+    "streaming_kafka_wordcount": "misc_replays",
+    "streaming_wordcount_rocksdb": "misc_replays",
+    "streaming_jsonl_sink": "misc_replays",
     "streaming_dedup": "dedup_replays",
     "streaming_dedup_watermark": "dedup_replays",
     "streaming_incremental_dedup": "dedup_replays",
@@ -1496,8 +1616,8 @@ def _q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
                           _rs_docs_members(), "wordcount")
 
 
-def _q_streaming_wordcount_rocksdb(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
+def _misc_wordcount_rocksdb(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
     """The same update-mode running word count executed under the
     RocksDB state store provider (streaming/statestore.py) — the
     provider whose bounded block-cache memory survives billion-key
@@ -1692,7 +1812,7 @@ def _q_streaming_incremental_dedup(spark: SparkSession,
                           _dedup_replay_members(), "incremental_dedup")
 
 
-def _q_streaming_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _misc_kafka_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka wire-path end-to-end minus the TCP handshake (VERDICT r3
     next-round #8): stream the ``fake_kafka`` Python DataSource — which
     emits the EXACT Kafka source schema (sources/fakekafka.py) — through
@@ -2106,7 +2226,12 @@ _CHECK_FIRST = [
     # copurchase_link_prediction, frequent_event_sequences,
     # key_skew_report, embedding_random_projection, rp_distortion,
     # user_value_ewma, benford_audit, streaming_benford,
-    # vocab_coverage, textrank_keywords — first signal beats refresh),
+    # vocab_coverage, textrank_keywords, streaming_textrank,
+    # streaming_event_sequences, mad_anomalies, referential_audit,
+    # bloom_pruned_join, burst_days, stratum_allocation,
+    # association_rules, value_drift_bins, streaming_referential_audit,
+    # ppr_part_recommendations, fd_discovery, revenue_share_hierarchy,
+    # cusum_error_days — first signal beats refresh),
     # then the 19 r4-vintage entries that didn't fit this
     # window (quantity_quantiles, rollup_customer_nations,
     # running_customer_spend, running_word_count,
@@ -2149,6 +2274,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "part")),
         # aggregations (TPC-H shapes + full surface)
         "pricing_summary": lambda s, d: A.pricing_summary(load_table(s, d, "lineitem")),
+        # ratio-to-parent rollup: nation share of region, region of
+        # world — exact decimal sums, integer-ppm shares, tiny windows
+        "revenue_share_hierarchy": lambda s, d: A.revenue_share_hierarchy(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders"),
+            load_table(s, d, "customer"), load_table(s, d, "nation"),
+            load_table(s, d, "region")),
         "revenue_by_nation": lambda s, d: A.revenue_by_nation(
             load_table(s, d, "customer"), load_table(s, d, "orders"),
             load_table(s, d, "lineitem"), load_table(s, d, "supplier"),
@@ -2823,6 +2954,62 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-cents digit rule, exact-ppm expectation constants
         "benford_audit": lambda s, d: PF.benford_audit(
             load_table(s, d, "orders"), "o_totalprice"),
+        # Hampel median/MAD outliers: 50% breakdown point vs the
+        # mean/stddev gate; exact medians via two-phase global rank
+        "mad_anomalies": lambda s, d: PF.mad_anomalies(
+            load_table(s, d, "events")),
+        # numeric drift monitor: reference-decile bins, integer-ppm
+        # shares, |ref-cur| per bin (TV = half the diff sum)
+        "value_drift_bins": lambda s, d: PF.value_drift_bins(
+            load_table(s, d, "events")),
+        # functional-dependency verification across candidate pairs:
+        # one groupBy + distinct-count each, 1-row reports unioned
+        "fd_discovery": lambda s, d: PF.fd_discovery([
+            ("orders.o_orderkey->o_custkey",
+             load_table(s, d, "orders"), "o_orderkey", "o_custkey"),
+            ("orders.o_custkey->o_orderpriority",
+             load_table(s, d, "orders"), "o_custkey", "o_orderpriority"),
+            ("part.p_brand->p_type",
+             load_table(s, d, "part"), "p_brand", "p_type"),
+            ("lineitem.l_orderkey->l_suppkey",
+             load_table(s, d, "lineitem"), "l_orderkey", "l_suppkey"),
+            ("events.user_id->event_type",
+             load_table(s, d, "events"), "user_id", "event_type"),
+        ]),
+        # FK reconciliation report: orphan / childless counts per
+        # declared edge, key-table joins only
+        # Bloom runtime-filter semi join: 512-byte broadcast bit
+        # array prunes the fact scan map-side; exact join removes FPs,
+        # so the result equals the plain semi join (the oracle)
+        "bloom_pruned_join": lambda s, d: PL.bloom_pruned_semi_join(
+            load_table(s, d, "lineitem"), "l_partkey",
+            load_table(s, d, "part")
+            .filter(F.col("p_retailprice") > 990), "p_partkey")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum(F.expr(
+                     "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+                 .cast("long").alias("sum_cents")),
+        "referential_audit": lambda s, d: PF.referential_audit([
+            ("lineitem.l_orderkey->orders",
+             load_table(s, d, "lineitem"), "l_orderkey",
+             load_table(s, d, "orders"), "o_orderkey"),
+            ("lineitem.l_partkey->part",
+             load_table(s, d, "lineitem"), "l_partkey",
+             load_table(s, d, "part"), "p_partkey"),
+            ("lineitem.l_suppkey->supplier",
+             load_table(s, d, "lineitem"), "l_suppkey",
+             load_table(s, d, "supplier"), "s_suppkey"),
+            ("orders.o_custkey->customer",
+             load_table(s, d, "orders"), "o_custkey",
+             load_table(s, d, "customer"), "c_custkey"),
+            ("customer.c_nationkey->nation",
+             load_table(s, d, "customer"), "c_nationkey",
+             load_table(s, d, "nation"), "n_nationkey"),
+            ("nation.n_regionkey->region",
+             load_table(s, d, "nation"), "n_regionkey",
+             load_table(s, d, "region"), "r_regionkey"),
+        ]),
         "orders_profile": lambda s, d: PF.table_profile(
             load_table(s, d, "orders"),
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -2842,6 +3029,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prediction over the co-purchase graph — hub-capped wedge join
         "copurchase_link_prediction": lambda s, d: GRK.link_prediction(
             GRK.copurchase_part_edges(load_table(s, d, "lineitem"))),
+        # personalized PageRank seeded at one brand's parts: related-
+        # item recommendations (teleport localizes the rank mass)
+        "ppr_part_recommendations": lambda s, d: GRK.ppr_recommendations(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")),
         "lpa_communities": lambda s, d: GRK.lpa_communities(
             load_table(s, d, "lineitem")),
         "supplier_corank": lambda s, d: GRK.supplier_corank(
@@ -2852,6 +3043,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cache_key=d: the mined pair artifact is the input both the
         # pair entry and the triangle entry serve from (built once)
         "frequent_item_pairs": lambda s, d: BK.frequent_pairs(
+            load_table(s, d, "lineitem"), cache_key=d),
+        # directional rules off the memoized pair artifact: confidence
+        # is the asymmetry lift can't express; map-side explode only
+        "association_rules": lambda s, d: BK.association_rules(
             load_table(s, d, "lineitem"), cache_key=d),
         "copurchase_triangles": lambda s, d: BK.triangle_counts(
             BK.frequent_pairs(load_table(s, d, "lineitem"), cache_key=d)
@@ -2949,6 +3144,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cents × power-of-two weights — no float recursion
         "user_value_ewma": lambda s, d: TS.user_value_ewma(
             load_table(s, d, "events")),
+        # burst surfacing: day count vs factor x trailing-7-day mean,
+        # integer compare, per-type RANGE frame over day numbers
+        "burst_days": lambda s, d: TS.burst_days(
+            load_table(s, d, "events")),
+        # CUSUM rate-shift monitor in closed form (cumsum - running
+        # min), all-integer, gap-filled daily spine
+        "cusum_error_days": lambda s, d: TS.cusum_days(
+            load_table(s, d, "events")),
         "similar_activity_pairs": lambda s, d: TS.similar_activity_pairs(
             load_table(s, d, "events"), threshold=0.7),
         # continuous-aggregate rollups: serve coarse queries from the
@@ -2959,6 +3162,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         # deterministic (content-hash) sampling: reproducible under any
         # partitioning/retry — df.sample(seed) is not
+        # Hamilton largest-remainder budget allocation across strata:
+        # sum(alloc) == budget exactly, all-integer, |strata|-row table
+        "stratum_allocation": lambda s, d: SMP.stratum_allocation(
+            load_table(s, d, "documents"), "lang"),
         "deterministic_sample": lambda s, d: SMP.deterministic_sample(
             load_table(s, d, "documents"), permille=100),
         "stratified_sample": lambda s, d: SMP.stratified_sample(
@@ -3171,6 +3378,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # additive digit-count fold: the Benford amount-quality monitor
         # run continuously; shares the batch oracle verbatim
         "streaming_benford": _q_streaming_benford,
+        "streaming_referential_audit": lambda s, d: _cosched_group(
+            s, d, "merge_folds", _merge_fold_members(), "fkaudit"),
+        "streaming_textrank": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "textrank"),
+        "streaming_event_sequences": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "sequences"),
         # the as-of lookup served per micro-batch against the published
         # history artifact (stream-static, stateless, append)
         "streaming_events_asof_status": _q_streaming_events_asof_status,
@@ -3497,6 +3710,58 @@ def _CORANK_SQL(n_iters: int = 3, damping: float = 0.85) -> str:
         r0 AS (SELECT src AS supp, CAST(1e0 AS DOUBLE) / nn.n AS r
                FROM outw, nn){iters}
         SELECT supp, r AS rank FROM {prev}
+    """
+
+
+def _PPR_SQL(brand: str = "Brand#1", n_iters: int = 3,
+             damping: float = 0.85, k: int = 30,
+             min_pair_orders: int = 2) -> str:
+    """DuckDB twin of graphrank.ppr_recommendations — the corank
+    unrolled rounds with a PER-NODE teleport base (uniform over
+    seeds ∩ nodes, zero elsewhere); same exact-IEEE literal rule."""
+    one_minus_d = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    d_lit = f"CAST({damping!r} AS DOUBLE)"
+    iters, prev = "", "r0"
+    for i in range(1, n_iters + 1):
+        iters += f""",
+        c{i} AS (
+          SELECT e.dst, CAST(ROUND(r.r * e.w / o.out_w, 7)
+                 AS DECIMAL(38,8)) AS c
+          FROM edges e JOIN {prev} r ON r.v = e.src
+                       JOIN outw o ON o.src = e.src),
+        s{i} AS (SELECT dst, CAST(SUM(c) AS DOUBLE) AS s
+                 FROM c{i} GROUP BY dst),
+        r{i} AS (SELECT nd.v, nd.b + {d_lit} * COALESCE(s{i}.s, 0e0)
+                 AS r FROM nodes nd LEFT JOIN s{i} ON s{i}.dst = nd.v)"""
+        prev = f"r{i}"
+    return f"""
+        WITH po AS (SELECT l_orderkey, l_partkey FROM lineitem
+                    GROUP BY 1, 2),
+        edges AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                 COUNT(*) AS w
+          FROM po a JOIN po b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair_orders}
+        ),
+        outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+        seeds AS (SELECT p_partkey AS v FROM part
+                  WHERE p_brand = '{brand}'),
+        sv AS (SELECT DISTINCT o.src AS v FROM outw o
+               JOIN seeds s ON s.v = o.src),
+        ns AS (SELECT COUNT(*) AS n FROM sv),
+        nodes AS (
+          SELECT o.src AS v,
+                 CASE WHEN sv.v IS NOT NULL THEN 1e0 / ns.n
+                      ELSE 0e0 END AS r0,
+                 CASE WHEN sv.v IS NOT NULL
+                      THEN {one_minus_d} * (1e0 / ns.n)
+                      ELSE 0e0 END AS b
+          FROM outw o LEFT JOIN sv ON sv.v = o.src, ns),
+        r0 AS (SELECT v, r0 AS r FROM nodes){iters}
+        SELECT v AS part, r AS rank FROM {prev}
+        WHERE v NOT IN (SELECT v FROM seeds)
+        ORDER BY rank DESC, part ASC LIMIT {k}
     """
 
 
@@ -4224,6 +4489,38 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-12-01'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_share_hierarchy": """
+            WITH pn AS (
+              SELECT r_name AS region, n_name AS nation,
+                     SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,4))) AS rev
+              FROM lineitem
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation   ON n_nationkey = c_nationkey
+              JOIN region   ON r_regionkey = n_regionkey
+              GROUP BY 1, 2
+            ),
+            pni AS (
+              SELECT region, nation, rev,
+                     CAST(rev * 10000 AS HUGEINT) AS revi
+              FROM pn
+            ),
+            rs AS (
+              SELECT region, SUM(revi) AS rrev FROM pni GROUP BY 1
+            ),
+            rshare AS (
+              SELECT region,
+                     CAST((1000000::HUGEINT * rrev) // SUM(rrev) OVER ()
+                          AS BIGINT) AS region_share_ppm
+              FROM rs)
+            SELECT pni.region, pni.nation, CAST(rev AS DOUBLE) AS revenue,
+                   CAST((1000000::HUGEINT * revi) // SUM(revi) OVER
+                        (PARTITION BY pni.region) AS BIGINT)
+                     AS share_in_region_ppm,
+                   region_share_ppm
+            FROM pni JOIN rshare ON rshare.region = pni.region
         """,
         "revenue_by_nation": """
             SELECT n_name AS nation,
@@ -5826,6 +6123,7 @@ def oracle_sql() -> dict[str, str]:
     sql["kcore_parts"] = _KCORE_SQL()
     # TextRank: the corank unrolled rounds over the word graph
     sql["textrank_keywords"] = _TEXTRANK_SQL()
+    sql["ppr_part_recommendations"] = _PPR_SQL()
     # hub-capped wedge join + integer-exact RA scores; the deg <= 50
     # cap is part of the cross-engine contract (same rule Spark-side)
     sql["copurchase_link_prediction"] = """
@@ -5973,6 +6271,43 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2, 3, 4
         HAVING count(*) >= 2
     """
+    # directional rules: both directions + integer confidence,
+    # sharing the pair CTE verbatim
+    sql["association_rules"] = """
+        WITH fp AS (WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items),
+        freq AS (
+          SELECT l_partkey, count(*) AS support FROM items
+          GROUP BY 1 HAVING count(*) >= 5
+        ),
+        pr AS (
+          SELECT i.l_orderkey, i.l_partkey, f.support
+          FROM items i JOIN freq f USING (l_partkey)
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               a.support AS support_a, b.support AS support_b,
+               count(*) AS pair_support,
+               CAST(1000000::HUGEINT * (SELECT nb FROM n) * count(*)
+                    // (a.support::HUGEINT * b.support) AS BIGINT) AS lift_ppm
+        FROM pr a JOIN pr b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= 2),
+        dirs AS (
+          SELECT part_a AS antecedent, part_b AS consequent,
+                 pair_support, support_a AS ant_support, lift_ppm
+          FROM fp
+          UNION ALL
+          SELECT part_b, part_a, pair_support, support_b, lift_ppm
+          FROM fp)
+        SELECT antecedent, consequent,
+               CAST(pair_support AS BIGINT) AS pair_support,
+               CAST(ant_support AS BIGINT) AS ant_support,
+               CAST((1000000 * pair_support) // ant_support AS BIGINT)
+                 AS conf_ppm,
+               CAST(lift_ppm AS BIGINT) AS lift_ppm
+        FROM dirs
+    """
     # triangle count per node — naive a<b<c enumeration (identical
     # triangle set to the Spark side's degree-ordered orientation)
     sql["copurchase_triangles"] = """
@@ -6019,6 +6354,202 @@ def oracle_sql() -> dict[str, str]:
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
     from spark_streaming_spark.operators.profile import benford_sql
     sql["benford_audit"] = benford_sql("orders", "o_totalprice")
+    sql["referential_audit"] = """
+        SELECT * FROM (
+          WITH ck AS (SELECT l_orderkey AS k, count(*) AS n_rows
+                      FROM lineitem GROUP BY 1),
+          pk AS (SELECT DISTINCT o_orderkey AS k, 1 AS is_p FROM orders)
+          SELECT 'lineitem.l_orderkey->orders' AS fk,
+                 CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_child,
+                 CAST(COALESCE(SUM(CASE WHEN is_p IS NULL
+                                   THEN n_rows END), 0) AS BIGINT)
+                   AS n_orphans,
+                 CAST(SUM(COALESCE(is_p, 0)) AS BIGINT) AS n_parents,
+                 CAST(SUM(CASE WHEN is_p IS NOT NULL
+                           AND n_rows IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_childless
+          FROM ck FULL OUTER JOIN pk USING (k)) UNION ALL 
+        SELECT * FROM (
+          WITH ck AS (SELECT l_partkey AS k, count(*) AS n_rows
+                      FROM lineitem GROUP BY 1),
+          pk AS (SELECT DISTINCT p_partkey AS k, 1 AS is_p FROM part)
+          SELECT 'lineitem.l_partkey->part' AS fk,
+                 CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_child,
+                 CAST(COALESCE(SUM(CASE WHEN is_p IS NULL
+                                   THEN n_rows END), 0) AS BIGINT)
+                   AS n_orphans,
+                 CAST(SUM(COALESCE(is_p, 0)) AS BIGINT) AS n_parents,
+                 CAST(SUM(CASE WHEN is_p IS NOT NULL
+                           AND n_rows IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_childless
+          FROM ck FULL OUTER JOIN pk USING (k)) UNION ALL 
+        SELECT * FROM (
+          WITH ck AS (SELECT l_suppkey AS k, count(*) AS n_rows
+                      FROM lineitem GROUP BY 1),
+          pk AS (SELECT DISTINCT s_suppkey AS k, 1 AS is_p FROM supplier)
+          SELECT 'lineitem.l_suppkey->supplier' AS fk,
+                 CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_child,
+                 CAST(COALESCE(SUM(CASE WHEN is_p IS NULL
+                                   THEN n_rows END), 0) AS BIGINT)
+                   AS n_orphans,
+                 CAST(SUM(COALESCE(is_p, 0)) AS BIGINT) AS n_parents,
+                 CAST(SUM(CASE WHEN is_p IS NOT NULL
+                           AND n_rows IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_childless
+          FROM ck FULL OUTER JOIN pk USING (k)) UNION ALL 
+        SELECT * FROM (
+          WITH ck AS (SELECT o_custkey AS k, count(*) AS n_rows
+                      FROM orders GROUP BY 1),
+          pk AS (SELECT DISTINCT c_custkey AS k, 1 AS is_p FROM customer)
+          SELECT 'orders.o_custkey->customer' AS fk,
+                 CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_child,
+                 CAST(COALESCE(SUM(CASE WHEN is_p IS NULL
+                                   THEN n_rows END), 0) AS BIGINT)
+                   AS n_orphans,
+                 CAST(SUM(COALESCE(is_p, 0)) AS BIGINT) AS n_parents,
+                 CAST(SUM(CASE WHEN is_p IS NOT NULL
+                           AND n_rows IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_childless
+          FROM ck FULL OUTER JOIN pk USING (k)) UNION ALL 
+        SELECT * FROM (
+          WITH ck AS (SELECT c_nationkey AS k, count(*) AS n_rows
+                      FROM customer GROUP BY 1),
+          pk AS (SELECT DISTINCT n_nationkey AS k, 1 AS is_p FROM nation)
+          SELECT 'customer.c_nationkey->nation' AS fk,
+                 CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_child,
+                 CAST(COALESCE(SUM(CASE WHEN is_p IS NULL
+                                   THEN n_rows END), 0) AS BIGINT)
+                   AS n_orphans,
+                 CAST(SUM(COALESCE(is_p, 0)) AS BIGINT) AS n_parents,
+                 CAST(SUM(CASE WHEN is_p IS NOT NULL
+                           AND n_rows IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_childless
+          FROM ck FULL OUTER JOIN pk USING (k)) UNION ALL 
+        SELECT * FROM (
+          WITH ck AS (SELECT n_regionkey AS k, count(*) AS n_rows
+                      FROM nation GROUP BY 1),
+          pk AS (SELECT DISTINCT r_regionkey AS k, 1 AS is_p FROM region)
+          SELECT 'nation.n_regionkey->region' AS fk,
+                 CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_child,
+                 CAST(COALESCE(SUM(CASE WHEN is_p IS NULL
+                                   THEN n_rows END), 0) AS BIGINT)
+                   AS n_orphans,
+                 CAST(SUM(COALESCE(is_p, 0)) AS BIGINT) AS n_parents,
+                 CAST(SUM(CASE WHEN is_p IS NOT NULL
+                           AND n_rows IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_childless
+          FROM ck FULL OUTER JOIN pk USING (k))
+    """
+    sql["bloom_pruned_join"] = """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_retailprice > 990)
+        GROUP BY l_returnflag
+    """
+    sql["fd_discovery"] = """
+        SELECT * FROM (
+          WITH g AS (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+                     FROM orders GROUP BY 1)
+          SELECT 'orders.o_orderkey->o_custkey' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+                 SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM g) UNION ALL 
+        SELECT * FROM (
+          WITH g AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+                     FROM orders GROUP BY 1)
+          SELECT 'orders.o_custkey->o_orderpriority' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+                 SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM g) UNION ALL 
+        SELECT * FROM (
+          WITH g AS (SELECT p_brand, count(DISTINCT p_type) AS nd
+                     FROM part GROUP BY 1)
+          SELECT 'part.p_brand->p_type' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+                 SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM g) UNION ALL 
+        SELECT * FROM (
+          WITH g AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nd
+                     FROM lineitem GROUP BY 1)
+          SELECT 'lineitem.l_orderkey->l_suppkey' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+                 SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM g) UNION ALL 
+        SELECT * FROM (
+          WITH g AS (SELECT user_id, count(DISTINCT event_type) AS nd
+                     FROM events GROUP BY 1)
+          SELECT 'events.user_id->event_type' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+                 SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+          FROM g)
+    """
+    sql["value_drift_bins"] = """
+        WITH c AS (SELECT event_id,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                          date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS dnum
+                   FROM events),
+        b AS (SELECT min(dnum) + (max(dnum) - min(dnum) + 1) // 2
+                       AS pv FROM c),
+        ref AS (SELECT cents, event_id FROM c, b WHERE dnum < pv),
+        nr AS (SELECT count(*) AS n FROM ref),
+        rk AS (SELECT cents,
+                      row_number() OVER (ORDER BY cents, event_id) AS r
+               FROM ref),
+        edges AS (SELECT i, (SELECT cents FROM rk, nr
+                             WHERE r = (i * n + 9) // 10) AS e
+                  FROM (SELECT unnest(range(1, 10)) AS i)),
+        binned AS (
+          SELECT CASE WHEN dnum < pv THEN 0 ELSE 1 END AS half,
+                 (SELECT count(*) FROM edges WHERE c.cents > e) AS bin
+          FROM c, b),
+        counts AS (
+          SELECT bin,
+                 SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+                 SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+          FROM binned GROUP BY 1),
+        spine AS (SELECT unnest(range(0, 10)) AS bin),
+        j AS (SELECT s.bin, COALESCE(n_ref, 0) AS n_ref,
+                     COALESCE(n_cur, 0) AS n_cur
+              FROM spine s LEFT JOIN counts c ON c.bin = s.bin),
+        t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j)
+        SELECT CAST(bin AS INTEGER) AS bin,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               CAST((1000000 * n_ref) // tr AS BIGINT) AS ref_ppm,
+               CAST((1000000 * n_cur) // tc AS BIGINT) AS cur_ppm,
+               CAST(abs((1000000 * n_ref) // tr
+                        - (1000000 * n_cur) // tc) AS BIGINT)
+                 AS diff_ppm
+        FROM j, t
+    """
+    sql["mad_anomalies"] = """
+        WITH c AS (SELECT event_id, user_id,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        n AS (SELECT count(*) AS n FROM c),
+        r AS (SELECT cents, row_number() OVER (ORDER BY cents, event_id)
+                       AS rk FROM c),
+        med AS (SELECT cents AS med_cents FROM r, n
+                WHERE rk = (n + 1) // 2),
+        d AS (SELECT c.event_id, c.user_id, c.cents, med.med_cents,
+                     abs(c.cents - med.med_cents) AS dev
+              FROM c, med),
+        rd AS (SELECT dev, row_number() OVER (ORDER BY dev, event_id)
+                       AS rk FROM d),
+        mad AS (SELECT dev AS mad_cents FROM rd, n
+                WHERE rk = (n + 1) // 2)
+        SELECT event_id, user_id, cents, dev, med_cents, mad_cents
+        FROM d, mad WHERE dev > 5 * mad_cents
+    """
     sql["orders_profile"] = """
         SELECT '*' AS "column", 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM orders
           UNION ALL SELECT 'o_orderkey', 'n_null', CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM orders
@@ -6201,6 +6732,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, n_events, span_us,
                round(CAST(s AS DOUBLE) / span_us, 7) AS twa_value
         FROM a WHERE span_us > 0
+    """
+    sql["cusum_error_days"] = """
+        WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events WHERE event_type = 'error' GROUP BY 1),
+        span AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        spine AS (SELECT unnest(generate_series(d0, d1,
+                                INTERVAL 1 DAY))::DATE AS day FROM span),
+        g AS (SELECT s.day, COALESCE(n, 0) AS n
+              FROM spine s LEFT JOIN d USING (day)),
+        k AS (SELECT (SUM(n) + count(*) - 1) // count(*) AS k FROM g),
+        p AS (SELECT day, n, SUM(n - k.k) OVER (ORDER BY day) AS pfx
+              FROM g, k)
+        SELECT day, n,
+               CAST(pfx - MIN(pfx) OVER (ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+        FROM p
+    """
+    sql["burst_days"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS n,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS dnum
+          FROM events GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT event_type, day, n,
+                 CAST(COALESCE(SUM(n) OVER (
+                        PARTITION BY event_type ORDER BY dnum
+                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS prev_total
+          FROM daily)
+        SELECT event_type, day, n, prev_total
+        FROM t WHERE prev_total > 0 AND 7 * n > 3 * prev_total
     """
     # exact EWMA: integer cents, power-of-two weights, bounded window;
     # value >= 0 precondition keeps // and DIV in agreement
@@ -6585,6 +7151,21 @@ def oracle_sql() -> dict[str, str]:
     # streamed twin: exact bottom-k merge => final state == one-shot
     sql["streaming_kmv_quantiles"] = sql["kmv_quantity_quantiles"]
     sql["streaming_benford"] = sql["benford_audit"]
+    sql["streaming_textrank"] = sql["textrank_keywords"]
+    sql["streaming_referential_audit"] = """
+        WITH ck AS (SELECT o_custkey AS k, count(*) AS n_rows
+                    FROM orders GROUP BY 1),
+        pk AS (SELECT DISTINCT c_custkey AS k, 1 AS is_p FROM customer)
+        SELECT 'orders.o_custkey->customer' AS fk,
+               CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_child,
+               CAST(COALESCE(SUM(CASE WHEN is_p IS NULL THEN n_rows
+                                 END), 0) AS BIGINT) AS n_orphans,
+               CAST(SUM(COALESCE(is_p, 0)) AS BIGINT) AS n_parents,
+               CAST(SUM(CASE WHEN is_p IS NOT NULL AND n_rows IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_childless
+        FROM ck FULL OUTER JOIN pk USING (k)
+    """
+    sql["streaming_event_sequences"] = sql["frequent_event_sequences"]
     # approximate winsorization: the per-day sketch quantiles joined
     # back, values clipped — every output is a raw double or a raw
     # boundary pick, so the whole row set hash-compares
@@ -6926,6 +7507,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / count(*)
                  AS avg_value
         FROM events GROUP BY 1, 2
+    """
+    sql["stratum_allocation"] = """
+        WITH s AS (SELECT CAST(lang AS VARCHAR) AS stratum,
+                          CAST(count(*) AS BIGINT) AS n_rows
+                   FROM documents GROUP BY 1),
+        q AS (SELECT stratum, n_rows,
+                     SUM(n_rows) OVER () AS total,
+                     CAST((100 * n_rows) // SUM(n_rows) OVER ()
+                          AS BIGINT) AS fl,
+                     (100 * n_rows) % (SUM(n_rows) OVER ()) AS rem
+              FROM s),
+        r AS (SELECT *, 100 - SUM(fl) OVER () AS leftover,
+                     row_number() OVER (ORDER BY rem DESC, n_rows DESC,
+                                        stratum ASC) AS rk
+              FROM q)
+        SELECT stratum, n_rows,
+               CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM r
     """
     sql["deterministic_sample"] = """
         SELECT * FROM documents

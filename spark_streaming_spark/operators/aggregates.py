@@ -280,3 +280,52 @@ def sampled_quantiles(lineitem: DataFrame, permille: int = 100,
             F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
         )
     )
+
+
+def revenue_share_hierarchy(lineitem: DataFrame, orders: DataFrame,
+                            customer: DataFrame, nation: DataFrame,
+                            region: DataFrame) -> DataFrame:
+    """Hierarchical revenue shares — the ratio-to-parent report a BI
+    rollup serves ("nation's share of its region, region's share of
+    world"), demand-side (customer nation, no supplier co-location
+    filter). Revenue sums as exact DECIMAL(38,4); both shares are
+    integer-exact ppm via decimal DIV, computed with windows over the
+    |nations|-row aggregate (the sanctioned tiny-table window — the
+    fact table shuffles once for the groupBy and never for the
+    shares). Columns: region, nation, revenue, share_in_region_ppm,
+    region_share_ppm."""
+    from pyspark.sql import Window
+
+    revenue = (F.col("l_extendedprice")
+               * (1 - F.col("l_discount"))).cast("decimal(38,4)")
+    per_nation = (
+        lineitem
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).alias("rev"))
+    )
+    # integer-valued DECIMAL(38,0) before DIV: decimal DIV at scale 4
+    # rounds the quotient before truncating (off-by-one vs DuckDB //);
+    # the repo-wide rule is DIV only over integer-valued decimals
+    per_nation = per_nation.withColumn(
+        "revi", F.expr("CAST(rev * 10000 AS DECIMAL(38,0))"))
+    shares = per_nation.select(
+        "region", "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.expr("CAST((1000000 * revi) DIV SUM(revi) OVER"
+               " (PARTITION BY region) AS BIGINT)")
+        .alias("share_in_region_ppm"),
+    )
+    region_shares = (
+        per_nation.groupBy("region").agg(F.sum("revi").alias("rrev"))
+        .select("region",
+                F.expr("CAST((1000000 * rrev) DIV SUM(rrev) OVER ()"
+                       " AS BIGINT)").alias("region_share_ppm"))
+    )
+    return shares.join(F.broadcast(region_shares), "region")

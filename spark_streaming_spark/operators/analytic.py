@@ -509,10 +509,25 @@ def frequent_event_sequences(events: DataFrame) -> DataFrame:
     one final partial-agged (antecedent, consequent) groupBy. Linear
     in events; never keys a shuffle on the pair. Columns: antecedent,
     consequent, support, support_ppm."""
-    ut = (
+    return sequences_from_stats(user_type_spans(events))
+
+
+def user_type_spans(events: DataFrame) -> DataFrame:
+    """(user_id, event_type, f=min ts, l=max ts) — the sufficient
+    statistic for any-gap precedence. min/max are semilattice merges,
+    so the table folds per micro-batch through counts_fold_sink's
+    agg_fns and the streamed twin shares the batch oracle."""
+    return (
         events.groupBy("user_id", "event_type")
         .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
     )
+
+
+def sequences_from_stats(ut: DataFrame) -> DataFrame:
+    """The support tail of :func:`frequent_event_sequences`, off the
+    (user, type, f, l) stats table (batch-built or stream-folded).
+    Every user with ≥ 1 event has a stats row, so the denominator is
+    the stats table's distinct-user count."""
     per_user = ut.groupBy("user_id").agg(
         F.collect_list(F.struct("event_type", "f", "l")).alias("ts"))
     pairs = per_user.select(F.explode(F.expr(
@@ -520,7 +535,7 @@ def frequent_event_sequences(events: DataFrame) -> DataFrame:
         " b -> struct(a.event_type AS ant, b.event_type AS cons,"
         " a.f AS f, b.l AS l)))),"
         " p -> p.ant != p.cons AND p.f < p.l)")).alias("p"))
-    n_users = int(events.select("user_id").distinct().count())  # 1-row scalar
+    n_users = int(ut.select("user_id").distinct().count())  # 1-row scalar
     return (
         pairs.groupBy(F.col("p.ant").alias("antecedent"),
                       F.col("p.cons").alias("consequent"))

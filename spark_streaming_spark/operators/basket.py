@@ -174,3 +174,41 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("part_id")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def association_rules(lineitem: DataFrame,
+                      cache_key: str | None = None) -> DataFrame:
+    """Directional association rules from the frequent pair set
+    (Agrawal, Imieliński & Swami 1993; public method): for each
+    frequent pair, BOTH rules a→b and b→a with integer-exact
+    confidence conf_ppm = (1e6 · pair_support) DIV support(antecedent)
+    — the asymmetry lift can't express ("diapers→beer strong,
+    beer→diapers weak" needs the direction), which is what a
+    recommender thresholds on. Lift rides along from the pair mine.
+    Columns: antecedent, consequent, pair_support, ant_support,
+    conf_ppm, lift_ppm.
+
+    Scale shape: pure map-side explode over the already-mined
+    (Apriori-pruned, memoized) pair artifact — zero additional
+    shuffles."""
+    fp = frequent_pairs(lineitem, cache_key=cache_key)
+    dirs = fp.select(F.explode(F.array(
+        F.struct(F.col("part_a").alias("antecedent"),
+                 F.col("part_b").alias("consequent"),
+                 F.col("pair_support"),
+                 F.col("support_a").alias("ant_support"),
+                 F.col("lift_ppm")),
+        F.struct(F.col("part_b").alias("antecedent"),
+                 F.col("part_a").alias("consequent"),
+                 F.col("pair_support"),
+                 F.col("support_b").alias("ant_support"),
+                 F.col("lift_ppm")),
+    )).alias("r")).select("r.*")
+    return dirs.select(
+        "antecedent", "consequent",
+        F.col("pair_support").cast("long").alias("pair_support"),
+        F.col("ant_support").cast("long").alias("ant_support"),
+        F.expr("CAST((1000000 * pair_support) DIV ant_support AS BIGINT)")
+        .alias("conf_ppm"),
+        F.col("lift_ppm").cast("long").alias("lift_ppm"),
+    )

@@ -61,11 +61,20 @@ def cosupply_edges(lineitem: DataFrame) -> DataFrame:
 
 
 def weighted_pagerank(raw_edges: DataFrame, n_iters: int = 3,
-                      damping: float = 0.85) -> DataFrame:
+                      damping: float = 0.85,
+                      seeds: DataFrame | None = None) -> DataFrame:
     """Weighted PageRank over a symmetric (src, dst, w) edge set,
     ``n_iters`` power iterations from the uniform vector — the generic
     engine behind :func:`supplier_corank` and textstats' TextRank.
     Columns: v, rank.
+
+    ``seeds`` (one column ``v``) switches to PERSONALIZED PageRank
+    (Haveliwala 2002 topic-sensitive PR; public method): the teleport
+    vector is uniform over seeds ∩ graph nodes instead of all nodes
+    (seed rows without edges carry no mass, by that intersection rule
+    — part of the cross-engine contract), start vector = teleport —
+    rank localizes around the seed neighborhood, the recommendation /
+    related-items shape.
 
     Per round: rank flows along each edge proportionally to its weight
     share of the source's out-weight; contributions quantize to 7 dp
@@ -81,10 +90,27 @@ def weighted_pagerank(raw_edges: DataFrame, n_iters: int = 3,
             .localCheckpoint(eager=True))
     # map-side fold: outw is |V|-sized -> broadcast; no materialization
     edges = raw.join(F.broadcast(outw), "src")
-    n = outw.count()
-    base, d = (1.0 - damping) / n, damping
-    rank = outw.select(
-        F.col("src").alias("v"), F.lit(1.0 / n).alias("r"))
+    d = damping
+    if seeds is None:
+        n = outw.count()
+        base = (1.0 - d) / n
+        nodes = outw.select(
+            F.col("src").alias("v"), F.lit(1.0 / n).alias("r0"),
+            F.lit(base).alias("b"))
+    else:
+        sv = (outw.select(F.col("src").alias("v"))
+              .join(seeds.select("v").distinct(), "v", "left_semi"))
+        ns = sv.count()
+        s0 = 1.0 / ns
+        nodes = (
+            outw.select(F.col("src").alias("v"))
+            .join(sv.withColumn("__s", F.lit(s0)), "v", "left")
+            .select("v", F.coalesce("__s", F.lit(0.0)).alias("r0"),
+                    (F.lit(1.0 - d)
+                     * F.coalesce("__s", F.lit(0.0))).alias("b"))
+        )
+    nodes = nodes.localCheckpoint(eager=True)
+    rank = nodes.select("v", F.col("r0").alias("r"))
     contrib = F.expr(
         "cast(round(r * w / out_w, 7) as decimal(38,8))")
     for _ in range(n_iters):
@@ -95,11 +121,11 @@ def weighted_pagerank(raw_edges: DataFrame, n_iters: int = 3,
             .agg(F.sum("c").cast("double").alias("s"))
         )
         rank = (
-            rank.select("v")
-            .join(flows, rank["v"] == flows["dst"], "left")
+            nodes.select("v", "b")
+            .join(flows, nodes["v"] == flows["dst"], "left")
             .select(
                 "v",
-                (F.lit(base) + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0)))
+                (F.col("b") + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0)))
                 .alias("r"),
             )
             .localCheckpoint(eager=True)
@@ -355,5 +381,31 @@ def link_prediction(edges: DataFrame, max_hub_deg: int = 50,
                 "cn", "ra_score")
         .orderBy(F.col("ra_score").desc(), F.col("cn").desc(),
                  F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(k)
+    )
+
+
+def ppr_recommendations(lineitem: DataFrame, part: DataFrame,
+                        brand: str = "Brand#1", k: int = 30) -> DataFrame:
+    """Related-item recommendations by PERSONALIZED PageRank
+    (Haveliwala 2002): teleport uniformly to one brand's parts inside
+    the co-purchase graph, iterate, return the top-``k`` NON-seed
+    parts — mass localizes around the seed neighborhood, so the result
+    is "what co-sells with this brand", not global popularity
+    (supplier_corank's shape). Engine-exact by the corank discipline.
+    Columns: part, rank.
+
+    Scale shape: identical per-round cost to :func:`supplier_corank`
+    (|E| join + |V| agg, localCheckpoint per round); the seed set is a
+    left-semi + left join against the node table; top-k is
+    TakeOrderedAndProject."""
+    seeds = (part.filter(F.col("p_brand") == brand)
+             .select(F.col("p_partkey").alias("v")))
+    ranks = weighted_pagerank(
+        copurchase_part_edges(lineitem), seeds=seeds)
+    return (
+        ranks.join(seeds, "v", "left_anti")
+        .select(F.col("v").alias("part"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("part").asc())
         .limit(k)
     )

@@ -672,3 +672,71 @@ def source_quality_report(docs: DataFrame) -> DataFrame:
             " AS dup_doc_ppm",
         )
     )
+
+
+def bloom_bits_of(keys: DataFrame, col: str) -> DataFrame:
+    """ONE row holding the 64-word Bloom bit array of ``keys[col]``
+    (stringified) — the contamination_bloom build generalized to any
+    key column, for broadcast-riding membership pre-filters. 512 bytes
+    regardless of key-set size."""
+    sets = None
+    for k in range(BLOOM_K):
+        w, b = _bloom_pos(col, k)
+        part = keys.select(w.alias("w"), b.alias("b"))
+        sets = part if sets is None else sets.unionAll(part)
+    words = (
+        sets.groupBy("w")
+        .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), b)"))
+             .alias("bits"))
+    )
+    return words.groupBy().agg(
+        F.expr(
+            f"transform(sequence(0, {BLOOM_WORDS - 1}), i -> "
+            f"coalesce(element_at(map_from_entries("
+            f"collect_list(struct(w, bits))), i), cast(0 as bigint)))"
+        ).alias("bloom")
+    )
+
+
+def bloom_probe_cond(probe: DataFrame, col: str):
+    """(probe', cond): attach the K (word, bit) columns for ``col`` and
+    return the all-K-bits-set predicate against the broadcast ``bloom``
+    array column — map-side membership, no shuffle."""
+    cond = F.lit(True)
+    for k in range(BLOOM_K):
+        w, b = _bloom_pos(col, k)
+        probe = probe.withColumn(f"_w{k}", w).withColumn(f"_b{k}", b)
+        cond = cond & (
+            (F.element_at(F.col("bloom"), F.col(f"_w{k}") + 1)
+             .bitwiseAND(
+                F.expr(f"shiftleft(cast(1 as bigint), _b{k})"))) != 0
+        )
+    return probe, cond
+
+
+def bloom_pruned_semi_join(big: DataFrame, big_key: str,
+                           keys: DataFrame, key_col: str) -> DataFrame:
+    """Semi join with a BLOOM PRE-FILTER (Bloom 1970; the runtime-
+    filter/sideways-information-passing technique every warehouse
+    engine ships): the key set compresses to a 512-byte bit array that
+    rides the plan as one broadcast row, the big side drops
+    non-members MAP-SIDE before any shuffle, and the surviving
+    candidates take the exact semi join — so false positives are
+    removed and the result EQUALS the plain semi join (no false
+    negatives by construction; the oracle is the plain spelling).
+    At 100 TB this is the difference between shuffling the fact table
+    and shuffling the ~selectivity fraction that can possibly match.
+
+    Returns ``big`` rows whose ``big_key`` is in ``keys[key_col]``."""
+    kd = keys.select(F.col(key_col).cast("string").alias("_bk")).distinct()
+    arr = bloom_bits_of(kd, "_bk")
+    probe = big.withColumn("_bk", F.col(big_key).cast("string")) \
+        .crossJoin(F.broadcast(arr))
+    probe, cond = bloom_probe_cond(probe, "_bk")
+    candidates = probe.filter(cond).drop(
+        "bloom", *[f"_w{k}" for k in range(BLOOM_K)],
+        *[f"_b{k}" for k in range(BLOOM_K)])
+    return candidates.join(
+        F.broadcast(kd.withColumnRenamed("_bk", "_bk2")),
+        candidates["_bk"] == F.col("_bk2"), "left_semi"
+    ).drop("_bk")

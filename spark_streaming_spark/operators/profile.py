@@ -336,3 +336,200 @@ def benford_sql(table: str, amount_col: str) -> str:
                  AS delta_ppm
         FROM j, t
     """
+
+
+def mad_anomalies(events: DataFrame, k: int = 5) -> DataFrame:
+    """Robust anomaly detection by median/MAD (Hampel's rule — the
+    median-absolute-deviation outlier gate, public method): flag events
+    whose |value − median| exceeds ``k``·MAD. Unlike the mean/stddev
+    z-score (value_outliers), the breakdown point is 50% — the
+    anomalies themselves can't drag the fence, which is the point of
+    using it on dirty data. EXACT and engine-identical: values quantize
+    to integer cents, both medians are the value at global rank
+    ⌊(n+1)/2⌋ under a total (value, event_id) order (value ties make
+    the tie-break free), and the fence compare is pure integer
+    arithmetic. Columns: event_id, user_id, cents, dev, med_cents,
+    mad_cents.
+
+    Scale shape: two exact-median passes, each the two-phase
+    range-partitioned global rank (ranking.with_global_rank — no
+    single-partition exchange), each reduced to a broadcast 1-row
+    scalar; the flagging filter is map-side. At 100 TB you'd trade the
+    exact medians for the KMV quantile sketch (kmv_quantity_quantiles)
+    — this is the exact spelling the sketch is measured against."""
+    from spark_streaming_spark.operators.ranking import with_global_rank
+
+    c = events.select(
+        "event_id", "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+    n = c.count()  # 1-row scalar
+    mid = (n + 1) // 2
+    med = (with_global_rank(c.select("cents", "event_id"),
+                            ["cents", "event_id"], "rk")
+           .filter(F.col("rk") == mid)
+           .select(F.col("cents").alias("med_cents")))
+    d = c.join(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med_cents")))
+    mad = (with_global_rank(d.select("dev", "event_id"),
+                            ["dev", "event_id"], "rk")
+           .filter(F.col("rk") == mid)
+           .select(F.col("dev").alias("mad_cents")))
+    return (
+        d.join(F.broadcast(mad))
+        .filter(F.col("dev") > k * F.col("mad_cents"))
+        .select("event_id", "user_id", "cents", "dev",
+                "med_cents", "mad_cents")
+    )
+
+
+def referential_audit(
+        edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit — the reconciliation report a data
+    platform runs after every load: per declared FK edge, how many
+    child rows reference a missing parent (orphans — broken joins
+    waiting to happen) and how many parent keys have no children
+    (childless — not an error, but the inner-join row-loss bound).
+    ``edges`` is [(label, child_df, child_col, parent_df, parent_col)].
+    Columns: fk, n_child, n_orphans, n_parents, n_childless.
+
+    Scale shape: per edge ONE partial-agged child-key groupBy + one
+    distinct on the parent key + one full outer join of the two KEY
+    tables (|keys| rows, never the fact rows), aggregated to a single
+    row — no per-edge driver actions; the report is the union of
+    1-row frames."""
+    outs = [
+        fk_audit_from_child_counts(
+            label, child_key_counts(child, ckey), parent, pkey)
+        for label, child, ckey, parent, pkey in edges
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def child_key_counts(child: DataFrame, ckey: str) -> DataFrame:
+    """(k, n_rows) per child key — ADDITIVE under corpus partition, so
+    the streamed audit folds this table per micro-batch
+    (counts_fold_sink) and shares the batch oracle."""
+    return (child.groupBy(F.col(ckey).alias("k"))
+            .agg(F.count("*").cast("long").alias("n_rows")))
+
+
+def fk_audit_from_child_counts(label: str, ck: DataFrame,
+                               parent: DataFrame, pkey: str) -> DataFrame:
+    """The single-edge audit tail of :func:`referential_audit`, off a
+    (k, n_rows) child-key table (batch-built or stream-folded)."""
+    pk = parent.select(F.col(pkey).alias("k")).distinct() \
+        .withColumn("is_p", F.lit(1))
+    j = ck.join(pk, "k", "full_outer")
+    return j.agg(
+        F.lit(label).alias("fk"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long")
+        .alias("n_child"),
+        F.coalesce(F.sum(F.when(F.col("is_p").isNull(),
+                                F.col("n_rows"))), F.lit(0))
+        .cast("long").alias("n_orphans"),
+        F.sum(F.coalesce("is_p", F.lit(0))).cast("long")
+        .alias("n_parents"),
+        F.sum(F.when(F.col("is_p").isNotNull()
+                     & F.col("n_rows").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_childless"),
+    )
+
+
+def value_drift_bins(events: DataFrame) -> DataFrame:
+    """Numeric-feature drift report — the PSI-style monitor a feature
+    pipeline runs between a REFERENCE window and the CURRENT one,
+    spelled integer-exact: the event span splits at its calendar
+    midpoint, the reference half's exact DECILES (values at ranks
+    ⌈i·n/10⌉ under a total order) become the bin edges, both halves
+    bin against them map-side, and the report carries per-bin
+    integer-ppm shares plus |ref − cur| — whose half-sum is the total-
+    variation drift (the token_drift_tv discipline on a numeric
+    column; no float ln, unlike PSI proper). A new-data distribution
+    that slid off the training distribution shows up as mass leaving
+    the middle bins. Columns: bin, n_ref, n_cur, ref_ppm, cur_ppm,
+    diff_ppm.
+
+    Scale shape: one pass quantizes + day-numbers the events; the
+    split pivot and the 9 edges are driver-sized scalars (edges via
+    the two-phase global rank over the REFERENCE half only); binning
+    is a map-side 9-literal comparison; one (half, bin) groupBy ends
+    it."""
+    from spark_streaming_spark.operators.ranking import with_global_rank
+
+    c = events.select(
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dnum"))
+    lo, hi = c.agg(F.min("dnum"), F.max("dnum")).first()
+    pivot = lo + (hi - lo + 1) // 2
+    ref = c.filter(F.col("dnum") < pivot)
+    n_ref = ref.count()  # 1-row scalar
+    ranked = with_global_rank(ref.select("cents", "event_id"),
+                              ["cents", "event_id"], "r")
+    edge_ranks = [(i * n_ref + 9) // 10 for i in range(1, 10)]
+    edges = sorted(r["cents"] for r in
+                   ranked.filter(F.col("r").isin(edge_ranks))
+                   .select("cents").collect())  # 9-row driver artifact
+    edge_arr = "array(" + ",".join(f"CAST({e} AS BIGINT)"
+                                   for e in edges) + ")"
+    binned = c.select(
+        F.when(F.col("dnum") < pivot, 0).otherwise(1).alias("half"),
+        F.expr(f"size(filter({edge_arr}, e -> cents > e))").alias("bin"))
+    counts = (binned.groupBy("bin")
+              .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+                   .cast("long").alias("n_ref"),
+                   F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                   .cast("long").alias("n_cur")))
+    spine = events.sparkSession.range(0, 10).select(
+        F.col("id").cast("int").alias("bin"))
+    from pyspark.sql import Window
+    w = Window.partitionBy()  # 10 rows
+    return (
+        spine.join(counts, "bin", "left")
+        .select("bin",
+                F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+                F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"))
+        .withColumn("tr", F.sum("n_ref").over(w))
+        .withColumn("tc", F.sum("n_cur").over(w))
+        .select(
+            "bin", "n_ref", "n_cur",
+            F.expr("CAST((1000000 * n_ref) DIV tr AS BIGINT)")
+            .alias("ref_ppm"),
+            F.expr("CAST((1000000 * n_cur) DIV tc AS BIGINT)")
+            .alias("cur_ppm"),
+        )
+        .withColumn("diff_ppm", F.abs(F.col("ref_ppm") - F.col("cur_ppm")))
+    )
+
+
+def fd_discovery(tagged: list[tuple[str, DataFrame, str, str]]) -> DataFrame:
+    """Functional-dependency check (the schema-profiling primitive of
+    FD-discovery systems — Huhtala et al. 1999 TANE's verification
+    step; public method): does column A determine column B? Per
+    candidate, count LHS values mapping to more than one distinct RHS
+    — zero violations means the FD holds, the signal that a column is
+    denormalizable / join-safe / a candidate key component. ``tagged``
+    is [(label, df, lhs_col, rhs_col)]. Columns: fd, n_lhs,
+    n_violating, holds.
+
+    Scale shape: per candidate ONE partial-agged (lhs) groupBy with a
+    distinct-count, then a 1-row aggregate — never a pairwise join;
+    the report is the union of 1-row frames."""
+    outs = []
+    for label, df, lhs, rhs in tagged:
+        g = (df.groupBy(lhs)
+             .agg(F.count_distinct(F.col(rhs)).alias("nd")))
+        outs.append(g.agg(
+            F.lit(label).alias("fd"),
+            F.count("*").cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_violating"),
+        ).withColumn("holds", F.col("n_violating") == 0))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

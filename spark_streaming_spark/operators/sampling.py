@@ -278,3 +278,41 @@ def grouped_split(df: DataFrame, group_col: str, val_ppm: int = 100000,
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def stratum_allocation(df: DataFrame, stratum_col: str,
+                       budget: int = 100) -> DataFrame:
+    """Exact proportional allocation of a fixed sampling budget across
+    strata by the LARGEST-REMAINDER method (Hamilton's method / Hare
+    quota — the apportionment algorithm; public): floor the exact
+    quota budget·n_i/N per stratum, then hand the leftover seats to
+    the largest fractional remainders (ties: larger stratum first,
+    then name) — so Σ alloc == budget EXACTLY and no stratum deviates
+    from its quota by ≥ 1. The eval-set construction step a "sample
+    1 000 docs proportionally by language/source" request actually
+    needs — naive rounding over- or under-shoots the budget.
+    Columns: stratum, n_rows, alloc.
+
+    Scale shape: ONE partial-agged groupBy collapses the corpus to
+    |strata| rows; every window after runs on that tiny table (the
+    sanctioned driver-sized window). All integer arithmetic."""
+    from pyspark.sql import Window
+
+    s = (df.groupBy(F.col(stratum_col).cast("string").alias("stratum"))
+         .agg(F.count("*").cast("long").alias("n_rows")))
+    w = Window.partitionBy()
+    wr = Window.orderBy(F.col("rem").desc(), F.col("n_rows").desc(),
+                        F.col("stratum").asc())
+    return (
+        s.withColumn("total", F.sum("n_rows").over(w))
+        .withColumn("fl", F.expr(f"CAST(({budget} * n_rows) DIV total"
+                                 " AS BIGINT)"))
+        .withColumn("rem", F.expr(f"({budget} * n_rows) % total"))
+        .withColumn("leftover", F.lit(budget) - F.sum("fl").over(w))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "stratum", "n_rows",
+            (F.col("fl") + F.when(F.col("rk") <= F.col("leftover"), 1)
+             .otherwise(0)).cast("long").alias("alloc"),
+        )
+    )

@@ -837,10 +837,22 @@ def textrank_keywords(docs: DataFrame, n_iters: int = 3, k: int = 20,
     Scale shape: the edge build is one shuffle over the map-side
     bigrams, each of ``n_iters`` rounds touches only |E|+|V| rows, and
     the top-k is TakeOrderedAndProject."""
+    return textrank_from_edges(word_cooccurrence_edges(docs, min_w=1),
+                               n_iters, k, min_w)
+
+
+def textrank_from_edges(raw_edges: DataFrame, n_iters: int = 3,
+                        k: int = 20, min_w: int = 2) -> DataFrame:
+    """The rank tail of :func:`textrank_keywords`, off an UNFLOORED
+    (src, dst, w) pair-count table (batch-built or stream-folded —
+    pair counts are additive, so the streamed twin folds them per
+    micro-batch and applies the ``min_w`` floor here, over TOTALS;
+    flooring per batch would drop pairs that only cross the floor
+    across batches)."""
     from spark_streaming_spark.operators.graphrank import (
         weighted_pagerank)
 
-    ranks = weighted_pagerank(word_cooccurrence_edges(docs, min_w),
+    ranks = weighted_pagerank(raw_edges.filter(F.col("w") >= min_w),
                               n_iters)
     return (
         ranks.select(F.col("v").alias("term"), "rank")

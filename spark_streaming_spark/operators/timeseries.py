@@ -437,3 +437,77 @@ def user_value_ewma(events: DataFrame, window: int = 16) -> DataFrame:
             .alias("ewma_microcents"),
         )
     )
+
+
+def burst_days(events: DataFrame, factor: int = 3,
+               trail_days: int = 7) -> DataFrame:
+    """Burst detection on the per-(type, day) event series — flag days
+    whose count exceeds ``factor``× the trailing ``trail_days``-day
+    MEAN (the ops/trend-surfacing gate: traffic spikes, error storms,
+    crawler bursts). Integer-exact: the compare is
+    trail_days·n > factor·Σ_trailing (no float mean), days with an
+    EMPTY trailing window never flag (cold starts aren't bursts).
+    Columns: event_type, day, n, prev_total.
+
+    Scale shape: one partial-agged (type, day) groupBy collapses the
+    corpus to the daily table; the trailing window is a RANGE frame
+    over integer day numbers PARTITIONED BY type (never global,
+    calendar-bounded rows per partition)."""
+    from pyspark.sql import Window
+
+    daily = (
+        events.groupBy("event_type",
+                       F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("dnum", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (Window.partitionBy("event_type").orderBy("dnum")
+         .rangeBetween(-trail_days, -1))
+    return (
+        daily.withColumn("prev_total",
+                         F.coalesce(F.sum("n").over(w), F.lit(0))
+                         .cast("long"))
+        .filter((F.col("prev_total") > 0)
+                & (F.lit(trail_days) * F.col("n")
+                   > F.lit(factor) * F.col("prev_total")))
+        .select("event_type", "day", "n", "prev_total")
+    )
+
+
+def cusum_days(events: DataFrame, event_type: str = "error") -> DataFrame:
+    """CUSUM change detection (Page 1954; public method) on the daily
+    count series of one event type — the classic "did the error rate
+    shift up" monitor. Spelled in CLOSED FORM so it's one windowed
+    pass instead of a recursion: S_t = max(0, S_{t-1} + x_t − k)
+    ≡ P_t − min_{j≤t} P_j with P_t = Σ_{i≤t}(x_i − k) — a cumulative
+    sum plus a running min, both exact integers. The allowance k is
+    the CEILING of the series mean (integer DIV), so an in-control
+    series drifts down and only a sustained shift accumulates.
+    Absent days count 0 (gap-filled spine — silence is signal for a
+    rate monitor). Columns: day, n, cusum.
+
+    Scale shape: one filtered partial-agged daily groupBy collapses
+    the stream to the calendar-bounded day table; spine, k, and both
+    windows live on that tiny series (the rolling_daily_corr
+    sanctioned-window rationale)."""
+    from pyspark.sql import Window
+
+    d = (events.filter(F.col("event_type") == event_type)
+         .groupBy(F.to_date("ts").alias("day"))
+         .agg(F.count("*").cast("long").alias("n")))
+    spine = (d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+             .select(F.explode(F.expr(
+                 "sequence(d0, d1, interval 1 day)")).alias("day")))
+    g = (spine.join(d, "day", "left")
+         .select("day", F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+    w = Window.partitionBy()
+    g = g.withColumn(
+        "k", F.expr("(SUM(n) OVER () + COUNT(*) OVER () - 1)"
+                    " DIV COUNT(*) OVER ()"))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    g = g.withColumn("pfx", F.sum(F.col("n") - F.col("k")).over(wc))
+    return g.select(
+        "day", "n",
+        (F.col("pfx") - F.min("pfx").over(wc)).cast("long")
+        .alias("cusum"))

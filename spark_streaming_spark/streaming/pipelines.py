@@ -303,18 +303,21 @@ def kmv_sketch_sink(spark, group_col: str, value_col: str,
 
 
 def counts_fold_sink(spark, batch_counts, key_cols: list[str],
-                     sum_cols: list[str], state_dir: str):
-    """foreachBatch sink maintaining any ADDITIVE count table as
+                     sum_cols: list[str], state_dir: str,
+                     agg_fns: dict[str, str] | None = None):
+    """foreachBatch sink maintaining any MERGEABLE summary table as
     streaming state: ``batch_counts(batch_df)`` summarizes the
-    micro-batch into (key_cols, sum_cols) rows, and the fold SUMS the
-    new rows into the accumulated table by key — valid exactly when the
-    summary is additive under corpus partition (Σ per-batch tables ≡
-    one-shot table), which makes the streamed entry share the batch
-    oracle verbatim. The stateful-wordcount shape generalized: state is
-    O(|keys|) like updateStateByKey, the merge is one partial-agged
-    groupBy over state ∪ batch-summary. Versioned publish (predecessor
-    read + atomic CURRENT swap) as in :func:`scd1_merge_sink` —
-    replay-idempotent."""
+    micro-batch into (key_cols, sum_cols) rows, and the fold merges the
+    new rows into the accumulated table by key — SUM per column by
+    default (the additive case: Σ per-batch tables ≡ one-shot table),
+    or any commutative-semigroup merge via ``agg_fns`` (col ->
+    "sum"|"min"|"max" — min/max are idempotent semilattice merges, so
+    per-column mergeability is exactly what makes the streamed entry
+    share the batch oracle verbatim). The stateful-wordcount shape
+    generalized: state is O(|keys|) like updateStateByKey, the merge is
+    one partial-agged groupBy over state ∪ batch-summary. Versioned
+    publish (predecessor read + atomic CURRENT swap) as in
+    :func:`scd1_merge_sink` — replay-idempotent."""
     import os
 
     def _state_before(epoch_id: int):
@@ -335,7 +338,8 @@ def counts_fold_sink(spark, batch_counts, key_cols: list[str],
             new = (
                 prev.unionByName(new)
                 .groupBy(*key_cols)
-                .agg(*[F.sum(c).alias(c) for c in sum_cols])
+                .agg(*[getattr(F, (agg_fns or {}).get(c, "sum"))(c)
+                       .alias(c) for c in sum_cols])
             )
         new.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{epoch_id}"))

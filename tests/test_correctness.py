@@ -76,6 +76,7 @@ def test_cosched_groups_map_is_consistent(spark):
     assert sizes["rs_documents"] == len(entrymod._rs_docs_members())
     assert sizes["merge_folds"] == len(entrymod._merge_fold_members())
     assert sizes["dedup_replays"] == len(entrymod._dedup_replay_members())
+    assert sizes["misc_replays"] == len(entrymod._misc_replay_members())
     assert sum(sizes.values()) == len(groups)
 
 

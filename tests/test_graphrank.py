@@ -176,3 +176,20 @@ def test_link_prediction_hub_cap_contract(spark):
            for r in GR.link_prediction(e, max_hub_deg=2).collect()}
     assert (3, 4) not in out
     assert out[(1, 2)]["cn"] == 1 and out[(1, 2)]["ra_score"] == 500000
+
+
+def test_ppr_localizes_to_seed_component(spark):
+    """Two disconnected components; seeds in component A -> every
+    component-B node ranks exactly 0 (no teleport, no inflow), and
+    A's non-seed neighbor collects strictly positive rank. Seeds
+    without edges are excluded from the teleport by the
+    seeds-intersect-nodes rule."""
+    e = _sym_edges(spark, [(1, 2), (2, 3), (10, 11)])
+    e = e.groupBy("src", "dst").count().withColumnRenamed("count", "w")
+    seeds = spark.createDataFrame([(1,), (999,)], "v long")
+    r = {row["v"]: row["rank"]
+         for row in GR.weighted_pagerank(e, seeds=seeds).collect()}
+    assert r[10] == 0.0 and r[11] == 0.0
+    assert r[2] > 0.0 and r[1] > 0.0
+    # 999 has no edges: teleport mass went entirely to node 1
+    assert r[1] > r[3] > 0.0

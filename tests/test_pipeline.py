@@ -264,3 +264,92 @@ def test_benford_audit_hand_distribution(spark):
     assert out[2]["delta_ppm"] == -176091
     assert sum(PF.BENFORD_PPM.values()) == 1000000
     assert sum(r["expected_ppm"] for r in out.values()) == 1000000
+
+
+def test_mad_anomalies_hampel_fence(spark):
+    """Hand series: median 5.00, MAD 1.00 -> only the 100.00 point
+    clears the 5-MAD fence; the mean/stddev gate would have had its
+    fence dragged by that same point (the breakdown argument)."""
+    import datetime as dt
+
+    from spark_streaming_spark.operators import profile as PF
+
+    t = dt.datetime(2024, 1, 1)
+    vals = [4.0, 5.0, 5.0, 6.0, 100.0]
+    events = spark.createDataFrame(
+        [(i, t, i, "view", v, "{}") for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    rows = PF.mad_anomalies(events).collect()
+    assert [r["event_id"] for r in rows] == [4]
+    assert rows[0]["med_cents"] == 500 and rows[0]["mad_cents"] == 100
+
+
+def test_referential_audit_orphans_and_childless(spark):
+    """Child rows [1,1,2,7] vs parents {1,2,3}: the single key-7 row
+    is an orphan; parent 3 is childless; n_child counts ROWS (4), the
+    others count KEYS."""
+    from spark_streaming_spark.operators import profile as PF
+
+    child = spark.createDataFrame([(1,), (1,), (2,), (7,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    r = PF.referential_audit(
+        [("child.k->parent", child, "k", parent, "p")]).collect()[0]
+    assert r["n_child"] == 4 and r["n_orphans"] == 1
+    assert r["n_parents"] == 3 and r["n_childless"] == 1
+
+
+def test_bloom_prune_equals_plain_semi_join_and_prunes(spark):
+    """The two contract halves: (a) prune-then-exact-join EQUALS the
+    plain semi join (no false negatives, FPs removed); (b) the Bloom
+    actually prunes — the candidate set is well under the fact table
+    when the key set is selective."""
+    from spark_streaming_spark.operators import pipeline as PL
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    keys = load_table(spark, SF_DIR, "part").filter(
+        F.col("p_retailprice") > 990)
+    got = PL.bloom_pruned_semi_join(li, "l_partkey", keys, "p_partkey")
+    plain = li.join(
+        keys.select("p_partkey").distinct(),
+        li["l_partkey"] == F.col("p_partkey"), "left_semi")
+    assert got.count() == plain.count()
+    assert sorted(r["l_orderkey"] for r in got.collect()) == \
+        sorted(r["l_orderkey"] for r in plain.collect())
+    # pruning is real: candidates (pre exact-join) << fact rows
+    kd = keys.select(F.col("p_partkey").cast("string").alias("_bk")) \
+        .distinct()
+    arr = PL.bloom_bits_of(kd, "_bk")
+    probe = li.withColumn("_bk", F.col("l_partkey").cast("string")) \
+        .crossJoin(F.broadcast(arr))
+    probe, cond = PL.bloom_probe_cond(probe, "_bk")
+    n_cand, n_all = probe.filter(cond).count(), li.count()
+    assert n_cand < n_all * 0.5
+    assert n_cand >= got.count()
+
+
+def test_value_drift_bins_detects_shift(spark):
+    """Identical halves -> zero drift everywhere; a current half
+    shifted above the reference max -> all current mass lands in the
+    top bin (diff 900000 there, since ref has ~1/10 per bin)."""
+    import datetime as dt
+
+    from spark_streaming_spark.operators import profile as PF
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string")
+
+    d0, d1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+    same = mk([(i, d0, 1, "v", float(i), "{}") for i in range(100)]
+              + [(100 + i, d1, 1, "v", float(i), "{}")
+                 for i in range(100)])
+    out = {r["bin"]: r for r in PF.value_drift_bins(same).collect()}
+    assert all(r["diff_ppm"] == 0 for r in out.values())
+    shifted = mk([(i, d0, 1, "v", float(i), "{}") for i in range(100)]
+                 + [(100 + i, d1, 1, "v", 1000.0 + i, "{}")
+                    for i in range(100)])
+    out2 = {r["bin"]: r for r in PF.value_drift_bins(shifted).collect()}
+    assert out2[9]["cur_ppm"] == 1000000
+    assert out2[0]["n_cur"] == 0

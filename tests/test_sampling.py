@@ -88,3 +88,25 @@ def test_weighted_systematic_sample_pps_invariants(spark):
     # partitioning invariance: the layout-independence df.sample lacks
     re = SMP.weighted_systematic_sample(docs.repartition(13), n_target=50)
     assert out.exceptAll(re).count() == 0 and re.exceptAll(out).count() == 0
+
+
+def test_stratum_allocation_largest_remainder(spark):
+    """Hamilton hand cases. Strata 5/3/1 rows, budget 7: quotas
+    35/9, 21/9, 7/9 -> floors 3/2/0, remainders 8/3/7, leftover 2
+    seats go to the two largest remainders (a, c) -> 4/2/1. Strata
+    4/3/3, budget 10: exact quotas, no leftovers. Sum == budget."""
+    from spark_streaming_spark.operators.sampling import (
+        stratum_allocation)
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r["stratum"]: r["alloc"]
+           for r in stratum_allocation(df, "lang", budget=7).collect()}
+    assert out == {"a": 4, "b": 2, "c": 1}
+    assert sum(out.values()) == 7
+
+    even = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 3 + [("c",)] * 3, "lang string")
+    out2 = {r["stratum"]: r["alloc"]
+            for r in stratum_allocation(even, "lang", budget=10).collect()}
+    assert out2 == {"a": 4, "b": 3, "c": 3}

@@ -291,3 +291,33 @@ def test_user_value_ewma_exact_weights(spark):
     assert out[2]["ewma_microcents"] == 550 * 1000000
     assert out[3]["n_used"] == 16
     assert out[3]["ewma_microcents"] == 100 * 1000000
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The closed form P_t - min prefix must equal the textbook
+    recursion S_t = max(0, S_{t-1} + x_t - k) day by day, including
+    through a gap day (counts 0) and a sustained shift."""
+    import datetime as dt
+
+    from spark_streaming_spark.operators import timeseries as TS
+
+    counts = [2, 3, 0, 2, 9, 10, 8]  # day 3 absent, shift at day 5
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + i), 1, "error",
+                         0.0, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    out = {r["day"].isoformat(): (r["n"], r["cusum"])
+           for r in TS.cusum_days(events).collect()}
+    n, tot = len(counts), sum(counts)
+    k = (tot + n - 1) // n
+    s = 0
+    for i, c in enumerate(counts):
+        s = max(0, s + c - k)
+        day = dt.date(2024, 1, 1 + i).isoformat()
+        assert out[day] == (c, s), (day, out[day], (c, s))

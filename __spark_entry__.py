@@ -2231,7 +2231,9 @@ _CHECK_FIRST = [
     # bloom_pruned_join, burst_days, stratum_allocation,
     # association_rules, value_drift_bins, streaming_referential_audit,
     # ppr_part_recommendations, fd_discovery, revenue_share_hierarchy,
-    # cusum_error_days — first signal beats refresh),
+    # cusum_error_days, user_value_outliers, item_cf_recommendations,
+    # label_separation, time_to_convert_stats — first signal beats
+    # refresh),
     # then the 19 r4-vintage entries that didn't fit this
     # window (quantity_quantiles, rollup_customer_nations,
     # running_customer_spend, running_word_count,
@@ -2552,6 +2554,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vs original squared distance (integer-exact ppm)
         "rp_distortion": lambda s, d: SIM.rp_distortion(
             load_table(s, d, "embeddings")),
+        # cluster-quality eval: per-label compactness vs nearest-other
+        # separation (Davies-Bouldin-style, per label)
+        "label_separation": lambda s, d: SIM.label_separation(
+            load_table(s, d, "embeddings")),
         # similarity search
         "knn_bruteforce": lambda s, d: SIM.knn_to_query(load_table(s, d, "embeddings")),
         "knn_graph": lambda s, d: SIM.knn_graph(
@@ -2629,6 +2635,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_histogram": lambda s, d: _cosched_group(
             s, d, "rs_events", _rs_events_members(), "histogram"),
         # stream-stream join semantics, batch-planned (same operator fn)
+        # funnel latency summary: exact p50/p90 seconds from first
+        # click to first subsequent purchase (global-rank values)
+        "time_to_convert_stats": lambda s, d: CV.time_to_convert_stats(
+            load_table(s, d, "events")),
         "click_purchase_conversions": lambda s, d: CV.click_purchase_conversions(
             load_table(s, d, "events")),
         # funnel drop-off side: clicks that never convert keep one
@@ -2958,6 +2968,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mean/stddev gate; exact medians via two-phase global rank
         "mad_anomalies": lambda s, d: PF.mad_anomalies(
             load_table(s, d, "events")),
+        # per-entity 3-sigma gate with denominators cleared to exact
+        # integers: (n*x - s)^2 > 9*(n*q - s^2), no float moments
+        "user_value_outliers": lambda s, d: PF.user_value_outliers(
+            load_table(s, d, "events")),
         # numeric drift monitor: reference-decile bins, integer-ppm
         # shares, |ref-cur| per bin (TV = half the diff sum)
         "value_drift_bins": lambda s, d: PF.value_drift_bins(
@@ -3048,6 +3062,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is the asymmetry lift can't express; map-side explode only
         "association_rules": lambda s, d: BK.association_rules(
             load_table(s, d, "lineitem"), cache_key=d),
+        # item-item CF serving: owned-parts x pair artifact, per-
+        # customer WindowGroupLimit top-k, ownership anti-joined out
+        "item_cf_recommendations": lambda s, d: BK.item_cf_recommendations(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders"),
+            cache_key=d),
         "copurchase_triangles": lambda s, d: BK.triangle_counts(
             BK.frequent_pairs(load_table(s, d, "lineitem"), cache_key=d)
             .select("part_a", "part_b")),
@@ -6308,6 +6327,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(lift_ppm AS BIGINT) AS lift_ppm
         FROM dirs
     """
+
+    sql["item_cf_recommendations"] = """
+        WITH fp AS (WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items),
+        freq AS (
+          SELECT l_partkey, count(*) AS support FROM items
+          GROUP BY 1 HAVING count(*) >= 5
+        ),
+        pr AS (
+          SELECT i.l_orderkey, i.l_partkey, f.support
+          FROM items i JOIN freq f USING (l_partkey)
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               a.support AS support_a, b.support AS support_b,
+               count(*) AS pair_support,
+               CAST(1000000::HUGEINT * (SELECT nb FROM n) * count(*)
+                    // (a.support::HUGEINT * b.support) AS BIGINT) AS lift_ppm
+        FROM pr a JOIN pr b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= 2),
+        owned AS (
+          SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS part
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        sym AS (
+          SELECT part_a AS part, part_b AS cand, pair_support AS w
+          FROM fp
+          UNION ALL
+          SELECT part_b, part_a, pair_support FROM fp
+        ),
+        scored AS (
+          SELECT o.custkey, s.cand,
+                 CAST(SUM(s.w) AS BIGINT) AS score
+          FROM owned o JOIN sym s ON s.part = o.part
+          GROUP BY 1, 2
+        ),
+        fresh AS (
+          SELECT sc.* FROM scored sc
+          WHERE NOT EXISTS (SELECT 1 FROM owned ow
+                            WHERE ow.custkey = sc.custkey
+                              AND ow.part = sc.cand)
+        )
+        SELECT custkey, cand AS part, score, CAST(rnk AS INTEGER) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY custkey
+                          ORDER BY score DESC, cand ASC) AS rnk
+              FROM fresh)
+        WHERE rnk <= 3
+    """
     # triangle count per node — naive a<b<c enumeration (identical
     # triangle set to the Spark side's degree-ordered orientation)
     sql["copurchase_triangles"] = """
@@ -6530,6 +6598,20 @@ def oracle_sql() -> dict[str, str]:
                         - (1000000 * n_cur) // tc) AS BIGINT)
                  AS diff_ppm
         FROM j, t
+    """
+    sql["user_value_outliers"] = """
+        WITH c AS (SELECT event_id, user_id,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_user,
+                     SUM(CAST(cents AS HUGEINT)) AS s,
+                     SUM(CAST(cents AS HUGEINT) * cents) AS q
+              FROM c GROUP BY 1 HAVING count(*) >= 5)
+        SELECT event_id, user_id, cents, n_user
+        FROM c JOIN m USING (user_id)
+        WHERE (CAST(n_user AS HUGEINT) * cents - s)
+              * (CAST(n_user AS HUGEINT) * cents - s)
+              > 9 * (CAST(n_user AS HUGEINT) * q - s * s)
     """
     sql["mad_anomalies"] = """
         WITH c AS (SELECT event_id, user_id,
@@ -6999,6 +7081,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.from_type, p.to_type, p.n_trans,
                (1000000 * p.n_trans) // t.n_from AS p_ppm
         FROM p JOIN t USING (from_type)
+    """
+    sql["time_to_convert_stats"] = """
+        WITH fc AS (SELECT user_id, min(ts) AS c_ts FROM events
+                    WHERE event_type = 'click' GROUP BY 1),
+        conv AS (SELECT e.user_id,
+                        (epoch_us(min(e.ts)) - epoch_us(min(fc.c_ts)))
+                          // 1000000 AS delta_s
+                 FROM events e JOIN fc USING (user_id)
+                 WHERE e.event_type = 'purchase' AND e.ts >= fc.c_ts
+                 GROUP BY e.user_id),
+        n AS (SELECT count(*) AS n FROM conv),
+        r AS (SELECT delta_s,
+                     row_number() OVER (ORDER BY delta_s, user_id) AS rk
+              FROM conv)
+        SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_converted,
+               (SELECT CAST(delta_s AS BIGINT) FROM r, n
+                WHERE rk = (n + 1) // 2) AS p50_s,
+               (SELECT CAST(delta_s AS BIGINT) FROM r, n
+                WHERE rk = (9 * n + 9) // 10) AS p90_s
     """
     sql["streaming_transition_matrix"] = sql["event_transition_matrix"]
     # any-gap precedence support: exists a before b <=> min(ts of a)
@@ -8200,6 +8301,47 @@ dscored AS (
     # nearest-centroid: centroid doubles are decimal-mean exact (the
     # label_centroids contract); per-dim squared deltas rounded to 7 dp
     # and decimal-summed → order-independent, engine-identical dist2
+    sql["label_separation"] = """
+        WITH cent AS (
+          SELECT label AS c_label, i,
+                 CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 7)
+                          AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS c
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+          GROUP BY label, i
+        ),
+        own AS (
+          SELECT e.vec_id, e.label,
+                 CAST(SUM(CAST(ROUND(
+                      (CAST(e.embedding[c.i] AS DOUBLE) - c.c)
+                    * (CAST(e.embedding[c.i] AS DOUBLE) - c.c), 7)
+                      AS DECIMAL(38,8))) AS DOUBLE) AS dist2
+          FROM embeddings e JOIN cent c ON c.c_label = e.label
+          GROUP BY e.vec_id, e.label
+        ),
+        intra AS (
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(CAST(ROUND(dist2, 7) AS DECIMAL(38,8)))
+                      AS DOUBLE) / count(*) AS avg_intra_d2
+          FROM own GROUP BY label
+        ),
+        cd AS (
+          SELECT a.c_label AS label, b.c_label AS other,
+                 CAST(SUM(CAST(ROUND((a.c - b.c) * (a.c - b.c), 7)
+                          AS DECIMAL(38,8))) AS DOUBLE) AS cd2
+          FROM cent a JOIN cent b
+            ON a.i = b.i AND a.c_label <> b.c_label
+          GROUP BY 1, 2
+        ),
+        inter AS (
+          SELECT label, other AS nearest_label, cd2 AS inter_d2
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY label ORDER BY cd2, other) AS rn
+                FROM cd) WHERE rn = 1
+        )
+        SELECT i.label, n_vecs, avg_intra_d2, nearest_label, inter_d2,
+               inter_d2 / avg_intra_d2 AS sep_ratio
+        FROM intra i JOIN inter USING (label)
+    """
     sql["centroid_assign"] = """
         WITH cent AS (
           SELECT label AS c_label, i,

@@ -212,3 +212,55 @@ def association_rules(lineitem: DataFrame,
         .alias("conf_ppm"),
         F.col("lift_ppm").cast("long").alias("lift_ppm"),
     )
+
+
+def item_cf_recommendations(lineitem: DataFrame, orders: DataFrame,
+                            k: int = 3,
+                            cache_key: str | None = None) -> DataFrame:
+    """Item-based collaborative filtering (Sarwar et al. 2001, the
+    Amazon item-item shape; public method): recommend to each customer
+    the top-``k`` parts most co-purchased with parts they already own,
+    excluding what they own. Score(c, p) = Σ over owned parts q of the
+    co-purchase support of (q, p) — exact integers, so the ranking is
+    engine-identical; (score DESC, part ASC) tie-break makes the
+    per-customer top-k deterministic. Columns: custkey, part, score,
+    rnk.
+
+    Scale shape: the item-item model is the memoized Apriori-pruned
+    pair artifact (frequent_pairs — bounded, never all-pairs); the
+    serving join is customer-owned-parts ⋈ pair table keyed on the
+    part (both sides hash-partitioned), one partial-agged (customer,
+    candidate) groupBy, ownership removed with a left anti join, and
+    the per-customer top-k is a WindowGroupLimit rank — per-partition
+    heaps, no global sort."""
+    from pyspark.sql import Window
+
+    owned = (
+        lineitem.join(orders,
+                      F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    fp = frequent_pairs(lineitem, cache_key=cache_key)
+    sym = fp.select(F.col("part_a").alias("part"),
+                    F.col("part_b").alias("cand"),
+                    F.col("pair_support").alias("w")).unionAll(
+        fp.select(F.col("part_b").alias("part"),
+                  F.col("part_a").alias("cand"),
+                  F.col("pair_support").alias("w")))
+    scored = (
+        owned.join(sym, "part")
+        .groupBy("custkey", "cand")
+        .agg(F.sum("w").cast("long").alias("score"))
+        .join(owned.select("custkey",
+                           F.col("part").alias("cand")),
+              ["custkey", "cand"], "left_anti")
+    )
+    w = Window.partitionBy("custkey").orderBy(
+        F.col("score").desc(), F.col("cand").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("custkey", F.col("cand").alias("part"), "score", "rnk")
+    )

@@ -85,3 +85,46 @@ def click_purchase_conversions(
             "click_id", "purchase_id", "click_ts", "purchase_ts",
         )
     )
+
+
+def time_to_convert_stats(events: DataFrame) -> DataFrame:
+    """Time-to-convert distribution — the funnel-latency summary a
+    growth dashboard leads with: per user, seconds from FIRST click to
+    the first purchase AFTER it; then exact median and p90 over the
+    converting users (values at global ranks ⌈n/2⌉ and ⌈9n/10⌉ under a
+    total (delta, user) order — integer seconds, no interpolation, so
+    the summary is engine-identical). Columns: n_converted, p50_s,
+    p90_s (one row).
+
+    Scale shape: two filtered per-user min-aggregates (click, then
+    purchase-after-click via one join keyed on user), the rank pass is
+    the two-phase range-partitioned global rank reduced to two
+    broadcast scalars."""
+    from spark_streaming_spark.operators.ranking import with_global_rank
+
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("c_ts").alias("c_ts"))
+        # exact integer micros, then floor-DIV to seconds: second-
+        # truncation semantics differ across engines on fractional ts
+        .select("user_id",
+                F.expr("(unix_micros(p_ts) - unix_micros(c_ts))"
+                       " DIV 1000000").cast("long").alias("delta_s"))
+    )
+    n = conv.count()  # 1-row scalar
+    r50, r90 = (n + 1) // 2, (9 * n + 9) // 10
+    ranked = with_global_rank(conv, ["delta_s", "user_id"], "rk")
+    p50 = ranked.filter(F.col("rk") == r50).select(
+        F.col("delta_s").alias("p50_s"))
+    p90 = ranked.filter(F.col("rk") == r90).select(
+        F.col("delta_s").alias("p90_s"))
+    return (
+        conv.agg(F.count("*").cast("long").alias("n_converted"))
+        .join(F.broadcast(p50)).join(F.broadcast(p90))
+    )

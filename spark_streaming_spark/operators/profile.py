@@ -533,3 +533,39 @@ def fd_discovery(tagged: list[tuple[str, DataFrame, str, str]]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def user_value_outliers(events: DataFrame, k_sigma: int = 3,
+                        min_events: int = 5) -> DataFrame:
+    """Per-entity anomaly gate: events deviating more than
+    ``k_sigma``·σ from their OWN user's value distribution — the
+    personalized complement to the global gates (value_outliers,
+    mad_anomalies): a $50 event is normal for a whale and anomalous
+    for a browser. EXACT integer algebra, no float mean/stddev ever:
+    with s = Σcents, q = Σcents², the population test
+    (x − s/n)² > k²·(nq − s²)/n² clears denominators to
+    (n·x − s)² > k²·(n·q − s²) — every side an exact DECIMAL(38,0).
+    Users need ``min_events`` events (σ of a 2-event user is noise).
+    Columns: event_id, user_id, cents, n_user.
+
+    Scale shape: one partial-agged per-user moment aggregate joined
+    back on user_id (both sides hash-partitioned on the same key —
+    one shuffle each, no window); the test is map-side."""
+    c = events.select(
+        "event_id", "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+    m = (c.groupBy("user_id")
+         .agg(F.count("*").cast("long").alias("n_user"),
+              F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("s"),
+              F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+              .alias("q"))
+         .filter(F.col("n_user") >= min_events))
+    lhs = "CAST(n_user AS DECIMAL(38,0)) * cents - s"
+    rhs = (f"CAST({k_sigma * k_sigma} AS DECIMAL(38,0))"
+           " * (CAST(n_user AS DECIMAL(38,0)) * q - s * s)")
+    return (
+        c.join(m, "user_id")
+        .filter(F.expr(f"CAST(({lhs}) AS DECIMAL(38,0))"
+                       f" * ({lhs}) > {rhs}"))
+        .select("event_id", "user_id", "cents", "n_user")
+    )

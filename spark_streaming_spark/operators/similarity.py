@@ -917,3 +917,68 @@ def rp_distortion(embeddings: DataFrame, out_dims: int = 8) -> DataFrame:
                    " AS BIGINT)").alias("ratio_ppm"),
         )
     )
+
+
+def label_separation(embeddings: DataFrame) -> DataFrame:
+    """Cluster-quality evaluation of a labeled embedding space — the
+    Davies-Bouldin-style compactness/separation readout (public
+    method family; per-label rather than a single index so the
+    offending cluster is visible): per label, the mean squared
+    distance to its OWN centroid (compactness) vs the squared
+    distance to the NEAREST other centroid (separation), and their
+    ratio. The eval an embedding-model rollout gates on ("did the new
+    encoder collapse two classes?"). Columns: label, n_vecs,
+    avg_intra_d2, nearest_label, inter_d2, sep_ratio.
+
+    Exactness: every distance is the decimal contract of
+    assign_with_centroids (per-dim round to 7 dp, DECIMAL(38,8)
+    order-independent sum → double); the per-label mean re-quantizes
+    the per-vector dist2 through the same decimal sum and ONE fixed
+    divide; nearest-other is a struct-min with label tie-break.
+
+    Scale shape: the centroid table is the |labels|-row broadcast
+    artifact (centroid_table); intra distances are map-side vs the
+    broadcast + one label groupBy; inter-centroid distances are the
+    |labels|² tiny crossJoin."""
+    carr = centroid_table(embeddings).localCheckpoint(eager=True)
+    d2 = F.expr(
+        "cast(aggregate(zip_with(embedding, cvec,"
+        " (x, c) -> cast(round((cast(x as double) - c)"
+        " * (cast(x as double) - c), 7) as decimal(38,8))),"
+        " cast(0 as decimal(38,8)),"
+        " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
+    )
+    intra = (
+        widen(embeddings)
+        .join(F.broadcast(carr),
+              F.col("label") == F.col("c_label"))
+        .select("label", d2.alias("dist2"))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_vecs"),
+             (F.sum(F.expr("cast(round(dist2, 7) as decimal(38,8))"))
+              .cast("double") / F.count("*")).alias("avg_intra_d2"))
+    )
+    cd2 = F.expr(
+        "cast(aggregate(zip_with(a.cvec, b.cvec,"
+        " (x, y) -> cast(round((x - y) * (x - y), 7)"
+        " as decimal(38,8))), cast(0 as decimal(38,8)),"
+        " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
+    )
+    inter = (
+        carr.alias("a").crossJoin(F.broadcast(carr.alias("b")))
+        .filter(F.col("a.c_label") != F.col("b.c_label"))
+        .select(F.col("a.c_label").alias("label"),
+                F.col("b.c_label").alias("other"),
+                cd2.alias("cd2"))
+        .groupBy("label")
+        .agg(F.min(F.struct("cd2", "other")).alias("m"))
+        .select("label", F.col("m.other").alias("nearest_label"),
+                F.col("m.cd2").alias("inter_d2"))
+    )
+    return (
+        intra.join(inter, "label")
+        .select("label", "n_vecs", "avg_intra_d2", "nearest_label",
+                "inter_d2",
+                (F.col("inter_d2") / F.col("avg_intra_d2"))
+                .alias("sep_ratio"))
+    )

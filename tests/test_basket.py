@@ -59,3 +59,39 @@ def test_triangle_plan_no_nested_loop(pairs):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_item_cf_recommends_copurchased_unowned(spark):
+    """Customer 900 owns only part 1. Part 2 co-occurs with part 1 in
+    3 baskets, part 3 in 2 -> recommend 2 above 3; never recommend the
+    owned part 1. Supports meet frequent_pairs' floors (items >= 5
+    baskets, pairs >= 2)."""
+    from spark_streaming_spark.operators.basket import (
+        item_cf_recommendations)
+
+    baskets = {
+        1: [1, 2], 2: [1, 2], 3: [1, 2], 4: [1, 3], 5: [1, 3],
+        6: [2, 3], 7: [2], 8: [3], 9: [2, 3], 10: [1], 11: [2], 12: [3],
+        900: [1],
+    }
+    li = spark.createDataFrame(
+        [(ok, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          __import__("datetime").datetime(2024, 1, 1))
+         for ok, parts in baskets.items()
+         for i, p in enumerate(parts)],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp")
+    orders = spark.createDataFrame(
+        [(ok, 900 if ok == 900 else ok, "O", 1.0,
+          __import__("datetime").datetime(2024, 1, 1), "1-URGENT")
+         for ok in baskets],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string")
+    recs = [r for r in item_cf_recommendations(li, orders).collect()
+            if r["custkey"] == 900]
+    assert [r["part"] for r in sorted(recs, key=lambda r: r["rnk"])] \
+        == [2, 3]
+    assert all(r["part"] != 1 for r in recs)

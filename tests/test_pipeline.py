@@ -353,3 +353,36 @@ def test_value_drift_bins_detects_shift(spark):
     out2 = {r["bin"]: r for r in PF.value_drift_bins(shifted).collect()}
     assert out2[9]["cur_ppm"] == 1000000
     assert out2[0]["n_cur"] == 0
+
+
+def test_user_value_outliers_personalized(spark):
+    """The personalization claim: the same 50.00 value flags for the
+    low-spend user and does NOT flag for the whale whose own spread
+    covers it; min_events gates noisy users out; algebra cross-check
+    vs float mean/std on the flagged user."""
+    import datetime as dt
+    import statistics
+
+    from spark_streaming_spark.operators import profile as PF
+
+    t = dt.datetime(2024, 1, 1)
+    # population z including the point is bounded by (n-1)/sqrt(n), so
+    # a 3-sigma flag needs n >= 11 baseline points — 15 here
+    low = [1.0, 1.2, 0.9, 1.1, 1.0] * 3 + [50.0]
+    whale = [40.0, 60.0, 45.0, 55.0, 38.0] * 3 + [50.0]
+    rows = [(i, t, 1, "v", v, "{}") for i, v in enumerate(low)]
+    rows += [(200 + i, t, 2, "v", v, "{}") for i, v in enumerate(whale)]
+    rows += [(900, t, 3, "v", 999.0, "{}")]  # n < min_events
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    out = {r["event_id"]: r for r in
+           PF.user_value_outliers(events).collect()}
+    spike_id = len(low) - 1
+    assert spike_id in out and out[spike_id]["cents"] == 5000
+    assert all(r["user_id"] == 1 for r in out.values())
+    # float cross-check (population sigma) on user 1's 50.00
+    cents = [round(v * 100) for v in low]
+    mu = statistics.fmean(cents)
+    sigma = statistics.pstdev(cents)
+    assert abs(5000 - mu) > 3 * sigma

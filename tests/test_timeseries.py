@@ -321,3 +321,36 @@ def test_cusum_closed_form_matches_recursion(spark):
         s = max(0, s + c - k)
         day = dt.date(2024, 1, 1 + i).isoformat()
         assert out[day] == (c, s), (day, out[day], (c, s))
+
+
+def test_time_to_convert_semantics(spark):
+    """Only purchases AT/AFTER the user's first click convert; a
+    purchase-before-any-click user and a click-only user don't count;
+    delta is floor seconds of the exact micros difference."""
+    import datetime as dt
+
+    from spark_streaming_spark.operators import conversions as CV
+
+    t = (lambda s, us=0: dt.datetime(2024, 1, 1)
+         + dt.timedelta(seconds=s, microseconds=us))
+    rows = [
+        # user 1: click t0, purchase t60.5 -> 60s (floor of micros)
+        (1, t(0), 1, "click", 0.0, "{}"),
+        (2, t(60, 500000), 1, "purchase", 0.0, "{}"),
+        # user 2: purchase BEFORE its only click -> not converted
+        (3, t(0), 2, "purchase", 0.0, "{}"),
+        (4, t(10), 2, "click", 0.0, "{}"),
+        # user 3: click only
+        (5, t(0), 3, "click", 0.0, "{}"),
+        # user 4: click t0, purchases at t100 and t400 -> first wins
+        (6, t(0), 4, "click", 0.0, "{}"),
+        (7, t(100), 4, "purchase", 0.0, "{}"),
+        (8, t(400), 4, "purchase", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    r = CV.time_to_convert_stats(events).collect()[0]
+    assert r["n_converted"] == 2
+    assert r["p50_s"] == 60      # rank (2+1)//2 = 1 -> the 60s user
+    assert r["p90_s"] == 100     # rank (18+9)//10 = 2

@@ -1178,6 +1178,13 @@ def _doc_fold_members():
             fold(lambda b: TX.word_cooccurrence_edges(b, min_w=1),
                  ["src", "dst"], ["w"], "textrank_state_"),
             lambda df, s, d: TX.textrank_from_edges(df)),
+        # eval-budget allocation maintained CONTINUOUSLY: per-lang
+        # counts are additive, Hamilton apportionment runs at read
+        "stratum_alloc": (
+            fold(lambda b: SMP.stratum_counts(b, "lang"),
+                 ["stratum"], ["n_rows"], "stratalloc_state_",
+                 select=lambda st: st.select("lang")),
+            lambda df, s, d: SMP.allocation_from_counts(df)),
         "spacesaving": (
             fold(SKC.spacesaving_word_counts, ["word"], ["cnt"],
                  "ss_state_"),
@@ -1458,6 +1465,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_benford": "merge_folds",
     "streaming_referential_audit": "merge_folds",
     "streaming_textrank": "doc_folds",
+    "streaming_stratum_allocation": "doc_folds",
     "streaming_event_sequences": "event_folds",
     "streaming_kafka_wordcount": "misc_replays",
     "streaming_wordcount_rocksdb": "misc_replays",
@@ -2232,8 +2240,8 @@ _CHECK_FIRST = [
     # association_rules, value_drift_bins, streaming_referential_audit,
     # ppr_part_recommendations, fd_discovery, revenue_share_hierarchy,
     # cusum_error_days, user_value_outliers, item_cf_recommendations,
-    # label_separation, time_to_convert_stats — first signal beats
-    # refresh),
+    # label_separation, time_to_convert_stats,
+    # streaming_stratum_allocation — first signal beats refresh),
     # then the 19 r4-vintage entries that didn't fit this
     # window (quantity_quantiles, rollup_customer_nations,
     # running_customer_spend, running_word_count,
@@ -3403,6 +3411,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, "doc_folds", _doc_fold_members(), "textrank"),
         "streaming_event_sequences": lambda s, d: _cosched_group(
             s, d, "event_folds", _event_fold_members(), "sequences"),
+        "streaming_stratum_allocation": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "stratum_alloc"),
         # the as-of lookup served per micro-batch against the published
         # history artifact (stream-static, stateless, append)
         "streaming_events_asof_status": _q_streaming_events_asof_status,
@@ -7628,6 +7638,7 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS alloc
         FROM r
     """
+    sql["streaming_stratum_allocation"] = sql["stratum_allocation"]
     sql["deterministic_sample"] = """
         SELECT * FROM documents
         WHERE CAST('0x' || substr(

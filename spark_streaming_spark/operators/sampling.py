@@ -296,10 +296,24 @@ def stratum_allocation(df: DataFrame, stratum_col: str,
     Scale shape: ONE partial-agged groupBy collapses the corpus to
     |strata| rows; every window after runs on that tiny table (the
     sanctioned driver-sized window). All integer arithmetic."""
+    return allocation_from_counts(stratum_counts(df, stratum_col),
+                                  budget)
+
+
+def stratum_counts(df: DataFrame, stratum_col: str) -> DataFrame:
+    """(stratum, n_rows) — ADDITIVE under corpus partition, so the
+    allocation runs CONTINUOUSLY by folding this table per micro-batch
+    (counts_fold_sink) and apportioning at read."""
+    return (df.groupBy(F.col(stratum_col).cast("string").alias("stratum"))
+            .agg(F.count("*").cast("long").alias("n_rows")))
+
+
+def allocation_from_counts(s: DataFrame, budget: int = 100) -> DataFrame:
+    """The Hamilton apportionment tail of :func:`stratum_allocation`,
+    off a (stratum, n_rows) count table (batch-built or
+    stream-folded)."""
     from pyspark.sql import Window
 
-    s = (df.groupBy(F.col(stratum_col).cast("string").alias("stratum"))
-         .agg(F.count("*").cast("long").alias("n_rows")))
     w = Window.partitionBy()
     wr = Window.orderBy(F.col("rem").desc(), F.col("n_rows").desc(),
                         F.col("stratum").asc())

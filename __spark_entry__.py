@@ -2194,67 +2194,42 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # Round-10 window (VERDICT r9 "Next round" #1). Priority order —
+    # Round-11 window (VERDICT r10 "Next round" #1). Priority order —
     # first signal beats refresh:
-    # (a) FIRST driver signal for the 6 entries new this round: top-2
-    # PCA by projected deflation + its 2-D projection serving step, the
-    # streamed moment-fold PCA twin, and the fasttext-shape lang-id
-    # head (batch + at-ingest router) + its confusion-matrix eval:
-    "embedding_pca_top2", "embedding_pca_top2_scores",
-    "pca_explained_variance", "streaming_pca_loadings",
-    "langid_scores", "streaming_langid_scores", "langid_confusion",
-    "event_stationary_dist", "proximity_search", "doc_top_terms",
-    "rolling_daily_corr", "streaming_rolling_corr", "bigram_pmi",
-    "part_cheapest_hops", "lineitem_zscores",
-    # (b) FIRST driver signal for the 9 late-r9 entries that landed
-    # after the r9 window was committed (suite-green, never
-    # driver-checked — with these, the r1-r10 union covers every
-    # pre-r10 entry at least once):
-    "embedding_pca_loadings", "embedding_pca_scores",
-    "lineitem_corr_matrix", "event_transition_matrix",
-    "streaming_transition_matrix", "kcore_parts",
-    "spacesaving_terms_per_lang", "streaming_spacesaving_per_lang",
-    "streaming_ivf_search",
-    # (c) fill to the 50-slot cap with the r4-vintage cohort (oldest
-    # latest-signal entries; alphabetical within the cohort):
-    "chunk_documents", "click_attribution_full",
-    "click_attribution_right", "contamination_bloom",
-    "cube_order_status", "customer_balance_quartiles",
-    "day_clickers_no_purchase", "dedup_edit_distance", "dedup_exact",
-    "dedup_keep_best", "dedup_ngram_jaccard", "distinct_event_pairs",
-    "dup_components", "event_type_pivot", "forecast_revenue_change",
-    "grouping_sets_orders", "hashed_bow", "hll_distinct_users",
-    "hot_words", "incremental_dedup", "json_props_rollup",
-    "lexical_knn", "lineitem_stats", "nation_presence",
-    "nations_in_both", "purchase_funnel_daily",
-    # r11 pool: FIRST the late-r10 never-checked entries
-    # (pca_axis_drift, k_anonymity_violations, next_event_accuracy,
-    # event_value_quantile_transform, lang_diversity, chi2_terms,
-    # cep_click_purchase, containment_pairs,
-    # copurchase_link_prediction, frequent_event_sequences,
-    # key_skew_report, embedding_random_projection, rp_distortion,
-    # user_value_ewma, benford_audit, streaming_benford,
-    # vocab_coverage, textrank_keywords, streaming_textrank,
-    # streaming_event_sequences, mad_anomalies, referential_audit,
-    # bloom_pruned_join, burst_days, stratum_allocation,
-    # association_rules, value_drift_bins, streaming_referential_audit,
-    # ppr_part_recommendations, fd_discovery, revenue_share_hierarchy,
-    # cusum_error_days, user_value_outliers, item_cf_recommendations,
-    # label_separation, time_to_convert_stats,
-    # streaming_stratum_allocation — first signal beats refresh),
-    # then the 19 r4-vintage entries that didn't fit this
-    # window (quantity_quantiles, rollup_customer_nations,
-    # running_customer_spend, running_word_count,
-    # scalar_showcase, semantic_dedup, similar_pairs_lsh,
-    # small_parts_ordered, streaming_band_cooccurrence,
-    # streaming_centroid_ingest and streaming_click_attribution_full
-    # ceded their slots to late-r10 first-signal entries —
-    # first signal beats refresh — joining streaming_incremental_dedup,
-    # streaming_kafka_wordcount, streaming_scd1_merge,
-    # streaming_wordcount_rocksdb, token_runs, top3_products_sql,
-    # wordcount, zorder_key_events), then the r5 cohort (50 entries —
-    # alphabetical from arrow_token_counts to train_val_test_split; the
-    # overflow rolls to r12 with r7).
+    # (a) FIRST driver signal for the 37 oracle-backed entries that
+    # have never had a green driver row (all r10 additions that landed
+    # after the r10 window was pinned). With these green, the r1–r11
+    # ever-checked union covers ALL 297 oracle-backed entries:
+    "pca_axis_drift", "textrank_keywords", "streaming_textrank",
+    "benford_audit", "streaming_benford",
+    "referential_audit", "streaming_referential_audit",
+    "stratum_allocation", "streaming_stratum_allocation",
+    "item_cf_recommendations", "ppr_part_recommendations",
+    "copurchase_link_prediction",
+    "cusum_error_days", "cep_click_purchase", "chi2_terms",
+    "lang_diversity", "vocab_coverage", "containment_pairs",
+    "frequent_event_sequences", "streaming_event_sequences",
+    "next_event_accuracy", "event_value_quantile_transform",
+    "user_value_ewma", "user_value_outliers", "mad_anomalies",
+    "value_drift_bins", "key_skew_report", "fd_discovery",
+    "revenue_share_hierarchy", "time_to_convert_stats", "burst_days",
+    "bloom_pruned_join", "association_rules",
+    "embedding_random_projection", "rp_distortion",
+    "label_separation", "k_anonymity_violations",
+    # (b) fill the remaining 13 slots with the longest-unrefreshed
+    # cohort (r4-vintage latest-signal, alphabetical):
+    "quantity_quantiles", "rollup_customer_nations",
+    "running_customer_spend", "running_word_count", "scalar_showcase",
+    "semantic_dedup", "similar_pairs_lsh", "small_parts_ordered",
+    "streaming_band_cooccurrence", "streaming_centroid_ingest",
+    "streaming_click_attribution_full", "streaming_incremental_dedup",
+    "streaming_kafka_wordcount",
+    # r12 pool: the 6 r4-vintage entries that didn't fit
+    # (streaming_scd1_merge, streaming_wordcount_rocksdb, token_runs,
+    # top3_products_sql, wordcount, zorder_key_events), then the r5
+    # cohort (alphabetical from arrow_token_counts to
+    # train_val_test_split), then r6–r7; plus FIRST-signal slots for
+    # anything new in r11.
     ]
 
 
@@ -2527,13 +2502,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # banded Hamming LSH is LOSSLESS for n_bands > max_hamming, so
         # the oracle is the plain all-pairs spelling
         "simhash_pairs": lambda s, d: DD.simhash_pairs(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         # near-dup GRAPH communities: weighted synchronous LPA over the
         # SimHash pair graph — splits loosely-chained clusters at their
         # weak links where CC's transitive closure would fuse them;
         # singletons are their own community (VERDICT r8 #8)
         "dup_communities": lambda s, d: DD.dup_communities(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         "dedup_edit_distance": lambda s, d: DD.dedup_edit_distance(
             load_table(s, d, "documents"), cache_key=d),
         "dedup_simhash": lambda s, d: DD.simhash(load_table(s, d, "documents")),
@@ -2541,14 +2516,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # short-doc-absorbed-into-long-doc asymmetric dup Jaccard
         # misses; df-capped postings blocking, integer-exact ppm
         "containment_pairs": lambda s, d: DD.containment_pairs(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         # eval-contamination audit: near-dup pairs straddling the
         # md5-threshold split — split recomputed map-side from doc_id
         # (operators/sampling.split_of), zero joins beyond the pair build
         "split_leakage_pairs": lambda s, d: DD.split_leakage_pairs(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         "split_leakage_matrix": lambda s, d: DD.split_leakage_matrix(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         # threshold 0.35, not the semantic default 0.9: the driver's
         # embeddings are random (within-bucket max cosine ≈ 0.43), so any
         # higher threshold would hash-match on empty sets — vacuous
@@ -2941,8 +2916,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (lambda2/lambda1 ~ 0.93), so each half's 8-iteration "top
         # axis" is weakly determined and LOW alignment (~0.2) is the
         # CORRECT monitoring readout — a peaked real corpus reads ~1
+        # single corpus scan (parity-keyed moment build); the parity
+        # fold seeds the full-corpus moment cache for the siblings
         "pca_axis_drift": lambda s, d: PCA.pca_axis_drift(
-            load_table(s, d, "embeddings")),
+            load_table(s, d, "embeddings"), cache_key=d),
         # the eval step: per-component captured-variance share in exact
         # integer ppm vs the moment-table trace (train -> serve ->
         # evaluate; the fixture is near-isotropic so ~2-3% per
@@ -3046,19 +3023,21 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph: bounded peel rounds, each O(|E|) — the dense-subgraph
         # complement to LPA's communities and CC's closure
         "kcore_parts": lambda s, d: GRK.kcore_parts(
-            load_table(s, d, "lineitem")),
+            load_table(s, d, "lineitem"), cache_key=d),
         # graph completion: common-neighbor / resource-allocation link
         # prediction over the co-purchase graph — hub-capped wedge join
         "copurchase_link_prediction": lambda s, d: GRK.link_prediction(
-            GRK.copurchase_part_edges(load_table(s, d, "lineitem"))),
+            GRK.copurchase_part_edges(load_table(s, d, "lineitem"),
+                                      cache_key=d)),
         # personalized PageRank seeded at one brand's parts: related-
         # item recommendations (teleport localizes the rank mass)
         "ppr_part_recommendations": lambda s, d: GRK.ppr_recommendations(
-            load_table(s, d, "lineitem"), load_table(s, d, "part")),
+            load_table(s, d, "lineitem"), load_table(s, d, "part"),
+            cache_key=d),
         "lpa_communities": lambda s, d: GRK.lpa_communities(
-            load_table(s, d, "lineitem")),
+            load_table(s, d, "lineitem"), cache_key=d),
         "supplier_corank": lambda s, d: GRK.supplier_corank(
-            load_table(s, d, "lineitem")),
+            load_table(s, d, "lineitem"), cache_key=d),
         # market-basket mining: Apriori-pruned frequent pairs with
         # integer-exact lift, then degree-ordered triangle counting
         # over the co-purchase graph those pairs induce
@@ -6838,8 +6817,8 @@ def oracle_sql() -> dict[str, str]:
         p AS (SELECT day, n, SUM(n - k.k) OVER (ORDER BY day) AS pfx
               FROM g, k)
         SELECT day, n,
-               CAST(pfx - MIN(pfx) OVER (ORDER BY day
-                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+               CAST(pfx - LEAST(0, MIN(pfx) OVER (ORDER BY day
+                      ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum
         FROM p
     """
     sql["burst_days"] = """

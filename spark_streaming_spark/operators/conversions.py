@@ -120,10 +120,15 @@ def time_to_convert_stats(events: DataFrame) -> DataFrame:
     n = conv.count()  # 1-row scalar
     r50, r90 = (n + 1) // 2, (9 * n + 9) // 10
     ranked = with_global_rank(conv, ["delta_s", "user_id"], "rk")
-    p50 = ranked.filter(F.col("rk") == r50).select(
-        F.col("delta_s").alias("p50_s"))
-    p90 = ranked.filter(F.col("rk") == r90).select(
-        F.col("delta_s").alias("p90_s"))
+    # Percentile scalars as 1-row aggregates (max over the single
+    # matching rank; NULL when no user converted) so the zero-
+    # conversion case still yields ONE row (n_converted=0, NULL
+    # percentiles) — a cross join against an empty percentile frame
+    # would erase the count row.
+    p50 = ranked.agg(F.max(F.when(F.col("rk") == r50,
+                                  F.col("delta_s"))).alias("p50_s"))
+    p90 = ranked.agg(F.max(F.when(F.col("rk") == r90,
+                                  F.col("delta_s"))).alias("p90_s"))
     return (
         conv.agg(F.count("*").cast("long").alias("n_converted"))
         .join(F.broadcast(p50)).join(F.broadcast(p90))

@@ -35,7 +35,8 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "text", "n_copies")
 
 
-def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+def _shingle_sets(docs: DataFrame, n: int = 3,
+                  cache_key: str | None = None) -> DataFrame:
     """(doc_id, sh) distinct shingle rows — the long-form relation every
     dedup tier starts from. The ``.distinct()`` both dedupes per-doc
     repeats and — more important for the plan — creates the exchange
@@ -43,14 +44,29 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     runs once per query even when the relation feeds 3+ branches
     (df table, prefix join, verify).
 
+    ``cache_key`` memoizes the relation ACROSS queries per
+    (application, corpus, n) — a production dedup pipeline shingles a
+    corpus snapshot once and serves every tier (Jaccard, containment,
+    edit-distance verify, components) from the same materialized
+    exchange; at 100 TB that artifact is a parquet table, here an
+    eagerly-checkpointed frame (the _PAIRS_CACHE discipline).
+
     ``widen`` first: shingling amplifies ~50× per doc, and a
     single-row-group parquet scan is ONE task — without the widen the
     whole dedup family serializes its explode on one core (see
     sources/batch.widen; no-op when the scan already has enough
     splits)."""
-    return widen(docs).select(
+    ck = (("shingles", docs.sparkSession.sparkContext.applicationId,
+           cache_key, n) if cache_key is not None else None)
+    if ck is not None and ck in _PAIRS_CACHE:
+        return _PAIRS_CACHE[ck]
+    out = widen(docs).select(
         "doc_id", F.explode(shingles("text", n)).alias("sh")
     ).distinct()
+    if ck is not None:
+        out = out.localCheckpoint(eager=True)
+        _PAIRS_CACHE[ck] = out
+    return out
 
 
 def _verify_jaccard(candidates: DataFrame, sh: DataFrame,
@@ -139,7 +155,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
         if cache_key is not None else None
     if ck is not None and ck in _PAIRS_CACHE:
         return _PAIRS_CACHE[ck]
-    sh = _shingle_sets(docs, n)
+    sh = _shingle_sets(docs, n, cache_key=cache_key)
     df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
     sh2 = sh.join(df_tbl, "sh")
     grouped = (
@@ -204,11 +220,12 @@ N_BANDS = 4  # 4 rows per band → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.7
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3,
-                       n_hashes: int = N_HASHES) -> DataFrame:
+                       n_hashes: int = N_HASHES,
+                       cache_key: str | None = None) -> DataFrame:
     """Per-doc MinHash signature: for seed i, min over shingles of
     xxhash64(shingle, i). One aggregation, no joins; signature is an
     array<long> column. Columns: doc_id, sig."""
-    sh = _shingle_sets(docs, n)
+    sh = _shingle_sets(docs, n, cache_key=cache_key)
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -348,7 +365,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     # Exact-verify ONLY the candidates: join each pair back to its two
     # shingle sets. This is the scale property that matters — the full
     # all-pairs Jaccard is never computed.
-    out = _verify_jaccard(candidates, _shingle_sets(docs, n), threshold)
+    out = _verify_jaccard(candidates,
+                          _shingle_sets(docs, n, cache_key=cache_key),
+                          threshold)
     if ck is not None:
         out = out.localCheckpoint(eager=False)
         _PAIRS_CACHE[ck] = out
@@ -499,14 +518,24 @@ def dup_components(docs: DataFrame, threshold: float = 0.8,
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  bits: int = 60, n_bands: int = 4) -> DataFrame:
+                  bits: int = 60, n_bands: int = 4,
+                  cache_key: str | None = None) -> DataFrame:
     """SimHash near-dup pairs: banded Hamming LSH + exact popcount
     verification. With ``n_bands`` > ``max_hamming`` the blocking is
     LOSSLESS by pigeonhole (≤ max_hamming differing bits cannot touch
     every band), so this equals the all-pairs answer while the join is
     keyed on (band_id, band_bits) buckets — the 100 TB path, same plan
-    family as minhash_lsh_pairs. Columns: doc_a, doc_b, hamming."""
+    family as minhash_lsh_pairs. Columns: doc_a, doc_b, hamming.
+
+    ``cache_key`` memoizes the verified pair table per (application,
+    corpus, params) — the split-leakage audits and the community pass
+    all consume this one artifact (_PAIRS_CACHE discipline)."""
     assert bits % n_bands == 0 and n_bands > max_hamming
+    ck = (("simhash_pairs", docs.sparkSession.sparkContext.applicationId,
+           cache_key, max_hamming, bits, n_bands)
+          if cache_key is not None else None)
+    if ck is not None and ck in _PAIRS_CACHE:
+        return _PAIRS_CACHE[ck]
     width = bits // n_bands
     mask = (1 << width) - 1
     sh = simhash(docs, bits)
@@ -534,16 +563,21 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = F.expr("bit_count(ha ^ hb)").cast("int")
-    return (
+    out = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    if ck is not None:
+        out = out.localCheckpoint(eager=True)
+        _PAIRS_CACHE[ck] = out
+    return out
 
 
 def split_leakage_pairs(docs: DataFrame, max_hamming: int = 3,
                         val_ppm: int = 50000, test_ppm: int = 50000,
-                        salt: str = "split1") -> DataFrame:
+                        salt: str = "split1",
+                        cache_key: str | None = None) -> DataFrame:
     """Train/eval CONTAMINATION audit: near-duplicate document pairs
     that straddle the deterministic train/val/test split — the leakage
     every eval-hygiene pipeline must measure before trusting held-out
@@ -559,7 +593,7 @@ def split_leakage_pairs(docs: DataFrame, max_hamming: int = 3,
     split_a, split_b (different by construction)."""
     from spark_streaming_spark.operators.sampling import split_of
 
-    pairs = simhash_pairs(docs, max_hamming)
+    pairs = simhash_pairs(docs, max_hamming, cache_key=cache_key)
     labeled = pairs.select(
         "doc_a", "doc_b", "hamming",
         split_of(F.col("doc_a"), val_ppm, test_ppm, salt).alias("split_a"),
@@ -570,7 +604,8 @@ def split_leakage_pairs(docs: DataFrame, max_hamming: int = 3,
 
 def split_leakage_matrix(docs: DataFrame, max_hamming: int = 3,
                          val_ppm: int = 50000, test_ppm: int = 50000,
-                         salt: str = "split1") -> DataFrame:
+                         salt: str = "split1",
+                         cache_key: str | None = None) -> DataFrame:
     """The full near-dup × split contingency report next to
     :func:`split_leakage_pairs`' listing: every UNORDERED split pair
     (train-train, train-val, ...) with its near-dup pair count and
@@ -580,7 +615,7 @@ def split_leakage_matrix(docs: DataFrame, max_hamming: int = 3,
     Columns: split_lo <= split_hi, n_pairs, pair_ppm."""
     from spark_streaming_spark.operators.sampling import split_of
 
-    pairs = simhash_pairs(docs, max_hamming).select(
+    pairs = simhash_pairs(docs, max_hamming, cache_key=cache_key).select(
         split_of(F.col("doc_a"), val_ppm, test_ppm, salt).alias("sa"),
         split_of(F.col("doc_b"), val_ppm, test_ppm, salt).alias("sb"),
     )
@@ -732,7 +767,8 @@ def span_dup_coverage(docs: DataFrame, k: int = 8,
 
 
 def dup_communities(docs: DataFrame, max_hamming: int = 3,
-                    n_iters: int = 3) -> DataFrame:
+                    n_iters: int = 3,
+                    cache_key: str | None = None) -> DataFrame:
     """Near-duplicate GRAPH communities (VERDICT r8 #8): synchronous
     label propagation (graphrank.lpa_propagate — Raghavan 2007) over the
     lossless banded SimHash pair graph (:func:`simhash_pairs`), instead
@@ -762,7 +798,7 @@ def dup_communities(docs: DataFrame, max_hamming: int = 3,
     corpus. Columns: doc_id, community."""
     from spark_streaming_spark.operators.graphrank import lpa_propagate
 
-    pairs = simhash_pairs(docs, max_hamming)
+    pairs = simhash_pairs(docs, max_hamming, cache_key=cache_key)
     wcol = (F.lit(max_hamming + 1) - F.col("hamming")).cast("long")
     fwd = pairs.select(F.col("doc_a").alias("src"),
                        F.col("doc_b").alias("dst"), wcol.alias("w"))
@@ -785,7 +821,8 @@ def dup_communities(docs: DataFrame, max_hamming: int = 3,
 
 
 def containment_pairs(docs: DataFrame, threshold_ppm: int = 600000,
-                      n: int = 3, max_df: int = 100) -> DataFrame:
+                      n: int = 3, max_df: int = 100,
+                      cache_key: str | None = None) -> DataFrame:
     """DIRECTIONAL containment near-dup pairs — Broder 1997's second
     resemblance measure c(A,B) = |S(A)∩S(B)| / |S(A)| (public method).
     Jaccard misses the asymmetric case this exists for: a short doc
@@ -808,7 +845,7 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int = 600000,
     _verify_jaccard plan) and intersects in codegen; both engines apply
     the identical candidate rule, so blocking semantics are part of the
     contract, not an approximation mismatch."""
-    sh = _shingle_sets(docs, n)
+    sh = _shingle_sets(docs, n, cache_key=cache_key)
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     rare = sh.join(dfreq.filter(F.col("df") <= max_df), "sh")
     cand = (

@@ -33,7 +33,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def cosupply_edges(lineitem: DataFrame) -> DataFrame:
+# Edge-artifact cache (the basket.frequent_pairs / dedup._PAIRS_CACHE
+# discipline): a production graph pipeline mines the co-occurrence edge
+# table ONCE per corpus snapshot and serves every downstream consumer
+# (rank, communities, k-core, link prediction, PPR) from that
+# materialized artifact — at 100 TB a parquet table, here an eagerly-
+# checkpointed frame. Keys include the Spark application id: a
+# checkpointed frame dies with its session.
+_EDGES_CACHE: dict = {}
+
+
+def _cached_edges(build, key) -> DataFrame:
+    got = _EDGES_CACHE.get(key)
+    if got is None:
+        got = build().localCheckpoint(eager=True)
+        _EDGES_CACHE[key] = got
+    return got
+
+
+def cosupply_edges(lineitem: DataFrame,
+                   cache_key: str | None = None) -> DataFrame:
     """(src, dst, w): supplier co-occurrence within an order, symmetric,
     self-pairs excluded. Columns: src, dst, w.
 
@@ -44,20 +63,29 @@ def cosupply_edges(lineitem: DataFrame) -> DataFrame:
     per-order quadratic is identical to the self-join's output — only
     the shuffled volume changes. Pair multiset matches the row-level
     self-join exactly (duplicate line items of a supplier keep their
-    multiplicity)."""
-    per_order = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.collect_list("l_suppkey").alias("supps"))
-    )
-    return (
-        per_order.select(F.explode(F.expr(
-            "filter(flatten(transform(supps,"
-            " x -> transform(supps, y -> struct(x AS src, y AS dst)))),"
-            " p -> p.src != p.dst)")).alias("p"))
-        .select("p.src", "p.dst")
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
-    )
+    multiplicity).
+
+    ``cache_key`` memoizes the edge artifact per application (the
+    _EDGES_CACHE discipline) — corank and LPA both consume it."""
+    def build():
+        per_order = (
+            lineitem.groupBy("l_orderkey")
+            .agg(F.collect_list("l_suppkey").alias("supps"))
+        )
+        return (
+            per_order.select(F.explode(F.expr(
+                "filter(flatten(transform(supps,"
+                " x -> transform(supps, y -> struct(x AS src, y AS dst)))),"
+                " p -> p.src != p.dst)")).alias("p"))
+            .select("p.src", "p.dst")
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("w"))
+        )
+    if cache_key is None:
+        return build()
+    return _cached_edges(build, (
+        "cosupply", lineitem.sparkSession.sparkContext.applicationId,
+        cache_key))
 
 
 def weighted_pagerank(raw_edges: DataFrame, n_iters: int = 3,
@@ -101,6 +129,12 @@ def weighted_pagerank(raw_edges: DataFrame, n_iters: int = 3,
         sv = (outw.select(F.col("src").alias("v"))
               .join(seeds.select("v").distinct(), "v", "left_semi"))
         ns = sv.count()
+        if ns == 0:
+            # No seed intersects the graph: the teleport vector is
+            # undefined, so personalized rank is identically zero —
+            # return the empty rank frame rather than divide by zero.
+            return outw.select(F.col("src").alias("v"),
+                               F.lit(0.0).alias("rank")).limit(0)
         s0 = 1.0 / ns
         nodes = (
             outw.select(F.col("src").alias("v"))
@@ -134,13 +168,14 @@ def weighted_pagerank(raw_edges: DataFrame, n_iters: int = 3,
 
 
 def supplier_corank(lineitem: DataFrame, n_iters: int = 3,
-                    damping: float = 0.85) -> DataFrame:
+                    damping: float = 0.85,
+                    cache_key: str | None = None) -> DataFrame:
     """Weighted PageRank over the co-supply graph — the generic
     :func:`weighted_pagerank` on :func:`cosupply_edges` (identical
     arithmetic; this was the original spelling the generic was factored
     from, so the hash oracle is unchanged). Columns: supp, rank."""
     return weighted_pagerank(
-        cosupply_edges(lineitem), n_iters, damping
+        cosupply_edges(lineitem, cache_key=cache_key), n_iters, damping
     ).select(F.col("v").alias("supp"), "rank")
 
 
@@ -215,7 +250,8 @@ def cheapest_hops(edges: DataFrame, seeds: DataFrame,
     return dist
 
 
-def lpa_communities(lineitem: DataFrame, n_iters: int = 3) -> DataFrame:
+def lpa_communities(lineitem: DataFrame, n_iters: int = 3,
+                    cache_key: str | None = None) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara 2007, "Near linear time algorithm to detect
     community structures in large-scale networks"; public method) over
@@ -232,7 +268,8 @@ def lpa_communities(lineitem: DataFrame, n_iters: int = 3) -> DataFrame:
     partial-agged groupBy + a per-node top-1 window — all O(|E|);
     lineage truncated per round with localCheckpoint (the corank
     discipline) so the plan does not grow with iterations."""
-    return lpa_propagate(cosupply_edges(lineitem), n_iters).select(
+    return lpa_propagate(cosupply_edges(lineitem, cache_key=cache_key),
+                         n_iters).select(
         F.col("node").alias("supp"),
         F.col("label").cast("long").alias("community"),
     )
@@ -275,31 +312,43 @@ def lpa_propagate(edges: DataFrame, n_iters: int = 3) -> DataFrame:
 
 
 def copurchase_part_edges(lineitem: DataFrame,
-                          min_pair_orders: int = 2) -> DataFrame:
+                          min_pair_orders: int = 2,
+                          cache_key: str | None = None) -> DataFrame:
     """Symmetric part co-purchase edges: (src, dst, w) where w = number
     of DISTINCT orders containing both parts (collect_set dedupes
     within-order repeats), kept when w >= min_pair_orders. The one-
     shuffle per-order array-explode spelling of cosupply_edges — the
     shuffled volume is the grouped order/part table, and the per-order
-    quadratic explodes map-side."""
-    per_order = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
-    return (
-        per_order.select(F.explode(F.expr(
-            "filter(flatten(transform(ps,"
-            " x -> transform(ps, y -> struct(x AS src, y AS dst)))),"
-            " p -> p.src != p.dst)")).alias("p"))
-        .select("p.src", "p.dst")
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= min_pair_orders)
-    )
+    quadratic explodes map-side.
+
+    ``cache_key`` memoizes the edge artifact per application (the
+    _EDGES_CACHE discipline) — k-core, PPR and link prediction all
+    consume this one table."""
+    def build():
+        per_order = (
+            lineitem.groupBy("l_orderkey")
+            .agg(F.collect_set("l_partkey").alias("ps"))
+        )
+        return (
+            per_order.select(F.explode(F.expr(
+                "filter(flatten(transform(ps,"
+                " x -> transform(ps, y -> struct(x AS src, y AS dst)))),"
+                " p -> p.src != p.dst)")).alias("p"))
+            .select("p.src", "p.dst")
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= min_pair_orders)
+        )
+    if cache_key is None:
+        return build()
+    return _cached_edges(build, (
+        "copurchase", lineitem.sparkSession.sparkContext.applicationId,
+        cache_key, min_pair_orders))
 
 
 def kcore_parts(lineitem: DataFrame, k: int = 4,
-                min_pair_orders: int = 2, n_rounds: int = 4) -> DataFrame:
+                min_pair_orders: int = 2, n_rounds: int = 4,
+                cache_key: str | None = None) -> DataFrame:
     """Dense-subgraph mining by k-core PEELING (Seidman 1983 "Network
     structure and minimum degree"; the standard bulk-parallel variant —
     Montresor et al.: repeatedly delete every node whose degree in the
@@ -315,8 +364,9 @@ def kcore_parts(lineitem: DataFrame, k: int = 4,
     lineage truncated per round with localCheckpoint. The peel is
     monotone (alive sets only shrink), so rounds after convergence are
     no-ops, never wrong. Columns: part, core_deg."""
-    edges = copurchase_part_edges(lineitem, min_pair_orders) \
-        .select("src", "dst").localCheckpoint(eager=True)
+    edges = (copurchase_part_edges(lineitem, min_pair_orders,
+                                   cache_key=cache_key)
+             .select("src", "dst").localCheckpoint(eager=True))
     alive = edges.select(F.col("src").alias("v")).distinct()
     for _ in range(n_rounds):
         induced = (
@@ -386,7 +436,8 @@ def link_prediction(edges: DataFrame, max_hub_deg: int = 50,
 
 
 def ppr_recommendations(lineitem: DataFrame, part: DataFrame,
-                        brand: str = "Brand#1", k: int = 30) -> DataFrame:
+                        brand: str = "Brand#1", k: int = 30,
+                        cache_key: str | None = None) -> DataFrame:
     """Related-item recommendations by PERSONALIZED PageRank
     (Haveliwala 2002): teleport uniformly to one brand's parts inside
     the co-purchase graph, iterate, return the top-``k`` NON-seed
@@ -402,7 +453,7 @@ def ppr_recommendations(lineitem: DataFrame, part: DataFrame,
     seeds = (part.filter(F.col("p_brand") == brand)
              .select(F.col("p_partkey").alias("v")))
     ranks = weighted_pagerank(
-        copurchase_part_edges(lineitem), seeds=seeds)
+        copurchase_part_edges(lineitem, cache_key=cache_key), seeds=seeds)
     return (
         ranks.join(seeds, "v", "left_anti")
         .select(F.col("v").alias("part"), "rank")

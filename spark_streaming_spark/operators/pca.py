@@ -57,14 +57,9 @@ _D = 64          # embedding dimensionality (driver fixture schema)
 _SCALE = 10 ** 7  # the functions/vectors scaled-integer contract
 
 
-def second_moments(embeddings: DataFrame, d: int = _D) -> DataFrame:
-    """One-pass exact sufficient statistics: a single Aggregate emitting
-    n plus Σq_i (per dim) plus Σq_i·q_j (i ≤ j) as DECIMAL(38,0) of the
-    7 dp scaled-integer quantization. Long-form map-side explode
-    (d(d+1)/2 structs per row), ONE shuffle on (i, j). ADDITIVE under
-    corpus partition: per-shard / per-micro-batch tables sum cell-wise
-    to the one-shot table (what pipelines.counts_fold_sink folds for
-    the streamed twin)."""
+def _moment_exprs(d: int):
+    """The quantize + upper-triangle-explode expressions shared by the
+    one-shot and grouped moment builds."""
     q = F.expr(
         "transform(embedding, x ->"
         f" CAST(ROUND(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))")
@@ -74,6 +69,18 @@ def second_moments(embeddings: DataFrame, d: int = _D) -> DataFrame:
         "  struct(i AS i, j AS j,"
         "   CAST(q[i] * q[j] AS DECIMAL(38,0)) AS p,"          # 0-based
         "   CAST(IF(i = j, q[i], 0) AS DECIMAL(38,0)) AS s))))")
+    return q, pairs
+
+
+def second_moments(embeddings: DataFrame, d: int = _D) -> DataFrame:
+    """One-pass exact sufficient statistics: a single Aggregate emitting
+    n plus Σq_i (per dim) plus Σq_i·q_j (i ≤ j) as DECIMAL(38,0) of the
+    7 dp scaled-integer quantization. Long-form map-side explode
+    (d(d+1)/2 structs per row), ONE shuffle on (i, j). ADDITIVE under
+    corpus partition: per-shard / per-micro-batch tables sum cell-wise
+    to the one-shot table (what pipelines.counts_fold_sink folds for
+    the streamed twin)."""
+    q, pairs = _moment_exprs(d)
     return (
         embeddings.select(q.alias("q"))
         .select(F.explode(pairs).alias("c"))
@@ -81,6 +88,30 @@ def second_moments(embeddings: DataFrame, d: int = _D) -> DataFrame:
         .agg(
             F.sum("c.p").alias("sij"),
             F.sum("c.s").alias("si"),   # nonzero only on the diagonal
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
+def second_moments_by_parity(embeddings: DataFrame,
+                             d: int = _D) -> DataFrame:
+    """:func:`second_moments` with the vec_id parity as an extra group
+    key — ONE corpus pass emits BOTH halves' sufficient statistics
+    (2·d(d+1)/2 cells), the axis-drift monitor's input. Because the
+    moments are exactly additive, folding the two parities cell-wise
+    reproduces the full-corpus table bit-for-bit (decimal sums are
+    order-independent). Columns: parity, i, j, sij, si, n_pairs."""
+    q, pairs = _moment_exprs(d)
+    return (
+        embeddings.select(
+            (F.col("vec_id") % 2).cast("int").alias("parity"),
+            q.alias("q"))
+        .select("parity", F.explode(pairs).alias("c"))
+        .groupBy("parity", F.col("c.i").alias("i"),
+                 F.col("c.j").alias("j"))
+        .agg(
+            F.sum("c.p").alias("sij"),
+            F.sum("c.s").alias("si"),
             F.count(F.lit(1)).alias("n_pairs"),
         )
     )
@@ -422,7 +453,7 @@ def pca_scores(embeddings: DataFrame, n_iters: int = 8,
 
 
 def pca_axis_drift(embeddings: DataFrame, n_iters: int = 8,
-                   d: int = _D) -> DataFrame:
+                   d: int = _D, cache_key: str | None = None) -> DataFrame:
     """EMBEDDING-DISTRIBUTION drift between two corpus halves — the
     monitoring statistic the PCA tier exists to serve (did yesterday's
     principal axis move?): the top component is extracted independently
@@ -436,13 +467,42 @@ def pca_axis_drift(embeddings: DataFrame, n_iters: int = 8,
     Determinism: the two loading vectors are bit-exact by the tier's
     contract; the cosine is the 7 dp-quantized decimal dot of two
     64-double plan literals, summed engine-side (order-free decimals).
-    Columns: cos_axes (double), n_even, n_odd (BIGINT)."""
+    Columns: cos_axes (double), n_even, n_odd (BIGINT).
+
+    Scale shape: ONE corpus pass (the parity-keyed moment build —
+    formerly two moment scans plus two count() scans); both halves'
+    counts are recovered from the moment cells themselves, and the
+    parity fold repopulates the full-corpus moment cache for the
+    sibling PCA entries (the moments are exactly additive)."""
     spark = embeddings.sparkSession
-    even = embeddings.filter(F.col("vec_id") % 2 == 0)
-    odd = embeddings.filter(F.col("vec_id") % 2 == 1)
-    va = _loading_vectors(second_moments(even, d), 1, n_iters, d)[0]
-    vb = _loading_vectors(second_moments(odd, d), 1, n_iters, d)[0]
-    n_even, n_odd = even.count(), odd.count()
+    if cache_key is not None:
+        pk = (spark.sparkContext.applicationId, "parity:" + cache_key, d)
+        mom2 = _MOMENTS_CACHE.get(pk)
+        if mom2 is None:
+            mom2 = (second_moments_by_parity(embeddings, d)
+                    .localCheckpoint(eager=True))
+            _MOMENTS_CACHE[pk] = mom2
+            # cell-wise parity fold == the full-corpus moment table
+            # bit-for-bit -> seed the shared cache so the loadings /
+            # scores / explained-variance siblings skip their scan
+            fk = (spark.sparkContext.applicationId, cache_key, d)
+            if fk not in _MOMENTS_CACHE:
+                _MOMENTS_CACHE[fk] = (
+                    mom2.groupBy("i", "j")
+                    .agg(F.sum("sij").alias("sij"),
+                         F.sum("si").alias("si"),
+                         F.sum("n_pairs").alias("n_pairs"))
+                    .localCheckpoint(eager=True))
+    else:
+        mom2 = (second_moments_by_parity(embeddings, d)
+                .localCheckpoint(eager=True))
+    mom_e = mom2.filter(F.col("parity") == 0).drop("parity")
+    mom_o = mom2.filter(F.col("parity") == 1).drop("parity")
+    va = _loading_vectors(mom_e, 1, n_iters, d)[0]
+    vb = _loading_vectors(mom_o, 1, n_iters, d)[0]
+    # every moment cell counted every half row: max(n_pairs) IS n
+    n_even = mom_e.agg(F.max("n_pairs")).first()[0] or 0
+    n_odd = mom_o.agg(F.max("n_pairs")).first()[0] or 0
     arr_a = F.array(*[F.lit(float(x)) for x in va])
     arr_b = F.array(*[F.lit(float(x)) for x in vb])
     return (

@@ -471,14 +471,24 @@ def value_drift_bins(events: DataFrame) -> DataFrame:
     ranked = with_global_rank(ref.select("cents", "event_id"),
                               ["cents", "event_id"], "r")
     edge_ranks = [(i * n_ref + 9) // 10 for i in range(1, 10)]
-    edges = sorted(r["cents"] for r in
-                   ranked.filter(F.col("r").isin(edge_ranks))
-                   .select("cents").collect())  # 9-row driver artifact
-    edge_arr = "array(" + ",".join(f"CAST({e} AS BIGINT)"
-                                   for e in edges) + ")"
+    # Exactly 9 edges, duplicates KEPT: with n_ref < 10 several decile
+    # ranks collide on the same row, and each occurrence still counts
+    # as its own bin boundary (the DuckDB twin materializes one edge
+    # row per i). A distinct-rank isin here would bin against < 9
+    # edges and shift every downstream bin number.
+    by_rank = {r["r"]: r["cents"] for r in
+               ranked.filter(F.col("r").isin(list(set(edge_ranks))))
+               .select("r", "cents").collect()}  # ≤9-row driver artifact
+    edges = [by_rank[r] for r in edge_ranks if r in by_rank]
+    if edges:
+        edge_arr = "array(" + ",".join(f"CAST({e} AS BIGINT)"
+                                       for e in edges) + ")"
+        bin_expr = F.expr(f"size(filter({edge_arr}, e -> cents > e))")
+    else:  # empty reference window: everything lands in bin 0
+        bin_expr = F.lit(0)
     binned = c.select(
         F.when(F.col("dnum") < pivot, 0).otherwise(1).alias("half"),
-        F.expr(f"size(filter({edge_arr}, e -> cents > e))").alias("bin"))
+        bin_expr.alias("bin"))
     counts = (binned.groupBy("bin")
               .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
                    .cast("long").alias("n_ref"),
@@ -497,9 +507,11 @@ def value_drift_bins(events: DataFrame) -> DataFrame:
         .withColumn("tc", F.sum("n_cur").over(w))
         .select(
             "bin", "n_ref", "n_cur",
-            F.expr("CAST((1000000 * n_ref) DIV tr AS BIGINT)")
+            F.expr("CAST(CASE WHEN tr = 0 THEN NULL ELSE"
+                   " (1000000 * n_ref) DIV tr END AS BIGINT)")
             .alias("ref_ppm"),
-            F.expr("CAST((1000000 * n_cur) DIV tc AS BIGINT)")
+            F.expr("CAST(CASE WHEN tc = 0 THEN NULL ELSE"
+                   " (1000000 * n_cur) DIV tc END AS BIGINT)")
             .alias("cur_ppm"),
         )
         .withColumn("diff_ppm", F.abs(F.col("ref_ppm") - F.col("cur_ppm")))

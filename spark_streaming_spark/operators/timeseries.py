@@ -507,7 +507,11 @@ def cusum_days(events: DataFrame, event_type: str = "error") -> DataFrame:
     wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
                                            Window.currentRow)
     g = g.withColumn("pfx", F.sum(F.col("n") - F.col("k")).over(wc))
+    # The identity's min ranges over 0 <= j <= t, and P_0 = 0 (empty
+    # prefix) — so the subtrahend is min(0, min_{1<=j<=t} P_j). Without
+    # the virtual zero, a series whose every prefix sum is positive
+    # (starts above k) would understate S_t and miss an early shift.
     return g.select(
         "day", "n",
-        (F.col("pfx") - F.min("pfx").over(wc)).cast("long")
-        .alias("cusum"))
+        (F.col("pfx") - F.least(F.lit(0), F.min("pfx").over(wc)))
+        .cast("long").alias("cusum"))

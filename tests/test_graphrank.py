@@ -193,3 +193,16 @@ def test_ppr_localizes_to_seed_component(spark):
     assert r[2] > 0.0 and r[1] > 0.0
     # 999 has no edges: teleport mass went entirely to node 1
     assert r[1] > r[3] > 0.0
+
+
+def test_ppr_no_seed_in_graph_returns_empty(spark):
+    """Seeds entirely disjoint from the graph's nodes: the teleport
+    vector is undefined, so the rank frame is EMPTY (schema intact)
+    rather than a ZeroDivisionError — the ppr_recommendations path for
+    a brand with no co-purchased parts."""
+    e = _sym_edges(spark, [(1, 2)])
+    e = e.groupBy("src", "dst").count().withColumnRenamed("count", "w")
+    seeds = spark.createDataFrame([(999,)], "v long")
+    out = GR.weighted_pagerank(e, seeds=seeds)
+    assert out.columns == ["v", "rank"]
+    assert out.count() == 0

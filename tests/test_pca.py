@@ -161,3 +161,30 @@ def test_pca_axis_drift_matches_oracle_and_bounds(spark, duck):
         emb.filter(F.col("vec_id") % 2 == 1)).collect()}
     manual = sum(round(va[i] * vb[i], 7) for i in range(64))
     assert abs(r["cos_axes"] - manual) < 1e-6
+
+
+def test_axis_drift_parity_fold_seeds_full_moments(spark):
+    """The parity-keyed moment build's cell-wise fold must reproduce
+    the one-shot full-corpus moment table BIT-FOR-BIT (exact decimal
+    additivity), and pca_axis_drift(cache_key=...) must seed the shared
+    moment cache so sibling PCA entries skip their corpus scan."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    folded = (PCA.second_moments_by_parity(emb)
+              .groupBy("i", "j")
+              .agg(F.sum("sij").alias("sij"), F.sum("si").alias("si"),
+                   F.sum("n_pairs").alias("n_pairs")))
+    one_shot = PCA.second_moments(emb)
+    a = {(r["i"], r["j"]): (r["sij"], r["si"], r["n_pairs"])
+         for r in folded.collect()}
+    b = {(r["i"], r["j"]): (r["sij"], r["si"], r["n_pairs"])
+         for r in one_shot.collect()}
+    assert a == b
+    key = "drift-seed-test"
+    PCA.pca_axis_drift(emb, cache_key=key).collect()
+    fk = (spark.sparkContext.applicationId, key, 64)
+    assert fk in PCA._MOMENTS_CACHE
+    cached = {(r["i"], r["j"]): (r["sij"], r["si"], r["n_pairs"])
+              for r in PCA._MOMENTS_CACHE[fk].collect()}
+    assert cached == b

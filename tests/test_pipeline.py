@@ -355,6 +355,38 @@ def test_value_drift_bins_detects_shift(spark):
     assert out2[0]["n_cur"] == 0
 
 
+def test_value_drift_bins_tiny_reference(spark):
+    """Degenerate reference windows: n_ref < 10 collides decile ranks
+    — the 9 edges must be materialized WITH duplicates (one per decile
+    index, matching the SQL twin's per-i edge rows), and n_ref == 0
+    must not blow up on a malformed empty array (everything bins 0)."""
+    import datetime as dt
+
+    from spark_streaming_spark.operators import profile as PF
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double, props string")
+
+    d0, d1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+    # n_ref = 2 (values 1.00, 2.00): edge ranks collide to [1]*5+[2]*4
+    # -> edges [100]*5 + [200]*4; cur value 150 sits above 5 edges.
+    tiny = mk([(1, d0, 1, "v", 1.0, "{}"), (2, d0, 1, "v", 2.0, "{}"),
+               (3, d1, 1, "v", 1.5, "{}")])
+    out = {r["bin"]: r for r in PF.value_drift_bins(tiny).collect()}
+    # ref 1.00 beats no edge (bin 0); ref 2.00 and cur 1.50 beat
+    # exactly the five 100-cent edges (bin 5) — a dedup'd edge list
+    # would misplace them in bin 1.
+    assert out[0]["n_ref"] == 1
+    assert out[5]["n_ref"] == 1 and out[5]["n_cur"] == 1
+    # n_ref = 0: all events on/after the pivot -> single-day span puts
+    # the lone day in the current half... use 2 days, both current-half
+    empty_ref = mk([(1, d1, 1, "v", 7.0, "{}")])
+    out0 = {r["bin"]: r for r in PF.value_drift_bins(empty_ref).collect()}
+    assert len(out0) == 10  # runs without a malformed array() error
+
+
 def test_user_value_outliers_personalized(spark):
     """The personalization claim: the same 50.00 value flags for the
     low-spend user and does NOT flag for the whale whose own spread

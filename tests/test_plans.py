@@ -740,8 +740,9 @@ def test_bloom_prune_filters_before_semi_join(spark):
     assert "md5" in plan
     join_at = plan.find("LeftSemi")
     assert join_at > 0
-    # the probe expression appears in the subtree printed after (below)
-    # the join node in the formatted plan's operator list
-    assert "md5" in plan[join_at:] or "md5" in plan[:join_at]
+    # the probe expression must appear in the subtree printed after
+    # (below) the join node in the formatted plan's operator list —
+    # i.e. the Bloom filter runs on the scan side, under the semi join
+    assert "md5" in plan[join_at:]
     assert not explain.has_cartesian_product(
         PL.bloom_pruned_semi_join(li, "l_partkey", keys, "p_partkey"))

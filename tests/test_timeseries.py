@@ -323,6 +323,32 @@ def test_cusum_closed_form_matches_recursion(spark):
         assert out[day] == (c, s), (day, out[day], (c, s))
 
 
+def test_cusum_first_day_exceeds_k(spark):
+    """A series whose first prefix sum is already positive (day 1
+    above the allowance k) must carry that excess: the identity's min
+    ranges over the VIRTUAL empty prefix P_0 = 0 too, so S_1 = x_1 - k,
+    not 0. Counts [5, 1] with k = ceil(6/2) = 3 -> CUSUM [2, 0]."""
+    import datetime as dt
+
+    from spark_streaming_spark.operators import timeseries as TS
+
+    counts = [5, 1]
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + i), 1, "error",
+                         0.0, "{}"))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    out = {r["day"].isoformat(): (r["n"], r["cusum"])
+           for r in TS.cusum_days(events).collect()}
+    assert out["2024-01-01"] == (5, 2)
+    assert out["2024-01-02"] == (1, 0)
+
+
 def test_time_to_convert_semantics(spark):
     """Only purchases AT/AFTER the user's first click convert; a
     purchase-before-any-click user and a click-only user don't count;
@@ -354,3 +380,23 @@ def test_time_to_convert_semantics(spark):
     assert r["n_converted"] == 2
     assert r["p50_s"] == 60      # rank (2+1)//2 = 1 -> the 60s user
     assert r["p90_s"] == 100     # rank (18+9)//10 = 2
+
+
+def test_time_to_convert_zero_conversions(spark):
+    """No converting user still yields exactly ONE row
+    (n_converted=0, NULL percentiles) — the summary row must not be
+    erased by joining against empty percentile frames."""
+    import datetime as dt
+
+    from spark_streaming_spark.operators import conversions as CV
+
+    rows = [(1, dt.datetime(2024, 1, 1), 1, "click", 0.0, "{}"),
+            (2, dt.datetime(2024, 1, 2), 2, "view", 0.0, "{}")]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    got = CV.time_to_convert_stats(events).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_converted"] == 0
+    assert r["p50_s"] is None and r["p90_s"] is None

@@ -1,0 +1,62 @@
+"""The verification ratchet (round-10 VERDICT "Next round" #5): every
+oracle-backed driver-contract entry must carry RECENT verification
+evidence — a hash-green driver row or a builder full-contract sweep
+MATCH within the last K rounds — or be scheduled in the current
+50-slot driver window. This turns the window rotation from a
+per-round manual chore into a CI invariant: adding an entry without
+scheduling it, or letting an old entry's evidence go stale without
+re-queueing it, fails the suite.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import __spark_entry__ as E
+from scripts.gen_checked_union import build
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+K = 3  # evidence freshness horizon, in rounds
+
+
+def _union() -> dict:
+    return build()
+
+
+def test_checked_union_file_is_current():
+    """The committed CHECKED_UNION.json must equal a fresh rebuild from
+    the CORRECTNESS_r*.json + SWEEPS.json sources (no stale commits)."""
+    path = os.path.join(REPO, "CHECKED_UNION.json")
+    assert os.path.exists(path), "run scripts/gen_checked_union.py"
+    assert json.load(open(path)) == _union()
+
+
+def test_every_oracle_entry_verified_recently_or_scheduled():
+    """max(driver, sweep) within the last K rounds, or the entry sits
+    in the driver's checked window (first 50 queries() slots)."""
+    u = _union()
+    horizon = u["max_round"] - K + 1
+    window = set(list(E.queries().keys())[:50])
+    oracle_backed = set(E.oracle_sql()) & set(E.queries())
+    stale = []
+    for name in sorted(oracle_backed):
+        rec = u["entries"].get(name, {"driver": 0, "sweep": 0})
+        if max(rec["driver"], rec["sweep"]) < horizon and name not in window:
+            stale.append(name)
+    assert not stale, (
+        f"entries with no verification evidence in rounds >= {horizon} "
+        f"and not scheduled in the driver window: {stale}")
+
+
+def test_never_driver_checked_entries_are_scheduled():
+    """Any oracle-backed entry with NO hash-green driver row ever must
+    occupy a slot in the current window — first signal beats refresh."""
+    u = _union()
+    window = set(list(E.queries().keys())[:50])
+    oracle_backed = set(E.oracle_sql()) & set(E.queries())
+    never = [n for n in sorted(oracle_backed)
+             if u["entries"].get(n, {}).get("driver", 0) == 0]
+    missing = [n for n in never if n not in window]
+    assert not missing, (
+        f"never-driver-checked entries not in the 50-slot window: "
+        f"{missing}")

@@ -1373,7 +1373,13 @@ def _cosched_group(spark: SparkSession, sf_dir: str, group: str,
     starts the member's streaming query and returns a handle with
     ``.finish(timeout) -> DataFrame`` (replay._ParquetRun or _SinkRun);
     ``post(df, spark, sf_dir)`` finalizes the cached raw result into the
-    entry's output (applied per call — cheap, deterministic)."""
+    entry's output (applied per call — cheap, deterministic).
+
+    ALIAS members: a starter given as a STRING names another member
+    whose raw result this member shares — no second streaming query is
+    started; only the post differs (e.g. the top-2 PCA read off the
+    same folded moment state as the top-1 read). The alias still
+    redeems independently, so the redeem-once bench accounting holds."""
     key = (group, sf_dir, spark.sparkContext.applicationId)
     got = _COSCHED_RESULTS.get(key)
     # REDEEM-ONCE: each member may consume a cached group run exactly
@@ -1388,6 +1394,8 @@ def _cosched_group(spark: SparkSession, sf_dir: str, group: str,
         handles = {}
         try:
             for n, (starter, _post) in members.items():
+                if isinstance(starter, str):
+                    continue  # alias member: shares another's raw result
                 handles[n] = starter(spark, sf_dir)
         except Exception:
             # a starter failed mid-fan-out: stop the already-started
@@ -1406,6 +1414,9 @@ def _cosched_group(spark: SparkSession, sf_dir: str, group: str,
                     err = e
         if err is not None:
             raise err
+        for n, (starter, _post) in members.items():
+            if isinstance(starter, str):
+                results[n] = results[starter]
         got = {"results": results, "redeemed": set()}
         _COSCHED_RESULTS[key] = got
     got["redeemed"].add(want)
@@ -1446,6 +1457,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_centroid_ingest": "emb_folds",
     "streaming_ivf_search": "emb_folds",
     "streaming_pca_loadings": "emb_folds",
+    "streaming_pca_top2": "emb_folds",
     "streaming_events_asof_status": "rs_events",
     "streaming_pivot_counts": "rs_events",
     "streaming_blacklist_filter": "rs_events",
@@ -2140,6 +2152,12 @@ def _emb_fold_members():
             _foreach_starter("embeddings", ivf_serve_fn), None),
         "pca": (pca_start,
                 lambda df, s, d: PCA.pca_top_component_from_moments(df)),
+        # ALIAS member (string starter): the top-2 projected-deflation
+        # read off the SAME folded moment state — the fold runs once,
+        # both component reads share it (VERDICT r10 #6)
+        "pca_top2": ("pca",
+                     lambda df, s, d: PCA.pca_top_components_from_moments(
+                         df, n_components=2)),
     }
 
 
@@ -3106,6 +3124,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verbatim (the streaming_token_drift discipline)
         "streaming_pca_loadings": lambda s, d: _cosched_group(
             s, d, "emb_folds", _emb_fold_members(), "pca"),
+        # the streamed top-2 twin: identical fold, projected-deflation
+        # read extended to the second component — matches
+        # embedding_pca_top2 exactly and shares its oracle
+        "streaming_pca_top2": lambda s, d: _cosched_group(
+            s, d, "emb_folds", _emb_fold_members(), "pca_top2"),
         "ivf_recall_det": lambda s, d: ANN.ivf_recall_det(
             load_table(s, d, "embeddings"), cache_key=d),
         "knn_ivf_det": lambda s, d: ANN.knn_ivf_det(
@@ -6406,6 +6429,7 @@ def oracle_sql() -> dict[str, str]:
     # partition, so the continuous build shares the batch oracle
     # verbatim (the streaming_token_drift discipline)
     sql["streaming_pca_loadings"] = sql["embedding_pca_loadings"]
+    sql["streaming_pca_top2"] = sql["embedding_pca_top2"]
     from spark_streaming_spark.operators.profile import corr_matrix_sql
     sql["lineitem_corr_matrix"] = corr_matrix_sql(
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])

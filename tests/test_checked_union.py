@@ -50,13 +50,19 @@ def test_every_oracle_entry_verified_recently_or_scheduled():
 
 def test_never_driver_checked_entries_are_scheduled():
     """Any oracle-backed entry with NO hash-green driver row ever must
-    occupy a slot in the current window — first signal beats refresh."""
+    occupy a slot in the current window — first signal beats refresh —
+    unless a builder full-contract sweep verified it within the last K
+    rounds (the accepted state for entries added after the window was
+    pinned; they rotate in next round)."""
     u = _union()
+    horizon = u["max_round"] - K + 1
     window = set(list(E.queries().keys())[:50])
     oracle_backed = set(E.oracle_sql()) & set(E.queries())
     never = [n for n in sorted(oracle_backed)
              if u["entries"].get(n, {}).get("driver", 0) == 0]
-    missing = [n for n in never if n not in window]
+    missing = [n for n in never
+               if n not in window
+               and u["entries"].get(n, {}).get("sweep", 0) < horizon]
     assert not missing, (
-        f"never-driver-checked entries not in the 50-slot window: "
-        f"{missing}")
+        f"never-driver-checked entries neither in the 50-slot window "
+        f"nor sweep-verified since round {horizon}: {missing}")

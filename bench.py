@@ -92,15 +92,25 @@ def main() -> None:
     # FAMILY SUBTOTAL — stamped here so every reader has it without
     # cross-referencing __spark_entry__'s _cosched_group call sites
     groups = entrymod.cosched_groups()
+    # batch artifact-sharing families (shared memoized builds): same
+    # subtotal-only comparison rule as the replay groups
+    batch_fams = entrymod.batch_families()
     fam: dict[str, float] = {}
     for n, t in timings.items():
-        g = groups.get(n)
+        g = groups.get(n) or batch_fams.get(n)
         if g is not None and t >= 0:
             fam[g] = fam.get(g, 0.0) + t
     fam = {g: round(v, 4) for g, v in sorted(fam.items())}
     summary = {
         "metric": "total_query_wall_sec",
         "value": total,
+        # run id stamped into BOTH the stdout line (the driver's
+        # BENCH_rN.json) and the BENCH_DETAIL sidecar, so cross-round
+        # comparisons never mix two different boxes/runs (r10 verdict
+        # #7: the r10 driver total and the committed detail were
+        # different runs with no way to tell)
+        "run": f"{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}"
+               f"-pid{os.getpid()}",
         "unit": "sec",
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
@@ -122,7 +132,9 @@ def main() -> None:
     # stdout line overflowed the driver's tail capture in round 1
     # (BENCH_r01.json parsed:null) — keep the final line short and parse-safe
     detail = {
-        n: ({"sec": t, "group": groups[n]} if n in groups else t)
+        n: ({"sec": t, "group": groups[n]} if n in groups
+            else {"sec": t, "group": batch_fams[n]} if n in batch_fams
+            else t)
         for n, t in timings.items()
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

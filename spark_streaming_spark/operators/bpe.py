@@ -240,3 +240,30 @@ def bpe_segment_sql(n_merges: int, table: str = "documents") -> str:
         FROM docw JOIN {prev} USING (word)
         GROUP BY doc_id
     """
+
+
+def bpe_fertility_by_lang(docs: DataFrame,
+                          merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenizer FERTILITY by language — subwords per word under the
+    learned merge list (Ács 2019; the standard multilingual-tokenizer
+    equity metric: a language with high fertility pays more compute
+    per word and effectively sees a shorter context; public method).
+    Integer-exact: fertility_ppm = 1e6·Σ subwords DIV Σ words per
+    language, off the same map-only segmentation as
+    :func:`bpe_segment` (the merge table is a plan constant).
+    Columns: lang, n_docs, n_words, n_subwords, fertility_ppm.
+
+    Scale shape: segmentation is map-side; the doc_id join against the
+    (doc_id, lang) projection is the only exchange beyond the per-doc
+    groupBy, and the final per-language aggregate is |langs| rows."""
+    seg = bpe_segment(docs, merges)
+    return (
+        seg.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_words").cast("long").alias("n_words"),
+             F.sum("n_subwords").cast("long").alias("n_subwords"))
+        .withColumn("fertility_ppm",
+                    F.expr("CAST((1000000 * n_subwords) DIV n_words"
+                           " AS BIGINT)"))
+    )

@@ -740,3 +740,50 @@ def bloom_pruned_semi_join(big: DataFrame, big_key: str,
         F.broadcast(kd.withColumnRenamed("_bk", "_bk2")),
         candidates["_bk"] == F.col("_bk2"), "left_semi"
     ).drop("_bk")
+
+
+def padding_waste_report(docs: DataFrame, batch_size: int = 16) -> DataFrame:
+    """PADDING-WASTE audit for batched training/inference — the
+    throughput metric behind length-bucketed batching (the "sortish"
+    batching of every seq2seq stack; public practice): batch documents
+    ``batch_size`` at a time under two policies — ARRIVAL order
+    (doc_id) and LENGTH-SORTED order — pad each batch to its own max
+    length, and report each policy's padded-token total and waste.
+    Sorted batching groups like lengths, so its waste_ppm is the floor
+    the scheduler can reach without changing the batch size. One row
+    per policy. Columns: policy, n_batches, real_tokens, padded_tokens,
+    waste_ppm (= 1e6·(padded−real) DIV padded — integer-exact).
+
+    Scale shape: token counts are one map-side pass; each policy needs
+    ONE exact global rank (the two-phase range-partitioned
+    ranking.with_global_rank — no single-partition exchange), one
+    (batch) groupBy, and a 1-row aggregate. At 100 TB the rank's range
+    exchange is the only corpus shuffle per policy."""
+    from spark_streaming_spark.operators.ranking import with_global_rank
+
+    d = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok"))
+    out = None
+    for policy, order in (("arrival", ["doc_id"]),
+                          ("sorted", ["n_tok", "doc_id"])):
+        ranked = with_global_rank(d, order, "rk")
+        batches = (
+            ranked.withColumn("batch", F.expr(
+                f"CAST((rk - 1) DIV {batch_size} AS BIGINT)"))
+            .groupBy("batch")
+            .agg(F.count("*").alias("n"),
+                 F.max("n_tok").alias("mx"),
+                 F.sum("n_tok").alias("s"))
+        )
+        row = batches.agg(
+            F.lit(policy).alias("policy"),
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum("s").cast("long").alias("real_tokens"),
+            F.sum(F.col("n") * F.col("mx")).cast("long")
+            .alias("padded_tokens"),
+        ).withColumn(
+            "waste_ppm",
+            F.expr("CAST((1000000 * (padded_tokens - real_tokens))"
+                   " DIV padded_tokens AS BIGINT)"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -115,3 +115,24 @@ def k_anonymity_violations(df: DataFrame, quasi_cols: list[str],
         .agg(F.count("*").cast("long").alias("n_records"))
         .filter(F.col("n_records") < k)
     )
+
+
+def l_diversity_violations(df: DataFrame, quasi_cols: list[str],
+                           sensitive_col, l: int = 3) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, "l-diversity:
+    privacy beyond k-anonymity"; public method) — the gate k-anonymity
+    misses: a quasi-identifier group can be large yet still leak if
+    every member shares the SAME sensitive value (the homogeneity
+    attack). Emits every group whose sensitive attribute takes fewer
+    than ``l`` distinct values, with its record count and distinct
+    count — the generalization/suppression worklist. ``sensitive_col``
+    may be a Column expression (e.g. a banded numeric). ONE
+    partial-agged groupBy with a distinct-count — a single scan at any
+    scale. Columns: quasi_cols..., n_records, n_sensitive."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("n_records"),
+             F.count_distinct(sensitive_col).cast("long")
+             .alias("n_sensitive"))
+        .filter(F.col("n_sensitive") < l)
+    )

@@ -330,3 +330,37 @@ def allocation_from_counts(s: DataFrame, budget: int = 100) -> DataFrame:
              .otherwise(0)).cast("long").alias("alloc"),
         )
     )
+
+
+def temperature_mixture(docs: DataFrame, strata_col: str = "lang",
+                        ppm_budget: int = 1000000) -> DataFrame:
+    """TEMPERATURE-SCALED sampling mixture (the multilingual-corpus
+    rebalancing rule of XLM-R / mT5 — Conneau et al. 2020, Xue et al.
+    2021; public method): sampling probability q_l ∝ p_l^α flattens the
+    raw language distribution so scarce languages are upsampled. α =
+    0.5 spelled as sqrt — IEEE-754 sqrt is correctly rounded and hence
+    bit-identical on any engine (the pca/_iterate normalize rationale),
+    then quantized to a 7 dp scaled integer so every downstream step is
+    exact integer arithmetic.
+
+    Both the RAW share and the TEMPERED share are apportioned over the
+    same ``ppm_budget`` by Hamilton's largest-remainder method
+    (:func:`allocation_from_counts`), so each column sums to the budget
+    EXACTLY — the property a downstream token-budget planner needs
+    (naive per-row rounding over/under-shoots). Columns: stratum,
+    n_docs, raw_ppm, temp_ppm (temp_ppm > raw_ppm for scarce strata).
+
+    Scale shape: one partial-agged groupBy collapses the corpus to
+    |strata| rows; both apportionments run on that tiny table."""
+    counts = stratum_counts(docs, strata_col)
+    raw = (allocation_from_counts(counts, ppm_budget)
+           .select("stratum", F.col("n_rows").alias("n_docs"),
+                   F.col("alloc").alias("raw_ppm")))
+    tempered = counts.select(
+        "stratum",
+        F.expr("CAST(ROUND(SQRT(CAST(n_rows AS DOUBLE)) * 10000000)"
+               " AS BIGINT)").alias("n_rows"))
+    temp = (allocation_from_counts(tempered, ppm_budget)
+            .select("stratum", F.col("alloc").alias("temp_ppm")))
+    return raw.join(temp, "stratum").select(
+        "stratum", "n_docs", "raw_ppm", "temp_ppm")

@@ -133,3 +133,24 @@ def test_bpe_sql_exhausted_rounds_are_noops(spark, duck):
     assert_matches_oracle(
         BPE.bpe_segment(docs, merges), duck,
         BPE.bpe_segment_sql(4, table="tiny_docs"))
+
+
+def test_fertility_by_lang_bounds_and_consistency(spark):
+    """Fertility is >= 1e6 ppm (every word is at least one subword) and
+    equals the per-doc segment stats aggregated by hand."""
+    from spark_streaming_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa", "en", "s", 8), (2, "ba ba", "fr", "s", 5)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    merges = [(r.left, r.right) for r in
+              BPE.bpe_train(docs, n_merges=2).orderBy("step").collect()]
+    fert = {r["lang"]: r for r in
+            BPE.bpe_fertility_by_lang(docs, merges).collect()}
+    seg = {r["doc_id"]: r for r in
+           BPE.bpe_segment(docs, merges).collect()}
+    for lang, doc_id in (("en", 1), ("fr", 2)):
+        assert fert[lang]["n_words"] == seg[doc_id]["n_words"]
+        assert fert[lang]["n_subwords"] == seg[doc_id]["n_subwords"]
+        assert fert[lang]["fertility_ppm"] >= 1000000

@@ -80,6 +80,15 @@ def test_cosched_groups_map_is_consistent(spark):
     assert sum(sizes.values()) == len(groups)
 
 
+def test_batch_families_map_names_real_entries():
+    """The batch artifact-family map must name real entries and never
+    collide with the co-scheduled replay groups (an entry in both would
+    be double-counted in family_subtotals)."""
+    bf = entrymod.batch_families()
+    assert set(bf) <= set(QUERIES)
+    assert not set(bf) & set(entrymod.cosched_groups())
+
+
 def test_oracle_output_types_spark_representable(duck):
     """Round-4 lesson: DuckDB ``SUM(BIGINT)`` yields HUGEINT (int128 ->
     Arrow decimal128(38,0)) while Spark emits int64, and the driver's

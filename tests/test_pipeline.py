@@ -418,3 +418,26 @@ def test_user_value_outliers_personalized(spark):
     mu = statistics.fmean(cents)
     sigma = statistics.pstdev(cents)
     assert abs(5000 - mu) > 3 * sigma
+
+
+def test_padding_waste_sorted_beats_arrival(spark):
+    """Length-sorted batching must never pad MORE than arrival-order
+    batching, and the hand-counted case pins the integer math: batch
+    size 2, lengths [1, 9, 1, 9] by doc_id — arrival pads each mixed
+    batch to 9 (padded 36, real 20), sorted groups like lengths
+    (padded 20, zero waste)."""
+    from spark_streaming_spark.operators import pipeline as PL
+
+    mk = lambda n: " ".join("w" for _ in range(n))
+    rows = [(1, mk(1), "en", "s", 1), (2, mk(9), "en", "s", 1),
+            (3, mk(1), "en", "s", 1), (4, mk(9), "en", "s", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = {r["policy"]: r
+           for r in PL.padding_waste_report(docs, batch_size=2).collect()}
+    a, s = out["arrival"], out["sorted"]
+    assert a["real_tokens"] == s["real_tokens"] == 20
+    assert a["padded_tokens"] == 36 and s["padded_tokens"] == 20
+    assert s["waste_ppm"] == 0
+    assert a["waste_ppm"] == (1000000 * 16) // 36

@@ -77,3 +77,21 @@ def test_scrub_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_l_diversity_catches_homogeneous_group(spark):
+    """The homogeneity attack k-anonymity misses: a group of 5 records
+    (k-anonymous at k=5) whose sensitive value is uniform must flag
+    under l-diversity, while a same-size diverse group must not."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_spark.operators import redaction as RED
+
+    rows = ([("g1", i, 100.0) for i in range(5)]          # uniform
+            + [("g2", 10 + i, 100.0 * i) for i in range(5)])  # diverse
+    df = spark.createDataFrame(rows, "grp string, id long, bal double")
+    out = RED.l_diversity_violations(
+        df, ["grp"], F.expr("CAST(FLOOR(bal / 100) AS BIGINT)"), l=3)
+    got = {r["grp"]: r for r in out.collect()}
+    assert "g1" in got and got["g1"]["n_sensitive"] == 1
+    assert "g2" not in got

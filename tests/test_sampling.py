@@ -110,3 +110,26 @@ def test_stratum_allocation_largest_remainder(spark):
     out2 = {r["stratum"]: r["alloc"]
             for r in stratum_allocation(even, "lang", budget=10).collect()}
     assert out2 == {"a": 4, "b": 3, "c": 3}
+
+
+def test_temperature_mixture_flattens_and_sums_exact(spark):
+    """Tempered shares must (a) sum to EXACTLY the ppm budget (Hamilton
+    invariant), (b) upweight the scarce stratum relative to its raw
+    share and downweight the dominant one — the alpha=0.5 flattening
+    contract."""
+    from spark_streaming_spark.operators import sampling as SMP
+
+    rows = ([(i, "t", "en", "s", 1) for i in range(90)]
+            + [(100 + i, "t", "sw", "s", 1) for i in range(10)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    out = {r["stratum"]: r
+           for r in SMP.temperature_mixture(docs).collect()}
+    assert sum(r["raw_ppm"] for r in out.values()) == 1000000
+    assert sum(r["temp_ppm"] for r in out.values()) == 1000000
+    assert out["sw"]["temp_ppm"] > out["sw"]["raw_ppm"]
+    assert out["en"]["temp_ppm"] < out["en"]["raw_ppm"]
+    # sqrt weights 3:1 -> tempered shares 750000 / 250000 exactly
+    assert out["en"]["temp_ppm"] == 750000
+    assert out["sw"]["temp_ppm"] == 250000

@@ -1185,6 +1185,12 @@ def _doc_fold_members():
                  ["stratum"], ["n_rows"], "stratalloc_state_",
                  select=lambda st: st.select("lang")),
             lambda df, s, d: SMP.allocation_from_counts(df)),
+        # ALIAS member: the temperature-mixture read off the SAME
+        # folded per-lang count state (counts additive; both Hamilton
+        # apportionments run at read)
+        "temp_mixture": (
+            "stratum_alloc",
+            lambda df, s, d: SMP.temperature_mixture_from_counts(df)),
         "spacesaving": (
             fold(SKC.spacesaving_word_counts, ["word"], ["cnt"],
                  "ss_state_"),
@@ -1478,6 +1484,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_referential_audit": "merge_folds",
     "streaming_textrank": "doc_folds",
     "streaming_stratum_allocation": "doc_folds",
+    "streaming_temperature_mixture": "doc_folds",
     "streaming_event_sequences": "event_folds",
     "streaming_kafka_wordcount": "misc_replays",
     "streaming_wordcount_rocksdb": "misc_replays",
@@ -3492,6 +3499,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, "event_folds", _event_fold_members(), "sequences"),
         "streaming_stratum_allocation": lambda s, d: _cosched_group(
             s, d, "doc_folds", _doc_fold_members(), "stratum_alloc"),
+        # the tempered-mixture twin off the same folded lang counts —
+        # shares temperature_mixture's oracle verbatim
+        "streaming_temperature_mixture": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "temp_mixture"),
         # the as-of lookup served per micro-batch against the published
         # history artifact (stream-static, stateless, append)
         "streaming_events_asof_status": _q_streaming_events_asof_status,
@@ -9285,6 +9296,8 @@ cagg AS (
                     // padded_tokens AS BIGINT) AS waste_ppm
         FROM u
     """
+    # streamed twin off the same folded lang counts: shared oracle
+    sql["streaming_temperature_mixture"] = sql["temperature_mixture"]
     sql["pack_sequences"] = f"""
         WITH d AS (
           SELECT doc_id,

@@ -351,8 +351,19 @@ def temperature_mixture(docs: DataFrame, strata_col: str = "lang",
     n_docs, raw_ppm, temp_ppm (temp_ppm > raw_ppm for scarce strata).
 
     Scale shape: one partial-agged groupBy collapses the corpus to
-    |strata| rows; both apportionments run on that tiny table."""
-    counts = stratum_counts(docs, strata_col)
+    |strata| rows; both apportionments run on that tiny table. The
+    count table is ADDITIVE under corpus partition, so a streamed fold
+    of per-micro-batch counts reaches the identical mixture at read
+    (:func:`temperature_mixture_from_counts`)."""
+    return temperature_mixture_from_counts(
+        stratum_counts(docs, strata_col), ppm_budget)
+
+
+def temperature_mixture_from_counts(counts: DataFrame,
+                                    ppm_budget: int = 1000000) -> DataFrame:
+    """The apportionment tail of :func:`temperature_mixture`, off a
+    (stratum, n_rows) count table — batch-built or stream-folded
+    (counts_fold_sink), the stratum_allocation read-at-fold shape."""
     raw = (allocation_from_counts(counts, ppm_budget)
            .select("stratum", F.col("n_rows").alias("n_docs"),
                    F.col("alloc").alias("raw_ppm")))

@@ -24,11 +24,26 @@ def _union() -> dict:
 
 
 def test_checked_union_file_is_current():
-    """The committed CHECKED_UNION.json must equal a fresh rebuild from
-    the CORRECTNESS_r*.json + SWEEPS.json sources (no stale commits)."""
+    """The committed CHECKED_UNION.json must match a fresh rebuild from
+    the CORRECTNESS_r*.json + SWEEPS.json sources — allowing exactly ONE
+    round of staleness (the driver drops CORRECTNESS_r{N}.json after the
+    builder's last regen; the next round's builder re-runs
+    scripts/gen_checked_union.py as its first ledger step)."""
     path = os.path.join(REPO, "CHECKED_UNION.json")
     assert os.path.exists(path), "run scripts/gen_checked_union.py"
-    assert json.load(open(path)) == _union()
+    committed = json.load(open(path))
+    fresh = _union()
+    if committed == fresh:
+        return
+    assert fresh["max_round"] - committed["max_round"] <= 1, (
+        "CHECKED_UNION.json is more than one round stale — run "
+        "scripts/gen_checked_union.py")
+    # the committed file must agree with the rebuild on every round it
+    # could have seen (no entry's evidence may move backwards)
+    for name, rec in committed["entries"].items():
+        frec = fresh["entries"].get(name, {"driver": 0, "sweep": 0})
+        assert frec["driver"] >= rec["driver"], name
+        assert frec["sweep"] >= rec["sweep"], name
 
 
 def test_every_oracle_entry_verified_recently_or_scheduled():

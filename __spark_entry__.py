@@ -2552,11 +2552,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inventory, Lee et al. 2022) via k-gram postings — no suffix
         # array, no pairwise compare, one partial-agg shuffle
         "repeated_spans": lambda s, d: DD.repeated_spans(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         # the prune metric on top of the inventory: per-doc fraction of
         # k-gram positions whose span appears in 2+ docs (integer ppm)
         "span_dup_coverage": lambda s, d: DD.span_dup_coverage(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         "dedup_ngram_jaccard": lambda s, d: DD.ngram_jaccard_pairs(
             load_table(s, d, "documents"), cache_key=d),
         "dedup_minhash_lsh": lambda s, d: DD.minhash_lsh_pairs(
@@ -2626,7 +2626,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # claims LSH, so its bench number must measure the LSH machinery,
         # not the small-n broadcast fallback (round-3 ADVICE)
         "knn_graph_lsh": lambda s, d: SIM.knn_graph_lsh(
-            load_table(s, d, "embeddings"), dense_fallback_pairs=0),
+            load_table(s, d, "embeddings"), dense_fallback_pairs=0,
+            cache_key=d),
         # ANN quality eval (ann-benchmarks protocol): per-query recall@k
         # of the LSH graph vs the exact graph — hash-checked because
         # both graphs are deterministic and recall_ppm is integer DIV

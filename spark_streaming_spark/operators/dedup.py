@@ -688,7 +688,8 @@ def dedup_keep_best(docs: DataFrame, threshold: float = 0.8,
 
 
 def repeated_spans(docs: DataFrame, k: int = 8,
-                   min_docs: int = 2) -> DataFrame:
+                   min_docs: int = 2,
+                   cache_key: str | None = None) -> DataFrame:
     """Cross-document repeated k-token spans — the exact-substring
     duplication inventory of Lee et al. 2022 ("Deduplicating Training
     Data Makes Language Models Better": repeated spans are what a
@@ -706,11 +707,21 @@ def repeated_spans(docs: DataFrame, k: int = 8,
     partial-aggregates map-side — no skew blowup.
 
     Output: span, n_docs (distinct), n_occurrences, min_doc, max_doc.
+
+    ``cache_key`` memoizes the (small, HAVING-filtered) inventory —
+    NOT the ~k×-corpus posting list — per (application, corpus, k,
+    min_docs): the coverage metric consumes the same artifact
+    (_PAIRS_CACHE discipline; at 100 TB the inventory is the table a
+    dedup pass persists, the postings are never materialized).
     """
+    ck = (("span_inventory", docs.sparkSession.sparkContext.applicationId,
+           cache_key, k, min_docs) if cache_key is not None else None)
+    if ck is not None and ck in _PAIRS_CACHE:
+        return _PAIRS_CACHE[ck]
     spans = F.expr(
         f"transform(sequence(1, size(split(text, ' ')) - {k} + 1),"
         f" i -> concat_ws(' ', slice(split(text, ' '), i, {k})))")
-    return (
+    out = (
         docs.filter(F.size(F.split(F.col("text"), " ")) >= k)
         .select("doc_id", F.explode(spans).alias("span"))
         .groupBy("span")
@@ -720,10 +731,15 @@ def repeated_spans(docs: DataFrame, k: int = 8,
              F.max("doc_id").alias("max_doc"))
         .filter(F.col("n_docs") >= min_docs)
     )
+    if ck is not None:
+        out = out.localCheckpoint(eager=True)
+        _PAIRS_CACHE[ck] = out
+    return out
 
 
 def span_dup_coverage(docs: DataFrame, k: int = 8,
-                      min_docs: int = 2) -> DataFrame:
+                      min_docs: int = 2,
+                      cache_key: str | None = None) -> DataFrame:
     """Per-document duplication coverage — the prune metric on top of
     :func:`repeated_spans`: what fraction (ppm, integer-exact) of a
     doc's k-gram positions carry a span that also appears in
@@ -744,10 +760,12 @@ def span_dup_coverage(docs: DataFrame, k: int = 8,
         f" i -> concat_ws(' ', slice(split(text, ' '), i, {k})))")
     sp = (docs.filter(F.size(F.split(F.col("text"), " ")) >= k)
           .select("doc_id", F.explode(spans).alias("span")))
-    inv = (sp.groupBy("span")
-           .agg(F.countDistinct("doc_id").alias("n_docs"))
-           .filter(F.col("n_docs") >= min_docs)
-           .select("span"))
+    # the inventory branch rides the shared memoized artifact when a
+    # cache_key is given (built once, serves repeated_spans too); the
+    # postings branch still re-explodes map-side by design (see
+    # repeated_spans — postings are never materialized)
+    inv = repeated_spans(docs, k, min_docs,
+                         cache_key=cache_key).select("span")
     matched = (sp.join(inv, "span")
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_dup_spans")))

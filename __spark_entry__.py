@@ -1545,6 +1545,14 @@ _BATCH_FAMILIES = {
     # co-supply edge-table consumers
     "supplier_corank": "fam_cosupply",
     "lpa_communities": "fam_cosupply",
+    # span-inventory consumers (operators/dedup.repeated_spans)
+    "repeated_spans": "fam_span",
+    "span_dup_coverage": "fam_span",
+    # kNN graph artifacts (exact + LSH) and the recall eval that
+    # consumes both (operators/similarity.py)
+    "knn_graph": "fam_knn",
+    "knn_graph_lsh": "fam_knn",
+    "lsh_graph_recall": "fam_knn",
     # PCA moment-table consumers (operators/pca.py)
     "embedding_pca_loadings": "fam_pca",
     "embedding_pca_scores": "fam_pca",

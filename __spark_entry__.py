@@ -1196,6 +1196,13 @@ def _doc_fold_members():
                  "ss_state_"),
             lambda df, s, d: SKC.mg_prune(df, "word", 20)),
         "bpe_segment": (bpe_start, None),
+        # ALIAS member: the per-language fertility read off the SAME
+        # folded per-doc segment stats (additive; tokenizer-equity eval
+        # maintained continuously)
+        "bpe_fertility": (
+            "bpe_segment",
+            lambda df, s, d: BPE.fertility_from_segments(
+                df, load_table(s, d, "documents"))),
         "winnow": (
             _foreach_starter(
                 "documents",
@@ -1450,6 +1457,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_transition_matrix": "ord_events",
     "streaming_token_drift": "doc_folds",
     "streaming_bpe_segment": "doc_folds",
+    "streaming_bpe_fertility": "doc_folds",
     "streaming_spacesaving_hot_words": "doc_folds",
     "streaming_spacesaving_per_lang": "doc_folds",
     "streaming_winnow": "doc_folds",
@@ -2771,6 +2779,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plan constant, map-only per micro-batch, per-doc stats folded
         # additively — shares bpe_segment_stats' unrolled oracle
         "streaming_bpe_segment": _q_streaming_bpe_segment,
+        # the streamed fertility twin off the same folded segment stats
+        # — shares bpe_fertility_by_lang's oracle verbatim
+        "streaming_bpe_fertility": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "bpe_fertility"),
         "bpe_token_stats": lambda s, d: TX.bpe_token_stats(load_table(s, d, "documents")),
         # tokenizer-equity eval off the SAME cached merge artifact:
         # subwords per word by language (fertility, Acs 2019) — high-
@@ -9307,6 +9319,7 @@ cagg AS (
     """
     # streamed twin off the same folded lang counts: shared oracle
     sql["streaming_temperature_mixture"] = sql["temperature_mixture"]
+    sql["streaming_bpe_fertility"] = sql["bpe_fertility_by_lang"]
     sql["pack_sequences"] = f"""
         WITH d AS (
           SELECT doc_id,

@@ -255,8 +255,18 @@ def bpe_fertility_by_lang(docs: DataFrame,
 
     Scale shape: segmentation is map-side; the doc_id join against the
     (doc_id, lang) projection is the only exchange beyond the per-doc
-    groupBy, and the final per-language aggregate is |langs| rows."""
-    seg = bpe_segment(docs, merges)
+    groupBy, and the final per-language aggregate is |langs| rows. The
+    per-doc stats are ADDITIVE under corpus partition (docs are
+    batch-disjoint), so a streamed fold of per-batch segment stats
+    reaches the identical fertility at read
+    (:func:`fertility_from_segments`)."""
+    return fertility_from_segments(bpe_segment(docs, merges), docs)
+
+
+def fertility_from_segments(seg: DataFrame, docs: DataFrame) -> DataFrame:
+    """The per-language aggregation tail of :func:`bpe_fertility_by_lang`
+    off an already-built (doc_id, n_words, n_subwords) table — one-shot
+    or stream-folded (the stratum_allocation read-at-fold shape)."""
     return (
         seg.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")

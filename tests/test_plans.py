@@ -746,3 +746,38 @@ def test_bloom_prune_filters_before_semi_join(spark):
     assert "md5" in plan[join_at:]
     assert not explain.has_cartesian_product(
         PL.bloom_pruned_semi_join(li, "l_partkey", keys, "p_partkey"))
+
+
+def test_padding_waste_no_single_partition_corpus_exchange(spark):
+    """The batching audit's two global ranks ride the two-phase
+    range-partitioned spelling — the corpus must never shuffle through
+    a single partition (only the tiny per-range offset tables and the
+    final 1-row aggregates may)."""
+    from spark_streaming_spark.operators import pipeline as PL
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = PL.padding_waste_report(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # per policy: one offsets cumsum + the 1-row policy aggregate may
+    # be single-partition; the corpus-side window must not be. The
+    # executed plan shows one SinglePartition exchange per such tiny
+    # table — bound it well below what a naive global row_number over
+    # the corpus (one extra per policy, fed by the full scan) would add.
+    assert plan.count("SinglePartition") <= 4, plan
+
+
+def test_temperature_mixture_single_corpus_aggregate(spark):
+    """The mixture derivation collapses the corpus with ONE grouped
+    aggregate; both Hamilton apportionments run on the |strata|-row
+    table (ReuseExchange dedupes the shared count build)."""
+    from spark_streaming_spark.operators import sampling as SMP
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = SMP.temperature_mixture(docs)
+    plan = explain.explain_text(df)
+    # the documents scan must appear once per count build at most —
+    # ReuseExchange collapses the shared subtree; no cartesian anywhere
+    assert not explain.has_cartesian_product(df)
+    rows = {r["stratum"]: r for r in df.collect()}
+    assert sum(r["raw_ppm"] for r in rows.values()) == 1000000
+    assert sum(r["temp_ppm"] for r in rows.values()) == 1000000

@@ -1227,6 +1227,13 @@ def _doc_fold_members():
                         load_table(s, d, "documents"))
                         .localCheckpoint(eager=True))),
             None),
+        # ALIAS member: the held-out confusion-matrix eval off the SAME
+        # accumulated at-ingest predictions (batch-disjoint docs; the
+        # odd-half restriction applies at read)
+        "langid_confusion": (
+            "langid",
+            lambda df, s, d: LID.confusion_from_scores(
+                df, load_table(s, d, "documents"))),
     }
 
 
@@ -1501,6 +1508,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_dedup_watermark": "dedup_replays",
     "streaming_incremental_dedup": "dedup_replays",
     "streaming_langid_scores": "doc_folds",
+    "streaming_langid_confusion": "doc_folds",
     "streaming_rolling_corr": "event_folds",
 }
 # Deliberately SOLO streamed entries (each has a reason co-scheduling
@@ -2810,6 +2818,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # union of per-batch predictions shares langid_scores' oracle
         "streaming_langid_scores": lambda s, d: _cosched_group(
             s, d, "doc_folds", _doc_fold_members(), "langid"),
+        # the eval twin off the same at-ingest prediction stream —
+        # shares langid_confusion's oracle verbatim
+        "streaming_langid_confusion": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "langid_confusion"),
         # the eval harness: confusion matrix on the held-out odd half.
         # Honest-fixture note: the synthetic documents share ONE
         # 31-word vocabulary across all langs (the lang label is
@@ -9320,6 +9332,7 @@ cagg AS (
     # streamed twin off the same folded lang counts: shared oracle
     sql["streaming_temperature_mixture"] = sql["temperature_mixture"]
     sql["streaming_bpe_fertility"] = sql["bpe_fertility_by_lang"]
+    sql["streaming_langid_confusion"] = sql["langid_confusion"]
     sql["pack_sequences"] = f"""
         WITH d AS (
           SELECT doc_id,

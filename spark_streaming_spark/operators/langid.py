@@ -128,6 +128,18 @@ def langid_confusion(docs: DataFrame, dim: int = _DIM) -> DataFrame:
     weights = langid_train(docs, dim)
     eval_docs = docs.filter(F.col("doc_id") % 2 == 1)
     preds = langid_scores(eval_docs, weights=weights, dim=dim)
+    return confusion_from_scores(preds, docs)
+
+
+def confusion_from_scores(preds: DataFrame, docs: DataFrame) -> DataFrame:
+    """The confusion-matrix tail of :func:`langid_confusion` off an
+    already-scored (doc_id, pred_lang, ...) table — one-shot or the
+    at-ingest router's accumulated per-batch predictions (docs are
+    batch-disjoint, so the union of per-batch scores over the held-out
+    half equals the one-shot eval; the stratum_allocation
+    read-at-fold shape). Restricts to the odd-doc_id eval half here so
+    a full-corpus scored table can be passed as-is."""
+    eval_docs = docs.filter(F.col("doc_id") % 2 == 1)
     return (
         eval_docs.select("doc_id", "lang")
         .join(preds, "doc_id")

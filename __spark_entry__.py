@@ -2945,6 +2945,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rank per policy, integer-exact waste ppm
         "padding_waste_report": lambda s, d: PL.padding_waste_report(
             load_table(s, d, "documents")),
+        # write-side file sizing: concatenate-and-cut the byte tape into
+        # like-sized output shards (two-level prefix sum, no
+        # single-partition corpus exchange), per-shard content report
+        "shard_plan": lambda s, d: PL.shard_plan(
+            load_table(s, d, "documents")),
         "lm_bigram_scores": lambda s, d: PL.lm_bigram_scores(
             load_table(s, d, "documents")),
         # RAG-prep chunking: overlapping char windows, map-only explode
@@ -9295,6 +9300,21 @@ cagg AS (
                CAST(raw_ppm AS BIGINT) AS raw_ppm,
                CAST(temp_ppm AS BIGINT) AS temp_ppm
         FROM rawa r JOIN tmpa USING (stratum)
+    """
+    sql["shard_plan"] = f"""
+        WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS nc
+                   FROM documents),
+        c AS (SELECT doc_id, lang, nc,
+                     SUM(nc) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS e
+              FROM d),
+        s AS (SELECT lang, nc, (e - nc) // {PL.SHARD_CHARS} AS shard
+              FROM c)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nc) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM s GROUP BY 1
     """
     sql["padding_waste_report"] = """
         WITH d AS (SELECT doc_id,

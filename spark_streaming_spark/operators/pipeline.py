@@ -787,3 +787,50 @@ def padding_waste_report(docs: DataFrame, batch_size: int = 16) -> DataFrame:
                    " DIV padded_tokens AS BIGINT)"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+SHARD_CHARS = 20_000   # target chars per output shard (fixture-sized)
+
+
+def shard_plan(docs: DataFrame, target_chars: int = SHARD_CHARS,
+               bucket: int = PACK_BUCKET) -> DataFrame:
+    """Balanced OUTPUT-SHARD planning — the write-side sizing step of a
+    100 TB export (every columnar store wants like-sized files; tiny
+    files swamp the namenode, huge ones break task balance): lay the
+    docs on the byte tape in doc_id order and cut it every
+    ``target_chars`` (concatenate-and-cut, the pack_sequences
+    semantics at byte grain), then report each shard's content — doc
+    count, exact chars, distinct languages (a mixing/locality signal).
+    Columns: shard, n_docs, n_chars, n_langs.
+
+    Scale shape: the global running offset rides the same two-level
+    prefix sum as :func:`pack_sequences` (per-bucket cumsums fully
+    parallel, tiny bucket-total cumsum broadcast back) — no
+    single-partition corpus exchange; one (shard) groupBy ends it."""
+    d = docs.select("doc_id", "lang",
+                    F.col("n_chars").cast("long").alias("nc"),
+                    F.floor(F.col("doc_id") / bucket).alias("bkt"))
+    w_local = (
+        Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("local_end", F.sum("nc").over(w_local))
+    totals = d.groupBy("bkt").agg(F.sum("nc").alias("bkt_total"))
+    w_bkt = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "bkt",
+        (F.sum("bkt_total").over(w_bkt) - F.col("bkt_total")).alias("bkt_off"),
+    )
+    start = F.col("bkt_off") + F.col("local_end") - F.col("nc")
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .select("doc_id", "lang", "nc",
+                F.floor(start / target_chars).cast("long").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("nc").cast("long").alias("n_chars"),
+             F.count_distinct("lang").cast("long").alias("n_langs"))
+    )

@@ -441,3 +441,33 @@ def test_padding_waste_sorted_beats_arrival(spark):
     assert a["padded_tokens"] == 36 and s["padded_tokens"] == 20
     assert s["waste_ppm"] == 0
     assert a["waste_ppm"] == (1000000 * 16) // 36
+
+
+def test_shard_plan_partitions_and_balances(spark):
+    """Shards partition the corpus exactly (doc counts and chars sum to
+    the corpus totals) and every FULL shard's chars land within one
+    document of the target (concatenate-and-cut: a shard closes only
+    when the tape passes the boundary)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = sorted(PL.shard_plan(docs).collect(), key=lambda r: r.shard)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert (sum(r.n_chars for r in rows)
+            == docs.agg(F.sum("n_chars")).first()[0])
+    # shard ids are dense from 0
+    assert [r.shard for r in rows] == list(range(len(rows)))
+    # cut semantics: re-derive the tape and pin one boundary by hand
+    tape = sorted(docs.select("doc_id", "n_chars").collect(),
+                  key=lambda r: r.doc_id)
+    off, by_shard = 0, {}
+    for r in tape:
+        sh = off // PL.SHARD_CHARS
+        by_shard[sh] = by_shard.get(sh, 0) + 1
+        off += r.n_chars
+    assert by_shard == {r.shard: r.n_docs for r in rows}
+
+
+def test_shard_plan_no_single_partition_corpus_exchange(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = PL.shard_plan(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("SinglePartition") <= 1, plan

@@ -51,6 +51,8 @@ from spark_streaming_spark.operators import topk as T
 from spark_streaming_spark.operators import tpch as TPC
 from spark_streaming_spark.operators import bpe as BPE
 from spark_streaming_spark.operators import classify as CLF
+from spark_streaming_spark.operators import survival as SV
+from spark_streaming_spark.operators import regress as RG
 from spark_streaming_spark.operators import langid as LID
 from spark_streaming_spark.operators import udtf_ops as UDTF
 from spark_streaming_spark.operators import windows as WIN
@@ -2475,6 +2477,57 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # daily series
         "rolling_daily_corr": lambda s, d: TS.rolling_daily_corr(
             load_table(s, d, "events")),
+        # ACF at lags 1..7 of the same daily series: the seasonality
+        # probe (weekly cycle = lag-7 spike); Pearson over lagged
+        # pairs, frozen-IEEE tail on exact integer moments
+        "daily_value_acf": lambda s, d: TS.daily_value_acf(
+            load_table(s, d, "events")),
+        # Kaplan-Meier first-repurchase survival curve: right-censored
+        # time-to-event over the customer key, ppm product-limit fold
+        # (integer left fold — no transcendental, no float product)
+        "kaplan_meier_repurchase": lambda s, d: SV.kaplan_meier_repurchase(
+            load_table(s, d, "orders")),
+        # two-sample Kolmogorov-Smirnov gate between click and purchase
+        # value distributions: exact integer ECDF-difference numerator
+        # via the distributed two-phase cumsum, IEEE decision tail
+        "ks_value_shift": lambda s, d: PF.ks_two_sample(
+            load_table(s, d, "events")),
+        # HITS hubs/authorities on the customer->part purchase
+        # bipartite graph (Kleinberg 1999): corank-quantized
+        # contributions, max-normalization (order-independent), rounds
+        # unrolled in the oracle
+        "hits_scores": lambda s, d: GRK.hits_scores(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders"),
+            cache_key=d),
+        # distributed OLS by normal equations (the MLlib "normal"
+        # solver shape): one exact integer moment aggregate + a 1-row
+        # Cramer solve whose IEEE expression STRING is shared verbatim
+        # with the oracle
+        "ols_price_model": lambda s, d: RG.ols_price_model(
+            load_table(s, d, "lineitem")),
+        # U-shaped (40-20-40) multi-touch attribution: integer-ppm
+        # credits summing to exactly 1e6 per purchase, revenue by
+        # click day
+        "position_attribution": lambda s, d: CV.position_attribution(
+            load_table(s, d, "events")),
+        # INT8 scalar-quantization serving path: exact BIGINT code
+        # dots + fixed-order de-scale — the ANN tier that hash-checks
+        # end to end (unlike the float IVF/PQ tiers, rows-only by
+        # design)
+        "sq8_search_topk": lambda s, d: SIM.sq8_search_topk(
+            load_table(s, d, "embeddings")),
+        # hybrid lexical+vector retrieval fused by integer-ppm RRF
+        # (Cormack et al. 2009) over the two existing candidate lists
+        "hybrid_search_rrf": lambda s, d: TX.hybrid_search_rrf(
+            load_table(s, d, "documents"),
+            load_table(s, d, "embeddings")),
+        # t-closeness audit (Li et al. 2007): exact integer EMD between
+        # each QI group's segment distribution and the table's
+        "t_closeness_violations": lambda s, d: RED.t_closeness_violations(
+            load_table(s, d, "customer").withColumn(
+                "acctbal_band",
+                F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)")),
+            ["c_nationkey", "acctbal_band"], "c_mktsegment"),
         # run CONTINUOUSLY: per-batch daily series folded additively
         # (event_folds group), window + IEEE tail at read
         "streaming_rolling_corr": lambda s, d: _cosched_group(
@@ -7315,6 +7368,63 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
     sql["streaming_rolling_corr"] = sql["rolling_daily_corr"]
+    # ACF / KM / KS statistical tier (operators/timeseries.py,
+    # survival.py, profile.py): oracle text lives next to the operator
+    # so the two sides evolve together
+    sql["daily_value_acf"] = TS.DAILY_VALUE_ACF_SQL
+    sql["kaplan_meier_repurchase"] = SV.kaplan_meier_repurchase_sql()
+    sql["ks_value_shift"] = PF.KS_TWO_SAMPLE_SQL
+    sql["hits_scores"] = GRK.hits_sql()
+    sql["sq8_search_topk"] = SIM.SQ8_SEARCH_SQL
+    sql["ols_price_model"] = RG.ols_price_model_sql()
+    sql["position_attribution"] = CV.POSITION_ATTRIBUTION_SQL
+    # t-closeness over the k-anonymity QI pair (nation, balance band),
+    # sensitive = market segment; HUGEINT-widened scaled divide mirrors
+    # the Spark side's decimal widening
+    sql["t_closeness_violations"] = """
+        WITH c AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_band
+          FROM customer
+        ),
+        per AS (
+          SELECT c_nationkey, acctbal_band, c_mktsegment,
+                 CAST(count(*) AS BIGINT) AS cnt_gs
+          FROM c GROUP BY 1, 2, 3
+        ),
+        gl AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt_s
+                 FROM c GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM c),
+        groups AS (
+          SELECT c_nationkey, acctbal_band,
+                 CAST(SUM(cnt_gs) AS BIGINT) AS n_g
+          FROM per GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT g.c_nationkey, g.acctbal_band, g.n_g, s.cnt_s,
+                 s.c_mktsegment, COALESCE(p.cnt_gs, 0) AS cnt_gs
+          FROM groups g CROSS JOIN gl s
+          LEFT JOIN per p ON p.c_nationkey = g.c_nationkey
+            AND p.acctbal_band = g.acctbal_band
+            AND p.c_mktsegment = s.c_mktsegment
+        ),
+        agg AS (
+          SELECT c_nationkey, acctbal_band, MAX(n_g) AS n_g,
+                 SUM(CAST(ABS(cnt_gs * t.n_total - cnt_s * n_g)
+                     AS HUGEINT)) AS dist_num,
+                 MAX(t.n_total) AS n_total
+          FROM grid, tot t GROUP BY 1, 2
+        )
+        SELECT c_nationkey, acctbal_band,
+               CAST(n_g AS BIGINT) AS n_records,
+               CAST(CAST(1000000 AS HUGEINT) * dist_num
+                    // (CAST(2 AS HUGEINT) * n_g * n_total)
+                    AS BIGINT) AS dist_ppm
+        FROM agg
+        WHERE CAST(CAST(1000000 AS HUGEINT) * dist_num
+                   // (CAST(2 AS HUGEINT) * n_g * n_total)
+                   AS BIGINT) > 300000
+    """
     sql["event_value_quantile_transform"] = """
         WITH r AS (
           SELECT event_id, value,
@@ -8998,6 +9108,33 @@ dscored AS (
                  AS cosine
         FROM dots d JOIN norms n USING (doc_id), qn
         ORDER BY cosine DESC, doc_id ASC LIMIT 10
+    """
+    # RRF fusion composes the two retrieval oracles as CTE bodies
+    # (nested WITH in a subquery is legal DuckDB) and fuses in exact
+    # integer ppm — assigned after both component texts exist
+    sql["hybrid_search_rrf"] = f"""
+        WITH lex0 AS ({sql["lexical_knn"]}),
+        sem0 AS ({sql["knn_bruteforce"]}),
+        lexr AS (
+          SELECT doc_id AS id,
+                 CAST(1000000 // (60 + row_number() OVER (
+                   ORDER BY cosine DESC, doc_id ASC)) AS BIGINT)
+                 AS lex_pts
+          FROM lex0
+        ),
+        semr AS (
+          SELECT vec_id AS id,
+                 CAST(1000000 // (60 + row_number() OVER (
+                   ORDER BY cosine DESC, vec_id ASC)) AS BIGINT)
+                 AS sem_pts
+          FROM sem0
+        )
+        SELECT COALESCE(l.id, s.id) AS doc_id,
+               CAST(COALESCE(lex_pts, 0) + COALESCE(sem_pts, 0)
+                    AS BIGINT) AS rrf_ppm,
+               CAST(l.id IS NOT NULL AS INTEGER) AS in_lexical,
+               CAST(s.id IS NOT NULL AS INTEGER) AS in_semantic
+        FROM lexr l FULL OUTER JOIN semr s ON l.id = s.id
     """
     # BM25 with the log-free RSJ-ratio idf: every factor is an exact
     # BIGINT, products/divide in double with the SAME association as the

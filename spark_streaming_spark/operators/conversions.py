@@ -133,3 +133,103 @@ def time_to_convert_stats(events: DataFrame) -> DataFrame:
         conv.agg(F.count("*").cast("long").alias("n_converted"))
         .join(F.broadcast(p50)).join(F.broadcast(p90))
     )
+
+
+def position_attribution(events: DataFrame,
+                         horizon_days: int = 7) -> DataFrame:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution —
+    the marketing-analytics standard (public method): each purchase's
+    value is credited to the user's clicks in the preceding
+    ``horizon_days``: 40 % to the first touch, 40 % to the last, 20 %
+    split over the middle touches; 1 click → 100 %, 2 clicks → 50/50.
+    Reported as attributed revenue per CLICK DAY — "which day's traffic
+    earned this week's revenue".
+
+    Exact integer contract: purchase value quantizes to cents; credit
+    shares are ppm integers that sum to EXACTLY 1e6 per purchase (the
+    middle 200000 ppm uses floor DIV with the remainder assigned to the
+    FIRST middle click — the documented tie rule); attributed cents =
+    (cents · ppm) DIV 1e6, floor. No float anywhere.
+
+    Scale shape: one user-keyed interval join (the conversion-funnel
+    shape — both sides shuffle once on user_id, state bounded by the
+    horizon when streamed), one per-purchase window over the matched
+    clicks (bounded by clicks-per-user-week), one final partial-agged
+    day rollup. Columns: day, attributed_cents, n_credits."""
+    from pyspark.sql.window import Window
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"))
+    matched = purchases.join(clicks, "u").filter(
+        (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts")
+           - F.expr(f"INTERVAL {horizon_days} DAYS")))
+    w = Window.partitionBy("pid").orderBy(
+        F.col("cts").asc(), F.col("cid").asc())
+    pos = matched.select(
+        "pid", "cents", "cts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("pid")).alias("cnt"))
+    ppm = (
+        F.when(F.col("cnt") == 1, F.lit(1000000))
+        .when(F.col("cnt") == 2, F.lit(500000))
+        .when(F.col("rn") == 1, F.lit(400000))
+        .when(F.col("rn") == F.col("cnt"), F.lit(400000))
+        .when(F.col("rn") == 2,
+              F.expr("200000 div (cnt - 2) + 200000 % (cnt - 2)"))
+        .otherwise(F.expr("200000 div (cnt - 2)"))
+    )
+    credited = pos.select(
+        F.to_date("cts").alias("day"),
+        F.expr("CAST(cents AS BIGINT)").alias("cents"),
+        ppm.cast("long").alias("ppm"))
+    return (
+        credited.groupBy("day")
+        .agg(F.sum(F.expr("(cents * ppm) div 1000000"))
+             .cast("long").alias("attributed_cents"),
+             F.count("*").cast("long").alias("n_credits"))
+    )
+
+
+POSITION_ATTRIBUTION_SQL = """
+    WITH p AS (
+      SELECT user_id AS u, event_id AS pid, ts AS pts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id AS u, event_id AS cid, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT p.pid, p.cents, c.cts,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY c.cts ASC, c.cid ASC) AS rn,
+             count(*) OVER (PARTITION BY p.pid) AS cnt
+      FROM p JOIN c ON c.u = p.u
+      WHERE c.cts < p.pts AND c.cts >= p.pts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT CAST(date_trunc('day', cts) AS DATE) AS day, cents,
+             CAST(CASE
+               WHEN cnt = 1 THEN 1000000
+               WHEN cnt = 2 THEN 500000
+               WHEN rn = 1 THEN 400000
+               WHEN rn = cnt THEN 400000
+               WHEN rn = 2 THEN 200000 // (cnt - 2) + 200000 % (cnt - 2)
+               ELSE 200000 // (cnt - 2)
+             END AS BIGINT) AS ppm
+      FROM m
+    )
+    SELECT day,
+           CAST(SUM((cents * ppm) // 1000000) AS BIGINT)
+             AS attributed_cents,
+           CAST(count(*) AS BIGINT) AS n_credits
+    FROM credited GROUP BY 1
+"""

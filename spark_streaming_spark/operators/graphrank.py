@@ -460,3 +460,127 @@ def ppr_recommendations(lineitem: DataFrame, part: DataFrame,
         .orderBy(F.col("rank").desc(), F.col("part").asc())
         .limit(k)
     )
+
+
+def customer_part_edges(lineitem: DataFrame, orders: DataFrame,
+                        cache_key: str | None = None) -> DataFrame:
+    """(cust, part, w): the customer→part purchase bipartite multigraph
+    (w = line items), the input to HITS and any bipartite ranking.
+    One corpus join on the order key + one partial-agged groupBy; the
+    artifact memoizes per (application, corpus) like cosupply_edges.
+    Columns: cust, part, w."""
+    def build():
+        return (
+            lineitem.join(orders,
+                          lineitem["l_orderkey"] == orders["o_orderkey"])
+            .groupBy(F.col("o_custkey").alias("cust"),
+                     F.col("l_partkey").alias("part"))
+            .agg(F.count("*").alias("w"))
+        )
+    if cache_key is None:
+        return build().localCheckpoint(eager=True)
+    return _cached_edges(build, (
+        "custpart", lineitem.sparkSession.sparkContext.applicationId,
+        cache_key))
+
+
+def hits_scores(lineitem: DataFrame, orders: DataFrame,
+                n_iters: int = 2, k: int = 50,
+                cache_key: str | None = None) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative
+    sources in a hyperlinked environment"; public method) on the
+    customer↔part purchase bipartite graph: customers are hubs (they
+    "point at" parts), parts are authorities — the mutual-reinforcement
+    ranking that finds the big-basket customers and the parts those
+    customers concentrate on.
+
+    Engine-exact by the corank discipline: per-edge contributions
+    quantize to 7 dp DECIMAL(38,8) before the order-independent sum;
+    normalization is by the MAX score (a documented HITS variant —
+    max is order-independent where an L2 norm's float sum is not), one
+    IEEE double divide per node; the iteration count is a plan
+    constant, so the DuckDB twin unrolls the same rounds bit-for-bit.
+
+    Scale shape: the edge build is the only corpus-sized work; each
+    half-iteration is one |E| join + one partial-agged aggregate, with
+    the 1-row max broadcast. Top-k per side is TakeOrderedAndProject.
+    Columns: kind ('hub'|'authority'), node_id, score."""
+    edges = customer_part_edges(lineitem, orders, cache_key=cache_key)
+    hub = (edges.select("cust").distinct()
+           .select("cust", F.lit(1.0).alias("h"))
+           .localCheckpoint(eager=True))
+    auth = None
+    for _ in range(n_iters):
+        ar = (edges.join(hub, "cust")
+              .select("part", F.expr(
+                  "cast(round(w * h, 7) as decimal(38,8))").alias("c"))
+              .groupBy("part").agg(F.sum("c").alias("s")))
+        am = ar.agg(F.max("s").alias("m"))
+        auth = (ar.crossJoin(F.broadcast(am))
+                .select("part", (F.col("s").cast("double")
+                                 / F.col("m").cast("double")).alias("a"))
+                .localCheckpoint(eager=True))
+        hr = (edges.join(auth, "part")
+              .select("cust", F.expr(
+                  "cast(round(w * a, 7) as decimal(38,8))").alias("c"))
+              .groupBy("cust").agg(F.sum("c").alias("s")))
+        hm = hr.agg(F.max("s").alias("m"))
+        hub = (hr.crossJoin(F.broadcast(hm))
+               .select("cust", (F.col("s").cast("double")
+                                / F.col("m").cast("double")).alias("h"))
+               .localCheckpoint(eager=True))
+    top_hub = (hub.orderBy(F.col("h").desc(), F.col("cust").asc())
+               .limit(k)
+               .select(F.lit("hub").alias("kind"),
+                       F.col("cust").alias("node_id"),
+                       F.col("h").alias("score")))
+    top_auth = (auth.orderBy(F.col("a").desc(), F.col("part").asc())
+                .limit(k)
+                .select(F.lit("authority").alias("kind"),
+                        F.col("part").alias("node_id"),
+                        F.col("a").alias("score")))
+    return top_hub.unionAll(top_auth)
+
+
+def hits_sql(n_iters: int = 2, k: int = 50) -> str:
+    """DuckDB twin of :func:`hits_scores` — the same quantized
+    contributions, max-normalization, and per-side top-k, with the
+    rounds UNROLLED as CTE chains (each CTE referenced once, so
+    DuckDB's per-reference CTE inlining stays linear)."""
+    rounds, prev_h = "", "h0"
+    for i in range(1, n_iters + 1):
+        rounds += f""",
+        ar{i} AS (
+          SELECT e.part, SUM(CAST(ROUND(e.w * h.h, 7)
+                 AS DECIMAL(38,8))) AS s
+          FROM edges e JOIN {prev_h} h USING (cust) GROUP BY 1),
+        a{i} AS (
+          SELECT part, CAST(s AS DOUBLE)
+                 / CAST((SELECT MAX(s) FROM ar{i}) AS DOUBLE) AS a
+          FROM ar{i}),
+        hr{i} AS (
+          SELECT e.cust, SUM(CAST(ROUND(e.w * a.a, 7)
+                 AS DECIMAL(38,8))) AS s
+          FROM edges e JOIN a{i} a USING (part) GROUP BY 1),
+        h{i} AS (
+          SELECT cust, CAST(s AS DOUBLE)
+                 / CAST((SELECT MAX(s) FROM hr{i}) AS DOUBLE) AS h
+          FROM hr{i})"""
+        prev_h = f"h{i}"
+    return f"""
+        WITH edges AS (
+          SELECT o.o_custkey AS cust, l.l_partkey AS part,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2
+        ),
+        h0 AS (SELECT DISTINCT cust, CAST(1e0 AS DOUBLE) AS h
+               FROM edges){rounds}
+        SELECT * FROM (
+          SELECT 'hub' AS kind, cust AS node_id, h AS score
+          FROM h{n_iters} ORDER BY h DESC, cust ASC LIMIT {k})
+        UNION ALL
+        SELECT * FROM (
+          SELECT 'authority' AS kind, part AS node_id, a AS score
+          FROM a{n_iters} ORDER BY a DESC, part ASC LIMIT {k})
+    """

@@ -581,3 +581,104 @@ def user_value_outliers(events: DataFrame, k_sigma: int = 3,
                        f" * ({lhs}) > {rhs}"))
         .select("event_id", "user_id", "cents", "n_user")
     )
+
+
+def ks_two_sample(events: DataFrame, type_a: str = "click",
+                  type_b: str = "purchase") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the value
+    distributions of two event types — the distribution-shift gate a
+    pipeline runs between cohorts (treatment vs control, this week vs
+    last) when a mean test isn't enough; public method (Smirnov 1939,
+    Massey 1951 for the large-sample critical values).
+
+    D = max_v |F_a(v) - F_b(v)| computed EXACTLY in integers: values
+    quantize to cents; per-cent counts (c_a, c_b) cumsum in value
+    order; the ECDF difference clears denominators to
+    |cum_a·n_b - cum_b·n_a| (exact BIGINT), and D's numerator is its
+    max. The reported d_stat = D_num/(n_a·n_b) and the α = 0.05
+    decision d_stat > 1.358·√((n_a+n_b)/(n_a·n_b)) are fixed IEEE
+    sequences over those exact integers — bit-identical cross-engine
+    (√ is correctly rounded by IEEE 754; no transcendental appears).
+
+    Scale shape: one partial-agged groupBy(cents) over the filtered
+    pair of cohorts, then the distributed two-phase global cumsum
+    (ranking.with_global_cumsum — range-partitioned local cumsums +
+    a broadcast offsets table, never a single-task global window),
+    then a 1-row max. n_a·n_b ≤ 2^53 governs d_stat's exactness —
+    beyond that, d_ppm (integer DIV) stays exact.
+    Columns: n_a, n_b, d_num, d_ppm, d_stat, reject_05."""
+    from .ranking import with_global_cumsum
+
+    ev = (events.filter(F.col("event_type").isin(type_a, type_b))
+          .select(F.col("event_type").alias("et"),
+                  F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+                  .alias("v")))
+    per_v = ev.groupBy("v").agg(
+        F.sum(F.when(F.col("et") == type_a, 1).otherwise(0))
+        .cast("long").alias("ca"),
+        F.sum(F.when(F.col("et") == type_b, 1).otherwise(0))
+        .cast("long").alias("cb"),
+    )
+    cum = with_global_cumsum(per_v, ["v"], "ca", "cuma")
+    cum = with_global_cumsum(cum, ["v"], "cb", "cumb")
+    tot = per_v.agg(F.sum("ca").cast("long").alias("n_a"),
+                    F.sum("cb").cast("long").alias("n_b"))
+    d = (cum.crossJoin(F.broadcast(tot))
+         .agg(F.max(F.abs(F.col("cuma") * F.col("n_b")
+                          - F.col("cumb") * F.col("n_a")))
+              .cast("long").alias("d_num"),
+              F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b")))
+    dn = F.col("d_num").cast("double")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d_stat = dn / (na * nb)
+    crit = F.lit(1.358) * F.sqrt((na + nb) / (na * nb))
+    return d.select(
+        "n_a", "n_b", "d_num",
+        F.expr("CAST(1000000 * d_num AS BIGINT)"
+               " div (n_a * n_b)").alias("d_ppm"),
+        d_stat.alias("d_stat"),
+        (d_stat > crit).cast("int").alias("reject_05"),
+    )
+
+
+KS_TWO_SAMPLE_SQL = """
+    WITH ev AS (
+      SELECT event_type AS et,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    per_v AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN et = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM ev GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cumb
+      FROM per_v
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                   CAST(SUM(cb) AS BIGINT) AS n_b FROM per_v),
+    d AS (
+      SELECT CAST(MAX(ABS(cuma * t.n_b - cumb * t.n_a)) AS BIGINT)
+             AS d_num, MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b
+      FROM cum, tot t
+    )
+    SELECT n_a, n_b, d_num,
+           CAST(1000000 * d_num // (n_a * n_b) AS BIGINT) AS d_ppm,
+           CAST(d_num AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d_stat,
+           CAST(CAST(d_num AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                > CAST(1.358 AS DOUBLE)
+                  * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               AS INTEGER) AS reject_05
+    FROM d
+"""

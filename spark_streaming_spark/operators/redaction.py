@@ -136,3 +136,55 @@ def l_diversity_violations(df: DataFrame, quasi_cols: list[str],
              .alias("n_sensitive"))
         .filter(F.col("n_sensitive") < l)
     )
+
+
+def t_closeness_violations(df: DataFrame, quasi_cols: list[str],
+                           sensitive_col: str,
+                           t_ppm: int = 300000) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007,
+    "t-closeness: privacy beyond k-anonymity and l-diversity"; public
+    method) — the gate l-diversity misses: a group can be diverse yet
+    still leak if its sensitive-value DISTRIBUTION deviates from the
+    table's (skewness attack). For a categorical sensitive attribute
+    the variational distance is the EMD, computed exactly in integers:
+
+        dist_num(g) = Σ_s |cnt_g(s)·N − cnt(s)·n_g|
+        dist_ppm(g) = (1e6 · dist_num) DIV (2 · n_g · N)
+
+    Emits groups with dist_ppm > ``t_ppm`` — the
+    generalization/suppression worklist, ranked worst first by the
+    caller. Scale shape: one partial-agged (QI, sensitive) groupBy, a
+    broadcast global sensitive distribution (≤ |values| rows), the
+    group×value grid materialized ONLY for QI groups (|groups|·|values|
+    rows — never the corpus). Columns: quasi_cols..., n_records,
+    dist_ppm."""
+    per = (df.groupBy(*quasi_cols, sensitive_col)
+           .agg(F.count("*").cast("long").alias("cnt_gs")))
+    glob = (df.groupBy(sensitive_col)
+            .agg(F.count("*").cast("long").alias("cnt_s")))
+    tot = df.agg(F.count("*").cast("long").alias("n_total"))
+    groups = (per.groupBy(*quasi_cols)
+              .agg(F.sum("cnt_gs").cast("long").alias("n_g")))
+    grid = (groups.crossJoin(F.broadcast(glob))
+            .join(per, [*quasi_cols, sensitive_col], "left")
+            .select(*quasi_cols, "n_g", "cnt_s",
+                    F.coalesce("cnt_gs", F.lit(0)).alias("cnt_gs")))
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy(*quasi_cols)
+        .agg(F.first("n_g").alias("n_g"),
+             F.sum(F.abs(F.col("cnt_gs") * F.col("n_total")
+                         - F.col("cnt_s") * F.col("n_g"))
+                   .cast("decimal(38,0)"))
+             .alias("dist_num"),
+             F.first("n_total").alias("n_total"))
+        .select(*quasi_cols,
+                F.col("n_g").cast("long").alias("n_records"),
+                # decimal-widened scaled divide (the revenue-share ppm
+                # idiom) — 1e6·dist_num overflows BIGINT once n_g·N
+                # passes ~9e12, well inside 100 TB territory
+                F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * dist_num)"
+                       " div (CAST(2 AS DECIMAL(38,0)) * n_g * n_total)"
+                       " AS BIGINT)").alias("dist_ppm"))
+        .filter(F.col("dist_ppm") > t_ppm)
+    )

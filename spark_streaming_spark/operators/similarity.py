@@ -276,6 +276,95 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def quantize_codes(embeddings: DataFrame) -> DataFrame:
+    """The INT8 codes of :func:`embedding_quantize` in ARRAY form —
+    the serving-side layout (the serialized "q0|q1|..." form exists
+    only for the driver canonicalizer). Same per-vector scale and
+    rounding contract, map-only. Columns: vec_id, scale, qv."""
+    staged = embeddings.select(
+        "vec_id",
+        (
+            F.expr("array_max(transform(embedding,"
+                   " x -> abs(cast(x as double))))") / F.lit(127.0)
+        ).alias("scale"),
+        "embedding",
+    )
+    return staged.select(
+        "vec_id", "scale",
+        F.expr("transform(embedding, x -> cast(round(cast(x as double)"
+               " / greatest(scale, 1e-300)) as int))").alias("qv"),
+    )
+
+
+def sq8_search_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                    k: int = 20) -> DataFrame:
+    """Top-k search over the INT8-quantized index — the
+    scalar-quantization serving path every vector store ships (4×
+    smaller vectors, integer dot products): score each stored code
+    against the QUANTIZED query code in EXACT BIGINT arithmetic, then
+    de-scale once per pair for the ranking dot estimate.
+
+    Engine-exactness is the selling point of SQ8 verification: unlike
+    the float tiers (knn_ivf, pq_search_topk — rows-only by design),
+    the int8 dot Σ q_i·c_i is exact integer algebra, and the de-scaled
+    estimate score·s_q·s_c is two IEEE multiplies in fixed order — so
+    THIS ANN tier hash-checks end to end.
+
+    Scale shape: the code table is the (4× smaller) scan; the 1-row
+    query code broadcasts; the dot is map-side (zip_with + integer
+    fold, whole-stage codegen); TakeOrderedAndProject caps the
+    shuffle at k rows. Columns: vec_id, dot_int, approx_dot."""
+    codes = quantize_codes(embeddings)
+    q = (codes.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("qv").alias("qq"), F.col("scale").alias("qs")))
+    return (
+        widen(codes).crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.expr("aggregate(zip_with(qv, qq, (x, y) ->"
+                   " CAST(x AS BIGINT) * y), CAST(0 AS BIGINT),"
+                   " (acc, v) -> acc + v)").alias("dot_int"),
+            F.expr("CAST(aggregate(zip_with(qv, qq, (x, y) ->"
+                   " CAST(x AS BIGINT) * y), CAST(0 AS BIGINT),"
+                   " (acc, v) -> acc + v) AS DOUBLE) * qs * scale")
+            .alias("approx_dot"),
+        )
+        .orderBy(F.col("approx_dot").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+SQ8_SEARCH_SQL = """
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE)
+                           / greatest(scale, 1e-300)) AS INTEGER)) AS qv
+      FROM s
+    ),
+    q AS (SELECT qv AS qq, scale AS qs FROM codes WHERE vec_id = 0),
+    dots AS (
+      SELECT c.vec_id, c.scale, q.qs,
+             SUM(CAST(c.qv[i] AS BIGINT) * q.qq[i]) AS dot_int
+      FROM codes c, q, (SELECT unnest(range(1, 65)) AS i) ii
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id, c.scale, q.qs
+    )
+    SELECT vec_id, CAST(dot_int AS BIGINT) AS dot_int,
+           CAST(dot_int AS DOUBLE) * qs * scale AS approx_dot
+    FROM dots
+    ORDER BY approx_dot DESC, vec_id ASC LIMIT 20
+"""
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid in long form: (label, dim, centroid) — the
     distributed layout for mean vectors (posexplode → groupBy(label, dim)).

@@ -859,3 +859,52 @@ def textrank_from_edges(raw_edges: DataFrame, n_iters: int = 3,
         .orderBy(F.col("rank").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def hybrid_search_rrf(docs: DataFrame, embeddings: DataFrame,
+                      query_id: int = 0, k_rrf: int = 60) -> DataFrame:
+    """Hybrid retrieval fusion by Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009; public method — the default fusion in
+    every hybrid lexical+vector search stack): fuse the lexical
+    candidate list (:func:`lexical_knn` — hashed-BoW cosine, inverted-
+    index plan) with the semantic list (similarity.knn_to_query —
+    dense cosine) for the same query id.
+
+    Integer-ppm RRF (the house no-transcendental contract): each list
+    contributes 1e6 DIV (k_rrf + rank) — the standard 1/(60+r) scaled
+    to exact integers — so the fused score is exact BIGINT. Ranks are
+    deterministic: both lists order by (cosine DESC, id ASC), and both
+    underlying cosines are engine-exact (their entries hash-check).
+
+    Scale shape: the expensive work is the two retrieval plans (each
+    already 100 TB-shaped: inverted-index join / broadcast-query scan
+    with TakeOrderedAndProject); the fusion itself joins two k-row
+    ARTIFACTS — driver-sized by construction, the sanctioned class.
+    Columns: doc_id, rrf_ppm, in_lexical, in_semantic."""
+    from pyspark.sql.window import Window
+
+    from .similarity import knn_to_query
+
+    lex = lexical_knn(docs, query_doc_id=query_id)
+    sem = knn_to_query(embeddings, query_vec_id=query_id)
+    wl = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    lexr = (lex.select("doc_id", F.row_number().over(wl).alias("r"))
+            .select(F.col("doc_id").alias("id"),
+                    F.expr(f"CAST(1000000 div ({k_rrf} + r) AS BIGINT)")
+                    .alias("lex_pts")))
+    ws = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    semr = (sem.select("vec_id", F.row_number().over(ws).alias("r"))
+            .select(F.col("vec_id").alias("id"),
+                    F.expr(f"CAST(1000000 div ({k_rrf} + r) AS BIGINT)")
+                    .alias("sem_pts")))
+    return (
+        lexr.join(semr, "id", "full_outer")
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.coalesce("lex_pts", F.lit(0))
+             + F.coalesce("sem_pts", F.lit(0)))
+            .cast("long").alias("rrf_ppm"),
+            F.col("lex_pts").isNotNull().cast("int").alias("in_lexical"),
+            F.col("sem_pts").isNotNull().cast("int").alias("in_semantic"),
+        )
+    )

@@ -391,6 +391,98 @@ def rolling_corr_from_daily(daily: DataFrame,
     )
 
 
+def daily_value_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    1..``max_lag`` — the seasonality probe (a weekly cycle shows as a
+    lag-7 spike) run before any forecasting model is trusted; public
+    method (Box & Jenkins sample cross-correlation, here the Pearson
+    variant over the lagged pairs, which keeps the corr_matrix
+    exactness discipline instead of the global-mean estimator's
+    shared-mean coupling).
+
+    Exactness: the daily x (cents) is exact BIGINT
+    (:func:`daily_value_series`); per-lag Σx, Σy, Σxy, Σx², Σy² are
+    exact DECIMAL(38,0) sums over the pair set; the correlation is the
+    frozen IEEE tail shared with :func:`rolling_corr_from_daily`.
+
+    Scale shape: the corpus collapses to the daily table first (the
+    one corpus-sized shuffle); the lag explode × self-join runs on the
+    CALENDAR-BOUNDED daily series (≤ a few thousand rows at any corpus
+    size — the sanctioned driver-sized window class).
+    Columns: lag, n_pairs, acf."""
+    daily = daily_value_series(events).select(
+        F.datediff(F.col("day"), F.lit("1970-01-01")).alias("t"), "x")
+    lagged = daily.select(
+        "t", F.col("x").alias("xa"),
+        F.explode(F.array(*[F.lit(l) for l in range(1, max_lag + 1)]))
+        .alias("lag"))
+    pairs = lagged.join(
+        daily.select(F.col("t").alias("tb"), F.col("x").alias("xb")),
+        F.col("tb") == F.col("t") - F.col("lag"))
+    r = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.expr("CAST(xa * xb AS DECIMAL(38,0))")).alias("sxy"),
+        F.sum(F.expr("CAST(xa * xa AS DECIMAL(38,0))")).alias("sxx"),
+        F.sum(F.expr("CAST(xb * xb AS DECIMAL(38,0))")).alias("syy"),
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    den = F.sqrt(vx) * F.sqrt(vy)
+    return r.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when(den != F.lit(0.0), num / den).alias("acf"),
+    )
+
+
+DAILY_VALUE_ACF_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    dd AS (SELECT date_diff('day', DATE '1970-01-01', day) AS t, x
+           FROM daily),
+    pairs AS (
+      SELECT l.lag, a.x AS xa, b.x AS xb
+      FROM dd a
+      JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l ON TRUE
+      JOIN dd b ON b.t = a.t - l.lag
+    ),
+    r AS (
+      SELECT CAST(lag AS INTEGER) AS lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(xa) AS HUGEINT) AS sx,
+             CAST(SUM(xb) AS HUGEINT) AS sy,
+             SUM(CAST(xa * xb AS HUGEINT)) AS sxy,
+             SUM(CAST(xa * xa AS HUGEINT)) AS sxx,
+             SUM(CAST(xb * xb AS HUGEINT)) AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT lag, n AS n_pairs,
+      CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0
+        THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      END AS acf
+    FROM r
+"""
+
+
 def user_value_ewma(events: DataFrame, window: int = 16) -> DataFrame:
     """Per-user exponentially-weighted engagement score — the EWMA
     (α = 1/2, adjust-normalized: y = Σ w_k·x_k / Σ w_k, w_k = 2⁻ᵏ over

@@ -1,0 +1,120 @@
+"""Kaplan-Meier / ACF / KS statistical tier: semantic pins on
+hand-computed cases plus oracle parity at the test SF."""
+
+from __future__ import annotations
+
+import datetime
+
+import __spark_entry__ as E
+from pyspark.sql import functions as F
+from spark_streaming_spark.operators import profile as PF
+from spark_streaming_spark.operators import survival as SV
+from spark_streaming_spark.operators import timeseries as TS
+from spark_streaming_spark.sources.batch import load_table
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_km_curve_hand_case(spark):
+    """Classic textbook case: subjects with observed times
+    (1, e), (2, c), (3, e), (3, e), (4, c) — at t=1 n=5 d=1 →
+    S=4/5; at t=3 n=3 d=2 → S = 4/5 · 1/3."""
+    subj = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 0), (3, 3, 1), (4, 3, 1), (5, 4, 0)],
+        "cust INT, t_days INT, event INT")
+    rows = {r.t_days: r for r in SV.km_curve_from_subjects(subj).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].n_risk == 5 and rows[1].d_events == 1
+    assert rows[1].survival_ppm == 800000
+    assert rows[3].n_risk == 3 and rows[3].d_events == 2
+    # 800000 * 1 // 3 = 266666 (floor at each step — the ppm contract)
+    assert rows[3].survival_ppm == 266666
+
+
+def test_km_monotone_and_risk_consistent(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    rows = sorted(
+        SV.kaplan_meier_repurchase(orders).collect(),
+        key=lambda r: r.t_days)
+    assert rows, "curve must be non-empty at the test SF"
+    last = 1_000_000
+    prev_n = None
+    for r in rows:
+        assert 0 <= r.survival_ppm <= last  # nonincreasing survival
+        last = r.survival_ppm
+        assert r.d_events >= 1
+        if prev_n is not None:
+            assert r.n_risk < prev_n  # risk set strictly shrinks
+        prev_n = r.n_risk
+
+
+def test_km_matches_oracle(spark, duck):
+    out = E.queries()["kaplan_meier_repurchase"](spark, SF_DIR)
+    assert_matches_oracle(
+        out, duck, E.oracle_sql()["kaplan_meier_repurchase"])
+
+
+def test_acf_constant_series_and_oracle(spark, duck):
+    """A constant daily series has zero variance → NULL acf at every
+    lag (the den != 0 guard), and the driver entry matches its twin."""
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, base + datetime.timedelta(days=i), 1, "click", 5.0, "{}")
+         for i in range(10)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING")
+    out = TS.daily_value_acf(ev, max_lag=3).collect()
+    assert len(out) == 3
+    assert all(r.acf is None for r in out)
+    assert_matches_oracle(
+        E.queries()["daily_value_acf"](spark, SF_DIR), duck,
+        E.oracle_sql()["daily_value_acf"])
+
+
+def test_acf_perfect_alternation(spark):
+    """x alternating a,b,a,b → lag-1 acf = -1, lag-2 acf = +1 (up to
+    the shared IEEE tail): the seasonality probe detects period 2."""
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, base + datetime.timedelta(days=i), 1, "click",
+          1.0 if i % 2 == 0 else 3.0, "{}") for i in range(12)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING")
+    rows = {r.lag: r.acf for r in TS.daily_value_acf(ev, max_lag=2).collect()}
+    assert abs(rows[1] + 1.0) < 1e-12
+    assert abs(rows[2] - 1.0) < 1e-12
+
+
+def test_ks_identical_samples_accept(spark):
+    """Two cohorts drawn as the SAME value multiset → D = 0, no
+    rejection."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for et in ("click", "purchase"):
+        for v in (1.0, 2.0, 2.0, 5.0):
+            rows.append((i, base, 1, et, v, "{}"))
+            i += 1
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING")
+    r = PF.ks_two_sample(ev).collect()[0]
+    assert r.d_num == 0 and r.d_ppm == 0 and r.reject_05 == 0
+
+
+def test_ks_disjoint_samples_reject(spark):
+    """Disjoint supports → D = 1 (d_ppm = 1e6) and rejection at any n
+    past the critical bar."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base, 1, "click", 1.0, "{}") for i in range(20)]
+    rows += [(100 + i, base, 1, "purchase", 9.0, "{}") for i in range(20)]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING")
+    r = PF.ks_two_sample(ev).collect()[0]
+    assert r.d_ppm == 1_000_000 and r.reject_05 == 1
+
+
+def test_ks_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        E.queries()["ks_value_shift"](spark, SF_DIR), duck,
+        E.oracle_sql()["ks_value_shift"])

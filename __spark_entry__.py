@@ -582,6 +582,62 @@ def _merge_fold_members():
             "orders.o_custkey->customer", ck,
             load_table(spark, sf_dir, "customer"), "c_custkey")
 
+    def ols_start(spark, sf_dir):
+        from spark_streaming_spark.streaming.pipelines import (
+            counts_fold_sink)
+
+        chunk_dir = _chunked_table(spark, sf_dir, "lineitem", 3)
+        state_dir = _scratch("ols_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("l_extendedprice", "l_quantity", "l_discount"),
+            counts_fold_sink(
+                spark, RG.ols_moments, ["k"],
+                list(RG._MOMENTS), state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
+    def hits_start(spark, sf_dir):
+        from spark_streaming_spark.streaming.pipelines import (
+            counts_fold_sink)
+
+        od = load_table(spark, sf_dir, "orders")
+        chunk_dir = _chunked_table(spark, sf_dir, "lineitem", 3)
+        state_dir = _scratch("hits_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+
+        def batch_edges(b):
+            return (b.join(F.broadcast(od),
+                           b["l_orderkey"] == od["o_orderkey"])
+                    .groupBy(F.col("o_custkey").alias("cust"),
+                             F.col("l_partkey").alias("part"))
+                    .agg(F.count("*").cast("long").alias("w")))
+
+        return _start_foreach_sink(
+            stream.select("l_orderkey", "l_partkey"),
+            counts_fold_sink(spark, batch_edges, ["cust", "part"],
+                             ["w"], state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
+    def km_start(spark, sf_dir):
+        from spark_streaming_spark.streaming.pipelines import (
+            counts_fold_sink)
+
+        chunk_dir = _chunked_table(spark, sf_dir, "orders", 3)
+        state_dir = _scratch("km_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("o_custkey", "o_orderdate"),
+            counts_fold_sink(
+                spark, SV.order_day_pairs, ["cust", "day"], ["cnt"],
+                state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
+    def km_post(pairs, spark, sf_dir):
+        return SV.km_curve_from_subjects(SV.subjects_from_day_pairs(pairs))
+
     return {
         "scd1": (scd1_start, None),
         "scd2": (scd2_start, None),
@@ -593,6 +649,23 @@ def _merge_fold_members():
         # additive, the parent side is static — fold counts per batch,
         # audit at read; shares the batch edge's oracle shape
         "fkaudit": (fkaudit_start, fkaudit_post),
+        # Kaplan-Meier maintained CONTINUOUSLY: the (cust, day) pair
+        # set is a union-semilattice (per-batch pair counts fold to the
+        # one-shot distinct set), subjects + product-limit tail at
+        # read — shares kaplan_meier_repurchase's exact oracle
+        "km_days": (km_start, km_post),
+        # the OLS model re-fit CONTINUOUSLY: the 10-cell exact moment
+        # row is additive, so each micro-batch folds its moments and
+        # the Cramer tail re-solves at read — online training with a
+        # constant-size state; shares ols_price_model's exact oracle
+        "ols_moments": (ols_start,
+                        lambda df, s, d: RG.ols_from_moments(df)),
+        # HITS maintained CONTINUOUSLY: bipartite edge weights are
+        # additive counts (stream-static join + fold, the
+        # streaming_textrank discipline), iterations at read over the
+        # folded totals; shares hits_scores' exact oracle
+        "hits_edges": (hits_start,
+                       lambda df, s, d: GRK.hits_from_edges(df)),
     }
 
 
@@ -1330,6 +1403,15 @@ def _event_fold_members():
         "seq_state_",
     )
 
+    ks_start = _fold_starter(
+        "events",
+        lambda st: st.select("event_type", "value"),
+        lambda sp, sd: counts_fold_sink(
+            sp, PF.ks_value_counts, ["v"], ["ca", "cb"], sd),
+        lambda sp, sd: (lambda: _read_current_state(sp, sd)),
+        "ks_state_",
+    )
+
     return {
         # any-gap precedence support maintained CONTINUOUSLY: the
         # (user, type, first, last) sufficient stats are min/max
@@ -1354,6 +1436,21 @@ def _event_fold_members():
         # window + frozen-IEEE tail share rolling_daily_corr's oracle
         "rolling_corr": (rolling_corr_start,
                          lambda df, s, d: TS.rolling_corr_from_daily(df)),
+        # the seasonality probe read off the SAME folded daily series
+        # as the rolling-corr monitor — an ALIAS member (no second
+        # streaming query); shares daily_value_acf's exact oracle
+        "acf": ("rolling_corr", lambda df, s, d: TS.acf_from_daily(df)),
+        # the KS gate maintained continuously: per-cent cohort counts
+        # are additive, fold reaches the one-shot count table, decision
+        # tail at read — shares ks_value_shift's exact oracle
+        "ks": (ks_start, lambda df, s, d: PF.ks_from_value_counts(df)),
+        # the rank-sum gate read off the SAME folded count state (alias
+        # member); shares mann_whitney_value_shift's exact oracle
+        "mw": ("ks", lambda df, s, d: PF.mann_whitney_from_value_counts(df)),
+        # Spearman off the SAME folded daily series as rolling_corr/acf
+        # (alias member); shares spearman_daily's exact oracle
+        "spearman": ("rolling_corr",
+                     lambda df, s, d: TS.spearman_from_daily(df)),
     }
 
 
@@ -1512,6 +1609,13 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_langid_scores": "doc_folds",
     "streaming_langid_confusion": "doc_folds",
     "streaming_rolling_corr": "event_folds",
+    "streaming_acf": "event_folds",
+    "streaming_ks_value_shift": "event_folds",
+    "streaming_mann_whitney": "event_folds",
+    "streaming_spearman": "event_folds",
+    "streaming_kaplan_meier": "merge_folds",
+    "streaming_ols_refit": "merge_folds",
+    "streaming_hits": "merge_folds",
 }
 # Deliberately SOLO streamed entries (each has a reason co-scheduling
 # would break or blur what it proves): streaming_kafka_wordcount (the
@@ -2510,6 +2614,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # click day
         "position_attribution": lambda s, d: CV.position_attribution(
             load_table(s, d, "events")),
+        # leave-last-order-out offline eval of the item-CF recommender:
+        # HitRate@3 + MRR@3 in exact integer ppm (rank-reciprocal
+        # family instead of NDCG's log2 — the no-transcendental rule)
+        "cf_ranking_eval": lambda s, d: BK.cf_ranking_eval(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders")),
         # INT8 scalar-quantization serving path: exact BIGINT code
         # dots + fixed-order de-scale — the ANN tier that hash-checks
         # end to end (unlike the float IVF/PQ tiers, rows-only by
@@ -2532,6 +2641,53 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (event_folds group), window + IEEE tail at read
         "streaming_rolling_corr": lambda s, d: _cosched_group(
             s, d, "event_folds", _event_fold_members(), "rolling_corr"),
+        # the ACF probe read off the SAME folded daily series (alias
+        # member — no second streaming query); shared exact oracle
+        "streaming_acf": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "acf"),
+        # the KS gate maintained continuously off folded per-cent
+        # cohort counts; shared exact oracle
+        "streaming_ks_value_shift": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "ks"),
+        # Mann-Whitney rank-sum gate between the same two cohorts:
+        # exact doubled-rank integers over the shared count table,
+        # single-sourced IEEE z string (profile._MW_Z)
+        "mann_whitney_value_shift": lambda s, d: PF.mann_whitney_value_shift(
+            load_table(s, d, "events")),
+        # ...and read CONTINUOUSLY off the same folded KS count state
+        # (alias member — one fold serves both gates)
+        "streaming_mann_whitney": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "mw"),
+        # Spearman rank correlation of the daily revenue/traffic pair:
+        # doubled average ranks (exact ints) over the calendar-bounded
+        # daily table, Pearson tail on the ranks
+        "spearman_daily": lambda s, d: TS.spearman_daily(
+            load_table(s, d, "events")),
+        # the KM retention curve maintained continuously off the folded
+        # (cust, day) pair set; shared exact oracle
+        "streaming_kaplan_meier": lambda s, d: _cosched_group(
+            s, d, "merge_folds", _merge_fold_members(), "km_days"),
+        # the OLS pricing model RE-FIT continuously off the folded
+        # moment row (online normal-equation training, constant state);
+        # shared exact oracle
+        "streaming_ols_refit": lambda s, d: _cosched_group(
+            s, d, "merge_folds", _merge_fold_members(), "ols_moments"),
+        # HITS maintained continuously off the folded bipartite edge
+        # table; shared exact oracle
+        "streaming_hits": lambda s, d: _cosched_group(
+            s, d, "merge_folds", _merge_fold_members(), "hits_edges"),
+        # IVF shortlist x SQ8 integer scoring (the FAISS IVFx,SQ8 pair)
+        # — the composed ANN index that hash-checks end to end
+        "ivf_sq8_search": lambda s, d: ANN.ivf_sq8_search(
+            load_table(s, d, "embeddings"), cache_key=d),
+        # Rocchio pseudo-relevance feedback in the integer code space:
+        # q20 = 100*q + 15*sum(top-5 seeds), exact BIGINT re-rank
+        "rocchio_sq8_rerank": lambda s, d: SIM.rocchio_sq8_rerank(
+            load_table(s, d, "embeddings")),
+        # Spearman read off the SAME folded daily series as the
+        # rolling-corr/ACF monitors (alias member); shared exact oracle
+        "streaming_spearman": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "spearman"),
         # the model-eval loop closure: the matrix's argmax row as a
         # next-event predictor, scored per from_type in exact ppm
         "next_event_accuracy": lambda s, d: AN.next_event_accuracy(
@@ -4178,6 +4334,131 @@ def _IVF_DET_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
     """
 
 
+def _IVF_SQ8_SQL(n_cells: int = 8, nprobe: int = 2, k: int = 10,
+                 qid: int = 0) -> str:
+    """DuckDB twin of ann.ivf_sq8_search — the shared deterministic-
+    quantizer CTEs (probe choice identical to _IVF_DET_SQL) with the
+    SQ8 integer scoring of SQ8_SEARCH_SQL on the probed sliver."""
+    return f"""
+        WITH {_ivf_cells_ctes(n_cells)},
+        q AS (SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = {qid}),
+        qn AS (
+          SELECT CAST(SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE)
+                   * CAST(qv[i] AS DOUBLE), 7) AS DECIMAL(38,8)))
+                 AS DOUBLE) AS qq
+          FROM q, ii
+        ),
+        crank AS (
+          SELECT c.cell,
+                 CAST(SUM(CAST(ROUND(CAST(q.qv[c.i] AS DOUBLE) * c.c, 7)
+                      AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+                 CAST(SUM(CAST(ROUND(c.c * c.c, 7)
+                      AS DECIMAL(38,8))) AS DOUBLE) AS cc
+          FROM cent1 c CROSS JOIN q
+          GROUP BY c.cell
+        ),
+        probed AS (
+          SELECT cell FROM (
+            SELECT cell, row_number() OVER (
+              ORDER BY dot / (sqrt(cc) * sqrt(qq)) DESC, cell) AS rn
+            FROM crank, qn
+          ) WHERE rn <= {nprobe}
+        ),
+        sc AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                 embedding
+          FROM embeddings
+        ),
+        codes AS (
+          SELECT vec_id, scale,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE)
+                               / greatest(scale, 1e-300)) AS INTEGER))
+                   AS cq
+          FROM sc
+        ),
+        qc AS (SELECT cq AS qcode, scale AS qs FROM codes
+               WHERE vec_id = {qid}),
+        dots AS (
+          SELECT c.vec_id, c.scale, qc.qs,
+                 SUM(CAST(c.cq[i2.i] AS BIGINT) * qc.qcode[i2.i])
+                   AS dot_int
+          FROM codes c JOIN a1 USING (vec_id) JOIN probed USING (cell),
+               qc, (SELECT unnest(range(1, 65)) AS i) i2
+          WHERE c.vec_id <> {qid}
+          GROUP BY c.vec_id, c.scale, qc.qs
+        )
+        SELECT vec_id, CAST(dot_int AS BIGINT) AS dot_int,
+               CAST(dot_int AS DOUBLE) * qs * scale AS approx_dot
+        FROM dots
+        ORDER BY approx_dot DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _ROCCHIO_SQ8_SQL(k_seed: int = 5, k: int = 20, qid: int = 0) -> str:
+    """DuckDB twin of similarity.rocchio_sq8_rerank — the SQ8 top-seed
+    list, the integer-cleared Rocchio expansion q20 = 100q + 15*Σseeds,
+    and the candidate-scale de-scaled re-rank."""
+    return f"""
+        WITH ii AS (SELECT unnest(range(1, 65)) AS i),
+        sc AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                 embedding
+          FROM embeddings
+        ),
+        codes AS (
+          SELECT vec_id, scale,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE)
+                               / greatest(scale, 1e-300)) AS INTEGER))
+                   AS cq
+          FROM sc
+        ),
+        qref AS (SELECT cq AS qcode, scale AS qs FROM codes
+                 WHERE vec_id = {qid}),
+        d0 AS (
+          SELECT c.vec_id,
+                 CAST(SUM(CAST(c.cq[ii.i] AS BIGINT) * q.qcode[ii.i])
+                      AS DOUBLE) * q.qs * c.scale AS approx
+          FROM codes c, qref q, ii
+          WHERE c.vec_id <> {qid}
+          GROUP BY c.vec_id, c.scale, q.qs
+        ),
+        seeds AS (SELECT vec_id FROM d0
+                  ORDER BY approx DESC, vec_id ASC LIMIT {k_seed}),
+        csum AS (
+          SELECT ii.i, CAST(SUM(c.cq[ii.i]) AS BIGINT) AS cs
+          FROM codes c JOIN seeds USING (vec_id), ii
+          GROUP BY ii.i
+        ),
+        q20 AS (
+          SELECT cs0.i,
+                 CAST(100 AS BIGINT) * q.qcode[cs0.i] + 15 * cs0.cs
+                   AS qi
+          FROM csum cs0, qref q
+        ),
+        rer AS (
+          SELECT c.vec_id, c.scale,
+                 CAST(SUM(CAST(c.cq[g.i] AS BIGINT) * g.qi) AS BIGINT)
+                   AS dot_int
+          FROM codes c, q20 g
+          WHERE c.vec_id <> {qid}
+          GROUP BY c.vec_id, c.scale
+        )
+        SELECT vec_id, dot_int,
+               CAST(dot_int AS DOUBLE) * scale AS approx_score,
+               CAST(vec_id IN (SELECT vec_id FROM seeds) AS INTEGER)
+                 AS is_seed
+        FROM rer
+        ORDER BY approx_score DESC, vec_id ASC LIMIT {k}
+    """
+
+
 def _PCA_SQL(n_iters=8, d=64, scores=False, components=1,
              explained=False, where=None):
     rounds = []
@@ -4636,6 +4917,61 @@ def _VDOT(a: str, b: str) -> str:
         f"SUM(CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE), 7)"
         f" AS DECIMAL(38,8)))"
     )
+
+
+def _ITEM_CF_SQL(li: str = "lineitem", od: str = "orders") -> str:
+    """DuckDB twin of basket.item_cf_recommendations, parameterized
+    by the (lineitem, orders) table expressions so the
+    leave-last-order-out eval can train on the split (the text with
+    defaults is byte-identical to the long-green entry's)."""
+    return f"""
+        WITH fp AS (WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM {li}),
+        n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items),
+        freq AS (
+          SELECT l_partkey, count(*) AS support FROM items
+          GROUP BY 1 HAVING count(*) >= 5
+        ),
+        pr AS (
+          SELECT i.l_orderkey, i.l_partkey, f.support
+          FROM items i JOIN freq f USING (l_partkey)
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               a.support AS support_a, b.support AS support_b,
+               count(*) AS pair_support,
+               CAST(1000000::HUGEINT * (SELECT nb FROM n) * count(*)
+                    // (a.support::HUGEINT * b.support) AS BIGINT) AS lift_ppm
+        FROM pr a JOIN pr b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= 2),
+        owned AS (
+          SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS part
+          FROM {li} l JOIN {od} o ON o.o_orderkey = l.l_orderkey
+        ),
+        sym AS (
+          SELECT part_a AS part, part_b AS cand, pair_support AS w
+          FROM fp
+          UNION ALL
+          SELECT part_b, part_a, pair_support FROM fp
+        ),
+        scored AS (
+          SELECT o.custkey, s.cand,
+                 CAST(SUM(s.w) AS BIGINT) AS score
+          FROM owned o JOIN sym s ON s.part = o.part
+          GROUP BY 1, 2
+        ),
+        fresh AS (
+          SELECT sc.* FROM scored sc
+          WHERE NOT EXISTS (SELECT 1 FROM owned ow
+                            WHERE ow.custkey = sc.custkey
+                              AND ow.part = sc.cand)
+        )
+        SELECT custkey, cand AS part, score, CAST(rnk AS INTEGER) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY custkey
+                          ORDER BY score DESC, cand ASC) AS rnk
+              FROM fresh)
+        WHERE rnk <= 3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6519,53 +6855,53 @@ def oracle_sql() -> dict[str, str]:
         FROM dirs
     """
 
-    sql["item_cf_recommendations"] = """
-        WITH fp AS (WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items),
-        freq AS (
-          SELECT l_partkey, count(*) AS support FROM items
-          GROUP BY 1 HAVING count(*) >= 5
+    sql["item_cf_recommendations"] = _ITEM_CF_SQL()
+    # leave-last-order-out CF eval: the SAME CF text trained on the
+    # split CTEs, metrics in exact integer ppm
+    sql["cf_ranking_eval"] = f"""
+        WITH last_o AS (
+          SELECT o_orderkey, o_custkey FROM (
+            SELECT o_orderkey, o_custkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1
         ),
-        pr AS (
-          SELECT i.l_orderkey, i.l_partkey, f.support
-          FROM items i JOIN freq f USING (l_partkey)
+        train_orders AS (
+          SELECT o.* FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM last_o x
+                            WHERE x.o_orderkey = o.o_orderkey)
+        ),
+        train_li AS (
+          SELECT l.* FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM last_o x
+                            WHERE x.o_orderkey = l.l_orderkey)
+        ),
+        recs AS ({_ITEM_CF_SQL("train_li", "train_orders")}),
+        holdout AS (
+          SELECT DISTINCT x.o_custkey AS custkey, l.l_partkey AS part
+          FROM lineitem l JOIN last_o x ON x.o_orderkey = l.l_orderkey
+        ),
+        fh AS (
+          SELECT r.custkey, MIN(r.rnk) AS first_hit
+          FROM recs r JOIN holdout h
+            ON h.custkey = r.custkey AND h.part = r.part
+          GROUP BY 1
+        ),
+        pu AS (
+          SELECT c.custkey, fh.first_hit
+          FROM (SELECT DISTINCT custkey FROM recs) c
+          LEFT JOIN fh ON fh.custkey = c.custkey
         )
-        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-               a.support AS support_a, b.support AS support_b,
-               count(*) AS pair_support,
-               CAST(1000000::HUGEINT * (SELECT nb FROM n) * count(*)
-                    // (a.support::HUGEINT * b.support) AS BIGINT) AS lift_ppm
-        FROM pr a JOIN pr b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2, 3, 4
-        HAVING count(*) >= 2),
-        owned AS (
-          SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS part
-          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-        ),
-        sym AS (
-          SELECT part_a AS part, part_b AS cand, pair_support AS w
-          FROM fp
-          UNION ALL
-          SELECT part_b, part_a, pair_support FROM fp
-        ),
-        scored AS (
-          SELECT o.custkey, s.cand,
-                 CAST(SUM(s.w) AS BIGINT) AS score
-          FROM owned o JOIN sym s ON s.part = o.part
-          GROUP BY 1, 2
-        ),
-        fresh AS (
-          SELECT sc.* FROM scored sc
-          WHERE NOT EXISTS (SELECT 1 FROM owned ow
-                            WHERE ow.custkey = sc.custkey
-                              AND ow.part = sc.cand)
-        )
-        SELECT custkey, cand AS part, score, CAST(rnk AS INTEGER) AS rnk
-        FROM (SELECT *, row_number() OVER (PARTITION BY custkey
-                          ORDER BY score DESC, cand ASC) AS rnk
-              FROM fresh)
-        WHERE rnk <= 3
+        SELECT CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN first_hit IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(1000000 * SUM(CASE WHEN first_hit IS NOT NULL
+                                       THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT) AS hit_rate_ppm,
+               CAST(SUM(CASE WHEN first_hit IS NOT NULL
+                             THEN 1000000 // first_hit ELSE 0 END)
+                    // count(*) AS BIGINT) AS mrr_ppm
+        FROM pu
     """
     # triangle count per node — naive a<b<c enumeration (identical
     # triangle set to the Spark side's degree-ordered orientation)
@@ -7374,9 +7710,23 @@ def oracle_sql() -> dict[str, str]:
     sql["daily_value_acf"] = TS.DAILY_VALUE_ACF_SQL
     sql["kaplan_meier_repurchase"] = SV.kaplan_meier_repurchase_sql()
     sql["ks_value_shift"] = PF.KS_TWO_SAMPLE_SQL
+    # streamed twins: exact folds reach the one-shot inputs, so each
+    # shares its batch entry's oracle verbatim
+    sql["streaming_acf"] = sql["daily_value_acf"]
+    sql["streaming_kaplan_meier"] = sql["kaplan_meier_repurchase"]
+    sql["streaming_ks_value_shift"] = sql["ks_value_shift"]
+    sql["mann_whitney_value_shift"] = PF.mann_whitney_sql(
+        PF.KS_VALUE_COUNTS_SQL)
+    sql["streaming_mann_whitney"] = sql["mann_whitney_value_shift"]
+    sql["spearman_daily"] = TS.SPEARMAN_DAILY_SQL
+    sql["streaming_spearman"] = sql["spearman_daily"]
+    sql["streaming_hits"] = GRK.hits_sql()
+    sql["ivf_sq8_search"] = _IVF_SQ8_SQL()
+    sql["rocchio_sq8_rerank"] = _ROCCHIO_SQ8_SQL()
     sql["hits_scores"] = GRK.hits_sql()
     sql["sq8_search_topk"] = SIM.SQ8_SEARCH_SQL
     sql["ols_price_model"] = RG.ols_price_model_sql()
+    sql["streaming_ols_refit"] = sql["ols_price_model"]
     sql["position_attribution"] = CV.POSITION_ATTRIBUTION_SQL
     # t-closeness over the k-anonymity QI pair (nation, balance band),
     # sensitive = market segment; HUGEINT-widened scaled divide mirrors

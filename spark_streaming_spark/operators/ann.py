@@ -768,3 +768,74 @@ def ivf_recall_det(embeddings: DataFrame, k: int = 5, n_cells: int = 8,
                    " DIV n_exact").alias("recall_ppm"),
         )
     )
+
+
+def ivf_sq8_search(embeddings: DataFrame, query_vec_id: int = 0,
+                   k: int = 10, n_cells: int = 8, nprobe: int = 2,
+                   cache_key: str | None = None) -> DataFrame:
+    """IVF + SQ8 — the production ANN serving pair (FAISS's
+    ``IVFx,SQ8`` index; public method): the deterministic coarse
+    quantizer shortlists ``nprobe`` cells, then the probed sliver is
+    scored in EXACT INT8 integer dots (similarity.quantize_codes) with
+    one fixed-order de-scale per pair — so unlike the float IVF tier
+    (knn_ivf, rows-only), this composed index hash-checks end to end.
+
+    Scale shape: centroid table broadcast (n_cells rows), probe choice
+    a 2-row semi join, candidate scan = nprobe/n_cells of the CODE
+    table (4× smaller than the float corpus — the SQ8 savings stack on
+    the IVF pruning), map-side integer fold, TakeOrderedAndProject.
+    Columns: vec_id, dot_int, approx_dot."""
+    from pyspark.sql.window import Window
+
+    from spark_streaming_spark.operators.similarity import quantize_codes
+    from spark_streaming_spark.sources.batch import widen
+
+    cells, assigned = det_kmeans_cells(embeddings, n_cells,
+                                       cache_key=cache_key)
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"),
+        F.sqrt(norm2_expr("embedding")).alias("qnrm"),
+    )
+    cdot = F.expr(
+        "cast(aggregate(zip_with(qv, cvec,"
+        " (x, c) -> cast(round(cast(x as double) * c, 7)"
+        " as decimal(38,8))),"
+        " cast(0 as decimal(38,8)),"
+        " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
+    )
+    cnorm2 = F.expr(
+        "cast(aggregate(transform(cvec,"
+        " c -> cast(round(c * c, 7) as decimal(38,8))),"
+        " cast(0 as decimal(38,8)),"
+        " (acc, v) -> cast(acc + v as decimal(38,8))) as double)"
+    )
+    probed = (
+        cells.crossJoin(F.broadcast(q))
+        .select("cell",
+                (cdot / (F.sqrt(cnorm2) * F.col("qnrm"))).alias("ccos"))
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy(F.col("ccos").desc(), F.col("cell"))))
+        .filter(F.col("rn") <= nprobe)
+        .select("cell")
+    )
+    codes = quantize_codes(embeddings)
+    qc = (codes.filter(F.col("vec_id") == query_vec_id)
+          .select(F.col("qv").alias("qq"), F.col("scale").alias("qs")))
+    cand = (assigned.join(F.broadcast(probed), "cell", "left_semi")
+            .filter(F.col("vec_id") != query_vec_id)
+            .join(codes, "vec_id"))
+    return (
+        widen(cand).crossJoin(F.broadcast(qc))
+        .select(
+            "vec_id",
+            F.expr("aggregate(zip_with(qv, qq, (x, y) ->"
+                   " CAST(x AS BIGINT) * y), CAST(0 AS BIGINT),"
+                   " (acc, v) -> acc + v)").alias("dot_int"),
+            F.expr("CAST(aggregate(zip_with(qv, qq, (x, y) ->"
+                   " CAST(x AS BIGINT) * y), CAST(0 AS BIGINT),"
+                   " (acc, v) -> acc + v) AS DOUBLE) * qs * scale")
+            .alias("approx_dot"),
+        )
+        .orderBy(F.col("approx_dot").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -264,3 +264,69 @@ def item_cf_recommendations(lineitem: DataFrame, orders: DataFrame,
         .filter(F.col("rnk") <= k)
         .select("custkey", F.col("cand").alias("part"), "score", "rnk")
     )
+
+
+def last_order_keys(orders: DataFrame) -> DataFrame:
+    """Each customer's LAST order (latest o_orderdate, ties broken by
+    highest o_orderkey) — the leave-last-basket-out holdout split every
+    recommender eval uses (public protocol; Sarwar et al. 2001 eval
+    setup). One keyed window, deterministic. Columns: o_orderkey,
+    o_custkey."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_orderkey", "o_custkey"))
+
+
+def cf_ranking_eval(lineitem: DataFrame, orders: DataFrame,
+                    k: int = 3) -> DataFrame:
+    """Leave-last-order-out ranking eval of the item-CF recommender:
+    train :func:`item_cf_recommendations` on every order EXCEPT each
+    customer's last, then score the top-``k`` against the parts of the
+    held-out order — HitRate@k and MRR@k, the standard recsys offline
+    metrics, in exact integer ppm (rr = 1e6 DIV first-hit rank; means
+    by integer DIV — no float anywhere, the no-transcendental house
+    rule's cousin for eval metrics: NDCG's log2 discount is replaced by
+    the rank-reciprocal family on purpose).
+
+    Scale shape: the split is one keyed window over orders + two anti
+    joins; training reuses the CF plan (Apriori-pruned pair artifact,
+    ownership serving join); the eval join keys on (custkey, part) and
+    collapses to a 1-row summary. n_eval counts customers the model
+    could score (≥1 rec from train history).
+    Columns: n_eval, n_hits, hit_rate_ppm, mrr_ppm."""
+    last = last_order_keys(orders)
+    last_keys = last.select("o_orderkey")
+    train_orders = orders.join(last_keys, "o_orderkey", "left_anti")
+    train_li = lineitem.join(
+        last_keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", "left_anti")
+    recs = item_cf_recommendations(train_li, train_orders, k=k)
+    holdout = (
+        lineitem.join(last,
+                      lineitem["l_orderkey"] == last["o_orderkey"])
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    first_hits = (recs.join(holdout, ["custkey", "part"])
+                  .groupBy("custkey")
+                  .agg(F.min("rnk").alias("first_hit")))
+    per_user = (recs.select("custkey").distinct()
+                .join(first_hits, "custkey", "left"))
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("first_hit").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_hits"),
+        F.sum(F.expr("CASE WHEN first_hit IS NOT NULL"
+                     " THEN 1000000 div first_hit ELSE 0 END"))
+        .cast("long").alias("rr_sum"),
+    ).select(
+        "n_eval", "n_hits",
+        F.expr("CAST(1000000 * n_hits AS BIGINT) div n_eval")
+        .alias("hit_rate_ppm"),
+        F.expr("CAST(rr_sum AS BIGINT) div n_eval").alias("mrr_ppm"),
+    )

@@ -505,7 +505,19 @@ def hits_scores(lineitem: DataFrame, orders: DataFrame,
     half-iteration is one |E| join + one partial-agged aggregate, with
     the 1-row max broadcast. Top-k per side is TakeOrderedAndProject.
     Columns: kind ('hub'|'authority'), node_id, score."""
-    edges = customer_part_edges(lineitem, orders, cache_key=cache_key)
+    return hits_from_edges(
+        customer_part_edges(lineitem, orders, cache_key=cache_key),
+        n_iters=n_iters, k=k)
+
+
+def hits_from_edges(edges: DataFrame, n_iters: int = 2,
+                    k: int = 50) -> DataFrame:
+    """:func:`hits_scores`' iteration + top-k from an already-built (or
+    streamed-and-folded) (cust, part, w) edge table — edge weights are
+    additive counts, so a per-micro-batch fold reaches the one-shot
+    edge table and the streamed twin runs the SAME iterations at read
+    (the streaming_textrank discipline: fold edges continuously,
+    iterate on the folded totals)."""
     hub = (edges.select("cust").distinct()
            .select("cust", F.lit(1.0).alias("h"))
            .localCheckpoint(eager=True))

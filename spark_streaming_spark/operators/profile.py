@@ -607,20 +607,36 @@ def ks_two_sample(events: DataFrame, type_a: str = "click",
     then a 1-row max. n_a·n_b ≤ 2^53 governs d_stat's exactness —
     beyond that, d_ppm (integer DIV) stays exact.
     Columns: n_a, n_b, d_num, d_ppm, d_stat, reject_05."""
-    from .ranking import with_global_cumsum
+    return ks_from_value_counts(ks_value_counts(events, type_a, type_b))
 
+
+def ks_value_counts(events: DataFrame, type_a: str = "click",
+                    type_b: str = "purchase") -> DataFrame:
+    """The per-cent-value cohort counts under the KS test — EXACTLY
+    ADDITIVE under event partition (a count table), so the streamed
+    twin folds it per micro-batch and shares the batch oracle.
+    Columns: v, ca, cb."""
     ev = (events.filter(F.col("event_type").isin(type_a, type_b))
           .select(F.col("event_type").alias("et"),
                   F.expr("CAST(ROUND(value * 100) AS BIGINT)")
                   .alias("v")))
-    per_v = ev.groupBy("v").agg(
+    return ev.groupBy("v").agg(
         F.sum(F.when(F.col("et") == type_a, 1).otherwise(0))
         .cast("long").alias("ca"),
         F.sum(F.when(F.col("et") == type_b, 1).otherwise(0))
         .cast("long").alias("cb"),
     )
-    cum = with_global_cumsum(per_v, ["v"], "ca", "cuma")
-    cum = with_global_cumsum(cum, ["v"], "cb", "cumb")
+
+
+def ks_from_value_counts(per_v: DataFrame) -> DataFrame:
+    """:func:`ks_two_sample`'s decision tail from an already-built (or
+    streamed-and-folded) per-value count table. Both cohort cumsums
+    ride ONE two-phase pass (with_global_cumsums — one range shuffle,
+    not one per cohort)."""
+    from .ranking import with_global_cumsums
+
+    cum = with_global_cumsums(per_v, ["v"], ["ca", "cb"],
+                              ["cuma", "cumb"])
     tot = per_v.agg(F.sum("ca").cast("long").alias("n_a"),
                     F.sum("cb").cast("long").alias("n_b"))
     d = (cum.crossJoin(F.broadcast(tot))
@@ -681,4 +697,128 @@ KS_TWO_SAMPLE_SQL = """
                          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
                AS INTEGER) AS reject_05
     FROM d
+"""
+
+
+# Mann-Whitney decision tail: ONE expression string (in the FINAL
+# column names n_a, n_b, u2_a, tie_sum) pasted into both the Spark
+# plan and the DuckDB oracle (the regress.py single-source discipline)
+# so the IEEE association is identical by construction.
+_MW_Z = (
+    "((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    " / (CAST(2 AS DOUBLE) * sqrt("
+    "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE))"
+    " * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + CAST(1 AS DOUBLE))"
+    " - CAST(tie_sum AS DOUBLE)"
+    " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)"
+    " - CAST(1 AS DOUBLE)))))))"
+)
+
+
+def mann_whitney_from_value_counts(per_v: DataFrame) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) decision tail from the SAME
+    per-cent-value cohort count table the KS gate folds — the two
+    location-shift gates share one streamed state.
+
+    Exact integers throughout the statistic (Mann & Whitney 1947;
+    tie-corrected normal approximation per standard references): with
+    values ordered and cumb(v) = pooled count before v, the DOUBLED
+    average rank of v's tie block is 2·cumb + cnt + 1 (an integer), so
+    2R_A = Σ ca·(2·cumb + cnt + 1) and the doubled statistic
+    u2_a = 2U_A = 2R_A − n_a(n_a+1) are exact (DECIMAL(38,0)
+    accumulators; the tie term Σ(t³−t) wraps int64 once a tie block
+    reaches ~2e6 rows, hence decimal). Only the z-score divides — the
+    fixed IEEE string _MW_Z shared verbatim with the oracle (sqrt is
+    correctly rounded; no transcendental). reject_05: |z| > 1.96.
+
+    Scale shape: one groupBy(cents) + the distributed two-phase global
+    cumsum + a 1-row aggregate — the KS plan with a different tail.
+    Columns: n_a, n_b, u2_a, tie_sum, z, reject_05."""
+    from .ranking import with_global_cumsum
+
+    staged = per_v.select(
+        "v", "ca", "cb", (F.col("ca") + F.col("cb")).alias("cnt"))
+    cum = with_global_cumsum(staged, ["v"], "cnt", "cumall")
+    tot = per_v.agg(F.sum("ca").cast("long").alias("n_a"),
+                    F.sum("cb").cast("long").alias("n_b"))
+    parts = (cum.select(
+        "ca", (F.col("cumall") - F.col("cnt")).alias("cumb"), "cnt")
+        .agg(
+            F.sum(F.expr("CAST(ca AS DECIMAL(38,0))"
+                         " * (2 * cumb + cnt + 1)")).alias("r2a"),
+            F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt"
+                         " - cnt")).alias("tsum"),
+        ))
+    stats = (parts.crossJoin(F.broadcast(tot))
+             .select(
+                 "n_a", "n_b",
+                 F.expr("CAST(CAST(r2a - CAST(n_a AS DECIMAL(38,0))"
+                        " * (n_a + 1) AS DECIMAL(38,0)) AS BIGINT)")
+                 .alias("u2_a"),
+                 F.col("tsum").cast("long").alias("tie_sum")))
+    return stats.select(
+        "n_a", "n_b", "u2_a", "tie_sum",
+        F.expr(_MW_Z).alias("z"),
+        F.expr(f"CAST(abs({_MW_Z}) > CAST(1.96 AS DOUBLE) AS INT)")
+        .alias("reject_05"),
+    )
+
+
+def mann_whitney_value_shift(events: DataFrame, type_a: str = "click",
+                             type_b: str = "purchase") -> DataFrame:
+    """Mann-Whitney U location-shift gate between two cohorts' value
+    distributions — the rank test that stays valid when KS's
+    whole-distribution alternative is too broad; shares
+    :func:`ks_value_counts`'s fold-able count table (and hence the
+    streamed twin's state). Columns: n_a, n_b, u2_a, tie_sum, z,
+    reject_05."""
+    return mann_whitney_from_value_counts(
+        ks_value_counts(events, type_a, type_b))
+
+
+def mann_whitney_sql(counts_cte: str) -> str:
+    """DuckDB twin of :func:`mann_whitney_from_value_counts` over a
+    ``counts_cte`` producing (v, ca, cb) — same exact integer ranks,
+    same _MW_Z decision string."""
+    return f"""
+        WITH per_v AS ({counts_cte}),
+        cum AS (
+          SELECT ca, cb, ca + cb AS cnt,
+                 SUM(ca + cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumall
+          FROM per_v
+        ),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                       CAST(SUM(cb) AS BIGINT) AS n_b FROM per_v),
+        parts AS (
+          SELECT SUM(CAST(ca AS HUGEINT)
+                     * (2 * (cumall - cnt) + cnt + 1)) AS r2a,
+                 SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum
+          FROM cum
+        ),
+        stats AS (
+          SELECT t.n_a, t.n_b,
+                 CAST(p.r2a - CAST(t.n_a AS HUGEINT) * (t.n_a + 1)
+                      AS BIGINT) AS u2_a,
+                 CAST(p.tsum AS BIGINT) AS tie_sum
+          FROM parts p, tot t
+        )
+        SELECT n_a, n_b, u2_a, tie_sum,
+               {_MW_Z} AS z,
+               CAST(abs({_MW_Z}) > CAST(1.96 AS DOUBLE) AS INTEGER)
+                 AS reject_05
+        FROM stats
+    """
+
+
+KS_VALUE_COUNTS_SQL = """
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
 """

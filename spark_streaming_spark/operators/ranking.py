@@ -140,6 +140,35 @@ def with_global_cumsum(df: DataFrame, order_cols: list[str],
     )
 
 
+def with_global_cumsums(df: DataFrame, order_cols: list[str],
+                        value_cols: list[str],
+                        out_cols: list[str]) -> DataFrame:
+    """Multi-column :func:`with_global_cumsum` in ONE two-phase pass:
+    all ``value_cols`` share the single range repartition, local
+    window, and broadcast offsets table — callers cumulating several
+    measures over the same order (the KS/Mann-Whitney cohort counts)
+    pay one range shuffle instead of one per column."""
+    d = (df.repartitionByRange(*order_cols)
+         .withColumn("__pid", F.spark_partition_id()))
+    w = (Window.partitionBy("__pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = d.select(
+        "*", *[F.sum(v).over(w).alias(f"__lc_{v}") for v in value_cols])
+    totals = local.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__t_{v}") for v in value_cols])
+    wo = (Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = totals.select(
+        "__pid",
+        *[(F.sum(f"__t_{v}").over(wo) - F.col(f"__t_{v}"))
+          .alias(f"__off_{v}") for v in value_cols])
+    out = local.join(F.broadcast(offsets), "__pid")
+    for v, o in zip(value_cols, out_cols):
+        out = out.withColumn(o, F.col(f"__off_{v}") + F.col(f"__lc_{v}"))
+    return out.drop("__pid", *[f"__lc_{v}" for v in value_cols],
+                    *[f"__off_{v}" for v in value_cols])
+
+
 def pareto_parts(lineitem: DataFrame) -> DataFrame:
     """Pareto/ABC revenue analysis: parts ordered by discounted revenue
     descending with exact cumulative share, classed A (first 70 % of

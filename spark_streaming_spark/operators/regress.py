@@ -73,21 +73,36 @@ def _ols_tail_exprs() -> dict[str, str]:
     }
 
 
+def ols_moments(lineitem: DataFrame) -> DataFrame:
+    """The 10-cell exact moment row — EVERY cell is a plain sum/count,
+    so the table is exactly ADDITIVE under corpus partition: per-batch
+    moment rows fold cell-wise to the one-shot row, which is what lets
+    the streamed twin re-fit the model continuously and share the batch
+    oracle. ``k`` is the constant fold key. Columns: k, n, s1..syy."""
+    staged = lineitem.select(
+        F.expr(_Y).alias("y"), F.expr(_X1).alias("x1"),
+        F.expr(_X2).alias("x2"))
+    return staged.agg(*[
+        F.expr(expr).alias(name) for name, expr in _MOMENTS.items()
+    ]).select(F.lit(0).alias("k"), "*")
+
+
+def ols_from_moments(moments: DataFrame) -> DataFrame:
+    """The Cramer + R² tail over a (folded or one-shot) moment row.
+    Columns: n, b0, b1, b2, r2."""
+    tail = _ols_tail_exprs()
+    return moments.select(
+        F.col("n").cast("long").alias("n"),
+        *[F.expr(expr).alias(name) for name, expr in tail.items()])
+
+
 def ols_price_model(lineitem: DataFrame) -> DataFrame:
     """OLS fit of price-cents on (quantity, discount) over the whole
     corpus: y_c = b0 + b1·q_c2 + b2·disc_e4 — the sanity regression a
     pricing pipeline keeps as a drift tripwire (b1 ≈ unit price, b2 the
     discount covariance artifact, R² the fit health metric).
     Columns: n, b0, b1, b2, r2."""
-    staged = lineitem.select(
-        F.expr(_Y).alias("y"), F.expr(_X1).alias("x1"),
-        F.expr(_X2).alias("x2"))
-    moments = staged.agg(*[
-        F.expr(expr).alias(name) for name, expr in _MOMENTS.items()])
-    tail = _ols_tail_exprs()
-    return moments.select(
-        F.col("n").cast("long").alias("n"),
-        *[F.expr(expr).alias(name) for name, expr in tail.items()])
+    return ols_from_moments(ols_moments(lineitem))
 
 
 def ols_price_model_sql() -> str:

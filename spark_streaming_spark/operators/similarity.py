@@ -1095,3 +1095,59 @@ def label_separation(embeddings: DataFrame) -> DataFrame:
                 (F.col("inter_d2") / F.col("avg_intra_d2"))
                 .alias("sep_ratio"))
     )
+
+
+def rocchio_sq8_rerank(embeddings: DataFrame, query_vec_id: int = 0,
+                       k_seed: int = 5, k: int = 20) -> DataFrame:
+    """Pseudo-relevance feedback over the INT8 code space — Rocchio
+    (1971, SMART; public method) with α = 1, β = 0.75 on the top-5 SQ8
+    seeds: the expanded query is q' = α·q + (β/|Dr|)·Σ seeds, kept in
+    EXACT INTEGERS by clearing denominators — with |Dr| = 5 the
+    positive scaling ×20·|Dr| gives q20 = 100·q_code + 15·Σ seed_codes
+    (codes are each vector's max-normalized direction, so the code-sum
+    is the documented direction-centroid variant). Re-ranking scores
+    dot(q20, c) as exact BIGINT, de-scaled once by the CANDIDATE's
+    scale (fixed IEEE multiply) — hash-exact end to end like the SQ8
+    tier it expands.
+
+    Scale shape: the seed list is a k-row artifact (sq8_search_topk's
+    TakeOrderedAndProject); the expanded code is ONE broadcast row
+    (64 ints); the re-rank is the same map-side integer fold over the
+    code table. Columns: vec_id, dot_int, approx_score, is_seed."""
+    codes = quantize_codes(embeddings)
+    seeds = sq8_search_topk(embeddings, query_vec_id, k=k_seed) \
+        .select("vec_id")
+    seed_codes = codes.join(F.broadcast(seeds), "vec_id")
+    csum = (seed_codes
+            .select(F.posexplode("qv").alias("i", "c"))
+            .groupBy("i").agg(F.sum("c").cast("long").alias("cs"))
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("i", "cs")))
+                 .alias("arr"))
+            .select(F.expr("transform(arr, x -> x.cs)").alias("csum")))
+    q = (codes.filter(F.col("vec_id") == query_vec_id)
+         .select(F.col("qv").alias("qq"))
+         .crossJoin(F.broadcast(csum))
+         .select(F.expr(
+             "zip_with(qq, csum, (a, b) ->"
+             " CAST(100 AS BIGINT) * a + 15 * b)").alias("q20")))
+    return (
+        widen(codes).filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .join(F.broadcast(seeds.withColumn("__s", F.lit(1))),
+              "vec_id", "left")
+        .select(
+            "vec_id",
+            F.expr("aggregate(zip_with(qv, q20, (x, y) ->"
+                   " CAST(x AS BIGINT) * y), CAST(0 AS BIGINT),"
+                   " (acc, v) -> acc + v)").alias("dot_int"),
+            F.expr("CAST(aggregate(zip_with(qv, q20, (x, y) ->"
+                   " CAST(x AS BIGINT) * y), CAST(0 AS BIGINT),"
+                   " (acc, v) -> acc + v) AS DOUBLE) * scale")
+            .alias("approx_score"),
+            F.coalesce(F.col("__s"), F.lit(0)).cast("int")
+            .alias("is_seed"),
+        )
+        .orderBy(F.col("approx_score").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -195,3 +195,43 @@ def kaplan_meier_repurchase_sql() -> str:
           {REPURCHASE_SUBJECTS_SQL}
     """
     return km_sql(subjects)
+
+
+def subjects_from_day_pairs(d1: DataFrame) -> DataFrame:
+    """:func:`repurchase_subjects` from an already-built (or
+    streamed-and-folded) DISTINCT (cust, day) pair table — the pair
+    set is a union-semilattice (per-batch distinct pairs union to the
+    one-shot set), so a streamed fold of per-batch pair counts reaches
+    this exact input and the streamed twin shares the batch oracle.
+    Columns: cust, t_days, event."""
+    d1 = d1.select("cust", "day").distinct()
+    first = d1.groupBy("cust").agg(F.min("day").alias("fday"))
+    second = (d1.join(first, "cust")
+              .filter(F.col("day") > F.col("fday"))
+              .groupBy("cust").agg(F.min("day").alias("sday")))
+    mx = d1.agg(F.max("day").alias("maxday"))
+    return (
+        first.join(second, "cust", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "cust",
+            F.when(F.col("sday").isNotNull(),
+                   F.datediff("sday", "fday"))
+            .otherwise(F.datediff("maxday", "fday"))
+            .cast("int").alias("t_days"),
+            F.when(F.col("sday").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("int").alias("event"),
+        )
+    )
+
+
+def order_day_pairs(orders: DataFrame) -> DataFrame:
+    """Per-batch (cust, day, cnt) builder for the streamed KM fold —
+    counts are additive across batches; only pair EXISTENCE feeds the
+    subject table, so the folded state reaches the one-shot distinct
+    pair set regardless of how orders split across micro-batches.
+    Columns: cust, day, cnt."""
+    return (orders.select(F.col("o_custkey").alias("cust"),
+                          F.to_date("o_orderdate").alias("day"))
+            .groupBy("cust", "day")
+            .agg(F.count("*").cast("long").alias("cnt")))

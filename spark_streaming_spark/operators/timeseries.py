@@ -410,7 +410,16 @@ def daily_value_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
     CALENDAR-BOUNDED daily series (≤ a few thousand rows at any corpus
     size — the sanctioned driver-sized window class).
     Columns: lag, n_pairs, acf."""
-    daily = daily_value_series(events).select(
+    return acf_from_daily(daily_value_series(events), max_lag)
+
+
+def acf_from_daily(daily: DataFrame, max_lag: int = 7) -> DataFrame:
+    """:func:`daily_value_acf`'s lag-pair tail, starting from an
+    already-built (or streamed-and-folded) daily series — the daily
+    (day, x) table is exactly additive under event partition, so the
+    per-micro-batch fold reaches the one-shot series and the streamed
+    twin shares the batch oracle verbatim."""
+    daily = daily.select(
         F.datediff(F.col("day"), F.lit("1970-01-01")).alias("t"), "x")
     lagged = daily.select(
         "t", F.col("x").alias("xa"),
@@ -607,3 +616,102 @@ def cusum_days(events: DataFrame, event_type: str = "error") -> DataFrame:
         "day", "n",
         (F.col("pfx") - F.least(F.lit(0), F.min("pfx").over(wc)))
         .cast("long").alias("cusum"))
+
+
+def spearman_daily(events: DataFrame) -> DataFrame:
+    """Spearman rank correlation between the daily revenue and traffic
+    series — the monotone-association twin of the Pearson monitor
+    (rolling_daily_corr): robust to the heavy-tailed revenue days that
+    drag a Pearson estimate around; public method (Spearman 1904,
+    average-rank tie handling per standard references).
+
+    Engine-exact: ranks carry NO floats — the DOUBLED average rank of a
+    tie block is 2·cnt_lt + cnt_eq + 1 (exact integers via two window
+    aggregates over the CALENDAR-BOUNDED daily table — the sanctioned
+    driver-sized window class); Spearman's ρ is then Pearson over the
+    doubled ranks: exact DECIMAL(38,0) moments, frozen IEEE tail (the
+    corr_matrix discipline — doubling both ranks cancels in ρ).
+    Columns: n_days, rho."""
+    return spearman_from_daily(daily_value_series(events))
+
+
+def spearman_from_daily(daily: DataFrame) -> DataFrame:
+    """:func:`spearman_daily`'s rank + Pearson tail from an
+    already-built (or streamed-and-folded) daily series — same
+    additive-fold sharing as acf_from_daily / rolling_corr_from_daily,
+    so the streamed twin reads the rolling-corr fold state."""
+
+    def r2(col):
+        lt = (Window.orderBy(col)
+              .rangeBetween(Window.unboundedPreceding, -1))
+        eq = Window.partitionBy(col)
+        return (F.lit(2) * F.coalesce(F.count(F.lit(1)).over(lt),
+                                      F.lit(0))
+                + F.count(F.lit(1)).over(eq) + F.lit(1)).cast("long")
+
+    from pyspark.sql.window import Window
+
+    ranked = daily.select(r2(F.col("x")).alias("rx"),
+                          r2(F.col("y")).alias("ry"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+        F.sum(F.expr("CAST(rx AS DECIMAL(38,0)) * ry")).alias("sxy"),
+        F.sum(F.expr("CAST(rx AS DECIMAL(38,0)) * rx")).alias("sxx"),
+        F.sum(F.expr("CAST(ry AS DECIMAL(38,0)) * ry")).alias("syy"),
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = (F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+           * F.sqrt(d("n") * d("syy") - d("sy") * d("sy")))
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.when(den != F.lit(0.0), num / den).alias("rho"),
+    )
+
+
+SPEARMAN_DAILY_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100
+                  AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT CAST(2 * COALESCE(count(*) OVER (ORDER BY x
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0)
+                  + count(*) OVER (PARTITION BY x) + 1 AS BIGINT) AS rx,
+             CAST(2 * COALESCE(count(*) OVER (ORDER BY y
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0)
+                  + count(*) OVER (PARTITION BY y) + 1 AS BIGINT) AS ry
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS HUGEINT) AS sx,
+             CAST(SUM(ry) AS HUGEINT) AS sy,
+             SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+             SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+             SUM(CAST(ry AS HUGEINT) * ry) AS syy
+      FROM ranked
+    )
+    SELECT n AS n_days,
+      CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0
+        THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      END AS rho
+    FROM m
+"""

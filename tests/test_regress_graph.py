@@ -129,3 +129,42 @@ def test_hits_matches_oracle(spark, duck):
     assert_matches_oracle(
         E.queries()["hits_scores"](spark, SF_DIR), duck,
         E.oracle_sql()["hits_scores"])
+
+
+def test_cf_ranking_eval_bounds_and_no_leakage(spark):
+    """Metrics live in [0, 1e6]; MRR <= hit-rate (rr <= 1 per hit);
+    training never sees the held-out order (the split anti-joins it),
+    pinned by recomputing the split here."""
+    from spark_streaming_spark.operators import basket as BK
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    od = load_table(spark, SF_DIR, "orders")
+    r = BK.cf_ranking_eval(li, od).collect()[0]
+    assert 0 < r.n_eval
+    assert 0 <= r.n_hits <= r.n_eval
+    assert 0 <= r.mrr_ppm <= r.hit_rate_ppm <= 1_000_000
+    last = BK.last_order_keys(od)
+    # exactly one held-out order per customer
+    assert last.count() == od.select("o_custkey").distinct().count()
+    assert last.select("o_custkey").distinct().count() == last.count()
+
+
+def test_cf_ranking_eval_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        E.queries()["cf_ranking_eval"](spark, SF_DIR), duck,
+        E.oracle_sql()["cf_ranking_eval"])
+
+
+def test_ols_moments_fold_additive(spark):
+    """The moment row is exactly additive: summing per-half moment rows
+    cell-wise equals the one-shot row (the streamed re-fit property),
+    and the tail over the folded row equals the full model."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    halves = RG.ols_moments(a).unionByName(RG.ols_moments(b))
+    folded = halves.groupBy("k").agg(*[
+        F.sum(c).alias(c) for c in RG._MOMENTS])
+    got = RG.ols_from_moments(folded).collect()[0]
+    want = RG.ols_price_model(li).collect()[0]
+    assert tuple(got) == tuple(want)

@@ -118,3 +118,100 @@ def test_ks_matches_oracle(spark, duck):
     assert_matches_oracle(
         E.queries()["ks_value_shift"](spark, SF_DIR), duck,
         E.oracle_sql()["ks_value_shift"])
+
+
+def test_streamed_twins_fold_to_one_shot(spark):
+    """The fold halves are exact: applying the batch tail to the
+    one-shot fold INPUT equals the full batch operator (the property
+    that lets the streamed twins share the batch oracles)."""
+    from spark_streaming_spark.operators import survival as SV2
+
+    orders = load_table(spark, SF_DIR, "orders")
+    events = load_table(spark, SF_DIR, "events")
+    # KM: subjects from the distinct pair set == subjects from orders
+    d1 = SV2.order_day_pairs(orders).select("cust", "day")
+    a = sorted(map(tuple, SV2.subjects_from_day_pairs(d1).collect()))
+    b = sorted(map(tuple, SV2.repurchase_subjects(orders).collect()))
+    assert a == b
+    # KS: tail over the one-shot count table == the full operator
+    x = PF.ks_from_value_counts(PF.ks_value_counts(events)).collect()[0]
+    y = PF.ks_two_sample(events).collect()[0]
+    assert tuple(x) == tuple(y)
+    # ACF: tail over the one-shot daily series == the full operator
+    p = sorted(map(tuple, TS.acf_from_daily(
+        TS.daily_value_series(events)).collect()))
+    q = sorted(map(tuple, TS.daily_value_acf(events).collect()))
+    assert p == q
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE, props STRING")
+
+
+def test_mann_whitney_hand_cases(spark):
+    """No ties: A={1,2}, B={3,4} → U_A = 0 (u2_a = 0), tie_sum 0,
+    |z| < 1.96 at n=4. With ties: A={1,1}, B={1,2} → the 3-block
+    contributes t³−t = 24 and U_A = 1 (u2_a = 2)."""
+    base = datetime.datetime(2024, 1, 1)
+    ev = _mk_events(spark, [
+        (1, base, 1, "click", 1.0, "{}"), (2, base, 1, "click", 2.0, "{}"),
+        (3, base, 1, "purchase", 3.0, "{}"),
+        (4, base, 1, "purchase", 4.0, "{}")])
+    r = PF.mann_whitney_value_shift(ev).collect()[0]
+    assert (r.n_a, r.n_b, r.u2_a, r.tie_sum) == (2, 2, 0, 0)
+    assert r.reject_05 == 0 and r.z < 0
+    ev2 = _mk_events(spark, [
+        (1, base, 1, "click", 1.0, "{}"), (2, base, 1, "click", 1.0, "{}"),
+        (3, base, 1, "purchase", 1.0, "{}"),
+        (4, base, 1, "purchase", 2.0, "{}")])
+    r2 = PF.mann_whitney_value_shift(ev2).collect()[0]
+    assert (r2.u2_a, r2.tie_sum) == (2, 24)
+
+
+def test_mann_whitney_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        E.queries()["mann_whitney_value_shift"](spark, SF_DIR), duck,
+        E.oracle_sql()["mann_whitney_value_shift"])
+
+
+def test_spearman_monotone_hand_cases(spark):
+    """Daily (revenue, traffic) strictly co-monotone → ρ = 1; daily
+    revenue strictly anti-monotone in traffic → ρ = −1."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(5):  # day d: d+1 events of value (d+1) dollars
+        for _ in range(d + 1):
+            rows.append((eid, base + datetime.timedelta(days=d), 1,
+                         "click", float(d + 1), "{}"))
+            eid += 1
+    r = TS.spearman_daily(_mk_events(spark, rows)).collect()[0]
+    assert r.n_days == 5 and abs(r.rho - 1.0) < 1e-12
+    rows = []
+    eid = 0
+    for d in range(5):  # more events -> lower total revenue
+        for _ in range(d + 1):
+            rows.append((eid, base + datetime.timedelta(days=d), 1,
+                         "click", float(100 // (d + 1) ** 2), "{}"))
+            eid += 1
+    r = TS.spearman_daily(_mk_events(spark, rows)).collect()[0]
+    assert abs(r.rho + 1.0) < 1e-12
+
+
+def test_spearman_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        E.queries()["spearman_daily"](spark, SF_DIR), duck,
+        E.oracle_sql()["spearman_daily"])
+
+
+def test_mw_shares_ks_fold_state(spark):
+    """The MW tail over the one-shot KS count table equals the full
+    operator — the property that lets streaming_mann_whitney read the
+    SAME folded state as streaming_ks_value_shift (alias member)."""
+    events = load_table(spark, SF_DIR, "events")
+    a = PF.mann_whitney_from_value_counts(
+        PF.ks_value_counts(events)).collect()[0]
+    b = PF.mann_whitney_value_shift(events).collect()[0]
+    assert tuple(a) == tuple(b)

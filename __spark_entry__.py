@@ -597,6 +597,37 @@ def _merge_fold_members():
                 list(RG._MOMENTS), state_dir),
             lambda: _read_current_state(spark, state_dir))
 
+    def gini_start(spark, sf_dir):
+        from spark_streaming_spark.streaming.pipelines import (
+            counts_fold_sink)
+
+        chunk_dir = _chunked_table(spark, sf_dir, "orders", 3)
+        state_dir = _scratch("gini_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("o_custkey", "o_totalprice"),
+            counts_fold_sink(spark, RK.customer_cents, ["cust"],
+                             ["cents"], state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
+    def hhi_start(spark, sf_dir):
+        from spark_streaming_spark.streaming.pipelines import (
+            counts_fold_sink)
+
+        cust = load_table(spark, sf_dir, "customer")
+        nat = load_table(spark, sf_dir, "nation")
+        chunk_dir = _chunked_table(spark, sf_dir, "orders", 3)
+        state_dir = _scratch("hhi_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("o_custkey", "o_totalprice"),
+            counts_fold_sink(
+                spark, lambda b: A.market_cents(cust, b, nat),
+                ["n_name"], ["cents"], state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
     def hits_start(spark, sf_dir):
         from spark_streaming_spark.streaming.pipelines import (
             counts_fold_sink)
@@ -666,6 +697,15 @@ def _merge_fold_members():
         # folded totals; shares hits_scores' exact oracle
         "hits_edges": (hits_start,
                        lambda df, s, d: GRK.hits_from_edges(df)),
+        # Gini maintained CONTINUOUSLY: per-customer cents are
+        # additive; the global-rank identity tail runs at read
+        "gini_cents": (gini_start,
+                       lambda df, s, d: RK.gini_from_customer_cents(df)),
+        # HHI maintained CONTINUOUSLY: per-nation cents are additive
+        # (stream-static broadcast dims per batch); cleared-denominator
+        # tail at read
+        "hhi_cents": (hhi_start,
+                      lambda df, s, d: A.hhi_from_market_cents(df)),
     }
 
 
@@ -1246,6 +1286,13 @@ def _doc_fold_members():
             fold(TX.drift_token_counts, ["token"], ["cnt_a", "cnt_b"],
                  "drift_state_"),
             lambda df, s, d: TX.token_drift_tv(None, counts=df)),
+        # vocabulary-richness estimate maintained CONTINUOUSLY: token
+        # counts are additive, Chao1's count-of-counts tail runs at
+        # read; shares vocab_chao1's exact oracle
+        "vocab_counts": (
+            fold(TX.corpus_token_counts, ["w"], ["c"],
+                 "vocabcnt_state_"),
+            lambda df, s, d: TX.chao1_from_token_counts(df)),
         # TextRank maintained CONTINUOUSLY: window-2 pair counts are
         # additive, so the fold reaches the one-shot edge table and the
         # min_w floor + rank iteration run at read over TOTALS
@@ -1451,6 +1498,10 @@ def _event_fold_members():
         # (alias member); shares spearman_daily's exact oracle
         "spearman": ("rolling_corr",
                      lambda df, s, d: TS.spearman_from_daily(df)),
+        # Theil-Sen off the SAME folded daily series (alias member);
+        # shares theil_sen_daily's exact oracle
+        "theil_sen": ("rolling_corr",
+                      lambda df, s, d: TS.theil_sen_from_daily(df)),
     }
 
 
@@ -1616,6 +1667,10 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_kaplan_meier": "merge_folds",
     "streaming_ols_refit": "merge_folds",
     "streaming_hits": "merge_folds",
+    "streaming_theil_sen": "event_folds",
+    "streaming_gini": "merge_folds",
+    "streaming_hhi": "merge_folds",
+    "streaming_chao1": "doc_folds",
 }
 # Deliberately SOLO streamed entries (each has a reason co-scheduling
 # would break or blur what it proves): streaming_kafka_wordcount (the
@@ -2658,6 +2713,25 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (alias member — one fold serves both gates)
         "streaming_mann_whitney": lambda s, d: _cosched_group(
             s, d, "event_folds", _event_fold_members(), "mw"),
+        # Theil-Sen robust daily trend: lower-median of pairwise
+        # rational slopes over the calendar-bounded series (no negative
+        # integer division — Spark div truncates, DuckDB // floors)
+        "theil_sen_daily": lambda s, d: TS.theil_sen_daily(
+            load_table(s, d, "events")),
+        # Gini of per-customer revenue: sorted-multiset identity over
+        # the distributed two-phase global rank, decimal-widened ppm
+        "revenue_gini": lambda s, d: RK.revenue_gini(
+            load_table(s, d, "orders")),
+        # HHI market concentration by nation: cleared-denominator
+        # integer ppm (1e6*Σrev² DIV (Σrev)²), broadcast dim joins
+        "market_hhi": lambda s, d: A.market_hhi(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "nation")),
+        # Chao1 vocabulary-richness estimator (bias-corrected, all
+        # integer): the corpus-growth planning number next to the OOV
+        # gate
+        "vocab_chao1": lambda s, d: TX.vocab_chao1(
+            load_table(s, d, "documents")),
         # Spearman rank correlation of the daily revenue/traffic pair:
         # doubled average ranks (exact ints) over the calendar-bounded
         # daily table, Pearson tail on the ranks
@@ -2676,6 +2750,20 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table; shared exact oracle
         "streaming_hits": lambda s, d: _cosched_group(
             s, d, "merge_folds", _merge_fold_members(), "hits_edges"),
+        # Theil-Sen trend off the SAME folded daily series (alias
+        # member); shared exact oracle
+        "streaming_theil_sen": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "theil_sen"),
+        # Gini / HHI concentration gates maintained continuously off
+        # folded cents tables; shared exact oracles
+        "streaming_gini": lambda s, d: _cosched_group(
+            s, d, "merge_folds", _merge_fold_members(), "gini_cents"),
+        "streaming_hhi": lambda s, d: _cosched_group(
+            s, d, "merge_folds", _merge_fold_members(), "hhi_cents"),
+        # Chao1 vocabulary richness maintained continuously off the
+        # folded token counts; shared exact oracle
+        "streaming_chao1": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "vocab_counts"),
         # IVF shortlist x SQ8 integer scoring (the FAISS IVFx,SQ8 pair)
         # — the composed ANN index that hash-checks end to end
         "ivf_sq8_search": lambda s, d: ANN.ivf_sq8_search(
@@ -7723,6 +7811,14 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_hits"] = GRK.hits_sql()
     sql["ivf_sq8_search"] = _IVF_SQ8_SQL()
     sql["rocchio_sq8_rerank"] = _ROCCHIO_SQ8_SQL()
+    sql["theil_sen_daily"] = TS.THEIL_SEN_DAILY_SQL
+    sql["revenue_gini"] = RK.REVENUE_GINI_SQL
+    sql["market_hhi"] = A.MARKET_HHI_SQL
+    sql["vocab_chao1"] = TX.VOCAB_CHAO1_SQL
+    sql["streaming_theil_sen"] = sql["theil_sen_daily"]
+    sql["streaming_gini"] = sql["revenue_gini"]
+    sql["streaming_hhi"] = sql["market_hhi"]
+    sql["streaming_chao1"] = sql["vocab_chao1"]
     sql["hits_scores"] = GRK.hits_sql()
     sql["sq8_search_topk"] = SIM.SQ8_SEARCH_SQL
     sql["ols_price_model"] = RG.ols_price_model_sql()

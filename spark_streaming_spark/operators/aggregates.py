@@ -329,3 +329,72 @@ def revenue_share_hierarchy(lineitem: DataFrame, orders: DataFrame,
                        " AS BIGINT)").alias("region_share_ppm"))
     )
     return shares.join(F.broadcast(region_shares), "region")
+
+
+def market_hhi(customer: DataFrame, orders: DataFrame,
+               nation: DataFrame) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of revenue by nation —
+    the market-concentration gate (public formula; the antitrust
+    standard): HHI = Σ share_i², reported in exact integer ppm WITHOUT
+    ever materializing float shares — the identity
+    HHI_ppm = (1e6 · Σ rev_i²) DIV (Σ rev_i)² clears the denominators,
+    every term an exact DECIMAL(38,0) of BIGINT cents.
+
+    Scale shape: one orders⋈customer join (customer side broadcastable
+    by the dim-table rule), one partial-agged nation groupBy (≤ 25
+    rows), driver-sized tail. Columns: n_markets, total_cents, hhi_ppm.
+    """
+    return hhi_from_market_cents(market_cents(customer, orders, nation))
+
+
+def market_cents(customer: DataFrame, orders: DataFrame,
+                 nation: DataFrame) -> DataFrame:
+    """Per-nation revenue cents — exactly ADDITIVE under order
+    partition (stream-static broadcast joins + a sum), the
+    streamed-HHI fold input. Columns: n_name, cents."""
+    return (orders.join(F.broadcast(customer),
+                        orders["o_custkey"] == customer["c_custkey"])
+            .join(F.broadcast(nation),
+                  customer["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))"
+                        " * 100 AS BIGINT)").alias("cents")))
+
+
+def hhi_from_market_cents(rev: DataFrame) -> DataFrame:
+    """:func:`market_hhi`'s cleared-denominator tail from an
+    already-built (or streamed-and-folded) market cents table."""
+    return rev.agg(
+        F.count("*").cast("long").alias("n_markets"),
+        F.sum("cents").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+        .alias("sx2"),
+    ).select(
+        "n_markets",
+        F.col("sx").cast("long").alias("total_cents"),
+        F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sx2)"
+               " div (sx * sx) AS BIGINT)").alias("hhi_ppm"),
+    )
+
+
+MARKET_HHI_SQL = """
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_markets,
+             CAST(SUM(cents) AS HUGEINT) AS sx,
+             SUM(CAST(cents AS HUGEINT) * cents) AS sx2
+      FROM rev
+    )
+    SELECT n_markets, CAST(sx AS BIGINT) AS total_cents,
+           CAST((CAST(1000000 AS HUGEINT) * sx2) // (sx * sx)
+                AS BIGINT) AS hhi_ppm
+    FROM m
+"""

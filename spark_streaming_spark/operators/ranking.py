@@ -242,3 +242,71 @@ def quantile_transform(df: DataFrame, value_col: str, key_cols: list[str],
         F.expr(f"CAST({scale_ppm} * __r DIV {n + 1} AS BIGINT)")
         .alias("u_ppm"),
     )
+
+
+def revenue_gini(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality
+    headline ("what share of revenue sits with the top customers")
+    computed EXACTLY in integers via the sorted-multiset identity
+    (public formula):
+
+        G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx),   i = ascending rank
+
+    Per-customer cents are exact DECIMAL(38,2)·100 BIGINTs; ranks come
+    from the DISTRIBUTED two-phase global rank (no single-task sort);
+    Σ i·x_i accumulates as DECIMAL(38,0); the ppm output is one
+    decimal-widened scaled DIV. Ties order by (cents, custkey) — a
+    total order, and the Gini value is tie-order-invariant.
+    Columns: n_customers, total_cents, gini_ppm."""
+    return gini_from_customer_cents(customer_cents(orders))
+
+
+def customer_cents(orders: DataFrame) -> DataFrame:
+    """Per-customer revenue cents — exactly ADDITIVE under order
+    partition (a sum table), the streamed-Gini fold input.
+    Columns: cust, cents."""
+    return (orders.groupBy(F.col("o_custkey").alias("cust"))
+            .agg(F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))"
+                        " * 100 AS BIGINT)").alias("cents")))
+
+
+def gini_from_customer_cents(per: DataFrame) -> DataFrame:
+    """:func:`revenue_gini`'s rank + identity tail from an
+    already-built (or streamed-and-folded) per-customer cents table."""
+    ranked = with_global_rank(per, ["cents", "cust"], "i")
+    return (ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * cents")).alias("six"))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("sx").cast("long").alias("total_cents"),
+            F.expr("CAST((CAST(1000000 AS DECIMAL(38,0))"
+                   " * (2 * six - (n + 1) * sx))"
+                   " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)")
+            .alias("gini_ppm")))
+
+
+REVENUE_GINI_SQL = """
+    WITH per AS (
+      SELECT o_custkey AS cust,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, cust) AS i
+      FROM per
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS sx,
+             SUM(CAST(i AS HUGEINT) * cents) AS six
+      FROM ranked
+    )
+    SELECT n AS n_customers, CAST(sx AS BIGINT) AS total_cents,
+           CAST((CAST(1000000 AS HUGEINT) * (2 * six - (n + 1) * sx))
+                // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+    FROM m
+"""

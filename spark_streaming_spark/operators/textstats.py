@@ -908,3 +908,64 @@ def hybrid_search_rrf(docs: DataFrame, embeddings: DataFrame,
             F.col("sem_pts").isNotNull().cast("int").alias("in_semantic"),
         )
     )
+
+
+def vocab_chao1(docs: DataFrame) -> DataFrame:
+    """Chao1 vocabulary-richness estimator (Chao 1984; public method) —
+    "how many distinct tokens does the FULL population hold, given what
+    this sample shows": s_est = s_obs + f1(f1−1)/(2(f2+1)) in the
+    bias-corrected form, where f1/f2 are the hapax/doubleton counts.
+    The corpus-growth planning number next to vocab_coverage's OOV
+    gate — all-integer (the bias-corrected form needs no f2>0 guard
+    and floor-DIVs exactly).
+
+    Scale shape: one explode + one partial-agged token groupBy, then a
+    3-cell aggregate over the count-of-counts. Columns: s_obs, f1, f2,
+    chao1_est."""
+    return chao1_from_token_counts(corpus_token_counts(docs))
+
+
+def corpus_token_counts(docs: DataFrame) -> DataFrame:
+    """Corpus token count table — exactly ADDITIVE under document
+    partition, the streamed-Chao1 fold input. Columns: w, c."""
+    tok = widen(docs).select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return tok.groupBy("w").agg(F.count("*").alias("c"))
+
+
+def chao1_from_token_counts(cnts: DataFrame) -> DataFrame:
+    """:func:`vocab_chao1`'s count-of-counts tail from an
+    already-built (or streamed-and-folded) token count table."""
+    return cnts.agg(
+        F.count("*").cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long").alias("f2"),
+    ).select(
+        "s_obs", "f1", "f2",
+        F.expr("CAST(s_obs + (f1 * (f1 - 1)) div (2 * (f2 + 1))"
+               " AS BIGINT)").alias("chao1_est"),
+    )
+
+
+VOCAB_CHAO1_SQL = """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnts AS (SELECT w, count(*) AS c FROM tok WHERE w <> ''
+             GROUP BY 1),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS s_obs,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM cnts
+    )
+    SELECT s_obs, f1, f2,
+           CAST(s_obs + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+             AS chao1_est
+    FROM m
+"""

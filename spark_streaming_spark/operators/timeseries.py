@@ -715,3 +715,81 @@ SPEARMAN_DAILY_SQL = """
       END AS rho
     FROM m
 """
+
+
+def theil_sen_daily(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend of the daily revenue series — the median
+    of all pairwise slopes (Theil 1950 / Sen 1968; public method): the
+    trend estimate OLS can't have dragged around by a few whale days,
+    the robust complement to regress.ols_price_model.
+
+    Engine-exact selection: each pair's slope is the RATIONAL
+    (dy, dx) = (cents_2 − cents_1, t_2 − t_1), dx > 0; pairs order by
+    the IEEE double dy/dx (one correctly-rounded divide — deterministic
+    cross-engine) with (dy, dx) tie-breaks, and the LOWER MEDIAN row
+    (rn = (n+1) DIV 2) is reported with its exact rational — no
+    floor-divide of a possibly-negative quantity ever happens (Spark's
+    ``div`` truncates while DuckDB's ``//`` floors, so negative integer
+    division is banned from the contract).
+
+    Scale shape: the corpus collapses to the daily table first; the K²
+    pair build and the rank run on the CALENDAR-BOUNDED series (the
+    sanctioned driver-sized window class).
+    Columns: n_pairs, dy, dx, slope_per_day."""
+    from pyspark.sql.window import Window
+
+    return theil_sen_from_daily(daily_value_series(events))
+
+
+def theil_sen_from_daily(daily: DataFrame) -> DataFrame:
+    """:func:`theil_sen_daily`'s pair-median tail from an already-built
+    (or streamed-and-folded) daily series — the same additive-fold
+    sharing as the Pearson/ACF/Spearman monitors."""
+    from pyspark.sql.window import Window
+
+    daily = daily.select(
+        F.datediff(F.col("day"), F.lit("1970-01-01")).alias("t"), "x")
+    a = daily.select(F.col("t").alias("t1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("t").alias("t2"), F.col("x").alias("x2"))
+    pairs = (a.crossJoin(b).filter(F.col("t2") > F.col("t1"))
+             .select((F.col("x2") - F.col("x1")).alias("dy"),
+                     (F.col("t2") - F.col("t1")).cast("long").alias("dx")))
+    slope = (F.col("dy").cast("double") / F.col("dx").cast("double"))
+    w = Window.orderBy(slope.asc(), F.col("dy").asc(), F.col("dx").asc())
+    ranked = pairs.select(
+        "dy", "dx", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("n"))
+    return (ranked.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select(F.col("n").alias("n_pairs"), "dy", "dx",
+                    (F.col("dy").cast("double")
+                     / F.col("dx").cast("double")).alias("slope_per_day")))
+
+
+THEIL_SEN_DAILY_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    dd AS (SELECT date_diff('day', DATE '1970-01-01', day) AS t, x
+           FROM daily),
+    pairs AS (
+      SELECT CAST(b.x - a.x AS BIGINT) AS dy,
+             CAST(b.t - a.t AS BIGINT) AS dx
+      FROM dd a JOIN dd b ON b.t > a.t
+    ),
+    ranked AS (
+      SELECT dy, dx,
+             row_number() OVER (ORDER BY
+               CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) ASC,
+               dy ASC, dx ASC) AS rn,
+             count(*) OVER () AS n
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs, dy, dx,
+           CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope_per_day
+    FROM ranked WHERE rn = (n + 1) // 2
+"""

@@ -215,3 +215,87 @@ def test_mw_shares_ks_fold_state(spark):
         PF.ks_value_counts(events)).collect()[0]
     b = PF.mann_whitney_value_shift(events).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_theil_sen_hand_cases(spark):
+    """Strictly linear daily revenue → every pairwise slope equals the
+    true slope; the median pair reports it exactly."""
+    base = datetime.datetime(2024, 1, 1)
+    # day d: one event of value (10 + 2d) dollars -> slope 200 c/day
+    ev = _mk_events(spark, [
+        (d, base + datetime.timedelta(days=d), 1, "click",
+         10.0 + 2.0 * d, "{}") for d in range(6)])
+    r = TS.theil_sen_daily(ev).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_pairs == 15  # C(6,2)
+    assert abs(r.slope_per_day - 200.0) < 1e-9
+
+
+def test_gini_extremes(spark):
+    """All-equal revenue → Gini 0; near-total concentration → close to
+    (n−1)/n."""
+    rows = [(i, i, "O", 100.0,
+             datetime.datetime(2024, 1, 1), "1-URGENT")
+            for i in range(10)]
+    od = spark.createDataFrame(
+        rows, "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP,"
+        " o_orderpriority STRING")
+    from spark_streaming_spark.operators import ranking as RK
+
+    r = RK.revenue_gini(od).collect()[0]
+    assert r.n_customers == 10 and r.gini_ppm == 0
+    rows = [(i, i, "O", 0.01, datetime.datetime(2024, 1, 1),
+             "1-URGENT") for i in range(9)]
+    rows.append((9, 9, "O", 10000.0, datetime.datetime(2024, 1, 1),
+                 "1-URGENT"))
+    od = spark.createDataFrame(
+        rows, "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP,"
+        " o_orderpriority STRING")
+    r = RK.revenue_gini(od).collect()[0]
+    assert 890000 < r.gini_ppm <= 900000  # ~ (n-1)/n = 0.9
+
+
+def test_hhi_extremes(spark):
+    """Check the cleared-denominator identity on a 2-market split:
+    60/40 → 0.6² + 0.4² = 0.52."""
+    from spark_streaming_spark.operators import aggregates as A
+
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 0.0, "S"), (2, "b", 1, 0.0, "S")],
+        "c_custkey LONG, c_name STRING, c_nationkey INT,"
+        " c_acctbal DOUBLE, c_mktsegment STRING")
+    nat = spark.createDataFrame(
+        [(0, "N0", 0), (1, "N1", 0)],
+        "n_nationkey INT, n_name STRING, n_regionkey INT")
+    od = spark.createDataFrame(
+        [(1, 1, "O", 60.0, datetime.datetime(2024, 1, 1), "1"),
+         (2, 2, "O", 40.0, datetime.datetime(2024, 1, 1), "1")],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP,"
+        " o_orderpriority STRING")
+    r = A.market_hhi(cust, od, nat).collect()[0]
+    assert r.n_markets == 2 and r.hhi_ppm == 520000
+
+
+def test_chao1_hand_case(spark):
+    """Corpus 'a a b c' per doc tokens: counts a=2, b=1, c=1 →
+    s_obs=3, f1=2, f2=1, chao1 = 3 + 2·1/(2·2) = 3 (floor)."""
+    from spark_streaming_spark.operators import textstats as TX2
+
+    docs = spark.createDataFrame(
+        [(0, "a a b c", "en", "s", 7)],
+        "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG")
+    r = TX2.vocab_chao1(docs).collect()[0]
+    assert (r.s_obs, r.f1, r.f2, r.chao1_est) == (3, 2, 1, 3)
+
+
+def test_wave8_match_oracles(spark, duck):
+    for name in ("theil_sen_daily", "revenue_gini", "market_hhi",
+                 "vocab_chao1"):
+        assert_matches_oracle(
+            E.queries()[name](spark, SF_DIR), duck,
+            E.oracle_sql()[name])

@@ -28,6 +28,7 @@ from spark_streaming_spark.operators import basket as BK
 from spark_streaming_spark.operators import blacklist as B
 from spark_streaming_spark.operators import conversions as CV
 from spark_streaming_spark.operators import dedup as DD
+from spark_streaming_spark.operators import density as DEN
 from spark_streaming_spark.operators import ann as ANN
 from spark_streaming_spark.operators import graphrank as GRK
 from spark_streaming_spark.operators import grouped as G
@@ -669,6 +670,40 @@ def _merge_fold_members():
     def km_post(pairs, spark, sf_dir):
         return SV.km_curve_from_subjects(SV.subjects_from_day_pairs(pairs))
 
+    def fuzzy_start(spark, sf_dir):
+        from spark_streaming_spark.streaming.pipelines import (
+            counts_fold_sink)
+
+        chunk_dir = _chunked_table(spark, sf_dir, "customer", 3)
+        state_dir = _scratch("fuzzy_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("c_name"),
+            counts_fold_sink(
+                spark,
+                lambda b: DD.name_variant_table(b, "c_name")
+                .groupBy("name", "v")
+                .agg(F.count("*").cast("long").alias("cnt")),
+                ["name", "v"], ["cnt"], state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
+    def transit_start(spark, sf_dir):
+        from spark_streaming_spark.streaming.pipelines import (
+            counts_fold_sink)
+
+        od = load_table(spark, sf_dir, "orders")
+        chunk_dir = _chunked_table(spark, sf_dir, "lineitem", 3)
+        state_dir = _scratch("transit_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("l_orderkey", "l_shipdate"),
+            counts_fold_sink(
+                spark, lambda b: TS.transit_daily_deltas(b, od),
+                ["day"], ["delta"], state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
     return {
         "scd1": (scd1_start, None),
         "scd2": (scd2_start, None),
@@ -706,6 +741,22 @@ def _merge_fold_members():
         # tail at read
         "hhi_cents": (hhi_start,
                       lambda df, s, d: A.hhi_from_market_cents(df)),
+        # the SymSpell variant index maintained CONTINUOUSLY:
+        # batch-disjoint name sets fold by union to the one-shot
+        # deletion-neighborhood index; the candidate join + levenshtein
+        # verify run at read — shares fuzzy_customer_pairs' oracle
+        "fuzzy_variants": (
+            fuzzy_start,
+            lambda df, s, d: DD.fuzzy_pairs_from_variants(
+                df.select("name", "v"))),
+        # the in-transit concurrency monitor maintained CONTINUOUSLY:
+        # sweep-line boundary deltas are additive counts, so per-batch
+        # delta tables fold cell-wise to the one-shot table; the spine
+        # + running-sum + monthly-peak tail runs at read — shares
+        # transit_concurrency_peaks' exact oracle
+        "transit_deltas": (transit_start,
+                           lambda df, s, d:
+                           TS.transit_peaks_from_deltas(df)),
     }
 
 
@@ -1317,6 +1368,16 @@ def _doc_fold_members():
             fold(SKC.spacesaving_word_counts, ["word"], ["cnt"],
                  "ss_state_"),
             lambda df, s, d: SKC.mg_prune(df, "word", 20)),
+        # readability gate maintained CONTINUOUSLY: per-lang word /
+        # sentence / syllable totals are additive, the Flesch-Kincaid
+        # rational tail runs at read; shares readability_by_lang's
+        # exact oracle
+        "readability": (
+            fold(TX.readability_counts, ["lang"],
+                 ["n_docs", "n_words", "n_sentences", "n_syllables"],
+                 "readability_state_",
+                 select=lambda st: st.select("lang", "text")),
+            lambda df, s, d: TX.readability_from_counts(df)),
         "bpe_segment": (bpe_start, None),
         # ALIAS member: the per-language fertility read off the SAME
         # folded per-doc segment stats (additive; tokenizer-equity eval
@@ -1502,6 +1563,14 @@ def _event_fold_members():
         # shares theil_sen_daily's exact oracle
         "theil_sen": ("rolling_corr",
                       lambda df, s, d: TS.theil_sen_from_daily(df)),
+        # Kendall tau-b off the SAME folded daily series (alias
+        # member); shares kendall_tau_daily's exact oracle
+        "kendall": ("rolling_corr",
+                    lambda df, s, d: TS.kendall_from_daily(df)),
+        # Fano dispersion off the SAME folded daily series (alias
+        # member); shares fano_daily's exact oracle
+        "fano": ("rolling_corr",
+                 lambda df, s, d: TS.fano_from_daily(df)),
     }
 
 
@@ -1668,6 +1737,11 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_ols_refit": "merge_folds",
     "streaming_hits": "merge_folds",
     "streaming_theil_sen": "event_folds",
+    "streaming_kendall": "event_folds",
+    "streaming_transit_peaks": "merge_folds",
+    "streaming_readability": "doc_folds",
+    "streaming_fuzzy_pairs": "merge_folds",
+    "streaming_fano": "event_folds",
     "streaming_gini": "merge_folds",
     "streaming_hhi": "merge_folds",
     "streaming_chao1": "doc_folds",
@@ -1717,8 +1791,13 @@ _BATCH_FAMILIES = {
     "association_rules": "fam_basket",
     "item_cf_recommendations": "fam_basket",
     "copurchase_triangles": "fam_basket",
+    "clustering_coefficients": "fam_basket",
+    "degree_assortativity": "fam_basket",
     "part_reach_hops": "fam_basket",
     "part_cheapest_hops": "fam_basket",
+    # split-trained CF eval artifact consumers (cf_eval_frames)
+    "cf_ranking_eval": "fam_cfeval",
+    "cf_map_eval": "fam_cfeval",
     # co-supply edge-table consumers
     "supplier_corank": "fam_cosupply",
     "lpa_communities": "fam_cosupply",
@@ -1737,6 +1816,7 @@ _BATCH_FAMILIES = {
     "embedding_pca_top2_scores": "fam_pca",
     "pca_explained_variance": "fam_pca",
     "pca_axis_drift": "fam_pca",
+    "dbscan_pca_clusters": "fam_pca",
 }
 
 
@@ -2673,7 +2753,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HitRate@3 + MRR@3 in exact integer ppm (rank-reciprocal
         # family instead of NDCG's log2 — the no-transcendental rule)
         "cf_ranking_eval": lambda s, d: BK.cf_ranking_eval(
-            load_table(s, d, "lineitem"), load_table(s, d, "orders")),
+            load_table(s, d, "lineitem"), load_table(s, d, "orders"),
+            cache_key=d + "#cftrain"),
+        # MAP@3 on the SAME memoized split-trained artifact: the
+        # order-sensitive eval next to HitRate/MRR, exact floor-ppm
+        # (6j DIV r is integer for every rank r <= 3)
+        "cf_map_eval": lambda s, d: BK.cf_map_eval(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders"),
+            cache_key=d + "#cftrain"),
         # INT8 scalar-quantization serving path: exact BIGINT code
         # dots + fixed-order de-scale — the ANN tier that hash-checks
         # end to end (unlike the float IVF/PQ tiers, rows-only by
@@ -2718,6 +2805,60 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer division — Spark div truncates, DuckDB // floors)
         "theil_sen_daily": lambda s, d: TS.theil_sen_daily(
             load_table(s, d, "events")),
+        # Kendall tau-b of the daily revenue/traffic pair: concordant /
+        # discordant / tie pair counts (all integer, sign-only
+        # comparisons) over the calendar-bounded daily table, one
+        # frozen-IEEE tail
+        "kendall_tau_daily": lambda s, d: TS.kendall_tau_daily(
+            load_table(s, d, "events")),
+        # Kendall tau-b off the SAME folded daily series (alias
+        # member); shared exact oracle
+        "streaming_kendall": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "kendall"),
+        # peak simultaneously-open line items (ordered, not yet
+        # shipped) per month: the sweep-line interval-concurrency query
+        # — boundary deltas (one shuffle), calendar-day spine, one
+        # bounded running sum; no interval self-join
+        "transit_concurrency_peaks": lambda s, d:
+            TS.transit_concurrency_peaks(load_table(s, d, "lineitem"),
+                                         load_table(s, d, "orders")),
+        # the concurrency monitor maintained continuously off the
+        # folded delta table; shared exact oracle
+        "streaming_transit_peaks": lambda s, d: _cosched_group(
+            s, d, "merge_folds", _merge_fold_members(),
+            "transit_deltas"),
+        # Flesch-Kincaid readability gate per language: one regexp
+        # scan per doc (words / sentence marks / vowel-run syllables),
+        # per-lang totals, one exact-decimal rational grade
+        "readability_by_lang": lambda s, d: TX.readability_by_lang(
+            load_table(s, d, "documents")),
+        # the readability gate maintained continuously off the folded
+        # per-lang totals; shared exact oracle
+        "streaming_readability": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "readability"),
+        # SymSpell deletion-neighborhood fuzzy join: every customer
+        # name pair within Levenshtein distance 1, via a COMPLETE
+        # variant equi-join instead of the oracle's O(n²) cross join
+        "fuzzy_customer_pairs": lambda s, d: DD.fuzzy_name_pairs(
+            load_table(s, d, "customer"), "c_name"),
+        # the variant index maintained continuously; shared oracle
+        "streaming_fuzzy_pairs": lambda s, d: _cosched_group(
+            s, d, "merge_folds", _merge_fold_members(),
+            "fuzzy_variants"),
+        # Fano dispersion of the daily arrival counts: burstiness in
+        # exact ppm (variance-to-mean, cleared denominators)
+        "fano_daily": lambda s, d: TS.fano_daily(
+            load_table(s, d, "events")),
+        # Fano maintained continuously off the folded daily series
+        "streaming_fano": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "fano"),
+        # DBSCAN over the quantized exact-PCA plane: complete 3x3
+        # grid-cell blocking (never all-pairs), min-label core
+        # components, deterministic min-rule borders; the oracle runs
+        # the naive all-pairs + recursive closure — MATCH is the
+        # blocking-completeness proof
+        "dbscan_pca_clusters": lambda s, d: DEN.dbscan_pca_clusters(
+            load_table(s, d, "embeddings"), cache_key=d),
         # Gini of per-customer revenue: sorted-multiset identity over
         # the distributed two-phase global rank, decimal-widened ppm
         "revenue_gini": lambda s, d: RK.revenue_gini(
@@ -3489,6 +3630,20 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": lambda s, d: BK.triangle_counts(
             BK.frequent_pairs(load_table(s, d, "lineitem"), cache_key=d)
             .select("part_a", "part_b")),
+        # local clustering coefficient per part over the same mined
+        # graph: triangles / wedges, one IEEE division on exact ints
+        "clustering_coefficients": lambda s, d:
+            BK.clustering_coefficients(
+                BK.frequent_pairs(load_table(s, d, "lineitem"),
+                                  cache_key=d)
+                .select("part_a", "part_b")),
+        # degree assortativity (Newman r): Pearson over symmetrized
+        # endpoint-degree pairs, exact moments + frozen IEEE tail
+        "degree_assortativity": lambda s, d:
+            BK.degree_assortativity(
+                BK.frequent_pairs(load_table(s, d, "lineitem"),
+                                  cache_key=d)
+                .select("part_a", "part_b")),
         # BFS reach over the same mined graph: min-hop distances from
         # the 5 lowest-keyed parts, 3 frontier-expansion rounds
         "part_reach_hops": lambda s, d: _q_part_reach_hops(s, d),
@@ -6991,6 +7146,61 @@ def oracle_sql() -> dict[str, str]:
                     // count(*) AS BIGINT) AS mrr_ppm
         FROM pu
     """
+    # MAP@3 over the same split CTEs: per-hit precision 6j//r is an
+    # exact integer for r <= 3, per-user AP as stepwise floor-ppm
+    sql["cf_map_eval"] = f"""
+        WITH last_o AS (
+          SELECT o_orderkey, o_custkey FROM (
+            SELECT o_orderkey, o_custkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1
+        ),
+        train_orders AS (
+          SELECT o.* FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM last_o x
+                            WHERE x.o_orderkey = o.o_orderkey)
+        ),
+        train_li AS (
+          SELECT l.* FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM last_o x
+                            WHERE x.o_orderkey = l.l_orderkey)
+        ),
+        recs AS ({_ITEM_CF_SQL("train_li", "train_orders")}),
+        holdout AS (
+          SELECT DISTINCT x.o_custkey AS custkey, l.l_partkey AS part
+          FROM lineitem l JOIN last_o x ON x.o_orderkey = l.l_orderkey
+        ),
+        hits AS (
+          SELECT r.custkey, r.rnk,
+                 row_number() OVER (PARTITION BY r.custkey
+                                    ORDER BY r.rnk) AS j
+          FROM recs r JOIN holdout h
+            ON h.custkey = r.custkey AND h.part = r.part
+        ),
+        ap AS (
+          SELECT custkey, CAST(SUM((6 * j) // rnk) AS BIGINT) AS ap_x6
+          FROM hits GROUP BY 1
+        ),
+        nrel AS (
+          SELECT custkey, CAST(count(*) AS BIGINT) AS n_rel
+          FROM holdout GROUP BY 1
+        ),
+        pu AS (
+          SELECT CASE WHEN ap.ap_x6 IS NULL THEN CAST(0 AS BIGINT)
+                      ELSE CAST((1000000 * ap.ap_x6)
+                                // (6 * least(3, nr.n_rel)) AS BIGINT)
+                 END AS ap_ppm
+          FROM (SELECT DISTINCT custkey FROM recs) c
+          LEFT JOIN ap ON ap.custkey = c.custkey
+          LEFT JOIN nrel nr ON nr.custkey = c.custkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN ap_ppm > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit_users,
+               CAST(SUM(ap_ppm) // count(*) AS BIGINT) AS map_ppm
+        FROM pu
+    """
     # triangle count per node — naive a<b<c enumeration (identical
     # triangle set to the Spark side's degree-ordered orientation)
     sql["copurchase_triangles"] = """
@@ -7812,6 +8022,20 @@ def oracle_sql() -> dict[str, str]:
     sql["ivf_sq8_search"] = _IVF_SQ8_SQL()
     sql["rocchio_sq8_rerank"] = _ROCCHIO_SQ8_SQL()
     sql["theil_sen_daily"] = TS.THEIL_SEN_DAILY_SQL
+    sql["kendall_tau_daily"] = TS.KENDALL_TAU_DAILY_SQL
+    sql["streaming_kendall"] = sql["kendall_tau_daily"]
+    sql["transit_concurrency_peaks"] = TS.TRANSIT_CONCURRENCY_SQL
+    sql["streaming_transit_peaks"] = sql["transit_concurrency_peaks"]
+    sql["readability_by_lang"] = TX.READABILITY_SQL
+    sql["streaming_readability"] = sql["readability_by_lang"]
+    sql["clustering_coefficients"] = BK.CLUSTERING_COEFFICIENTS_SQL
+    sql["degree_assortativity"] = BK.DEGREE_ASSORTATIVITY_SQL
+    sql["fuzzy_customer_pairs"] = DD.FUZZY_CUSTOMER_PAIRS_SQL
+    sql["streaming_fuzzy_pairs"] = sql["fuzzy_customer_pairs"]
+    sql["fano_daily"] = TS.FANO_DAILY_SQL
+    sql["streaming_fano"] = sql["fano_daily"]
+    sql["dbscan_pca_clusters"] = DEN.dbscan_sql(
+        scores_sql=_PCA_SQL(components=2, scores=True))
     sql["revenue_gini"] = RK.REVENUE_GINI_SQL
     sql["market_hhi"] = A.MARKET_HHI_SQL
     sql["vocab_chao1"] = TX.VOCAB_CHAO1_SQL

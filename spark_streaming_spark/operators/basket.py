@@ -281,8 +281,36 @@ def last_order_keys(orders: DataFrame) -> DataFrame:
             .select("o_orderkey", "o_custkey"))
 
 
+def cf_eval_frames(lineitem: DataFrame, orders: DataFrame,
+                   k: int = 3, cache_key: str | None = None):
+    """Shared leave-last-order-out split for the CF offline evals:
+    train :func:`item_cf_recommendations` on every order EXCEPT each
+    customer's last and pair the top-``k`` recommendations with the
+    held-out order's parts. ``cache_key`` memoizes the SPLIT-trained
+    pair artifact (distinct from the full-corpus artifact the serving
+    entry uses), so HitRate/MRR and MAP evals train once.
+    Returns (recs, holdout)."""
+    last = last_order_keys(orders)
+    last_keys = last.select("o_orderkey")
+    train_orders = orders.join(last_keys, "o_orderkey", "left_anti")
+    train_li = lineitem.join(
+        last_keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", "left_anti")
+    recs = item_cf_recommendations(train_li, train_orders, k=k,
+                                   cache_key=cache_key)
+    holdout = (
+        lineitem.join(last,
+                      lineitem["l_orderkey"] == last["o_orderkey"])
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    return recs, holdout
+
+
 def cf_ranking_eval(lineitem: DataFrame, orders: DataFrame,
-                    k: int = 3) -> DataFrame:
+                    k: int = 3,
+                    cache_key: str | None = None) -> DataFrame:
     """Leave-last-order-out ranking eval of the item-CF recommender:
     train :func:`item_cf_recommendations` on every order EXCEPT each
     customer's last, then score the top-``k`` against the parts of the
@@ -298,20 +326,8 @@ def cf_ranking_eval(lineitem: DataFrame, orders: DataFrame,
     collapses to a 1-row summary. n_eval counts customers the model
     could score (≥1 rec from train history).
     Columns: n_eval, n_hits, hit_rate_ppm, mrr_ppm."""
-    last = last_order_keys(orders)
-    last_keys = last.select("o_orderkey")
-    train_orders = orders.join(last_keys, "o_orderkey", "left_anti")
-    train_li = lineitem.join(
-        last_keys.withColumnRenamed("o_orderkey", "l_orderkey"),
-        "l_orderkey", "left_anti")
-    recs = item_cf_recommendations(train_li, train_orders, k=k)
-    holdout = (
-        lineitem.join(last,
-                      lineitem["l_orderkey"] == last["o_orderkey"])
-        .select(F.col("o_custkey").alias("custkey"),
-                F.col("l_partkey").alias("part"))
-        .distinct()
-    )
+    recs, holdout = cf_eval_frames(lineitem, orders, k=k,
+                                   cache_key=cache_key)
     first_hits = (recs.join(holdout, ["custkey", "part"])
                   .groupBy("custkey")
                   .agg(F.min("rnk").alias("first_hit")))
@@ -329,4 +345,214 @@ def cf_ranking_eval(lineitem: DataFrame, orders: DataFrame,
         F.expr("CAST(1000000 * n_hits AS BIGINT) div n_eval")
         .alias("hit_rate_ppm"),
         F.expr("CAST(rr_sum AS BIGINT) div n_eval").alias("mrr_ppm"),
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node over the mined co-purchase
+    graph (Watts & Strogatz 1998): cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+    — how close each part's co-purchase neighborhood is to a clique,
+    the density signal next to the raw triangle count. Rides the
+    degree-ordered triangle enumeration (:func:`triangle_counts` — no
+    all-pairs, wedges enumerated at the lowest-degree apex) plus one
+    degree aggregate; nodes of degree < 2 have no defined coefficient
+    and are excluded. The division is ONE correctly-rounded IEEE op on
+    exact small integers — engine-identical.
+    Columns: part_id, degree, n_triangles, cc."""
+    deg = (
+        edges.select(F.col("part_a").alias("part_id"))
+        .unionAll(edges.select(F.col("part_b").alias("part_id")))
+        .groupBy("part_id").agg(F.count("*").cast("long").alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.join(tri, "part_id", "left")
+        .select(
+            "part_id", "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"))
+        .filter(F.col("degree") >= 2)
+        .withColumn(
+            "cc",
+            (F.lit(2.0) * F.col("n_triangles").cast("double"))
+            / (F.col("degree").cast("double")
+               * (F.col("degree") - 1).cast("double")))
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    Pearson correlation over the degree pairs of edge endpoints,
+    SYMMETRIZED (each undirected edge contributes (d_a, d_b) and
+    (d_b, d_a)) — positive means hub parts co-sell with other hubs,
+    negative means hubs anchor long-tail parts (the usual retail
+    shape). Exact integer/decimal moments over 2·|E| rows, one frozen
+    IEEE tail (the corr_matrix discipline).
+    Columns: n_edges, r."""
+    deg = (
+        edges.select(F.col("part_a").alias("v"))
+        .unionAll(edges.select(F.col("part_b").alias("v")))
+        .groupBy("v").agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("part_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("part_b"), F.col("deg").alias("db"))
+    ep = (edges.join(F.broadcast(da), "part_a")
+          .join(F.broadcast(db), "part_b"))
+    sym = (ep.select(F.col("da").alias("x"), F.col("db").alias("y"))
+           .unionAll(ep.select(F.col("db").alias("x"),
+                               F.col("da").alias("y"))))
+    m = sym.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = (F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+           * F.sqrt(d("n") * d("syy") - d("sy") * d("sy")))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_edges.crossJoin(
+        m.select(F.when(den != F.lit(0.0), num / den).alias("r")))
+
+
+_BASKET_EDGE_CTE = """
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+        freq AS (
+          SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 5
+        ),
+        pr AS (
+          SELECT l_orderkey, l_partkey FROM items
+          WHERE l_partkey IN (SELECT l_partkey FROM freq)
+        ),
+        e AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM pr a JOIN pr b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+"""
+
+
+CLUSTERING_COEFFICIENTS_SQL = _BASKET_EDGE_CTE + """,
+        tri AS (
+          SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+          FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ),
+        tcnt AS (
+          SELECT part_id, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM (SELECT a AS part_id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+          GROUP BY 1
+        ),
+        deg AS (
+          SELECT part_id, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT pa AS part_id FROM e
+                UNION ALL SELECT pb FROM e)
+          GROUP BY 1
+        )
+        SELECT d.part_id, d.degree,
+               CAST(COALESCE(t.n_triangles, 0) AS BIGINT)
+                 AS n_triangles,
+               2.0 * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+                 / (CAST(d.degree AS DOUBLE)
+                    * CAST(d.degree - 1 AS DOUBLE)) AS cc
+        FROM deg d LEFT JOIN tcnt t USING (part_id)
+        WHERE d.degree >= 2
+"""
+
+
+DEGREE_ASSORTATIVITY_SQL = _BASKET_EDGE_CTE + """,
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+          GROUP BY 1
+        ),
+        ep AS (
+          SELECT da.deg AS x, db.deg AS y
+          FROM e JOIN deg da ON da.v = e.pa JOIN deg db ON db.v = e.pb
+        ),
+        sym AS (
+          SELECT x, y FROM ep UNION ALL SELECT y AS x, x AS y FROM ep
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+                 CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+          FROM sym
+        ),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        SELECT n_edges,
+          CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    <> 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          END AS r
+        FROM m, ne
+"""
+
+
+def cf_map_eval(lineitem: DataFrame, orders: DataFrame,
+                k: int = 3, cache_key: str | None = None) -> DataFrame:
+    """MAP@k of the item-CF recommender on the leave-last-order-out
+    split — the order-sensitive companion to HitRate/MRR
+    (:func:`cf_ranking_eval`): AP@k = (Σ_{j-th hit at rank r_j} j/r_j)
+    / min(k, R), averaged over evaluable customers.
+
+    Exact-integer contract: with k = 3 every per-hit precision j/r_j
+    scales to the integer 6j DIV r_j (r_j ∈ {1..3} divides 6j), each
+    customer's AP lands as floor-ppm (1e6·ap_x6) DIV (6·min(k, R)) and
+    the mean is one more integer DIV — the KM-curve stepwise-DIV ppm
+    discipline; no float anywhere, truncation == floor on both engines
+    (all quantities non-negative).
+
+    Scale shape: identical to cf_ranking_eval (shared memoized
+    split-trained artifact) plus one per-customer window over ≤ k hit
+    rows. Columns: n_eval, n_hit_users, map_ppm."""
+    from pyspark.sql import Window
+
+    if k != 3:
+        raise ValueError("exact 6j DIV r contract is derived for k=3")
+    recs, holdout = cf_eval_frames(lineitem, orders, k=k,
+                                   cache_key=cache_key)
+    hits = recs.join(holdout, ["custkey", "part"]).select("custkey", "rnk")
+    w = Window.partitionBy("custkey").orderBy("rnk")
+    ap = (hits.withColumn("j", F.row_number().over(w))
+          .groupBy("custkey")
+          .agg(F.sum(F.expr("(6 * j) div rnk")).cast("long")
+               .alias("ap_x6")))
+    nrel = (holdout.groupBy("custkey")
+            .agg(F.count("*").cast("long").alias("n_rel")))
+    per_user = (
+        recs.select("custkey").distinct()
+        .join(ap, "custkey", "left")
+        .join(nrel, "custkey", "left")
+        .select(F.expr(
+            "CASE WHEN ap_x6 IS NULL THEN CAST(0 AS BIGINT)"
+            " ELSE (1000000 * ap_x6)"
+            f" div (6 * least({k}, n_rel)) END").alias("ap_ppm"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("ap_ppm") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_hit_users"),
+        F.expr("CAST(SUM(ap_ppm) div count(1) AS BIGINT)")
+        .alias("map_ppm"),
     )

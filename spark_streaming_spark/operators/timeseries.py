@@ -793,3 +793,276 @@ THEIL_SEN_DAILY_SQL = """
            CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope_per_day
     FROM ranked WHERE rn = (n + 1) // 2
 """
+
+
+def kendall_tau_daily(events: DataFrame) -> DataFrame:
+    """Kendall rank correlation (tau-b, tie-corrected) between the daily
+    revenue and traffic series — the third rank-association monitor next
+    to Spearman and Theil-Sen (Kendall 1938; tau-b tie correction per
+    standard references). Where Spearman scores rank DISPLACEMENT,
+    Kendall scores pair ORDER agreement — more robust to a single wild
+    rank and directly interpretable as P(concordant) − P(discordant).
+
+    Engine-exact: every statistic is an integer pair count — concordant,
+    discordant, x-ties, y-ties over the K² pairs of the CALENDAR-BOUNDED
+    daily table (the sanctioned driver-sized window class; same shape as
+    theil_sen_daily's pair build). Only sign comparisons touch the data,
+    so no product overflow exists; tau-b is the one frozen-IEEE tail
+    (nc − nd) / (sqrt(n0 − n1) · sqrt(n0 − n2)) with the same
+    sqrt·sqrt spelling on both engines.
+
+    Scale shape: the corpus collapses to the daily table first (one
+    groupBy shuffle); the pair build runs on ≤ a few thousand calendar
+    rows regardless of corpus size.
+    Columns: n_days, nc, nd, ties_x, ties_y, tau_b."""
+    return kendall_from_daily(daily_value_series(events))
+
+
+def kendall_from_daily(daily: DataFrame) -> DataFrame:
+    """:func:`kendall_tau_daily`'s pair-count tail from an already-built
+    (or streamed-and-folded) daily series — the same additive-fold
+    sharing as the Pearson/ACF/Spearman/Theil-Sen monitors."""
+    d = daily.select(
+        F.datediff(F.col("day"), F.lit("1970-01-01")).alias("t"),
+        "x", "y")
+    a = d.select(F.col("t").alias("t1"), F.col("x").alias("x1"),
+                 F.col("y").alias("y1"))
+    b = d.select(F.col("t").alias("t2"), F.col("x").alias("x2"),
+                 F.col("y").alias("y2"))
+    sx = F.when(F.col("x2") > F.col("x1"), F.lit(1)).when(
+        F.col("x2") < F.col("x1"), F.lit(-1)).otherwise(F.lit(0))
+    sy = F.when(F.col("y2") > F.col("y1"), F.lit(1)).when(
+        F.col("y2") < F.col("y1"), F.lit(-1)).otherwise(F.lit(0))
+    pairs = (a.crossJoin(b).filter(F.col("t2") > F.col("t1"))
+             .select(sx.alias("sx"), sy.alias("sy")))
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when((F.col("sx") * F.col("sy")) == 1, 1)
+              .otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when((F.col("sx") * F.col("sy")) == -1, 1)
+              .otherwise(0)).cast("long").alias("nd"),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0)).cast("long")
+        .alias("n2"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+
+    def d_(name):
+        return F.col(name).cast("double")
+
+    den = (F.sqrt(d_("n0") - d_("n1")) * F.sqrt(d_("n0") - d_("n2")))
+    return m.crossJoin(n_days).select(
+        "n_days",
+        F.col("nc"), F.col("nd"),
+        F.col("n1").alias("ties_x"), F.col("n2").alias("ties_y"),
+        F.when(den != F.lit(0.0), (d_("nc") - d_("nd")) / den)
+        .alias("tau_b"),
+    )
+
+
+KENDALL_TAU_DAILY_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100
+                  AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    dd AS (SELECT date_diff('day', DATE '1970-01-01', day) AS t, x, y
+           FROM daily),
+    pairs AS (
+      SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                  ELSE 0 END AS sx,
+             CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                  ELSE 0 END AS sy
+      FROM dd a JOIN dd b ON b.t > a.t
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nd,
+             CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM pairs
+    ),
+    nd_ AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days, nc, nd, n1 AS ties_x, n2 AS ties_y,
+      CASE WHEN sqrt(CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))
+                * sqrt(CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE)) <> 0
+        THEN (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+             / (sqrt(CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))
+                * sqrt(CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE)))
+      END AS tau_b
+    FROM m, nd_
+"""
+
+
+def transit_daily_deltas(lineitem: DataFrame,
+                         orders: DataFrame) -> DataFrame:
+    """Sweep-line deltas for open-line-item concurrency: each line item
+    is OPEN over the closed interval [order day, ship day] (placed but
+    not yet shipped), contributing +1 at its order day and -1 the day
+    AFTER its ship day. One stream-static equi-join recovers the order
+    day (orders is the broadcastable static dim at any SF that fits an
+    executor; at 100 TB it falls back to a shuffled equi-join on the
+    key both tables are naturally clustered by), then one union + one
+    groupBy shuffle collapses the corpus to a calendar-bounded
+    (day, delta) table -- EXACTLY ADDITIVE under lineitem row partition,
+    so per-micro-batch delta tables fold cell-wise to the one-shot
+    table (what the streamed twin's counts_fold_sink keeps).
+    Columns: day, delta."""
+    od = orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                       F.to_date("o_orderdate").alias("open_day"))
+    li = (lineitem.select("l_orderkey", F.to_date("l_shipdate")
+                          .alias("ship_day"))
+          .join(F.broadcast(od), "l_orderkey"))
+    ship = li.select(F.col("open_day").alias("day"), F.lit(1).alias("d"))
+    recv = li.select(F.date_add(F.col("ship_day"), 1).alias("day"),
+                     F.lit(-1).alias("d"))
+    return (ship.unionAll(recv).groupBy("day")
+            .agg(F.sum("d").cast("long").alias("delta")))
+
+
+def transit_concurrency_peaks(lineitem: DataFrame,
+                              orders: DataFrame) -> DataFrame:
+    """Peak number of simultaneously-OPEN line items (ordered, not yet
+    shipped) per month -- the classic sweep-line / interval-concurrency
+    query (the "max overlapping intervals" shape every ops dashboard
+    needs: concurrent sessions, open orders, active connections). No
+    interval self-join ever happens: the corpus collapses to +/-1
+    boundary deltas (one shuffle), a calendar-day spine gap-fills quiet
+    days, and ONE running sum over the driver-sized day spine (the
+    sanctioned bounded-window class) yields the concurrency series; the
+    per-month peak and its first attaining day read off with a
+    partitioned max.
+
+    Scale shape: rows shuffled = 2*|lineitem| collapsing to <= a few
+    thousand calendar days regardless of corpus size; everything after
+    the first groupBy is driver-sized. Columns: month, peak_open,
+    peak_day (first day of the month attaining the peak)."""
+    return transit_peaks_from_deltas(transit_daily_deltas(lineitem,
+                                                          orders))
+
+
+def transit_peaks_from_deltas(deltas: DataFrame) -> DataFrame:
+    """:func:`transit_concurrency_peaks`' spine + running-sum + monthly
+    peak tail from an already-built (or streamed-and-folded) delta
+    table."""
+    from pyspark.sql.window import Window
+
+    bounds = deltas.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(F.explode(F.expr(
+        "sequence(d0, d1, interval 1 day)")).alias("day"))
+    g = (spine.join(deltas, "day", "left")
+         .select("day", F.coalesce("delta", F.lit(0)).alias("delta")))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    g = g.select(
+        F.trunc(F.col("day"), "month").alias("month"), "day",
+        F.sum("delta").over(wc).cast("long").alias("n_open"))
+    wm = Window.partitionBy("month")
+    g = g.withColumn("pk", F.max("n_open").over(wm))
+    return (g.filter(F.col("n_open") == F.col("pk"))
+            .groupBy("month")
+            .agg(F.max("pk").alias("peak_open"),
+                 F.min("day").alias("peak_day")))
+
+
+TRANSIT_CONCURRENCY_SQL = """
+    WITH li AS (
+      SELECT CAST(date_trunc('day', o.o_orderdate) AS DATE) AS open_day,
+             CAST(date_trunc('day', l.l_shipdate) AS DATE) AS ship_day
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+        SELECT open_day AS day, 1 AS d FROM li
+        UNION ALL
+        SELECT ship_day + 1, -1 FROM li
+      ) GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM deltas),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM bounds
+    ),
+    g AS (
+      SELECT s.day, COALESCE(d.delta, 0) AS delta
+      FROM spine s LEFT JOIN deltas d USING (day)
+    ),
+    c AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month, day,
+             CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
+      FROM g
+    ),
+    p AS (
+      SELECT month, day, n_open,
+             max(n_open) OVER (PARTITION BY month) AS pk
+      FROM c
+    )
+    SELECT month, CAST(max(pk) AS BIGINT) AS peak_open,
+           min(day) AS peak_day
+    FROM p WHERE n_open = pk GROUP BY 1
+"""
+
+
+def fano_daily(events: DataFrame) -> DataFrame:
+    """Fano factor (index of dispersion) of the daily event-count
+    series — variance-to-mean ratio, the burstiness number next to the
+    Kleinberg burst days (= 1 for a Poisson arrival process, > 1 for
+    bursty/overdispersed traffic, < 1 for regularized). All-integer:
+    fano_ppm = 1e6·(n·Σy² − (Σy)²) DIV (n·Σy) — the variance numerator
+    is nonnegative (Cauchy-Schwarz) and the denominator positive
+    whenever any event exists, so the DIV never sees a negative.
+    Columns: n_days, sum_events, fano_ppm."""
+    return fano_from_daily(daily_value_series(events))
+
+
+def fano_from_daily(daily: DataFrame) -> DataFrame:
+    """:func:`fano_daily`'s dispersion tail from an already-built (or
+    streamed-and-folded) daily series — the sixth reader of the one
+    folded daily state (Pearson, ACF, Spearman, Theil-Sen, Kendall,
+    Fano)."""
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("sum_events"),
+        F.expr(
+            "CASE WHEN sy > 0 THEN CAST("
+            " (CAST(1000000 AS DECIMAL(38,0))"
+            "  * (CAST(n AS DECIMAL(38,0)) * syy"
+            "     - CAST(sy AS DECIMAL(38,0)) * sy))"
+            " div (CAST(n AS DECIMAL(38,0)) * sy) AS BIGINT)"
+            " END").alias("fano_ppm"),
+    )
+
+
+FANO_DAILY_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM daily
+    )
+    SELECT n AS n_days, sy AS sum_events,
+      CASE WHEN sy > 0 THEN CAST(
+        (1000000::HUGEINT * (n::HUGEINT * syy - sy::HUGEINT * sy))
+        // (n::HUGEINT * sy) AS BIGINT)
+      END AS fano_ppm
+    FROM m
+"""

@@ -1798,6 +1798,9 @@ _BATCH_FAMILIES = {
     # split-trained CF eval artifact consumers (cf_eval_frames)
     "cf_ranking_eval": "fam_cfeval",
     "cf_map_eval": "fam_cfeval",
+    # SymSpell verified-pair artifact consumers
+    "fuzzy_customer_pairs": "fam_fuzzy",
+    "record_linkage_scores": "fam_fuzzy",
     # co-supply edge-table consumers
     "supplier_corank": "fam_cosupply",
     "lpa_communities": "fam_cosupply",
@@ -1817,6 +1820,10 @@ _BATCH_FAMILIES = {
     "pca_explained_variance": "fam_pca",
     "pca_axis_drift": "fam_pca",
     "dbscan_pca_clusters": "fam_pca",
+    "kmeans_pca_assign": "fam_pca",
+    "kmeans_pca_centroids": "fam_pca",
+    "kmeans_silhouette": "fam_pca",
+    "kmeans_elbow": "fam_pca",
 }
 
 
@@ -2840,7 +2847,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # name pair within Levenshtein distance 1, via a COMPLETE
         # variant equi-join instead of the oracle's O(n²) cross join
         "fuzzy_customer_pairs": lambda s, d: DD.fuzzy_name_pairs(
-            load_table(s, d, "customer"), "c_name"),
+            load_table(s, d, "customer"), "c_name", cache_key=d),
+        # Fellegi-Sunter-shaped linkage decisions over the memoized
+        # fuzzy-pair artifact: pinned integer agreement weights,
+        # integer-cents balance band, hash-exact decisions
+        "record_linkage_scores": lambda s, d: DD.record_linkage_scores(
+            load_table(s, d, "customer"), cache_key=d),
         # the variant index maintained continuously; shared oracle
         "streaming_fuzzy_pairs": lambda s, d: _cosched_group(
             s, d, "merge_folds", _merge_fold_members(),
@@ -2858,6 +2870,23 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the naive all-pairs + recursive closure — MATCH is the
         # blocking-completeness proof
         "dbscan_pca_clusters": lambda s, d: DEN.dbscan_pca_clusters(
+            load_table(s, d, "embeddings"), cache_key=d),
+        # deterministic Lloyd k-means on the same quantized plane:
+        # pinned init (k lowest vec_ids), fixed rounds, floor-div
+        # integer centroid means, empty-cluster carry; the k per-round
+        # centroids are driver-sized plan constants (IVF codebook
+        # discipline), so each round is one map + one k-group agg
+        "kmeans_pca_assign": lambda s, d: DEN.kmeans_pca_assign(
+            load_table(s, d, "embeddings"), cache_key=d),
+        "kmeans_pca_centroids": lambda s, d: DEN.kmeans_pca_centroids(
+            load_table(s, d, "embeddings"), cache_key=d),
+        # simplified (centroid-based, squared-distance) silhouette of
+        # the fitted model — the cluster-quality eval in floor-ppm
+        "kmeans_silhouette": lambda s, d: DEN.kmeans_silhouette(
+            load_table(s, d, "embeddings"), cache_key=d),
+        # elbow curve: exact inertia at k in {2,4,8}; the k=4 column
+        # rides the memoized fit
+        "kmeans_elbow": lambda s, d: DEN.kmeans_elbow(
             load_table(s, d, "embeddings"), cache_key=d),
         # Gini of per-customer revenue: sorted-multiset identity over
         # the distributed two-phase global rank, decimal-widened ppm
@@ -8032,10 +8061,19 @@ def oracle_sql() -> dict[str, str]:
     sql["degree_assortativity"] = BK.DEGREE_ASSORTATIVITY_SQL
     sql["fuzzy_customer_pairs"] = DD.FUZZY_CUSTOMER_PAIRS_SQL
     sql["streaming_fuzzy_pairs"] = sql["fuzzy_customer_pairs"]
+    sql["record_linkage_scores"] = DD.RECORD_LINKAGE_SQL
     sql["fano_daily"] = TS.FANO_DAILY_SQL
     sql["streaming_fano"] = sql["fano_daily"]
     sql["dbscan_pca_clusters"] = DEN.dbscan_sql(
         scores_sql=_PCA_SQL(components=2, scores=True))
+    sql["kmeans_pca_assign"] = DEN.kmeans_assign_sql(
+        4, 6, _PCA_SQL(components=2, scores=True))
+    sql["kmeans_pca_centroids"] = DEN.kmeans_centroids_sql(
+        4, 6, _PCA_SQL(components=2, scores=True))
+    sql["kmeans_silhouette"] = DEN.kmeans_silhouette_sql(
+        4, 6, _PCA_SQL(components=2, scores=True))
+    sql["kmeans_elbow"] = DEN.kmeans_elbow_sql(
+        (2, 4, 8), 6, _PCA_SQL(components=2, scores=True))
     sql["revenue_gini"] = RK.REVENUE_GINI_SQL
     sql["market_hhi"] = A.MARKET_HHI_SQL
     sql["vocab_chao1"] = TX.VOCAB_CHAO1_SQL

@@ -133,22 +133,39 @@ def dbscan_on_plane(pts: DataFrame, eps: int = 400_000,
     labels = (core_ids.select(F.col("vec_id"),
                               F.col("vec_id").alias("component"))
               .localCheckpoint(eager=True))
+    prev_sum = None
     for _ in range(max_iters):
         prop = (cc_edges.join(labels,
                               cc_edges["src"] == labels["vec_id"])
                 .groupBy(F.col("dst").alias("vec_id"))
                 .agg(F.min("component").alias("nbr_min")))
-        nxt = (labels.join(prop, "vec_id", "left_outer")
+        half = (labels.join(prop, "vec_id", "left_outer")
+                .select("vec_id",
+                        F.coalesce(F.least("component", "nbr_min"),
+                                   F.col("component"))
+                        .alias("component")))
+        # pointer jump (path doubling): a label is itself a vertex id,
+        # so chase one hop through the label table — component' =
+        # label[component]. Labels only ever decrease toward the min
+        # reachable id, so the fixpoint is unchanged while convergence
+        # drops from O(diameter) to O(log diameter) rounds.
+        hop = half.select(F.col("vec_id").alias("component"),
+                          F.col("component").alias("c2"))
+        nxt = (half.join(hop, "component", "left_outer")
                .select("vec_id",
-                       F.coalesce(F.least("component", "nbr_min"),
+                       F.coalesce(F.least("component", "c2"),
                                   F.col("component")).alias("component"))
-               .localCheckpoint(eager=True))
-        changed = (nxt.join(
-            labels.withColumnRenamed("component", "old"), "vec_id")
-            .filter(F.col("component") < F.col("old")).count())
+               .localCheckpoint(eager=False))
+        # convergence probe: labels only ever DECREASE, so the label
+        # sum is strictly monotone while anything changes — one scalar
+        # aggregate per round (it also materializes the lazy
+        # checkpoint) instead of a join + filter + count.
+        cur_sum = nxt.agg(F.sum(F.col("component").cast(
+            "decimal(38,0)"))).first()[0]
         labels = nxt
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     # border: min core-neighbor label; core: own component
     core_lbl = labels.withColumnsRenamed(
         {"vec_id": "vec_b", "component": "b_lbl"})
@@ -228,3 +245,306 @@ def dbscan_sql(eps: int = 400_000, min_pts: int = 4,
         LEFT JOIN comp m ON m.vec_id = c.vec_id
         LEFT JOIN border b ON b.vec_id = c.vec_id
     """
+
+
+# --- deterministic Lloyd k-means on the quantized plane ---------------------
+
+_KMEANS_CACHE: dict = {}
+
+
+def _floor_div(expr: str, den: str) -> str:
+    """Exact floor division for possibly-negative integer SQL
+    expressions (both engines share the C-style truncating %):
+    (x − ((x % n + n) % n)) / n, exactly divisible so trunc == floor."""
+    return (f"CAST(({expr} - ((({expr}) % ({den}) + ({den}))"
+            f" % ({den}))) div ({den}) AS BIGINT)")
+
+
+def kmeans_pca_fit(embeddings: DataFrame, k: int = 4,
+                   n_rounds: int = 6,
+                   cache_key: str | None = None):
+    """Deterministic Lloyd k-means (Lloyd 1957/1982; public method) on
+    the quantized top-2 PCA plane. Every random choice of the textbook
+    algorithm is pinned: init = the k lowest-vec_id points (documented
+    contract, the BPE/greedy-tie discipline), FIXED ``n_rounds``
+    assignment/update rounds (SQL-unrollable, no convergence break),
+    argmin ties broken by lowest cluster id, centroid update is the
+    exact FLOOR-division integer mean (pmod trick — Spark's truncating
+    ``div`` never sees a negative), and a cluster that loses all its
+    points keeps its previous centroid.
+
+    The k per-round centroids are DRIVER-SIZED plan constants (k rows
+    collected per round — the sanctioned scalar-fetch class, the IVF
+    codebook discipline): assignment is a pure map over broadcast
+    literals, so each round is ONE map + ONE k-group aggregate over the
+    plane — no iterative shuffle growth, lineage reset by the plane's
+    localCheckpoint.
+
+    Returns (pts, centroids) where pts is the cached quantized plane
+    and centroids is the final [(cid, cx, cy), ...] list."""
+    ck = ("kmeans", cache_key, k, n_rounds,
+          embeddings.sparkSession.sparkContext.applicationId) \
+        if cache_key is not None else None
+    if ck is not None and ck in _KMEANS_CACHE:
+        return _KMEANS_CACHE[ck]
+    pts = _quantized_plane(embeddings, cache_key).localCheckpoint(
+        eager=True)
+    out = kmeans_fit_on_plane(pts, k, n_rounds)
+    if ck is not None:
+        _KMEANS_CACHE[ck] = out
+    return out
+
+
+def kmeans_fit_on_plane(pts: DataFrame, k: int = 4,
+                        n_rounds: int = 6):
+    """:func:`kmeans_pca_fit`'s Lloyd rounds over an already-built
+    integer plane (vec_id, s1, s2). Returns (pts, centroids)."""
+    init = (pts.orderBy("vec_id").limit(k)
+            .select("vec_id", "s1", "s2").collect())
+    cents = [(i, int(r.s1), int(r.s2)) for i, r in enumerate(init)]
+    for _ in range(n_rounds):
+        assigned = pts.select(
+            "vec_id", "s1", "s2", _argmin_cid(cents).alias("cid"))
+        agg = {int(r.cid): (int(r.sx), int(r.sy), int(r.n))
+               for r in assigned.groupBy("cid").agg(
+                   F.sum("s1").alias("sx"), F.sum("s2").alias("sy"),
+                   F.count("*").alias("n")).collect()}
+        nxt = []
+        for cid, cx, cy in cents:
+            if cid in agg and agg[cid][2] > 0:
+                sx, sy, n = agg[cid]
+                nxt.append((cid, sx // n, sy // n))  # python // floors
+            else:
+                nxt.append((cid, cx, cy))
+        cents = nxt
+    return (pts, cents)
+
+
+def _argmin_cid(cents) -> "F.Column":
+    """CASE-chain argmin over the k centroid literals: nearest squared
+    distance, ties to the LOWEST cluster id (strict < while scanning in
+    cid order)."""
+    def d2(cx, cy):
+        return (f"(CAST(s1 - ({cx}) AS BIGINT) * (s1 - ({cx}))"
+                f" + CAST(s2 - ({cy}) AS BIGINT) * (s2 - ({cy})))")
+    best_d = d2(cents[0][1], cents[0][2])
+    best_c = str(cents[0][0])
+    for cid, cx, cy in cents[1:]:
+        cond = f"({d2(cx, cy)}) < ({best_d})"
+        best_d = f"CASE WHEN {cond} THEN {d2(cx, cy)} ELSE {best_d} END"
+        best_c = f"CASE WHEN {cond} THEN {cid} ELSE {best_c} END"
+    return F.expr(f"CAST({best_c} AS INT)")
+
+
+def kmeans_pca_assign(embeddings: DataFrame, k: int = 4,
+                      n_rounds: int = 6,
+                      cache_key: str | None = None) -> DataFrame:
+    """Final-round cluster assignment against the FITTED centroids (one
+    extra argmin pass, so every point provably sits with its nearest
+    final centroid — what makes the silhouette's b ≥ a hold).
+    Columns: vec_id, cluster, d2 (squared distance, integer units²)."""
+    pts, cents = kmeans_pca_fit(embeddings, k, n_rounds, cache_key)
+    a = pts.select("vec_id", "s1", "s2",
+                   _argmin_cid(cents).alias("cluster"))
+    own = ("CASE cluster " + " ".join(
+        [f"WHEN {cid} THEN"
+         f" (CAST(s1 - ({cx}) AS BIGINT) * (s1 - ({cx}))"
+         f" + CAST(s2 - ({cy}) AS BIGINT) * (s2 - ({cy})))"
+         for cid, cx, cy in cents]) + " END")
+    return a.select("vec_id", "cluster", F.expr(own).alias("d2"))
+
+
+def kmeans_pca_centroids(embeddings: DataFrame, k: int = 4,
+                         n_rounds: int = 6,
+                         cache_key: str | None = None) -> DataFrame:
+    """Per-cluster summary of the fitted model: final centroid, member
+    count and exact integer inertia (Σ d2 of members to their final
+    centroid — the elbow-curve number).
+    Columns: cluster, cx, cy, n_points, inertia."""
+    pts, cents = kmeans_pca_fit(embeddings, k, n_rounds, cache_key)
+    assigned = kmeans_pca_assign(embeddings, k, n_rounds, cache_key)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(cents, "cluster INT, cx LONG, cy LONG")
+    agg = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("d2").cast("long").alias("inertia"))
+    return (cdf.join(agg, "cluster", "left")
+            .select("cluster", "cx", "cy",
+                    F.coalesce("n_points", F.lit(0)).cast("long")
+                    .alias("n_points"),
+                    F.coalesce("inertia", F.lit(0)).cast("long")
+                    .alias("inertia")))
+
+
+def kmeans_silhouette(embeddings: DataFrame, k: int = 4,
+                      n_rounds: int = 6,
+                      cache_key: str | None = None) -> DataFrame:
+    """Simplified silhouette (centroid-based — the standard large-scale
+    variant of Rousseeuw 1987, distances to CENTROIDS instead of all
+    members, on SQUARED distances — documented contract): per point
+    s = (b − a)/b with a = d² to the assigned (nearest) final centroid
+    and b = min d² over the other centroids; a ≤ b by the extra
+    assignment pass, so the floor-ppm is nonnegative. Per-cluster mean
+    via stepwise DIV. Columns: cluster, n_points, mean_sil_ppm."""
+    pts, cents = kmeans_pca_fit(embeddings, k, n_rounds, cache_key)
+    a = pts.select("vec_id", "s1", "s2",
+                   _argmin_cid(cents).alias("cluster"))
+
+    def d2(cx, cy):
+        return (f"(CAST(s1 - ({cx}) AS BIGINT) * (s1 - ({cx}))"
+                f" + CAST(s2 - ({cy}) AS BIGINT) * (s2 - ({cy})))")
+
+    own = ("CASE cluster " + " ".join(
+        [f"WHEN {cid} THEN {d2(cx, cy)}" for cid, cx, cy in cents])
+        + " END")
+    others = [f"CASE WHEN cluster = {cid} THEN NULL"
+              f" ELSE {d2(cx, cy)} END" for cid, cx, cy in cents]
+    b = "least(" + ", ".join(others) + ")"
+    per = a.select(
+        "cluster",
+        F.expr(f"CASE WHEN ({b}) > 0 THEN"
+               f" CAST((CAST(1000000 AS DECIMAL(38,0))"
+               f" * (({b}) - ({own}))) div ({b}) AS BIGINT)"
+               f" ELSE CAST(0 AS BIGINT) END").alias("sil_ppm"))
+    return per.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.expr("CAST(SUM(sil_ppm) div count(1) AS BIGINT)")
+        .alias("mean_sil_ppm"))
+
+
+def _kmeans_rounds_sql(k: int, n_rounds: int, scores_sql: str) -> str:
+    """Shared CTE chain for the k-means oracles: quantized plane, init
+    from the k lowest vec_ids, ``n_rounds`` unrolled assign/update
+    rounds mirroring :func:`kmeans_pca_fit` exactly (argmin ties to the
+    lowest cid, floor-division centroid means via the pmod trick,
+    empty clusters carry the previous centroid). Every CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    round references its predecessor twice — materialization keeps the
+    chain linear instead of 2^rounds."""
+    def fd(expr, den):
+        return (f"(({expr}) - ((({expr}) % ({den}) + ({den}))"
+                f" % ({den}))) // ({den})")
+
+    ctes = [f"sc AS MATERIALIZED ({scores_sql})", f"""
+        pts AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST(ROUND(score1 * {_SCALE}) AS BIGINT) AS s1,
+                 CAST(ROUND(score2 * {_SCALE}) AS BIGINT) AS s2
+          FROM sc)""", f"""
+        c0 AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cid, s1 AS cx, s2 AS cy
+          FROM (SELECT vec_id, s1, s2 FROM pts
+                ORDER BY vec_id LIMIT {k}))"""]
+    for r in range(1, n_rounds + 1):
+        prev = f"c{r - 1}"
+        ctes.append(f"""
+        a{r} AS MATERIALIZED (
+          SELECT vec_id, s1, s2, cid FROM (
+            SELECT p.vec_id, p.s1, p.s2, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     (p.s1 - c.cx) * (p.s1 - c.cx)
+                     + (p.s2 - c.cy) * (p.s2 - c.cy), c.cid) AS rn
+            FROM pts p CROSS JOIN {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""
+        g{r} AS MATERIALIZED (
+          SELECT cid, CAST(SUM(s1) AS BIGINT) AS sx,
+                 CAST(SUM(s2) AS BIGINT) AS sy,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM a{r} GROUP BY 1)""")
+        ctes.append(f"""
+        c{r} AS MATERIALIZED (
+          SELECT c.cid,
+                 CAST(COALESCE({fd('g.sx', 'g.n')}, c.cx) AS BIGINT)
+                   AS cx,
+                 CAST(COALESCE({fd('g.sy', 'g.n')}, c.cy) AS BIGINT)
+                   AS cy
+          FROM {prev} c LEFT JOIN g{r} g USING (cid))""")
+    # final assignment pass against the fitted centroids
+    ctes.append(f"""
+        fin AS MATERIALIZED (
+          SELECT vec_id, s1, s2, cid AS cluster, d2 FROM (
+            SELECT p.vec_id, p.s1, p.s2, c.cid,
+                   (p.s1 - c.cx) * (p.s1 - c.cx)
+                   + (p.s2 - c.cy) * (p.s2 - c.cy) AS d2,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     (p.s1 - c.cx) * (p.s1 - c.cx)
+                     + (p.s2 - c.cy) * (p.s2 - c.cy), c.cid) AS rn
+            FROM pts p CROSS JOIN c{n_rounds} c) WHERE rn = 1)""")
+    return "WITH " + ",".join(ctes)
+
+
+def kmeans_assign_sql(k: int, n_rounds: int, scores_sql: str) -> str:
+    return _kmeans_rounds_sql(k, n_rounds, scores_sql) + """
+        SELECT vec_id, CAST(cluster AS INT) AS cluster,
+               CAST(d2 AS BIGINT) AS d2
+        FROM fin
+    """
+
+
+def kmeans_centroids_sql(k: int, n_rounds: int, scores_sql: str) -> str:
+    return _kmeans_rounds_sql(k, n_rounds, scores_sql) + f"""
+        SELECT c.cid AS cluster, c.cx, c.cy,
+               CAST(COALESCE(m.n_points, 0) AS BIGINT) AS n_points,
+               CAST(COALESCE(m.inertia, 0) AS BIGINT) AS inertia
+        FROM c{n_rounds} c LEFT JOIN (
+          SELECT cluster, count(*) AS n_points,
+                 CAST(SUM(d2) AS BIGINT) AS inertia
+          FROM fin GROUP BY 1) m ON m.cluster = c.cid
+    """
+
+
+def kmeans_silhouette_sql(k: int, n_rounds: int, scores_sql: str) -> str:
+    inner = _kmeans_rounds_sql(k, n_rounds, scores_sql) + f"""
+        , oth AS MATERIALIZED (
+          SELECT f.vec_id, f.cluster, f.d2 AS a,
+                 min((f.s1 - c.cx) * (f.s1 - c.cx)
+                     + (f.s2 - c.cy) * (f.s2 - c.cy)) AS b
+          FROM fin f JOIN c{n_rounds} c ON c.cid <> f.cluster
+          GROUP BY 1, 2, 3)
+        SELECT cluster,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN b > 0
+                             THEN (1000000::HUGEINT * (b - a)) // b
+                             ELSE 0 END) // count(*) AS BIGINT)
+                 AS mean_sil_ppm
+        FROM oth GROUP BY 1
+    """
+    return inner
+
+
+def kmeans_elbow(embeddings: DataFrame, ks=(2, 4, 8),
+                 n_rounds: int = 6,
+                 cache_key: str | None = None) -> DataFrame:
+    """Model selection for the k-means tier: exact integer inertia at
+    each candidate k — the elbow curve. Each k's fit is independently
+    deterministic (same pinned init/rounds contract) and memoized per
+    (application, k), so the k = 4 column is free when the serving
+    entries already ran. Columns: k, n_points, inertia."""
+    parts = []
+    for k in ks:
+        a = kmeans_pca_assign(embeddings, k=k, n_rounds=n_rounds,
+                              cache_key=cache_key)
+        parts.append(a.agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("d2").cast("long").alias("inertia"))
+            .select(F.lit(int(k)).cast("int").alias("k"),
+                    "n_points", "inertia"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def kmeans_elbow_sql(ks, n_rounds: int, scores_sql: str) -> str:
+    sels = []
+    for k in ks:
+        sels.append(
+            "SELECT * FROM (" + _kmeans_rounds_sql(k, n_rounds,
+                                                   scores_sql)
+            + f"""
+            SELECT CAST({k} AS INT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(SUM(d2) AS BIGINT) AS inertia
+            FROM fin)""")
+    return " UNION ALL ".join(sels)

@@ -86,3 +86,58 @@ def test_min_label_deterministic_under_shuffle(spark):
         _plane(spark, list(reversed(rows))), eps=3, min_pts=3).collect()}
     assert a == b
     assert a[1] == ("core", 1) and a[5] == ("core", 5)
+
+
+def test_kmeans_hand_case_two_blobs(spark):
+    """Two tight 2-point blobs, k=2: init = two lowest vec_ids (both in
+    blob A), but one round of Lloyd pulls centroid 1 to blob B via the
+    argmin tie-break... construct so convergence separates the blobs:
+    A = {(0,0),(2,0)}, B = {(100,0),(102,0)}; init c0=(0,0), c1=(2,0);
+    round 1: points 100,102 assign to c1 -> c1 = mean(2,100,102)=(68,0),
+    c0 = (0,0); round 2: (2,0) moves to c0, c1 = (101,0), c0 = (1,0);
+    stable thereafter."""
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 2, 0), (3, 100, 0), (4, 102, 0)],
+        "vec_id LONG, s1 LONG, s2 LONG")
+    _, cents = DEN.kmeans_fit_on_plane(pts, k=2, n_rounds=6)
+    assert cents == [(0, 1, 0), (1, 101, 0)]
+
+
+def test_kmeans_floor_division_on_negative_sums(spark):
+    """Centroid means of negative coordinates must FLOOR (python //
+    semantics = the SQL pmod contract): points (-3,0) and (-4,0) give
+    mean -3.5 -> centroid x = -4, never the truncated -3."""
+    pts = spark.createDataFrame(
+        [(1, -3, 0), (2, -4, 0)], "vec_id LONG, s1 LONG, s2 LONG")
+    _, cents = DEN.kmeans_fit_on_plane(pts, k=1, n_rounds=2)
+    assert cents == [(0, -4, 0)]
+
+
+def test_kmeans_empty_cluster_carries_centroid(spark):
+    """k=2 over two identical points: both assign to cluster 0 (tie ->
+    lowest cid) every round, cluster 1 keeps its init centroid."""
+    pts = spark.createDataFrame(
+        [(1, 5, 5), (2, 5, 5)], "vec_id LONG, s1 LONG, s2 LONG")
+    _, cents = DEN.kmeans_fit_on_plane(pts, k=2, n_rounds=3)
+    assert cents[0] == (0, 5, 5)
+    assert cents[1] == (1, 5, 5)  # init carried, never NaN/crash
+
+
+def test_kmeans_elbow_inertia_monotone(spark):
+    """More clusters can never raise the optimal-assignment inertia of
+    the SAME fitted family in aggregate... Lloyd at fixed rounds is not
+    globally optimal, so pin the realistic invariant instead: the
+    entry returns one row per k, n_points constant, inertia >= 0, and
+    the run is reproducible."""
+    from tests.conftest import SF_DIR
+    from spark_streaming_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = {r.k: (r.n_points, r.inertia)
+         for r in DEN.kmeans_elbow(emb, cache_key="t#elbow").collect()}
+    b = {r.k: (r.n_points, r.inertia)
+         for r in DEN.kmeans_elbow(emb, cache_key="t#elbow").collect()}
+    assert a == b and set(a) == {2, 4, 8}
+    n_pts = {v[0] for v in a.values()}
+    assert len(n_pts) == 1
+    assert all(v[1] >= 0 for v in a.values())

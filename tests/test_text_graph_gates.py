@@ -113,3 +113,23 @@ def test_cf_map_bounded_by_hitrate(spark):
     assert m.n_eval == rank.n_eval
     assert m.n_hit_users == rank.n_hits
     assert 0 <= m.map_ppm <= rank.hit_rate_ppm
+
+
+def test_record_linkage_weights_hand_case(spark):
+    """Two distance-1 names with full attribute agreement score
+    40+20+15+10 = 85 (match); full disagreement scores 40-10-5 = 25
+    (non_match); nation-only agreement 40+20-5+0 = 55 (possible)."""
+    cust = spark.createDataFrame(
+        [("aa", 1, "AUTO", 10.0), ("ab", 1, "AUTO", 10.5),
+         ("zz", 2, "BIKE", 5000.0), ("zy", 3, "AUTO", 1.0),
+         ("mm", 7, "SHIP", 100.0), ("mn", 7, "RAIL", 900.0)],
+        "c_name STRING, c_nationkey INT, c_mktsegment STRING,"
+        " c_acctbal DOUBLE")
+    rows = {(r.name_a, r.name_b): r
+            for r in DD.record_linkage_scores(cust).collect()}
+    assert rows[("aa", "ab")].score == 85
+    assert rows[("aa", "ab")].decision == "match"
+    assert rows[("zy", "zz")].score == 25
+    assert rows[("zy", "zz")].decision == "non_match"
+    assert rows[("mm", "mn")].score == 55
+    assert rows[("mm", "mn")].decision == "possible"

@@ -749,6 +749,14 @@ def _merge_fold_members():
             fuzzy_start,
             lambda df, s, d: DD.fuzzy_pairs_from_variants(
                 df.select("name", "v"))),
+        # ALIAS member: linkage decisions read off the SAME folded
+        # variant index (weighting tail over the static attribute
+        # table at read); shares record_linkage_scores' oracle
+        "fuzzy_linkage": (
+            "fuzzy_variants",
+            lambda df, s, d: DD.linkage_scores_from_pairs(
+                DD.fuzzy_pairs_from_variants(df.select("name", "v")),
+                load_table(s, d, "customer"))),
         # the in-transit concurrency monitor maintained CONTINUOUSLY:
         # sweep-line boundary deltas are additive counts, so per-batch
         # delta tables fold cell-wise to the one-shot table; the spine
@@ -1741,6 +1749,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_transit_peaks": "merge_folds",
     "streaming_readability": "doc_folds",
     "streaming_fuzzy_pairs": "merge_folds",
+    "streaming_record_linkage": "merge_folds",
     "streaming_fano": "event_folds",
     "streaming_gini": "merge_folds",
     "streaming_hhi": "merge_folds",
@@ -2857,6 +2866,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_fuzzy_pairs": lambda s, d: _cosched_group(
             s, d, "merge_folds", _merge_fold_members(),
             "fuzzy_variants"),
+        # linkage decisions maintained continuously off the SAME
+        # folded variant index (alias member); shared oracle
+        "streaming_record_linkage": lambda s, d: _cosched_group(
+            s, d, "merge_folds", _merge_fold_members(),
+            "fuzzy_linkage"),
         # Fano dispersion of the daily arrival counts: burstiness in
         # exact ppm (variance-to-mean, cleared denominators)
         "fano_daily": lambda s, d: TS.fano_daily(
@@ -8062,6 +8076,7 @@ def oracle_sql() -> dict[str, str]:
     sql["fuzzy_customer_pairs"] = DD.FUZZY_CUSTOMER_PAIRS_SQL
     sql["streaming_fuzzy_pairs"] = sql["fuzzy_customer_pairs"]
     sql["record_linkage_scores"] = DD.RECORD_LINKAGE_SQL
+    sql["streaming_record_linkage"] = sql["record_linkage_scores"]
     sql["fano_daily"] = TS.FANO_DAILY_SQL
     sql["streaming_fano"] = sql["fano_daily"]
     sql["dbscan_pca_clusters"] = DEN.dbscan_sql(

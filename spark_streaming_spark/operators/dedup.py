@@ -945,7 +945,10 @@ def fuzzy_name_pairs(t: DataFrame, name_col: str,
         if cache_key is not None else None
     if ck is not None and ck in _PAIRS_CACHE:
         return _PAIRS_CACHE[ck]
-    v = name_variant_table(t, name_col)
+    # stage the variant table once: BOTH sides of the candidate self-
+    # join read it, and without truncation each side would recompute
+    # the distinct + explode (the dedup.py items-staging discipline)
+    v = name_variant_table(t, name_col).localCheckpoint(eager=True)
     out = fuzzy_pairs_from_variants(v)
     if ck is not None:
         out = out.localCheckpoint(eager=True)
@@ -1010,6 +1013,13 @@ def record_linkage_scores(customer: DataFrame,
     general pipeline keys on record id). Columns: name_a, name_b,
     score, decision."""
     pairs = fuzzy_name_pairs(customer, "c_name", cache_key=cache_key)
+    return linkage_scores_from_pairs(pairs, customer)
+
+
+def linkage_scores_from_pairs(pairs: DataFrame,
+                              customer: DataFrame) -> DataFrame:
+    """:func:`record_linkage_scores`' weighting tail from an
+    already-built (or streamed-and-folded) candidate pair set."""
     attrs = customer.select(
         F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("nat"),

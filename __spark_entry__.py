@@ -1833,6 +1833,8 @@ _BATCH_FAMILIES = {
     "kmeans_pca_centroids": "fam_pca",
     "kmeans_silhouette": "fam_pca",
     "kmeans_elbow": "fam_pca",
+    "kmeans_label_ari": "fam_pca",
+    "dbscan_label_ari": "fam_pca",
 }
 
 
@@ -2871,6 +2873,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_record_linkage": lambda s, d: _cosched_group(
             s, d, "merge_folds", _merge_fold_members(),
             "fuzzy_linkage"),
+        # order-to-ship latency SLA: exact rank-selected p50/p95 day
+        # gaps per ship-month (never an interpolated float percentile)
+        "ship_latency_percentiles": lambda s, d:
+            TS.ship_latency_percentiles(load_table(s, d, "lineitem"),
+                                        load_table(s, d, "orders")),
         # Fano dispersion of the daily arrival counts: burstiness in
         # exact ppm (variance-to-mean, cleared denominators)
         "fano_daily": lambda s, d: TS.fano_daily(
@@ -2901,6 +2908,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # elbow curve: exact inertia at k in {2,4,8}; the k=4 column
         # rides the memoized fit
         "kmeans_elbow": lambda s, d: DEN.kmeans_elbow(
+            load_table(s, d, "embeddings"), cache_key=d),
+        # external validation vs the ground-truth label column: purity
+        # floor-ppm + pair-counting ARI (exact integer sufficient
+        # stats, one double division)
+        "kmeans_label_ari": lambda s, d: DEN.kmeans_label_ari(
+            load_table(s, d, "embeddings"), cache_key=d),
+        # the same agreement eval over the DBSCAN clustering (noise
+        # excluded — the pinned convention)
+        "dbscan_label_ari": lambda s, d: DEN.dbscan_label_ari(
             load_table(s, d, "embeddings"), cache_key=d),
         # Gini of per-customer revenue: sorted-multiset identity over
         # the distributed two-phase global rank, decimal-widened ppm
@@ -8077,6 +8093,7 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_fuzzy_pairs"] = sql["fuzzy_customer_pairs"]
     sql["record_linkage_scores"] = DD.RECORD_LINKAGE_SQL
     sql["streaming_record_linkage"] = sql["record_linkage_scores"]
+    sql["ship_latency_percentiles"] = TS.SHIP_LATENCY_SQL
     sql["fano_daily"] = TS.FANO_DAILY_SQL
     sql["streaming_fano"] = sql["fano_daily"]
     sql["dbscan_pca_clusters"] = DEN.dbscan_sql(
@@ -8089,6 +8106,10 @@ def oracle_sql() -> dict[str, str]:
         4, 6, _PCA_SQL(components=2, scores=True))
     sql["kmeans_elbow"] = DEN.kmeans_elbow_sql(
         (2, 4, 8), 6, _PCA_SQL(components=2, scores=True))
+    sql["kmeans_label_ari"] = DEN.kmeans_label_ari_sql(
+        4, 6, _PCA_SQL(components=2, scores=True))
+    sql["dbscan_label_ari"] = DEN.dbscan_label_ari_sql(
+        400_000, 4, _PCA_SQL(components=2, scores=True))
     sql["revenue_gini"] = RK.REVENUE_GINI_SQL
     sql["market_hhi"] = A.MARKET_HHI_SQL
     sql["vocab_chao1"] = TX.VOCAB_CHAO1_SQL

@@ -548,3 +548,151 @@ def kmeans_elbow_sql(ks, n_rounds: int, scores_sql: str) -> str:
                    CAST(SUM(d2) AS BIGINT) AS inertia
             FROM fin)""")
     return " UNION ALL ".join(sels)
+
+
+def _agreement_from_contingency(ct: DataFrame) -> DataFrame:
+    """Purity + Adjusted Rand Index from a (cluster, label, n)
+    contingency table (Hubert & Arabie 1985 pair-counting ARI; public
+    method) — all sufficient statistics are EXACT integers:
+    I = Σ_ij C(n_ij,2), A = Σ_i C(a_i,2), B = Σ_j C(b_j,2), N = C(n,2);
+    ARI = (2NI − 2AB) / (N(A+B) − 2AB) after clearing denominators —
+    numerator may be negative (worse-than-chance), so it is never
+    integer-divided: the ratio is ONE double division of exactly-built
+    DECIMAL terms (same expression both engines). Fowlkes-Mallows
+    (1983) rides the same statistics: FM = I/√(A·B) = i2/(√a2·√b2)
+    (the doubling cancels), spelled √·√ on both engines. Purity is
+    the classic floor-ppm. Columns: n_points, purity_ppm, ari, fm."""
+    cells = ct.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
+        .alias("i2"))  # 2·I
+    rows_a = (ct.groupBy("cluster").agg(F.sum("n").alias("a"))
+              .agg(F.sum(F.expr("CAST(a AS DECIMAL(38,0)) * (a - 1)"))
+                   .alias("a2")))  # 2·A
+    rows_b = (ct.groupBy("label").agg(F.sum("n").alias("b"))
+              .agg(F.sum(F.expr("CAST(b AS DECIMAL(38,0)) * (b - 1)"))
+                   .alias("b2")))  # 2·B
+    pur = (ct.groupBy("cluster")
+           .agg(F.max("n").alias("mx"))
+           .agg(F.sum("mx").cast("long").alias("pure")))
+    m = (cells.crossJoin(rows_a).crossJoin(rows_b).crossJoin(pur))
+    # with doubled terms: N2 = 2N = n(n−1); ARI =
+    # (N2·i2 − a2·b2) / (N2·(a2 + b2)/2 − a2·b2); doubling numerator
+    # and denominator clears the /2: (2·N2·i2 − 2·a2·b2) /
+    # (N2·(a2+b2) − 2·a2·b2)
+    n2 = "CAST(n AS DECIMAL(38,0)) * (n - 1)"
+    num = f"2 * ({n2}) * i2 - 2 * a2 * b2"
+    den = f"({n2}) * (a2 + b2) - 2 * a2 * b2"
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.expr("CAST((1000000 * CAST(pure AS DECIMAL(38,0))) div n"
+               " AS BIGINT)").alias("purity_ppm"),
+        F.expr(f"CASE WHEN ({den}) <> 0 THEN"
+               f" CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE)"
+               f" END").alias("ari"),
+        F.expr("CASE WHEN a2 > 0 AND b2 > 0 THEN"
+               " CAST(i2 AS DOUBLE)"
+               " / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE)))"
+               " END").alias("fm"),
+    )
+
+
+def kmeans_label_ari(embeddings: DataFrame, k: int = 4,
+                     n_rounds: int = 6,
+                     cache_key: str | None = None) -> DataFrame:
+    """External validation of the fitted k-means model against the
+    ground-truth ``label`` column: purity + pair-counting ARI. The
+    contingency build is one tiny (cluster, label) groupBy over the
+    assignment join — linear at any scale; the agreement math runs on
+    a k×|labels| table. Columns: n_points, purity_ppm, ari."""
+    a = kmeans_pca_assign(embeddings, k, n_rounds, cache_key)
+    ct = (a.join(embeddings.select("vec_id", "label"), "vec_id")
+          .groupBy("cluster", "label")
+          .agg(F.count("*").cast("long").alias("n")))
+    return _agreement_from_contingency(ct)
+
+
+def kmeans_label_ari_sql(k: int, n_rounds: int, scores_sql: str) -> str:
+    return _kmeans_rounds_sql(k, n_rounds, scores_sql) + """
+        , ct AS MATERIALIZED (
+          SELECT f.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+          FROM fin f JOIN embeddings e ON e.vec_id = f.vec_id
+          GROUP BY 1, 2),
+        cells AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                         SUM(n::HUGEINT * (n - 1)) AS i2 FROM ct),
+        ra AS (SELECT SUM(a::HUGEINT * (a - 1)) AS a2 FROM
+               (SELECT SUM(n) AS a FROM ct GROUP BY cluster)),
+        rb AS (SELECT SUM(b::HUGEINT * (b - 1)) AS b2 FROM
+               (SELECT SUM(n) AS b FROM ct GROUP BY label)),
+        pur AS (SELECT CAST(SUM(mx) AS BIGINT) AS pure FROM
+                (SELECT MAX(n) AS mx FROM ct GROUP BY cluster))
+        SELECT n AS n_points,
+               CAST((1000000 * pure::HUGEINT) // n AS BIGINT)
+                 AS purity_ppm,
+               CASE WHEN (n::HUGEINT * (n - 1)) * (a2 + b2)
+                         - 2 * a2 * b2 <> 0 THEN
+                 CAST(2 * (n::HUGEINT * (n - 1)) * i2 - 2 * a2 * b2
+                      AS DOUBLE)
+                 / CAST((n::HUGEINT * (n - 1)) * (a2 + b2)
+                        - 2 * a2 * b2 AS DOUBLE)
+               END AS ari,
+               CASE WHEN a2 > 0 AND b2 > 0 THEN
+                 CAST(i2 AS DOUBLE)
+                 / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE)))
+               END AS fm
+        FROM cells, ra, rb, pur
+    """
+
+
+def dbscan_label_ari(embeddings: DataFrame, eps: int = 400_000,
+                     min_pts: int = 4,
+                     cache_key: str | None = None) -> DataFrame:
+    """External validation of the DBSCAN clustering against the
+    ground-truth ``label`` column — purity / ARI / FM over the
+    CLUSTERED points only (noise excluded; the pinned convention —
+    DBSCAN's noise has no cluster to agree with, and singleton-izing
+    it would reward over-pruning). Columns: n_points, purity_ppm,
+    ari, fm."""
+    asg = dbscan_pca_clusters(embeddings, eps, min_pts,
+                              cache_key=cache_key)
+    ct = (asg.filter(F.col("cluster").isNotNull())
+          .join(embeddings.select("vec_id", "label"), "vec_id")
+          .groupBy("cluster", "label")
+          .agg(F.count("*").cast("long").alias("n")))
+    return _agreement_from_contingency(ct)
+
+
+def dbscan_label_ari_sql(eps: int, min_pts: int,
+                         scores_sql: str) -> str:
+    return f"""
+        WITH asg AS MATERIALIZED ({dbscan_sql(eps, min_pts,
+                                              scores_sql)}),
+        ct AS MATERIALIZED (
+          SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+          FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+          WHERE a.cluster IS NOT NULL
+          GROUP BY 1, 2),
+        cells AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                         SUM(n::HUGEINT * (n - 1)) AS i2 FROM ct),
+        ra AS (SELECT SUM(a::HUGEINT * (a - 1)) AS a2 FROM
+               (SELECT SUM(n) AS a FROM ct GROUP BY cluster)),
+        rb AS (SELECT SUM(b::HUGEINT * (b - 1)) AS b2 FROM
+               (SELECT SUM(n) AS b FROM ct GROUP BY label)),
+        pur AS (SELECT CAST(SUM(mx) AS BIGINT) AS pure FROM
+                (SELECT MAX(n) AS mx FROM ct GROUP BY cluster))
+        SELECT n AS n_points,
+               CAST((1000000 * pure::HUGEINT) // n AS BIGINT)
+                 AS purity_ppm,
+               CASE WHEN (n::HUGEINT * (n - 1)) * (a2 + b2)
+                         - 2 * a2 * b2 <> 0 THEN
+                 CAST(2 * (n::HUGEINT * (n - 1)) * i2 - 2 * a2 * b2
+                      AS DOUBLE)
+                 / CAST((n::HUGEINT * (n - 1)) * (a2 + b2)
+                        - 2 * a2 * b2 AS DOUBLE)
+               END AS ari,
+               CASE WHEN a2 > 0 AND b2 > 0 THEN
+                 CAST(i2 AS DOUBLE)
+                 / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE)))
+               END AS fm
+        FROM cells, ra, rb, pur
+    """

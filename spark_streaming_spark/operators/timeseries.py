@@ -1066,3 +1066,62 @@ FANO_DAILY_SQL = """
       END AS fano_ppm
     FROM m
 """
+
+
+def ship_latency_percentiles(lineitem: DataFrame,
+                             orders: DataFrame) -> DataFrame:
+    """Order-to-ship latency SLA report: per ship-month, exact p50 and
+    p95 of the integer day gap (l_shipdate − o_orderdate) by RANK
+    SELECTION — the lower-median discipline (p50 at rank (n+1) DIV 2,
+    p95 at rank (95·n + 99) DIV 100 = ceil(0.95·n)), never an
+    interpolated float percentile (engines interpolate differently;
+    rank selection is hash-exact). The per-month rank window is the
+    sanctioned calendar-bounded class only in month COUNT — row counts
+    per month scale with the corpus, so the rank runs as a partitioned
+    window (per-month hash partitions), not a global sort.
+    Columns: month, n_items, p50_days, p95_days."""
+    from pyspark.sql.window import Window
+
+    od = orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                       F.to_date("o_orderdate").alias("od"))
+    g = (lineitem.select("l_orderkey", F.to_date("l_shipdate")
+                         .alias("sd"))
+         .join(F.broadcast(od), "l_orderkey")
+         .select(F.trunc("sd", "month").alias("month"),
+                 F.datediff("sd", F.col("od")).cast("long")
+                 .alias("gap")))
+    w = Window.partitionBy("month").orderBy("gap")
+    r = g.select(
+        "month", "gap",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("month")).alias("n"))
+    p50 = (r.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("month", F.col("n").alias("n_items"),
+                   F.col("gap").alias("p50_days")))
+    p95 = (r.filter(F.col("rn") == F.expr("(95 * n + 99) div 100"))
+           .select("month", F.col("gap").alias("p95_days")))
+    return p50.join(p95, "month")
+
+
+SHIP_LATENCY_SQL = """
+    WITH g AS (
+      SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+             CAST(date_diff('day',
+                            CAST(date_trunc('day', o.o_orderdate)
+                                 AS DATE),
+                            CAST(date_trunc('day', l.l_shipdate)
+                                 AS DATE)) AS BIGINT) AS gap
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+      SELECT month, gap,
+             row_number() OVER (PARTITION BY month ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY month) AS n
+      FROM g
+    )
+    SELECT a.month, CAST(a.n AS BIGINT) AS n_items,
+           a.gap AS p50_days, b.gap AS p95_days
+    FROM (SELECT * FROM r WHERE rn = (n + 1) // 2) a
+    JOIN (SELECT * FROM r WHERE rn = (95 * n + 99) // 100) b
+      ON a.month = b.month
+"""

@@ -141,3 +141,22 @@ def test_kmeans_elbow_inertia_monotone(spark):
     n_pts = {v[0] for v in a.values()}
     assert len(n_pts) == 1
     assert all(v[1] >= 0 for v in a.values())
+
+
+def test_ari_perfect_agreement_is_one(spark):
+    ct = spark.createDataFrame(
+        [(0, "a", 5), (1, "b", 5)], "cluster INT, label STRING, n LONG")
+    r = DEN._agreement_from_contingency(ct).collect()[0]
+    assert r.n_points == 10 and r.purity_ppm == 1000000
+    assert abs(r.ari - 1.0) < 1e-12
+
+
+def test_ari_worse_than_chance_is_negative(spark):
+    """Uniform 2x2 contingency with singleton cells: I = 0 while
+    expected index is positive -> ARI = -0.5 by hand."""
+    ct = spark.createDataFrame(
+        [(0, "a", 1), (0, "b", 1), (1, "a", 1), (1, "b", 1)],
+        "cluster INT, label STRING, n LONG")
+    r = DEN._agreement_from_contingency(ct).collect()[0]
+    assert abs(r.ari - (-0.5)) < 1e-12
+    assert r.purity_ppm == 500000  # max cell 1 per cluster: 2 of 4

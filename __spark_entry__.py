@@ -688,6 +688,22 @@ def _merge_fold_members():
                 ["name", "v"], ["cnt"], state_dir),
             lambda: _read_current_state(spark, state_dir))
 
+    def shiplat_start(spark, sf_dir):
+        from spark_streaming_spark.streaming.pipelines import (
+            counts_fold_sink)
+
+        od = load_table(spark, sf_dir, "orders")
+        chunk_dir = _chunked_table(spark, sf_dir, "lineitem", 3)
+        state_dir = _scratch("shiplat_state_")
+        stream = replay.stream_from_dir(spark, chunk_dir,
+                                        files_per_trigger=2)
+        return _start_foreach_sink(
+            stream.select("l_orderkey", "l_shipdate"),
+            counts_fold_sink(
+                spark, lambda b: TS.ship_gap_counts(b, od),
+                ["month", "gap"], ["cnt"], state_dir),
+            lambda: _read_current_state(spark, state_dir))
+
     def transit_start(spark, sf_dir):
         from spark_streaming_spark.streaming.pipelines import (
             counts_fold_sink)
@@ -765,6 +781,13 @@ def _merge_fold_members():
         "transit_deltas": (transit_start,
                            lambda df, s, d:
                            TS.transit_peaks_from_deltas(df)),
+        # the latency SLA maintained CONTINUOUSLY: the (month, gap)
+        # histogram is additive, rank selection over the folded
+        # bounded histogram at read — shares ship_latency_percentiles'
+        # exact oracle
+        "ship_latency": (shiplat_start,
+                         lambda df, s, d:
+                         TS.ship_latency_from_gap_counts(df)),
     }
 
 
@@ -1747,6 +1770,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_theil_sen": "event_folds",
     "streaming_kendall": "event_folds",
     "streaming_transit_peaks": "merge_folds",
+    "streaming_ship_latency": "merge_folds",
     "streaming_readability": "doc_folds",
     "streaming_fuzzy_pairs": "merge_folds",
     "streaming_record_linkage": "merge_folds",
@@ -2878,6 +2902,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_latency_percentiles": lambda s, d:
             TS.ship_latency_percentiles(load_table(s, d, "lineitem"),
                                         load_table(s, d, "orders")),
+        # the SLA maintained continuously off the folded histogram
+        "streaming_ship_latency": lambda s, d: _cosched_group(
+            s, d, "merge_folds", _merge_fold_members(),
+            "ship_latency"),
         # Fano dispersion of the daily arrival counts: burstiness in
         # exact ppm (variance-to-mean, cleared denominators)
         "fano_daily": lambda s, d: TS.fano_daily(
@@ -8094,6 +8122,7 @@ def oracle_sql() -> dict[str, str]:
     sql["record_linkage_scores"] = DD.RECORD_LINKAGE_SQL
     sql["streaming_record_linkage"] = sql["record_linkage_scores"]
     sql["ship_latency_percentiles"] = TS.SHIP_LATENCY_SQL
+    sql["streaming_ship_latency"] = sql["ship_latency_percentiles"]
     sql["fano_daily"] = TS.FANO_DAILY_SQL
     sql["streaming_fano"] = sql["fano_daily"]
     sql["dbscan_pca_clusters"] = DEN.dbscan_sql(

@@ -1125,3 +1125,43 @@ SHIP_LATENCY_SQL = """
     JOIN (SELECT * FROM r WHERE rn = (95 * n + 99) // 100) b
       ON a.month = b.month
 """
+
+
+def ship_gap_counts(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """(month, gap, cnt) latency histogram — EXACTLY ADDITIVE under
+    lineitem row partition (what the streamed twin's counts_fold_sink
+    keeps; the static order dim broadcasts per micro-batch)."""
+    od = orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                       F.to_date("o_orderdate").alias("od"))
+    return (lineitem.select("l_orderkey",
+                            F.to_date("l_shipdate").alias("sd"))
+            .join(F.broadcast(od), "l_orderkey")
+            .groupBy(F.trunc("sd", "month").alias("month"),
+                     F.datediff("sd", F.col("od")).cast("long")
+                     .alias("gap"))
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def ship_latency_from_gap_counts(counts: DataFrame) -> DataFrame:
+    """:func:`ship_latency_percentiles`' rank-selection tail from an
+    already-built (or streamed-and-folded) latency histogram: the
+    value at rank r over the expanded multiset equals the smallest gap
+    whose cumulative count reaches r — identical output, but the rank
+    runs over the BOUNDED histogram instead of the raw rows."""
+    from pyspark.sql.window import Window
+
+    wc = (Window.partitionBy("month").orderBy("gap")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wm = Window.partitionBy("month")
+    c = counts.select(
+        "month", "gap",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wm).alias("n"))
+    p50 = (c.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+           .groupBy("month")
+           .agg(F.max("n").cast("long").alias("n_items"),
+                F.min("gap").alias("p50_days")))
+    p95 = (c.filter(F.col("cum") >= F.expr("(95 * n + 99) div 100"))
+           .groupBy("month")
+           .agg(F.min("gap").alias("p95_days")))
+    return p50.join(p95, "month")

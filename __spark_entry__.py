@@ -640,8 +640,10 @@ def _merge_fold_members():
                                         files_per_trigger=2)
 
         def batch_edges(b):
-            return (b.join(F.broadcast(od),
-                           b["l_orderkey"] == od["o_orderkey"])
+            # orders scales with the corpus — no mandatory broadcast
+            # hint; AQE size-dispatches the stream-static join per
+            # micro-batch (r11 verdict).
+            return (b.join(od, b["l_orderkey"] == od["o_orderkey"])
                     .groupBy(F.col("o_custkey").alias("cust"),
                              F.col("l_partkey").alias("part"))
                     .agg(F.count("*").cast("long").alias("w")))
@@ -1729,6 +1731,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_ivf_search": "emb_folds",
     "streaming_pca_loadings": "emb_folds",
     "streaming_pca_top2": "emb_folds",
+    "streaming_kmeans_centroids": "emb_folds",
     "streaming_events_asof_status": "rs_events",
     "streaming_pivot_counts": "rs_events",
     "streaming_blacklist_filter": "rs_events",
@@ -2482,6 +2485,23 @@ def _q_streaming_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                           _doc_fold_members(), "corpus_prep")
 
 
+def _kmeans_refit_from_moments(mom: DataFrame, spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Read-side tail of ``streaming_kmeans_centroids``: top-2 axes by
+    projected power iteration from the FOLDED moment state (never the
+    batch moment build), one projection scan of the corpus onto those
+    state-derived axes, then the deterministic fixed-round Lloyd fit +
+    per-cluster summary (density.kmeans_centroids_on_plane)."""
+    from spark_streaming_spark.operators import pca as PCAm
+
+    vecs = PCAm._loading_vectors(mom, n_components=2, n_iters=8,
+                                 d=PCAm._D)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = DEN.plane_from_scores(
+        PCAm._scores_df(emb, vecs)).localCheckpoint(eager=True)
+    return DEN.kmeans_centroids_on_plane(pts)
+
+
 def _emb_fold_members():
     """Co-scheduled group over the embeddings 3-chunk replay: the
     vector-index ingest and serving entries."""
@@ -2524,6 +2544,14 @@ def _emb_fold_members():
         "pca_top2": ("pca",
                      lambda df, s, d: PCA.pca_top_components_from_moments(
                          df, n_components=2)),
+        # ALIAS member: deterministic Lloyd k-means RE-FIT AT READ off
+        # the same folded moment state (the streaming_pca_top2
+        # discipline, r11 verdict item 6): axes from the folded
+        # moments, one projection scan, then the fixed-round fit —
+        # folded moments ≡ batch moments (streaming_pca_top2's green
+        # claim), so axes, plane, and centroids are bit-identical and
+        # the batch kmeans_pca_centroids oracle is shared verbatim
+        "kmeans_centroids": ("pca", _kmeans_refit_from_moments),
     }
 
 
@@ -2578,42 +2606,44 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # Round-11 window (VERDICT r10 "Next round" #1). Priority order —
-    # first signal beats refresh:
-    # (a) FIRST driver signal for the 37 oracle-backed entries that
-    # have never had a green driver row (all r10 additions that landed
-    # after the r10 window was pinned). With these green, the r1–r11
-    # ever-checked union covers ALL 297 oracle-backed entries:
-    "pca_axis_drift", "textrank_keywords", "streaming_textrank",
-    "benford_audit", "streaming_benford",
-    "referential_audit", "streaming_referential_audit",
-    "stratum_allocation", "streaming_stratum_allocation",
-    "item_cf_recommendations", "ppr_part_recommendations",
-    "copurchase_link_prediction",
-    "cusum_error_days", "cep_click_purchase", "chi2_terms",
-    "lang_diversity", "vocab_coverage", "containment_pairs",
-    "frequent_event_sequences", "streaming_event_sequences",
-    "next_event_accuracy", "event_value_quantile_transform",
-    "user_value_ewma", "user_value_outliers", "mad_anomalies",
-    "value_drift_bins", "key_skew_report", "fd_discovery",
-    "revenue_share_hierarchy", "time_to_convert_stats", "burst_days",
-    "bloom_pruned_join", "association_rules",
-    "embedding_random_projection", "rp_distortion",
-    "label_separation", "k_anonymity_violations",
-    # (b) fill the remaining 13 slots with the longest-unrefreshed
-    # cohort (r4-vintage latest-signal, alphabetical):
-    "quantity_quantiles", "rollup_customer_nations",
-    "running_customer_spend", "running_word_count", "scalar_showcase",
-    "semantic_dedup", "similar_pairs_lsh", "small_parts_ordered",
-    "streaming_band_cooccurrence", "streaming_centroid_ingest",
-    "streaming_click_attribution_full", "streaming_incremental_dedup",
-    "streaming_kafka_wordcount",
-    # r12 pool: the 6 r4-vintage entries that didn't fit
-    # (streaming_scd1_merge, streaming_wordcount_rocksdb, token_runs,
-    # top3_products_sql, wordcount, zorder_key_events), then the r5
-    # cohort (alphabetical from arrow_token_counts to
-    # train_val_test_split), then r6–r7; plus FIRST-signal slots for
-    # anything new in r11.
+    # Round-12 window (VERDICT r11 "Next round" #1): FIRST driver
+    # signal for 50 of the 62 oracle-backed entries that have never
+    # had a green driver row (all r11 additions that landed after the
+    # r11 window was pinned). Order follows the verdict's list.
+    "kmeans_pca_assign", "kmeans_pca_centroids", "kmeans_silhouette",
+    "kmeans_elbow", "kmeans_label_ari",
+    "dbscan_pca_clusters", "dbscan_label_ari",
+    "fuzzy_customer_pairs", "streaming_fuzzy_pairs",
+    "record_linkage_scores", "streaming_record_linkage",
+    "kaplan_meier_repurchase", "streaming_kaplan_meier",
+    "ols_price_model", "streaming_ols_refit",
+    "theil_sen_daily", "kendall_tau_daily", "spearman_daily",
+    "daily_value_acf", "fano_daily",
+    "ks_value_shift", "mann_whitney_value_shift",
+    "streaming_ks_value_shift", "streaming_mann_whitney",
+    "hits_scores", "streaming_hits",
+    "clustering_coefficients", "degree_assortativity",
+    "cf_ranking_eval", "cf_map_eval",
+    "revenue_gini", "market_hhi",
+    "vocab_chao1", "readability_by_lang",
+    "ship_latency_percentiles", "streaming_ship_latency",
+    "transit_concurrency_peaks", "streaming_transit_peaks",
+    "sq8_search_topk", "ivf_sq8_search", "rocchio_sq8_rerank",
+    "hybrid_search_rrf",
+    "t_closeness_violations", "l_diversity_violations",
+    "position_attribution", "temperature_mixture",
+    "padding_waste_report", "shard_plan",
+    "bpe_fertility_by_lang", "streaming_pca_top2",
+    # r13 pool: the 12 never-driver-checked streamed twins that didn't
+    # fit this window (streaming_acf, streaming_bpe_fertility,
+    # streaming_chao1, streaming_fano, streaming_gini, streaming_hhi,
+    # streaming_kendall, streaming_langid_confusion,
+    # streaming_readability, streaming_spearman,
+    # streaming_temperature_mixture, streaming_theil_sen), then
+    # longest-unrefreshed cohorts (r4: streaming_scd1_merge,
+    # streaming_wordcount_rocksdb, token_runs, top3_products_sql,
+    # wordcount, zorder_key_events; then r5+), plus FIRST-signal slots
+    # for anything new in r12.
     ]
 
 
@@ -3785,6 +3815,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_pca_top2 exactly and shares its oracle
         "streaming_pca_top2": lambda s, d: _cosched_group(
             s, d, "emb_folds", _emb_fold_members(), "pca_top2"),
+        # streamed clustering twin (r11 verdict item 6): deterministic
+        # Lloyd k-means RE-FIT AT READ off the same folded moment
+        # state — axes from the fold, one projection scan, fixed-round
+        # fit; shares kmeans_pca_centroids' oracle verbatim
+        "streaming_kmeans_centroids": lambda s, d: _cosched_group(
+            s, d, "emb_folds", _emb_fold_members(), "kmeans_centroids"),
         "ivf_recall_det": lambda s, d: ANN.ivf_recall_det(
             load_table(s, d, "embeddings"), cache_key=d),
         "knn_ivf_det": lambda s, d: ANN.knn_ivf_det(
@@ -8131,6 +8167,10 @@ def oracle_sql() -> dict[str, str]:
         4, 6, _PCA_SQL(components=2, scores=True))
     sql["kmeans_pca_centroids"] = DEN.kmeans_centroids_sql(
         4, 6, _PCA_SQL(components=2, scores=True))
+    # streamed re-fit-at-read: axes from the folded moment state ≡
+    # batch axes (the streaming_pca_top2 claim), so the fit and its
+    # summary share the batch oracle verbatim
+    sql["streaming_kmeans_centroids"] = sql["kmeans_pca_centroids"]
     sql["kmeans_silhouette"] = DEN.kmeans_silhouette_sql(
         4, 6, _PCA_SQL(components=2, scores=True))
     sql["kmeans_elbow"] = DEN.kmeans_elbow_sql(

@@ -340,9 +340,11 @@ def market_hhi(customer: DataFrame, orders: DataFrame,
     HHI_ppm = (1e6 · Σ rev_i²) DIV (Σ rev_i)² clears the denominators,
     every term an exact DECIMAL(38,0) of BIGINT cents.
 
-    Scale shape: one orders⋈customer join (customer side broadcastable
-    by the dim-table rule), one partial-agged nation groupBy (≤ 25
-    rows), driver-sized tail. Columns: n_markets, total_cents, hhi_ppm.
+    Scale shape: one orders⋈customer join (customer scales with SF so
+    it carries NO mandatory broadcast hint — AQE broadcasts it below
+    threshold, shuffles it at 100 TB), one partial-agged nation groupBy
+    (≤ 25 rows), driver-sized tail.
+    Columns: n_markets, total_cents, hhi_ppm.
     """
     return hhi_from_market_cents(market_cents(customer, orders, nation))
 
@@ -350,9 +352,10 @@ def market_hhi(customer: DataFrame, orders: DataFrame,
 def market_cents(customer: DataFrame, orders: DataFrame,
                  nation: DataFrame) -> DataFrame:
     """Per-nation revenue cents — exactly ADDITIVE under order
-    partition (stream-static broadcast joins + a sum), the
+    partition (stream-static joins + a sum; only the ≤25-row nation
+    dim is hint-broadcast — customer is size-dispatched by AQE), the
     streamed-HHI fold input. Columns: n_name, cents."""
-    return (orders.join(F.broadcast(customer),
+    return (orders.join(customer,
                         orders["o_custkey"] == customer["c_custkey"])
             .join(F.broadcast(nation),
                   customer["c_nationkey"] == nation["n_nationkey"])

@@ -744,8 +744,15 @@ def theil_sen_daily(events: DataFrame) -> DataFrame:
 def theil_sen_from_daily(daily: DataFrame) -> DataFrame:
     """:func:`theil_sen_daily`'s pair-median tail from an already-built
     (or streamed-and-folded) daily series — the same additive-fold
-    sharing as the Pearson/ACF/Spearman monitors."""
-    from pyspark.sql.window import Window
+    sharing as the Pearson/ACF/Spearman monitors.
+
+    The pair rank runs through ``ranking.with_global_rank`` (two-phase
+    range-partitioned global row_number), never an unpartitioned
+    ``Window.orderBy``: K is calendar-bounded but K² compounds — a
+    10-year corpus is ~13M pair rows, too many for one task (r11
+    verdict item 4). The median row is then one rank-equality filter
+    against the 1-row broadcast count."""
+    from spark_streaming_spark.operators.ranking import with_global_rank
 
     daily = daily.select(
         F.datediff(F.col("day"), F.lit("1970-01-01")).alias("t"), "x")
@@ -753,18 +760,15 @@ def theil_sen_from_daily(daily: DataFrame) -> DataFrame:
     b = daily.select(F.col("t").alias("t2"), F.col("x").alias("x2"))
     pairs = (a.crossJoin(b).filter(F.col("t2") > F.col("t1"))
              .select((F.col("x2") - F.col("x1")).alias("dy"),
-                     (F.col("t2") - F.col("t1")).cast("long").alias("dx")))
-    slope = (F.col("dy").cast("double") / F.col("dx").cast("double"))
-    w = Window.orderBy(slope.asc(), F.col("dy").asc(), F.col("dx").asc())
-    ranked = pairs.select(
-        "dy", "dx", F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding,
-                               Window.unboundedFollowing)).alias("n"))
-    return (ranked.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+                     (F.col("t2") - F.col("t1")).cast("long").alias("dx"))
+             .withColumn("slope", F.col("dy").cast("double")
+                         / F.col("dx").cast("double")))
+    total = pairs.agg(F.count("*").alias("n"))
+    ranked = with_global_rank(pairs, ["slope", "dy", "dx"], "rn")
+    return (ranked.crossJoin(F.broadcast(total))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
             .select(F.col("n").alias("n_pairs"), "dy", "dx",
-                    (F.col("dy").cast("double")
-                     / F.col("dx").cast("double")).alias("slope_per_day")))
+                    F.col("slope").alias("slope_per_day")))
 
 
 THEIL_SEN_DAILY_SQL = """
@@ -908,9 +912,10 @@ def transit_daily_deltas(lineitem: DataFrame,
     is OPEN over the closed interval [order day, ship day] (placed but
     not yet shipped), contributing +1 at its order day and -1 the day
     AFTER its ship day. One stream-static equi-join recovers the order
-    day (orders is the broadcastable static dim at any SF that fits an
-    executor; at 100 TB it falls back to a shuffled equi-join on the
-    key both tables are naturally clustered by), then one union + one
+    day (orders scales with the corpus, so it carries NO mandatory
+    broadcast hint: below autoBroadcastJoinThreshold AQE broadcasts it,
+    at 100 TB it shuffles on the key both tables are naturally
+    clustered by), then one union + one
     groupBy shuffle collapses the corpus to a calendar-bounded
     (day, delta) table -- EXACTLY ADDITIVE under lineitem row partition,
     so per-micro-batch delta tables fold cell-wise to the one-shot
@@ -920,7 +925,7 @@ def transit_daily_deltas(lineitem: DataFrame,
                        F.to_date("o_orderdate").alias("open_day"))
     li = (lineitem.select("l_orderkey", F.to_date("l_shipdate")
                           .alias("ship_day"))
-          .join(F.broadcast(od), "l_orderkey"))
+          .join(od, "l_orderkey"))
     ship = li.select(F.col("open_day").alias("day"), F.lit(1).alias("d"))
     recv = li.select(F.date_add(F.col("ship_day"), 1).alias("day"),
                      F.lit(-1).alias("d"))
@@ -1086,7 +1091,7 @@ def ship_latency_percentiles(lineitem: DataFrame,
                        F.to_date("o_orderdate").alias("od"))
     g = (lineitem.select("l_orderkey", F.to_date("l_shipdate")
                          .alias("sd"))
-         .join(F.broadcast(od), "l_orderkey")
+         .join(od, "l_orderkey")
          .select(F.trunc("sd", "month").alias("month"),
                  F.datediff("sd", F.col("od")).cast("long")
                  .alias("gap")))
@@ -1130,12 +1135,13 @@ SHIP_LATENCY_SQL = """
 def ship_gap_counts(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """(month, gap, cnt) latency histogram — EXACTLY ADDITIVE under
     lineitem row partition (what the streamed twin's counts_fold_sink
-    keeps; the static order dim broadcasts per micro-batch)."""
+    keeps). The order-date join carries no mandatory broadcast hint —
+    orders scales with the corpus; AQE size-dispatches per batch."""
     od = orders.select(F.col("o_orderkey").alias("l_orderkey"),
                        F.to_date("o_orderdate").alias("od"))
     return (lineitem.select("l_orderkey",
                             F.to_date("l_shipdate").alias("sd"))
-            .join(F.broadcast(od), "l_orderkey")
+            .join(od, "l_orderkey")
             .groupBy(F.trunc("sd", "month").alias("month"),
                      F.datediff("sd", F.col("od")).cast("long")
                      .alias("gap"))

@@ -56,14 +56,15 @@ def top3_products_per_brand(lineitem: DataFrame, part: DataFrame,
     """Flagship query (≡ Top3HotProduct): per brand ('category'), the top-3
     parts ('products') by order-line count.
 
-    Scale notes: the lineitem→part join shuffles on p_partkey unless part
-    is broadcastable — at sf0.1 it is, and we hint it; at 100 TB AQE
-    decides (part is ~1/30 the size of lineitem). The rank window then
-    shuffles once on brand. Columns: brand, product, click_count, rank.
+    Scale notes: the lineitem→part join carries NO mandatory broadcast
+    hint — part scales with SF (~1/30 of lineitem), so AQE makes the
+    size-conditional choice: auto-broadcast below threshold, shuffle on
+    p_partkey at 100 TB. The rank window then shuffles once on brand.
+    Columns: brand, product, click_count, rank.
     """
     clicks = (
         lineitem.select("l_partkey")
-        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_name")),
+        .join(part.select("p_partkey", "p_brand", "p_name"),
               lineitem["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_name").alias("product"))
         .agg(F.count("*").alias("click_count"))
@@ -83,7 +84,7 @@ def top3_products_sql(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     Columns: brand, product, click_count."""
     clicks = (
         lineitem.select("l_partkey")
-        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_name")),
+        .join(part.select("p_partkey", "p_brand", "p_name"),
               lineitem["l_partkey"] == part["p_partkey"])
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_name").alias("product"))
         .agg(F.count("*").alias("click_count"))

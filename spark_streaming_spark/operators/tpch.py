@@ -12,7 +12,9 @@ join/agg shapes here are the ones a 100 TB warehouse actually runs, and each
 is written so Catalyst produces the plan you'd hand-pick:
 
 * fact-side filters sit before joins → parquet pushdown,
-* dimension sides are broadcast explicitly where small,
+* bounded dimension sides (nation/region, 1-row scalars) are broadcast
+  explicitly; SF-proportional sides (part/supplier/customer/orders)
+  carry NO mandatory hint — AQE size-dispatches them (r11 verdict),
 * money sums use the decimal-quantize contract (functions/numeric.dsum) so
   results are shuffle-order-independent,
 * top-k uses orderBy+limit (TakeOrderedAndProject — no global sort
@@ -81,8 +83,9 @@ def priority_shipping_mix(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 
 def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q14: share of one month's revenue from PROMO-type parts.
-    part is the broadcast side; both sums are decimal-exact, the final
-    ratio is one double division shared verbatim with the oracle."""
+    part joins un-hinted (it scales with SF — AQE broadcasts below
+    threshold, shuffles at 100 TB); both sums are decimal-exact, the
+    final ratio is one double division shared verbatim with the oracle."""
     promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
         F.lit(0).cast("decimal(38,4)")
     )
@@ -91,7 +94,7 @@ def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -113,14 +116,14 @@ def small_qty_part_revenue(lineitem: DataFrame, part: DataFrame,
     engines, so the 0.2× threshold comparison can't flake."""
     brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
     branded_lines = lineitem.join(
-        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
     )
     avg_qty = branded_lines.groupBy("l_partkey").agg(
         davg("l_quantity").alias("avg_qty")
     ).withColumnRenamed("l_partkey", "ap_partkey")
     return (
         branded_lines.join(
-            F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey")
+            avg_qty, F.col("l_partkey") == F.col("ap_partkey")
         )
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -161,7 +164,7 @@ def discounted_parts_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     together. The OR-of-ANDs predicate references both sides, so it
     evaluates post-join — but the disjunction of brands/sizes is pushed to
     the part scan and the quantity hull to the lineitem scan, shrinking
-    the broadcast and the probe."""
+    the (AQE-dispatched, un-hinted) build side and the probe."""
     band = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -186,7 +189,7 @@ def discounted_parts_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
     return (
         lineitem.filter(F.col("l_quantity").between(1, 30))
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
         .agg(
             F.sum(_revenue()).cast("double").alias("revenue"),
@@ -298,8 +301,8 @@ def market_share(customer: DataFrame, orders: DataFrame,
     )
     return (
         lineitem
-        .join(F.broadcast(part.filter(F.col("p_type") == p_type)
-                          .select("p_partkey")),
+        .join(part.filter(F.col("p_type") == p_type)
+              .select("p_partkey"),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust_in_region, F.col("c_custkey") == F.col("o_custkey"))
@@ -386,8 +389,8 @@ def waiting_suppliers(supplier: DataFrame, lineitem: DataFrame,
     * EXISTS  another-supplier line on the order      → left_semi
     * NOT EXISTS another-supplier LATE line            → left_anti
 
-    nation broadcasts; supplier (small dim) broadcasts into the final
-    join. Columns: s_name, numwait."""
+    nation hint-broadcasts; supplier (SF-proportional) joins un-hinted
+    — AQE size-dispatches it. Columns: s_name, numwait."""
     # timestamp interval on BOTH engines (no date truncation — the oracle
     # twin uses the same `+ INTERVAL` arithmetic)
     late = F.col("l_shipdate") > (
@@ -422,13 +425,11 @@ def waiting_suppliers(supplier: DataFrame, lineitem: DataFrame,
     )
     return (
         base.join(
-            F.broadcast(
-                supplier.join(
-                    F.broadcast(
-                        nation.filter(F.col("n_name") == nation_name)
-                    ),
-                    F.col("s_nationkey") == F.col("n_nationkey"),
-                )
+            supplier.join(
+                F.broadcast(
+                    nation.filter(F.col("n_name") == nation_name)
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
@@ -444,10 +445,10 @@ def shipping_priority(customer: DataFrame, orders: DataFrame,
     """TPC-H Q3: top-k unshipped orders by revenue for one market
     segment (no o_shippriority column in this schema, so the output is
     (orderkey, orderdate, revenue)). The segment filter prunes customer
-    BEFORE its join (broadcast — customers of one segment are a
-    fraction of an already-small dim at this ratio; at TPC-H scale
-    customer:orders is 1:10 and AQE would pick the shuffle join
-    instead), date filters push into both fact scans, top-k is
+    BEFORE its join (un-hinted: customer scales with SF, so AQE
+    broadcasts the one-segment fraction below threshold and picks the
+    shuffle join at 100 TB), date filters push into both fact scans,
+    top-k is
     TakeOrderedAndProject. Columns: o_orderkey, o_orderdate, revenue."""
     cutoff = F.lit("1996-06-30").cast("timestamp")
     return (
@@ -457,9 +458,7 @@ def shipping_priority(customer: DataFrame, orders: DataFrame,
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                customer.filter(F.col("c_mktsegment") == "BUILDING")
-            ),
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .groupBy("o_orderkey", "o_orderdate")
@@ -567,9 +566,9 @@ def min_cost_supplier(part: DataFrame, supplier: DataFrame,
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
     sized = part.filter(F.col("p_size") == size).select("p_partkey")
     offers = (
-        lineitem.join(F.broadcast(sized),
+        lineitem.join(sized,
                       F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(suppliers),
+        .join(suppliers,
               F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name",
@@ -584,7 +583,7 @@ def min_cost_supplier(part: DataFrame, supplier: DataFrame,
                 F.col("m.unit_cost").alias("unit_cost"))
     )
     return (
-        best.join(F.broadcast(suppliers),
+        best.join(suppliers,
                   F.col("s_suppkey") == F.col("b_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
         .orderBy(F.col("s_acctbal").desc(), F.col("n_name").asc(),
@@ -619,9 +618,9 @@ def product_type_profit(lineitem: DataFrame, part: DataFrame,
         F.col("n_nationkey") == F.col("s_nationkey"),
     ).select("s_suppkey", "n_name")
     return (
-        lineitem.join(F.broadcast(named),
+        lineitem.join(named,
                       F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(snation),
+        .join(snation,
               F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("n_name", F.year("o_orderdate").alias("o_year"),
@@ -657,7 +656,7 @@ def important_parts(lineitem: DataFrame, supplier: DataFrame,
         F.broadcast(rnat), F.col("n_nationkey") == F.col("s_nationkey")
     ).select("s_suppkey")
     lines = lineitem.join(
-        F.broadcast(nsupp), F.col("s_suppkey") == F.col("l_suppkey"))
+        nsupp, F.col("s_suppkey") == F.col("l_suppkey"))
     per_part = lines.groupBy("l_partkey").agg(
         F.sum(_revenue()).alias("value_dec"))
     total = per_part.agg(F.sum("value_dec").alias("total_dec"),
@@ -690,9 +689,9 @@ def supplier_part_counts(lineitem: DataFrame, part: DataFrame,
     parts = part.filter(F.col("p_brand") != excl_brand).select(
         "p_partkey", "p_brand", "p_type", "p_size")
     return (
-        lineitem.join(F.broadcast(parts),
+        lineitem.join(parts,
                       F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(good_supp),
+        .join(good_supp,
               F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -724,7 +723,7 @@ def excess_suppliers(lineitem: DataFrame, part: DataFrame,
         "p_partkey")
     shipped = (
         lineitem.filter(yr)
-        .join(F.broadcast(fam), F.col("p_partkey") == F.col("l_partkey"))
+        .join(fam, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("sq"))
     )
@@ -740,7 +739,7 @@ def excess_suppliers(lineitem: DataFrame, part: DataFrame,
     return (
         shipped.join(totals, "l_partkey")
         .filter(F.col("sq") * dom_mult > F.col("tq"))
-        .join(F.broadcast(nsupp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nsupp, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name")
         .distinct()
     )

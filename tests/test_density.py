@@ -160,3 +160,34 @@ def test_ari_worse_than_chance_is_negative(spark):
     r = DEN._agreement_from_contingency(ct).collect()[0]
     assert abs(r.ari - (-0.5)) < 1e-12
     assert r.purity_ppm == 500000  # max cell 1 per cluster: 2 of 4
+
+
+def test_kmeans_on_plane_refit_equals_batch(spark):
+    """The streamed twin's re-fit-at-read tail: centroids/inertia from
+    kmeans_centroids_on_plane over the SAME plane must equal the batch
+    kmeans_pca_centroids rows exactly (fit determinism — every random
+    choice pinned), and the DBSCAN label memo must return the identical
+    cached table on a second call."""
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    batch = {r.cluster: (r.cx, r.cy, r.n_points, r.inertia)
+             for r in DEN.kmeans_pca_centroids(
+                 emb, cache_key="t#refit").collect()}
+    pts, _ = DEN.kmeans_pca_fit(emb, cache_key="t#refit")
+    refit = {r.cluster: (r.cx, r.cy, r.n_points, r.inertia)
+             for r in DEN.kmeans_centroids_on_plane(pts).collect()}
+    assert batch == refit and len(batch) == 4
+
+
+def test_dbscan_label_memo_returns_cached_table(spark):
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = DEN.dbscan_pca_clusters(emb, cache_key="t#memo")
+    b = DEN.dbscan_pca_clusters(emb, cache_key="t#memo")
+    assert a is b  # the memoized DataFrame object itself
+    rows = {r.vec_id: (r.role, r.cluster) for r in a.collect()}
+    assert rows == {r.vec_id: (r.role, r.cluster) for r in b.collect()}

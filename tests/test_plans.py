@@ -781,3 +781,19 @@ def test_temperature_mixture_single_corpus_aggregate(spark):
     rows = {r["stratum"]: r for r in df.collect()}
     assert sum(r["raw_ppm"] for r in rows.values()) == 1000000
     assert sum(r["temp_ppm"] for r in rows.values()) == 1000000
+
+
+def test_theil_sen_pair_rank_no_single_partition_exchange(spark):
+    """The K² slope-pair rank rides ranking.with_global_rank (two-phase
+    range-partitioned row_number) — never an unpartitioned
+    Window.orderBy over the pair table (r11 verdict item 4: K is
+    calendar-bounded, but K² is ~13M rows on a 10-year corpus).
+    SinglePartition exchanges may only carry the tiny per-range offset
+    table and the 1-row total count."""
+    from spark_streaming_spark.operators import timeseries as TS
+
+    ev = load_table(spark, SF_DIR, "events")
+    qe = TS.theil_sen_daily(ev)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    assert plan.count("SinglePartition") <= 3, plan

@@ -1411,6 +1411,21 @@ def _doc_fold_members():
                  "readability_state_",
                  select=lambda st: st.select("lang", "text")),
             lambda df, s, d: TX.readability_from_counts(df)),
+        # classifier eval maintained CONTINUOUSLY: per-logit-value
+        # label counts are additive (logits are per-doc and the
+        # weights are plan constants), so the fold reaches the
+        # one-shot (v, ca, cb) table and the Mann-Whitney-identity
+        # AUC tail runs at read; shares quality_auc's exact oracle
+        "auc_counts": (
+            fold(CLF.quality_value_counts, ["v"], ["ca", "cb"],
+                 "auccnt_state_",
+                 select=lambda st: st.select("doc_id", "lang", "text")),
+            lambda df, s, d: PF.auc_from_value_counts(df)),
+        # ALIAS member: the PR-curve operating points read off the
+        # SAME folded count state; shares classifier_pr_curve's oracle
+        "pr_curve": (
+            "auc_counts",
+            lambda df, s, d: CLF.pr_from_value_counts(df)),
         "bpe_segment": (bpe_start, None),
         # ALIAS member: the per-language fertility read off the SAME
         # folded per-doc segment stats (additive; tokenizer-equity eval
@@ -1604,6 +1619,16 @@ def _event_fold_members():
         # member); shares fano_daily's exact oracle
         "fano": ("rolling_corr",
                  lambda df, s, d: TS.fano_from_daily(df)),
+        # Cliff's-delta effect size off the SAME folded cohort count
+        # state as the KS/Mann-Whitney gates (alias member); shares
+        # cliffs_delta_value_shift's exact oracle
+        "cliffs": ("ks",
+                   lambda df, s, d: PF.cliffs_delta_from_value_counts(
+                       df)),
+        # jackknife LOO variance off the SAME folded daily series
+        # (alias member); shares jackknife_daily_mean's exact oracle
+        "jackknife": ("rolling_corr",
+                      lambda df, s, d: TS.jackknife_from_daily(df)),
     }
 
 
@@ -1781,6 +1806,10 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_gini": "merge_folds",
     "streaming_hhi": "merge_folds",
     "streaming_chao1": "doc_folds",
+    "streaming_cliffs_delta": "event_folds",
+    "streaming_jackknife": "event_folds",
+    "streaming_quality_auc": "doc_folds",
+    "streaming_pr_curve": "doc_folds",
 }
 # Deliberately SOLO streamed entries (each has a reason co-scheduling
 # would break or blur what it proves): streaming_kafka_wordcount (the
@@ -1834,6 +1863,7 @@ _BATCH_FAMILIES = {
     # split-trained CF eval artifact consumers (cf_eval_frames)
     "cf_ranking_eval": "fam_cfeval",
     "cf_map_eval": "fam_cfeval",
+    "cf_ndcg_eval": "fam_cfeval",
     # SymSpell verified-pair artifact consumers
     "fuzzy_customer_pairs": "fam_fuzzy",
     "record_linkage_scores": "fam_fuzzy",
@@ -2634,16 +2664,19 @@ _CHECK_FIRST = [
     "position_attribution", "temperature_mixture",
     "padding_waste_report", "shard_plan",
     "bpe_fertility_by_lang", "streaming_pca_top2",
-    # r13 pool: the 12 never-driver-checked streamed twins that didn't
-    # fit this window (streaming_acf, streaming_bpe_fertility,
+    # r13 pool (23 never-driver-checked): the 12 streamed twins that
+    # didn't fit this window (streaming_acf, streaming_bpe_fertility,
     # streaming_chao1, streaming_fano, streaming_gini, streaming_hhi,
     # streaming_kendall, streaming_langid_confusion,
     # streaming_readability, streaming_spearman,
-    # streaming_temperature_mixture, streaming_theil_sen), then
+    # streaming_temperature_mixture, streaming_theil_sen) plus the 11
+    # r12 additions (streaming_kmeans_centroids,
+    # cliffs_delta_value_shift + streamed, jackknife_daily_mean +
+    # streamed, quality_auc + streamed, classifier_pr_curve +
+    # streamed, cf_ndcg_eval, heaps_vocab_growth); then
     # longest-unrefreshed cohorts (r4: streaming_scd1_merge,
     # streaming_wordcount_rocksdb, token_runs, top3_products_sql,
-    # wordcount, zorder_key_events; then r5+), plus FIRST-signal slots
-    # for anything new in r12.
+    # wordcount, zorder_key_events; then r5+).
     ]
 
 
@@ -2803,6 +2836,22 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via the distributed two-phase cumsum, IEEE decision tail
         "ks_value_shift": lambda s, d: PF.ks_two_sample(
             load_table(s, d, "events")),
+        # Cliff's-delta ordinal effect size between the same two
+        # cohorts: exact integer pair counts off one distributed
+        # cumsum of the shared (v, ca, cb) table, cleared-integer
+        # magnitude thresholds (Romano et al. 2006)
+        "cliffs_delta_value_shift": lambda s, d: PF.cliffs_delta_value_shift(
+            load_table(s, d, "events")),
+        "streaming_cliffs_delta": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "cliffs"),
+        # leave-one-day-out jackknife variance/SE of the mean daily
+        # revenue: the deterministic resampling uncertainty estimate
+        # (bootstrap randomness is banned) — cleared-denominator exact
+        # integers, one IEEE divide + sqrt
+        "jackknife_daily_mean": lambda s, d: TS.jackknife_daily_mean(
+            load_table(s, d, "events")),
+        "streaming_jackknife": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "jackknife"),
         # HITS hubs/authorities on the customer->part purchase
         # bipartite graph (Kleinberg 1999): corank-quantized
         # contributions, max-normalization (order-independent), rounds
@@ -2831,6 +2880,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order-sensitive eval next to HitRate/MRR, exact floor-ppm
         # (6j DIV r is integer for every rank r <= 3)
         "cf_map_eval": lambda s, d: BK.cf_map_eval(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders"),
+            cache_key=d + "#cftrain"),
+        # NDCG@3 on the SAME memoized split-trained artifact: binary
+        # relevance with PINNED floor-ppm literals of 1e6/log2(r+1) —
+        # no transcendental runs on either engine
+        "cf_ndcg_eval": lambda s, d: BK.cf_ndcg_eval(
             load_table(s, d, "lineitem"), load_table(s, d, "orders"),
             cache_key=d + "#cftrain"),
         # INT8 scalar-quantization serving path: exact BIGINT code
@@ -2989,6 +3044,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer): the corpus-growth planning number next to the OOV
         # gate
         "vocab_chao1": lambda s, d: TX.vocab_chao1(
+            load_table(s, d, "documents")),
+        # Heaps'-law vocabulary growth: exact distinct-vocab vs corpus
+        # size at 4 doc-id quantile checkpoints (first-appearance
+        # counting — one token groupBy, no per-checkpoint rescan)
+        "heaps_vocab_growth": lambda s, d: TX.heaps_vocab_growth(
             load_table(s, d, "documents")),
         # Spearman rank correlation of the daily revenue/traffic pair:
         # doubled average ranks (exact ints) over the calendar-bounded
@@ -3479,6 +3539,20 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distills — exact global-rank deciles, integer-ppm pass rates
         "classifier_calibration": lambda s, d: CLF.calibration_table(
             load_table(s, d, "documents")),
+        # exact ROC-AUC of the classifier as a language detector (the
+        # threshold-free eval): Mann-Whitney identity over the shared
+        # per-logit label-count table, one IEEE divide
+        "quality_auc": lambda s, d: CLF.quality_auc(
+            load_table(s, d, "documents")),
+        "streaming_quality_auc": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "auc_counts"),
+        # precision/recall/F1 at 9 pinned logit thresholds off the
+        # SAME count table — floor-ppm, NULL (never 0/0) when no
+        # predicted positives
+        "classifier_pr_curve": lambda s, d: CLF.classifier_pr_curve(
+            load_table(s, d, "documents")),
+        "streaming_pr_curve": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "pr_curve"),
         # per-source governance league table: volume + rule-gate pass
         # ppm + decimal-exact mean quality + near-dup incidence
         "source_quality_report": lambda s, d: PL.source_quality_report(
@@ -7324,6 +7398,64 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(ap_ppm) // count(*) AS BIGINT) AS map_ppm
         FROM pu
     """
+    # NDCG@3 over the same split CTEs: pinned floor-ppm discount
+    # literals of 1e6/log2(r+1) — no transcendental on either engine
+    sql["cf_ndcg_eval"] = f"""
+        WITH last_o AS (
+          SELECT o_orderkey, o_custkey FROM (
+            SELECT o_orderkey, o_custkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1
+        ),
+        train_orders AS (
+          SELECT o.* FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM last_o x
+                            WHERE x.o_orderkey = o.o_orderkey)
+        ),
+        train_li AS (
+          SELECT l.* FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM last_o x
+                            WHERE x.o_orderkey = l.l_orderkey)
+        ),
+        recs AS ({_ITEM_CF_SQL("train_li", "train_orders")}),
+        holdout AS (
+          SELECT DISTINCT x.o_custkey AS custkey, l.l_partkey AS part
+          FROM lineitem l JOIN last_o x ON x.o_orderkey = l.l_orderkey
+        ),
+        dcg AS (
+          SELECT r.custkey,
+                 CAST(SUM(CASE r.rnk WHEN 1 THEN 1000000
+                                     WHEN 2 THEN 630929
+                                     WHEN 3 THEN 500000
+                                     ELSE 0 END) AS BIGINT) AS dcg_ppm
+          FROM recs r JOIN holdout h
+            ON h.custkey = r.custkey AND h.part = r.part
+          GROUP BY 1
+        ),
+        nrel AS (
+          SELECT custkey, CAST(count(*) AS BIGINT) AS n_rel
+          FROM holdout GROUP BY 1
+        ),
+        pu AS (
+          SELECT CASE WHEN d.dcg_ppm IS NULL THEN CAST(0 AS BIGINT)
+                      ELSE CAST((1000000 * d.dcg_ppm)
+                                // (CASE least(3, nr.n_rel)
+                                    WHEN 1 THEN 1000000
+                                    WHEN 2 THEN 1630929
+                                    WHEN 3 THEN 2130929 END)
+                                AS BIGINT)
+                 END AS ndcg_ppm
+          FROM (SELECT DISTINCT custkey FROM recs) c
+          LEFT JOIN dcg d ON d.custkey = c.custkey
+          LEFT JOIN nrel nr ON nr.custkey = c.custkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN ndcg_ppm > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit_users,
+               CAST(SUM(ndcg_ppm) // count(*) AS BIGINT) AS ndcg_ppm
+        FROM pu
+    """
     # triangle count per node — naive a<b<c enumeration (identical
     # triangle set to the Spark side's degree-ordered orientation)
     sql["copurchase_triangles"] = """
@@ -8139,6 +8271,15 @@ def oracle_sql() -> dict[str, str]:
     sql["mann_whitney_value_shift"] = PF.mann_whitney_sql(
         PF.KS_VALUE_COUNTS_SQL)
     sql["streaming_mann_whitney"] = sql["mann_whitney_value_shift"]
+    # Cliff's delta over the same cohort count table; the streamed
+    # twin reads the same folded state as the KS/MW gates
+    sql["cliffs_delta_value_shift"] = PF.cliffs_delta_sql(
+        PF.KS_VALUE_COUNTS_SQL)
+    sql["streaming_cliffs_delta"] = sql["cliffs_delta_value_shift"]
+    # jackknife LOO variance of the mean daily revenue; the streamed
+    # twin reads the same folded daily series as rolling-corr/ACF
+    sql["jackknife_daily_mean"] = TS.JACKKNIFE_DAILY_SQL
+    sql["streaming_jackknife"] = sql["jackknife_daily_mean"]
     sql["spearman_daily"] = TS.SPEARMAN_DAILY_SQL
     sql["streaming_spearman"] = sql["spearman_daily"]
     sql["streaming_hits"] = GRK.hits_sql()
@@ -8182,6 +8323,7 @@ def oracle_sql() -> dict[str, str]:
     sql["revenue_gini"] = RK.REVENUE_GINI_SQL
     sql["market_hhi"] = A.MARKET_HHI_SQL
     sql["vocab_chao1"] = TX.VOCAB_CHAO1_SQL
+    sql["heaps_vocab_growth"] = TX.HEAPS_VOCAB_SQL
     sql["streaming_theil_sen"] = sql["theil_sen_daily"]
     sql["streaming_gini"] = sql["revenue_gini"]
     sql["streaming_hhi"] = sql["market_hhi"]
@@ -10044,6 +10186,25 @@ dscored AS (
                min(logit) AS lo_logit, max(logit) AS hi_logit
         FROM rk GROUP BY 1
     """
+    # shared (v, ca, cb) per-logit label-count CTE of the AUC and
+    # PR-curve evals: the classifier oracle joined to the ground-truth
+    # language column (positives = 'en')
+    quality_counts_cte = f"""
+        SELECT s.logit AS v,
+               CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN d.lang <> 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM ({sql["quality_classifier"]}) s
+        JOIN documents d USING (doc_id)
+        GROUP BY 1
+    """
+    from spark_streaming_spark.operators.profile import auc_sql
+    sql["quality_auc"] = auc_sql(quality_counts_cte)
+    sql["streaming_quality_auc"] = sql["quality_auc"]
+    from spark_streaming_spark.operators.classify import pr_curve_sql
+    sql["classifier_pr_curve"] = pr_curve_sql(quality_counts_cte)
+    sql["streaming_pr_curve"] = sql["classifier_pr_curve"]
     # the custom-sink round trip is lossless, so the rollup over the
     # round-tripped rows equals the rollup over the original table
     sql["custom_sink_roundtrip"] = sql["grouped_agg_token_totals"]

@@ -556,3 +556,58 @@ def cf_map_eval(lineitem: DataFrame, orders: DataFrame,
         F.expr("CAST(SUM(ap_ppm) div count(1) AS BIGINT)")
         .alias("map_ppm"),
     )
+
+
+# NDCG@3 rank discounts as PINNED floor-ppm integer literals of
+# 1e6/log2(rank+1) — the no-transcendental house rule: the log2 values
+# are compile-time constants, never computed by either engine.
+_NDCG_DISC_PPM = {1: 1000000, 2: 630929, 3: 500000}
+_NDCG_IDEAL_PPM = {1: 1000000, 2: 1630929, 3: 2130929}
+
+
+def cf_ndcg_eval(lineitem: DataFrame, orders: DataFrame,
+                 k: int = 3, cache_key: str | None = None) -> DataFrame:
+    """NDCG@k of the item-CF recommender on the leave-last-order-out
+    split — the graded-position companion to HitRate/MRR/MAP
+    (Järvelin & Kekäläinen 2002; public method) with binary relevance:
+    DCG = Σ_hits disc(rank), IDCG = Σ_{j ≤ min(k, R)} disc(j), both in
+    the pinned integer-ppm discount table ``_NDCG_DISC_PPM`` (floor-ppm
+    literals of 1e6/log2(r+1) — no transcendental runs on either
+    engine), per-user ndcg = (1e6·dcg_ppm) DIV idcg_ppm, mean over
+    evaluable users by one more integer DIV (the cf_map_eval ppm
+    discipline; everything nonnegative, truncation == floor).
+
+    Scale shape: identical to cf_ranking_eval — shared memoized
+    split-trained artifact (cf_eval_frames), eval join on
+    (custkey, part), 1-row summary.
+    Columns: n_eval, n_hit_users, ndcg_ppm."""
+    if k != 3:
+        raise ValueError("pinned discount literals are derived for k=3")
+    recs, holdout = cf_eval_frames(lineitem, orders, k=k,
+                                   cache_key=cache_key)
+    disc = ("CASE rnk " + " ".join(
+        f"WHEN {r} THEN {p}" for r, p in _NDCG_DISC_PPM.items())
+        + " ELSE 0 END")
+    dcg = (recs.join(holdout, ["custkey", "part"])
+           .groupBy("custkey")
+           .agg(F.sum(F.expr(disc)).cast("long").alias("dcg_ppm")))
+    ideal = ("CASE least(3, n_rel) " + " ".join(
+        f"WHEN {j} THEN {p}" for j, p in _NDCG_IDEAL_PPM.items())
+        + " END")
+    nrel = (holdout.groupBy("custkey")
+            .agg(F.count("*").cast("long").alias("n_rel")))
+    per_user = (
+        recs.select("custkey").distinct()
+        .join(dcg, "custkey", "left")
+        .join(nrel, "custkey", "left")
+        .select(F.expr(
+            "CASE WHEN dcg_ppm IS NULL THEN CAST(0 AS BIGINT)"
+            f" ELSE (1000000 * dcg_ppm) div ({ideal}) END")
+            .alias("ndcg_ppm")))
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("ndcg_ppm") > 0, 1).otherwise(0))
+        .cast("long").alias("n_hit_users"),
+        F.expr("CAST(SUM(ndcg_ppm) div count(1) AS BIGINT)")
+        .alias("ndcg_ppm"),
+    )

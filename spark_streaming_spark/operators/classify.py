@@ -147,3 +147,128 @@ def calibration_table(docs: DataFrame, n_bins: int = 10) -> DataFrame:
             "lo_logit", "hi_logit",
         )
     )
+
+
+# fixed ROC/PR operating points (logit thresholds): exact double
+# literals shared verbatim with the oracle — the md5 stand-in model's
+# logits land in ~[-0.36, 0.34], so this grid brackets the mass
+PR_THRESHOLDS = (-0.25, -0.20, -0.15, -0.10, -0.05, 0.0, 0.05, 0.10,
+                 0.15)
+
+
+def quality_value_counts(docs: DataFrame, dim: int = 64,
+                         pos_lang: str = "en") -> DataFrame:
+    """(v, ca, cb): per-logit-value label counts of the linear quality
+    classifier against the ground-truth language column (positives =
+    ``pos_lang`` docs) — the SHARED sufficient-statistics table of the
+    ROC-AUC and PR-curve evals, exactly ADDITIVE under corpus partition
+    (what the streamed twins fold). Logits are IEEE-identical by the
+    classifier's contract, so equal scores tie identically on both
+    engines. Columns: v, ca, cb."""
+    scored = quality_logits(docs, dim).select("doc_id", "logit")
+    labeled = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return (labeled.groupBy(F.col("logit").alias("v"))
+            .agg(F.sum(F.when(F.col("lang") == pos_lang, 1)
+                       .otherwise(0)).cast("long").alias("ca"),
+                 F.sum(F.when(F.col("lang") != pos_lang, 1)
+                       .otherwise(0)).cast("long").alias("cb")))
+
+
+def quality_auc(docs: DataFrame, dim: int = 64,
+                pos_lang: str = "en") -> DataFrame:
+    """Exact ROC-AUC of the quality classifier as a detector of
+    ``pos_lang`` — the threshold-free eval completing the classifier
+    tier (scores → calibration → AUC), via the Mann-Whitney identity
+    over the shared value-count table (profile.auc_from_value_counts).
+    Columns: n_pos, n_neg, u2, auc_ppm, auc."""
+    from spark_streaming_spark.operators.profile import (
+        auc_from_value_counts)
+
+    return auc_from_value_counts(quality_value_counts(docs, dim,
+                                                      pos_lang))
+
+
+def pr_from_value_counts(per_v: DataFrame) -> DataFrame:
+    """Precision/recall/F1 at the fixed ``PR_THRESHOLDS`` operating
+    points from a (v, ca, cb) score-value count table: tp(t) =
+    Σ_{v>t} ca etc. — exact integer counts (one cross of the count
+    table with the 9-literal threshold array, then one 9-group
+    aggregate), metrics in pure floor-ppm ((1e6·tp) DIV (tp+fp), F1 =
+    (2·p·r) DIV (p+r) on the ppm integers — all quantities
+    nonnegative, truncation == floor). Undefined precision (no
+    predicted positives) is NULL, never 0/0.
+    Columns: thr, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm."""
+    thr = F.explode(F.array(*[F.lit(float(t))
+                              for t in PR_THRESHOLDS])).alias("thr")
+    crossed = per_v.select("v", "ca", "cb", thr)
+    agg = (crossed.groupBy("thr")
+           .agg(F.sum(F.when(F.col("v") > F.col("thr"), F.col("ca"))
+                      .otherwise(0)).cast("long").alias("tp"),
+                F.sum(F.when(F.col("v") > F.col("thr"), F.col("cb"))
+                      .otherwise(0)).cast("long").alias("fp"),
+                F.sum(F.when(F.col("v") <= F.col("thr"), F.col("ca"))
+                      .otherwise(0)).cast("long").alias("fn")))
+    return agg.select(
+        "thr", "tp", "fp", "fn",
+        F.expr("CASE WHEN tp + fp > 0 THEN"
+               " CAST(1000000 * tp AS BIGINT) div (tp + fp) END")
+        .alias("precision_ppm"),
+        F.expr("CASE WHEN tp + fn > 0 THEN"
+               " CAST(1000000 * tp AS BIGINT) div (tp + fn) END")
+        .alias("recall_ppm"),
+        F.expr("CASE WHEN tp + fp > 0 AND tp + fn > 0"
+               " AND (CAST(1000000 * tp AS BIGINT) div (tp + fp))"
+               "   + (CAST(1000000 * tp AS BIGINT) div (tp + fn)) > 0"
+               " THEN (2 * (CAST(1000000 * tp AS BIGINT) div (tp + fp))"
+               "         * (CAST(1000000 * tp AS BIGINT) div (tp + fn)))"
+               "  div ((CAST(1000000 * tp AS BIGINT) div (tp + fp))"
+               "     + (CAST(1000000 * tp AS BIGINT) div (tp + fn)))"
+               " END").alias("f1_ppm"))
+
+
+def classifier_pr_curve(docs: DataFrame, dim: int = 64,
+                        pos_lang: str = "en") -> DataFrame:
+    """PR curve of the quality classifier over the shared value-count
+    table — same folded state as :func:`quality_auc`'s streamed twin.
+    Columns: thr, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm."""
+    return pr_from_value_counts(quality_value_counts(docs, dim,
+                                                     pos_lang))
+
+
+def pr_curve_sql(counts_cte: str) -> str:
+    """DuckDB twin of :func:`pr_from_value_counts` over a
+    ``counts_cte`` producing (v, ca, cb) — identical threshold
+    literals, identical floor-ppm algebra."""
+    lits = ", ".join(f"CAST({t!r} AS DOUBLE)" for t in PR_THRESHOLDS)
+    return f"""
+        WITH per_v AS ({counts_cte}),
+        thrs AS (SELECT unnest([{lits}]) AS thr),
+        agg AS (
+          SELECT t.thr,
+                 CAST(SUM(CASE WHEN p.v > t.thr THEN p.ca ELSE 0 END)
+                      AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN p.v > t.thr THEN p.cb ELSE 0 END)
+                      AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN p.v <= t.thr THEN p.ca ELSE 0 END)
+                      AS BIGINT) AS fn
+          FROM per_v p CROSS JOIN thrs t
+          GROUP BY 1
+        )
+        SELECT thr, tp, fp, fn,
+               CASE WHEN tp + fp > 0
+                    THEN CAST(1000000 * tp // (tp + fp) AS BIGINT)
+               END AS precision_ppm,
+               CASE WHEN tp + fn > 0
+                    THEN CAST(1000000 * tp // (tp + fn) AS BIGINT)
+               END AS recall_ppm,
+               CASE WHEN tp + fp > 0 AND tp + fn > 0
+                    AND (1000000 * tp // (tp + fp))
+                      + (1000000 * tp // (tp + fn)) > 0
+                    THEN CAST((2 * (1000000 * tp // (tp + fp))
+                                 * (1000000 * tp // (tp + fn)))
+                              // ((1000000 * tp // (tp + fp))
+                                + (1000000 * tp // (tp + fn)))
+                              AS BIGINT)
+               END AS f1_ppm
+        FROM agg
+    """

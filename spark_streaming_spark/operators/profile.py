@@ -822,3 +822,171 @@ KS_VALUE_COUNTS_SQL = """
       FROM events WHERE event_type IN ('click', 'purchase')
       GROUP BY 1
 """
+
+
+def auc_from_value_counts(per_v: DataFrame) -> DataFrame:
+    """Exact ROC-AUC from a (v, ca, cb) score-value count table
+    (ca = positives at score v, cb = negatives) via the Mann-Whitney
+    identity AUC = U_A / (n_pos · n_neg) with half credit for ties —
+    the standard exact formulation (Hanley & McNeil 1982; public
+    method). Reuses the rank-sum spelling
+    :func:`mann_whitney_from_value_counts` pins: the DOUBLED statistic
+    u2 = 2·U_A is an exact integer built from tie-block average ranks
+    (2·cumall_before + cnt + 1), so AUC = u2 / (2·n_pos·n_neg) is one
+    IEEE double division of exact integers, and auc_ppm is the pure
+    floor (500000·u2) DIV (n_pos·n_neg) (u2 ≥ 0 — truncation == floor).
+
+    Scale shape: one groupBy(v) upstream of this tail + the two-phase
+    distributed global cumsum + a 1-row aggregate — the KS/MW plan.
+    The count table is exactly ADDITIVE under corpus partition, so the
+    streamed twin folds it and shares this oracle.
+    Columns: n_pos, n_neg, u2, auc_ppm, auc."""
+    from .ranking import with_global_cumsum
+
+    staged = per_v.select(
+        "v", "ca", "cb", (F.col("ca") + F.col("cb")).alias("cnt"))
+    cum = with_global_cumsum(staged, ["v"], "cnt", "cumall")
+    tot = per_v.agg(F.sum("ca").cast("long").alias("n_pos"),
+                    F.sum("cb").cast("long").alias("n_neg"))
+    parts = cum.select(
+        "ca", (F.col("cumall") - F.col("cnt")).alias("before"), "cnt"
+    ).agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0))"
+                       " * (2 * before + cnt + 1)")).alias("r2a"))
+    return (parts.crossJoin(F.broadcast(tot))
+            .select(
+                "n_pos", "n_neg",
+                F.expr("CAST(CAST(r2a - CAST(n_pos AS DECIMAL(38,0))"
+                       " * (n_pos + 1) AS DECIMAL(38,0)) AS BIGINT)")
+                .alias("u2"))
+            .select(
+                "n_pos", "n_neg", "u2",
+                F.expr("CAST(500000 * u2 AS BIGINT)"
+                       " div (n_pos * n_neg)").alias("auc_ppm"),
+                F.expr("CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE)"
+                       " * CAST(n_pos AS DOUBLE)"
+                       " * CAST(n_neg AS DOUBLE))").alias("auc")))
+
+
+def auc_sql(counts_cte: str) -> str:
+    """DuckDB twin of :func:`auc_from_value_counts` over a
+    ``counts_cte`` producing (v, ca, cb) — same exact doubled rank-sum,
+    same one-divide tail."""
+    return f"""
+        WITH per_v AS ({counts_cte}),
+        cum AS (
+          SELECT ca, cb, ca + cb AS cnt,
+                 SUM(ca + cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumall
+          FROM per_v
+        ),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_pos,
+                       CAST(SUM(cb) AS BIGINT) AS n_neg FROM per_v),
+        parts AS (
+          SELECT SUM(CAST(ca AS HUGEINT)
+                     * (2 * (cumall - cnt) + cnt + 1)) AS r2a
+          FROM cum
+        ),
+        stats AS (
+          SELECT t.n_pos, t.n_neg,
+                 CAST(p.r2a - CAST(t.n_pos AS HUGEINT) * (t.n_pos + 1)
+                      AS BIGINT) AS u2
+          FROM parts p, tot t
+        )
+        SELECT n_pos, n_neg, u2,
+               CAST(500000 * u2 // (n_pos * n_neg) AS BIGINT) AS auc_ppm,
+               CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE)
+                 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+        FROM stats
+    """
+
+
+def cliffs_delta_from_value_counts(per_v: DataFrame) -> DataFrame:
+    """Cliff's delta ordinal effect size from the SAME (v, ca, cb)
+    cohort count table the KS/Mann-Whitney gates fold — the magnitude
+    companion to their significance verdicts (Cliff 1993; magnitude
+    thresholds |d| < 0.147 negligible / < 0.33 small / < 0.474 medium
+    per Romano et al. 2006; public method): d = (#(a>b) − #(a<b)) /
+    (n_a·n_b), with #(a>b) = Σ_v ca(v)·cumb_before(v) and #(a<b) =
+    Σ_v ca(v)·(n_b − cumb_incl(v)) — exact integer pair counts off one
+    distributed cumsum of cb. The magnitude class compares in CLEARED
+    integer form (1000·|gt−lt| vs threshold·n_a·n_b scaled to ppt), so
+    no float ever decides a label; d itself is one IEEE division.
+    Columns: n_a, n_b, gt_pairs, lt_pairs, delta, magnitude."""
+    from .ranking import with_global_cumsum
+
+    cum = with_global_cumsum(per_v, ["v"], "cb", "cumb")
+    tot = per_v.agg(F.sum("ca").cast("long").alias("n_a"),
+                    F.sum("cb").cast("long").alias("n_b"))
+    parts = (cum.crossJoin(F.broadcast(tot))
+             .agg(
+                 F.sum(F.expr("CAST(ca AS DECIMAL(38,0))"
+                              " * (cumb - cb)")).alias("gt_d"),
+                 F.sum(F.expr("CAST(ca AS DECIMAL(38,0))"
+                              " * (n_b - cumb)")).alias("lt_d"),
+                 F.first("n_a").alias("n_a"),
+                 F.first("n_b").alias("n_b")))
+    mag = ("CASE WHEN 1000 * abs(gt_pairs - lt_pairs)"
+           " < 147 * n_a * n_b THEN 'negligible'"
+           " WHEN 1000 * abs(gt_pairs - lt_pairs)"
+           " < 330 * n_a * n_b THEN 'small'"
+           " WHEN 1000 * abs(gt_pairs - lt_pairs)"
+           " < 474 * n_a * n_b THEN 'medium'"
+           " ELSE 'large' END")
+    return (parts.select(
+        "n_a", "n_b",
+        F.col("gt_d").cast("long").alias("gt_pairs"),
+        F.col("lt_d").cast("long").alias("lt_pairs"))
+        .select(
+            "n_a", "n_b", "gt_pairs", "lt_pairs",
+            F.expr("(CAST(gt_pairs AS DOUBLE) - CAST(lt_pairs AS DOUBLE))"
+                   " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")
+            .alias("delta"),
+            F.expr(mag).alias("magnitude")))
+
+
+def cliffs_delta_value_shift(events: DataFrame, type_a: str = "click",
+                             type_b: str = "purchase") -> DataFrame:
+    """Cliff's delta between two cohorts' value distributions — shares
+    :func:`ks_value_counts`'s fold-able count table (and hence the
+    streamed twin's state with the KS and Mann-Whitney gates).
+    Columns: n_a, n_b, gt_pairs, lt_pairs, delta, magnitude."""
+    return cliffs_delta_from_value_counts(
+        ks_value_counts(events, type_a, type_b))
+
+
+def cliffs_delta_sql(counts_cte: str) -> str:
+    """DuckDB twin of :func:`cliffs_delta_from_value_counts` — same
+    exact pair counts, same cleared-integer magnitude thresholds."""
+    return f"""
+        WITH per_v AS ({counts_cte}),
+        cum AS (
+          SELECT ca, cb,
+                 SUM(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumb
+          FROM per_v
+        ),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                       CAST(SUM(cb) AS BIGINT) AS n_b FROM per_v),
+        parts AS (
+          SELECT CAST(SUM(CAST(ca AS HUGEINT) * (cumb - cb))
+                      AS BIGINT) AS gt_pairs,
+                 CAST(SUM(CAST(ca AS HUGEINT)
+                          * ((SELECT n_b FROM tot) - cumb))
+                      AS BIGINT) AS lt_pairs
+          FROM cum
+        )
+        SELECT t.n_a, t.n_b, p.gt_pairs, p.lt_pairs,
+               (CAST(p.gt_pairs AS DOUBLE) - CAST(p.lt_pairs AS DOUBLE))
+                 / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+                 AS delta,
+               CASE WHEN 1000 * abs(p.gt_pairs - p.lt_pairs)
+                         < 147 * t.n_a * t.n_b THEN 'negligible'
+                    WHEN 1000 * abs(p.gt_pairs - p.lt_pairs)
+                         < 330 * t.n_a * t.n_b THEN 'small'
+                    WHEN 1000 * abs(p.gt_pairs - p.lt_pairs)
+                         < 474 * t.n_a * t.n_b THEN 'medium'
+                    ELSE 'large' END AS magnitude
+        FROM parts p, tot t
+    """

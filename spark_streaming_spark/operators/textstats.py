@@ -1063,3 +1063,101 @@ READABILITY_SQL = """
       END AS fk_grade
     FROM t
 """
+
+
+def heaps_vocab_growth(docs: DataFrame, n_checkpoints: int = 4
+                       ) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-vocabulary size vs
+    cumulative corpus size at ``n_checkpoints`` doc-id quantile
+    checkpoints (Heaps 1978; public method) — the sublinearity check
+    that sizes a tokenizer's vocab budget before training. Everything
+    is EXACT counting: a token is "new at checkpoint q" iff its FIRST
+    containing doc (min doc_id) falls at or before the cut, so
+
+        vocab(q)   = #{token : min_doc(token) ≤ cut_q}
+        n_tokens(q) = Σ_{doc_id ≤ cut_q} tokens(doc)
+
+    with cut_q = (q · max_id) DIV n_checkpoints (nonnegative exact
+    integer division — identical cuts on both engines regardless of
+    doc-id density).
+
+    Scale shape: ONE explode + groupBy(token) with min/count partial
+    aggregation (the only corpus-sized shuffle), one tiny per-doc count
+    table, then each checkpoint is a filtered 1-row aggregate over the
+    token table crossed with the ``n_checkpoints``-literal array — no
+    per-checkpoint corpus rescan. Columns: checkpoint, cut_doc_id,
+    n_tokens, vocab."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token"))
+    firsts = (toks.groupBy("token")
+              .agg(F.min("doc_id").alias("first_doc"),
+                   F.count("*").alias("cnt")))
+    # map-only per-doc token counts (size(split()) — no second explode
+    # + shuffle over the corpus)
+    per_doc = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"))
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    cps = F.explode(F.array(*[F.lit(q) for q in
+                              range(1, n_checkpoints + 1)])).alias("q")
+    cuts = (mx.select(cps, "max_id")
+            .select(F.col("q").cast("int").alias("checkpoint"),
+                    F.expr(f"(q * max_id) div {n_checkpoints}")
+                    .cast("long").alias("cut_doc_id")))
+    vocab = (firsts.crossJoin(F.broadcast(cuts))
+             .filter(F.col("first_doc") <= F.col("cut_doc_id"))
+             .groupBy("checkpoint", "cut_doc_id")
+             .agg(F.count("*").cast("long").alias("vocab")))
+    sizes = (per_doc.crossJoin(F.broadcast(cuts))
+             .filter(F.col("doc_id") <= F.col("cut_doc_id"))
+             .groupBy("checkpoint", "cut_doc_id")
+             .agg(F.sum("n_toks").cast("long").alias("n_tokens")))
+    return (cuts.join(sizes, ["checkpoint", "cut_doc_id"], "left")
+            .join(vocab, ["checkpoint", "cut_doc_id"], "left")
+            .select("checkpoint", "cut_doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce("vocab", F.lit(0)).cast("long")
+                    .alias("vocab")))
+
+
+HEAPS_VOCAB_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    firsts AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY 1
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_toks
+      FROM documents
+    ),
+    cuts AS (
+      SELECT CAST(q AS INTEGER) AS checkpoint,
+             CAST((q * (SELECT MAX(doc_id) FROM documents)) // 4
+                  AS BIGINT) AS cut_doc_id
+      FROM (SELECT unnest([1, 2, 3, 4]) AS q)
+    ),
+    vocab AS (
+      SELECT c.checkpoint, c.cut_doc_id,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM firsts f CROSS JOIN cuts c
+      WHERE f.first_doc <= c.cut_doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT c.checkpoint, c.cut_doc_id,
+             CAST(SUM(p.n_toks) AS BIGINT) AS n_tokens
+      FROM per_doc p CROSS JOIN cuts c
+      WHERE p.doc_id <= c.cut_doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.checkpoint, c.cut_doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(v.vocab, 0) AS vocab
+    FROM cuts c
+    LEFT JOIN sizes s USING (checkpoint, cut_doc_id)
+    LEFT JOIN vocab v USING (checkpoint, cut_doc_id)
+"""

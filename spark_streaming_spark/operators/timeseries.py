@@ -1171,3 +1171,79 @@ def ship_latency_from_gap_counts(counts: DataFrame) -> DataFrame:
            .groupBy("month")
            .agg(F.min("gap").alias("p95_days")))
     return p50.join(p95, "month")
+
+
+def jackknife_daily_mean(events: DataFrame) -> DataFrame:
+    """Leave-one-day-out jackknife variance of the mean daily revenue —
+    the deterministic resampling uncertainty estimate (Quenouille 1956 /
+    Tukey 1958; public method) where bootstrap's randomness is banned by
+    the engine-exactness contract: with K daily cents values x_i and
+    S = Σx_i, the LOO means are (S − x_i)/(K−1) and
+
+        var_jack = (K−1)/K · Σ(mean_i − mean)²
+                 = Σ(S − K·x_i)² / (K³·(K−1))
+
+    after clearing denominators — the numerator is an exact
+    DECIMAL(38,0) sum of squared integers, the denominator an exact
+    integer, so the variance (and its sqrt, the standard error) is ONE
+    IEEE division (+ one correctly-rounded sqrt) of exact values.
+
+    Scale shape: the corpus collapses to the CALENDAR-BOUNDED daily
+    table first (one groupBy — the additive fold the streamed twin
+    keeps), then a 1-row cross join carries (S, K) to a K-row second
+    aggregate. Columns: k_days, total_cents, var_jack, se_jack."""
+    return jackknife_from_daily(daily_value_series(events))
+
+
+def jackknife_from_daily(daily: DataFrame) -> DataFrame:
+    """:func:`jackknife_daily_mean`'s tail from an already-built (or
+    streamed-and-folded) daily series — rides the same fold state as
+    the rolling-corr/ACF/Spearman/Theil-Sen monitors."""
+    tot = daily.agg(F.count("*").cast("long").alias("k_days"),
+                    F.sum("x").cast("long").alias("total_cents"))
+    num = (daily.crossJoin(F.broadcast(tot))
+           .agg(F.sum(F.expr(
+               "CAST(total_cents - k_days * x AS DECIMAL(38,0))"
+               " * (total_cents - k_days * x)")).alias("num"),
+               F.first("k_days").alias("k_days"),
+               F.first("total_cents").alias("total_cents")))
+    var = ("CAST(num AS DOUBLE)"
+           " / (CAST(k_days AS DOUBLE) * CAST(k_days AS DOUBLE)"
+           " * CAST(k_days AS DOUBLE)"
+           " * (CAST(k_days AS DOUBLE) - CAST(1 AS DOUBLE)))")
+    return num.select(
+        "k_days", "total_cents",
+        F.expr(var).alias("var_jack"),
+        F.expr(f"sqrt({var})").alias("se_jack"))
+
+
+JACKKNIFE_DAILY_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS k_days,
+                   CAST(SUM(x) AS BIGINT) AS total_cents FROM daily),
+    num AS (
+      SELECT CAST(SUM(CAST(t.total_cents - t.k_days * d.x AS HUGEINT)
+                      * (t.total_cents - t.k_days * d.x)) AS HUGEINT)
+               AS num,
+             MAX(t.k_days) AS k_days,
+             MAX(t.total_cents) AS total_cents
+      FROM daily d, tot t
+    )
+    SELECT k_days, total_cents,
+           CAST(num AS DOUBLE)
+             / (CAST(k_days AS DOUBLE) * CAST(k_days AS DOUBLE)
+                * CAST(k_days AS DOUBLE)
+                * (CAST(k_days AS DOUBLE) - CAST(1 AS DOUBLE)))
+             AS var_jack,
+           sqrt(CAST(num AS DOUBLE)
+             / (CAST(k_days AS DOUBLE) * CAST(k_days AS DOUBLE)
+                * CAST(k_days AS DOUBLE)
+                * (CAST(k_days AS DOUBLE) - CAST(1 AS DOUBLE))))
+             AS se_jack
+    FROM num
+"""

@@ -50,3 +50,45 @@ def test_calibration_table_structure_and_oracle(spark, duck):
         assert a.hi_logit <= b.lo_logit
     assert_matches_oracle(CLF.calibration_table(docs), duck,
                           E.oracle_sql()["classifier_calibration"])
+
+
+def test_auc_hand_cases(spark):
+    from spark_streaming_spark.operators.profile import (
+        auc_from_value_counts)
+
+    # perfect separation: all positives score above all negatives
+    perfect = spark.createDataFrame(
+        [(1.0, 0, 5), (2.0, 5, 0)], "v DOUBLE, ca LONG, cb LONG")
+    r = auc_from_value_counts(perfect).collect()[0]
+    assert (r.n_pos, r.n_neg) == (5, 5)
+    assert r.auc == 1.0 and r.auc_ppm == 1000000
+    # reversed: AUC 0
+    rev = spark.createDataFrame(
+        [(1.0, 5, 0), (2.0, 0, 5)], "v DOUBLE, ca LONG, cb LONG")
+    assert auc_from_value_counts(rev).collect()[0].auc == 0.0
+    # all tied: half credit, AUC exactly 0.5
+    tied = spark.createDataFrame(
+        [(1.0, 5, 5)], "v DOUBLE, ca LONG, cb LONG")
+    assert auc_from_value_counts(tied).collect()[0].auc == 0.5
+
+
+def test_pr_curve_hand_case_and_monotone_recall(spark):
+    from spark_streaming_spark.operators.classify import (
+        PR_THRESHOLDS, pr_from_value_counts)
+
+    # 3 positives at 0.12, 2 negatives at -0.22: at thr 0.0 -> tp=3,
+    # fp=0, fn=0; at thr -0.25 -> tp=3, fp=2
+    per_v = spark.createDataFrame(
+        [(0.12, 3, 0), (-0.22, 0, 2)], "v DOUBLE, ca LONG, cb LONG")
+    rows = {r.thr: r for r in pr_from_value_counts(per_v).collect()}
+    assert set(rows) == set(float(t) for t in PR_THRESHOLDS)
+    assert (rows[0.0].tp, rows[0.0].fp, rows[0.0].fn) == (3, 0, 0)
+    assert rows[0.0].precision_ppm == 1000000
+    assert rows[0.0].f1_ppm == 1000000
+    assert (rows[-0.25].tp, rows[-0.25].fp) == (3, 2)
+    assert rows[-0.25].precision_ppm == 600000
+    # no predicted positives above the top threshold: NULL precision
+    assert rows[0.15].tp == 0 and rows[0.15].precision_ppm is None
+    # recall monotone nonincreasing in the threshold
+    rec = [rows[float(t)].recall_ppm for t in PR_THRESHOLDS]
+    assert all(a >= b for a, b in zip(rec, rec[1:]))

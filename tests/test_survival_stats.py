@@ -299,3 +299,51 @@ def test_wave8_match_oracles(spark, duck):
         assert_matches_oracle(
             E.queries()[name](spark, SF_DIR), duck,
             E.oracle_sql()[name])
+
+
+def test_cliffs_delta_hand_cases(spark):
+    # all a above b: delta = +1, large
+    per_v = spark.createDataFrame(
+        [(1.0, 0, 1), (2.0, 0, 1), (3.0, 1, 0), (4.0, 1, 0)],
+        "v DOUBLE, ca LONG, cb LONG")
+    r = PF.cliffs_delta_from_value_counts(per_v).collect()[0]
+    assert (r.gt_pairs, r.lt_pairs) == (4, 0)
+    assert r.delta == 1.0 and r.magnitude == "large"
+    # identical distributions: delta = 0, negligible
+    sym = spark.createDataFrame(
+        [(1.0, 1, 1), (2.0, 1, 1)], "v DOUBLE, ca LONG, cb LONG")
+    r = PF.cliffs_delta_from_value_counts(sym).collect()[0]
+    assert r.gt_pairs == r.lt_pairs == 1
+    assert r.delta == 0.0 and r.magnitude == "negligible"
+
+
+def test_jackknife_hand_case_and_constant_series(spark):
+    # two days 100 / 200 cents: var = (100^2 + 100^2) / (8 * 1) = 2500
+    daily = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), 100, 1),
+         (datetime.date(2024, 1, 2), 200, 1)],
+        "day DATE, x LONG, y LONG")
+    r = TS.jackknife_from_daily(daily).collect()[0]
+    assert (r.k_days, r.total_cents) == (2, 300)
+    assert r.var_jack == 2500.0 and r.se_jack == 50.0
+    # constant series: zero variance exactly
+    const = spark.createDataFrame(
+        [(datetime.date(2024, 1, d), 70, 1) for d in (1, 2, 3)],
+        "day DATE, x LONG, y LONG")
+    r = TS.jackknife_from_daily(const).collect()[0]
+    assert r.var_jack == 0.0 and r.se_jack == 0.0
+
+
+def test_heaps_vocab_growth_monotone_and_final(spark):
+    from spark_streaming_spark.operators import textstats as TX
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = {r.checkpoint: r for r in
+            TX.heaps_vocab_growth(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for q in (2, 3, 4):
+        assert rows[q].n_tokens >= rows[q - 1].n_tokens
+        assert rows[q].vocab >= rows[q - 1].vocab
+    total_vocab = (docs.select(F.explode(F.split("text", " "))
+                               .alias("t")).distinct().count())
+    assert rows[4].vocab == total_vocab

@@ -133,3 +133,22 @@ def test_record_linkage_weights_hand_case(spark):
     assert rows[("zy", "zz")].decision == "non_match"
     assert rows[("mm", "mn")].score == 55
     assert rows[("mm", "mn")].decision == "possible"
+
+
+def test_cf_ndcg_hit_agreement_and_range(spark):
+    """NDCG@3 rides the same split artifact as HitRate/MAP: the set of
+    users with any hit agrees across the three evals, and the mean
+    ndcg_ppm sits in (0, 1e6]-range with the pinned literals."""
+    from spark_streaming_spark.operators import basket as BK
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    od = load_table(spark, SF_DIR, "orders")
+    rank = BK.cf_ranking_eval(li, od, cache_key="t#ndcg").collect()[0]
+    ndcg = BK.cf_ndcg_eval(li, od, cache_key="t#ndcg").collect()[0]
+    assert ndcg.n_eval == rank.n_eval
+    assert ndcg.n_hit_users == rank.n_hits
+    assert 0 <= ndcg.ndcg_ppm <= 1000000
+    if ndcg.n_hit_users > 0:
+        assert ndcg.ndcg_ppm > 0 or ndcg.n_eval > 1000000 * ndcg.n_hit_users

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _PAIRS_CACHE: dict = {}
+_CFEVAL_CACHE: dict = {}
 
 
 def basket_items(lineitem: DataFrame) -> DataFrame:
@@ -288,8 +289,15 @@ def cf_eval_frames(lineitem: DataFrame, orders: DataFrame,
     customer's last and pair the top-``k`` recommendations with the
     held-out order's parts. ``cache_key`` memoizes the SPLIT-trained
     pair artifact (distinct from the full-corpus artifact the serving
-    entry uses), so HitRate/MRR and MAP evals train once.
+    entry uses) AND the finished (recs, holdout) frames as
+    localCheckpointed tables, so HitRate/MRR, MAP and NDCG evals train
+    once and skip the rec-serving window + holdout distinct on every
+    re-read (the _PAIRS_CACHE discipline).
     Returns (recs, holdout)."""
+    ck = (("cfeval", lineitem.sparkSession.sparkContext.applicationId,
+           cache_key, k) if cache_key is not None else None)
+    if ck is not None and ck in _CFEVAL_CACHE:
+        return _CFEVAL_CACHE[ck]
     last = last_order_keys(orders)
     last_keys = last.select("o_orderkey")
     train_orders = orders.join(last_keys, "o_orderkey", "left_anti")
@@ -305,6 +313,10 @@ def cf_eval_frames(lineitem: DataFrame, orders: DataFrame,
                 F.col("l_partkey").alias("part"))
         .distinct()
     )
+    if ck is not None:
+        recs = recs.localCheckpoint(eager=True)
+        holdout = holdout.localCheckpoint(eager=True)
+        _CFEVAL_CACHE[ck] = (recs, holdout)
     return recs, holdout
 
 

@@ -797,3 +797,38 @@ def test_theil_sen_pair_rank_no_single_partition_exchange(spark):
     plan = qe.executedPlan().toString()
     assert "rangepartitioning" in plan, plan
     assert plan.count("SinglePartition") <= 3, plan
+
+
+def test_auc_and_cliffs_no_single_partition_corpus_exchange(spark):
+    """The AUC / Cliff's-delta rank machinery rides the two-phase
+    range-partitioned cumsum — SinglePartition exchanges may only
+    carry the #partitions-row offsets table and 1-row totals, never
+    the (v, ca, cb) count table (which scales with distinct scores)."""
+    from spark_streaming_spark.operators import classify as CLF
+    from spark_streaming_spark.operators import profile as PF
+
+    docs = load_table(spark, SF_DIR, "documents")
+    events = load_table(spark, SF_DIR, "events")
+    for df in (CLF.quality_auc(docs),
+               PF.cliffs_delta_value_shift(events)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan, plan
+        assert plan.count("SinglePartition") <= 3, plan
+
+
+def test_heaps_single_token_shuffle_no_cartesian(spark):
+    """Heaps' growth: ONE explode+groupBy over the corpus (the token
+    min/count build), per-doc counts map-only via size(split()), the
+    4-row checkpoint table broadcast — no cartesian product, no
+    second corpus-wide explode."""
+    from spark_streaming_spark.operators import textstats as TX
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = TX.heaps_vocab_growth(docs)
+    assert not explain.has_cartesian_product(df)
+    # at most two scans read the text column (the one token explode +
+    # the map-only size(split()) projection); every other Generate in
+    # the plan is the 4-literal checkpoint array, never corpus text
+    text_scans = [s for s in explain.read_schema_columns(df)
+                  if "text" in s]
+    assert len(text_scans) <= 2, text_scans

@@ -95,12 +95,13 @@ def test_no_mandatory_broadcast_hint_on_scale_proportional_tables():
 def _forced_broadcasts(spark, build, expected: int):
     """With auto-broadcast disabled, only mandatory hints broadcast —
     count BroadcastExchange nodes in the initial physical plan."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = build()
         text = explain.explain_text(df)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     # formatted mode prints each node in the tree AND the numbered
     # detail section — count only the detail entries
     got = len(re.findall(r"\(\d+\) BroadcastExchange", text))

@@ -1087,11 +1087,14 @@ def heaps_vocab_growth(docs: DataFrame, n_checkpoints: int = 4
     token table crossed with the ``n_checkpoints``-literal array — no
     per-checkpoint corpus rescan. Columns: checkpoint, cut_doc_id,
     n_tokens, vocab."""
+    if n_checkpoints != 4:
+        raise ValueError(
+            "HEAPS_VOCAB_SQL pins 4 checkpoints — the oracle literals "
+            "are derived for the default (the cf_ndcg_eval convention)")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token"))
     firsts = (toks.groupBy("token")
-              .agg(F.min("doc_id").alias("first_doc"),
-                   F.count("*").alias("cnt")))
+              .agg(F.min("doc_id").alias("first_doc")))
     # map-only per-doc token counts (size(split()) — no second explode
     # + shuffle over the corpus)
     per_doc = docs.select(

@@ -763,7 +763,11 @@ def theil_sen_from_daily(daily: DataFrame) -> DataFrame:
                      (F.col("t2") - F.col("t1")).cast("long").alias("dx"))
              .withColumn("slope", F.col("dy").cast("double")
                          / F.col("dx").cast("double")))
-    total = pairs.agg(F.count("*").alias("n"))
+    # n_pairs is exactly K·(K−1)/2 of the K-row daily table — counting
+    # the tiny input instead of the K² pair table avoids a second full
+    # evaluation of the cross-join subtree
+    total = daily.agg(F.expr(
+        "CAST(count(*) * (count(*) - 1) div 2 AS BIGINT)").alias("n"))
     ranked = with_global_rank(pairs, ["slope", "dy", "dx"], "rn")
     return (ranked.crossJoin(F.broadcast(total))
             .filter(F.col("rn") == F.expr("(n + 1) div 2"))

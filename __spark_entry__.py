@@ -1629,6 +1629,10 @@ def _event_fold_members():
         # (alias member); shares jackknife_daily_mean's exact oracle
         "jackknife": ("rolling_corr",
                       lambda df, s, d: TS.jackknife_from_daily(df)),
+        # Holt linear-trend forecast off the SAME folded daily series
+        # (alias member); shares holt_linear_forecast's exact oracle
+        "holt": ("rolling_corr",
+                 lambda df, s, d: TS.holt_from_daily(df)),
     }
 
 
@@ -1808,6 +1812,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_chao1": "doc_folds",
     "streaming_cliffs_delta": "event_folds",
     "streaming_jackknife": "event_folds",
+    "streaming_holt": "event_folds",
     "streaming_quality_auc": "doc_folds",
     "streaming_pr_curve": "doc_folds",
 }
@@ -2857,6 +2862,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         "streaming_jackknife": lambda s, d: _cosched_group(
             s, d, "event_folds", _event_fold_members(), "jackknife"),
+        # Holt double-exponential-smoothing forecast of the daily
+        # revenue: pinned rational alpha=1/2, beta=1/4, every step one
+        # pmod floor division — exact BIGINT recursion, h-step
+        # forecasts hash-exact
+        "holt_linear_forecast": lambda s, d: TS.holt_linear_forecast(
+            load_table(s, d, "events")),
+        "streaming_holt": lambda s, d: _cosched_group(
+            s, d, "event_folds", _event_fold_members(), "holt"),
         # HITS hubs/authorities on the customer->part purchase
         # bipartite graph (Kleinberg 1999): corank-quantized
         # contributions, max-normalization (order-independent), rounds
@@ -8285,6 +8298,10 @@ def oracle_sql() -> dict[str, str]:
     # twin reads the same folded daily series as rolling-corr/ACF
     sql["jackknife_daily_mean"] = TS.JACKKNIFE_DAILY_SQL
     sql["streaming_jackknife"] = sql["jackknife_daily_mean"]
+    # Holt recursion as a recursive CTE over the same daily series;
+    # the streamed twin reads the same folded state
+    sql["holt_linear_forecast"] = TS.holt_daily_sql()
+    sql["streaming_holt"] = sql["holt_linear_forecast"]
     sql["spearman_daily"] = TS.SPEARMAN_DAILY_SQL
     sql["streaming_spearman"] = sql["spearman_daily"]
     sql["streaming_hits"] = GRK.hits_sql()

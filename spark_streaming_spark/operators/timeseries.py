@@ -1251,3 +1251,114 @@ JACKKNIFE_DAILY_SQL = """
              AS se_jack
     FROM num
 """
+
+
+def _floor_div_expr(e: str, n: int) -> str:
+    """Floor division of a possibly-NEGATIVE integer expression by a
+    positive literal, spelled identically on both engines: the pmod
+    trick makes the numerator exactly divisible, where truncation ==
+    floor (Spark ``div`` truncates, DuckDB ``//`` floors — on the
+    adjusted numerator they agree)."""
+    return (f"((({e}) - (((({e}) % {n}) + {n}) % {n})) div {n})")
+
+
+def holt_linear_forecast(events: DataFrame) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing of the daily
+    revenue series (Holt 1957 / Winters 1960; public method) — the
+    actual FORECASTING monitor next to the descriptive trend gates
+    (EWMA smooths level only, Theil-Sen fits one global slope): with
+    pinned rational smoothing constants α = 1/2, β = 1/4,
+
+        l_t = ⌊(x_t + l_{t−1} + b_{t−1}) / 2⌋          (α = 1/2)
+        b_t = ⌊((l_t − l_{t−1}) + 3·b_{t−1}) / 4⌋       (β = 1/4)
+
+    initialized l_1 = x_1, b_1 = x_2 − x_1, every step ONE integer
+    floor division via the pmod trick (the value may be negative —
+    plain DIV is banned), so the whole recursion is exact BIGINT
+    arithmetic and the h-step forecasts l + h·b are hash-exact.
+
+    Scale shape: the corpus collapses to the CALENDAR-BOUNDED daily
+    table first (the additive fold the streamed twin keeps); the
+    recursion left-folds the K-element ordered array in ONE engine-side
+    ``aggregate`` over a 1-row frame (the kaplan_meier product-limit
+    fold discipline — sequential by nature, K is days-not-corpus).
+    Columns: k_days, level_cents, trend_cents, forecast_1d,
+    forecast_2d, forecast_3d."""
+    return holt_from_daily(daily_value_series(events))
+
+
+def holt_from_daily(daily: DataFrame) -> DataFrame:
+    """:func:`holt_linear_forecast`'s recursion tail from an
+    already-built (or streamed-and-folded) daily series — the eighth
+    ALIAS reader of the rolling-corr daily fold state."""
+    s = daily.agg(
+        F.expr("sort_array(collect_list(struct(day, x)))").alias("s"))
+    lnew = _floor_div_expr("e.x + acc.l + acc.b", 2)
+    bnew = _floor_div_expr(f"({lnew}) - acc.l + 3 * acc.b", 4)
+    fold = (
+        "aggregate("
+        " slice(s, 2, size(s) - 1),"
+        " named_struct("
+        # get() is 0-based and NULL on out-of-bounds (element_at
+        # throws under ANSI when K = 1 and there is no second day)
+        "   'l', CAST(get(s, 0).x AS BIGINT),"
+        "   'b', CAST(coalesce(get(s, 1).x"
+        "                      - get(s, 0).x, 0) AS BIGINT)),"
+        f" (acc, e) -> named_struct('l', CAST({lnew} AS BIGINT),"
+        f"                          'b', CAST({bnew} AS BIGINT)))")
+    return s.select(
+        F.expr("CAST(size(s) AS BIGINT)").alias("k_days"),
+        F.expr(f"({fold}).l").alias("level_cents"),
+        F.expr(f"({fold}).b").alias("trend_cents"),
+    ).select(
+        "k_days", "level_cents", "trend_cents",
+        F.expr("level_cents + 1 * trend_cents").alias("forecast_1d"),
+        F.expr("level_cents + 2 * trend_cents").alias("forecast_2d"),
+        F.expr("level_cents + 3 * trend_cents").alias("forecast_3d"),
+    )
+
+
+def _holt_fd_sql(e: str, n: int) -> str:
+    """DuckDB spelling of the same pmod floor division (// on the
+    adjusted numerator; DuckDB % truncates like C, as Spark's does)."""
+    return (f"((({e}) - (((({e}) % {n}) + {n}) % {n})) // {n})")
+
+
+def holt_daily_sql() -> str:
+    """DuckDB twin of :func:`holt_linear_forecast`: the identical
+    recursion as a recursive CTE over the row-numbered daily series —
+    same init, same pmod floor divisions, same forecast tail."""
+    lnew = _holt_fd_sql("d.x + r.l + r.b", 2)
+    bnew = _holt_fd_sql(f"({lnew}) - r.l + 3 * r.b", 4)
+    return f"""
+        WITH RECURSIVE daily AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(38,2))) * 100
+                      AS BIGINT) AS x
+          FROM events GROUP BY 1
+        ),
+        idx AS (
+          SELECT row_number() OVER (ORDER BY day) AS i, x FROM daily
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS k FROM idx),
+        rec AS (
+          SELECT CAST(1 AS BIGINT) AS i,
+                 CAST(x AS BIGINT) AS l,
+                 CAST(coalesce(
+                   (SELECT x FROM idx WHERE i = 2) - x, 0) AS BIGINT)
+                   AS b
+          FROM idx WHERE i = 1
+          UNION ALL
+          SELECT r.i + 1,
+                 CAST({lnew} AS BIGINT),
+                 CAST({bnew} AS BIGINT)
+          FROM rec r JOIN idx d ON d.i = r.i + 1
+        )
+        SELECT n.k AS k_days,
+               r.l AS level_cents,
+               r.b AS trend_cents,
+               r.l + 1 * r.b AS forecast_1d,
+               r.l + 2 * r.b AS forecast_2d,
+               r.l + 3 * r.b AS forecast_3d
+        FROM rec r, n WHERE r.i = n.k
+    """

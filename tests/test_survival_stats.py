@@ -347,3 +347,26 @@ def test_heaps_vocab_growth_monotone_and_final(spark):
     total_vocab = (docs.select(F.explode(F.split("text", " "))
                                .alias("t")).distinct().count())
     assert rows[4].vocab == total_vocab
+
+
+def test_holt_linear_series_extrapolates_exactly(spark):
+    # perfectly linear series: level tracks, trend = slope, forecasts
+    # extend the line exactly (alpha=1/2, beta=1/4 hand recursion)
+    up = spark.createDataFrame(
+        [(datetime.date(2024, 1, d), 100 * d, 1) for d in (1, 2, 3)],
+        "day DATE, x LONG, y LONG")
+    r = TS.holt_from_daily(up).collect()[0]
+    assert (r.k_days, r.level_cents, r.trend_cents) == (3, 300, 100)
+    assert (r.forecast_1d, r.forecast_2d, r.forecast_3d) == (400, 500, 600)
+    # negative trend: the pmod floor division must not flip toward zero
+    down = spark.createDataFrame(
+        [(datetime.date(2024, 1, d), 100 * (4 - d), 1) for d in (1, 2, 3)],
+        "day DATE, x LONG, y LONG")
+    r = TS.holt_from_daily(down).collect()[0]
+    assert (r.level_cents, r.trend_cents, r.forecast_1d) == (100, -100, 0)
+    # single day: level = the value, zero trend
+    one = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), 70, 1)], "day DATE, x LONG, y LONG")
+    r = TS.holt_from_daily(one).collect()[0]
+    assert (r.k_days, r.level_cents, r.trend_cents) == (1, 70, 0)
+    assert r.forecast_3d == 70

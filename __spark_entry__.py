@@ -51,6 +51,7 @@ from spark_streaming_spark.operators import timeseries as TS
 from spark_streaming_spark.operators import topk as T
 from spark_streaming_spark.operators import tpch as TPC
 from spark_streaming_spark.operators import bpe as BPE
+from spark_streaming_spark.operators import lm as LM
 from spark_streaming_spark.operators import classify as CLF
 from spark_streaming_spark.operators import survival as SV
 from spark_streaming_spark.operators import regress as RG
@@ -1426,6 +1427,17 @@ def _doc_fold_members():
         "pr_curve": (
             "auc_counts",
             lambda df, s, d: CLF.pr_from_value_counts(df)),
+        # stupid-backoff LM gate maintained CONTINUOUSLY: the padded
+        # trigram count table is additive under corpus partition, so
+        # the fold reaches the one-shot model table; marginals +
+        # scoring of the full corpus run at read (the re-fit-at-read
+        # twin discipline); shares lm_perplexity_gate's exact oracle
+        "lm_counts": (
+            fold(LM.padded_trigram_counts, ["w2", "w1", "w"], ["c"],
+                 "lmcnt_state_",
+                 select=lambda st: st.select("doc_id", "lang", "text")),
+            lambda df, s, d: LM.lm_gate_from_counts(
+                load_table(s, d, "documents"), df)),
         "bpe_segment": (bpe_start, None),
         # ALIAS member: the per-language fertility read off the SAME
         # folded per-doc segment stats (additive; tokenizer-equity eval
@@ -1815,6 +1827,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_holt": "event_folds",
     "streaming_quality_auc": "doc_folds",
     "streaming_pr_curve": "doc_folds",
+    "streaming_lm_gate": "doc_folds",
 }
 # Deliberately SOLO streamed entries (each has a reason co-scheduling
 # would break or blur what it proves): streaming_kafka_wordcount (the
@@ -2646,47 +2659,46 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # Round-12 window (VERDICT r11 "Next round" #1): FIRST driver
-    # signal for 50 of the 62 oracle-backed entries that have never
-    # had a green driver row (all r11 additions that landed after the
-    # r11 window was pinned). Order follows the verdict's list.
-    "kmeans_pca_assign", "kmeans_pca_centroids", "kmeans_silhouette",
-    "kmeans_elbow", "kmeans_label_ari",
-    "dbscan_pca_clusters", "dbscan_label_ari",
-    "fuzzy_customer_pairs", "streaming_fuzzy_pairs",
-    "record_linkage_scores", "streaming_record_linkage",
-    "kaplan_meier_repurchase", "streaming_kaplan_meier",
-    "ols_price_model", "streaming_ols_refit",
-    "theil_sen_daily", "kendall_tau_daily", "spearman_daily",
-    "daily_value_acf", "fano_daily",
-    "ks_value_shift", "mann_whitney_value_shift",
-    "streaming_ks_value_shift", "streaming_mann_whitney",
-    "hits_scores", "streaming_hits",
-    "clustering_coefficients", "degree_assortativity",
-    "cf_ranking_eval", "cf_map_eval",
-    "revenue_gini", "market_hhi",
-    "vocab_chao1", "readability_by_lang",
-    "ship_latency_percentiles", "streaming_ship_latency",
-    "transit_concurrency_peaks", "streaming_transit_peaks",
-    "sq8_search_topk", "ivf_sq8_search", "rocchio_sq8_rerank",
-    "hybrid_search_rrf",
-    "t_closeness_violations", "l_diversity_violations",
-    "position_attribution", "temperature_mixture",
-    "padding_waste_report", "shard_plan",
-    "bpe_fertility_by_lang", "streaming_pca_top2",
-    # r13 pool (23 never-driver-checked): the 12 streamed twins that
-    # didn't fit this window (streaming_acf, streaming_bpe_fertility,
-    # streaming_chao1, streaming_fano, streaming_gini, streaming_hhi,
-    # streaming_kendall, streaming_langid_confusion,
-    # streaming_readability, streaming_spearman,
-    # streaming_temperature_mixture, streaming_theil_sen) plus the 11
-    # r12 additions (streaming_kmeans_centroids,
-    # cliffs_delta_value_shift + streamed, jackknife_daily_mean +
-    # streamed, quality_auc + streamed, classifier_pr_curve +
-    # streamed, cf_ndcg_eval, heaps_vocab_growth); then
-    # longest-unrefreshed cohorts (r4: streaming_scd1_merge,
-    # streaming_wordcount_rocksdb, token_runs, top3_products_sql,
-    # wordcount, zorder_key_events; then r5+).
+    # Round-13 window (VERDICT r12 "Next round" #1): close the
+    # verification book. Slots 1-25 = the 25 oracle-backed entries
+    # that have NEVER had a driver row (the 12 r11 streamed twins
+    # that missed the r12 window, the 11 r12 eval-tier additions,
+    # and the 2 Holt entries that landed after the r12 detail run);
+    # slots 26-50 = the 25 longest-unrefreshed per CHECKED_UNION.json
+    # (the whole r4 cohort, then the r5 cohort alphabetically).
+    # From r14 on the window runs on the refresh rotation:
+    # never-driver-checked entries first (there should be none unless
+    # the round added some), then strictly oldest driver evidence
+    # first, ties alphabetical — regenerate CHECKED_UNION.json and
+    # read entries' min driver round to build the list.
+    # -- never driver-checked: r11 streamed twins (12)
+    "streaming_acf", "streaming_bpe_fertility", "streaming_chao1",
+    "streaming_fano", "streaming_gini", "streaming_hhi",
+    "streaming_kendall", "streaming_langid_confusion",
+    "streaming_readability", "streaming_spearman",
+    "streaming_temperature_mixture", "streaming_theil_sen",
+    # -- never driver-checked: r12 eval tier (11)
+    "streaming_kmeans_centroids",
+    "cliffs_delta_value_shift", "streaming_cliffs_delta",
+    "jackknife_daily_mean", "streaming_jackknife",
+    "quality_auc", "streaming_quality_auc",
+    "classifier_pr_curve", "streaming_pr_curve",
+    "cf_ndcg_eval", "heaps_vocab_growth",
+    # -- never driver-checked: Holt (2)
+    "holt_linear_forecast", "streaming_holt",
+    # -- refresh: r4 cohort (6, driver evidence from round 4)
+    "wordcount", "top3_products_sql", "token_runs",
+    "zorder_key_events", "streaming_scd1_merge",
+    "streaming_wordcount_rocksdb",
+    # -- refresh: r5 cohort, alphabetical first 19
+    "arrow_token_counts", "asof_click_attribution",
+    "click_purchase_conversions", "corpus_mixture_stats",
+    "corpus_prep_pipeline", "countmin_user_sketch",
+    "custom_sink_roundtrip", "dedup_minhash_lsh", "dedup_simhash",
+    "doc_fingerprints", "embedding_norms", "excess_suppliers",
+    "fingerprint_dupes", "important_parts", "knn_bruteforce",
+    "knn_graph", "label_centroids", "lang_guess",
+    "local_supplier_volume",
     ]
 
 
@@ -3571,6 +3583,17 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "streaming_pr_curve": lambda s, d: _cosched_group(
             s, d, "doc_folds", _doc_fold_members(), "pr_curve"),
+        # CCNet-style LM quality gate (the generative half next to the
+        # discriminative classifier): stupid-backoff over ONE padded
+        # trigram count table trained on the en subset, integer
+        # floor-ppm scores, mean-DIV gate — no log, no float
+        "lm_perplexity_gate": lambda s, d: LM.lm_perplexity_gate(
+            load_table(s, d, "documents")),
+        # the count-table model maintained CONTINUOUSLY off the en
+        # stream; marginals + full-corpus scoring at read; shared
+        # exact oracle
+        "streaming_lm_gate": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "lm_counts"),
         # per-source governance league table: volume + rule-gate pass
         # ppm + decimal-exact mean quality + near-dup incidence
         "source_quality_report": lambda s, d: PL.source_quality_report(
@@ -10227,6 +10250,10 @@ dscored AS (
     from spark_streaming_spark.operators.classify import pr_curve_sql
     sql["classifier_pr_curve"] = pr_curve_sql(quality_counts_cte)
     sql["streaming_pr_curve"] = sql["classifier_pr_curve"]
+    sql["lm_perplexity_gate"] = LM.lm_gate_sql()
+    # folded padded-trigram counts ≡ the batch count table (additive),
+    # and the read tail scores the same full corpus — oracle verbatim
+    sql["streaming_lm_gate"] = sql["lm_perplexity_gate"]
     # the custom-sink round trip is lossless, so the rollup over the
     # round-tripped rows equals the rollup over the original table
     sql["custom_sink_roundtrip"] = sql["grouped_agg_token_totals"]

@@ -860,8 +860,12 @@ def auc_from_value_counts(per_v: DataFrame) -> DataFrame:
                 .alias("u2"))
             .select(
                 "n_pos", "n_neg", "u2",
-                F.expr("CAST(500000 * u2 AS BIGINT)"
-                       " div (n_pos * n_neg)").alias("auc_ppm"),
+                # ppm tail in DECIMAL(38,0) (r12 ADVICE): 500000·u2
+                # with u2 ≤ 2·n_pos·n_neg wraps BIGINT once
+                # n_pos·n_neg > ~9.2e12 — well inside 100 TB cohorts
+                F.expr("CAST((CAST(500000 AS DECIMAL(38,0)) * u2)"
+                       " DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+                       " AS BIGINT)").alias("auc_ppm"),
                 F.expr("CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE)"
                        " * CAST(n_pos AS DOUBLE)"
                        " * CAST(n_neg AS DOUBLE))").alias("auc")))
@@ -894,7 +898,9 @@ def auc_sql(counts_cte: str) -> str:
           FROM parts p, tot t
         )
         SELECT n_pos, n_neg, u2,
-               CAST(500000 * u2 // (n_pos * n_neg) AS BIGINT) AS auc_ppm,
+               CAST((500000 * CAST(u2 AS HUGEINT))
+                    // (CAST(n_pos AS HUGEINT) * n_neg)
+                    AS BIGINT) AS auc_ppm,
                CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE)
                  * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
         FROM stats
@@ -926,12 +932,13 @@ def cliffs_delta_from_value_counts(per_v: DataFrame) -> DataFrame:
                               " * (n_b - cumb)")).alias("lt_d"),
                  F.first("n_a").alias("n_a"),
                  F.first("n_b").alias("n_b")))
-    mag = ("CASE WHEN 1000 * abs(gt_pairs - lt_pairs)"
-           " < 147 * n_a * n_b THEN 'negligible'"
-           " WHEN 1000 * abs(gt_pairs - lt_pairs)"
-           " < 330 * n_a * n_b THEN 'small'"
-           " WHEN 1000 * abs(gt_pairs - lt_pairs)"
-           " < 474 * n_a * n_b THEN 'medium'"
+    # magnitude compares in DECIMAL(38,0) (r12 ADVICE): both sides are
+    # ≤ ~n_a·n_b·1000, past BIGINT once n_a·n_b > ~9.2e15
+    _d = "CAST(1000 AS DECIMAL(38,0)) * abs(gt_pairs - lt_pairs)"
+    _t = "CAST(n_a AS DECIMAL(38,0)) * n_b"
+    mag = (f"CASE WHEN {_d} < 147 * ({_t}) THEN 'negligible'"
+           f" WHEN {_d} < 330 * ({_t}) THEN 'small'"
+           f" WHEN {_d} < 474 * ({_t}) THEN 'medium'"
            " ELSE 'large' END")
     return (parts.select(
         "n_a", "n_b",
@@ -981,12 +988,18 @@ def cliffs_delta_sql(counts_cte: str) -> str:
                (CAST(p.gt_pairs AS DOUBLE) - CAST(p.lt_pairs AS DOUBLE))
                  / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
                  AS delta,
-               CASE WHEN 1000 * abs(p.gt_pairs - p.lt_pairs)
-                         < 147 * t.n_a * t.n_b THEN 'negligible'
-                    WHEN 1000 * abs(p.gt_pairs - p.lt_pairs)
-                         < 330 * t.n_a * t.n_b THEN 'small'
-                    WHEN 1000 * abs(p.gt_pairs - p.lt_pairs)
-                         < 474 * t.n_a * t.n_b THEN 'medium'
+               CASE WHEN 1000 * abs(CAST(p.gt_pairs AS HUGEINT)
+                                    - p.lt_pairs)
+                         < 147 * CAST(t.n_a AS HUGEINT) * t.n_b
+                         THEN 'negligible'
+                    WHEN 1000 * abs(CAST(p.gt_pairs AS HUGEINT)
+                                    - p.lt_pairs)
+                         < 330 * CAST(t.n_a AS HUGEINT) * t.n_b
+                         THEN 'small'
+                    WHEN 1000 * abs(CAST(p.gt_pairs AS HUGEINT)
+                                    - p.lt_pairs)
+                         < 474 * CAST(t.n_a AS HUGEINT) * t.n_b
+                         THEN 'medium'
                     ELSE 'large' END AS magnitude
         FROM parts p, tot t
     """

@@ -98,9 +98,12 @@ def term_stats(docs: DataFrame) -> DataFrame:
     the idf formula itself (ln((N+1)/(df+1))+1 or any variant) is a
     trivial map the consumer applies — kept out of the output because
     libm ln() isn't bitwise-portable across engines, and every column
-    below is exact. The df table (one row per vocab term) broadcasts
-    while vocab ≪ corpus — at web scale with an unbounded vocab drop the
-    hint and let AQE pick the join side. Columns: doc_id, term, tf, df."""
+    below is exact. The df table (one row per vocab term) grows
+    Heaps-sublinearly but unboundedly — 10⁸–10⁹ rows of noise/typo
+    tokens at web scale — so it carries NO mandatory broadcast hint:
+    AQE broadcasts it below threshold (small-SF plans unchanged) and
+    shuffles on ``term`` beyond (tests/test_broadcast_hints.py pins
+    the rule). Columns: doc_id, term, tf, df."""
     terms = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -110,7 +113,7 @@ def term_stats(docs: DataFrame) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
-    return tf.join(F.broadcast(df_), "term").select("doc_id", "term", "tf", "df")
+    return tf.join(df_, "term").select("doc_id", "term", "tf", "df")
 
 
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
@@ -479,7 +482,8 @@ def doc_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     df_ = tf.groupBy("term").agg(
         F.count("*").cast("long").alias("df"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # vocab-scaled df table: no mandatory hint — AQE decides
+        tf.join(df_, "term")
         .select(
             "doc_id", "term",
             F.expr(f"CAST(tf * ({n_docs * 1_000_000} DIV df) AS BIGINT)")
@@ -507,9 +511,11 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5,
 
     Scale shape: bigrams come from a map-side zip of each doc's token
     array with its tail (no self-join); one (w_a, w_b) partial-agged
-    groupBy; unigram counts are a |vocab|-row aggregate broadcast back
-    twice; the top-k is orderBy+limit (TakeOrderedAndProject — per-
-    partition heaps, no global sort materialization)."""
+    groupBy; the |vocab|-row unigram table joins back twice with NO
+    mandatory broadcast hint (vocab grows unboundedly at web scale —
+    AQE broadcasts below threshold, shuffles on the word key beyond);
+    the top-k is orderBy+limit (TakeOrderedAndProject — per-partition
+    heaps, no global sort materialization)."""
     words = F.split(F.col("text"), " ")
     toks = widen(docs).select(
         F.filter(words, lambda w: w != "").alias("a"))
@@ -528,10 +534,10 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5,
     n_bigrams = int(big.agg(F.sum("c_ab")).first()[0])  # 1-row scalar
     return (
         big.filter(F.col("c_ab") >= min_count)
-        .join(F.broadcast(uni.withColumnRenamed("w", "w_a")
-                          .withColumnRenamed("c", "c_a")), "w_a")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w_b")
-                          .withColumnRenamed("c", "c_b")), "w_b")
+        .join(uni.withColumnRenamed("w", "w_a")
+              .withColumnRenamed("c", "c_a"), "w_a")
+        .join(uni.withColumnRenamed("w", "w_b")
+              .withColumnRenamed("c", "c_b"), "w_b")
         .select(
             "w_a", "w_b", "c_ab",
             F.expr(f"CAST((CAST({n_bigrams} AS DECIMAL(38,0)) * 1000000"
@@ -648,7 +654,9 @@ def bm25_scores(docs: DataFrame,
     )
     hits = tok.filter(F.col("w").isin(*query_terms))
     tf = hits.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    df_ = (
+    # bounded: one row per QUERY term (≤ |query_terms|), not per vocab
+    # term — the mandatory broadcast below is safe at any corpus size
+    qdf = (
         hits.select("doc_id", "w").distinct()
         .groupBy("w").agg(F.count("*").alias("df"))
     )
@@ -662,7 +670,7 @@ def bm25_scores(docs: DataFrame,
            * (F.lit(2.0) * F.col("df") + F.lit(1.0)))
     )
     return (
-        tf.join(F.broadcast(df_), "w")
+        tf.join(F.broadcast(qdf), "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(scalars))
         .select("doc_id", term_score.cast("decimal(38,12)").alias("ts"))

@@ -1293,11 +1293,16 @@ def holt_from_daily(daily: DataFrame) -> DataFrame:
     ALIAS reader of the rolling-corr daily fold state."""
     s = daily.agg(
         F.expr("sort_array(collect_list(struct(day, x)))").alias("s"))
+    # zero-events edge (r12 ADVICE): an empty daily series must yield
+    # ZERO rows like the DuckDB twin, not crash — slice() rejects the
+    # negative length size(s)-1 = -1. Filter the empty frame away and
+    # clamp the slice length so neither engine path can throw.
+    s = s.filter(F.expr("size(s) > 0"))
     lnew = _floor_div_expr("e.x + acc.l + acc.b", 2)
     bnew = _floor_div_expr(f"({lnew}) - acc.l + 3 * acc.b", 4)
     fold = (
         "aggregate("
-        " slice(s, 2, size(s) - 1),"
+        " slice(s, 2, greatest(size(s) - 1, 0)),"
         " named_struct("
         # get() is 0-based and NULL on out-of-bounds (element_at
         # throws under ANSI when K = 1 and there is no second day)

@@ -54,6 +54,12 @@ SCALE_IDENTIFIERS = {
     # orders/part/supplier/customer-derived locals used in operators:
     "od", "sized", "named", "snation", "nsupp", "good_supp",
     "brand_parts", "avg_qty", "fam", "branded_lines",
+    # vocabulary-derived locals (round-12 VERDICT "Next round" #2):
+    # per-term document-frequency and unigram-count tables grow
+    # Heaps-sublinearly but UNBOUNDEDLY with the corpus — 10⁸–10⁹
+    # distinct noise/typo tokens at 100 TB of web text. bm25's
+    # query-filtered variant is named `qdf` (bounded) to stay legal.
+    "df_", "uni",
 }
 
 
@@ -155,3 +161,20 @@ def test_dehinted_joins_still_auto_broadcast_at_small_sf(spark):
     li = load_table(spark, SF_DIR, "lineitem")
     od = load_table(spark, SF_DIR, "orders")
     assert explain.has_broadcast_join(TS.ship_gap_counts(li, od))
+
+
+def test_vocab_scaled_tables_no_forced_broadcast(spark):
+    """Round-12 VERDICT "Next round" #2: the three textstats operators
+    that used to mandatorily broadcast vocabulary-scaled aggregates
+    (term_stats / doc_top_terms: the |vocab|-row df table; bigram_pmi:
+    the |vocab|-row unigram table, twice) now plan with ZERO forced
+    broadcasts — AQE size-dispatches instead."""
+    from spark_streaming_spark.operators import textstats as TX
+
+    docs = load_table(spark, SF_DIR, "documents")
+    _forced_broadcasts(spark, lambda: TX.term_stats(docs), 0)
+    _forced_broadcasts(spark, lambda: TX.doc_top_terms(docs), 0)
+    _forced_broadcasts(spark, lambda: TX.bigram_pmi(docs), 0)
+    # and at test SF they still broadcast via the auto threshold, so
+    # plans and oracle hashes are unchanged by the de-hinting
+    assert explain.has_broadcast_join(TX.term_stats(docs))

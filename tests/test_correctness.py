@@ -56,6 +56,24 @@ def test_checked_window_oracle_slots():
     assert first_50 == entrymod._CHECK_FIRST
 
 
+def test_emb_folds_read_tail_budget():
+    """Round-12 VERDICT "Next round" #5: emb_folds carries the suite's
+    heaviest streamed read tails — bounded-round power iteration
+    (streaming_pca_top2, ~8.5 s at sf0.1) and the Lloyd re-fit at read
+    (streaming_kmeans_centroids, ~5.1 s). That cost is acceptable
+    BECAUSE the family is small (5 members, 2 heavy tails); this
+    ratchet forces an explicit revisit of the per-entry rate before
+    the family grows. If you trip it: either the new member must ride
+    an existing fold as a cheap ALIAS read, or the family subtotal
+    budget in the bench detail needs a recorded re-justification."""
+    members = entrymod._emb_fold_members()
+    assert len(members) <= 6, (
+        "emb_folds grew beyond its budgeted size — re-justify the "
+        "read-tail cost (see r12 VERDICT nit) before raising this cap")
+    # the two known-heavy read tails, named so a rename resurfaces this
+    assert {"pca_top2", "kmeans_centroids"} <= set(members)
+
+
 def test_cosched_groups_map_is_consistent(spark):
     """The bench-facing entry->group map (entrymod.cosched_groups) must
     name real entries and agree in SIZE with every co-scheduled member

@@ -370,3 +370,8 @@ def test_holt_linear_series_extrapolates_exactly(spark):
     r = TS.holt_from_daily(one).collect()[0]
     assert (r.k_days, r.level_cents, r.trend_cents) == (1, 70, 0)
     assert r.forecast_3d == 70
+    # zero-events edge (r12 ADVICE): an empty daily series must return
+    # ZERO rows like the DuckDB recursive-CTE twin, not throw on the
+    # negative slice length
+    empty = one.filter(F.col("x") < 0)
+    assert TS.holt_from_daily(empty).collect() == []

@@ -1455,6 +1455,15 @@ def _doc_fold_members():
             _foreach_starter("documents",
                              lambda s, d: CLF.quality_logits),
             None),
+        # repetition gate INSIDE the stream: per-doc stats, docs are
+        # batch-disjoint, so the union of per-batch reports equals the
+        # one-shot report — shared oracle (the quality_classifier
+        # accumulation discipline)
+        "gopher_rep": (
+            _foreach_starter(
+                "documents",
+                lambda s, d: (lambda b: TX.gopher_repetition_report(b))),
+            None),
         "corpus_prep": (_foreach_starter("documents", corpus_prep_fn),
                         None),
         # lang-id ROUTING at ingest: weights trained ONCE on the even
@@ -1828,6 +1837,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_quality_auc": "doc_folds",
     "streaming_pr_curve": "doc_folds",
     "streaming_lm_gate": "doc_folds",
+    "streaming_gopher_repetition": "doc_folds",
 }
 # Deliberately SOLO streamed entries (each has a reason co-scheduling
 # would break or blur what it proves): streaming_kafka_wordcount (the
@@ -3594,6 +3604,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact oracle
         "streaming_lm_gate": lambda s, d: _cosched_group(
             s, d, "doc_folds", _doc_fold_members(), "lm_counts"),
+        # Gopher-style repetition gate: top-token fraction +
+        # distinct-bigram ratio in floor-ppm, pinned keep thresholds;
+        # bigram side fully map-side (zip_with + array_distinct)
+        "gopher_repetition_report": lambda s, d:
+            TX.gopher_repetition_report(load_table(s, d, "documents")),
+        # per-batch report accumulation (docs batch-disjoint — union
+        # of batches ≡ one-shot; shared oracle)
+        "streaming_gopher_repetition": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "gopher_rep"),
         # per-source governance league table: volume + rule-gate pass
         # ppm + decimal-exact mean quality + near-dup incidence
         "source_quality_report": lambda s, d: PL.source_quality_report(
@@ -10254,6 +10273,8 @@ dscored AS (
     # folded padded-trigram counts ≡ the batch count table (additive),
     # and the read tail scores the same full corpus — oracle verbatim
     sql["streaming_lm_gate"] = sql["lm_perplexity_gate"]
+    sql["gopher_repetition_report"] = TX.GOPHER_REPETITION_SQL
+    sql["streaming_gopher_repetition"] = sql["gopher_repetition_report"]
     # the custom-sink round trip is lossless, so the rollup over the
     # round-tripped rows equals the rollup over the original table
     sql["custom_sink_roundtrip"] = sql["grouped_agg_token_totals"]

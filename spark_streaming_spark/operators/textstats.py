@@ -1172,3 +1172,117 @@ HEAPS_VOCAB_SQL = """
     LEFT JOIN sizes s USING (checkpoint, cut_doc_id)
     LEFT JOIN vocab v USING (checkpoint, cut_doc_id)
 """
+
+
+GOPHER_TOP_TOKEN_PPM = 150_000
+GOPHER_MIN_DISTINCT_BIGRAM_PPM = 900_000
+_BG_SEP = '\x01'  # unsplittable bigram separator (tokens never contain it)
+
+
+def gopher_repetition_report(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality gate (Rae et al. 2021 §A1.1
+    filter corpus docs on repeated-content fractions; public method),
+    adapted to the token level: per doc the fraction of tokens taken
+    by the single most frequent token, and the distinct-bigram ratio
+    (the distinct-n metric of NLG eval — low means looped/boilerplate
+    text). Both are floor-ppm integers; the keep rule is the pinned
+    conjunction top_token_ppm <= 150000 AND
+    distinct_bigram_ppm >= 900000. Products
+    stay in BIGINT deliberately: both counts are PER-DOC (<= doc
+    length, ~1e9 tokens at the extreme), so 10^6-scaled they sit at
+    ~1e15 << the 9.2e18 BIGINT edge — unlike corpus-pair statistics,
+    no DECIMAL promotion is needed.
+
+    Scale shape (100 TB): the bigram side is fully MAP-SIDE
+    (zip_with + array_distinct per doc — no shuffle); the mode needs
+    one (doc_id, token) partial-agged groupBy + a doc-keyed max, and
+    the final join is doc-keyed (co-partitioned with the agg output).
+    Empty docs emit nothing (both engines).
+    Columns: doc_id, n_tokens, top1_cnt, top_token_ppm, n_bigrams,
+    distinct_bigrams, distinct_bigram_ppm, keep."""
+    base = (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), w -> w <> '')").alias("a"))
+        .filter(F.expr("size(a) >= 1"))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(a) AS BIGINT)").alias("n_tokens"),
+            F.expr("CAST(size(a) - 1 AS BIGINT)").alias("n_bigrams"),
+            F.expr(
+                "CAST(size(array_distinct(zip_with("
+                " slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),"
+                " (x, y) -> concat(x, _BG_SEP_LIT, y)))) AS BIGINT)"
+                .replace("_BG_SEP_LIT", "'" + _BG_SEP + "'"))
+            .alias("distinct_bigrams"))
+    )
+    top1 = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr("filter(split(text, ' '), w -> w <> '')"))
+            .alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").cast("long").alias("top1_cnt"))
+    )
+    return (
+        base.join(top1, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "top1_cnt",
+            F.expr("(1000000 * top1_cnt) DIV n_tokens")
+            .alias("top_token_ppm"),
+            "n_bigrams", "distinct_bigrams",
+            F.expr("CASE WHEN n_bigrams = 0 THEN CAST(1000000 AS BIGINT)"
+                   " ELSE (1000000 * distinct_bigrams) DIV n_bigrams"
+                   " END").alias("distinct_bigram_ppm"))
+        .select(
+            "doc_id", "n_tokens", "top1_cnt", "top_token_ppm",
+            "n_bigrams", "distinct_bigrams", "distinct_bigram_ppm",
+            F.expr(
+                f"CAST(top_token_ppm <= 150000"
+                f" AND distinct_bigram_ppm >="
+                f" 900000 AS INTEGER)")
+            .alias("keep"))
+    )
+
+
+GOPHER_REPETITION_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS a
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens,
+             CAST(len(a) - 1 AS BIGINT) AS n_bigrams,
+             CAST(CASE WHEN len(a) >= 2 THEN
+                    len(list_distinct(list_transform(
+                      list_zip(a[1:-2], a[2:-1]),
+                      z -> z[1] || '' || z[2])))
+                  ELSE 0 END AS BIGINT) AS distinct_bigrams
+      FROM t WHERE len(a) >= 1
+    ),
+    top1 AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top1_cnt FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(a) AS w FROM t)
+        GROUP BY doc_id, w
+      ) GROUP BY doc_id
+    ),
+    ppm AS (
+      SELECT b.doc_id, b.n_tokens, t.top1_cnt,
+             CAST((1000000 * t.top1_cnt) // b.n_tokens AS BIGINT)
+               AS top_token_ppm,
+             b.n_bigrams, b.distinct_bigrams,
+             CAST(CASE WHEN b.n_bigrams = 0 THEN 1000000
+                  ELSE (1000000 * b.distinct_bigrams) // b.n_bigrams
+                  END AS BIGINT) AS distinct_bigram_ppm
+      FROM base b JOIN top1 t USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, top1_cnt, top_token_ppm,
+           n_bigrams, distinct_bigrams, distinct_bigram_ppm,
+           CAST(top_token_ppm <= 150000
+                AND distinct_bigram_ppm >=
+                    900000
+                AS INTEGER) AS keep
+    FROM ppm
+"""

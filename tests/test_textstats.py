@@ -384,3 +384,40 @@ def test_textrank_numpy_pin(spark):
     for a in nodes:
         assert got[a] == r[a], (a, got[a], r[a])
     assert max(got, key=got.get) == "spark"
+
+
+def test_gopher_repetition_hand_cases(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a b c"),      # 8/10 top token: gated
+         (2, "a b c d e f g h i j"),      # all distinct: kept
+         (3, "a b a b a b a b a b"),      # looped bigrams: gated
+         (4, "x")],                       # single token: bigram ppm 1e6
+        "doc_id LONG, text STRING")
+    rows = {r.doc_id: r for r in
+            TX.gopher_repetition_report(docs).collect()}
+    assert (rows[1].top1_cnt, rows[1].top_token_ppm, rows[1].keep) \
+        == (8, 800_000, 0)
+    # doc 2: distinct bigrams 9/9, top token 1/10
+    assert (rows[2].distinct_bigram_ppm, rows[2].top_token_ppm,
+            rows[2].keep) == (1_000_000, 100_000, 1)
+    # doc 3: 9 bigrams, only {ab, ba} distinct -> 222222 ppm, and the
+    # top token holds 5/10 -> both rules gate it
+    assert (rows[3].n_bigrams, rows[3].distinct_bigrams,
+            rows[3].distinct_bigram_ppm, rows[3].keep) \
+        == (9, 2, 222_222, 0)
+    # single-token doc: zero bigrams, ratio pinned to 1e6, top 100%
+    assert (rows[4].n_bigrams, rows[4].distinct_bigram_ppm,
+            rows[4].top_token_ppm, rows[4].keep) == (0, 1_000_000,
+                                                     1_000_000, 0)
+
+
+def test_gopher_repetition_matches_duckdb_twin(spark, duck):
+    from spark_streaming_spark.sources.batch import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = sorted(tuple(r) for r in
+                 TX.gopher_repetition_report(docs).collect())
+    want = sorted(map(tuple,
+                      duck.execute(TX.GOPHER_REPETITION_SQL).fetchall()))
+    assert got == want

@@ -1438,6 +1438,13 @@ def _doc_fold_members():
                  select=lambda st: st.select("doc_id", "lang", "text")),
             lambda df, s, d: LM.lm_gate_from_counts(
                 load_table(s, d, "documents"), df)),
+        # ALIAS member: the per-source league table read off the SAME
+        # folded count-table model (one streamed state, two readers);
+        # shares lm_gate_by_source's oracle
+        "lm_by_source": (
+            "lm_counts",
+            lambda df, s, d: LM.lm_source_report_from_counts(
+                load_table(s, d, "documents"), df)),
         "bpe_segment": (bpe_start, None),
         # ALIAS member: the per-language fertility read off the SAME
         # folded per-doc segment stats (additive; tokenizer-equity eval
@@ -1838,6 +1845,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_pr_curve": "doc_folds",
     "streaming_lm_gate": "doc_folds",
     "streaming_gopher_repetition": "doc_folds",
+    "streaming_lm_by_source": "doc_folds",
 }
 # Deliberately SOLO streamed entries (each has a reason co-scheduling
 # would break or blur what it proves): streaming_kafka_wordcount (the
@@ -3613,6 +3621,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of batches ≡ one-shot; shared oracle)
         "streaming_gopher_repetition": lambda s, d: _cosched_group(
             s, d, "doc_folds", _doc_fold_members(), "gopher_rep"),
+        # per-source LM league table: keep-rate + avg score by
+        # provider off the same trained count table
+        "lm_gate_by_source": lambda s, d: LM.lm_gate_by_source(
+            load_table(s, d, "documents")),
+        # ALIAS reader of the lm_counts fold (one state, two readers)
+        "streaming_lm_by_source": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "lm_by_source"),
         # per-source governance league table: volume + rule-gate pass
         # ppm + decimal-exact mean quality + near-dup incidence
         "source_quality_report": lambda s, d: PL.source_quality_report(
@@ -10275,6 +10290,8 @@ dscored AS (
     sql["streaming_lm_gate"] = sql["lm_perplexity_gate"]
     sql["gopher_repetition_report"] = TX.GOPHER_REPETITION_SQL
     sql["streaming_gopher_repetition"] = sql["gopher_repetition_report"]
+    sql["lm_gate_by_source"] = LM.lm_by_source_sql()
+    sql["streaming_lm_by_source"] = sql["lm_gate_by_source"]
     # the custom-sink round trip is lossless, so the rollup over the
     # round-tripped rows equals the rollup over the original table
     sql["custom_sink_roundtrip"] = sql["grouped_agg_token_totals"]

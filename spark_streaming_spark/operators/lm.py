@@ -216,3 +216,57 @@ def lm_gate_sql(train_lang: str = "en",
         FROM scored
         GROUP BY 1, 2
     """
+
+
+def lm_source_report_from_counts(docs: DataFrame, counts: DataFrame,
+                                 keep_threshold_ppm: int = 60_000
+                                 ) -> DataFrame:
+    """Per-SOURCE corpus-prep league table off the same model: how much
+    of each provider's slice survives the LM gate, and its average
+    score — the dashboard a 100 TB ingest pipeline gates providers by
+    (CCNet buckets by perplexity; public method). Rides the identical
+    count-table state as the gate (one streamed fold, two readers).
+    DECIMAL(38,0) promotion on the ppm products (per-source doc counts
+    scale with the corpus, unlike the per-doc stats).
+    Columns: source, n_docs, n_keep, keep_ppm, avg_score_ppm."""
+    gate = lm_gate_from_counts(docs, counts, keep_threshold_ppm)
+    src = docs.select("doc_id", "source")
+    return (
+        gate.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("keep").cast("long").alias("n_keep"),
+             F.sum("mean_score_ppm").alias("sum_means"))
+        .select(
+            "source", "n_docs", "n_keep",
+            F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_keep)"
+                   " DIV n_docs AS BIGINT)").alias("keep_ppm"),
+            F.expr("CAST(CAST(sum_means AS DECIMAL(38,0)) DIV n_docs"
+                   " AS BIGINT)").alias("avg_score_ppm"))
+    )
+
+
+def lm_gate_by_source(docs: DataFrame, train_lang: str = "en",
+                      keep_threshold_ppm: int = 60_000) -> DataFrame:
+    """Batch entry: train + score + per-source rollup.
+    Columns: source, n_docs, n_keep, keep_ppm, avg_score_ppm."""
+    return lm_source_report_from_counts(
+        docs, padded_trigram_counts(docs, train_lang),
+        keep_threshold_ppm)
+
+
+def lm_by_source_sql(train_lang: str = "en",
+                     keep_threshold_ppm: int = 60_000) -> str:
+    """DuckDB twin: the gate SQL as a derived table + one rollup."""
+    return f"""
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(g.keep) AS BIGINT) AS n_keep,
+               CAST((1000000::HUGEINT * SUM(g.keep)) // count(*)
+                    AS BIGINT) AS keep_ppm,
+               CAST(CAST(SUM(g.mean_score_ppm) AS HUGEINT) // count(*)
+                    AS BIGINT) AS avg_score_ppm
+        FROM ({lm_gate_sql(train_lang, keep_threshold_ppm)}) g
+        JOIN documents d USING (doc_id)
+        GROUP BY 1
+    """

@@ -75,3 +75,18 @@ def test_no_forced_broadcast_of_vocab_tables(spark):
 
     # exactly ONE forced broadcast survives: the 1-row n_train scalar
     assert len(re.findall(r"\(\d+\) BroadcastExchange", text)) == 1
+
+
+def test_lm_source_report_rolls_up_gate(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en", "s1"), (2, "a b c", "en", "s1"),
+         (3, "x y", "fr", "s2")],
+        "doc_id LONG, text STRING, lang STRING, source STRING")
+    rows = {r.source: r for r in LM.lm_gate_by_source(docs).collect()}
+    gate = {r.doc_id: r for r in LM.lm_perplexity_gate(docs).collect()}
+    assert rows["s1"].n_docs == 2
+    assert rows["s1"].n_keep == gate[1].keep + gate[2].keep
+    assert rows["s1"].avg_score_ppm == (
+        gate[1].mean_score_ppm + gate[2].mean_score_ppm) // 2
+    assert (rows["s2"].n_docs, rows["s2"].n_keep,
+            rows["s2"].keep_ppm) == (1, 0, 0)

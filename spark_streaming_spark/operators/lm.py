@@ -32,12 +32,14 @@ choice for a table-derived model.
 
 Scale shape (100 TB): the padded table is the standard distributed
 LM count shape — one partial-agged groupBy of the training corpus,
-partitioned by the n-gram key; scoring is four equi-joins of the
-positional token table against the count table and its marginals
-(vocabulary-scaled relations: NO mandatory broadcast hints, per
-tests/test_broadcast_hints.py — AQE size-dispatches); the per-doc
-reduce is one more partial agg. No driver materialization, no
-all-pairs path. Real deployments prune the tail (``min_count``).
+partitioned by the n-gram key. Scoring touches the CORPUS-scale rows
+with exactly TWO shuffles (one partial-agged groupBy to per-doc key
+counts, one join back against the scored key table); the five model
+equi-joins run on the distinct (w2, w1, w) key table, which is
+vocabulary-trigram-scaled (vocab relations: NO mandatory broadcast
+hints, per tests/test_broadcast_hints.py — AQE size-dispatches). No
+driver materialization, no all-pairs path. Real deployments prune
+the tail (``min_count``).
 
 Reference context: the reference repo has no LM surface — this is
 part of the LLM-training-data extension (SURVEY.md §2.12), next to
@@ -105,9 +107,17 @@ def lm_gate_from_counts(docs: DataFrame, counts: DataFrame,
            .agg(F.sum("c").alias("c1"))
            .withColumnRenamed("w", "u_w"))
     n_tok = counts.agg(F.sum("c").alias("n_train"))
-    toks = _positional_tokens(docs)
-    scored = (
-        toks
+    # the backoff score depends ONLY on the (w2, w1, w) key, so the
+    # CORPUS-scale table touches exactly two shuffles: one partial-
+    # agged groupBy to per-doc key counts, one join back against the
+    # scored key table. The five model joins run on the DISTINCT key
+    # table (vocab-trigram-scale), not per token occurrence.
+    occ = (_positional_tokens(docs)
+           .groupBy("doc_id", "lang", "w2", "w1", "w")
+           .agg(F.count("*").cast("long").alias("occ")))
+    keys = occ.select("w2", "w1", "w").distinct()
+    key_scores = (
+        keys
         .join(counts.withColumnRenamed("c", "c3"), ["w2", "w1", "w"],
               "left")
         .join(ctx2, ["w2", "w1"], "left")
@@ -120,7 +130,7 @@ def lm_gate_from_counts(docs: DataFrame, counts: DataFrame,
         # 1-row scalar: mandatory broadcast is sanctioned (bounded)
         .crossJoin(F.broadcast(n_tok))
         .select(
-            "doc_id", "lang",
+            "w2", "w1", "w",
             F.expr(
                 f"CASE WHEN c3 IS NOT NULL THEN"
                 f" CAST((CAST({a3} AS DECIMAL(38,0)) * c3) DIV cx2"
@@ -134,9 +144,11 @@ def lm_gate_from_counts(docs: DataFrame, counts: DataFrame,
                 f" ELSE CAST(0 AS BIGINT) END").alias("s"))
     )
     return (
-        scored.groupBy("doc_id", "lang")
-        .agg(F.count("*").cast("long").alias("n_tokens"),
-             F.sum("s").cast("long").alias("sum_score"))
+        occ.join(key_scores, ["w2", "w1", "w"])
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("occ").cast("long").alias("n_tokens"),
+             F.sum(F.col("occ") * F.col("s")).cast("long")
+             .alias("sum_score"))
         .select(
             "doc_id", "lang", "n_tokens", "sum_score",
             F.expr("sum_score DIV n_tokens").alias("mean_score_ppm"),

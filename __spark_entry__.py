@@ -1928,6 +1928,9 @@ _BATCH_FAMILIES = {
     "kmeans_elbow": "fam_pca",
     "kmeans_label_ari": "fam_pca",
     "dbscan_label_ari": "fam_pca",
+    # trained LM count-table consumers (operators/lm.py)
+    "lm_perplexity_gate": "fam_lm",
+    "lm_gate_by_source": "fam_lm",
 }
 
 
@@ -3606,7 +3609,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trigram count table trained on the en subset, integer
         # floor-ppm scores, mean-DIV gate — no log, no float
         "lm_perplexity_gate": lambda s, d: LM.lm_perplexity_gate(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         # the count-table model maintained CONTINUOUSLY off the en
         # stream; marginals + full-corpus scoring at read; shared
         # exact oracle
@@ -3624,7 +3627,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source LM league table: keep-rate + avg score by
         # provider off the same trained count table
         "lm_gate_by_source": lambda s, d: LM.lm_gate_by_source(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         # ALIAS reader of the lm_counts fold (one state, two readers)
         "streaming_lm_by_source": lambda s, d: _cosched_group(
             s, d, "doc_folds", _doc_fold_members(), "lm_by_source"),

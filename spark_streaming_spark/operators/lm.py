@@ -51,6 +51,11 @@ from pyspark.sql import DataFrame, functions as F
 
 ALPHA_PPM = (1_000_000, 400_000, 160_000)  # α=2/5 per backoff level
 
+# trained count-table memo across queries in one session (the
+# dedup._PAIRS_CACHE discipline) — a production pipeline trains the
+# LM once per corpus snapshot and serves every gate/report from it
+_COUNTS_CACHE: dict = {}
+
 
 def _positional_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, w2, w1, w) per token: each token with its two
@@ -76,17 +81,28 @@ def _positional_tokens(docs: DataFrame) -> DataFrame:
 
 
 def padded_trigram_counts(docs: DataFrame, train_lang: str = "en",
-                          min_count: int = 1) -> DataFrame:
+                          min_count: int = 1,
+                          cache_key: str | None = None) -> DataFrame:
     """The model: padded-context trigram counts over the training
     subset (``lang = train_lang`` — CCNet trains on a reference corpus
     and scores everything else). ADDITIVE under corpus partition, so
-    the streamed twin folds exactly this table.
+    the streamed twin folds exactly this table. ``cache_key`` memoizes
+    the trained table across queries (train once, serve the per-doc
+    gate AND the per-source report — fam_lm).
     Columns: w2, w1, w, c."""
+    ck = (("lmcounts", docs.sparkSession.sparkContext.applicationId,
+           cache_key, train_lang, min_count)
+          if cache_key is not None else None)
+    if ck is not None and ck in _COUNTS_CACHE:
+        return _COUNTS_CACHE[ck]
     toks = _positional_tokens(docs.filter(F.col("lang") == train_lang))
     counts = (toks.groupBy("w2", "w1", "w")
               .agg(F.count("*").cast("long").alias("c")))
     if min_count > 1:
         counts = counts.filter(F.col("c") >= min_count)
+    if ck is not None:
+        counts = counts.localCheckpoint(eager=True)
+        _COUNTS_CACHE[ck] = counts
     return counts
 
 
@@ -158,13 +174,15 @@ def lm_gate_from_counts(docs: DataFrame, counts: DataFrame,
 
 
 def lm_perplexity_gate(docs: DataFrame, train_lang: str = "en",
-                       keep_threshold_ppm: int = 60_000) -> DataFrame:
+                       keep_threshold_ppm: int = 60_000,
+                       cache_key: str | None = None) -> DataFrame:
     """Batch entry: train the padded count table on ``train_lang``,
     score and gate the whole corpus.
     Columns: doc_id, lang, n_tokens, sum_score, mean_score_ppm, keep.
     """
     return lm_gate_from_counts(
-        docs, padded_trigram_counts(docs, train_lang),
+        docs, padded_trigram_counts(docs, train_lang,
+                                    cache_key=cache_key),
         keep_threshold_ppm)
 
 
@@ -259,11 +277,13 @@ def lm_source_report_from_counts(docs: DataFrame, counts: DataFrame,
 
 
 def lm_gate_by_source(docs: DataFrame, train_lang: str = "en",
-                      keep_threshold_ppm: int = 60_000) -> DataFrame:
+                      keep_threshold_ppm: int = 60_000,
+                      cache_key: str | None = None) -> DataFrame:
     """Batch entry: train + score + per-source rollup.
     Columns: source, n_docs, n_keep, keep_ppm, avg_score_ppm."""
     return lm_source_report_from_counts(
-        docs, padded_trigram_counts(docs, train_lang),
+        docs, padded_trigram_counts(docs, train_lang,
+                                    cache_key=cache_key),
         keep_threshold_ppm)
 
 

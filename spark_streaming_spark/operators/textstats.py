@@ -1176,7 +1176,12 @@ HEAPS_VOCAB_SQL = """
 
 GOPHER_TOP_TOKEN_PPM = 150_000
 GOPHER_MIN_DISTINCT_BIGRAM_PPM = 900_000
-_BG_SEP = '\x01'  # unsplittable bigram separator (tokens never contain it)
+# Bigram halves are joined with the unsplittable chr(1) separator
+# (tokens never contain it), spelled as the chr(1) FUNCTION inside
+# both engine strings — never as a raw \x01 byte in source — so a
+# whitespace-normalizing editor cannot silently change bigram
+# semantics (r13 VERDICT "What's wrong" recommendation). Without a
+# separator ("ab","c") and ("a","bc") would collide.
 
 
 def gopher_repetition_report(docs: DataFrame) -> DataFrame:
@@ -1212,8 +1217,7 @@ def gopher_repetition_report(docs: DataFrame) -> DataFrame:
             F.expr(
                 "CAST(size(array_distinct(zip_with("
                 " slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),"
-                " (x, y) -> concat(x, _BG_SEP_LIT, y)))) AS BIGINT)"
-                .replace("_BG_SEP_LIT", "'" + _BG_SEP + "'"))
+                " (x, y) -> concat(x, chr(1), y)))) AS BIGINT)")
             .alias("distinct_bigrams"))
     )
     top1 = (
@@ -1238,9 +1242,9 @@ def gopher_repetition_report(docs: DataFrame) -> DataFrame:
             "doc_id", "n_tokens", "top1_cnt", "top_token_ppm",
             "n_bigrams", "distinct_bigrams", "distinct_bigram_ppm",
             F.expr(
-                f"CAST(top_token_ppm <= 150000"
+                f"CAST(top_token_ppm <= {GOPHER_TOP_TOKEN_PPM}"
                 f" AND distinct_bigram_ppm >="
-                f" 900000 AS INTEGER)")
+                f" {GOPHER_MIN_DISTINCT_BIGRAM_PPM} AS INTEGER)")
             .alias("keep"))
     )
 
@@ -1257,7 +1261,7 @@ GOPHER_REPETITION_SQL = f"""
              CAST(CASE WHEN len(a) >= 2 THEN
                     len(list_distinct(list_transform(
                       list_zip(a[1:-2], a[2:-1]),
-                      z -> z[1] || '' || z[2])))
+                      z -> z[1] || chr(1) || z[2])))
                   ELSE 0 END AS BIGINT) AS distinct_bigrams
       FROM t WHERE len(a) >= 1
     ),
@@ -1280,9 +1284,9 @@ GOPHER_REPETITION_SQL = f"""
     )
     SELECT doc_id, n_tokens, top1_cnt, top_token_ppm,
            n_bigrams, distinct_bigrams, distinct_bigram_ppm,
-           CAST(top_token_ppm <= 150000
+           CAST(top_token_ppm <= {GOPHER_TOP_TOKEN_PPM}
                 AND distinct_bigram_ppm >=
-                    900000
+                    {GOPHER_MIN_DISTINCT_BIGRAM_PPM}
                 AS INTEGER) AS keep
     FROM ppm
 """

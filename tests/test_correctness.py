@@ -74,6 +74,32 @@ def test_emb_folds_read_tail_budget():
     assert {"pca_top2", "kmeans_centroids"} <= set(members)
 
 
+def test_doc_folds_membership_budget():
+    """Round-13 VERDICT "Next round" #4: doc_folds is the suite's
+    largest co-scheduled replay family (20 members / ~17 s at sf0.1 in
+    the r13 detail) and absorbs most new streamed twins, so an
+    unbudgeted slow member would hide inside leader-attribution noise.
+    Rate rationale on record: the family subtotal is ONE shared
+    documents-fold replay (~10.5 s, attributed to whichever member the
+    bench elects leader — streaming_bpe_fertility in r13) plus
+    per-member read tails; every read tail except the two LM entries
+    (~1.8 s each, reading the memoized trigram count table) is
+    <= ~0.7 s. Budget: <= 22 members (one spare slot past the r14
+    streaming_dsir_weights addition). To grow past it, either the new
+    member must be a cheap ALIAS read of an existing fold artifact, or
+    record a re-justified per-entry rate here and in the round README
+    before raising the cap."""
+    members = entrymod._doc_fold_members()
+    assert len(members) <= 22, (
+        "doc_folds grew beyond its budgeted size — re-justify the "
+        "per-entry read-tail rate (see r13 VERDICT nit) before "
+        "raising this cap")
+    # the known-heavy members, named so a rename resurfaces this note:
+    # the elected replay leader and the two LM count-table read tails
+    assert {"bpe_fertility", "lm_counts", "lm_by_source"} \
+        <= set(members)
+
+
 def test_cosched_groups_map_is_consistent(spark):
     """The bench-facing entry->group map (entrymod.cosched_groups) must
     name real entries and agree in SIZE with every co-scheduled member

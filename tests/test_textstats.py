@@ -391,7 +391,8 @@ def test_gopher_repetition_hand_cases(spark):
         [(1, "a a a a a a a a b c"),      # 8/10 top token: gated
          (2, "a b c d e f g h i j"),      # all distinct: kept
          (3, "a b a b a b a b a b"),      # looped bigrams: gated
-         (4, "x")],                       # single token: bigram ppm 1e6
+         (4, "x"),                        # single token: bigram ppm 1e6
+         (5, "ab c a bc")],               # separator collision probe
         "doc_id LONG, text STRING")
     rows = {r.doc_id: r for r in
             TX.gopher_repetition_report(docs).collect()}
@@ -409,6 +410,27 @@ def test_gopher_repetition_hand_cases(spark):
     assert (rows[4].n_bigrams, rows[4].distinct_bigram_ppm,
             rows[4].top_token_ppm, rows[4].keep) == (0, 1_000_000,
                                                      1_000_000, 0)
+    # collision probe: ("ab","c") and ("a","bc") must stay DISTINCT
+    # bigrams — a separator-less concat would collide them (2 not 3)
+    assert (rows[5].n_bigrams, rows[5].distinct_bigrams) == (3, 3)
+
+
+def test_gopher_bigram_separator_no_collision_duckdb(spark, duck):
+    """The chr(1) separator must keep ("ab","c") apart from
+    ("a","bc") in BOTH engines — and no raw \\x01 byte may appear in
+    source (it is invisible and editor-fragile)."""
+    import re
+    import pathlib
+    src = pathlib.Path(TX.__file__).read_bytes()
+    assert b"\x01" not in src
+    duck.execute("CREATE OR REPLACE TABLE _coll(doc_id BIGINT,"
+                 " text VARCHAR)")
+    duck.execute("INSERT INTO _coll VALUES (5, 'ab c a bc')")
+    sql = re.sub(r"\bdocuments\b", "_coll", TX.GOPHER_REPETITION_SQL)
+    (doc_id, n_tok, top1, _, n_bg, dist_bg, _, _) = \
+        duck.execute(sql).fetchall()[0]
+    assert (doc_id, n_bg, dist_bg) == (5, 3, 3)
+    duck.execute("DROP TABLE _coll")
 
 
 def test_gopher_repetition_matches_duckdb_twin(spark, duck):

@@ -52,6 +52,7 @@ from spark_streaming_spark.operators import topk as T
 from spark_streaming_spark.operators import tpch as TPC
 from spark_streaming_spark.operators import bpe as BPE
 from spark_streaming_spark.operators import lm as LM
+from spark_streaming_spark.operators import dsir as DS
 from spark_streaming_spark.operators import classify as CLF
 from spark_streaming_spark.operators import survival as SV
 from spark_streaming_spark.operators import regress as RG
@@ -1445,6 +1446,18 @@ def _doc_fold_members():
             "lm_counts",
             lambda df, s, d: LM.lm_source_report_from_counts(
                 load_table(s, d, "documents"), df)),
+        # DSIR importance weights maintained CONTINUOUSLY: the B-row
+        # hashed-bucket total table is additive under corpus
+        # partition, so the fold reaches the one-shot trained
+        # artifact; log-ratio weights + full-corpus scoring + the
+        # resample draw run at read (the re-fit-at-read twin
+        # discipline); shares dsir_importance_weights' exact oracle
+        "dsir_buckets": (
+            fold(DS.bucket_totals, ["bucket"], ["tgt_c", "src_c"],
+                 "dsircnt_state_",
+                 select=lambda st: st.select("doc_id", "lang", "text")),
+            lambda df, s, d: DS.dsir_weights_from_totals(
+                load_table(s, d, "documents"), df)),
         "bpe_segment": (bpe_start, None),
         # ALIAS member: the per-language fertility read off the SAME
         # folded per-doc segment stats (additive; tokenizer-equity eval
@@ -1846,6 +1859,7 @@ _COSCHED_ENTRY_GROUPS = {
     "streaming_lm_gate": "doc_folds",
     "streaming_gopher_repetition": "doc_folds",
     "streaming_lm_by_source": "doc_folds",
+    "streaming_dsir_weights": "doc_folds",
 }
 # Deliberately SOLO streamed entries (each has a reason co-scheduling
 # would break or blur what it proves): streaming_kafka_wordcount (the
@@ -2680,46 +2694,65 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # Round-13 window (VERDICT r12 "Next round" #1): close the
-    # verification book. Slots 1-25 = the 25 oracle-backed entries
-    # that have NEVER had a driver row (the 12 r11 streamed twins
-    # that missed the r12 window, the 11 r12 eval-tier additions,
-    # and the 2 Holt entries that landed after the r12 detail run);
-    # slots 26-50 = the 25 longest-unrefreshed per CHECKED_UNION.json
-    # (the whole r4 cohort, then the r5 cohort alphabetically).
-    # From r14 on the window runs on the refresh rotation:
-    # never-driver-checked entries first (there should be none unless
-    # the round added some), then strictly oldest driver evidence
-    # first, ties alphabetical — regenerate CHECKED_UNION.json and
-    # read entries' min driver round to build the list.
-    # -- never driver-checked: r11 streamed twins (12)
-    "streaming_acf", "streaming_bpe_fertility", "streaming_chao1",
-    "streaming_fano", "streaming_gini", "streaming_hhi",
-    "streaming_kendall", "streaming_langid_confusion",
-    "streaming_readability", "streaming_spearman",
-    "streaming_temperature_mixture", "streaming_theil_sen",
-    # -- never driver-checked: r12 eval tier (11)
-    "streaming_kmeans_centroids",
-    "cliffs_delta_value_shift", "streaming_cliffs_delta",
-    "jackknife_daily_mean", "streaming_jackknife",
-    "quality_auc", "streaming_quality_auc",
-    "classifier_pr_curve", "streaming_pr_curve",
-    "cf_ndcg_eval", "heaps_vocab_growth",
-    # -- never driver-checked: Holt (2)
-    "holt_linear_forecast", "streaming_holt",
-    # -- refresh: r4 cohort (6, driver evidence from round 4)
-    "wordcount", "top3_products_sql", "token_runs",
-    "zorder_key_events", "streaming_scd1_merge",
-    "streaming_wordcount_rocksdb",
-    # -- refresh: r5 cohort, alphabetical first 19
-    "arrow_token_counts", "asof_click_attribution",
-    "click_purchase_conversions", "corpus_mixture_stats",
-    "corpus_prep_pipeline", "countmin_user_sketch",
-    "custom_sink_roundtrip", "dedup_minhash_lsh", "dedup_simhash",
-    "doc_fingerprints", "embedding_norms", "excess_suppliers",
-    "fingerprint_dupes", "important_parts", "knn_bruteforce",
-    "knn_graph", "label_centroids", "lang_guess",
-    "local_supplier_volume",
+    # Round-14 window (VERDICT r13 "Next round" #1): the refresh
+    # rotation, emitted verbatim by scripts/gen_check_first.py after
+    # folding CORRECTNESS_r13.json into CHECKED_UNION.json.
+    # Never-driver-checked entries first (the 6 r13 LM/Gopher
+    # additions), then strictly oldest driver evidence first, ties
+    # alphabetical (the r5 leftovers, then the r7 cohort).
+    # -- never driver-checked: r13 LM/Gopher tier (6)
+    "gopher_repetition_report",
+    "lm_gate_by_source",
+    "lm_perplexity_gate",
+    "streaming_gopher_repetition",
+    "streaming_lm_by_source",
+    "streaming_lm_gate",
+    # -- refresh: r5 cohort remainder (31, driver evidence from r5)
+    "min_cost_supplier",
+    "mixture_rebalance",
+    "order_priority_check",
+    "product_type_profit",
+    "quality_classifier",
+    "quality_logits_join",
+    "quality_scores",
+    "sampled_quantity_quantiles",
+    "shipping_priority",
+    "similar_activity_pairs",
+    "skew_salted_counts",
+    "skew_salted_join",
+    "sql_cosine_topk",
+    "streaming_blacklist_filter",
+    "streaming_click_attribution_right",
+    "streaming_click_purchase_join",
+    "streaming_daily_rollup",
+    "streaming_dedup",
+    "streaming_dedup_watermark",
+    "streaming_hll_distinct",
+    "streaming_quality_classifier",
+    "streaming_quality_filter",
+    "streaming_sliding_counts",
+    "streaming_stateful_totals",
+    "streaming_top3_per_window",
+    "streaming_windowed_hll",
+    "streaming_wordcount",
+    "supplier_part_counts",
+    "token_stats",
+    "top_terms_per_lang",
+    "train_val_test_split",
+    # -- refresh: r7 cohort, alphabetical first 13
+    "cdc_user_status",
+    "cohort_retention",
+    "contamination_check",
+    "copurchase_triangles",
+    "customer_order_distribution",
+    "customer_rfm",
+    "daily_event_rollup",
+    "dedup_embedding_cosine",
+    "dynamic_session_windows",
+    "events_asof_status",
+    "frequent_item_pairs",
+    "gap_filled_daily_activity",
+    "grouped_agg_token_totals",
     ]
 
 
@@ -3631,6 +3664,21 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ALIAS reader of the lm_counts fold (one state, two readers)
         "streaming_lm_by_source": lambda s, d: _cosched_group(
             s, d, "doc_folds", _doc_fold_members(), "lm_by_source"),
+        # DSIR-style hashed n-gram importance weighting (Xie et al.
+        # 2023): per-doc log importance ratio of target (en) vs source
+        # (full corpus) hashed-bigram distributions through the PINNED
+        # floor-ppm log2 literal table, resampled by the md5
+        # content-hash draw — no float, no libm, no unbounded
+        # broadcast (the trained artifact is B=1024 rows by
+        # construction)
+        "dsir_importance_weights": lambda s, d:
+            DS.dsir_importance_weights(
+                load_table(s, d, "documents"), cache_key=d),
+        # the bucket-total artifact maintained CONTINUOUSLY off the
+        # corpus stream; weights + scoring + draw at read; shared
+        # exact oracle
+        "streaming_dsir_weights": lambda s, d: _cosched_group(
+            s, d, "doc_folds", _doc_fold_members(), "dsir_buckets"),
         # per-source governance league table: volume + rule-gate pass
         # ppm + decimal-exact mean quality + near-dup incidence
         "source_quality_report": lambda s, d: PL.source_quality_report(
@@ -10295,6 +10343,10 @@ dscored AS (
     sql["streaming_gopher_repetition"] = sql["gopher_repetition_report"]
     sql["lm_gate_by_source"] = LM.lm_by_source_sql()
     sql["streaming_lm_by_source"] = sql["lm_gate_by_source"]
+    sql["dsir_importance_weights"] = DS.dsir_sql()
+    # folded bucket totals ≡ the batch total table (additive), and the
+    # read tail scores the same full corpus — oracle verbatim
+    sql["streaming_dsir_weights"] = sql["dsir_importance_weights"]
     # the custom-sink round trip is lossless, so the rollup over the
     # round-tripped rows equals the rollup over the original table
     sql["custom_sink_roundtrip"] = sql["grouped_agg_token_totals"]

@@ -2698,9 +2698,12 @@ _CHECK_FIRST = [
     # rotation, emitted verbatim by scripts/gen_check_first.py after
     # folding CORRECTNESS_r13.json into CHECKED_UNION.json.
     # Never-driver-checked entries first (the 6 r13 LM/Gopher
-    # additions), then strictly oldest driver evidence first, ties
-    # alphabetical (the r5 leftovers, then the r7 cohort).
-    # -- never driver-checked: r13 LM/Gopher tier (6)
+    # additions plus the 2 r14 DSIR additions), then strictly oldest
+    # driver evidence first, ties alphabetical (the r5 leftovers, then
+    # the r7 cohort).
+    # -- never driver-checked: r13 LM/Gopher tier + r14 DSIR (8)
+    "dsir_importance_weights",
+    "streaming_dsir_weights",
     "gopher_repetition_report",
     "lm_gate_by_source",
     "lm_perplexity_gate",
@@ -2739,7 +2742,7 @@ _CHECK_FIRST = [
     "token_stats",
     "top_terms_per_lang",
     "train_val_test_split",
-    # -- refresh: r7 cohort, alphabetical first 13
+    # -- refresh: r7 cohort, alphabetical first 11
     "cdc_user_status",
     "cohort_retention",
     "contamination_check",
@@ -2751,8 +2754,6 @@ _CHECK_FIRST = [
     "dynamic_session_windows",
     "events_asof_status",
     "frequent_item_pairs",
-    "gap_filled_daily_activity",
-    "grouped_agg_token_totals",
     ]
 
 

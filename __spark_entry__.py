@@ -2577,11 +2577,9 @@ def _kmeans_refit_from_moments(mom: DataFrame, spark: SparkSession,
     per-cluster summary (density.kmeans_centroids_on_plane)."""
     from spark_streaming_spark.operators import pca as PCAm
 
-    # checkpoint the folded state ONCE: the 16 power-iteration rounds
-    # each run a Spark job over this table — without the checkpoint
-    # every round re-reads the state parquet and rebuilds the plan
-    # (the cached_second_moments discipline, which the fold bypasses)
-    mom = mom.localCheckpoint(eager=True)
+    # the loadings build collects the bounded folded-state table once
+    # and iterates driver-side (pca._iterate), so no checkpoint of the
+    # state read is needed anymore — one scan of the state parquet
     vecs = PCAm._loading_vectors(mom, n_components=2, n_iters=8,
                                  d=PCAm._D)
     emb = load_table(spark, sf_dir, "embeddings")

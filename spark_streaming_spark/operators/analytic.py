@@ -314,45 +314,36 @@ def stationary_distribution(trans: DataFrame,
     the dominant-left-eigenvector iteration of the substochastic matrix
     — the standard spelling (von Mises iteration; public method).
 
-    Engine-exact like operators/pca.py: the k² matrix rides a
-    checkpointed DataFrame (p = p_ppm / 1e6, one IEEE divide per cell),
-    each round is ONE distributed job computing w_to = Σ_from
-    round(π_from·p, 7) as exact DECIMAL(38,8) sums, and the k-entry
-    iterate rides the driver (k = |event types| — a sanctioned tiny
-    collect); the only driver float op is the final w/Σw divide, the
-    identical IEEE op the oracle's SQL executes. Columns: event_type,
-    prob (bit-exact cross-engine)."""
+    Engine-exact like operators/pca.py: the k² transition matrix is a
+    BOUNDED artifact (k = |event types|), so it is collected ONCE (the
+    sanctioned tiny driver fetch — formerly a types collect plus a
+    checkpoint plus one distributed job per round, all scheduling
+    latency on a corpus-independent table); each round computes
+    w_to = Σ_from round(π_from·p, 7) driver-side in EXACT decimal
+    arithmetic replicating the engines op-for-op (IEEE double product,
+    7 dp HALF_UP quantization on the shortest round-trip rendering,
+    exact decimal sum — operators/pca._r7), with p = p_ppm / 1e6 the
+    same one IEEE divide per cell; the only other float op is the
+    final w/Σw divide, the identical IEEE op the oracle's SQL
+    executes. Columns: event_type, prob (bit-exact cross-engine)."""
+    from spark_streaming_spark.operators.pca import _DEC0, _r7
+
     spark = trans.sparkSession
-    types = [r[0] for r in
-             trans.select(F.col("from_type").alias("et"))
-             .unionByName(trans.select(F.col("to_type").alias("et")))
-             .distinct().orderBy("et").collect()]
+    rows = trans.select("from_type", "to_type", "p_ppm").collect()
+    types = sorted({r["from_type"] for r in rows}
+                   | {r["to_type"] for r in rows})
     idx = {t: i for i, t in enumerate(types)}
     k = len(types)
-    mp = F.create_map(*[x for t, i in idx.items()
-                        for x in (F.lit(t), F.lit(i))])
-    m = trans.select(
-        mp[F.col("to_type")].alias("i"),
-        mp[F.col("from_type")].alias("j"),
-        (F.col("p_ppm").cast("double") / F.lit(1000000.0)).alias("m"),
-    ).localCheckpoint(eager=True)
+    cells = [(idx[r["to_type"]], idx[r["from_type"]],
+              float(r["p_ppm"]) / 1000000.0) for r in rows]
     v = [1.0 / k] * k
     for _ in range(n_iters):
-        varr = F.array(*[F.lit(float(x)) for x in v])
-        row = (
-            m.withColumn("__v", F.element_at(varr, F.col("j") + 1))
-            .select("i", F.expr(
-                "cast(round(m * __v, 7) as decimal(38,8))").alias("c"))
-            .groupBy("i")
-            .agg(F.sum("c").alias("w"))
-            .agg(F.sort_array(F.collect_list(F.struct("i", "w")))
-                 .alias("ws"),
-                 F.sum("w").alias("nrm"))
-            .first()
-        )
-        nrm = float(row["nrm"])
-        wd = {x["i"]: float(x["w"]) for x in row["ws"]}
-        v = [wd.get(i, 0.0) / nrm for i in range(k)]
+        w = {}
+        for i, j, p in cells:
+            w[i] = w.get(i, _DEC0) + _r7(p * v[j])
+        nrm = float(sum(w.values(), _DEC0))
+        v = [float(w[i]) / nrm if i in w else 0.0 / nrm
+             for i in range(k)]
     return spark.createDataFrame(
         [(t, v[i]) for t, i in idx.items()],
         "event_type string, prob double")

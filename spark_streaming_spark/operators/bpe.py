@@ -147,21 +147,33 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Apply a learned merge list to segment each document's words.
     Columns: doc_id, n_words, n_subwords — the compression the learned
     tokenizer achieves (n_subwords shrinks toward n_words as merges
-    grow). Map-only: the merge table is a plan constant."""
+    grow). The merge table is a plan constant.
+
+    r14 shape (guide §2.3, the LM gate's distinct-key discipline —
+    and exactly how the DuckDB twin already spells it): the per-word
+    merge fold (a chain of array ops per merge) runs on the DISTINCT
+    word table, not on every occurrence — a corpus repeats its
+    vocabulary heavily, so this cuts the segmentation compute by the
+    corpus' repetition factor; the occurrence table then equi-joins the
+    (word, n_sub) result (no broadcast hint: the vocabulary scales with
+    the corpus — the r13 de-hint rule)."""
     words = F.split(F.col("text"), " ")
-    d = widen(docs).select(
+    occ = widen(docs).select(
         "doc_id",
         F.size(F.filter(words, lambda w: w != "")).alias("n_words"),
         F.explode(F.filter(words, lambda w: w != "")).alias("word"),
     )
-    d = d.withColumn("syms", F.split(F.col("word"), ""))
+    w = (occ.select("word").distinct()
+         .withColumn("syms", F.split(F.col("word"), "")))
     for l, r in merges:
-        d = d.withColumn("syms", _merge_expr(l, r))
+        w = w.withColumn("syms", _merge_expr(l, r))
+    wlen = w.select("word", F.size("syms").alias("n_sub"))
     return (
-        d.groupBy("doc_id")
+        occ.join(wlen, "word")
+        .groupBy("doc_id")
         .agg(
             F.first("n_words").alias("n_words"),
-            F.sum(F.size("syms")).cast("long").alias("n_subwords"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
         )
     )
 

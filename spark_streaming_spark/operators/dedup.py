@@ -864,8 +864,16 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int = 600000,
     the identical candidate rule, so blocking semantics are part of the
     contract, not an approximation mismatch."""
     sh = _shingle_sets(docs, n, cache_key=cache_key)
-    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    rare = sh.join(dfreq.filter(F.col("df") <= max_df), "sh")
+    # materialize the two REUSED aggregates once (guide §2.4/§3.3):
+    # each side of the candidate self-join needs the df-capped shingle
+    # list and both verification attachments need the per-doc arrays —
+    # without the checkpoints the df groupBy and the collect_list
+    # aggregate each ran TWICE (once per consuming subplan; a broadcast
+    # build side never reuses the other side's exchange)
+    dfreq_rare = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+                  .filter(F.col("df") <= max_df)
+                  .localCheckpoint(eager=True))
+    rare = sh.join(dfreq_rare, "sh")
     cand = (
         rare.select(F.col("doc_id").alias("doc_a"), "sh")
         .join(rare.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
@@ -873,7 +881,8 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int = 600000,
         .select("doc_a", "doc_b")
         .distinct()
     )
-    arrs = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    arrs = (sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+            .localCheckpoint(eager=True))
     verified = (
         cand.join(arrs.select(F.col("doc_id").alias("doc_a"),
                               F.col("shs").alias("shs_a")), "doc_a")

@@ -284,8 +284,6 @@ def lpa_propagate(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     fixed round count unrolls into SQL. Returns (node, label) for every
     node appearing as an edge src (pass both directions for undirected
     graphs)."""
-    from pyspark.sql.window import Window
-
     # materialize the edge build ONCE: every round joins against it, and
     # without the checkpoint each round re-runs the upstream edge
     # construction (measured 3.5x slower on the co-supply build)
@@ -294,18 +292,25 @@ def lpa_propagate(edges: DataFrame, n_iters: int = 3) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
-    w = Window.partitionBy("src").orderBy(
-        F.col("votes").desc(), F.col("label").asc())
     for _ in range(n_iters):
         votes = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src", "label")
             .agg(F.sum("w").alias("votes"))
         )
+        # per-node argmax as max(struct(votes, -label)): identical
+        # winner to the former row_number window (largest vote, then
+        # smallest label — labels are nonnegative ids, so negation
+        # flips the order exactly), but a partial-aggregable hash
+        # groupBy instead of a full sort of the votes table per round
+        # (guide §2.3: aggregate before you shuffle; a rank-1 window
+        # sorts every partition to keep one row per key)
         labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("src").alias("node"), "label")
+            votes.groupBy("src")
+            .agg(F.max(F.struct(F.col("votes"),
+                                (-F.col("label")).alias("nl"))).alias("b"))
+            .select(F.col("src").alias("node"),
+                    (-F.col("b.nl")).alias("label"))
             .localCheckpoint(eager=True)
         )
     return labels
@@ -522,11 +527,22 @@ def hits_from_edges(edges: DataFrame, n_iters: int = 2,
            .select("cust", F.lit(1.0).alias("h"))
            .localCheckpoint(eager=True))
     auth = None
+    # checkpoint the |E|-join aggregate ITSELF before the max-norm
+    # scalar is derived from it: the scalar rides a broadcast subplan,
+    # so checkpointing only the normalized result (the old spelling)
+    # executed the corpus-scale join+agg TWICE per half-round — once
+    # under the broadcast build, once under the checkpoint (guide §2.4:
+    # an exchange is not reused across a broadcast boundary). The
+    # normalized table is still checkpointed too — a cheap scan of the
+    # node-sized ar/hr — so the next half-round's join keeps a
+    # size-known materialized build side; values are identical (same
+    # agg, same max, same divide).
     for _ in range(n_iters):
         ar = (edges.join(hub, "cust")
               .select("part", F.expr(
                   "cast(round(w * h, 7) as decimal(38,8))").alias("c"))
-              .groupBy("part").agg(F.sum("c").alias("s")))
+              .groupBy("part").agg(F.sum("c").alias("s"))
+              .localCheckpoint(eager=True))
         am = ar.agg(F.max("s").alias("m"))
         auth = (ar.crossJoin(F.broadcast(am))
                 .select("part", (F.col("s").cast("double")
@@ -535,7 +551,8 @@ def hits_from_edges(edges: DataFrame, n_iters: int = 2,
         hr = (edges.join(auth, "part")
               .select("cust", F.expr(
                   "cast(round(w * a, 7) as decimal(38,8))").alias("c"))
-              .groupBy("cust").agg(F.sum("c").alias("s")))
+              .groupBy("cust").agg(F.sum("c").alias("s"))
+              .localCheckpoint(eager=True))
         hm = hr.agg(F.max("s").alias("m"))
         hub = (hr.crossJoin(F.broadcast(hm))
                .select("cust", (F.col("s").cast("double")

@@ -11,19 +11,27 @@ drift axes, compression) expressed Spark-first:
    moments are ADDITIVE under corpus partition, so a streamed fold of
    per-micro-batch moment tables reaches the identical statistics.
 2. POWER ITERATION runs on the d×d matrix only — corpus-size-
-   independent. Per round, the matrix-vector product w_i =
-   Σ_j round(M_ij·v_j, 7) is ONE distributed job over the d² = 4 096
-   checkpointed matrix rows (per-term products quantize to 7 dp
-   DECIMAL(38,8) before the order-independent sum, Spark-side); the
-   64-entry iterate itself rides the DRIVER (a 64-row collect per
-   round — the sanctioned BPE-style driver fetch), so there is no
-   per-round checkpoint/exchange latency. The L2 normalization is a
-   fixed IEEE sequence (engine sqrt, then one Python divide per entry
-   — the same IEEE-754 double op any engine executes), so every round,
-   and the final loadings, are bit-identical on any engine and the
-   DuckDB oracle just unrolls the same rounds (the corank/LPA
+   independent, i.e. a BOUNDED artifact (d(d+1)/2 = 2 080 cells at any
+   corpus size). The moment table is therefore collected ONCE (the
+   sanctioned driver-sized fetch — the ann.py codebook / density.py
+   centroid class) and every round's matrix-vector product w_i =
+   Σ_j round(M_ij·v_j, 7) runs driver-side in EXACT decimal arithmetic
+   that replicates the engines' op-for-op: each per-term product is
+   the same IEEE-754 double multiply, the 7 dp HALF_UP quantization is
+   performed on the shortest round-trip decimal rendering of that
+   double (exactly what Spark's ROUND→DECIMAL(38,8) cast and DuckDB's
+   pinned round compute on these values), the sum is an exact decimal
+   (order-independent), and the L2 normalization is a fixed IEEE
+   sequence (sqrt, one divide per entry). Every round, and the final
+   loadings, are bit-identical to the engine spelling — the DuckDB
+   oracle still unrolls the same rounds in SQL (the corank/LPA
    discipline: approximate-iterative ≠ unverifiable when each step is
-   deterministic).
+   deterministic). r14 optimization: the previous spelling ran each
+   round as a Spark job over a checkpointed 4 096-row matrix —
+   ~25 scheduling round-trips of pure latency per component chain for
+   arithmetic on a corpus-independent artifact (guide §1.2/§5: the
+   driver may do driver-SIZED work; it must not pay cluster latency
+   for it).
 3. Eigenvector SIGN is arbitrary; it is pinned by forcing the loading
    with the largest |value| (smallest dim on ties) positive.
 4. FURTHER components come from per-round PROJECTION against the
@@ -49,6 +57,8 @@ is textbook.
 """
 
 from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -117,103 +127,83 @@ def second_moments_by_parity(embeddings: DataFrame,
     )
 
 
-def cov_numerator(embeddings: DataFrame, d: int = _D) -> DataFrame:
-    """Symmetric covariance NUMERATOR M_ij = n·S_ij − S_i·S_j as exact
-    decimals cast to double — both triangles emitted so the iteration
-    is one plain join. Columns: i, j, m."""
-    return cov_numerator_from_moments(second_moments(embeddings, d))
+_Q7 = Decimal("1E-7")
+_DEC0 = Decimal(0).quantize(_Q7)
 
 
-def cov_numerator_from_moments(mom: DataFrame) -> DataFrame:
-    """:func:`cov_numerator` starting from an ALREADY-BUILT sufficient-
-    statistics table (one-shot or streamed-and-folded — the moments are
-    exactly additive under corpus partition, so both reach here
-    identical). n is recovered from the moments themselves: every cell
-    counted every corpus row, so max(n_pairs) IS the corpus row count —
-    no second corpus scan. Columns: i, j, m."""
-    # 1-scalar driver fetch, sanctioned (the convergence-probe shape)
-    n = mom.agg(F.max("n_pairs")).first()[0]
-    diag = mom.filter(F.col("i") == F.col("j")).select(
-        F.col("i").alias("k"), F.col("si"))
-    upper = (
-        mom.join(F.broadcast(diag.withColumnRenamed("k", "i")
-                 .withColumnRenamed("si", "si_i")), "i")
-        .join(F.broadcast(diag.withColumnRenamed("k", "j")
-              .withColumnRenamed("si", "si_j")), "j")
-        .select(
-            "i", "j",
-            (F.lit(n).cast("decimal(38,0)") * F.col("sij")
-             - F.col("si_i") * F.col("si_j")).cast("double").alias("m"),
-        )
-    )
-    lower = upper.filter(F.col("i") != F.col("j")).select(
-        F.col("j").alias("i"), F.col("i").alias("j"), "m")
-    return upper.unionByName(lower)
+def _r7(x: float) -> Decimal:
+    """Driver twin of the engines' quantizer on a DOUBLE:
+    ``CAST(ROUND(x, 7) AS DECIMAL(38,8))``. Spark's ROUND on DoubleType
+    is ``BigDecimal.valueOf(x).setScale(7, HALF_UP)`` — HALF_UP on the
+    shortest round-trip decimal rendering of the double (which is what
+    ``repr(float)`` produces), and the DECIMAL cast of the resulting
+    ≤7 dp double recovers that decimal exactly (a 7 dp value sits
+    ~1e-8 from any cast boundary, the double ~1e-17 from the value).
+    Zero canonicalized to +0E-7: java.math.BigDecimal has no signed
+    zero, python Decimal does."""
+    q = Decimal(repr(x)).quantize(_Q7, rounding=ROUND_HALF_UP)
+    return _DEC0 if not q else q
 
 
-def _normalized_numerator(raw: DataFrame) -> DataFrame:
-    """Normalize the covariance numerator by the max |entry| so round-1
-    products sit at O(1) for the 7 dp quantizer (power iteration is
-    scale-invariant; the max is a deterministic reduction of exact
-    decimals, the divide one IEEE op — cross-engine identical).
-    Checkpointed: every iteration round scans it."""
-    mmax = raw.agg(F.max(F.abs(F.col("m"))).alias("mx"))
-    return (raw.crossJoin(F.broadcast(mmax))
-            .select("i", "j", (F.col("m") / F.col("mx")).alias("m"))
-            .localCheckpoint(eager=True))
+def _collected_matrix(mom: DataFrame, d: int) -> tuple[int, list[list[float]]]:
+    """ONE driver fetch of the d(d+1)/2-cell sufficient-statistics
+    table (bounded artifact — corpus-size-independent, the sanctioned
+    codebook/centroid collect class), then the exact covariance
+    NUMERATOR M_ij = n·S_ij − S_i·S_j in arbitrary-precision ints
+    (≡ the engines' DECIMAL(38,0) arithmetic), rendered to double
+    (correctly-rounded nearest, ≡ DECIMAL→DOUBLE cast) and normalized
+    by the max |entry| (one IEEE divide per cell) so round-1 products
+    sit at O(1) for the 7 dp quantizer — power iteration is
+    scale-invariant. n is recovered from the moments themselves: every
+    cell counted every corpus row, so max(n_pairs) IS the row count.
+    Returns (n, dense normalized d×d matrix)."""
+    return _matrix_from_rows(
+        mom.select("i", "j", "sij", "si", "n_pairs").collect(), d)
 
 
-def _iterate(m: DataFrame, d: int, n_iters: int,
+def _matrix_from_rows(rows, d: int) -> tuple[int, list[list[float]]]:
+    """:func:`_collected_matrix` over already-fetched moment rows."""
+    n = max(int(r["n_pairs"]) for r in rows)
+    si = {int(r["i"]): int(r["si"]) for r in rows if r["i"] == r["j"]}
+    m = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        i, j = int(r["i"]), int(r["j"])
+        val = float(n * int(r["sij"]) - si[i] * si[j])
+        m[i][j] = val
+        m[j][i] = val
+    mx = max(abs(x) for row in m for x in row)
+    if mx == 0.0:  # degenerate all-zero corpus: same NaNs as 0/0 doubles
+        return n, [[float("nan")] * d for _ in range(d)]
+    return n, [[x / mx for x in row] for row in m]
+
+
+def _iterate(m: list[list[float]], d: int, n_iters: int,
              ortho: list[list[float]] | None = None) -> list[float]:
-    """``n_iters`` power-iteration rounds on the checkpointed d×d matrix
-    ``m``, starting from the exact 1/sqrt(d) uniform vector, optionally
-    PROJECTING each round's product against the already-extracted
-    directions in ``ortho`` (in order). Returns the converged unit
-    vector as a Python list (index = dim).
+    """``n_iters`` power-iteration rounds on the collected normalized
+    d×d matrix ``m``, starting from the exact 1/sqrt(d) uniform vector,
+    optionally PROJECTING each round's product against the
+    already-extracted directions in ``ortho`` (in order). Returns the
+    converged unit vector as a Python list (index = dim).
 
-    Determinism: ALL rounding arithmetic stays engine-side — per round,
-    one Spark job computes w_i = Σ_j round(m_ij·v_j, 7) (the iterate
-    rides the plan as a 64-double array literal), applies each
-    projection w ← round(w − ⟨w,o⟩₇·o, 7) via a global window over the
-    d rows (driver-sized, sanctioned), and emits the d w values plus
-    nrm = sqrt(Σ round(w², 7)) in one 1-row collect. The only
-    driver-side float op is the final v_i = w_i / nrm divide — the
-    identical IEEE-754 double division any engine would execute, on
-    bit-identical inputs — so the iterate, and the loadings, are
-    bit-for-bit reproducible on any engine (the DuckDB oracle unrolls
-    the same rounds with window aggregates)."""
-    from pyspark.sql.window import Window
+    Determinism: every step replicates the engine spelling op-for-op —
+    w_i = Σ_j round(m_ij·v_j, 7) with IEEE double products, 7 dp
+    HALF_UP quantization (:func:`_r7`) and an exact decimal sum; each
+    projection w ← round(w − ⟨w,o⟩₇·o, 7) the same way; then
+    nrm = sqrt(Σ round(w², 7)) and one IEEE divide per entry — so the
+    iterate, and the loadings, are bit-for-bit what the previous
+    Spark-job-per-round spelling produced and what the DuckDB oracle's
+    unrolled rounds produce."""
+    import math
 
     v = [1.0 / (d ** 0.5)] * d
     for _ in range(n_iters):
-        varr = F.array(*[F.lit(float(x)) for x in v])
-        w = (
-            m.withColumn("__v", F.element_at(varr, F.col("j") + 1))
-            .select("i", F.expr(
-                "cast(round(m * __v, 7) as decimal(38,8))").alias("c"))
-            .groupBy("i")
-            .agg(F.sum("c").cast("double").alias("w"))
-        )
+        w = [float(sum((_r7(m[i][j] * v[j]) for j in range(d)), _DEC0))
+             for i in range(d)]
         for o in (ortho or []):
-            oarr = F.array(*[F.lit(float(x)) for x in o])
-            c = (F.sum(F.expr(
-                "cast(round(w * __o, 7) as decimal(38,8))"))
-                .over(Window.partitionBy()).cast("double"))
-            w = (
-                w.withColumn("__o", F.element_at(oarr, F.col("i") + 1))
-                .withColumn("__c", c)
-                .select("i", F.expr(
-                    "cast(cast(round(w - __c * __o, 7) as decimal(38,8))"
-                    " as double)").alias("w"))
-            )
-        row = w.agg(
-            F.sort_array(F.collect_list(F.struct("i", "w"))).alias("ws"),
-            F.sqrt(F.sum(F.expr(
-                "cast(round(w * w, 7) as decimal(38,8))"))
-                .cast("double")).alias("nrm"),
-        ).first()
-        nrm = row["nrm"]
-        v = [x["w"] / nrm for x in row["ws"]]
+            c = float(sum((_r7(w[i] * o[i]) for i in range(d)), _DEC0))
+            w = [float(_r7(w[i] - c * o[i])) for i in range(d)]
+        nrm = math.sqrt(float(sum((_r7(x * x) for x in w), _DEC0)))
+        v = [x / nrm for x in w]
     return v
 
 
@@ -261,16 +251,17 @@ def _loading_vectors(mom: DataFrame, n_components: int, n_iters: int,
                      d: int, cache_key: str | None = None
                      ) -> list[list[float]]:
     """The top ``n_components`` sign-pinned unit loading vectors from a
-    sufficient-statistics table: shared normalized numerator, then per
-    component a projected power iteration against all prior (UNPINNED)
-    directions — projection is sign-invariant only through its paired
-    ⟨w,o⟩·o use, and the oracle replays the same unpinned chain."""
+    sufficient-statistics table: ONE collect of the bounded moment
+    table (:func:`_collected_matrix`), then per component a projected
+    power iteration against all prior (UNPINNED) directions —
+    projection is sign-invariant only through its paired ⟨w,o⟩·o use,
+    and the oracle replays the same unpinned chain."""
     ck = (cache_key, n_iters, d) if cache_key is not None else None
     if ck is not None:
         cached = _LOADINGS_CACHE.get(ck)
         if cached is not None and len(cached) >= n_components:
             return cached[:n_components]
-    m = _normalized_numerator(cov_numerator_from_moments(mom))
+    _n, m = _collected_matrix(mom, d)
     raw: list[list[float]] = []
     for _ in range(n_components):
         raw.append(_iterate(m, d, n_iters, ortho=raw))
@@ -494,15 +485,20 @@ def pca_axis_drift(embeddings: DataFrame, n_iters: int = 8,
                          F.sum("n_pairs").alias("n_pairs"))
                     .localCheckpoint(eager=True))
     else:
-        mom2 = (second_moments_by_parity(embeddings, d)
-                .localCheckpoint(eager=True))
-    mom_e = mom2.filter(F.col("parity") == 0).drop("parity")
-    mom_o = mom2.filter(F.col("parity") == 1).drop("parity")
-    va = _loading_vectors(mom_e, 1, n_iters, d)[0]
-    vb = _loading_vectors(mom_o, 1, n_iters, d)[0]
-    # every moment cell counted every half row: max(n_pairs) IS n
-    n_even = mom_e.agg(F.max("n_pairs")).first()[0] or 0
-    n_odd = mom_o.agg(F.max("n_pairs")).first()[0] or 0
+        # no cache to seed: the single consumer below is one bounded
+        # collect, so the parity build needs no lineage checkpoint
+        mom2 = second_moments_by_parity(embeddings, d)
+    # ONE driver fetch of the 2·d(d+1)/2-cell parity table (bounded
+    # artifact), split driver-side: every moment cell counted every
+    # half row, so max(n_pairs) IS each half's n
+    rows = mom2.select("parity", "i", "j", "sij", "si",
+                       "n_pairs").collect()
+    n_even, mat_e = _matrix_from_rows(
+        [r for r in rows if r["parity"] == 0], d)
+    n_odd, mat_o = _matrix_from_rows(
+        [r for r in rows if r["parity"] == 1], d)
+    va = _pin_sign(_iterate(mat_e, d, n_iters))
+    vb = _pin_sign(_iterate(mat_o, d, n_iters))
     arr_a = F.array(*[F.lit(float(x)) for x in va])
     arr_b = F.array(*[F.lit(float(x)) for x in vb])
     return (

@@ -653,7 +653,11 @@ def source_quality_report(docs: DataFrame) -> DataFrame:
         .groupBy("source")
         .agg(davg("quality", 7).alias("mq"))
     )
-    fps = doc_fingerprints(docs)
+    # materialize the fingerprint pass once: the postings and their
+    # df-count both consume it, and the df-count rides a broadcast
+    # build side that reuses no exchange (guide §2.4) — without the
+    # checkpoint the per-doc winnowing map ran twice
+    fps = doc_fingerprints(docs).localCheckpoint(eager=True)
     dup_docs = fps.join(
         fps.groupBy("fp").agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1).select("fp"),

@@ -33,24 +33,39 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     (exact, nulls excluded), min, max. Plus one (column='*',
     metric='n_rows') row. Columns: column, metric, value.
 
-    Plan: a single Aggregate (partial + final) over one scan computes
-    every cell; the long form comes from a map-only posexplode of the
-    1-row aggregate — so profiling k columns costs one shuffle of ONE
-    row, not k jobs. Doubles are quantized to DECIMAL(38,7) before
-    min/max so the rendered hull is engine-identical."""
+    Plan: one Aggregate over one scan computes every cell; the long
+    form comes from a map-only posexplode of the 1-row aggregate — so
+    profiling k columns costs one shuffle of ONE row, not k jobs.
+
+    Aggregate-buffer discipline (r14, guide §2.3/§7.2): HashAggregate
+    requires every agg BUFFER to be a mutable UnsafeRow type, and one
+    immutable buffer (a string or a >18-digit decimal) demotes the
+    whole node — and with it the count_distinct Expand stage — to
+    SortAggregate, which SORTS the k+1-fold expanded corpus twice
+    (measured 5.0 s on orders at sf0.1; 1.5 s after). So: double hulls
+    aggregate as raw doubles (long buffer) and quantize to
+    DECIMAL(38,7) AFTER aggregation — cast is monotone, so
+    min/cast commute and the rendered hull is byte-identical on
+    NaN-free corpora (the audit gate's precondition) — and string
+    hulls move to a sibling global aggregate over just the string
+    columns (a global SortAggregate needs NO sort — there are no group
+    keys) whose 1-row result crossJoins back. Every buffer in the
+    Expand path is now mutable → HashAggregate end to end."""
+    dtypes = dict(df.dtypes)
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    str_aggs: list[F.Column] = []
     for c in cols:
-        typ = dict(df.dtypes)[c]
-        hull = F.col(c)
-        if typ == "double" or typ == "float":
-            hull = F.col(c).cast("decimal(38,7)")
+        typ = dtypes[c]
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .alias(f"__nn_{c}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        aggs.append(F.min(hull).alias(f"__min_{c}"))
-        aggs.append(F.max(hull).alias(f"__max_{c}"))
+        sink = str_aggs if typ == "string" else aggs
+        sink.append(F.min(F.col(c)).alias(f"__min_{c}"))
+        sink.append(F.max(F.col(c)).alias(f"__max_{c}"))
     one = df.agg(*aggs)
+    if str_aggs:
+        one = one.crossJoin(F.broadcast(df.agg(*str_aggs)))
     cells = [
         F.struct(F.lit("*").alias("column"), F.lit("n_rows").alias("metric"),
                  _render(F.col("__n_rows")).alias("value"))
@@ -58,9 +73,12 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         for metric, src in (("n_null", f"__nn_{c}"), ("n_distinct", f"__nd_{c}"),
                             ("min", f"__min_{c}"), ("max", f"__max_{c}")):
+            val = F.col(src)
+            if metric in ("min", "max") and dtypes[c] in ("double", "float"):
+                val = val.cast("decimal(38,7)")  # post-agg quantize (see above)
             cells.append(F.struct(
                 F.lit(c).alias("column"), F.lit(metric).alias("metric"),
-                _render(F.col(src)).alias("value")))
+                _render(val).alias("value")))
     return (
         one.select(F.explode(F.array(*cells)).alias("cell"))
         .select("cell.column", "cell.metric", "cell.value")

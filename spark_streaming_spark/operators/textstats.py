@@ -234,11 +234,19 @@ def winnow_overlap(docs: DataFrame, w: int = WINNOW_W, max_df: int = 32,
     so candidates are ≤ Σ df²/2 with df ≤ max_df, never quadratic in the
     corpus (the dedup.py banded-LSH posture). Columns: doc_a < doc_b,
     n_shared."""
-    fps = winnow_fingerprints(docs, w).select("doc_id", "fp").distinct()
+    # materialize the winnowing pass once (guide §2.4): the df gate and
+    # BOTH sides of the candidate self-join consume the fingerprint
+    # postings, so without the checkpoints the per-doc winnowing map
+    # ran three times per call (broadcast build sides reuse no
+    # exchange); `keep` is the tiny df-capped value set, checkpointed
+    # so each join side's broadcast build scans it, not the aggregate
+    fps = (winnow_fingerprints(docs, w).select("doc_id", "fp").distinct()
+           .localCheckpoint(eager=True))
     keep = (
         fps.groupBy("fp").agg(F.count("*").alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
         .select("fp")
+        .localCheckpoint(eager=True)
     )
     posting = fps.join(keep, "fp")
     a = posting.select("fp", F.col("doc_id").alias("doc_a"))

@@ -24,6 +24,24 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 
+def _default_shuffle_partitions() -> int:
+    """Scale-adaptive shuffle width (r14, guide §2.2): track the
+    session's core count instead of a constant — the driver benches at
+    SEVERAL core counts to measure scaling, and a fixed 32 pays 32
+    tiny post-shuffle tasks per exchange on an 8-core leg. Floor of 16
+    keeps AQE coalescing meaningful on tiny runs; a cluster deployment
+    overrides via $SPARK_GRAFT_SHUFFLE_PARTITIONS (or the
+    ``shuffle_partitions`` argument) to O(2-3x total cores)."""
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    try:
+        cores = int(_DEFAULT_CPUS)
+    except ValueError:  # "*" = all cores
+        cores = os.cpu_count() or 32
+    return max(16, cores)
+
+
 def get_spark(
     app_name: str = "spark_streaming_spark",
     master: str | None = None,
@@ -51,7 +69,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or _default_shuffle_partitions()))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

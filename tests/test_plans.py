@@ -574,18 +574,41 @@ def test_interval_join_is_equi_not_nested_loop(spark):
 
 
 def test_table_profile_is_single_pass(spark):
-    """The k-column profile must be ONE Aggregate over ONE scan — not
-    k jobs: exactly one parquet scan in the plan, and the aggregate
-    partial-combines map-side (only one 1-row exchange)."""
+    """The k-column profile must aggregate in O(1) passes — not k jobs:
+    one main scan for counts/distincts/numeric hulls plus at most one
+    narrow scan for the string hulls (r14: string min/max moved to a
+    sibling global aggregate so the count_distinct Expand stage keeps
+    mutable buffers), and the aggregates partial-combine map-side."""
     from spark_streaming_spark.operators import profile as PF
 
     df = PF.table_profile(
         load_table(spark, SF_DIR, "orders"),
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
     text = explain.explain_text(df, "simple")
+    # "FileScan parquet" contains "Scan parquet", so each scan counts
+    # twice under this pattern pair: two physical scans <= 4 hits
     assert text.count("FileScan parquet") + text.count(
-        "Scan parquet") <= 2  # one scan (name varies by node rendering)
+        "Scan parquet") <= 4
     assert explain.has_partial_aggregate(df)
+
+
+def test_table_profile_expand_path_is_hash_aggregated(spark):
+    """The r14 buffer discipline: no immutable agg buffer (string /
+    wide-decimal min-max) may ride the count_distinct Expand stage —
+    one would demote it to SortAggregate, which sorts the k+1-fold
+    expanded corpus twice (measured 5.0 s -> 1.5 s on orders at
+    sf0.1). The string hulls live in a sibling GLOBAL aggregate, which
+    needs no sort even as a SortAggregate (no group keys)."""
+    from spark_streaming_spark.operators import profile as PF
+
+    df = PF.table_profile(
+        load_table(spark, SF_DIR, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+    text = explain.explain_text(df, "simple")
+    assert "Expand" in text
+    # the Expand feeds HashAggregate; the only tolerated SortAggregate
+    # is the global (sort-free) string-hull sibling
+    assert "Sort " not in text, text
 
 
 def test_winsorize_broadcasts_quantile_table(spark):

@@ -406,10 +406,13 @@ def pca_explained_variance(embeddings: DataFrame, n_components: int = 2,
         aggs.append(F.expr(f"SUM({sint} * {sint})").alias(f"ss{k}"))
     sums = sc.agg(*aggs).first()
     n_dec = int(sums["n"])
-    mom_n = mom.agg(F.max("n_pairs")).first()[0]
-    trace = int(mom.filter(F.col("i") == F.col("j")).agg(F.sum(
-        F.lit(mom_n).cast("decimal(38,0)") * F.col("sij")
-        - F.col("si") * F.col("si"))).first()[0])
+    # trace + n from ONE bounded diag fetch (d rows) instead of two
+    # aggregate jobs — exact Python-int arithmetic ≡ the DECIMAL(38,0)
+    # expression it replaces
+    diag = mom.filter(F.col("i") == F.col("j")).select(
+        "sij", "si", "n_pairs").collect()
+    mom_n = max(int(r["n_pairs"]) for r in diag)
+    trace = sum(mom_n * int(r["sij"]) - int(r["si"]) ** 2 for r in diag)
     rows = []
     for k in range(1, n_components + 1):
         num = n_dec * int(sums[f"ss{k}"]) - int(sums[f"s{k}"]) ** 2

@@ -292,25 +292,25 @@ def lpa_propagate(edges: DataFrame, n_iters: int = 3) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
+    # (r14 note: a max(struct(votes, -label)) aggregate spelling of the
+    # per-node argmax was tried and REVERTED — a struct agg buffer is
+    # immutable, demoting the groupBy to SortAggregate, while the
+    # rank-1 window plans as WindowGroupLimit with a partial
+    # per-partition limit before its sort.)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.col("votes").desc(), F.col("label").asc())
     for _ in range(n_iters):
         votes = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src", "label")
             .agg(F.sum("w").alias("votes"))
         )
-        # per-node argmax as max(struct(votes, -label)): identical
-        # winner to the former row_number window (largest vote, then
-        # smallest label — labels are nonnegative ids, so negation
-        # flips the order exactly), but a partial-aggregable hash
-        # groupBy instead of a full sort of the votes table per round
-        # (guide §2.3: aggregate before you shuffle; a rank-1 window
-        # sorts every partition to keep one row per key)
         labels = (
-            votes.groupBy("src")
-            .agg(F.max(F.struct(F.col("votes"),
-                                (-F.col("label")).alias("nl"))).alias("b"))
-            .select(F.col("src").alias("node"),
-                    (-F.col("b.nl")).alias("label"))
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("src").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
     return labels

@@ -97,13 +97,18 @@ def langid_scores(docs: DataFrame, weights: DataFrame | None = None,
                   dim: int = _DIM) -> DataFrame:
     """Score every document against each language head and keep the
     argmax: score = Σ_b cnt_b · w(lang, b) (exact BIGINT), prediction =
-    the (score DESC, lang ASC) winner — spelled min(struct(-score,
-    lang)) so the per-doc top-1 is a partial-aggregable hash groupBy
-    (guide §2.3) instead of a rank-1 sort window; the winner and the
-    tie-break are identical (scores are bounded ppm sums, far from
-    int64 edges, so negation is exact). Documents with no trigram
-    (empty text) carry no feature rows and drop, like every BoW
-    consumer. Columns: doc_id, pred_lang, score."""
+    the (score DESC, lang ASC) winner — a per-doc window over |langs|
+    rows (WindowGroupLimit). Documents with no trigram (empty text)
+    carry no feature rows and drop, like every BoW consumer.
+    Columns: doc_id, pred_lang, score.
+
+    (r14 note: a min(struct(-score, lang)) aggregate spelling was
+    tried and REVERTED — a struct agg buffer is immutable, demoting
+    the groupBy to SortAggregate, while the rank-1 window already
+    plans as WindowGroupLimit with a partial per-partition limit
+    before its sort. Plan-pinned by test_plans.py.)"""
+    from pyspark.sql.window import Window
+
     if weights is None:
         weights = langid_train(docs, dim)
     bow = char_ngram_buckets(docs, dim)
@@ -112,12 +117,12 @@ def langid_scores(docs: DataFrame, weights: DataFrame | None = None,
         .groupBy("doc_id", "lang")
         .agg(F.sum(F.col("cnt") * F.col("w")).cast("long").alias("score"))
     )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc())
     return (
-        scored.groupBy("doc_id")
-        .agg(F.min(F.struct((-F.col("score")).alias("ns"),
-                            F.col("lang"))).alias("b"))
-        .select("doc_id", F.col("b.lang").alias("pred_lang"),
-                (-F.col("b.ns")).alias("score"))
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
     )
 
 

@@ -35,7 +35,7 @@ def main():
     qs = E.queries()
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14")
+        "plans", "r15")
     os.makedirs(plans_dir, exist_ok=True)
 
     results = {}

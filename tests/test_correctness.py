@@ -1,18 +1,43 @@
 """Every queries() entry vs its DuckDB oracle — the driver's check, run
-locally at sf0.001 for fast iteration (driver uses sf0.01)."""
+locally at sf0.001 for fast iteration (driver uses sf0.01).
+
+Sweep scope (r15, VERDICT r14 "Next round" #2b): the full 388-entry
+parametrized sweep pushed the plain ``pytest tests/ -x -q`` run past
+the driver's budget (VERIFY_r14 tests_ok=false with the tail truncated
+mid-suite and zero failures shown), so by default this file sweeps the
+DRIVER WINDOW (the first 50 queries() slots — which the r15 rotation
+points at every recently-optimized entry) plus any oracle-backed entry
+with no verification evidence yet in CHECKED_UNION.json (i.e. brand-new
+entries). Set ``SPARK_GRAFT_FULL_SWEEP=1`` for the full registry — the
+builder's /verify flow and the recorded SWEEPS.json runs do exactly
+that; the ratchet in test_checked_union.py enforces that every entry
+still gets evidence within the K-round horizon."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
 import __spark_entry__ as entrymod
+from scripts.gen_checked_union import build as _checked_union
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+if os.environ.get("SPARK_GRAFT_FULL_SWEEP"):
+    _SWEEP = sorted(QUERIES)
+else:
+    _evidence = _checked_union()["entries"]
+    _SWEEP = sorted(
+        set(list(QUERIES)[:50])
+        | {n for n in QUERIES
+           if n in ORACLES and n not in _evidence}
+    )
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+
+@pytest.mark.parametrize("name", _SWEEP)
 def test_query_matches_oracle(name, spark, duck):
     df = QUERIES[name](spark, SF_DIR)
     if name not in ORACLES:
@@ -98,6 +123,66 @@ def test_doc_folds_membership_budget():
     # the elected replay leader and the two LM count-table read tails
     assert {"bpe_fertility", "lm_counts", "lm_by_source"} \
         <= set(members)
+
+
+def test_merge_folds_membership_budget():
+    """Round-14 VERDICT "Next round" #7: merge_folds is the other large
+    co-scheduled replay family (16 members / ~21-25 s at sf0.1 in the
+    r14 driver detail) and the only one without a budget ratchet. Rate
+    rationale on record: the subtotal is ONE shared replay over the
+    lineitem/orders fold chunks (attributed to the elected leader —
+    streaming_transit_peaks in the r14 detail, ~6.9 s) plus read
+    tails, of which two are heavy by design: the HITS iteration
+    (hits_edges, ~4-5 s — bounded-round |E| joins at read) and the
+    fuzzy-linkage verify (fuzzy_linkage, ~3 s). Everything else reads
+    a folded summary table in <= ~1 s. Budget: <= 18 members (two
+    spare slots). To grow past it, the new member must be a cheap
+    ALIAS read of an existing fold, or record a re-justified
+    per-entry rate here before raising the cap."""
+    members = entrymod._merge_fold_members()
+    assert len(members) <= 18, (
+        "merge_folds grew beyond its budgeted size — re-justify the "
+        "per-entry read-tail rate (r14 VERDICT #7) before raising "
+        "this cap")
+    # the known-heavy members, named so a rename resurfaces this note
+    assert {"hits_edges", "fuzzy_linkage", "transit_deltas"} \
+        <= set(members)
+
+
+def test_bench_summary_line_fits_driver_tail_capture():
+    """r15 (VERDICT r14 #2a): the driver parses bench.py's final JSON
+    line out of a 2000-char output-tail capture (every BENCH_r*.json
+    stores tail=2000; the r1 overflow made parsed:null). bench.py now
+    asserts the line at runtime; this pins the budget STATICALLY for
+    the current registry — the line's size is dominated by the family
+    subtotal map, so a new co-scheduled family shows up here before it
+    ever reaches a driver run. The 388-entry per-query map itself
+    measures ~10.3 KB and therefore stays in BENCH_DETAIL.json."""
+    import json
+    import time
+
+    groups = entrymod.cosched_groups()
+    fams = sorted(set(groups.values())
+                  | set(entrymod.batch_families().values()))
+    line = json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": 99999.9999,
+        "run": f"{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}-pid99999",
+        "unit": "sec",
+        "n_queries": len(QUERIES),
+        "n_failed": 0,
+        "sf": 0.1,
+        "streaming_sec": 99999.9999,
+        "n_streaming": sum(1 for n in QUERIES
+                           if n.startswith("streaming_")),
+        "family_subtotals": {g: 99999.9999 for g in fams},
+        "cal_py_sec": 99.999,
+        "cal_spark_sec": 99.999,
+    })
+    assert len(line) <= 1900, (
+        f"bench summary line budget exceeded ({len(line)} > 1900): a "
+        f"new family pushed it toward the driver's 2000-char tail "
+        f"capture — move fields to BENCH_DETAIL.json")
 
 
 def test_cosched_groups_map_is_consistent(spark):

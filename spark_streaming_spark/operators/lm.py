@@ -123,17 +123,24 @@ def lm_gate_from_counts(docs: DataFrame, counts: DataFrame,
            .agg(F.sum("c").alias("c1"))
            .withColumnRenamed("w", "u_w"))
     n_tok = counts.agg(F.sum("c").alias("n_train"))
-    # the backoff score depends ONLY on the (w2, w1, w) key, so the
-    # CORPUS-scale table touches exactly two shuffles: one partial-
-    # agged groupBy to per-doc key counts, one join back against the
-    # scored key table. The five model joins run on the DISTINCT key
-    # table (vocab-trigram-scale), not per token occurrence.
+    # the backoff score depends ONLY on the (w2, w1, w) key and each
+    # model join is 1:<=1, so the CORPUS is tokenized exactly ONCE and
+    # scored in-line (r15, guide §2.4/§1.2): the pre-r15 spelling
+    # routed the scores through a DISTINCT-key table whose subtree —
+    # the full tokenize+explode+groupBy — also fed the final attach
+    # join, so the corpus pass executed TWICE per gate call (measured
+    # 2.41 → 1.44 s at sf0.1, value-identical). A localCheckpoint of
+    # the per-doc key table was tried first and REJECTED: the
+    # materialization cost more than the duplicated pass at bench
+    # scale (2.92 s). The model-side tables are vocab-scale
+    # (Heaps-sublinear in the corpus) and ride the planner's
+    # broadcast/shuffle decision per join; the scored key count per
+    # row is unchanged — only the duplicate corpus scan is gone.
     occ = (_positional_tokens(docs)
            .groupBy("doc_id", "lang", "w2", "w1", "w")
            .agg(F.count("*").cast("long").alias("occ")))
-    keys = occ.select("w2", "w1", "w").distinct()
-    key_scores = (
-        keys
+    scored = (
+        occ
         .join(counts.withColumnRenamed("c", "c3"), ["w2", "w1", "w"],
               "left")
         .join(ctx2, ["w2", "w1"], "left")
@@ -146,7 +153,7 @@ def lm_gate_from_counts(docs: DataFrame, counts: DataFrame,
         # 1-row scalar: mandatory broadcast is sanctioned (bounded)
         .crossJoin(F.broadcast(n_tok))
         .select(
-            "w2", "w1", "w",
+            "doc_id", "lang", "occ",
             F.expr(
                 f"CASE WHEN c3 IS NOT NULL THEN"
                 f" CAST((CAST({a3} AS DECIMAL(38,0)) * c3) DIV cx2"
@@ -160,7 +167,7 @@ def lm_gate_from_counts(docs: DataFrame, counts: DataFrame,
                 f" ELSE CAST(0 AS BIGINT) END").alias("s"))
     )
     return (
-        occ.join(key_scores, ["w2", "w1", "w"])
+        scored
         .groupBy("doc_id", "lang")
         .agg(F.sum("occ").cast("long").alias("n_tokens"),
              F.sum(F.col("occ") * F.col("s")).cast("long")

@@ -163,6 +163,12 @@ def _collected_matrix(mom: DataFrame, d: int) -> tuple[int, list[list[float]]]:
 
 def _matrix_from_rows(rows, d: int) -> tuple[int, list[list[float]]]:
     """:func:`_collected_matrix` over already-fetched moment rows."""
+    if not rows:
+        # empty corpus/half (ADVICE r14): degrade like the all-zero
+        # matrix below (n=0, NaN everywhere) instead of raising on
+        # max()/si[i] — the same degenerate shape the mx == 0 branch
+        # already returns, and NaN flows through _r7/_iterate quietly
+        return 0, [[float("nan")] * d for _ in range(d)]
     n = max(int(r["n_pairs"]) for r in rows)
     si = {int(r["i"]): int(r["si"]) for r in rows if r["i"] == r["j"]}
     m = [[0.0] * d for _ in range(d)]

@@ -630,28 +630,38 @@ def source_quality_report(docs: DataFrame) -> DataFrame:
     order-independent decimal-sum mean (functions/numeric.davg at 7 dp)
     over scores that are already IEEE-identical cross-engine.
 
-    Scale shape: three component passes (scores, gate, fingerprints) —
-    each one scan + one doc_id-keyed agg/join; every per-source table is
-    O(|sources|) and the final joins are tiny-key. Columns: source,
+    Scale shape (r15 fusion, guide §2.3): the volume stats, the rule
+    gate, and the quality score are ALL per-row map-side expressions
+    over the same document row, so they aggregate in ONE scan + ONE
+    groupBy(source) — the pre-r15 spelling ran three corpus scans and
+    re-attached two of them to their own rows through doc_id
+    self-joins (two corpus shuffles that carried no information).
+    Only the near-dup pass keeps its own scan: fingerprints shuffle by
+    fp, a genuinely different key. Every per-source table is
+    O(|sources|) and the final join is tiny-key. Columns: source,
     n_docs, n_tokens, pass_ppm, mean_quality, dup_doc_ppm."""
     from spark_streaming_spark.functions.numeric import davg
     from spark_streaming_spark.operators.textstats import (
-        doc_fingerprints, quality_scores)
+        doc_fingerprints, quality_expr)
 
     src = docs.select("doc_id", "source")
-    base = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
-    )
-    gate = (
-        quality_filter(docs).select("doc_id", "keep").join(src, "doc_id")
+    fused = (
+        docs.select(
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("__nt"),
+            # THE same expressions quality_filter / quality_scores
+            # project (shared factored builders), so the fusion cannot
+            # drift from the standalone entries' definitions
+            _quality_signals()["keep"].alias("__keep"),
+            quality_expr("text").alias("__q"),
+        )
         .groupBy("source")
-        .agg(F.sum(F.col("keep").cast("long")).alias("n_pass"))
-    )
-    qual = (
-        quality_scores(docs).select("doc_id", "quality").join(src, "doc_id")
-        .groupBy("source")
-        .agg(davg("quality", 7).alias("mq"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.sum(F.col("__keep").cast("long")).alias("n_pass"),
+            davg("__q", 7).alias("mq"),
+        )
     )
     # materialize the fingerprint pass once: the postings and their
     # df-count both consume it, and the df-count rides a broadcast
@@ -666,8 +676,7 @@ def source_quality_report(docs: DataFrame) -> DataFrame:
     dup = dup_docs.join(src, "doc_id").groupBy("source").agg(
         F.count("*").alias("n_dup"))
     return (
-        base.join(gate, "source").join(qual, "source")
-        .join(dup, "source", "left")
+        fused.join(dup, "source", "left")
         .selectExpr(
             "source", "n_docs", "n_tokens",
             "CAST(n_pass * 1000000 DIV n_docs AS BIGINT) AS pass_ppm",

@@ -44,9 +44,11 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     SortAggregate, which SORTS the k+1-fold expanded corpus twice
     (measured 5.0 s on orders at sf0.1; 1.5 s after). So: double hulls
     aggregate as raw doubles (long buffer) and quantize to
-    DECIMAL(38,7) AFTER aggregation — cast is monotone, so
-    min/cast commute and the rendered hull is byte-identical on
-    NaN-free corpora (the audit gate's precondition) — and string
+    DECIMAL(38,7) AFTER aggregation — cast is monotone, so min/cast
+    commute, and a when() guard excludes NaNs and decimal-overflowing
+    values (|x| >= 1e31) from the hull exactly as the old pre-agg cast's
+    null did (ADVICE r14), so the rendering is byte-identical on ANY
+    corpus, no precondition — and string
     hulls move to a sibling global aggregate over just the string
     columns (a global SortAggregate needs NO sort — there are no group
     keys) whose 1-row result crossJoins back. Every buffer in the
@@ -61,8 +63,18 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             .alias(f"__nn_{c}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
         sink = str_aggs if typ == "string" else aggs
-        sink.append(F.min(F.col(c)).alias(f"__min_{c}"))
-        sink.append(F.max(F.col(c)).alias(f"__max_{c}"))
+        hull = F.col(c)
+        if typ in ("double", "float"):
+            # ADVICE r14: the pre-r14 spelling quantized BEFORE the
+            # aggregate, so NaNs and DECIMAL(38,7)-overflowing values
+            # (|x| >= 1e31) cast to null and were EXCLUDED from the
+            # hull. Aggregating raw doubles (the HashAggregate buffer
+            # fix) must reproduce that exclusion explicitly — a when()
+            # guard keeps the buffer a mutable double, so the Expand
+            # path stays hash-aggregated (plan-pinned)
+            hull = F.when(~F.isnan(hull) & (F.abs(hull) < 1e31), hull)
+        sink.append(F.min(hull).alias(f"__min_{c}"))
+        sink.append(F.max(hull).alias(f"__max_{c}"))
     one = df.agg(*aggs)
     if str_aggs:
         one = one.crossJoin(F.broadcast(df.agg(*str_aggs)))

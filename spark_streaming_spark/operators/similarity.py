@@ -871,6 +871,19 @@ def semantic_dedup(embeddings: DataFrame,
     planes = hyperplanes(1, subbits, seed="sd1")[0] if subbits else []
     assigned = centroid_assign(embeddings).select(
         "vec_id", F.col("assigned_label").alias("cluster0"))
+    # materialized once, HASH-PARTITIONED BY the cluster id (r15,
+    # guide §3.3/§2.4): all three consumers — BOTH sides of the
+    # within-cluster self-join and the final keep report — read
+    # `tagged`, and a self-join does not reuse its other side's
+    # subtree, so without the checkpoint the centroid argmin
+    # assignment, the scaled-vector build, and the assignment join all
+    # executed twice per call (3.27 s); the cluster partitioning then
+    # lets the self-join consume the checkpoint on both sides with NO
+    # further exchange (2.49 → 1.99 s, value-equal). AQE is toggled
+    # off around the materialization only — a checkpoint executed
+    # under AdaptiveSparkPlan publishes UnknownPartitioning (the
+    # ann.det_pq_codes finding), which would re-insert both join
+    # exchanges.
     tagged = (
         widen(embeddings)
         .select("vec_id", scaled_vec_expr("embedding").alias("sv"))
@@ -883,7 +896,10 @@ def semantic_dedup(embeddings: DataFrame,
             ).alias("cluster"),
             "sv", int_dot_expr("sv", "sv").alias("n2"),
         )
+        .repartition("cluster")
     )
+    from spark_streaming_spark.session import checkpoint_keep_partitioning
+    tagged = checkpoint_keep_partitioning(tagged)
     a, b = tagged.alias("a"), tagged.alias("b")
     dropped = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))

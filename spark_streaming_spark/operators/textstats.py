@@ -36,6 +36,21 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_expr(col: str = "text") -> F.Column:
+    """THE heuristic quality-score expression (map-side, row-local) —
+    factored out so consumers that fuse it into a wider scan
+    (pipeline.source_quality_report) share the exact column
+    :func:`quality_scores` projects, by construction."""
+    n = token_count(col)
+    p = punct_ratio(col)
+    s = stopword_ratio(col)
+    return (
+        F.least(n.cast("double") / 50.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(p * 10.0, F.lit(1.0))) * 0.2
+        + F.least(s * 5.0, F.lit(1.0)) * 0.3
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic quality score: long docs with modest punctuation and a
     natural stopword rate score higher. Columns: doc_id, n_tokens,
@@ -43,11 +58,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n = token_count("text")
     p = punct_ratio("text")
     s = stopword_ratio("text")
-    quality = (
-        F.least(n.cast("double") / 50.0, F.lit(1.0)) * 0.5
-        + (1.0 - F.least(p * 10.0, F.lit(1.0))) * 0.2
-        + F.least(s * 5.0, F.lit(1.0)) * 0.3
-    )
+    quality = quality_expr("text")
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),

@@ -34,12 +34,32 @@ def _default_shuffle_partitions() -> int:
     ``shuffle_partitions`` argument) to O(2-3x total cores)."""
     env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if env:
-        return int(env)
+        # ADVICE r14: tolerate a malformed/zero override instead of
+        # failing the session build (or handing Spark partitions=0) —
+        # fall through to the computed default on garbage, floor at 1
+        try:
+            n = int(env)
+        except ValueError:
+            n = 0
+        if n >= 1:
+            return n
     try:
         cores = int(_DEFAULT_CPUS)
     except ValueError:  # "*" = all cores
         cores = os.cpu_count() or 32
     return max(16, cores)
+
+
+def _max_partition_bytes() -> str:
+    """Input split sizing (guide §6, r15): default stays Spark's 128m —
+    right for the local bench's ~MB parquet inputs and the driver's
+    comparability across rounds — but a cluster deployment reading
+    100 TB of large parquet files should raise it (512m-1g cuts scan
+    task count and the map side of every downstream shuffle, §2.2).
+    Parameterized the same way as the shuffle width so the value is a
+    deploy-time decision, not a code edit."""
+    env = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    return env if env else "134217728"
 
 
 def get_spark(
@@ -71,6 +91,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or _default_shuffle_partitions()))
+        .config("spark.sql.files.maxPartitionBytes", _max_partition_bytes())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -85,3 +106,22 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def checkpoint_keep_partitioning(df):
+    """``localCheckpoint(eager=True)`` that PRESERVES the frame's
+    partitioning for downstream exchange elision (r15): a checkpoint
+    executed under AdaptiveSparkPlan publishes UnknownPartitioning
+    (verified empirically on Spark 4.1.2 — the LogicalRDD drops the
+    final plan's outputPartitioning), which silently re-inserts every
+    downstream Exchange the caller's explicit repartition was meant to
+    pre-pay. AQE is toggled off around the one materialization job and
+    restored in ``finally``; the checkpoint itself is a single
+    user-shaped shuffle, exactly the plan AQE would have produced."""
+    spark = df.sparkSession
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -2904,8 +2904,10 @@ _CHECK_FIRST = [
     # round touched after the r14 window was pinned (driver-side
     # exact-decimal PCA iteration, profile buffer discipline, HITS/bpe/
     # dedup/textstats restructures, the two reverted argmax attempts)
+    # plus the 8 paths REWRITTEN in r15 (in-line LM gate, shared-pass
+    # DSIR, partitioned-checkpoint PQ/SemDeDup, merged-replay anchors)
     # take the head so the driver independently re-hashes every
-    # optimized path; the remaining 16 slots resume the standing
+    # optimized path; the remaining 8 slots resume the standing
     # never-checked-then-oldest rule (r7 cohort).
     "embedding_pca_loadings",  # r10, priority
     "embedding_pca_top2",  # r10, priority
@@ -2941,6 +2943,14 @@ _CHECK_FIRST = [
     "streaming_langid_confusion",  # r13, priority
     "lpa_communities",  # r8, priority
     "dup_communities",  # r9, priority
+    "lm_perplexity_gate",  # r14, priority
+    "lm_gate_by_source",  # r14, priority
+    "dsir_importance_weights",  # r14, priority
+    "streaming_dsir_weights",  # r14, priority
+    "semantic_dedup",  # r11, priority
+    "pq_codes_det",  # r7, priority
+    "streaming_spacesaving_per_lang",  # r10, priority
+    "streaming_theta_overlap",  # r8, priority
     "gap_filled_daily_activity",  # r7
     "grouped_agg_token_totals",  # r7
     "hll_audience_overlap",  # r7
@@ -2949,14 +2959,6 @@ _CHECK_FIRST = [
     "lm_bigram_scores",  # r7
     "multimodal_meta",  # r7
     "pack_sequences",  # r7
-    "pareto_parts",  # r7
-    "part_reach_hops",  # r7
-    "pq_codes_det",  # r7
-    "priority_shipping_mix",  # r7
-    "quality_filter",  # r7
-    "repetition_signals",  # r7
-    "rolling_weekly_activity",  # r7
-    "scd2_status_merge",  # r7
     ]
 
 

@@ -78,6 +78,18 @@ PRIORITY = [
     "streaming_langid_confusion",
     "lpa_communities",
     "dup_communities",
+    # r15 additions: paths REWRITTEN in this round that are not already
+    # above — the in-line LM gate, the shared-feature DSIR pass, the
+    # partitioned-checkpoint PQ/SemDeDup encodes, and the two merged-
+    # replay anchor entries (one per rewritten fold family)
+    "lm_perplexity_gate",
+    "lm_gate_by_source",
+    "dsir_importance_weights",
+    "streaming_dsir_weights",
+    "semantic_dedup",
+    "pq_codes_det",
+    "streaming_spacesaving_per_lang",
+    "streaming_theta_overlap",
 ]
 
 
